@@ -1,0 +1,34 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet source layer for the test corpus (TESTDATA.md).
+  *
+  * The reference engine has no persistent sources at all — data lives in
+  * GPU/host RAM and dies with the process (`/root/reference/src/main.cu:25-64`).
+  * Spark-first replacement: schema-on-read Parquet scans. All loaders return
+  * *lazy* DataFrames so Catalyst can push filters/projections into the scan
+  * (verify with `.explain`: `PushedFilters`, `ReadSchema`).
+  *
+  * Scale note (100 TB): these are plain `spark.read.parquet` scans, so
+  * partition pruning, predicate pushdown and column pruning all apply
+  * unchanged on a directory of thousands of files; nothing here assumes
+  * single-file input.
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame   = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame   = table(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame =
+    table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    table(s, d, "embeddings")
+}
