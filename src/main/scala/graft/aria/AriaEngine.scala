@@ -1,0 +1,181 @@
+package graft.aria
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Aria-style deterministic, epoch-based batch transaction engine — the
+  * flagship semantics of the reference (SURVEY.md §2 O14–O21, §3 E3).
+  *
+  * Reference pipeline per epoch (`/root/reference/src/database/ycsb/db.h:111-125`):
+  * Execute (snapshot read, `TrancM_func.cuh:21-63`) → Reserve (per-key
+  * min-Tid atomicCAS loops, `metadatahelper.cuh:36-90`) → Commit (RAW/WAR/WAW
+  * analysis, `TrancM_func.cuh:125-164`) → Install (write-back,
+  * `TrancM_func.cuh:181-250`) → Collect (aborted txns retried next epoch,
+  * `TransctionManager.cuh:165-185`).
+  *
+  * Spark re-expression: each phase is a pure data-parallel transformation
+  * over the ops batch, so the whole epoch is ONE DataFrame DAG:
+  *
+  *  - the atomicCAS min-Tid reservation protocol exists only because a GPU
+  *    has no shuffle; `groupBy(k).agg(min(tid))` is its exact declarative
+  *    equivalent (same winner: smallest Tid per key);
+  *  - conflict flags are boolean `max(...)` aggregations per txn;
+  *  - install is a per-key merge of the winning committed writer into the
+  *    next table snapshot (immutability ⇒ version production, which is
+  *    faithful because the reference's install phase is the sole writer and
+  *    runs after all reads);
+  *  - the epoch loop is a driver `while`, with `localCheckpoint` truncating
+  *    lineage so plans don't grow across epochs (SURVEY.md §7.4).
+  *
+  * Determinism: commit decisions depend only on the *relative order* of
+  * Tids, so we keep original sparse Tids across retries instead of the
+  * reference's re-numbering (`TransctionManager.cuh:176-184`) — same
+  * decisions, no global row_number bottleneck at scale. Tids must be ≥ 1
+  * (0 = "no reservation", `TrancM_func.cuh:138`).
+  *
+  * Scale: every phase shuffles on either `k` (reservations, install) or
+  * `tid` (conflict agg) — all map-side-combinable aggs with tiny outputs.
+  * No phase collects data to the driver except the per-epoch abort count
+  * (one long). Skewed keys are handled by AQE; the ops batch is typically
+  * broadcastable against a 100 TB base table.
+  */
+object AriaEngine {
+
+  /** ops schema: tid:long (≥1), opIdx:int, k:long, isUpdate:boolean.
+    * Reference semantics: every op reads its key; update ops additionally
+    * write it (RMW — `TrancM_func.cuh:50-58`: update ⇒ read-set AND
+    * write-set).
+    */
+
+  /** Execute-phase key filter: O14 skips ops whose key is absent from the
+    * snapshot (`TrancM_func.cuh:32-34` `continue`). Left-semi join = exactly
+    * "keep ops that found their key".
+    */
+  def liveOps(ops: DataFrame, table: DataFrame, keyCol: String = "k"): DataFrame =
+    ops.join(table.select(col(keyCol).as("k")), Seq("k"), "left_semi")
+
+  /** O15 Reserve: per-key min-Tid read/write reservations.
+    * rts = min Tid among readers (all ops read); wts = min Tid among writers.
+    * Null wts/rts = "unreserved" (the reference's 0 sentinel).
+    */
+  def reservations(ops: DataFrame): DataFrame =
+    ops.groupBy(col("k")).agg(
+      min(col("tid")).as("rts"),
+      min(when(col("isUpdate"), col("tid"))).as("wts"))
+
+  /** O16 Commit: per-txn RAW/WAR/WAW dependency flags
+    * (`TrancM_func.cuh:125-164`):
+    *  - RAW: some read key has a same-epoch writer with smaller Tid;
+    *  - WAR: some written key has a reader with smaller Tid;
+    *  - WAW: some written key has a writer with smaller Tid.
+    * (rts ≤ tid always holds for own keys since every op reads, so
+    * `rts < tid` ⟺ a strictly smaller reader exists; ditto wts.)
+    */
+  def conflicts(ops: DataFrame, res: DataFrame): DataFrame =
+    ops.join(res, Seq("k"))
+      .groupBy(col("tid"))
+      .agg(
+        max(coalesce(col("wts") < col("tid"), lit(false))).as("raw"),
+        max(col("isUpdate") && coalesce(col("rts") < col("tid"), lit(false)))
+          .as("war"),
+        max(col("isUpdate") && coalesce(col("wts") < col("tid"), lit(false)))
+          .as("waw"))
+
+  /** O17/O18 commit predicate. reorder=false: commit iff ¬waw ∧ ¬raw
+    * (`TrancM_func.cuh:207-227`). reorder=true (Aria's deterministic
+    * reordering theorem): commit iff ¬waw ∧ (¬raw ∨ ¬war)
+    * (`TrancM_func.cuh:181-205`).
+    */
+  def commitFlag(reorder: Boolean): Column =
+    if (reorder) !col("waw") && (!col("raw") || !col("war"))
+    else !col("waw") && !col("raw")
+
+  /** Conflict table with both install policies' verdicts. */
+  def decisions(ops: DataFrame, res: DataFrame): DataFrame =
+    conflicts(ops, res)
+      .withColumn("committed_noreorder", commitFlag(reorder = false))
+      .withColumn("committed_reorder", commitFlag(reorder = true))
+
+  /** O19 write-back winners: per key, the committed writer (reservation
+    * guarantees at most one committed writer per key — any writer above the
+    * min has WAW and aborts — but we keep the min() for defensive
+    * determinism). `newValue` builds the written payload from (tid, epoch) —
+    * the reference regenerates random values at execute time
+    * (`TrancM_func.cuh:52-57`); we use a documented deterministic scheme
+    * instead (SURVEY.md §7.4 seed semantics).
+    */
+  def winners(ops: DataFrame, decided: DataFrame, reorder: Boolean): DataFrame = {
+    val flag = if (reorder) "committed_reorder" else "committed_noreorder"
+    ops.filter(col("isUpdate"))
+      .join(decided.filter(col(flag)).select("tid"), Seq("tid"))
+      .groupBy(col("k"))
+      .agg(min(col("tid")).as("writer_tid"))
+  }
+
+  /** O17–O19 Install: produce the next table snapshot. Value columns listed
+    * in `valueCols` are overwritten by `newValue(writerTid, epoch)` on won
+    * keys; all other columns/rows carry over. One shuffle (or zero, if the
+    * winner set is broadcastable — it's bounded by the batch size, so it
+    * always is).
+    */
+  def install(table: DataFrame, win: DataFrame, valueCols: Seq[String],
+      newValue: (Column, Column) => Column, epoch: Int,
+      keyCol: String = "k"): DataFrame = {
+    val w = broadcast(win.withColumnRenamed("k", keyCol))
+    val merged = table.join(w, Seq(keyCol), "left")
+    val out = table.columns.map { c =>
+      if (valueCols.contains(c))
+        when(col("writer_tid").isNotNull,
+          newValue(col("writer_tid"), lit(epoch))).otherwise(col(c)).as(c)
+      else col(c)
+    }
+    merged.select(out.toIndexedSeq: _*)
+  }
+
+  /** One epoch: Execute→Reserve→Commit→Install→Collect as one DAG.
+    * Returns (next table, per-txn decisions, aborted tids).
+    */
+  def runEpoch(table: DataFrame, ops: DataFrame, reorder: Boolean,
+      valueCols: Seq[String], newValue: (Column, Column) => Column,
+      epoch: Int, keyCol: String = "k"): (DataFrame, DataFrame, DataFrame) = {
+    val live = liveOps(ops, table, keyCol)
+    val res = reservations(live)
+    val decided = decisions(live, res)
+    val win = winners(live, decided, reorder)
+    val next = install(table, win, valueCols, newValue, epoch, keyCol)
+    val flag = if (reorder) "committed_reorder" else "committed_noreorder"
+    val aborted = decided.filter(!col(flag)).select("tid")
+    (next, decided, aborted)
+  }
+
+  /** O20/O21 epoch loop: run to empty. Aborted txns retry next epoch with
+    * their original Tids (order-preserving, see class doc). Progress is
+    * guaranteed: the smallest remaining Tid always commits (no smaller
+    * reader/writer can exist). Checkpointing truncates lineage so epoch N's
+    * plan does not embed epochs 1..N-1.
+    */
+  def run(spark: SparkSession, table0: DataFrame, ops0: DataFrame,
+      reorder: Boolean, valueCols: Seq[String],
+      newValue: (Column, Column) => Column,
+      maxEpochs: Int = 100): (DataFrame, Seq[(Int, Long, Long)]) = {
+    var table = table0.localCheckpoint(true)
+    var ops = ops0.localCheckpoint(true)
+    var epoch = 1
+    val history = Seq.newBuilder[(Int, Long, Long)]
+    var remaining = ops.select("tid").distinct().count()
+    while (remaining > 0 && epoch <= maxEpochs) {
+      val (next, decided, aborted) =
+        runEpoch(table, ops, reorder, valueCols, newValue, epoch)
+      val abortedT = aborted.localCheckpoint(true)
+      val nextT = next.localCheckpoint(true)
+      val nAborted = abortedT.count()
+      history += ((epoch, remaining - nAborted, nAborted))
+      table = nextT
+      ops = ops.join(broadcast(abortedT), Seq("tid"), "left_semi")
+        .localCheckpoint(true)
+      remaining = nAborted
+      epoch += 1
+    }
+    (table, history.result())
+  }
+}

@@ -1,0 +1,248 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.aria.AriaEngine
+import graft.kv.KvOps
+import graft.sources.Tables
+
+/** Oracle-checkable surface for the KV core (SURVEY.md §2 O1–O11) and the
+  * Aria epoch engine (O14–O21), exercised over the driver's Parquet corpus.
+  *
+  * The Aria batch is DERIVED from corpus tables with pure integer arithmetic
+  * (no seeded RNG) so the identical batch is constructible in DuckDB SQL and
+  * the engine's phase outputs hash-compare exactly:
+  *   txns  = orders with o_orderkey % 101 = 0          (tid = o_orderkey)
+  *   ops   = their lineitems: k = l_partkey % 200 + 1, opIdx = l_linenumber,
+  *           isUpdate = (l_linenumber % 5) < 2          (~40% writes)
+  *   base  = part (k = p_partkey, payload f0 = p_name)
+  */
+object KvAria {
+
+  // ---- derived Aria batch ----
+
+  private def ariaOps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .filter($"l_orderkey" % 101 === 0)
+      .select(
+        $"l_orderkey".as("tid"),
+        $"l_linenumber".as("opidx"),
+        ($"l_partkey" % 200 + 1).as("k"),
+        ($"l_linenumber" % 5 < 2).as("isUpdate"))
+  }
+
+  private def ariaBase(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.part(s, dir).select($"p_partkey".as("k"), $"p_name".as("f0"))
+  }
+
+  private val opsCte =
+    """WITH ops AS (
+      |  SELECT l_orderkey AS tid, l_linenumber AS opidx,
+      |         l_partkey % 200 + 1 AS k,
+      |         (l_linenumber % 5) < 2 AS isupdate
+      |  FROM lineitem WHERE l_orderkey % 101 = 0),
+      |live AS (SELECT * FROM ops WHERE k IN (SELECT p_partkey FROM part)),
+      |res AS (SELECT k, min(tid) AS rts,
+      |               min(CASE WHEN isupdate THEN tid END) AS wts
+      |        FROM live GROUP BY k),
+      |conf AS (
+      |  SELECT tid,
+      |    max(CASE WHEN wts < tid THEN 1 ELSE 0 END) AS raw,
+      |    max(CASE WHEN isupdate AND rts < tid THEN 1 ELSE 0 END) AS war,
+      |    max(CASE WHEN isupdate AND wts < tid THEN 1 ELSE 0 END) AS waw
+      |  FROM live JOIN res USING (k) GROUP BY tid)
+      |""".stripMargin
+
+  // ---- Aria queries ----
+
+  /** O15: reservation table (per-key min-Tid read/write stamps). */
+  def ariaReservations(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val live = AriaEngine.liveOps(ariaOps(s, dir), ariaBase(s, dir))
+    AriaEngine.reservations(live)
+      .select($"k", $"rts", coalesce($"wts", lit(0L)).as("wts"))
+      .orderBy($"k")
+  }
+
+  val ariaReservationsSql: String = opsCte +
+    """SELECT k, rts, coalesce(wts, 0) AS wts FROM res ORDER BY k""".stripMargin
+
+  /** O16–O18: per-txn conflict flags + both install policies' verdicts. */
+  def ariaConflicts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val live = AriaEngine.liveOps(ariaOps(s, dir), ariaBase(s, dir))
+    AriaEngine.decisions(live, AriaEngine.reservations(live))
+      .select($"tid",
+        $"raw".cast("int").as("raw"),
+        $"war".cast("int").as("war"),
+        $"waw".cast("int").as("waw"),
+        $"committed_noreorder".cast("int").as("committed_noreorder"),
+        $"committed_reorder".cast("int").as("committed_reorder"))
+      .orderBy($"tid")
+  }
+
+  val ariaConflictsSql: String = opsCte +
+    """SELECT tid, raw, war, waw,
+      |  CASE WHEN waw=0 AND raw=0 THEN 1 ELSE 0 END AS committed_noreorder,
+      |  CASE WHEN waw=0 AND (raw=0 OR war=0) THEN 1 ELSE 0 END AS committed_reorder
+      |FROM conf ORDER BY tid""".stripMargin
+
+  /** O17–O19: table snapshot after one epoch (reorder policy), restricted to
+    * the touched key range. Written payloads are the deterministic
+    * 'v<tid>e<epoch>' scheme (SURVEY.md §7.4).
+    */
+  def ariaInstall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (next, _, _) = AriaEngine.runEpoch(
+      ariaBase(s, dir), ariaOps(s, dir), reorder = true,
+      valueCols = Seq("f0"),
+      newValue = (tid, ep) =>
+        concat(lit("v"), tid.cast("string"), lit("e"), ep.cast("string")),
+      epoch = 1)
+    next.filter($"k" <= 200).orderBy($"k")
+  }
+
+  val ariaInstallSql: String = opsCte +
+    """, win AS (
+      |  SELECT k, min(tid) AS writer_tid
+      |  FROM live JOIN conf USING (tid)
+      |  WHERE isupdate AND waw = 0 AND (raw = 0 OR war = 0)
+      |  GROUP BY k)
+      |SELECT p_partkey AS k,
+      |  CASE WHEN writer_tid IS NOT NULL
+      |       THEN 'v' || writer_tid || 'e1' ELSE p_name END AS f0
+      |FROM part LEFT JOIN win ON p_partkey = win.k
+      |WHERE p_partkey <= 200 ORDER BY k""".stripMargin
+
+  /** O20/O21: multi-epoch run-to-empty summary (epoch, committed, aborted).
+    * The fixpoint loop is not expressible in one ANSI query → rows-only
+    * driver check; serializability is asserted by ScalaTest property tests
+    * against a serial Tid-order oracle (SURVEY.md §5).
+    */
+  def ariaEpochs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (_, history) = AriaEngine.run(
+      s, ariaBase(s, dir), ariaOps(s, dir), reorder = true,
+      valueCols = Seq("f0"),
+      newValue = (tid, ep) =>
+        concat(lit("v"), tid.cast("string"), lit("e"), ep.cast("string")))
+    history.toDF("epoch", "committed", "aborted").orderBy($"epoch")
+  }
+
+  // ---- KV queries ----
+
+  /** O1/O2: point lookup with pushed-down key predicate. */
+  def kvPointLookup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    KvOps.pointLookup(Tables.customer(s, dir), "c_custkey", 42L)
+      .select($"c_custkey", $"c_name", round($"c_acctbal", 2).as("bal"))
+  }
+
+  val kvPointLookupSql: String =
+    """SELECT c_custkey, c_name, round(c_acctbal, 2) AS bal
+      |FROM customer WHERE c_custkey = 42""".stripMargin
+
+  /** O14 probe shape: batched lookup-join of a derived key set. */
+  def kvBatchLookup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val keys = Tables.orders(s, dir)
+      .filter($"o_totalprice" > 250000.0)
+      .select($"o_custkey".as("c_custkey")).distinct()
+    KvOps.batchLookup(Tables.customer(s, dir), keys, "c_custkey")
+      .select($"c_custkey", $"c_name", $"c_mktsegment")
+      .orderBy($"c_custkey")
+  }
+
+  val kvBatchLookupSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |WHERE c_custkey IN (SELECT o_custkey FROM orders
+      |                    WHERE o_totalprice > 250000.0)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** O4/O5 upsert: updates double the balance of every 10th customer and
+    * insert a new row per 100th customer (key + 1,000,000); last-writer-wins
+    * merge per key.
+    */
+  def kvUpsert(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.customer(s, dir)
+      .select($"c_custkey".as("k"), round($"c_acctbal", 2).as("bal"))
+    val updates = Tables.customer(s, dir)
+      .filter($"c_custkey" % 10 === 0)
+      .select($"c_custkey".as("k"), round($"c_acctbal" * 2, 2).as("bal"))
+    val inserts = Tables.customer(s, dir)
+      .filter($"c_custkey" % 100 === 0)
+      .select(($"c_custkey" + 1000000L).as("k"), lit(0.0).as("bal"))
+    KvOps.upsert(base, updates.unionByName(inserts), "k").orderBy($"k")
+  }
+
+  val kvUpsertSql: String =
+    """SELECT c_custkey AS k,
+      |  CASE WHEN c_custkey % 10 = 0 THEN round(c_acctbal * 2, 2)
+      |       ELSE round(c_acctbal, 2) END AS bal
+      |FROM customer
+      |UNION ALL
+      |SELECT c_custkey + 1000000 AS k, 0.0 AS bal
+      |FROM customer WHERE c_custkey % 100 = 0
+      |ORDER BY k""".stripMargin
+
+  /** O9 delete (completes the reference's empty stub): anti-join removal of
+    * every 7th key.
+    */
+  def kvDelete(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dels = Tables.customer(s, dir)
+      .filter($"c_custkey" % 7 === 0).select($"c_custkey")
+    KvOps.delete(Tables.customer(s, dir), dels, "c_custkey")
+      .select($"c_custkey", $"c_name")
+      .orderBy($"c_custkey")
+  }
+
+  val kvDeleteSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE c_custkey % 7 <> 0 ORDER BY c_custkey""".stripMargin
+
+  /** O7/O8: scan + counts across the catalog (one row). */
+  def kvScanCount(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir).agg(count(lit(1)).as("lineitem_rows"))
+    val ord = Tables.orders(s, dir).agg(
+      count(lit(1)).as("orders_rows"),
+      countDistinct($"o_custkey").as("orders_custkeys"))
+    val cust = Tables.customer(s, dir).agg(count(lit(1)).as("customer_rows"))
+    li.crossJoin(ord).crossJoin(cust)
+  }
+
+  val kvScanCountSql: String =
+    """SELECT (SELECT count(*) FROM lineitem) AS lineitem_rows,
+      |  (SELECT count(*) FROM orders) AS orders_rows,
+      |  (SELECT count(DISTINCT o_custkey) FROM orders) AS orders_custkeys,
+      |  (SELECT count(*) FROM customer) AS customer_rows""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "aria_reservations" -> ariaReservations _,
+    "aria_conflicts" -> ariaConflicts _,
+    "aria_install" -> ariaInstall _,
+    "aria_epochs" -> ariaEpochs _,
+    "kv_point_lookup" -> kvPointLookup _,
+    "kv_batch_lookup" -> kvBatchLookup _,
+    "kv_upsert" -> kvUpsert _,
+    "kv_delete" -> kvDelete _,
+    "kv_scan_count" -> kvScanCount _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "aria_reservations" -> ariaReservationsSql,
+    "aria_conflicts" -> ariaConflictsSql,
+    "aria_install" -> ariaInstallSql,
+    // aria_epochs: fixpoint loop, rows-only (see Scaladoc)
+    "kv_point_lookup" -> kvPointLookupSql,
+    "kv_batch_lookup" -> kvBatchLookupSql,
+    "kv_upsert" -> kvUpsertSql,
+    "kv_delete" -> kvDeleteSql,
+    "kv_scan_count" -> kvScanCountSql,
+  )
+}
