@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Event-stream operators over the `events` table (SURVEY.md §2.2
+  * "streaming": absent in the reference — its epoch loop O21 is the
+  * micro-batch pattern; here we expose the standard time-window surface).
+  *
+  * These run in BATCH mode (the driver's verify path); the identical
+  * window expressions run under Structured Streaming in
+  * [[graft.streaming.EventStreams]] — Spark's unified batch/stream semantics
+  * make the batch result the ground truth for the streaming one.
+  *
+  * Scale: every query below shuffles once on (window/session, keys) with
+  * map-side partial aggregation; tumbling/sliding windows are pure
+  * expressions (no state), sessions use Spark's native session_window
+  * merge. Timestamps are rendered to strings for oracle parity.
+  */
+object Events {
+
+  private val fmt = "yyyy-MM-dd HH:mm:ss"
+
+  /** Tumbling 1-hour windows per event type. */
+  def tumbling(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n_events"), round(sum($"value"), 2).as("sum_value"))
+      .select(date_format($"w.start", fmt).as("window_start"),
+        $"event_type", $"n_events", $"sum_value")
+      .orderBy($"window_start", $"event_type")
+  }
+
+  val tumblingSql: String =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+      |  event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+
+  /** Sliding windows: 2-hour width, 1-hour hop — every event lands in
+    * exactly two windows. The DuckDB oracle reconstructs the hop by
+    * unioning the two alignments.
+    */
+  def sliding(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy(window($"ts", "2 hours", "1 hour").as("w"))
+      .agg(count(lit(1)).as("n_events"), round(sum($"value"), 2).as("sum_value"))
+      .select(date_format($"w.start", fmt).as("window_start"),
+        $"n_events", $"sum_value")
+      .orderBy($"window_start")
+  }
+
+  val slidingSql: String =
+    """SELECT strftime(date_trunc('hour', ts) - o.off * INTERVAL 1 HOUR,
+      |                '%Y-%m-%d %H:%M:%S') AS window_start,
+      |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+      |FROM events CROSS JOIN (VALUES (0), (1)) o(off)
+      |GROUP BY 1 ORDER BY window_start""".stripMargin
+
+  /** Session windows: per-user sessions with a 6-hour inactivity gap.
+    * Spark semantics: a session is [first_ts, last_ts + gap); an event at
+    * exactly prev + gap opens a NEW session (half-open interval), hence the
+    * `>=` in the oracle's gaps-and-islands reconstruction.
+    */
+  def sessions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy(session_window($"ts", "6 hours").as("w"), $"user_id")
+      .agg(count(lit(1)).as("n_events"), round(sum($"value"), 2).as("sum_value"))
+      .select($"user_id",
+        date_format($"w.start", fmt).as("session_start"),
+        date_format($"w.end", fmt).as("session_end"),
+        $"n_events", $"sum_value")
+      .orderBy($"user_id", $"session_start")
+  }
+
+  val sessionsSql: String =
+    """WITH marked AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch(ts - lag(ts) OVER w) >= 21600 THEN 1 ELSE 0 END AS new_s
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |numbered AS (
+      |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |    ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM marked)
+      |SELECT user_id,
+      |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+      |  strftime(max(ts) + INTERVAL 6 HOUR, '%Y-%m-%d %H:%M:%S') AS session_end,
+      |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+      |FROM numbered GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
+  /** Per-type daily top-values: windowed rank over tumbling day buckets —
+    * the "top-k per window" composite.
+    */
+  def dailyTopEvents(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val day = Tables.events(s, dir)
+      .select(date_format(date_trunc("day", $"ts"), "yyyy-MM-dd").as("day"),
+        $"event_type", $"event_id", round($"value", 2).as("value"))
+    day.withColumn("rn", row_number().over(
+      Window.partitionBy($"day", $"event_type")
+        .orderBy($"value".desc, $"event_id")))
+      .filter($"rn" <= 3)
+      .orderBy($"day", $"event_type", $"rn")
+  }
+
+  val dailyTopEventsSql: String =
+    """SELECT * FROM (
+      |  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+      |    event_type, event_id, round(value, 2) AS value,
+      |    row_number() OVER (PARTITION BY date_trunc('day', ts), event_type
+      |                       ORDER BY round(value, 2) DESC, event_id) AS rn
+      |  FROM events) t
+      |WHERE rn <= 3 ORDER BY day, event_type, rn""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_tumbling" -> tumbling _,
+    "ev_sliding" -> sliding _,
+    "ev_sessions" -> sessions _,
+    "ev_daily_topk" -> dailyTopEvents _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "ev_tumbling" -> tumblingSql,
+    "ev_sliding" -> slidingSql,
+    "ev_sessions" -> sessionsSql,
+    "ev_daily_topk" -> dailyTopEventsSql,
+  )
+}

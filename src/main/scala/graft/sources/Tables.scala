@@ -26,7 +26,17 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame   = table(s, d, "events")
+  /** `events.ts` is physically TIMESTAMP(NANOS) parquet, which Spark 4
+    * rejects by default ([PARQUET_TYPE_ILLEGAL]). Read the raw nanos as
+    * long and truncate to microseconds — exactly what DuckDB's
+    * `CAST(ts AS TIMESTAMP)` does, so oracle parity is preserved.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, d, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.col("ts") / 1000L cast "long"))
+  }
   def documents(s: SparkSession, d: String): DataFrame =
     table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame =

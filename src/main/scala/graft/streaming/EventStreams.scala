@@ -1,0 +1,81 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+import graft.kv.KvOps
+
+/** Structured Streaming surface (SURVEY.md §7.2 M4): the same window
+  * expressions as [[graft.operators.Events]], run incrementally with
+  * watermarks, plus a `foreachBatch` stateful sink that reuses the KV
+  * upsert merge — the streaming home of the reference's epoch loop
+  * (`/root/reference/src/database/ycsb/db.h:104-125` is a micro-batch
+  * pattern; `foreachBatch` IS that pattern on Spark).
+  *
+  * Scale: file-source streaming partitions by arriving files;
+  * watermark + windowed agg keeps state bounded to open windows only;
+  * `maxFilesPerTrigger` bounds batch size. Nothing here holds driver-side
+  * state beyond the query handle.
+  */
+object EventStreams {
+
+  /** File-based stream of the events table (schema must be supplied:
+    * streaming sources don't infer).
+    */
+  def readEvents(spark: SparkSession, dir: String, schema: StructType,
+      maxFilesPerTrigger: Int = 1): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+
+  /** Tumbling 1-hour counts with a 2-hour watermark: late events beyond the
+    * watermark are dropped, state for closed windows is evicted.
+    */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Per-user session aggregation with watermark-bounded session state. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "6 hours").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("session_start"), col("user_id"),
+        col("n_events"))
+
+  /** foreachBatch KV sink: each micro-batch's per-key aggregates are merged
+    * into a mutable snapshot via last-writer-wins upsert — the streaming
+    * equivalent of the Aria install phase (one version per micro-batch).
+    * Returns the writer; caller starts/stops it. `latest` exposes the
+    * current snapshot for assertions.
+    */
+  class KvSink(keyCol: String) extends Serializable {
+    @volatile var snapshot: Option[DataFrame] = None
+    def merge(batch: DataFrame, batchId: Long): Unit = synchronized {
+      val compacted = batch.persist()
+      compacted.count()
+      snapshot = Some(snapshot match {
+        case None => compacted
+        case Some(prev) =>
+          val next = KvOps.upsert(prev, compacted, keyCol).localCheckpoint(true)
+          prev.unpersist()
+          next
+      })
+    }
+  }
+
+  /** Wire an aggregated stream into a KvSink in update mode. */
+  def toKvSink(agg: DataFrame, sink: KvSink): DataStreamWriter[org.apache.spark.sql.Row] =
+    agg.writeStream
+      .outputMode("update")
+      .foreachBatch((batch: DataFrame, id: Long) => sink.merge(batch, id))
+      .trigger(Trigger.AvailableNow())
+}

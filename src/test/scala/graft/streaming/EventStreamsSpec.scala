@@ -1,0 +1,60 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.Events
+import graft.sources.Tables
+
+/** Streaming ≡ batch: the incremental windowed aggregations must converge to
+  * the batch result on the same data (Spark's unified semantics), and the
+  * foreachBatch KV sink must fold micro-batches into one snapshot.
+  */
+class EventStreamsSpec extends SparkSpec {
+
+  private lazy val stagingDir = {
+    // stage events as several files so the file source produces multiple
+    // micro-batches (maxFilesPerTrigger=1)
+    val dir = Files.createTempDirectory("graft-events").toFile.getAbsolutePath
+    Tables.events(spark, sf("sf0.001")).repartition(3)
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("streaming tumbling counts converge to the batch result") {
+    val schema = spark.read.parquet(stagingDir).schema
+    val stream = EventStreams.readEvents(spark, stagingDir, schema)
+    val agg = EventStreams.tumblingCounts(stream)
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("tumbling_out").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("tumbling_out")
+      .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss")
+        .as("window_start"), col("event_type"), col("n_events"))
+      .collect().map(_.toSeq).sortBy(_.toString())
+    val want = Events.tumbling(spark, sf("sf0.001"))
+      .select(col("window_start"), col("event_type"), col("n_events"))
+      .collect().map(_.toSeq).sortBy(_.toString())
+    assert(got.length == want.length && got.sameElements(want))
+  }
+
+  test("foreachBatch KV sink folds micro-batches into one snapshot") {
+    val schema = spark.read.parquet(stagingDir).schema
+    val stream = EventStreams.readEvents(spark, stagingDir, schema)
+    val perUser = stream
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    val sink = new EventStreams.KvSink("user_id")
+    val q = EventStreams.toKvSink(perUser, sink).start()
+    q.awaitTermination()
+    val snap = sink.snapshot.get.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = spark.read.parquet(stagingDir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(snap == want)
+  }
+}
