@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.Tables
+
+/** Multimodal-column plumbing (builder prompt): treat media as opaque
+  * `binary` columns with typed metadata, and run decode / feature-extract
+  * as batched per-partition transforms — the Scala equivalent of a Pandas
+  * UDF over `mapInPandas`.
+  *
+  * The container has no image/audio codecs, so THE DECODE STEP IS A STUB
+  * (deterministic fake features derived from the bytes — see
+  * [[stubDecode]]); everything around it — binary schema, metadata
+  * derivation, partition-batched UDF shape, feature schema — is real and
+  * tested. Swapping in a real codec changes only the stub's body.
+  *
+  * Scale: media blobs stay opaque bytes end-to-end (no driver collect, no
+  * string conversion); decode runs per-partition so batch size = partition
+  * size, controlled by `spark.sql.files.maxPartitionBytes`.
+  */
+object Multimodal {
+
+  /** Media table: documents' text re-cast as opaque binary payloads with
+    * typed metadata (the corpus has no real media; the byte-column plumbing
+    * is identical).
+    */
+  def mediaTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select(
+      $"doc_id".as("media_id"),
+      encode($"text", "UTF-8").as("payload"),
+      $"source".as("container"),
+      octet_length($"text").as("n_bytes"))
+  }
+
+  /** Typed metadata derived from the payload — byte length plus
+    * deterministic fake dimensions (arithmetic on n_bytes stands in for a
+    * header parse; exactly reproducible in the SQL oracle).
+    */
+  def mediaMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, dir).select(
+      $"media_id", $"container", $"n_bytes",
+      ($"n_bytes" % 640 + 1).as("width"),
+      (($"n_bytes" * 7) % 480 + 1).as("height"),
+      when($"n_bytes" % 3 === 0, "rgb").otherwise("gray").as("mode"))
+      .orderBy($"media_id")
+  }
+
+  val mediaMetaSql: String =
+    """SELECT doc_id AS media_id, source AS container,
+      |  octet_length(encode(text)) AS n_bytes,
+      |  octet_length(encode(text)) % 640 + 1 AS width,
+      |  (octet_length(encode(text)) * 7) % 480 + 1 AS height,
+      |  CASE WHEN octet_length(encode(text)) % 3 = 0
+      |       THEN 'rgb' ELSE 'gray' END AS mode
+      |FROM documents ORDER BY media_id""".stripMargin
+
+  /** STUB decoder: stands in for an image/audio codec (not available in
+    * this container). Produces deterministic fake features from the raw
+    * bytes: 8 "channel means" = mean of every 8th byte. A real
+    * implementation would decode `payload` and pool actual channels; the
+    * signature (bytes → fixed-width float vector) is the real contract.
+    */
+  def stubDecode(payload: Array[Byte]): Array[Double] = {
+    val feats = new Array[Double](8)
+    val counts = new Array[Int](8)
+    var i = 0
+    while (i < payload.length) {
+      val b = i % 8
+      feats(b) += (payload(i) & 0xff).toDouble
+      counts(b) += 1
+      i += 1
+    }
+    var j = 0
+    while (j < 8) {
+      if (counts(j) > 0) feats(j) = feats(j) / counts(j)
+      j += 1
+    }
+    feats
+  }
+
+  private val featSchema = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("n_bytes", IntegerType),
+    StructField("features", ArrayType(DoubleType))))
+
+  /** Partition-batched decode + feature extraction: one pass per partition,
+    * rows streamed (never materialized whole). The mapInPandas-equivalent
+    * shape: Iterator[Row] → Iterator[Row] with an explicit output schema.
+    * No SQL oracle (binary + stub) → driver records rows-only; exactness is
+    * asserted in MultimodalSpec.
+    */
+  def mediaFeatures(s: SparkSession, dir: String): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(featSchema)
+    mediaTable(s, dir)
+      .select(col("media_id"), col("payload"), col("n_bytes"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val payload = r.getAs[Array[Byte]]("payload")
+          Row(r.getAs[Long]("media_id"), payload.length,
+            stubDecode(payload))
+        }
+      }(enc)
+      .orderBy(col("media_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_media_meta" -> mediaMeta _,
+    "mm_media_features" -> mediaFeatures _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "mm_media_meta" -> mediaMetaSql,
+    // mm_media_features: stubbed binary decode, rows-only (see Scaladoc)
+  )
+}

@@ -1,0 +1,228 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Similarity search over the `embeddings` table (builder prompt: ANN as a
+  * first-class pipeline operator; SURVEY.md §7.2 M5).
+  *
+  * Vectors are quantized to fixed-point integers (`floor(x * 10000)`) before
+  * any arithmetic: dot products and squared norms are then EXACT int64 in
+  * both Spark and DuckDB, so cosine scores are bit-identical doubles (same
+  * ints → same IEEE sqrt/division) and rankings can never diverge across
+  * engines. Quantization error at 1e-4 is far below any semantic threshold.
+  *
+  * Scale design:
+  *  - brute-force top-k: the query set is broadcast (it's small by
+  *    definition); the 100 TB side streams through one narrow stage — no
+  *    shuffle at all until the per-query top-k (TakeOrdered over k×parts).
+  *  - LSH buckets: 8 deterministic random hyperplanes → 256 buckets; the
+  *    candidate join is per-bucket, which is the standard sub-linear ANN
+  *    path (probe only matching buckets instead of all pairs).
+  */
+object Similarity {
+
+  /** Quantized vector: array<long> of floor(x*10000). */
+  private def qvec(v: Column): Column =
+    transform(v, x => floor(x.cast("double") * 10000d).cast("long"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  private def norm2(a: Column): Column =
+    aggregate(transform(a, x => x * x), lit(0L), (acc, x) => acc + x)
+
+  private val qvecCte =
+    """WITH qv AS (
+      |  SELECT vec_id, [floor(x * 10000)::BIGINT FOR x IN embedding] AS q
+      |  FROM embeddings),
+      |nrm AS (
+      |  SELECT vec_id, sum(e * e) AS n2
+      |  FROM (SELECT vec_id, unnest(q) AS e FROM qv) GROUP BY vec_id)
+      |""".stripMargin
+
+  /** Brute-force cosine top-5 per query vector (query set = vec_id < 10).
+    * The exact baseline every ANN variant is judged against.
+    */
+  def cosineTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(s, dir)
+      .select($"vec_id", qvec($"embedding").as("q"))
+      .withColumn("n2", norm2($"q"))
+    val queries = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"q".as("qq"), $"n2".as("qn2"))
+    val scored = emb.crossJoin(broadcast(queries))
+      .filter($"vec_id" =!= $"qid")
+      .withColumn("cos",
+        round(dot($"q", $"qq").cast("double")
+          / (sqrt($"n2".cast("double")) * sqrt($"qn2".cast("double"))), 4))
+    scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"qid").orderBy($"cos".desc, $"vec_id")))
+      .filter($"rn" <= 5)
+      .select($"qid", $"vec_id", $"cos", $"rn")
+      .orderBy($"qid", $"rn")
+  }
+
+  val cosineTopKSql: String = qvecCte +
+    """, dots AS (
+      |  SELECT qid, vec_id, sum(x * y) AS d FROM (
+      |    SELECT q.vec_id AS qid, e.vec_id,
+      |           unnest(q.q) AS x, unnest(e.q) AS y
+      |    FROM (SELECT vec_id, q FROM qv WHERE vec_id < 10) q
+      |    JOIN qv e ON e.vec_id <> q.vec_id) z
+      |  GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT qid, d.vec_id,
+      |    round(d / (sqrt(nq.n2) * sqrt(ne.n2)), 4) AS cos
+      |  FROM dots d JOIN nrm nq ON d.qid = nq.vec_id
+      |              JOIN nrm ne ON d.vec_id = ne.vec_id)
+      |SELECT qid, vec_id, cos, rn FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY qid
+      |    ORDER BY cos DESC, vec_id) AS rn FROM scored) t
+      |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+
+  /** Near-duplicate pairs: all pairs with cosine ≥ 0.45 (calibrated to this
+    * corpus's max pairwise cosine of 0.51). The O(n²) verification baseline
+    * for the LSH path below.
+    */
+  def nearDupPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+      .select($"vec_id", qvec($"embedding").as("q"))
+      .withColumn("n2", norm2($"q"))
+    val l = emb.select($"vec_id".as("a"), $"q".as("qa"), $"n2".as("na"))
+    val r = emb.select($"vec_id".as("b"), $"q".as("qb"), $"n2".as("nb"))
+    l.join(r, $"a" < $"b")
+      .withColumn("cos",
+        round(dot($"qa", $"qb").cast("double")
+          / (sqrt($"na".cast("double")) * sqrt($"nb".cast("double"))), 4))
+      .filter($"cos" >= 0.45)
+      .select($"a", $"b", $"cos")
+      .orderBy($"a", $"b")
+  }
+
+  val nearDupPairsSql: String = qvecCte +
+    """, dots AS (
+      |  SELECT a, b, sum(x * y) AS d FROM (
+      |    SELECT a.vec_id AS a, b.vec_id AS b,
+      |           unnest(a.q) AS x, unnest(b.q) AS y
+      |    FROM qv a JOIN qv b ON a.vec_id < b.vec_id) z
+      |  GROUP BY 1, 2)
+      |SELECT a, b, round(d / (sqrt(na.n2) * sqrt(nb.n2)), 4) AS cos
+      |FROM dots JOIN nrm na ON a = na.vec_id JOIN nrm nb ON b = nb.vec_id
+      |WHERE round(d / (sqrt(na.n2) * sqrt(nb.n2)), 4) >= 0.45
+      |ORDER BY a, b""".stripMargin
+
+  /** Random-hyperplane LSH bucketing: 8 deterministic integer hyperplanes
+    * (h[j][i] = ((1 + (j*64+i)*2654435761) mod 1999) − 999), sign of each
+    * integer dot product is one bucket bit. Exact int arithmetic → exact
+    * cross-engine parity. At scale, ANN probes only the query's bucket.
+    */
+  private def hyperplane(j: Int): Seq[Long] =
+    (0 until 64).map(i => ((1L + (j * 64L + i) * 2654435761L) % 1999L) - 999L)
+
+  def lshBuckets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+      .select($"vec_id", qvec($"embedding").as("q"))
+    val bucket = (0 until 8).map { j =>
+      val h = array(hyperplane(j).map(lit): _*)
+      when(dot($"q", h) >= 0, 1L << j).otherwise(0L)
+    }.reduce(_ + _)
+    emb.select($"vec_id", bucket.as("bucket")).orderBy($"vec_id")
+  }
+
+  val lshBucketsSql: String =
+    """WITH qv AS (
+      |  SELECT vec_id, [floor(x * 10000)::BIGINT FOR x IN embedding] AS q
+      |  FROM embeddings),
+      |comp AS (
+      |  SELECT vec_id, unnest(q) AS e, generate_subscripts(q, 1) - 1 AS i
+      |  FROM qv),
+      |hp AS (
+      |  SELECT j, i, ((1 + (j * 64 + i) * 2654435761) % 1999) - 999 AS h
+      |  FROM range(8) t(j), range(64) s(i)),
+      |dots AS (
+      |  SELECT vec_id, j, sum(e * h) AS d
+      |  FROM comp JOIN hp USING (i) GROUP BY 1, 2)
+      |SELECT vec_id,
+      |  sum(CASE WHEN d >= 0 THEN (2^j)::BIGINT ELSE 0 END) AS bucket
+      |FROM dots GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
+  /** Bucketed ANN top-3: brute-force cosine, but only within the query's
+    * LSH bucket — the sub-linear scale path (candidates ∝ bucket size).
+    */
+  def lshTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(s, dir)
+      .select($"vec_id", qvec($"embedding").as("q"))
+      .withColumn("n2", norm2($"q"))
+    val buckets = lshBuckets(s, dir)
+    val withB = emb.join(buckets, Seq("vec_id"))
+    val queries = withB.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"q".as("qq"), $"n2".as("qn2"),
+        $"bucket".as("qbucket"))
+    withB.join(broadcast(queries),
+        $"bucket" === $"qbucket" && $"vec_id" =!= $"qid")
+      .withColumn("cos",
+        round(dot($"q", $"qq").cast("double")
+          / (sqrt($"n2".cast("double")) * sqrt($"qn2".cast("double"))), 4))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"qid").orderBy($"cos".desc, $"vec_id")))
+      .filter($"rn" <= 3)
+      .select($"qid", $"vec_id", $"cos", $"rn")
+      .orderBy($"qid", $"rn")
+  }
+
+  val lshTopKSql: String = qvecCte +
+    """, comp AS (
+      |  SELECT vec_id, unnest(q) AS e, generate_subscripts(q, 1) - 1 AS i
+      |  FROM qv),
+      |hp AS (
+      |  SELECT j, i, ((1 + (j * 64 + i) * 2654435761) % 1999) - 999 AS h
+      |  FROM range(8) t(j), range(64) s(i)),
+      |hdots AS (
+      |  SELECT vec_id, j, sum(e * h) AS d
+      |  FROM comp JOIN hp USING (i) GROUP BY 1, 2),
+      |buckets AS (
+      |  SELECT vec_id, sum(CASE WHEN d >= 0 THEN (2^j)::BIGINT ELSE 0 END) AS bucket
+      |  FROM hdots GROUP BY vec_id),
+      |dots AS (
+      |  SELECT qid, vec_id, sum(x * y) AS d FROM (
+      |    SELECT q.vec_id AS qid, e.vec_id,
+      |           unnest(q.q) AS x, unnest(e.q) AS y
+      |    FROM (SELECT qv.vec_id, qv.q, b.bucket FROM qv
+      |          JOIN buckets b ON qv.vec_id = b.vec_id WHERE qv.vec_id < 10) q
+      |    JOIN (SELECT qv.vec_id, qv.q, b.bucket FROM qv
+      |          JOIN buckets b ON qv.vec_id = b.vec_id) e
+      |      ON q.bucket = e.bucket AND e.vec_id <> q.vec_id) z
+      |  GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT qid, d.vec_id,
+      |    round(d / (sqrt(nq.n2) * sqrt(ne.n2)), 4) AS cos
+      |  FROM dots d JOIN nrm nq ON d.qid = nq.vec_id
+      |              JOIN nrm ne ON d.vec_id = ne.vec_id)
+      |SELECT qid, vec_id, cos, rn FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY qid
+      |    ORDER BY cos DESC, vec_id) AS rn FROM scored) t
+      |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_cosine_topk" -> cosineTopK _,
+    "sim_neardup_pairs" -> nearDupPairs _,
+    "sim_lsh_buckets" -> lshBuckets _,
+    "sim_lsh_topk" -> lshTopK _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "sim_cosine_topk" -> cosineTopKSql,
+    "sim_neardup_pairs" -> nearDupPairsSql,
+    "sim_lsh_buckets" -> lshBucketsSql,
+    "sim_lsh_topk" -> lshTopKSql,
+  )
+}

@@ -1,0 +1,321 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Text-analysis + deduplication operators over `documents` — the
+  * LLM-training-data-pipeline surface (builder prompt; SURVEY.md §7.2 M5).
+  *
+  * Everything here is built from codegen'd built-in expressions (no UDFs),
+  * and every hash/score is defined over *integer arithmetic* (token codes
+  * from `ascii`, polynomial folds mod a prime) so the DuckDB oracle computes
+  * bit-identical values — cross-engine float divergence is designed out.
+  *
+  * Scale notes: token explode → distinct → groupBy is the standard
+  * inverted-index shape (shuffles on token then doc_id; both map-side
+  * combinable). MinHash-LSH candidate pairs join on (band, signature) —
+  * the 100 TB path, since bucket sizes stay bounded while the naive
+  * all-pairs join (kept as the Jaccard verification baseline) is O(n²).
+  */
+object TextOps {
+
+  private val P = 2147483647L // 2^31 - 1 (Mersenne prime)
+  private val A = Seq(1103L, 12289L, 52361L, 84631L, 11213L, 91099L, 30011L, 70607L)
+  private val B = Seq(12007L, 24001L, 33023L, 47093L, 59063L, 71411L, 83477L, 95789L)
+
+  /** Whitespace token stream: (doc_id, w), distinct per doc.
+    * Docs are single-space separated (verified on the corpus).
+    */
+  private def tokens(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("w"))
+      .distinct()
+  }
+
+  /** Integer token code: first 3 chars packed base-256 + length.
+    * `ascii('') = 0` in both engines covers words shorter than 3 chars.
+    */
+  private def tokenCode(w: Column): Column =
+    (ascii(substring(w, 1, 1)).cast("long") * 65536L
+      + ascii(substring(w, 2, 1)).cast("long") * 256L
+      + ascii(substring(w, 3, 1)).cast("long")
+      + length(w).cast("long"))
+
+  private val tokenCodeSql =
+    """(ascii(substr(w,1,1))::BIGINT * 65536
+      | + ascii(substr(w,2,1))::BIGINT * 256
+      | + ascii(substr(w,3,1))::BIGINT + length(w)::BIGINT)""".stripMargin
+      .replace("\n", " ")
+
+  private val tokCte =
+    s"""WITH tok AS (
+       |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+       |  FROM documents),
+       |codes AS (SELECT doc_id, $tokenCodeSql AS code FROM tok)
+       |""".stripMargin
+
+  // ---- text statistics ----
+
+  /** Token counting + length stats via pure length arithmetic (identical
+    * semantics in both engines; no regex divergence).
+    */
+  def textStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id",
+        length($"text").as("char_len"),
+        (length($"text") - length(regexp_replace($"text", lit(" "), lit(""))) + 1)
+          .as("n_words"))
+      .withColumn("avg_word_len",
+        round(($"char_len" - $"n_words" + 1).cast("double") / $"n_words", 3))
+      .withColumn("bpe_est", ceil($"char_len" / 4.0).cast("long"))
+      .orderBy($"doc_id")
+  }
+
+  val textStatsSql: String =
+    """SELECT doc_id, length(text) AS char_len,
+      |  length(text) - length(replace(text, ' ', '')) + 1 AS n_words,
+      |  round((length(text) - (length(text) - length(replace(text,' ',''))+1) + 1)
+      |        * 1.0 / (length(text) - length(replace(text,' ','')) + 1), 3)
+      |    AS avg_word_len,
+      |  ceil(length(text) / 4.0)::BIGINT AS bpe_est
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Language-ID heuristic: whole-word marker occurrence counts via
+    * replace-arithmetic on space-padded text, argmax with a fixed
+    * tie-break order. (On this corpus all text is the same word soup, so
+    * the interesting property is formula parity, not accuracy.)
+    */
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val p = concat(lit(" "), $"text", lit(" "))
+    def occ(m: String): Column =
+      ((length(p) - length(regexp_replace(p, lit(m), lit("")))) / m.length)
+        .cast("long")
+    val sEn = (occ(" the ") + occ(" a ")).as("s_en")
+    val sDe = (occ(" der ") + occ(" und ")).as("s_de")
+    val sEs = (occ(" el ") + occ(" los ")).as("s_es")
+    val sFr = (occ(" le ") + occ(" la ")).as("s_fr")
+    Tables.documents(s, dir)
+      .select($"doc_id", $"lang", sEn, sDe, sEs, sFr)
+      .withColumn("pred_lang",
+        when($"s_en" >= $"s_de" && $"s_en" >= $"s_es" && $"s_en" >= $"s_fr", "en")
+          .when($"s_de" >= $"s_es" && $"s_de" >= $"s_fr", "de")
+          .when($"s_es" >= $"s_fr", "es")
+          .otherwise("fr"))
+      .orderBy($"doc_id")
+  }
+
+  val langIdSql: String = {
+    def occ(m: String) =
+      s"((length(' '||text||' ') - length(replace(' '||text||' ', '$m', ''))) / ${m.length})::BIGINT"
+    s"""SELECT doc_id, lang,
+       |  ${occ(" the ")} + ${occ(" a ")} AS s_en,
+       |  ${occ(" der ")} + ${occ(" und ")} AS s_de,
+       |  ${occ(" el ")} + ${occ(" los ")} AS s_es,
+       |  ${occ(" le ")} + ${occ(" la ")} AS s_fr,
+       |  CASE WHEN ${occ(" the ")} + ${occ(" a ")} >= ${occ(" der ")} + ${occ(" und ")}
+       |         AND ${occ(" the ")} + ${occ(" a ")} >= ${occ(" el ")} + ${occ(" los ")}
+       |         AND ${occ(" the ")} + ${occ(" a ")} >= ${occ(" le ")} + ${occ(" la ")} THEN 'en'
+       |       WHEN ${occ(" der ")} + ${occ(" und ")} >= ${occ(" el ")} + ${occ(" los ")}
+       |         AND ${occ(" der ")} + ${occ(" und ")} >= ${occ(" le ")} + ${occ(" la ")} THEN 'de'
+       |       WHEN ${occ(" el ")} + ${occ(" los ")} >= ${occ(" le ")} + ${occ(" la ")} THEN 'es'
+       |       ELSE 'fr' END AS pred_lang
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** Document fingerprint: polynomial rolling hash over all chars,
+    * (acc*31 + ascii(c)) mod 1e9+7, init 7 — a real content fingerprint
+    * with exact integer parity (Spark `aggregate` ≡ DuckDB `list_reduce`).
+    */
+  def fingerprint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id",
+        aggregate(split($"text", ""), lit(7L),
+          (acc, c) => (acc * 31L + ascii(c)) % 1000000007L).as("fp"))
+      .orderBy($"doc_id")
+  }
+
+  val fingerprintSql: String =
+    """SELECT doc_id,
+      |  list_reduce(
+      |    list_prepend(7::BIGINT,
+      |      [ascii(c)::BIGINT FOR c IN string_split(text, '')]),
+      |    (a, b) -> (a * 31 + b) % 1000000007) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---- deduplication ----
+
+  /** Exact dedup: group identical texts (by content, with an md5 witness),
+    * keep the smallest doc_id. The 100 TB shape: shuffle on the hash, not
+    * the text.
+    */
+  def dedupExact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .groupBy($"text")
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .select($"keep_id", $"n_copies", md5($"text".cast("binary")).as("h"))
+      .orderBy($"keep_id")
+  }
+
+  val dedupExactSql: String =
+    """SELECT min(doc_id) AS keep_id, count(*) AS n_copies, md5(text) AS h
+      |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin
+
+  /** MinHash signatures: 8 permutations (a_j*code + b_j) mod P over the
+    * distinct token set. Signature equality ≈ Jaccard similarity — the
+    * sketch behind LSH dedup.
+    */
+  def minhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val codes = tokens(s, dir).select($"doc_id", tokenCode($"w").as("code"))
+    val aggs = A.indices.map(j =>
+      min((lit(A(j)) * $"code" + B(j)) % P).as(s"mh$j"))
+    codes.groupBy($"doc_id").agg(aggs.head, aggs.tail: _*).orderBy($"doc_id")
+  }
+
+  val minhashSql: String = tokCte + {
+    val cols = A.indices.map(j =>
+      s"min((${A(j)} * code + ${B(j)}) % 2147483647) AS mh$j").mkString(",\n  ")
+    s"""SELECT doc_id,
+       |  $cols
+       |FROM codes GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /** MinHash-LSH candidate pairs: 2 bands × 4 rows (S-curve threshold
+    * (1/b)^(1/r) ≈ 0.71); docs sharing any band signature are candidates.
+    * Band signatures fold the 4 minhashes with an overflow-safe modular
+    * polynomial (M ≈ 2^36 keeps every intermediate < 2^53). This is the
+    * scale path for near-dedup: the join key is (band, signature), so work
+    * is proportional to bucket sizes, never O(n²). (This corpus is built
+    * with heavy near-duplication — p50 token-Jaccard 0.63 — so large
+    * candidate sets are the correct output, not a config artifact.)
+    */
+  private val M = 68719476731L // prime ≈ 2^36
+
+  private def bandSig(cols: Seq[Column]): Column =
+    cols.reduce((acc, c) => (acc % M * 131071L + c) % M)
+
+  def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sig = minhash(s, dir)
+    val bands = (0 until 2).map { b =>
+      sig.select($"doc_id", lit(b).as("band"),
+        bandSig((0 until 4).map(i => col(s"mh${4 * b + i}"))).as("sig"))
+    }.reduce(_ unionByName _)
+    val l = bands.as("l")
+    val r = bands.as("r")
+    l.join(r, $"l.band" === $"r.band" && $"l.sig" === $"r.sig"
+        && $"l.doc_id" < $"r.doc_id")
+      .select($"l.doc_id".as("a"), $"r.doc_id".as("b"))
+      .distinct()
+      .orderBy($"a", $"b")
+  }
+
+  val minhashPairsSql: String = tokCte + {
+    val cols = A.indices.map(j =>
+      s"min((${A(j)} * code + ${B(j)}) % 2147483647) AS mh$j").mkString(", ")
+    def sig(i: Int) =
+      (1 until 4).foldLeft(s"mh${i}")((acc, j) =>
+        s"(($acc) % $M * 131071 + mh${i + j}) % $M")
+    s""", sigs AS (SELECT doc_id, $cols FROM codes GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, 0 AS band, ${sig(0)} AS sig FROM sigs
+       |  UNION ALL SELECT doc_id, 1, ${sig(4)} FROM sigs)
+       |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+       |FROM bands l JOIN bands r
+       |  ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
+       |ORDER BY a, b""".stripMargin
+  }
+
+  /** Exact token-set Jaccard pairs (the verification baseline for MinHash):
+    * inverted-index join on tokens, |∩| via group count, |∪| = |A|+|B|−|∩|.
+    * O(Σ bucket²) — fine as a baseline, superseded by LSH at scale.
+    */
+  def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tok = tokens(s, dir)
+    val sizes = tok.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val inter = tok.as("x")
+      .join(tok.as("y"), $"x.w" === $"y.w" && $"x.doc_id" < $"y.doc_id")
+      .groupBy($"x.doc_id".as("a"), $"y.doc_id".as("b"))
+      .agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.select($"doc_id".as("a"), $"n".as("na")), Seq("a"))
+      .join(sizes.select($"doc_id".as("b"), $"n".as("nb")), Seq("b"))
+      .withColumn("jaccard",
+        round($"c".cast("double") / ($"na" + $"nb" - $"c"), 4))
+      .filter($"c".cast("double") / ($"na" + $"nb" - $"c") >= 0.95)
+      .select($"a", $"b", $"jaccard")
+      .orderBy($"a", $"b")
+  }
+
+  val jaccardPairsSql: String = tokCte +
+    """, sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+      |inter AS (
+      |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+      |  FROM tok x JOIN tok y ON x.w = y.w AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT a, b, round(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
+      |FROM inter
+      |JOIN sz sa ON a = sa.doc_id JOIN sz sb ON b = sb.doc_id
+      |WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.95
+      |ORDER BY a, b""".stripMargin
+
+  /** SimHash (16-bit): per token-hash bit, ±1 votes over the distinct token
+    * set; sign of each bit-sum forms the fingerprint. Near-dup docs differ
+    * in few bits. Pure integer arithmetic (floor-div instead of dynamic
+    * shifts, which Spark's shiftright can't do with a column shift amount).
+    */
+  def simhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val h = ((lit(A(0)) * tokenCode($"w") + B(0)) % P).as("h")
+    val bits = tokens(s, dir).select($"doc_id", h)
+      .select($"doc_id", $"h", explode(sequence(lit(0), lit(15))).as("b"))
+      .withColumn("bit", floor($"h" / pow(lit(2.0), $"b")).cast("long") % 2)
+      .groupBy($"doc_id", $"b")
+      .agg(sum(when($"bit" === 1, 1L).otherwise(-1L)).as("vote"))
+    bits.groupBy($"doc_id")
+      .agg(sum(when($"vote" > 0,
+        pow(lit(2.0), $"b").cast("long")).otherwise(0L)).as("simhash"))
+      .orderBy($"doc_id")
+  }
+
+  val simhashSql: String = tokCte +
+    """, hs AS (SELECT doc_id, (1103 * code + 12007) % 2147483647 AS h FROM codes),
+      |votes AS (
+      |  SELECT doc_id, b,
+      |    sum(CASE WHEN floor(h / power(2, b))::BIGINT % 2 = 1
+      |             THEN 1 ELSE -1 END) AS vote
+      |  FROM hs CROSS JOIN range(16) t(b) GROUP BY doc_id, b)
+      |SELECT doc_id,
+      |  sum(CASE WHEN vote > 0 THEN power(2, b)::BIGINT ELSE 0 END) AS simhash
+      |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_stats" -> textStats _,
+    "text_lang_id" -> langId _,
+    "text_fingerprint" -> fingerprint _,
+    "dedup_exact" -> dedupExact _,
+    "dedup_minhash" -> minhash _,
+    "dedup_minhash_pairs" -> minhashPairs _,
+    "dedup_jaccard_pairs" -> jaccardPairs _,
+    "dedup_simhash" -> simhash _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "text_stats" -> textStatsSql,
+    "text_lang_id" -> langIdSql,
+    "text_fingerprint" -> fingerprintSql,
+    "dedup_exact" -> dedupExactSql,
+    "dedup_minhash" -> minhashSql,
+    "dedup_minhash_pairs" -> minhashPairsSql,
+    "dedup_jaccard_pairs" -> jaccardPairsSql,
+    "dedup_simhash" -> simhashSql,
+  )
+}

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Semantic properties of the LLM-pipeline operators that the DuckDB
+  * oracle can't express: sketch guarantees (MinHash recall), ANN-vs-exact
+  * agreement, and stub-decode exactness.
+  */
+class PipelineOpsSpec extends SparkSpec {
+
+  private val dir = sf("sf0.001")
+
+  test("identical token sets are always LSH candidates (MinHash recall = 1 at j = 1)") {
+    import spark.implicits._
+    val exact = TextOps.jaccardPairs(spark, dir)
+      .filter($"jaccard" === 1.0).select($"a", $"b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cand = TextOps.minhashPairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "corpus should contain identical-token-set pairs")
+    assert(exact.subsetOf(cand),
+      s"missed ${exact.diff(cand).size} of ${exact.size} exact-dup pairs")
+  }
+
+  test("simhash of identical token sets is identical") {
+    import spark.implicits._
+    val exact = TextOps.jaccardPairs(spark, dir).filter($"jaccard" === 1.0)
+    val sh = TextOps.simhash(spark, dir)
+    val joined = exact
+      .join(sh.select($"doc_id".as("a"), $"simhash".as("sa")), Seq("a"))
+      .join(sh.select($"doc_id".as("b"), $"simhash".as("sb")), Seq("b"))
+    assert(joined.filter($"sa" =!= $"sb").count() == 0)
+  }
+
+  test("brute-force cosine top-k matches a driver-side recomputation") {
+    import spark.implicits._
+    val vecs = graft.sources.Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 10000).toLong).toArray)
+      .toMap
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum.toDouble)
+      val nb = math.sqrt(b.map(x => x * x).sum.toDouble)
+      BigDecimal(dot / (na * nb)).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    }
+    val got = Similarity.cosineTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    for (qid <- 0L until 10L) {
+      val expected = vecs.keys.filter(_ != qid).toSeq
+        .map(v => (v, cos(vecs(qid), vecs(v))))
+        .sortBy { case (v, c) => (-c, v) }.take(5)
+      expected.zipWithIndex.foreach { case ((v, c), i) =>
+        assert(got((qid, i + 1)) == ((v, c)),
+          s"qid=$qid rank=${i + 1}: got ${got((qid, i + 1))}, want ($v,$c)")
+      }
+    }
+  }
+
+  test("LSH top-k results agree with brute force on shared candidates") {
+    import spark.implicits._
+    val brute = Similarity.cosineTopK(spark, dir)
+      .select($"qid", $"vec_id", $"cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Similarity.lshTopK(spark, dir)
+      .select($"qid", $"vec_id", $"cos").collect()
+    // any (qid, vec) pair present in both must carry the same score
+    lsh.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      brute.get(key).foreach(c => assert(c == r.getDouble(2)))
+    }
+  }
+
+  test("stub decode: features are exact per-channel byte means") {
+    import spark.implicits._
+    val rows = Multimodal.mediaFeatures(spark, dir).limit(20).collect()
+    val texts = graft.sources.Tables.documents(spark, dir)
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val bytes = texts(id).getBytes("UTF-8")
+      assert(r.getInt(1) == bytes.length)
+      val want = Multimodal.stubDecode(bytes)
+      val got = r.getSeq[Double](2)
+      assert(got.length == 8 && got.sameElements(want))
+    }
+  }
+}

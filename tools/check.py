@@ -69,11 +69,16 @@ def main():
                     print(" ", line)
 
     oracles = json.loads(Path(f"{outdir}/oracle_sql.json").read_text())
-    con = duckdb.connect()
-    for t in TABLES:
-        p = f"{sfdir}/{t}.parquet"
-        if Path(p).exists():
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    def connect():
+        c = duckdb.connect()
+        for t in TABLES:
+            p = f"{sfdir}/{t}.parquet"
+            if Path(p).exists():
+                c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+        return c
+
+    con = connect()
 
     n_ok = n_bad = 0
     for name in sorted(oracles):
@@ -94,8 +99,9 @@ def main():
             duck_cols = [d[0] for d in du.description]
             duck_rows = du.fetchall()
         except Exception as e:
-            print(f"FAIL {name}: {e}")
+            print(f"FAIL {name}: {str(e)[:300]}")
             n_bad += 1
+            con = connect()  # a fatal duckdb error invalidates the connection
             continue
         err = compare(name, spark_rows, duck_rows, spark_cols, duck_cols)
         if err:
