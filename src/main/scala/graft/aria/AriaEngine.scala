@@ -164,15 +164,19 @@ object AriaEngine {
     val history = Seq.newBuilder[(Int, Long, Long)]
     var remaining = ops.select("tid").distinct().count()
     while (remaining > 0 && epoch <= maxEpochs) {
-      val (next, decided, aborted) =
+      val (next, _, aborted) =
         runEpoch(table, ops, reorder, valueCols, newValue, epoch)
-      val abortedT = aborted.localCheckpoint(true)
+      // two eager checkpoints per epoch: the next table version and the
+      // surviving ops (which embeds the aborted-tid semi-join); the loop
+      // condition reads the already-materialized ops, so no extra job
       val nextT = next.localCheckpoint(true)
-      val nAborted = abortedT.count()
+      val opsNext = ops
+        .join(broadcast(aborted), Seq("tid"), "left_semi")
+        .localCheckpoint(true)
+      val nAborted = opsNext.select("tid").distinct().count()
       history += ((epoch, remaining - nAborted, nAborted))
       table = nextT
-      ops = ops.join(broadcast(abortedT), Seq("tid"), "left_semi")
-        .localCheckpoint(true)
+      ops = opsNext
       remaining = nAborted
       epoch += 1
     }

@@ -14,7 +14,7 @@ import graft.sources.Tables
   * (no seeded RNG) so the identical batch is constructible in DuckDB SQL and
   * the engine's phase outputs hash-compare exactly:
   *   txns  = orders with o_orderkey % 101 = 0          (tid = o_orderkey)
-  *   ops   = their lineitems: k = l_partkey % 200 + 1, opIdx = l_linenumber,
+  *   ops   = their lineitems: k = l_partkey % 1000 + 1, opIdx = l_linenumber,
   *           isUpdate = (l_linenumber % 5) < 2          (~40% writes)
   *   base  = part (k = p_partkey, payload f0 = p_name)
   */
@@ -29,7 +29,7 @@ object KvAria {
       .select(
         $"l_orderkey".as("tid"),
         $"l_linenumber".as("opidx"),
-        ($"l_partkey" % 200 + 1).as("k"),
+        ($"l_partkey" % 1000 + 1).as("k"),
         ($"l_linenumber" % 5 < 2).as("isUpdate"))
   }
 
@@ -41,7 +41,7 @@ object KvAria {
   private val opsCte =
     """WITH ops AS (
       |  SELECT l_orderkey AS tid, l_linenumber AS opidx,
-      |         l_partkey % 200 + 1 AS k,
+      |         l_partkey % 1000 + 1 AS k,
       |         (l_linenumber % 5) < 2 AS isupdate
       |  FROM lineitem WHERE l_orderkey % 101 = 0),
       |live AS (SELECT * FROM ops WHERE k IN (SELECT p_partkey FROM part)),
@@ -102,7 +102,7 @@ object KvAria {
       newValue = (tid, ep) =>
         concat(lit("v"), tid.cast("string"), lit("e"), ep.cast("string")),
       epoch = 1)
-    next.filter($"k" <= 200).orderBy($"k")
+    next.filter($"k" <= 1000).orderBy($"k")
   }
 
   val ariaInstallSql: String = opsCte +
@@ -115,7 +115,7 @@ object KvAria {
       |  CASE WHEN writer_tid IS NOT NULL
       |       THEN 'v' || writer_tid || 'e1' ELSE p_name END AS f0
       |FROM part LEFT JOIN win ON p_partkey = win.k
-      |WHERE p_partkey <= 200 ORDER BY k""".stripMargin
+      |WHERE p_partkey <= 1000 ORDER BY k""".stripMargin
 
   /** O20/O21: multi-epoch run-to-empty summary (epoch, committed, aborted).
     * The fixpoint loop is not expressible in one ANSI query → rows-only

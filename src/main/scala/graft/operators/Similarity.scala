@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.ArrayOps
 import graft.sources.Tables
 
 /** Similarity search over the `embeddings` table (builder prompt: ANN as a
@@ -28,11 +29,14 @@ object Similarity {
   private def qvec(v: Column): Column =
     transform(v, x => floor(x.cast("double") * 10000d).cast("long"))
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+  /** Codegen'd integer kernels ([[graft.functions.ArrayOps]]) — the
+    * zip_with/aggregate equivalents are HigherOrderFunctions (one lambda
+    * eval per element per row, no whole-stage codegen), which dominated the
+    * bench at millions of pairs × 64 dims.
+    */
+  private def dot(a: Column, b: Column): Column = ArrayOps.longDot(a, b)
 
-  private def norm2(a: Column): Column =
-    aggregate(transform(a, x => x * x), lit(0L), (acc, x) => acc + x)
+  private def norm2(a: Column): Column = ArrayOps.longNorm2(a)
 
   private val qvecCte =
     """WITH qv AS (

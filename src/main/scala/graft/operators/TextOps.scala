@@ -233,21 +233,45 @@ object TextOps {
        |ORDER BY a, b""".stripMargin
   }
 
-  /** Exact token-set Jaccard pairs (the verification baseline for MinHash):
-    * inverted-index join on tokens, |∩| via group count, |∪| = |A|+|B|−|∩|.
-    * O(Σ bucket²) — fine as a baseline, superseded by LSH at scale.
+  /** Exact token-set Jaccard pairs at threshold 0.95.
+    *
+    * Candidate generation uses DELETION-NEIGHBORHOOD signatures instead of
+    * the naive inverted-index join (which explodes to Σ bucket² ≈ 200M rows
+    * on this corpus at sf0.1): with token sets of size n ≤ 31,
+    * J(A,B) ≥ 0.95 ⟹ |A Δ B| ≤ 1 (c/(c+2) ≥ 0.95 needs c ≥ 38 > 31), so
+    * every qualifying pair has equal sets or differs by one token. Each doc
+    * emits an additive set hash H = Σ h(w) (exact long, no overflow:
+    * ≤ 31·2^36) plus n delete-one hashes H − h(w); qualifying pairs always
+    * collide on a signature, and candidates are verified EXACTLY via
+    * array_intersect — hash collisions only cost verification work, never
+    * correctness. Near-linear: |sigs| = Σ(n+1), buckets ≈ true-pair sized.
+    * (For thresholds where |AΔB| is unbounded, prefix filtering is the
+    * standard fallback; MinHash-LSH above is the approximate path.)
     */
   def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val tok = tokens(s, dir)
-    val sizes = tok.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val inter = tok.as("x")
-      .join(tok.as("y"), $"x.w" === $"y.w" && $"x.doc_id" < $"y.doc_id")
-      .groupBy($"x.doc_id".as("a"), $"y.doc_id".as("b"))
-      .agg(count(lit(1)).as("c"))
-    inter
-      .join(sizes.select($"doc_id".as("a"), $"n".as("na")), Seq("a"))
-      .join(sizes.select($"doc_id".as("b"), $"n".as("nb")), Seq("b"))
+      .select($"doc_id", $"w", ((lit(A(0)) * tokenCode($"w") + B(0)) % P).as("hw"))
+    val perDoc = tok.groupBy($"doc_id")
+      .agg(sort_array(collect_list($"w")).as("arr"),
+        count(lit(1)).as("n"), sum($"hw").as("h"))
+    val full = perDoc.select($"doc_id", $"h".as("sig"))
+    val dels = tok.join(perDoc.select($"doc_id", $"h"), Seq("doc_id"))
+      .select($"doc_id", ($"h" - $"hw").as("sig"))
+    val sigs = full.unionByName(dels)
+    // full-vs-any collision covers equal sets (full=full) and one-token
+    // supersets (full_A = del_B); normalize to a<b
+    val cand = full.select($"doc_id".as("x"), $"sig")
+      .join(sigs.select($"doc_id".as("y"), $"sig"), Seq("sig"))
+      .filter($"x" =!= $"y")
+      .select(least($"x", $"y").as("a"), greatest($"x", $"y").as("b"))
+      .distinct()
+    cand
+      .join(perDoc.select($"doc_id".as("a"), $"arr".as("aa"), $"n".as("na")),
+        Seq("a"))
+      .join(perDoc.select($"doc_id".as("b"), $"arr".as("ab"), $"n".as("nb")),
+        Seq("b"))
+      .withColumn("c", size(array_intersect($"aa", $"ab")).cast("long"))
       .withColumn("jaccard",
         round($"c".cast("double") / ($"na" + $"nb" - $"c"), 4))
       .filter($"c".cast("double") / ($"na" + $"nb" - $"c") >= 0.95)
