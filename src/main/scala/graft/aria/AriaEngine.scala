@@ -132,6 +132,27 @@ object AriaEngine {
     merged.select(out.toIndexedSeq: _*)
   }
 
+  /** O22 execute variant ("operation-parallel" path): instead of skipping
+    * ops on missing keys, INSERT the missing key with a generated payload
+    * before the epoch proceeds (`operation_parallel.cuh:72-83` inserts a
+    * random value at execute time; our generator is the deterministic
+    * `insertValue(k)` per SURVEY.md §7.4 seed policy). Returns the widened
+    * snapshot; afterwards every op is live by construction.
+    */
+  def insertMissing(table: DataFrame, ops: DataFrame,
+      valueCols: Seq[String], insertValue: Column => Column,
+      keyCol: String = "k"): DataFrame = {
+    val missing = ops.select(col("k").as(keyCol)).distinct()
+      .join(table.select(col(keyCol)), Seq(keyCol), "left_anti")
+    val schema = table.schema
+    val newRows = missing.select(
+      col(keyCol) +: table.columns.filterNot(_ == keyCol).map { c =>
+        (if (valueCols.contains(c)) insertValue(col(keyCol))
+         else lit(null).cast(schema(c).dataType)).as(c)
+      }.toIndexedSeq: _*)
+    table.unionByName(newRows)
+  }
+
   /** One epoch: Execute→Reserve→Commit→Install→Collect as one DAG.
     * Returns (next table, per-txn decisions, aborted tids).
     */

@@ -132,6 +132,89 @@ object KvAria {
     history.toDF("epoch", "committed", "aborted").orderBy($"epoch")
   }
 
+  /** O22 "operation-parallel" execute variant: ops on missing keys insert
+    * the key with a deterministic payload ('ins<k>') instead of being
+    * skipped (`/root/reference/src/database/ycsb/operation_parallel.cuh:72-83`).
+    * Base is part restricted to p_partkey ≤ 1500 and the op keyspace is
+    * 1..3000, so keys 1501.. are genuinely missing at every scale factor.
+    * Output: epoch-1 install result over the touched range.
+    */
+  def ariaInsertMissing(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.part(s, dir).filter($"p_partkey" <= 1500)
+      .select($"p_partkey".as("k"), $"p_name".as("f0"))
+    val ops = Tables.lineitem(s, dir)
+      .filter($"l_orderkey" % 101 === 0)
+      .select(
+        $"l_orderkey".as("tid"),
+        $"l_linenumber".as("opidx"),
+        ($"l_partkey" % 3000 + 1).as("k"),
+        ($"l_linenumber" % 5 < 2).as("isUpdate"))
+    val widened = AriaEngine.insertMissing(base, ops, Seq("f0"),
+      k => concat(lit("ins"), k.cast("string")))
+    val (next, _, _) = AriaEngine.runEpoch(
+      widened, ops, reorder = true, valueCols = Seq("f0"),
+      newValue = (tid, ep) =>
+        concat(lit("v"), tid.cast("string"), lit("e"), ep.cast("string")),
+      epoch = 1)
+    next.orderBy($"k")
+  }
+
+  val ariaInsertMissingSql: String =
+    """WITH base AS (
+      |  SELECT p_partkey AS k, p_name AS f0 FROM part WHERE p_partkey <= 1500),
+      |ops AS (
+      |  SELECT l_orderkey AS tid, l_linenumber AS opidx,
+      |         l_partkey % 3000 + 1 AS k,
+      |         (l_linenumber % 5) < 2 AS isupdate
+      |  FROM lineitem WHERE l_orderkey % 101 = 0),
+      |widened AS (
+      |  SELECT k, f0 FROM base
+      |  UNION ALL
+      |  SELECT DISTINCT k, 'ins' || k AS f0 FROM ops
+      |  WHERE k NOT IN (SELECT k FROM base)),
+      |res AS (SELECT k, min(tid) AS rts,
+      |               min(CASE WHEN isupdate THEN tid END) AS wts
+      |        FROM ops GROUP BY k),
+      |conf AS (
+      |  SELECT tid,
+      |    max(CASE WHEN wts < tid THEN 1 ELSE 0 END) AS raw,
+      |    max(CASE WHEN isupdate AND rts < tid THEN 1 ELSE 0 END) AS war,
+      |    max(CASE WHEN isupdate AND wts < tid THEN 1 ELSE 0 END) AS waw
+      |  FROM ops JOIN res USING (k) GROUP BY tid),
+      |win AS (
+      |  SELECT k, min(tid) AS writer_tid
+      |  FROM ops JOIN conf USING (tid)
+      |  WHERE isupdate AND waw = 0 AND (raw = 0 OR war = 0)
+      |  GROUP BY k)
+      |SELECT w.k,
+      |  CASE WHEN writer_tid IS NOT NULL
+      |       THEN 'v' || writer_tid || 'e1' ELSE w.f0 END AS f0
+      |FROM widened w LEFT JOIN win ON w.k = win.k
+      |ORDER BY w.k""".stripMargin
+
+  /** O23 same-key op chain: per (tid, k), ops apply in opIdx order while
+    * distinct keys run parallel (`key_op_chain.cuh:72-159`). With the
+    * exploded representation this is a sorted fold per (tid, k); the
+    * observable outcome is the LAST op's effect, surfaced here with the
+    * full ordered chain length.
+    */
+  def ariaKeyOpChain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    ariaOps(s, dir)
+      .groupBy($"tid", $"k")
+      .agg(
+        count(lit(1)).as("n_ops"),
+        max($"opidx").as("last_opidx"),
+        max_by($"isUpdate", $"opidx").cast("int").as("last_is_update"))
+      .orderBy($"tid", $"k")
+  }
+
+  val ariaKeyOpChainSql: String = opsCte +
+    """SELECT tid, k, count(*) AS n_ops, max(opidx) AS last_opidx,
+      |  arg_max(isupdate, opidx)::INT AS last_is_update
+      |FROM ops GROUP BY tid, k ORDER BY tid, k""".stripMargin
+
   // ---- KV queries ----
 
   /** O1/O2: point lookup with pushed-down key predicate. */
@@ -226,6 +309,8 @@ object KvAria {
     "aria_reservations" -> ariaReservations _,
     "aria_conflicts" -> ariaConflicts _,
     "aria_install" -> ariaInstall _,
+    "aria_insert_missing" -> ariaInsertMissing _,
+    "aria_key_op_chain" -> ariaKeyOpChain _,
     "aria_epochs" -> ariaEpochs _,
     "kv_point_lookup" -> kvPointLookup _,
     "kv_batch_lookup" -> kvBatchLookup _,
@@ -238,6 +323,8 @@ object KvAria {
     "aria_reservations" -> ariaReservationsSql,
     "aria_conflicts" -> ariaConflictsSql,
     "aria_install" -> ariaInstallSql,
+    "aria_insert_missing" -> ariaInsertMissingSql,
+    "aria_key_op_chain" -> ariaKeyOpChainSql,
     // aria_epochs: fixpoint loop, rows-only (see Scaladoc)
     "kv_point_lookup" -> kvPointLookupSql,
     "kv_batch_lookup" -> kvBatchLookupSql,

@@ -414,6 +414,83 @@ object Relational {
       |WHERE o_totalprice > avg_total * 1.5
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  /** Q18 — cube: all grouping-set combinations over two dimensions. */
+  def q18Cube(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n"), round(sum($"l_quantity"), 2).as("qty"))
+      .select(
+        coalesce($"l_returnflag", lit("ALL")).as("rf"),
+        coalesce($"l_linestatus", lit("ALL")).as("ls"),
+        $"n", $"qty")
+      .orderBy($"rf", $"ls")
+  }
+
+  val q18Sql: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+      |  coalesce(l_linestatus, 'ALL') AS ls,
+      |  count(*) AS n, round(sum(l_quantity), 2) AS qty
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY rf, ls""".stripMargin
+
+  /** Q19 — lag window + min_by/max_by aggregation: per-customer order
+    * deltas and extreme orders.
+    */
+  def q19LagMinBy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    val deltas = Tables.orders(s, dir)
+      .filter($"o_custkey" % 20 === 0)
+      .select($"o_custkey", $"o_orderkey",
+        round($"o_totalprice" - lag($"o_totalprice", 1, 0.0).over(w), 2)
+          .as("delta_prev"))
+    val extremes = Tables.orders(s, dir)
+      .filter($"o_custkey" % 20 === 0)
+      .groupBy($"o_custkey")
+      .agg(min_by($"o_orderkey", $"o_totalprice").as("cheapest_order"),
+        max_by($"o_orderkey", $"o_totalprice").as("dearest_order"))
+    deltas.join(extremes, Seq("o_custkey"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  val q19Sql: String =
+    """WITH d AS (
+      |  SELECT o_custkey, o_orderkey,
+      |    round(o_totalprice - lag(o_totalprice, 1, 0.0) OVER (
+      |      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2)
+      |      AS delta_prev
+      |  FROM orders WHERE o_custkey % 20 = 0),
+      |e AS (
+      |  SELECT o_custkey, arg_min(o_orderkey, o_totalprice) AS cheapest_order,
+      |    arg_max(o_orderkey, o_totalprice) AS dearest_order
+      |  FROM orders WHERE o_custkey % 20 = 0 GROUP BY o_custkey)
+      |SELECT o_custkey, o_orderkey, delta_prev, cheapest_order, dearest_order
+      |FROM d JOIN e USING (o_custkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** Q20 — array aggregation: per-nation sorted key list + element access.
+    * Exercises collect_list/array_sort/size/element_at (codegen'd array
+    * built-ins, SURVEY.md §1.2 composite types).
+    */
+  def q20ArrayAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.supplier(s, dir)
+      .groupBy($"s_nationkey")
+      .agg(array_sort(collect_list($"s_suppkey")).as("keys"))
+      .select($"s_nationkey",
+        size($"keys").as("n"),
+        element_at($"keys", 1).as("first_key"),
+        element_at($"keys", -1).as("last_key"))
+      .orderBy($"s_nationkey")
+  }
+
+  val q20Sql: String =
+    """SELECT s_nationkey, len(ks) AS n, ks[1] AS first_key, ks[-1] AS last_key
+      |FROM (SELECT s_nationkey, list_sort(list(s_suppkey)) AS ks
+      |      FROM supplier GROUP BY s_nationkey) t
+      |ORDER BY s_nationkey""".stripMargin
+
   /** All relational queries + oracles, consumed by SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> q1PricingSummary _,
@@ -433,6 +510,9 @@ object Relational {
     "q15_case_agg" -> q15CaseAgg _,
     "q16_running_sum" -> q16RunningSum _,
     "q17_above_avg" -> q17AboveAvg _,
+    "q18_cube" -> q18Cube _,
+    "q19_lag_minby" -> q19LagMinBy _,
+    "q20_array_agg" -> q20ArrayAgg _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -453,5 +533,8 @@ object Relational {
     "q15_case_agg" -> q15Sql,
     "q16_running_sum" -> q16Sql,
     "q17_above_avg" -> q17Sql,
+    "q18_cube" -> q18Sql,
+    "q19_lag_minby" -> q19Sql,
+    "q20_array_agg" -> q20Sql,
   )
 }

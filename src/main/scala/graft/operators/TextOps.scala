@@ -148,6 +148,49 @@ object TextOps {
       |    (a, b) -> (a * 31 + b) % 1000000007) AS fp
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Quality scoring: stopword ratio, mean word length, length band — the
+    * standard cheap pre-filters of a training-data pipeline, all in exact
+    * arithmetic. `keep` is the composite filter verdict.
+    */
+  def quality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val p = concat(lit(" "), $"text", lit(" "))
+    def occ(m: String): Column =
+      ((length(p) - length(regexp_replace(p, lit(m), lit("")))) / m.length)
+        .cast("long")
+    val nWords =
+      (length($"text") - length(regexp_replace($"text", lit(" "), lit(""))) + 1)
+        .cast("long")
+    Tables.documents(s, dir)
+      .select($"doc_id", $"n_chars",
+        nWords.as("n_words"),
+        (occ(" the ") + occ(" a ") + occ(" of ")).as("stop_hits"))
+      .withColumn("stop_ratio",
+        round($"stop_hits".cast("double") / $"n_words", 4))
+      .withColumn("mean_wlen",
+        round(($"n_chars" - $"n_words" + 1).cast("double") / $"n_words", 3))
+      .withColumn("keep",
+        ($"n_words" >= 15 && $"mean_wlen" >= 2.0 && $"mean_wlen" <= 12.0)
+          .cast("int"))
+      .orderBy($"doc_id")
+  }
+
+  val qualitySql: String = {
+    def occ(m: String) =
+      s"((length(' '||text||' ') - length(replace(' '||text||' ', '$m', ''))) / ${m.length})::BIGINT"
+    val nw = "(length(text) - length(replace(text,' ','')) + 1)::BIGINT"
+    s"""SELECT doc_id, n_chars, $nw AS n_words,
+       |  ${occ(" the ")} + ${occ(" a ")} + ${occ(" of ")} AS stop_hits,
+       |  round((${occ(" the ")} + ${occ(" a ")} + ${occ(" of ")}) * 1.0 / $nw, 4)
+       |    AS stop_ratio,
+       |  round((n_chars - $nw + 1) * 1.0 / $nw, 3) AS mean_wlen,
+       |  CASE WHEN $nw >= 15
+       |         AND round((n_chars - $nw + 1) * 1.0 / $nw, 3) >= 2.0
+       |         AND round((n_chars - $nw + 1) * 1.0 / $nw, 3) <= 12.0
+       |       THEN 1 ELSE 0 END AS keep
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   // ---- deduplication ----
 
   /** Exact dedup: group identical texts (by content, with an md5 witness),
@@ -325,6 +368,7 @@ object TextOps {
     "text_stats" -> textStats _,
     "text_lang_id" -> langId _,
     "text_fingerprint" -> fingerprint _,
+    "text_quality" -> quality _,
     "dedup_exact" -> dedupExact _,
     "dedup_minhash" -> minhash _,
     "dedup_minhash_pairs" -> minhashPairs _,
@@ -336,6 +380,7 @@ object TextOps {
     "text_stats" -> textStatsSql,
     "text_lang_id" -> langIdSql,
     "text_fingerprint" -> fingerprintSql,
+    "text_quality" -> qualitySql,
     "dedup_exact" -> dedupExactSql,
     "dedup_minhash" -> minhashSql,
     "dedup_minhash_pairs" -> minhashPairsSql,

@@ -72,6 +72,39 @@ object EventStreams {
     }
   }
 
+  /** Custom per-key state via mapGroupsWithState: running event count +
+    * last-seen timestamp per user, re-emitted on every micro-batch that
+    * touches the key. This is the engine's arbitrary-stateful extension
+    * point (the Spark home for reference-style per-key metadata like
+    * rts/wts, kept across micro-batches instead of epochs).
+    * State is bounded by the key cardinality; at scale use a timeout
+    * (GroupStateTimeout) to evict idle keys.
+    */
+  case class UserState(n: Long, lastTsMicros: Long)
+  case class UserAgg(user_id: Long, n_events: Long, last_ts_micros: Long)
+
+  def runningUserState(events: DataFrame)
+      : org.apache.spark.sql.Dataset[UserAgg] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    events.select(col("user_id"),
+        unix_micros(col("ts")).as("ts_us"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[UserState, UserAgg](GroupStateTimeout.NoTimeout) {
+        (uid, it, state) =>
+          val prev = state.getOption.getOrElse(UserState(0L, Long.MinValue))
+          var n = prev.n
+          var last = prev.lastTsMicros
+          it.foreach { case (_, ts) =>
+            n += 1
+            if (ts > last) last = ts
+          }
+          state.update(UserState(n, last))
+          UserAgg(uid, n, last)
+      }
+  }
+
   /** Wire an aggregated stream into a KvSink in update mode. */
   def toKvSink(agg: DataFrame, sink: KvSink): DataStreamWriter[org.apache.spark.sql.Row] =
     agg.writeStream

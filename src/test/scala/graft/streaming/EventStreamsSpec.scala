@@ -40,6 +40,24 @@ class EventStreamsSpec extends SparkSpec {
     assert(got.length == want.length && got.sameElements(want))
   }
 
+  test("mapGroupsWithState keeps running per-user counts across micro-batches") {
+    val schema = spark.read.parquet(stagingDir).schema
+    val stream = EventStreams.readEvents(spark, stagingDir, schema)
+    val q = EventStreams.runningUserState(stream)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("user_state_out").start()
+    q.processAllAvailable(); q.stop()
+    // last emitted row per user carries the final running count
+    val got = spark.table("user_state_out")
+      .groupBy(col("user_id"))
+      .agg(max(col("n_events")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = spark.read.parquet(stagingDir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
   test("foreachBatch KV sink folds micro-batches into one snapshot") {
     val schema = spark.read.parquet(stagingDir).schema
     val stream = EventStreams.readEvents(spark, stagingDir, schema)
