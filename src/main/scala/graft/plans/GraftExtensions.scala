@@ -1,0 +1,35 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+import graft.functions.{LongArrayDot, LongArrayNorm2}
+
+/** Engine extension point (SURVEY.md §7.3): registers the codegen'd vector
+  * kernels as SQL functions so `spark.sql("... graft_dot(a, b) ...")` works
+  * anywhere the library is on the classpath.
+  *
+  * Activate with either
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` or
+  * `--conf spark.sql.extensions=graft.plans.GraftExtensions` (the config
+  * route works on a cluster where the session is built by spark-submit).
+  *
+  * No optimizer rules or planner strategies are injected: SURVEY.md §4
+  * concluded Catalyst already provides every rewrite the engine needs —
+  * the extension surface is expressions only.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[LongArrayDot].getName, "graft_dot"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        LongArrayDot(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("graft_norm2"),
+      new ExpressionInfo(classOf[LongArrayNorm2].getName, "graft_norm2"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        LongArrayNorm2(exprs.head)))
+  }
+}
