@@ -69,7 +69,7 @@ object Relational {
         $"l_orderkey", $"l_linenumber",
         round($"l_quantity", 2).as("qty"),
         round($"l_extendedprice", 2).as("price"))
-      .orderBy($"l_orderkey", $"l_linenumber")
+      .orderBy($"l_orderkey", $"l_linenumber", $"qty", $"price")
   }
 
   val q2Sql: String =
@@ -77,7 +77,7 @@ object Relational {
       |  round(l_quantity, 2) AS qty, round(l_extendedprice, 2) AS price
       |FROM lineitem
       |WHERE l_quantity > 45.0 AND l_discount < 0.02
-      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+      |ORDER BY l_orderkey, l_linenumber, qty, price""".stripMargin
 
   /** Q3 — multi-way join: revenue by nation (customer ⨝ orders ⨝ lineitem ⨝
     * nation ⨝ region).
@@ -491,6 +491,91 @@ object Relational {
       |      FROM supplier GROUP BY s_nationkey) t
       |ORDER BY s_nationkey""".stripMargin
 
+  /** Q21 — full outer join with coalesced sides: every customer and every
+    * high-value buyer, matched where possible.
+    */
+  def q21FullOuter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val big = Tables.orders(s, dir)
+      .filter($"o_totalprice" > 250000.0)
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_big"), round(sum($"o_totalprice"), 2).as("big_total"))
+    val cust = Tables.customer(s, dir)
+      .filter($"c_custkey" % 3 === 0)
+      .select($"c_custkey", $"c_name")
+    cust.join(big, $"c_custkey" === $"o_custkey", "full_outer")
+      .select(
+        coalesce($"c_custkey", $"o_custkey").as("k"),
+        coalesce($"c_name", lit("<no-customer-row>")).as("name"),
+        coalesce($"n_big", lit(0L)).as("n_big"),
+        coalesce($"big_total", lit(0.0)).as("big_total"))
+      .orderBy($"k")
+  }
+
+  val q21Sql: String =
+    """WITH big AS (
+      |  SELECT o_custkey, count(*) AS n_big,
+      |    round(sum(o_totalprice), 2) AS big_total
+      |  FROM orders WHERE o_totalprice > 250000.0 GROUP BY o_custkey),
+      |cust AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey % 3 = 0)
+      |SELECT coalesce(c_custkey, o_custkey) AS k,
+      |  coalesce(c_name, '<no-customer-row>') AS name,
+      |  coalesce(n_big, 0) AS n_big, coalesce(big_total, 0.0) AS big_total
+      |FROM cust FULL OUTER JOIN big ON c_custkey = o_custkey
+      |ORDER BY k""".stripMargin
+
+  /** Q22 — rank-statistics windows: ntile, percent_rank, cume_dist over a
+    * unique ordering (ties impossible → cross-engine identical).
+    */
+  def q22WindowStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, dir)
+      .filter($"c_custkey" % 10 === 0)
+      .select($"c_custkey", round($"c_acctbal", 2).as("bal"))
+      .withColumn("quartile", ntile(4).over(
+        Window.orderBy($"bal".desc, $"c_custkey")))
+      .withColumn("pr", round(percent_rank().over(
+        Window.orderBy($"bal".desc, $"c_custkey")), 4))
+      .withColumn("cd", round(cume_dist().over(
+        Window.orderBy($"bal".desc, $"c_custkey")), 4))
+      .orderBy($"c_custkey")
+  }
+
+  val q22Sql: String =
+    """SELECT c_custkey, round(c_acctbal, 2) AS bal,
+      |  ntile(4) OVER w AS quartile,
+      |  round(percent_rank() OVER w, 4) AS pr,
+      |  round(cume_dist() OVER w, 4) AS cd
+      |FROM customer WHERE c_custkey % 10 = 0
+      |WINDOW w AS (ORDER BY round(c_acctbal, 2) DESC, c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Q23 — date arithmetic: ship latency in days, month addition, year
+    * extraction — rendered as ints/strings for parity.
+    */
+  def q23DateArith(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+      .filter($"l_orderkey" % 50 === 0)
+      .select($"l_orderkey", $"l_linenumber", $"l_shipdate")
+    val ord = Tables.orders(s, dir).select($"o_orderkey", $"o_orderdate")
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .select($"l_orderkey", $"l_linenumber",
+        datediff($"l_shipdate", $"o_orderdate").as("ship_days"),
+        year($"o_orderdate").as("oyear"),
+        date_format(add_months($"o_orderdate", 3), "yyyy-MM-dd").as("plus3m"))
+      .orderBy($"l_orderkey", $"l_linenumber", $"ship_days")
+  }
+
+  val q23Sql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  date_diff('day', o_orderdate, l_shipdate) AS ship_days,
+      |  year(o_orderdate) AS oyear,
+      |  strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3m
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_orderkey % 50 = 0
+      |ORDER BY l_orderkey, l_linenumber, ship_days""".stripMargin
+
   /** All relational queries + oracles, consumed by SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> q1PricingSummary _,
@@ -513,6 +598,9 @@ object Relational {
     "q18_cube" -> q18Cube _,
     "q19_lag_minby" -> q19LagMinBy _,
     "q20_array_agg" -> q20ArrayAgg _,
+    "q21_full_outer" -> q21FullOuter _,
+    "q22_window_stats" -> q22WindowStats _,
+    "q23_date_arith" -> q23DateArith _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -536,5 +624,8 @@ object Relational {
     "q18_cube" -> q18Sql,
     "q19_lag_minby" -> q19Sql,
     "q20_array_agg" -> q20Sql,
+    "q21_full_outer" -> q21Sql,
+    "q22_window_stats" -> q22Sql,
+    "q23_date_arith" -> q23Sql,
   )
 }

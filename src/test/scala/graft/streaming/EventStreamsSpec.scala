@@ -40,6 +40,26 @@ class EventStreamsSpec extends SparkSpec {
     assert(got.length == want.length && got.sameElements(want))
   }
 
+  test("streaming dropDuplicates dedups across micro-batches") {
+    // duplicate the staged events (same event_ids twice across files):
+    // stateful dedup must converge to the distinct id count
+    val dupDir = Files.createTempDirectory("graft-dup").toFile.getAbsolutePath
+    val base = spark.read.parquet(stagingDir)
+    base.unionByName(base).repartition(4)
+      .write.mode("overwrite").parquet(dupDir)
+    val stream = EventStreams.readEvents(spark, dupDir, base.schema)
+    val q = stream
+      .withWatermark("ts", "1 day")
+      .dropDuplicates("event_id")
+      .groupBy().count()
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("dedup_out").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("dedup_out").collect()(0).getLong(0)
+    val want = base.select("event_id").distinct().count()
+    assert(got == want)
+  }
+
   test("mapGroupsWithState keeps running per-user counts across micro-batches") {
     val schema = spark.read.parquet(stagingDir).schema
     val stream = EventStreams.readEvents(spark, stagingDir, schema)
