@@ -112,21 +112,22 @@ object AriaEngine {
       .agg(min(col("tid")).as("writer_tid"))
   }
 
-  /** O17–O19 Install: produce the next table snapshot. Value columns listed
-    * in `valueCols` are overwritten by `newValue(writerTid, epoch)` on won
-    * keys; all other columns/rows carry over. One shuffle (or zero, if the
-    * winner set is broadcastable — it's bounded by the batch size, so it
-    * always is).
+  /** O17–O19 Install: produce the next table snapshot. `win` carries
+    * (k, writer_tid, win_epoch); value columns listed in `valueCols` are
+    * overwritten by `newValue(writer_tid, win_epoch)` on won keys; all
+    * other columns/rows carry over. One shuffle (or zero, if the winner
+    * set is broadcastable — it's bounded by the batch size, so it always
+    * is).
     */
   def install(table: DataFrame, win: DataFrame, valueCols: Seq[String],
-      newValue: (Column, Column) => Column, epoch: Int,
+      newValue: (Column, Column) => Column,
       keyCol: String = "k"): DataFrame = {
     val w = broadcast(win.withColumnRenamed("k", keyCol))
     val merged = table.join(w, Seq(keyCol), "left")
     val out = table.columns.map { c =>
       if (valueCols.contains(c))
         when(col("writer_tid").isNotNull,
-          newValue(col("writer_tid"), lit(epoch))).otherwise(col(c)).as(c)
+          newValue(col("writer_tid"), col("win_epoch"))).otherwise(col(c)).as(c)
       else col(c)
     }
     merged.select(out.toIndexedSeq: _*)
@@ -163,7 +164,8 @@ object AriaEngine {
     val res = reservations(live)
     val decided = decisions(live, res)
     val win = winners(live, decided, reorder)
-    val next = install(table, win, valueCols, newValue, epoch, keyCol)
+      .withColumn("win_epoch", lit(epoch))
+    val next = install(table, win, valueCols, newValue, keyCol)
     val flag = if (reorder) "committed_reorder" else "committed_noreorder"
     val aborted = decided.filter(!col(flag)).select("tid")
     (next, decided, aborted)
@@ -174,33 +176,66 @@ object AriaEngine {
     * guaranteed: the smallest remaining Tid always commits (no smaller
     * reader/writer can exist). Checkpointing truncates lineage so epoch N's
     * plan does not embed epochs 1..N-1.
+    *
+    * DEFERRED INSTALL: with the O14 skip-missing execute path and blind
+    * deterministic writes, the table's KEY SET is invariant across epochs
+    * and written values never feed back into conflict analysis — so the
+    * install phase commutes past the whole loop. The drain loop therefore
+    * touches only the ops batch (one eager checkpoint + one count per
+    * epoch, no table materialization), and a single merged install at the
+    * end applies, per key, the winner of the LAST epoch that wrote it.
+    * Per-epoch committed Tids fall out of the retained checkpoints:
+    * committed(e) = tids(ops_e) ∖ tids(ops_{e+1}).
     */
   def run(spark: SparkSession, table0: DataFrame, ops0: DataFrame,
       reorder: Boolean, valueCols: Seq[String],
       newValue: (Column, Column) => Column,
       maxEpochs: Int = 100): (DataFrame, Seq[(Int, Long, Long)]) = {
-    var table = table0.localCheckpoint(true)
+    val table = table0.localCheckpoint(true)
     var ops = ops0.localCheckpoint(true)
     var epoch = 1
     val history = Seq.newBuilder[(Int, Long, Long)]
+    val opsByEpoch = Seq.newBuilder[(Int, DataFrame)]
     var remaining = ops.select("tid").distinct().count()
+    val flag = if (reorder) "committed_reorder" else "committed_noreorder"
     while (remaining > 0 && epoch <= maxEpochs) {
-      val (next, _, aborted) =
-        runEpoch(table, ops, reorder, valueCols, newValue, epoch)
-      // two eager checkpoints per epoch: the next table version and the
-      // surviving ops (which embeds the aborted-tid semi-join); the loop
-      // condition reads the already-materialized ops, so no extra job
-      val nextT = next.localCheckpoint(true)
+      opsByEpoch += ((epoch, ops))
+      val live = liveOps(ops, table)
+      val decided = decisions(live, reservations(live))
+      val aborted = decided.filter(!col(flag)).select("tid")
       val opsNext = ops
         .join(broadcast(aborted), Seq("tid"), "left_semi")
         .localCheckpoint(true)
       val nAborted = opsNext.select("tid").distinct().count()
       history += ((epoch, remaining - nAborted, nAborted))
-      table = nextT
       ops = opsNext
       remaining = nAborted
       epoch += 1
     }
-    (table, history.result())
+    // merged install: per epoch, winners among its committed writers; per
+    // key, the highest-epoch winner lands. `ops` now holds the post-loop
+    // survivors (empty when drained; still-live txns if maxEpochs hit),
+    // which is exactly the right complement for the last epoch too.
+    val epochs = opsByEpoch.result()
+    val winnersAll = epochs.zipWithIndex.map { case ((e, opsE), i) =>
+      val after = if (i + 1 < epochs.length) epochs(i + 1)._2 else ops
+      liveOps(opsE, table)
+        .filter(col("isUpdate"))
+        .join(after.select("tid"), Seq("tid"), "left_anti")
+        .groupBy(col("k"))
+        .agg(min(col("tid")).as("writer_tid"))
+        .withColumn("win_epoch", lit(e))
+    }.reduceOption(_ unionByName _)
+    val finalTable = winnersAll match {
+      case None => table
+      case Some(w) =>
+        val lastWin = w.groupBy(col("k"))
+          .agg(max_by(struct(col("writer_tid"), col("win_epoch")),
+            col("win_epoch")).as("lw"))
+          .select(col("k"), col("lw.writer_tid").as("writer_tid"),
+            col("lw.win_epoch").as("win_epoch"))
+        install(table, lastWin, valueCols, newValue)
+    }
+    (finalTable, history.result())
   }
 }

@@ -14,7 +14,7 @@ import graft.sources.Tables
   * (no seeded RNG) so the identical batch is constructible in DuckDB SQL and
   * the engine's phase outputs hash-compare exactly:
   *   txns  = orders with o_orderkey % 101 = 0          (tid = o_orderkey)
-  *   ops   = their lineitems: k = l_partkey % 1000 + 1, opIdx = l_linenumber,
+  *   ops   = their lineitems: k = l_partkey % 20000 + 1 (the reference keys_max, Transction.h:28), opIdx = l_linenumber,
   *           isUpdate = (l_linenumber % 5) < 2          (~40% writes)
   *   base  = part (k = p_partkey, payload f0 = p_name)
   */
@@ -29,7 +29,7 @@ object KvAria {
       .select(
         $"l_orderkey".as("tid"),
         $"l_linenumber".as("opidx"),
-        ($"l_partkey" % 1000 + 1).as("k"),
+        ($"l_partkey" % 20000 + 1).as("k"),
         ($"l_linenumber" % 5 < 2).as("isUpdate"))
   }
 
@@ -41,7 +41,7 @@ object KvAria {
   private val opsCte =
     """WITH ops AS (
       |  SELECT l_orderkey AS tid, l_linenumber AS opidx,
-      |         l_partkey % 1000 + 1 AS k,
+      |         l_partkey % 20000 + 1 AS k,
       |         (l_linenumber % 5) < 2 AS isupdate
       |  FROM lineitem WHERE l_orderkey % 101 = 0),
       |live AS (SELECT * FROM ops WHERE k IN (SELECT p_partkey FROM part)),
