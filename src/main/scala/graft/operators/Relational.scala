@@ -576,6 +576,35 @@ object Relational {
       |WHERE l_orderkey % 50 = 0
       |ORDER BY l_orderkey, l_linenumber, ship_days""".stripMargin
 
+  /** Q26 — grouped top-k via the custom GroupedTopK physical operator
+    * ([[graft.plans.GroupedTopK]]): top-3 orders per customer segment and
+    * status by (totalprice, orderkey) descending. The operator keeps
+    * bounded per-group heaps instead of the full window sort — the
+    * window-rank formulation is exactly its oracle.
+    */
+  def q26GroupedTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val joined = Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)
+        .select($"c_custkey", $"c_mktsegment")), $"o_custkey" === $"c_custkey")
+      .select($"c_mktsegment", $"o_orderstatus", $"o_orderkey",
+        round($"o_totalprice", 2).as("total"))
+    graft.plans.GroupedTopK(joined,
+      groupCols = Seq("c_mktsegment", "o_orderstatus"),
+      orderCols = Seq("total", "o_orderkey"), k = 3)
+      .orderBy($"c_mktsegment", $"o_orderstatus", $"total".desc, $"o_orderkey".desc)
+  }
+
+  val q26Sql: String =
+    """SELECT c_mktsegment, o_orderstatus, o_orderkey, total FROM (
+      |  SELECT c_mktsegment, o_orderstatus, o_orderkey,
+      |    round(o_totalprice, 2) AS total,
+      |    row_number() OVER (PARTITION BY c_mktsegment, o_orderstatus
+      |      ORDER BY round(o_totalprice, 2) DESC, o_orderkey DESC) AS rn
+      |  FROM orders JOIN customer ON o_custkey = c_custkey) t
+      |WHERE rn <= 3
+      |ORDER BY c_mktsegment, o_orderstatus, total DESC, o_orderkey DESC""".stripMargin
+
   /** All relational queries + oracles, consumed by SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> q1PricingSummary _,
@@ -601,6 +630,7 @@ object Relational {
     "q21_full_outer" -> q21FullOuter _,
     "q22_window_stats" -> q22WindowStats _,
     "q23_date_arith" -> q23DateArith _,
+    "q26_grouped_topk" -> q26GroupedTopK _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -627,5 +657,6 @@ object Relational {
     "q21_full_outer" -> q21Sql,
     "q22_window_stats" -> q22Sql,
     "q23_date_arith" -> q23Sql,
+    "q26_grouped_topk" -> q26Sql,
   )
 }

@@ -1,0 +1,122 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, Descending, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.graftbridge.Bridge
+
+/** Grouped top-k as a first-class operator: LogicalPlan + Strategy +
+  * SparkPlan (SURVEY.md §7.3 tier (c) — the one case where composing
+  * built-ins is structurally wasteful at scale).
+  *
+  * The composable form — `row_number().over(partitionBy(g).orderBy(o desc))
+  * <= k` — SORTS every partition completely: O(n log n) comparisons and a
+  * full sort buffer per partition, even though only k rows per group
+  * survive. This operator keeps a bounded k-element min-heap per group
+  * instead: O(n log k) time, O(groups × k) memory, no sort spill. At
+  * 100 TB with small k that's the difference between a sort of everything
+  * and a streaming pass.
+  *
+  * Distribution: `requiredChildDistribution = ClusteredDistribution(group)`
+  * — Spark plans the hash exchange (and AQE sizes it), so the operator
+  * composes with the rest of the planner instead of hand-rolling a shuffle.
+  *
+  * Ordering: lexicographic DESCENDING over `orderExprs` (binary comparison
+  * of the projected UnsafeRows' sort key — callers append a unique
+  * tie-break column for determinism).
+  */
+case class GroupedTopKNode(
+    groupExprs: Seq[Expression],
+    orderExprs: Seq[Expression],
+    k: Int,
+    child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(c: LogicalPlan): GroupedTopKNode =
+    copy(child = c)
+}
+
+case class GroupedTopKExec(
+    groupExprs: Seq[Expression],
+    orderExprs: Seq[Expression],
+    k: Int,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(groupExprs) :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val boundGroup = groupExprs.map(BindReferences.bindReference(_, child.output))
+    val sortOrders = orderExprs.map(e =>
+      SortOrder(BindReferences.bindReference(e, child.output), Descending))
+    child.execute().mapPartitions({ iter =>
+      val groupProj = UnsafeProjection.create(boundGroup)
+      // ordering.compare(a,b) < 0  ⟺  a sorts first (a is "better": larger
+      // under Descending). Heap head = the WORST kept row (max under the
+      // ordering), evicted when a better row arrives.
+      val ordering = new LazilyGeneratedOrdering(sortOrders)
+      val worstFirst = new java.util.Comparator[InternalRow] {
+        override def compare(a: InternalRow, b: InternalRow): Int =
+          ordering.compare(b, a)
+      }
+      val heaps = new java.util.HashMap[UnsafeRow,
+        java.util.PriorityQueue[InternalRow]]()
+      iter.foreach { row =>
+        val g = groupProj(row)
+        var heap = heaps.get(g)
+        if (heap == null) {
+          heap = new java.util.PriorityQueue[InternalRow](k + 1, worstFirst)
+          heaps.put(g.copy(), heap)
+        }
+        if (heap.size() < k) {
+          heap.add(row.copy())
+        } else if (ordering.compare(row, heap.peek()) < 0) {
+          heap.poll()
+          heap.add(row.copy())
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      heaps.values().asScala.iterator.flatMap(_.asScala)
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(c: SparkPlan): GroupedTopKExec =
+    copy(child = c)
+}
+
+object GroupedTopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case GroupedTopKNode(g, o, k, child) =>
+      GroupedTopKExec(g, o, k, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}
+
+object GroupedTopK {
+  /** Top-k rows per group, largest-first lexicographically on `orderCols`
+    * (append a unique column for a deterministic result). Installs the
+    * planner strategy on the DataFrame's session idempotently, so it works
+    * on any session without builder-time configuration.
+    */
+  def apply(df: DataFrame, groupCols: Seq[String], orderCols: Seq[String],
+      k: Int): DataFrame = {
+    val spark = df.sparkSession
+    if (!spark.experimental.extraStrategies.contains(GroupedTopKStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ GroupedTopKStrategy
+    }
+    val analyzed = df.queryExecution.analyzed
+    def attr(name: String) = analyzed.output
+      .find(_.name == name)
+      .getOrElse(throw new IllegalArgumentException(
+        s"column $name not in ${analyzed.output.map(_.name)}"))
+    Bridge.ofRows(spark,
+      GroupedTopKNode(groupCols.map(attr), orderCols.map(attr), k, analyzed))
+  }
+}
