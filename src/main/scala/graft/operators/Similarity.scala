@@ -216,11 +216,109 @@ object Similarity {
       |    ORDER BY cos DESC, vec_id) AS rn FROM scored) t
       |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
 
+  /** IVF-style coarse quantizer: centroids = the vectors with vec_id 0..7
+    * (deterministic seeds; a production IVF would k-means these — the
+    * assignment/probe machinery is identical). Each vector is assigned to
+    * the centroid with the smallest exact integer squared-L2 distance
+    * (‖a−c‖² = ‖a‖² − 2a·c + ‖c‖², all int64), tie-break smallest id.
+    * At scale, ANN probes only the query's cell (nprobe=1 here).
+    */
+  def ivfAssign(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+      .select($"vec_id", qvec($"embedding").as("q"))
+      .withColumn("n2", norm2($"q"))
+    val cents = broadcast(emb.filter($"vec_id" < 8)
+      .select($"vec_id".as("cid"), $"q".as("cq"), $"n2".as("cn2")))
+    // argmin as pure integer math (exact in both engines): d2 ≥ 0 and
+    // cid < 8, so min(d2*8 + cid) % 8 is the tie-broken nearest centroid
+    emb.crossJoin(cents)
+      .withColumn("d2", $"n2" - lit(2L) * dot($"q", $"cq") + $"cn2")
+      .groupBy($"vec_id")
+      .agg((min($"d2" * 8L + $"cid") % 8L).as("centroid"))
+      .orderBy($"vec_id")
+  }
+
+  val ivfAssignSql: String = qvecCte +
+    """, cents AS (
+      |  SELECT vec_id AS cid, q AS cq FROM qv WHERE vec_id < 8),
+      |cd AS (
+      |  SELECT vec_id, cid, sum(x * y) AS d FROM (
+      |    SELECT e.vec_id, c.cid, unnest(e.q) AS x, unnest(c.cq) AS y
+      |    FROM qv e CROSS JOIN cents c) z
+      |  GROUP BY 1, 2),
+      |dist AS (
+      |  SELECT cd.vec_id, cd.cid,
+      |    ne.n2 - 2 * cd.d + nc.n2 AS d2
+      |  FROM cd JOIN nrm ne ON cd.vec_id = ne.vec_id
+      |          JOIN nrm nc ON cd.cid = nc.vec_id)
+      |SELECT vec_id, min(d2 * 8 + cid) % 8 AS centroid
+      |FROM dist GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
+  /** IVF top-3: brute-force cosine restricted to the query's cell. */
+  def ivfTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(s, dir)
+      .select($"vec_id", qvec($"embedding").as("q"))
+      .withColumn("n2", norm2($"q"))
+      .join(ivfAssign(s, dir), Seq("vec_id"))
+    val queries = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"q".as("qq"), $"n2".as("qn2"),
+        $"centroid".as("qc"))
+    emb.join(broadcast(queries),
+        $"centroid" === $"qc" && $"vec_id" =!= $"qid")
+      .withColumn("cos",
+        round(dot($"q", $"qq").cast("double")
+          / (sqrt($"n2".cast("double")) * sqrt($"qn2".cast("double"))), 4))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"qid").orderBy($"cos".desc, $"vec_id")))
+      .filter($"rn" <= 3)
+      .select($"qid", $"vec_id", $"cos", $"rn")
+      .orderBy($"qid", $"rn")
+  }
+
+  val ivfTopKSql: String = qvecCte +
+    """, cents AS (
+      |  SELECT vec_id AS cid, q AS cq FROM qv WHERE vec_id < 8),
+      |cd AS (
+      |  SELECT vec_id, cid, sum(x * y) AS d FROM (
+      |    SELECT e.vec_id, c.cid, unnest(e.q) AS x, unnest(c.cq) AS y
+      |    FROM qv e CROSS JOIN cents c) z
+      |  GROUP BY 1, 2),
+      |assign AS (
+      |  SELECT cd.vec_id,
+      |    min((ne.n2 - 2 * cd.d + nc.n2) * 8 + cd.cid) % 8 AS centroid
+      |  FROM cd JOIN nrm ne ON cd.vec_id = ne.vec_id
+      |          JOIN nrm nc ON cd.cid = nc.vec_id
+      |  GROUP BY cd.vec_id),
+      |dots AS (
+      |  SELECT qid, vec_id, sum(x * y) AS d FROM (
+      |    SELECT q.vec_id AS qid, e.vec_id,
+      |           unnest(q.q) AS x, unnest(e.q) AS y
+      |    FROM (SELECT qv.vec_id, qv.q, a.centroid FROM qv
+      |          JOIN assign a ON qv.vec_id = a.vec_id WHERE qv.vec_id < 10) q
+      |    JOIN (SELECT qv.vec_id, qv.q, a.centroid FROM qv
+      |          JOIN assign a ON qv.vec_id = a.vec_id) e
+      |      ON q.centroid = e.centroid AND e.vec_id <> q.vec_id) z
+      |  GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT qid, d.vec_id,
+      |    round(d / (sqrt(nq.n2) * sqrt(ne.n2)), 4) AS cos
+      |  FROM dots d JOIN nrm nq ON d.qid = nq.vec_id
+      |              JOIN nrm ne ON d.vec_id = ne.vec_id)
+      |SELECT qid, vec_id, cos, rn FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY qid
+      |    ORDER BY cos DESC, vec_id) AS rn FROM scored) t
+      |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_cosine_topk" -> cosineTopK _,
     "sim_neardup_pairs" -> nearDupPairs _,
     "sim_lsh_buckets" -> lshBuckets _,
     "sim_lsh_topk" -> lshTopK _,
+    "sim_ivf_assign" -> ivfAssign _,
+    "sim_ivf_topk" -> ivfTopK _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -228,5 +326,7 @@ object Similarity {
     "sim_neardup_pairs" -> nearDupPairsSql,
     "sim_lsh_buckets" -> lshBucketsSql,
     "sim_lsh_topk" -> lshTopKSql,
+    "sim_ivf_assign" -> ivfAssignSql,
+    "sim_ivf_topk" -> ivfTopKSql,
   )
 }

@@ -334,6 +334,97 @@ object TextOps {
       |WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.95
       |ORDER BY a, b""".stripMargin
 
+  /** Word-shingle (3-gram) MinHash: the full shingle→minhash→band→bucket
+    * pipeline over ORDER-SENSITIVE 3-word shingles (token-set MinHash above
+    * ignores order; shingles catch reorderings as different content).
+    * Shingle codes fold the three word codes with the modular polynomial;
+    * positions come from posexplode + lead(), identical in SQL.
+    */
+  private def shingleCodes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    Tables.documents(s, dir)
+      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "w")))
+      .select($"doc_id", $"pos", tokenCode($"w").as("c0"))
+      .withColumn("c1", lead($"c0", 1).over(w))
+      .withColumn("c2", lead($"c0", 2).over(w))
+      .filter($"c2".isNotNull)
+      .select($"doc_id",
+        // reduced mod M so the minhash multiply a*code stays < 2^63
+        ((($"c0" % M * 131071L + $"c1") % M * 131071L + $"c2") % M)
+          .as("code"))
+      .distinct()
+  }
+
+  private val shingleCte =
+    s"""WITH toks AS (
+       |  SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
+       |         unnest(string_split(text, ' ')) AS w
+       |  FROM documents),
+       |wcodes AS (SELECT doc_id, pos, $tokenCodeSql AS c0 FROM toks),
+       |scodes AS (
+       |  SELECT doc_id, c0,
+       |    lead(c0, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS c1,
+       |    lead(c0, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS c2
+       |  FROM wcodes),
+       |codes AS (
+       |  SELECT DISTINCT doc_id,
+       |    ((c0 % $M * 131071 + c1) % $M * 131071 + c2) % $M AS code
+       |  FROM scodes WHERE c2 IS NOT NULL)
+       |""".stripMargin
+
+  /** Shingle-MinHash signatures (8 permutations over distinct 3-shingles). */
+  def shingleMinhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val aggs = A.indices.map(j =>
+      min((lit(A(j)) * $"code" + B(j)) % P).as(s"mh$j"))
+    shingleCodes(s, dir).groupBy($"doc_id")
+      .agg(aggs.head, aggs.tail: _*).orderBy($"doc_id")
+  }
+
+  val shingleMinhashSql: String = shingleCte + {
+    val cols = A.indices.map(j =>
+      s"min((${A(j)} * code + ${B(j)}) % 2147483647) AS mh$j").mkString(",\n  ")
+    s"""SELECT doc_id,
+       |  $cols
+       |FROM codes GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /** Shingle-LSH candidate pairs (2 bands × 4 rows over the shingle
+    * signatures) — the bucket-join stage of the shingle pipeline.
+    */
+  def shinglePairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sig = shingleMinhash(s, dir)
+    val bands = (0 until 2).map { b =>
+      sig.select($"doc_id", lit(b).as("band"),
+        bandSig((0 until 4).map(i => col(s"mh${4 * b + i}"))).as("sig"))
+    }.reduce(_ unionByName _)
+    bands.as("l").join(bands.as("r"),
+        $"l.band" === $"r.band" && $"l.sig" === $"r.sig"
+          && $"l.doc_id" < $"r.doc_id")
+      .select($"l.doc_id".as("a"), $"r.doc_id".as("b"))
+      .distinct()
+      .orderBy($"a", $"b")
+  }
+
+  val shinglePairsSql: String = shingleCte + {
+    val cols = A.indices.map(j =>
+      s"min((${A(j)} * code + ${B(j)}) % 2147483647) AS mh$j").mkString(", ")
+    def sig(i: Int) =
+      (1 until 4).foldLeft(s"mh${i}")((acc, j) =>
+        s"(($acc) % $M * 131071 + mh${i + j}) % $M")
+    s""", sigs AS (SELECT doc_id, $cols FROM codes GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, 0 AS band, ${sig(0)} AS sig FROM sigs
+       |  UNION ALL SELECT doc_id, 1, ${sig(4)} FROM sigs)
+       |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+       |FROM bands l JOIN bands r
+       |  ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
+       |ORDER BY a, b""".stripMargin
+  }
+
   /** SimHash (16-bit): per token-hash bit, ±1 votes over the distinct token
     * set; sign of each bit-sum forms the fingerprint. Near-dup docs differ
     * in few bits. Pure integer arithmetic (floor-div instead of dynamic
@@ -372,6 +463,8 @@ object TextOps {
     "dedup_exact" -> dedupExact _,
     "dedup_minhash" -> minhash _,
     "dedup_minhash_pairs" -> minhashPairs _,
+    "dedup_shingle_minhash" -> shingleMinhash _,
+    "dedup_shingle_pairs" -> shinglePairs _,
     "dedup_jaccard_pairs" -> jaccardPairs _,
     "dedup_simhash" -> simhash _,
   )
@@ -384,6 +477,8 @@ object TextOps {
     "dedup_exact" -> dedupExactSql,
     "dedup_minhash" -> minhashSql,
     "dedup_minhash_pairs" -> minhashPairsSql,
+    "dedup_shingle_minhash" -> shingleMinhashSql,
+    "dedup_shingle_pairs" -> shinglePairsSql,
     "dedup_jaccard_pairs" -> jaccardPairsSql,
     "dedup_simhash" -> simhashSql,
   )

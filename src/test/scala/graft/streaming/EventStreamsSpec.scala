@@ -40,6 +40,49 @@ class EventStreamsSpec extends SparkSpec {
     assert(got.length == want.length && got.sameElements(want))
   }
 
+  test("stream-stream interval join matches the batch join") {
+    // clicks joined to purchases of the same user within [click, click+1h)
+    val schema = spark.read.parquet(stagingDir).schema
+    // the staged files are NOT time-ordered, so a short watermark would
+    // (correctly) drop cross-batch late data; 60 days > the data's span
+    // keeps all join state live while still exercising watermarked
+    // stream-stream join mechanics across micro-batches
+    def side(t: String) = EventStreams
+      .readEvents(spark, stagingDir, schema)
+      .filter(col("event_type") === t)
+      .withWatermark("ts", "60 days")
+    val clicks = side("click")
+      .select(col("user_id").as("cu"), col("ts").as("cts"),
+        col("event_id").as("click_id"))
+    val purchases = side("purchase")
+      .select(col("user_id").as("pu"), col("ts").as("pts"),
+        col("event_id").as("purchase_id"))
+    val joined = clicks.join(purchases,
+      col("cu") === col("pu") &&
+        col("pts") >= col("cts") &&
+        col("pts") < col("cts") + expr("INTERVAL 1 HOUR"))
+    val q = joined.select("click_id", "purchase_id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssjoin_out").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("ssjoin_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ev = spark.read.parquet(stagingDir)
+    val bc = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("cts"),
+        col("event_id").as("click_id"))
+    val bp = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("pts"),
+        col("event_id").as("purchase_id"))
+    val want = bc.join(bp,
+        col("cu") === col("pu") &&
+          col("pts") >= col("cts") &&
+          col("pts") < col("cts") + expr("INTERVAL 1 HOUR"))
+      .select("click_id", "purchase_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want.nonEmpty && got == want)
+  }
+
   test("streaming dropDuplicates dedups across micro-batches") {
     // duplicate the staged events (same event_ids twice across files):
     // stateful dedup must converge to the distinct id count
