@@ -192,16 +192,20 @@ object AriaEngine {
       newValue: (Column, Column) => Column,
       maxEpochs: Int = 100): (DataFrame, Seq[(Int, Long, Long)]) = {
     val table = table0.localCheckpoint(true)
-    var ops = ops0.localCheckpoint(true)
+    val rawOps = ops0.localCheckpoint(true)
+    // key set is epoch-invariant: filter dead ops ONCE (one key-column
+    // pass over the table), not once per epoch/winner branch. Accounting
+    // still counts txns from the RAW batch: a txn whose ops all miss
+    // commits trivially in epoch 1 (it can never conflict or abort).
+    var ops = liveOps(rawOps, table).localCheckpoint(true)
     var epoch = 1
     val history = Seq.newBuilder[(Int, Long, Long)]
     val opsByEpoch = Seq.newBuilder[(Int, DataFrame)]
-    var remaining = ops.select("tid").distinct().count()
+    var remaining = rawOps.select("tid").distinct().count()
     val flag = if (reorder) "committed_reorder" else "committed_noreorder"
     while (remaining > 0 && epoch <= maxEpochs) {
       opsByEpoch += ((epoch, ops))
-      val live = liveOps(ops, table)
-      val decided = decisions(live, reservations(live))
+      val decided = decisions(ops, reservations(ops))
       val aborted = decided.filter(!col(flag)).select("tid")
       val opsNext = ops
         .join(broadcast(aborted), Seq("tid"), "left_semi")
@@ -219,7 +223,7 @@ object AriaEngine {
     val epochs = opsByEpoch.result()
     val winnersAll = epochs.zipWithIndex.map { case ((e, opsE), i) =>
       val after = if (i + 1 < epochs.length) epochs(i + 1)._2 else ops
-      liveOps(opsE, table)
+      opsE // already live-filtered
         .filter(col("isUpdate"))
         .join(after.select("tid"), Seq("tid"), "left_anti")
         .groupBy(col("k"))

@@ -119,11 +119,56 @@ object Events {
       |  FROM events) t
       |WHERE rn <= 3 ORDER BY day, event_type, rn""".stripMargin
 
+  /** Pivot: event counts per user-decile × event_type as columns (fixed
+    * pivot values so the output schema is deterministic).
+    */
+  def pivotTypes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy(($"user_id" % 10).as("user_mod"))
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy($"user_mod")
+  }
+
+  val pivotTypesSql: String =
+    """SELECT user_id % 10 AS user_mod,
+      |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+      |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
+      |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+      |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+      |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error
+      |FROM events GROUP BY 1 ORDER BY user_mod""".stripMargin
+
+  /** JSON extraction from the props payload column (semi-structured data
+    * path: string JSON → typed column → aggregate).
+    */
+  def jsonExtract(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .select($"event_type",
+        get_json_object($"props", "$.k").cast("long").as("k"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"),
+        min($"k").as("min_k"), max($"k").as("max_k"))
+      .orderBy($"event_type")
+  }
+
+  val jsonExtractSql: String =
+    """SELECT event_type, count(*) AS n,
+      |  sum(json_extract_string(props, '$.k')::BIGINT) AS sum_k,
+      |  min(json_extract_string(props, '$.k')::BIGINT) AS min_k,
+      |  max(json_extract_string(props, '$.k')::BIGINT) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_tumbling" -> tumbling _,
     "ev_sliding" -> sliding _,
     "ev_sessions" -> sessions _,
     "ev_daily_topk" -> dailyTopEvents _,
+    "ev_pivot" -> pivotTypes _,
+    "ev_json_extract" -> jsonExtract _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -131,5 +176,7 @@ object Events {
     "ev_sliding" -> slidingSql,
     "ev_sessions" -> sessionsSql,
     "ev_daily_topk" -> dailyTopEventsSql,
+    "ev_pivot" -> pivotTypesSql,
+    "ev_json_extract" -> jsonExtractSql,
   )
 }

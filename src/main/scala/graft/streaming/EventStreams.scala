@@ -105,6 +105,39 @@ object EventStreams {
       }
   }
 
+  /** flatMapGroupsWithState variant: emits zero-or-more rows per group per
+    * micro-batch — here, one row per NEW high-value purchase ("alert"
+    * shape: state tracks the running per-user max; only increases emit).
+    * The 0..n-output contract is what distinguishes it from
+    * mapGroupsWithState's exactly-one.
+    */
+  case class MaxState(maxValue: Double)
+  case class Alert(user_id: Long, value: Double)
+
+  def purchaseAlerts(events: DataFrame)
+      : org.apache.spark.sql.Dataset[Alert] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("value"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[MaxState, Alert](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (uid, it, state) =>
+          var best = state.getOption.map(_.maxValue).getOrElse(Double.MinValue)
+          val out = Seq.newBuilder[Alert]
+          it.foreach { case (_, v) =>
+            if (v > best) {
+              best = v
+              out += Alert(uid, v)
+            }
+          }
+          state.update(MaxState(best))
+          out.result().iterator
+      }
+  }
+
   /** Wire an aggregated stream into a KvSink in update mode. */
   def toKvSink(agg: DataFrame, sink: KvSink): DataStreamWriter[org.apache.spark.sql.Row] =
     agg.writeStream
