@@ -45,6 +45,29 @@ class SourcesSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("bucketed tables co-locate the join: no shuffle exchange on either side") {
+    // bucketing is THE pre-shuffle strategy for repeated big-big joins at
+    // scale: both sides bucketed on the join key join with zero exchanges
+    // (warehouse.dir is a static conf; tables land in ./spark-warehouse,
+    // dropped below and gitignored)
+    val ord = Tables.orders(spark, sf("sf0.001"))
+    val li = Tables.lineitem(spark, sf("sf0.001"))
+    ord.write.mode("overwrite").bucketBy(4, "o_orderkey")
+      .sortBy("o_orderkey").saveAsTable("orders_b")
+    li.write.mode("overwrite").bucketBy(4, "l_orderkey")
+      .sortBy("l_orderkey").saveAsTable("lineitem_b")
+    val joined = spark.table("lineitem_b")
+      .join(spark.table("orders_b"),
+        col("l_orderkey") === col("o_orderkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
+      s"bucketed join still shuffles:\n$plan")
+    val expected = li.join(ord, col("l_orderkey") === col("o_orderkey")).count()
+    assert(joined.count() == expected)
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+  }
+
   test("partitioned parquet write prunes partitions on read") {
     val dir = tmp("part")
     cust.withColumn("seg", col("c_mktsegment"))
