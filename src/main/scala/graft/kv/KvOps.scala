@@ -45,6 +45,9 @@ object KvOps {
     * existing rows with the same key; new keys are inserted. One shuffle on
     * the key; no driver-side state. At 100 TB this is the standard
     * copy-on-write merge shape (the same plan a MERGE INTO lowers to).
+    * Contract: `updates` must be key-unique (dedupe upstream — e.g. the
+    * Aria winners aggregation — otherwise the surviving duplicate is
+    * arbitrary).
     */
   def upsert(table: DataFrame, updates: DataFrame, keyCol: String): DataFrame = {
     val tagged = table.withColumn("__src", lit(0))
@@ -54,7 +57,8 @@ object KvOps {
     tagged.groupBy(col(keyCol))
       .agg(max_by(struct(valueCols.map(col).toIndexedSeq: _*), col("__src"))
         .as("__v"))
-      .select(col(keyCol) +: valueCols.map(c => col(s"__v.$c").as(c)): _*)
+      .select((col(keyCol) +: valueCols.map(c => col(s"__v.$c").as(c)))
+        .toIndexedSeq: _*)
   }
 
   /** O9: batch delete = left-anti join (completes the reference's stub). */
