@@ -605,6 +605,32 @@ object Relational {
       |WHERE rn <= 3
       |ORDER BY c_mktsegment, o_orderstatus, total DESC, o_orderkey DESC""".stripMargin
 
+  /** Q27 — explicit GROUPING SETS through the engine's SQL frontend
+    * (`spark.sql` over registered views): the same SQL text runs in both
+    * engines modulo the grouping-id function. Demonstrates that the full
+    * SQL surface (not just the DataFrame API) is part of the engine.
+    */
+  def q27GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+    s.sql(
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders_v
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+        |                        (o_orderstatus, o_orderpriority), ())
+        |ORDER BY status, priority""".stripMargin)
+  }
+
+  val q27Sql: String =
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+      |  coalesce(o_orderpriority, 'ALL') AS priority,
+      |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+      |                        (o_orderstatus, o_orderpriority), ())
+      |ORDER BY status, priority""".stripMargin
+
   /** All relational queries + oracles, consumed by SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> q1PricingSummary _,
@@ -631,6 +657,7 @@ object Relational {
     "q22_window_stats" -> q22WindowStats _,
     "q23_date_arith" -> q23DateArith _,
     "q26_grouped_topk" -> q26GroupedTopK _,
+    "q27_grouping_sets" -> q27GroupingSets _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -658,5 +685,6 @@ object Relational {
     "q22_window_stats" -> q22Sql,
     "q23_date_arith" -> q23Sql,
     "q26_grouped_topk" -> q26Sql,
+    "q27_grouping_sets" -> q27Sql,
   )
 }
