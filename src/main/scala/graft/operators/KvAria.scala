@@ -215,6 +215,33 @@ object KvAria {
       |  arg_max(isupdate, opidx)::INT AS last_is_update
       |FROM ops GROUP BY tid, k ORDER BY tid, k""".stripMargin
 
+  /** The reference flagship scenario, exactly (BASELINE.md "Aria parity
+    * scenario"): bulk-load 200,000 keys (`main.cu:35`), generate 150 txns
+    * with the `Transction_Context` defaults (WR_rate=0.4, max_ops=30,
+    * keys_max=20000, seed=0 — `Transction.h:24-33`), run to empty under
+    * BOTH install policies. Output: (mode, epoch, committed, aborted) —
+    * seed-stable, so the driver's rows-only hash doubles as a determinism
+    * check across rounds. (Not SQL-expressible: seeded generator +
+    * fixpoint loop.)
+    */
+  def ariaReferenceScenario(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val table = graft.aria.TxnGen.bulkLoad(s, 200000)
+      .select($"k", $"fields"(0).as("f0"))
+    val ops = graft.aria.TxnGen.ops(s, 150)
+    val newValue = (tid: org.apache.spark.sql.Column,
+        ep: org.apache.spark.sql.Column) =>
+      concat(lit("v"), tid.cast("string"), lit("e"), ep.cast("string"))
+    val runs = Seq(true, false).map { reorder =>
+      val (_, history) = AriaEngine.run(
+        s, table, ops, reorder, Seq("f0"), newValue)
+      val mode = if (reorder) "reorder" else "noreorder"
+      history.map { case (e, c, a) => (mode, e, c, a) }
+    }
+    runs.flatten.toDF("mode", "epoch", "committed", "aborted")
+      .orderBy($"mode", $"epoch")
+  }
+
   // ---- KV queries ----
 
   /** O1/O2: point lookup with pushed-down key predicate. */
@@ -312,6 +339,7 @@ object KvAria {
     "aria_insert_missing" -> ariaInsertMissing _,
     "aria_key_op_chain" -> ariaKeyOpChain _,
     "aria_epochs" -> ariaEpochs _,
+    "aria_reference_scenario" -> ariaReferenceScenario _,
     "kv_point_lookup" -> kvPointLookup _,
     "kv_batch_lookup" -> kvBatchLookup _,
     "kv_upsert" -> kvUpsert _,
