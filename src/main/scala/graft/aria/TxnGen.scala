@@ -31,6 +31,10 @@ object TxnGen {
     */
   def ops(spark: SparkSession, nTxns: Long, cfg: Config = Config()): DataFrame = {
     import spark.implicits._
+    // keysMax is sampled via nextInt; larger keyspaces would silently
+    // narrow (keysMax.toInt) into a wrong or negative bound
+    require(cfg.keysMax <= Int.MaxValue,
+      s"keysMax ${cfg.keysMax} exceeds Int.MaxValue")
     spark.range(1, nTxns + 1).as[Long].mapPartitions { tids =>
       tids.flatMap { tid =>
         val rng = new scala.util.Random(cfg.seed + tid)

@@ -283,9 +283,11 @@ object KvAria {
     val updates = Tables.customer(s, dir)
       .filter($"c_custkey" % 10 === 0)
       .select($"c_custkey".as("k"), round($"c_acctbal" * 2, 2).as("bal"))
+    // negative keys can never collide with real custkeys at ANY scale
+    // factor (c_custkey + 1000000 collided once customer exceeded 1M rows)
     val inserts = Tables.customer(s, dir)
       .filter($"c_custkey" % 100 === 0)
-      .select(($"c_custkey" + 1000000L).as("k"), lit(0.0).as("bal"))
+      .select((-($"c_custkey" + 1)).as("k"), lit(0.0).as("bal"))
     KvOps.upsert(base, updates.unionByName(inserts), "k").orderBy($"k")
   }
 
@@ -295,7 +297,7 @@ object KvAria {
       |       ELSE round(c_acctbal, 2) END AS bal
       |FROM customer
       |UNION ALL
-      |SELECT c_custkey + 1000000 AS k, 0.0 AS bal
+      |SELECT -(c_custkey + 1) AS k, 0.0 AS bal
       |FROM customer WHERE c_custkey % 100 = 0
       |ORDER BY k""".stripMargin
 

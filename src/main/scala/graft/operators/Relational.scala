@@ -351,20 +351,22 @@ object Relational {
       .select($"l_partkey",
         ($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("rev"))
     val p = Tables.part(s, dir).select($"p_partkey", $"p_type")
+    // predicate must select a nonempty proper subset on the corpus
+    // (p_type values are uppercase; LIKE 'a%' was vacuously empty)
     li.join(broadcast(p), $"l_partkey" === $"p_partkey")
       .agg(
-        round(sum(when($"p_type".startsWith("a"), $"rev").otherwise(0.0)), 2)
+        round(sum(when($"p_type".startsWith("ECONOMY"), $"rev").otherwise(0.0)), 2)
           .as("promo_rev"),
         round(sum($"rev"), 2).as("total_rev"),
-        round(sum(when($"p_type".startsWith("a"), $"rev").otherwise(0.0)) * 100.0
+        round(sum(when($"p_type".startsWith("ECONOMY"), $"rev").otherwise(0.0)) * 100.0
           / sum($"rev"), 3).as("promo_pct"))
   }
 
   val q15Sql: String =
     """SELECT
-      |  round(sum(CASE WHEN p_type LIKE 'a%' THEN rev ELSE 0.0 END), 2) AS promo_rev,
+      |  round(sum(CASE WHEN p_type LIKE 'ECONOMY%' THEN rev ELSE 0.0 END), 2) AS promo_rev,
       |  round(sum(rev), 2) AS total_rev,
-      |  round(sum(CASE WHEN p_type LIKE 'a%' THEN rev ELSE 0.0 END) * 100.0
+      |  round(sum(CASE WHEN p_type LIKE 'ECONOMY%' THEN rev ELSE 0.0 END) * 100.0
       |        / sum(rev), 3) AS promo_pct
       |FROM (SELECT l_partkey, l_extendedprice * (1.0 - l_discount) AS rev
       |      FROM lineitem) li JOIN part ON l_partkey = p_partkey""".stripMargin
@@ -398,10 +400,13 @@ object Relational {
   def q17AboveAvg(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ord = Tables.orders(s, dir)
+    // round the threshold: avg() summation order differs across engines by
+    // an ulp, and this is the only query whose ROW SET depends on a float
+    // comparison — rounding makes the filter boundary engine-identical
     val avgs = ord.groupBy($"o_custkey".as("ak"))
-      .agg(avg($"o_totalprice").as("avg_total"))
+      .agg(round(avg($"o_totalprice") * 1.5, 4).as("thresh"))
     ord.join(avgs, $"o_custkey" === $"ak")
-      .filter($"o_totalprice" > $"avg_total" * 1.5)
+      .filter($"o_totalprice" > $"thresh")
       .select($"o_custkey", $"o_orderkey", round($"o_totalprice", 2).as("total"))
       .orderBy($"o_custkey", $"o_orderkey")
   }
@@ -409,9 +414,9 @@ object Relational {
   val q17Sql: String =
     """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS total
       |FROM orders o JOIN (
-      |  SELECT o_custkey AS ak, avg(o_totalprice) AS avg_total
+      |  SELECT o_custkey AS ak, round(avg(o_totalprice) * 1.5, 4) AS thresh
       |  FROM orders GROUP BY 1) a ON o.o_custkey = a.ak
-      |WHERE o_totalprice > avg_total * 1.5
+      |WHERE o_totalprice > thresh
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
   /** Q18 — cube: all grouping-set combinations over two dimensions. */

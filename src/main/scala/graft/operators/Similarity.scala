@@ -40,7 +40,8 @@ object Similarity {
 
   private val qvecCte =
     """WITH qv AS (
-      |  SELECT vec_id, [floor(x * 10000)::BIGINT FOR x IN embedding] AS q
+      |  SELECT vec_id,
+      |    [floor(x::DOUBLE * 10000)::BIGINT FOR x IN embedding] AS q
       |  FROM embeddings),
       |nrm AS (
       |  SELECT vec_id, sum(e * e) AS n2
@@ -129,7 +130,11 @@ object Similarity {
   private def hyperplane(j: Int): Seq[Long] =
     (0 until 64).map(i => ((1L + (j * 64L + i) * 2654435761L) % 1999L) - 999L)
 
-  def lshBuckets(s: SparkSession, dir: String): DataFrame = {
+  /** Unsorted bucket assignment (the reusable building block — the
+    * presentation orderBy lives only in the oracle query, so joins against
+    * this never drag a wasted range-exchange + sort into their plans).
+    */
+  private def lshBucketsRaw(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, dir)
       .select($"vec_id", qvec($"embedding").as("q"))
@@ -137,12 +142,18 @@ object Similarity {
       val h = array(hyperplane(j).map(lit): _*)
       when(dot($"q", h) >= 0, 1L << j).otherwise(0L)
     }.reduce(_ + _)
-    emb.select($"vec_id", bucket.as("bucket")).orderBy($"vec_id")
+    emb.select($"vec_id", bucket.as("bucket"))
+  }
+
+  def lshBuckets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    lshBucketsRaw(s, dir).orderBy($"vec_id")
   }
 
   val lshBucketsSql: String =
     """WITH qv AS (
-      |  SELECT vec_id, [floor(x * 10000)::BIGINT FOR x IN embedding] AS q
+      |  SELECT vec_id,
+      |    [floor(x::DOUBLE * 10000)::BIGINT FOR x IN embedding] AS q
       |  FROM embeddings),
       |comp AS (
       |  SELECT vec_id, unnest(q) AS e, generate_subscripts(q, 1) - 1 AS i
@@ -166,7 +177,7 @@ object Similarity {
     val emb = Tables.embeddings(s, dir)
       .select($"vec_id", qvec($"embedding").as("q"))
       .withColumn("n2", norm2($"q"))
-    val buckets = lshBuckets(s, dir)
+    val buckets = lshBucketsRaw(s, dir)
     val withB = emb.join(buckets, Seq("vec_id"))
     val queries = withB.filter($"vec_id" < 10)
       .select($"vec_id".as("qid"), $"q".as("qq"), $"n2".as("qn2"),
@@ -223,7 +234,7 @@ object Similarity {
     * (‖a−c‖² = ‖a‖² − 2a·c + ‖c‖², all int64), tie-break smallest id.
     * At scale, ANN probes only the query's cell (nprobe=1 here).
     */
-  def ivfAssign(s: SparkSession, dir: String): DataFrame = {
+  private def ivfAssignRaw(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, dir)
       .select($"vec_id", qvec($"embedding").as("q"))
@@ -236,7 +247,11 @@ object Similarity {
       .withColumn("d2", $"n2" - lit(2L) * dot($"q", $"cq") + $"cn2")
       .groupBy($"vec_id")
       .agg((min($"d2" * 8L + $"cid") % 8L).as("centroid"))
-      .orderBy($"vec_id")
+  }
+
+  def ivfAssign(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    ivfAssignRaw(s, dir).orderBy($"vec_id")
   }
 
   val ivfAssignSql: String = qvecCte +
@@ -262,7 +277,7 @@ object Similarity {
     val emb = Tables.embeddings(s, dir)
       .select($"vec_id", qvec($"embedding").as("q"))
       .withColumn("n2", norm2($"q"))
-      .join(ivfAssign(s, dir), Seq("vec_id"))
+      .join(ivfAssignRaw(s, dir), Seq("vec_id"))
     val queries = emb.filter($"vec_id" < 10)
       .select($"vec_id".as("qid"), $"q".as("qq"), $"n2".as("qn2"),
         $"centroid".as("qc"))

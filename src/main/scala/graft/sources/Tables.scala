@@ -33,9 +33,12 @@ object Tables {
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // integer division: `/` on longs is DOUBLE division in Spark, and at
+    // ~1.7e18 ns the double ulp is 256 ns, which truncated 163 sf0.01
+    // events one microsecond early vs DuckDB's exact conversion
     table(s, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.col("ts") / 1000L cast "long"))
+        org.apache.spark.sql.functions.expr("ts div 1000")))
   }
   def documents(s: SparkSession, d: String): DataFrame =
     table(s, d, "documents")

@@ -39,12 +39,8 @@ class AriaStream(
   @volatile var epoch: Int = 1
   @volatile var history: Vector[(Int, Long, Long)] = Vector.empty
 
-  /** One epoch per micro-batch: pending retries join the new arrivals. */
-  def processBatch(newOps: DataFrame, batchId: Long): Unit = synchronized {
-    val ops = (pending match {
-      case Some(p) => p.unionByName(newOps)
-      case None => newOps
-    }).localCheckpoint(true)
+  /** One epoch over `ops`: decide, install, record history, carry aborts. */
+  private def step(ops: DataFrame): Unit = {
     val nTxns = ops.select("tid").distinct().count()
     if (nTxns > 0) {
       val (next, _, aborted) = AriaEngine.runEpoch(
@@ -57,27 +53,24 @@ class AriaStream(
       table = nextT
       pending = if (nAborted > 0) Some(opsNext) else None
       epoch += 1
+    } else {
+      pending = None
     }
+  }
+
+  /** One epoch per micro-batch: pending retries join the new arrivals. */
+  def processBatch(newOps: DataFrame, batchId: Long): Unit = synchronized {
+    step((pending match {
+      case Some(p) => p.unionByName(newOps)
+      case None => newOps
+    }).localCheckpoint(true))
   }
 
   /** After the stream ends: drain carried-over aborts to empty (the
     * reference's run-to-completion tail).
     */
   def drain(): Unit = synchronized {
-    while (pending.isDefined) {
-      val ops = pending.get
-      val (next, _, aborted) = AriaEngine.runEpoch(
-        table, ops, reorder, valueCols, newValue, epoch)
-      val nextT = next.localCheckpoint(true)
-      val opsNext = ops.join(broadcast(aborted), Seq("tid"), "left_semi")
-        .localCheckpoint(true)
-      val nAborted = opsNext.select("tid").distinct().count()
-      history = history :+
-        ((epoch, ops.select("tid").distinct().count() - nAborted, nAborted))
-      table = nextT
-      pending = if (nAborted > 0) Some(opsNext) else None
-      epoch += 1
-    }
+    while (pending.isDefined) step(pending.get)
   }
 
   /** Wire an ops stream (tid, opidx, k, isUpdate rows) into this engine. */

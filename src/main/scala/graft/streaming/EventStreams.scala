@@ -60,14 +60,15 @@ object EventStreams {
   class KvSink(keyCol: String) extends Serializable {
     @volatile var snapshot: Option[DataFrame] = None
     def merge(batch: DataFrame, batchId: Long): Unit = synchronized {
-      val compacted = batch.persist()
-      compacted.count()
+      // localCheckpoint (not persist): the batch DataFrame is only valid
+      // during this call, and checkpointed snapshots need no manual
+      // unpersist bookkeeping (persisting each batch leaked one cached
+      // DataFrame per micro-batch)
+      val compacted = batch.localCheckpoint(true)
       snapshot = Some(snapshot match {
         case None => compacted
         case Some(prev) =>
-          val next = KvOps.upsert(prev, compacted, keyCol).localCheckpoint(true)
-          prev.unpersist()
-          next
+          KvOps.upsert(prev, compacted, keyCol).localCheckpoint(true)
       })
     }
   }
