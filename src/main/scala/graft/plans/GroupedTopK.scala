@@ -40,16 +40,24 @@ case class GroupedTopKNode(
     copy(child = c)
 }
 
+/** `partial = true` is the map-side instance: it runs BEFORE the exchange
+  * (no required distribution) and bounds what the shuffle carries to
+  * ≤ groups × k rows per input partition — top-k of a union equals top-k
+  * of per-partition top-k's, so the final instance sees equivalent input.
+  * The same two-phase shape as partial aggregation.
+  */
 case class GroupedTopKExec(
     groupExprs: Seq[Expression],
     orderExprs: Seq[Expression],
     k: Int,
+    partial: Boolean,
     child: SparkPlan) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning: Partitioning = child.outputPartitioning
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(groupExprs) :: Nil
+    if (partial) super.requiredChildDistribution
+    else ClusteredDistribution(groupExprs) :: Nil
 
   override protected def doExecute(): RDD[InternalRow] = {
     val boundGroup = groupExprs.map(BindReferences.bindReference(_, child.output))
@@ -93,7 +101,9 @@ case class GroupedTopKExec(
 object GroupedTopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case GroupedTopKNode(g, o, k, child) =>
-      GroupedTopKExec(g, o, k, planLater(child)) :: Nil
+      // two-phase: map-side partial bounds the shuffle, final reduces
+      GroupedTopKExec(g, o, k, partial = false,
+        GroupedTopKExec(g, o, k, partial = true, planLater(child))) :: Nil
     case _ => Nil
   }
 }
