@@ -134,11 +134,11 @@ object Events {
 
   val pivotTypesSql: String =
     """SELECT user_id % 10 AS user_mod,
-      |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-      |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
-      |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-      |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-      |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error
+      |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS click,
+      |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS view,
+      |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS purchase,
+      |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS signup,
+      |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS error
       |FROM events GROUP BY 1 ORDER BY user_mod""".stripMargin
 
   /** JSON extraction from the props payload column (semi-structured data
@@ -157,7 +157,7 @@ object Events {
 
   val jsonExtractSql: String =
     """SELECT event_type, count(*) AS n,
-      |  sum(json_extract_string(props, '$.k')::BIGINT) AS sum_k,
+      |  sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k,
       |  min(json_extract_string(props, '$.k')::BIGINT) AS min_k,
       |  max(json_extract_string(props, '$.k')::BIGINT) AS max_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin

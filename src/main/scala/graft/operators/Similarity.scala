@@ -44,7 +44,7 @@ object Similarity {
       |    [floor(x::DOUBLE * 10000)::BIGINT FOR x IN embedding] AS q
       |  FROM embeddings),
       |nrm AS (
-      |  SELECT vec_id, sum(e * e) AS n2
+      |  SELECT vec_id, sum(e * e)::BIGINT AS n2
       |  FROM (SELECT vec_id, unnest(q) AS e FROM qv) GROUP BY vec_id)
       |""".stripMargin
 
@@ -165,7 +165,7 @@ object Similarity {
       |  SELECT vec_id, j, sum(e * h) AS d
       |  FROM comp JOIN hp USING (i) GROUP BY 1, 2)
       |SELECT vec_id,
-      |  sum(CASE WHEN d >= 0 THEN (2^j)::BIGINT ELSE 0 END) AS bucket
+      |  sum(CASE WHEN d >= 0 THEN (2^j)::BIGINT ELSE 0 END)::BIGINT AS bucket
       |FROM dots GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
   /** Bucketed ANN top-3: brute-force cosine, but only within the query's
@@ -267,7 +267,7 @@ object Similarity {
       |    ne.n2 - 2 * cd.d + nc.n2 AS d2
       |  FROM cd JOIN nrm ne ON cd.vec_id = ne.vec_id
       |          JOIN nrm nc ON cd.cid = nc.vec_id)
-      |SELECT vec_id, min(d2 * 8 + cid) % 8 AS centroid
+      |SELECT vec_id, (min(d2 * 8 + cid) % 8)::BIGINT AS centroid
       |FROM dist GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
   /** IVF top-3: brute-force cosine restricted to the query's cell. */

@@ -452,7 +452,7 @@ object TextOps {
       |             THEN 1 ELSE -1 END) AS vote
       |  FROM hs CROSS JOIN range(16) t(b) GROUP BY doc_id, b)
       |SELECT doc_id,
-      |  sum(CASE WHEN vote > 0 THEN power(2, b)::BIGINT ELSE 0 END) AS simhash
+      |  sum(CASE WHEN vote > 0 THEN power(2, b)::BIGINT ELSE 0 END)::BIGINT AS simhash
       |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -29,6 +29,31 @@ def norm(v):
     return str(v)
 
 
+def dtype_err(name, spark_df, duck_df):
+    """The driver compares via pandas fetchdf(), which is dtype-sensitive:
+    DuckDB HUGEINT aggregates surface as float64/object while Spark writes
+    int64, and array columns are unsortable. Catch both locally."""
+    # Driver evidence (round 1): int32 vs int64 hash-matches, int64 vs
+    # float64 does not — compare dtype KIND, not width.
+    def kind(dt):
+        return dt.kind if dt.kind not in ("i", "u") else "i"
+    sd = {c: kind(spark_df[c].dtype) for c in spark_df.columns}
+    dd = {c: kind(duck_df[c].dtype) for c in duck_df.columns}
+    diffs = [f"{c}: spark={spark_df[c].dtype} duck={duck_df[c].dtype}"
+             for c in sd if c in dd and sd[c] != dd[c]]
+    if diffs:
+        return "DTYPE mismatch: " + "; ".join(diffs)
+    for df, side in ((spark_df, "spark"), (duck_df, "duck")):
+        for c in df.columns:
+            if df[c].dtype == object and len(df) and \
+                    not isinstance(df[c].iloc[0], (str, bytes, int, float,
+                                                   bool, type(None))):
+                return (f"UNSORTABLE column {c} ({side}): "
+                        f"{type(df[c].iloc[0]).__name__} — the driver's "
+                        "pandas sort_values will crash on this")
+    return None
+
+
 def compare(name, spark_rows, duck_rows, spark_cols, duck_cols):
     if sorted(spark_cols) != sorted(duck_cols):
         return f"SCHEMA mismatch: spark={sorted(spark_cols)} duck={sorted(duck_cols)}"
@@ -91,19 +116,20 @@ def main():
             n_bad += 1
             continue
         try:
-            sp = con.execute(
-                f"SELECT * FROM parquet_scan('{spark_dir}/*.parquet')")
-            spark_cols = [d[0] for d in sp.description]
-            spark_rows = sp.fetchall()
-            du = con.execute(sql)
-            duck_cols = [d[0] for d in du.description]
-            duck_rows = du.fetchall()
+            spark_df = con.execute(
+                f"SELECT * FROM parquet_scan('{spark_dir}/*.parquet')").fetchdf()
+            spark_cols = list(spark_df.columns)
+            spark_rows = list(spark_df.itertuples(index=False, name=None))
+            duck_df = con.execute(sql).fetchdf()
+            duck_cols = list(duck_df.columns)
+            duck_rows = list(duck_df.itertuples(index=False, name=None))
         except Exception as e:
             print(f"FAIL {name}: {str(e)[:300]}")
             n_bad += 1
             con = connect()  # a fatal duckdb error invalidates the connection
             continue
-        err = compare(name, spark_rows, duck_rows, spark_cols, duck_cols)
+        err = compare(name, spark_rows, duck_rows, spark_cols, duck_cols) \
+            or dtype_err(name, spark_df, duck_df)
         if err:
             print(f"FAIL {name}: {err}")
             n_bad += 1
