@@ -83,16 +83,19 @@ object Multimodal {
     feats
   }
 
-  private val featSchema = StructType(Seq(
-    StructField("media_id", LongType),
-    StructField("n_bytes", IntegerType),
-    StructField("features", ArrayType(DoubleType))))
+  private val featSchema = StructType(
+    StructField("media_id", LongType) +: StructField("n_bytes", IntegerType) +:
+      (0 until 8).map(b => StructField(s"f$b", DoubleType)))
 
   /** Partition-batched decode + feature extraction: one pass per partition,
     * rows streamed (never materialized whole). The mapInPandas-equivalent
     * shape: Iterator[Row] → Iterator[Row] with an explicit output schema.
-    * No SQL oracle (binary + stub) → driver records rows-only; exactness is
-    * asserted in MultimodalSpec.
+    *
+    * Features are emitted as scalar columns f0..f7 (not an array) so the
+    * result is sortable/hashable by any downstream compare; each f_b is an
+    * exact int64 byte-sum divided by an exact count — the same two integers
+    * the SQL oracle divides, so the doubles are bit-identical with no
+    * rounding step.
     */
   def mediaFeatures(s: SparkSession, dir: String): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
@@ -102,11 +105,33 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.map { r =>
           val payload = r.getAs[Array[Byte]]("payload")
-          Row(r.getAs[Long]("media_id"), payload.length,
-            stubDecode(payload))
+          Row.fromSeq(r.getAs[Long]("media_id") +: payload.length +:
+            stubDecode(payload).toSeq)
         }
       }(enc)
       .orderBy(col("media_id"))
+  }
+
+  /** Oracle for the stub decode: byte b at 0-based position i contributes to
+    * channel i % 8; the corpus is ASCII so ascii(char) == byte value.
+    */
+  val mediaFeaturesSql: String = {
+    val fs = (0 until 8).map(b =>
+      s"  max(CASE WHEN b = $b THEN sm::DOUBLE / cnt END) AS f$b").mkString(",\n")
+    s"""WITH cs AS (
+       |  SELECT doc_id, [ascii(c)::BIGINT FOR c IN string_split(text, '')] AS codes
+       |  FROM documents),
+       |ch AS (
+       |  SELECT doc_id, unnest(codes) AS code,
+       |         generate_subscripts(codes, 1) - 1 AS i FROM cs),
+       |fm AS (
+       |  SELECT doc_id, i % 8 AS b, sum(code)::BIGINT AS sm,
+       |         count(*)::BIGINT AS cnt
+       |  FROM ch GROUP BY 1, 2)
+       |SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes,
+       |$fs
+       |FROM fm JOIN documents USING (doc_id)
+       |GROUP BY 1, 2 ORDER BY media_id""".stripMargin
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -116,6 +141,6 @@ object Multimodal {
 
   val oracles: Map[String, String] = Map(
     "mm_media_meta" -> mediaMetaSql,
-    // mm_media_features: stubbed binary decode, rows-only (see Scaladoc)
+    "mm_media_features" -> mediaFeaturesSql,
   )
 }

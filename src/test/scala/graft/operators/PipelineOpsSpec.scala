@@ -88,7 +88,7 @@ class PipelineOpsSpec extends SparkSpec {
       val bytes = texts(id).getBytes("UTF-8")
       assert(r.getInt(1) == bytes.length)
       val want = Multimodal.stubDecode(bytes)
-      val got = r.getSeq[Double](2)
+      val got = (0 until 8).map(b => r.getDouble(2 + b))
       assert(got.length == 8 && got.sameElements(want))
     }
   }
