@@ -118,9 +118,11 @@ object KvAria {
       |WHERE p_partkey <= 1000 ORDER BY k""".stripMargin
 
   /** O20/O21: multi-epoch run-to-empty summary (epoch, committed, aborted).
-    * The fixpoint loop is not expressible in one ANSI query → rows-only
-    * driver check; serializability is asserted by ScalaTest property tests
-    * against a serial Tid-order oracle (SURVEY.md §5).
+    * Oracle: the epoch fixpoint (reference `db.h:104-125`) re-expressed as a
+    * DuckDB RECURSIVE CTE — each iteration carries the surviving Tid set,
+    * recomputes reservations as per-key window minima, and aborts exactly
+    * the reorder-policy losers. Serializability is additionally asserted by
+    * ScalaTest property tests against a serial Tid-order oracle (SURVEY §5).
     */
   def ariaEpochs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -131,6 +133,44 @@ object KvAria {
         concat(lit("v"), tid.cast("string"), lit("e"), ep.cast("string")))
     history.toDF("epoch", "committed", "aborted").orderBy($"epoch")
   }
+
+  /** Recursive-CTE re-implementation of the drain loop: `surv(epoch, tid)`
+    * is the working set of still-live txns entering each epoch; epoch-1
+    * accounting starts from the RAW batch's distinct Tids (txns whose ops
+    * all miss commit trivially), exactly like [[AriaEngine.run]].
+    */
+  val ariaEpochsSql: String =
+    """WITH RECURSIVE
+      |ops AS (
+      |  SELECT l_orderkey AS tid, l_linenumber AS opidx,
+      |         l_partkey % 20000 + 1 AS k,
+      |         (l_linenumber % 5) < 2 AS isupdate
+      |  FROM lineitem WHERE l_orderkey % 101 = 0),
+      |live AS (SELECT * FROM ops WHERE k IN (SELECT p_partkey FROM part)),
+      |surv(epoch, tid) AS (
+      |  SELECT 1, tid FROM (SELECT DISTINCT tid FROM live) t
+      |  UNION ALL
+      |  SELECT epoch + 1, tid FROM (
+      |    SELECT epoch, tid,
+      |      max(CASE WHEN wts < tid THEN 1 ELSE 0 END) AS raw,
+      |      max(CASE WHEN isupdate AND rts < tid THEN 1 ELSE 0 END) AS war,
+      |      max(CASE WHEN isupdate AND wts < tid THEN 1 ELSE 0 END) AS waw
+      |    FROM (
+      |      SELECT s.epoch, l.tid, l.k, l.isupdate,
+      |        min(l.tid) OVER (PARTITION BY l.k) AS rts,
+      |        min(CASE WHEN l.isupdate THEN l.tid END)
+      |          OVER (PARTITION BY l.k) AS wts
+      |      FROM live l JOIN surv s USING (tid)) z
+      |    GROUP BY epoch, tid) c
+      |  WHERE NOT (waw = 0 AND (raw = 0 OR war = 0))),
+      |counts AS (SELECT epoch, count(*)::BIGINT AS n FROM surv GROUP BY epoch),
+      |total AS (SELECT count(DISTINCT tid)::BIGINT AS n0 FROM ops)
+      |SELECT c.epoch,
+      |  (CASE WHEN c.epoch = 1 THEN (SELECT n0 FROM total) ELSE c.n END
+      |   - coalesce(nx.n, 0))::BIGINT AS committed,
+      |  coalesce(nx.n, 0)::BIGINT AS aborted
+      |FROM counts c LEFT JOIN counts nx ON nx.epoch = c.epoch + 1
+      |ORDER BY c.epoch""".stripMargin
 
   /** O22 "operation-parallel" execute variant: ops on missing keys insert
     * the key with a deterministic payload ('ins<k>') instead of being
@@ -241,6 +281,25 @@ object KvAria {
     runs.flatten.toDF("mode", "epoch", "committed", "aborted")
       .orderBy($"mode", $"epoch")
   }
+
+  /** Golden expected history for the reference scenario. The generator is a
+    * JVM-seeded RNG (not SQL-expressible), but the scenario reads NO corpus
+    * table, so its output is one fixed 7-row table at every scale factor.
+    * These literals are machine-checked two independent ways: AriaEngineSpec
+    * ("reference scenario golden history matches the plain-Scala simulator")
+    * recomputes them with a collections-only (no Spark, no AriaEngine)
+    * epoch-loop simulation, and the driver hashes them against the query.
+    */
+  val ariaReferenceScenarioSql: String =
+    """SELECT * FROM (VALUES
+      |  ('noreorder', 1, 108, 37),
+      |  ('noreorder', 2, 29, 8),
+      |  ('noreorder', 3, 7, 1),
+      |  ('noreorder', 4, 1, 0),
+      |  ('reorder', 1, 124, 21),
+      |  ('reorder', 2, 20, 1),
+      |  ('reorder', 3, 1, 0)
+      |) t(mode, epoch, committed, aborted) ORDER BY mode, epoch""".stripMargin
 
   // ---- KV queries ----
 
@@ -355,7 +414,8 @@ object KvAria {
     "aria_install" -> ariaInstallSql,
     "aria_insert_missing" -> ariaInsertMissingSql,
     "aria_key_op_chain" -> ariaKeyOpChainSql,
-    // aria_epochs: fixpoint loop, rows-only (see Scaladoc)
+    "aria_epochs" -> ariaEpochsSql,
+    "aria_reference_scenario" -> ariaReferenceScenarioSql,
     "kv_point_lookup" -> kvPointLookupSql,
     "kv_batch_lookup" -> kvBatchLookupSql,
     "kv_upsert" -> kvUpsertSql,

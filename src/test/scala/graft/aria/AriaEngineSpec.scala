@@ -145,6 +145,26 @@ class AriaEngineSpec extends SparkSpec {
     }
   }
 
+  test("reference scenario golden history matches the plain-Scala simulator") {
+    // Exactly TxnGen.ops(150, Config()) — re-derived here so the golden
+    // literals in KvAria.ariaReferenceScenarioSql are certified by code
+    // that shares nothing with AriaEngine's DataFrame pipeline.
+    val ops = (1L to 150L).flatMap { tid =>
+      val rng = new scala.util.Random(0L + tid)
+      val nOps = rng.nextInt(31)
+      (0 until nOps).map(i =>
+        Op(tid, i, 1L + rng.nextInt(20000).toLong, rng.nextDouble() < 0.4))
+    }
+    val keys = (1L until 200000L).toSet // bulkLoad(200000) = keys 1..199999
+    val golden = Map(
+      true -> Seq((1, 124L, 21L), (2, 20L, 1L), (3, 1L, 0L)),
+      false -> Seq((1, 108L, 37L), (2, 29L, 8L), (3, 7L, 1L), (4, 1L, 0L)))
+    for (reorder <- Seq(true, false)) {
+      val (_, hist) = simulate(ops, reorder, keys)
+      assert(hist == golden(reorder), s"reorder=$reorder")
+    }
+  }
+
   test("determinism: same input gives identical epoch history across partitionings") {
     val rng = new scala.util.Random(99)
     val keys = (1L to 40L).toSeq
