@@ -91,17 +91,36 @@ object Similarity {
       |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
 
   /** Near-duplicate pairs: all pairs with cosine ≥ 0.45 (calibrated to this
-    * corpus's max pairwise cosine of 0.51). The O(n²) verification baseline
-    * for the LSH path below.
+    * corpus's max pairwise cosine of 0.51), computed EXACTLY.
+    *
+    * Shape: a B×B grid-blocked self-equi-join (the Okcan–Riedewald
+    * theta-join): each side is replicated B ways on a block coordinate and
+    * the pair (x, y) meets in exactly one (g(x), g(y)) cell, so the Θ(n²)
+    * compares hash-partition evenly across the cluster — no
+    * BroadcastNestedLoopJoin, nothing broadcast that grows with the data.
+    * Exact all-pairs at this radius is inherently quadratic in compares
+    * (LSH gating was measured on this corpus: 8-hyperplane buckets recall
+    * 1/14 of the true pairs at sf0.01 — sketch bits don't separate at
+    * cos ≈ 0.45, so candidate gating would change the answer); the
+    * sub-quadratic alternative when approximate recall is acceptable is
+    * [[lshTopK]]/[[ivfTopK]].
     */
   def nearDupPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val B = 8
+    val blockIds = array((0 until B).map(lit): _*)
     val emb = Tables.embeddings(s, dir)
       .select($"vec_id", qvec($"embedding").as("q"))
       .withColumn("n2", norm2($"q"))
-    val l = emb.select($"vec_id".as("a"), $"q".as("qa"), $"n2".as("na"))
-    val r = emb.select($"vec_id".as("b"), $"q".as("qb"), $"n2".as("nb"))
-    l.join(r, $"a" < $"b")
+    val l = emb
+      .select($"vec_id".as("a"), $"q".as("qa"), $"n2".as("na"),
+        ($"vec_id" % B).as("gl"))
+      .withColumn("gr", explode(blockIds))
+    val r = emb
+      .select($"vec_id".as("b"), $"q".as("qb"), $"n2".as("nb"),
+        ($"vec_id" % B).as("gr"))
+      .withColumn("gl", explode(blockIds))
+    l.join(r, Seq("gl", "gr")).filter($"a" < $"b")
       .withColumn("cos",
         round(dot($"qa", $"qb").cast("double")
           / (sqrt($"na".cast("double")) * sqrt($"nb".cast("double"))), 4))
