@@ -246,26 +246,103 @@ object Similarity {
       |    ORDER BY cos DESC, vec_id) AS rn FROM scored) t
       |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
 
-  /** IVF-style coarse quantizer: centroids = the vectors with vec_id 0..7
-    * (deterministic seeds; a production IVF would k-means these — the
-    * assignment/probe machinery is identical). Each vector is assigned to
-    * the centroid with the smallest exact integer squared-L2 distance
-    * (‖a−c‖² = ‖a‖² − 2a·c + ‖c‖², all int64), tie-break smallest id.
-    * At scale, ANN probes only the query's cell (nprobe=1 here).
+  /** IVF coarse quantizer: seeded k-means in pure DataFrame ops. Init
+    * centroids are the vectors with vec_id 0..7 (deterministic seed), then
+    * [[kmeansIters]] Lloyd iterations refine them. Centroids stay INTEGER
+    * vectors — each iteration re-quantizes the cluster mean per component
+    * as floor(sum/m) (sum, m exact int64, the division exact in doubles
+    * since |sum/m − k| is either 0 or ≥ 1/m ≫ ulp) — so every distance is
+    * exact int64 and the SQL oracle reproduces assignment bit-for-bit.
+    * Empty clusters keep their previous centroid. No driver collect: the
+    * whole fit is one DAG over 8×64 centroid cells.
+    */
+  private val kmeansIters = 2
+
+  private def ivfCentroids(s: SparkSession, emb: DataFrame): DataFrame = {
+    import s.implicits._
+    var cents = emb.filter($"vec_id" < 8)
+      .select($"vec_id".as("cid"), $"q".as("cq"))
+    for (_ <- 1 to kmeansIters) {
+      val withN = broadcast(cents.withColumn("cn2", norm2($"cq")))
+      val assigned = emb.crossJoin(withN)
+        .withColumn("d2", $"n2" - lit(2L) * dot($"q", $"cq") + $"cn2")
+        .groupBy($"vec_id")
+        .agg((min($"d2" * 8L + $"cid") % 8L).as("cid"))
+      val sums = assigned.join(emb, Seq("vec_id"))
+        .select($"cid", posexplode($"q"))
+        .groupBy($"cid", $"pos")
+        .agg(sum($"col").as("sv"), count(lit(1)).as("m"))
+        .withColumn("c", floor($"sv".cast("double") / $"m").cast("long"))
+      val next = sums.groupBy($"cid")
+        .agg(transform(array_sort(collect_list(struct($"pos", $"c"))),
+          x => x.getField("c")).as("cq2"))
+      cents = cents.join(next, Seq("cid"), "left")
+        .select($"cid", coalesce($"cq2", $"cq").as("cq"))
+    }
+    cents
+  }
+
+  /** Cell assignment against the fitted centroids: smallest exact integer
+    * squared-L2 distance (‖a−c‖² = ‖a‖² − 2a·c + ‖c‖², all int64),
+    * tie-break smallest id — d2 ≥ 0 and cid < 8, so min(d2*8 + cid) % 8 is
+    * the tie-broken nearest centroid. At scale, ANN probes only the query's
+    * cell (nprobe=1 here).
     */
   private def ivfAssignRaw(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, dir)
       .select($"vec_id", qvec($"embedding").as("q"))
       .withColumn("n2", norm2($"q"))
-    val cents = broadcast(emb.filter($"vec_id" < 8)
-      .select($"vec_id".as("cid"), $"q".as("cq"), $"n2".as("cn2")))
-    // argmin as pure integer math (exact in both engines): d2 ≥ 0 and
-    // cid < 8, so min(d2*8 + cid) % 8 is the tie-broken nearest centroid
+    val cents = broadcast(ivfCentroids(s, emb).withColumn("cn2", norm2($"cq")))
     emb.crossJoin(cents)
       .withColumn("d2", $"n2" - lit(2L) * dot($"q", $"cq") + $"cn2")
       .groupBy($"vec_id")
       .agg((min($"d2" * 8L + $"cid") % 8L).as("centroid"))
+  }
+
+  /** SQL mirror of the k-means fit: one (cn, cd, a) assignment block per
+    * iteration plus (s, k, cent) mean-requantization blocks; the final
+    * a`kmeansIters` is the assignment. Shared by both IVF oracles.
+    */
+  private def kmeansCtes: String = {
+    val sb = new StringBuilder
+    sb ++= ", cent0 AS (SELECT vec_id AS cid, q AS cq FROM qv WHERE vec_id < 8)"
+    for (t <- 0 to kmeansIters) {
+      sb ++=
+        s""",
+           |cn$t AS (
+           |  SELECT cid, sum(y * y)::BIGINT AS cn2
+           |  FROM (SELECT cid, unnest(cq) AS y FROM cent$t) GROUP BY cid),
+           |cd$t AS (
+           |  SELECT vec_id, cid, sum(x * y)::BIGINT AS d FROM (
+           |    SELECT e.vec_id, c.cid, unnest(e.q) AS x, unnest(c.cq) AS y
+           |    FROM qv e CROSS JOIN cent$t c) z
+           |  GROUP BY 1, 2),
+           |a$t AS (
+           |  SELECT cd.vec_id,
+           |    (min((ne.n2 - 2 * cd.d + cn.cn2) * 8 + cd.cid) % 8)::BIGINT AS cid
+           |  FROM cd$t cd JOIN nrm ne ON cd.vec_id = ne.vec_id
+           |               JOIN cn$t cn ON cd.cid = cn.cid
+           |  GROUP BY cd.vec_id)""".stripMargin
+      if (t < kmeansIters) {
+        sb ++=
+          s""",
+             |s${t + 1} AS (
+             |  SELECT a.cid, u.i, sum(u.e)::BIGINT AS s, count(*)::BIGINT AS m
+             |  FROM a$t a JOIN (
+             |    SELECT vec_id, unnest(q) AS e,
+             |           generate_subscripts(q, 1) - 1 AS i FROM qv) u
+             |    ON a.vec_id = u.vec_id
+             |  GROUP BY 1, 2),
+             |k${t + 1} AS (
+             |  SELECT cid, list(floor(s::DOUBLE / m)::BIGINT ORDER BY i) AS cq
+             |  FROM s${t + 1} GROUP BY cid),
+             |cent${t + 1} AS (
+             |  SELECT p.cid, coalesce(c.cq, p.cq) AS cq
+             |  FROM cent$t p LEFT JOIN k${t + 1} c USING (cid))""".stripMargin
+      }
+    }
+    sb.toString
   }
 
   def ivfAssign(s: SparkSession, dir: String): DataFrame = {
@@ -273,21 +350,10 @@ object Similarity {
     ivfAssignRaw(s, dir).orderBy($"vec_id")
   }
 
-  val ivfAssignSql: String = qvecCte +
-    """, cents AS (
-      |  SELECT vec_id AS cid, q AS cq FROM qv WHERE vec_id < 8),
-      |cd AS (
-      |  SELECT vec_id, cid, sum(x * y) AS d FROM (
-      |    SELECT e.vec_id, c.cid, unnest(e.q) AS x, unnest(c.cq) AS y
-      |    FROM qv e CROSS JOIN cents c) z
-      |  GROUP BY 1, 2),
-      |dist AS (
-      |  SELECT cd.vec_id, cd.cid,
-      |    ne.n2 - 2 * cd.d + nc.n2 AS d2
-      |  FROM cd JOIN nrm ne ON cd.vec_id = ne.vec_id
-      |          JOIN nrm nc ON cd.cid = nc.vec_id)
-      |SELECT vec_id, (min(d2 * 8 + cid) % 8)::BIGINT AS centroid
-      |FROM dist GROUP BY vec_id ORDER BY vec_id""".stripMargin
+  val ivfAssignSql: String = qvecCte + kmeansCtes +
+    s"""
+       |SELECT vec_id, cid AS centroid
+       |FROM a$kmeansIters ORDER BY vec_id""".stripMargin
 
   /** IVF top-3: brute-force cosine restricted to the query's cell. */
   def ivfTopK(s: SparkSession, dir: String): DataFrame = {
@@ -312,21 +378,11 @@ object Similarity {
       .orderBy($"qid", $"rn")
   }
 
-  val ivfTopKSql: String = qvecCte +
-    """, cents AS (
-      |  SELECT vec_id AS cid, q AS cq FROM qv WHERE vec_id < 8),
-      |cd AS (
-      |  SELECT vec_id, cid, sum(x * y) AS d FROM (
-      |    SELECT e.vec_id, c.cid, unnest(e.q) AS x, unnest(c.cq) AS y
-      |    FROM qv e CROSS JOIN cents c) z
-      |  GROUP BY 1, 2),
-      |assign AS (
-      |  SELECT cd.vec_id,
-      |    min((ne.n2 - 2 * cd.d + nc.n2) * 8 + cd.cid) % 8 AS centroid
-      |  FROM cd JOIN nrm ne ON cd.vec_id = ne.vec_id
-      |          JOIN nrm nc ON cd.cid = nc.vec_id
-      |  GROUP BY cd.vec_id),
-      |dots AS (
+  val ivfTopKSql: String = qvecCte + kmeansCtes +
+    s""",
+       |assign AS (SELECT vec_id, cid AS centroid FROM a$kmeansIters),
+       |dots AS (""".stripMargin +
+    """
       |  SELECT qid, vec_id, sum(x * y) AS d FROM (
       |    SELECT q.vec_id AS qid, e.vec_id,
       |           unnest(q.q) AS x, unnest(e.q) AS y
