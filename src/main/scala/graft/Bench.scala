@@ -4,13 +4,17 @@ import org.apache.spark.sql.SparkSession
 /** Driver-run benchmark: one JSON line, per-query wall seconds.
   * Queries run in sorted name order (a HashMap's iteration order would
   * shuffle which query pays first-run costs between builds), after one
-  * untimed warmup of the flagship entry to amortize JVM/codegen startup —
-  * the numbers then measure steady-state query time.
+  * untimed warmup of the flagship entry to amortize JVM/codegen startup.
+  * Each query is timed SPARK_GRAFT_BENCH_ITERS times (default 3) and the
+  * per-query MEDIAN is reported — the container shows ~2× run-to-run noise,
+  * and the median drops both the noise spikes and each query's first-run
+  * codegen cost, so rounds are comparable.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .withExtensions(new graft.plans.GraftExtensions)
@@ -22,14 +26,17 @@ object Bench {
     try SparkEntry.entry(spark).count()
     catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to iters).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      name -> times(times.length / 2)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","iters":$iters}""")
     spark.stop()
   }
 }

@@ -27,15 +27,37 @@ object VersionedTable {
 
   private def versionDir(path: String, v: Int) = s"$path/v=$v"
 
-  /** All committed version numbers, ascending. */
+  /** Atomic commit: write the snapshot to a hidden temp directory, then
+    * rename into `v=N` — a crashed or in-flight write can never surface as
+    * a committed version, and a lost rename race (concurrent committer of
+    * the same N) cleans up and fails instead of corrupting the winner.
+    * `versions()` additionally requires the parquet `_SUCCESS` marker.
+    */
+  private def commitVersion(df: DataFrame, path: String, v: Int): Unit = {
+    val spark = df.sparkSession
+    val tmp = s"$path/.tmp-v$v-${java.util.UUID.randomUUID}"
+    df.write.mode("errorifexists").parquet(tmp)
+    val f = fs(spark, path)
+    val dest = new Path(versionDir(path, v))
+    if (f.exists(dest) || !f.rename(new Path(tmp), dest)) {
+      f.delete(new Path(tmp), true)
+      throw new IllegalStateException(
+        s"version $v at $path was committed concurrently")
+    }
+  }
+
+  /** All committed version numbers, ascending (only `_SUCCESS`-marked
+    * directories count — partial writes are invisible).
+    */
   def versions(spark: SparkSession, path: String): Seq[Int] = {
     val p = new Path(path)
     val f = fs(spark, path)
     if (!f.exists(p)) Seq.empty
     else f.listStatus(p).toSeq
-      .map(_.getPath.getName)
-      .filter(_.startsWith("v="))
-      .map(_.stripPrefix("v=").toInt)
+      .map(_.getPath)
+      .filter(d => d.getName.startsWith("v=") &&
+        f.exists(new Path(d, "_SUCCESS")))
+      .map(_.getName.stripPrefix("v=").toInt)
       .sorted
   }
 
@@ -44,7 +66,7 @@ object VersionedTable {
 
   /** Create version 0. */
   def init(df: DataFrame, path: String): Unit =
-    df.write.mode("errorifexists").parquet(versionDir(path, 0))
+    commitVersion(df, path, 0)
 
   /** Read a specific version (time travel) or the latest. */
   def read(spark: SparkSession, path: String, version: Int = -1): DataFrame = {
@@ -64,8 +86,8 @@ object VersionedTable {
     val current = latestVersion(spark, path).getOrElse(
       throw new IllegalArgumentException(s"no versions at $path — init first"))
     val next = current + 1
-    KvOps.upsert(read(spark, path, current), updates, keyCol)
-      .write.mode("errorifexists").parquet(versionDir(path, next))
+    commitVersion(
+      KvOps.upsert(read(spark, path, current), updates, keyCol), path, next)
     next
   }
 
@@ -75,8 +97,8 @@ object VersionedTable {
     val current = latestVersion(spark, path).getOrElse(
       throw new IllegalArgumentException(s"no versions at $path — init first"))
     val next = current + 1
-    KvOps.delete(read(spark, path, current), keys, keyCol)
-      .write.mode("errorifexists").parquet(versionDir(path, next))
+    commitVersion(
+      KvOps.delete(read(spark, path, current), keys, keyCol), path, next)
     next
   }
 }

@@ -1,5 +1,6 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
@@ -27,17 +28,88 @@ import graft.aria.AriaEngine
   * micro-batches would decide twice on partial op sets. This mirrors the
   * reference, where a `Transction<N>` is always materialized whole before
   * the epoch runs (`TransctionManager.cuh:59-85`).
+  *
+  * Durability: with `stateDir` set, every epoch commits (table, pending,
+  * history, last batch id) as an atomically-renamed parquet snapshot
+  * `stateDir/s=N`; a new AriaStream over the same `stateDir` resumes from
+  * the latest committed snapshot, and a micro-batch replayed by the
+  * streaming engine after a crash (its id ≤ the persisted last batch id)
+  * is skipped — together with the source's own `checkpointLocation`, the
+  * epoch pipeline is exactly-once across driver failures. Without
+  * `stateDir`, state is in-memory only (tests/exploration).
   */
 class AriaStream(
     table0: DataFrame,
     reorder: Boolean,
     valueCols: Seq[String],
-    newValue: (Column, Column) => Column) extends Serializable {
+    newValue: (Column, Column) => Column,
+    stateDir: Option[String] = None) extends Serializable {
 
   @volatile var table: DataFrame = table0.localCheckpoint(true)
   @volatile var pending: Option[DataFrame] = None
   @volatile var epoch: Int = 1
   @volatile var history: Vector[(Int, Long, Long)] = Vector.empty
+  @volatile private var lastBatchId: Long = -1L
+  @volatile private var stateVersion: Int = -1
+
+  private def spark = table0.sparkSession
+
+  private def fsOf(p: String) =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def committedStates(dir: String): Seq[Int] = {
+    val f = fsOf(dir)
+    val p = new Path(dir)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).toSeq.map(_.getPath)
+      .filter(d => d.getName.startsWith("s=") &&
+        f.exists(new Path(d, "table/_SUCCESS")))
+      .map(_.getName.stripPrefix("s=").toInt)
+      .sorted
+  }
+
+  private def resumeFrom(dir: String): Unit =
+    committedStates(dir).lastOption.foreach { n =>
+      val base = s"$dir/s=$n"
+      table = spark.read.parquet(s"$base/table").localCheckpoint(true)
+      val p = spark.read.parquet(s"$base/pending").localCheckpoint(true)
+      pending = if (p.isEmpty) None else Some(p)
+      history = spark.read.parquet(s"$base/history")
+        .orderBy("epoch").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toVector
+      epoch = history.lastOption.map(_._1 + 1).getOrElse(1)
+      lastBatchId = spark.read.parquet(s"$base/meta")
+        .collect().head.getLong(0)
+      stateVersion = n
+    }
+
+  stateDir.foreach(resumeFrom)
+
+  /** Atomic snapshot commit (same pattern as
+    * [[graft.sources.VersionedTable]]): write under a hidden temp dir,
+    * rename into `s=N`, retain the last two snapshots.
+    */
+  private def persistState(emptyOps: DataFrame): Unit = stateDir.foreach { dir =>
+    val sp = spark
+    import sp.implicits._
+    val n = stateVersion + 1
+    val tmp = s"$dir/.tmp-s$n-${java.util.UUID.randomUUID}"
+    table.write.parquet(s"$tmp/table")
+    pending.getOrElse(emptyOps).write.parquet(s"$tmp/pending")
+    history.toDF("epoch", "committed", "aborted")
+      .coalesce(1).write.parquet(s"$tmp/history")
+    Seq(lastBatchId).toDF("last_batch_id")
+      .coalesce(1).write.parquet(s"$tmp/meta")
+    val f = fsOf(dir)
+    val dest = new Path(s"$dir/s=$n")
+    if (f.exists(dest) || !f.rename(new Path(tmp), dest)) {
+      f.delete(new Path(tmp), true)
+      throw new IllegalStateException(s"state $n at $dir committed concurrently")
+    }
+    stateVersion = n
+    committedStates(dir).dropRight(2)
+      .foreach(o => f.delete(new Path(s"$dir/s=$o"), true))
+  }
 
   /** One epoch over `ops`: decide, install, record history, carry aborts. */
   private def step(ops: DataFrame): Unit = {
@@ -56,14 +128,21 @@ class AriaStream(
     } else {
       pending = None
     }
+    persistState(ops.limit(0))
   }
 
-  /** One epoch per micro-batch: pending retries join the new arrivals. */
+  /** One epoch per micro-batch: pending retries join the new arrivals.
+    * A batch id at or below the persisted high-water mark is a post-crash
+    * replay of work already folded into the committed state — skip it.
+    */
   def processBatch(newOps: DataFrame, batchId: Long): Unit = synchronized {
-    step((pending match {
-      case Some(p) => p.unionByName(newOps)
-      case None => newOps
-    }).localCheckpoint(true))
+    if (batchId > lastBatchId) {
+      lastBatchId = batchId
+      step((pending match {
+        case Some(p) => p.unionByName(newOps)
+        case None => newOps
+      }).localCheckpoint(true))
+    }
   }
 
   /** After the stream ends: drain carried-over aborts to empty (the

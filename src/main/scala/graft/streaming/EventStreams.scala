@@ -21,6 +21,20 @@ import graft.kv.KvOps
   */
 object EventStreams {
 
+  /** Session confs for a production-grade state store: the RocksDB provider
+    * keeps streaming state off-heap with spill-to-disk (the in-memory
+    * HDFS-backed default OOMs once keyed state outgrows the executor heap),
+    * and changelog checkpointing uploads per-batch deltas instead of full
+    * SST snapshots. Apply via `spark.conf.set` (or at session build) before
+    * starting stateful queries; pair with `.option("checkpointLocation", …)`
+    * on every production writer so offsets + state survive driver loss.
+    */
+  val rocksDbStateStore: Map[String, String] = Map(
+    "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
+      "true")
+
   /** File-based stream of the events table (schema must be supplied:
     * streaming sources don't infer).
     */

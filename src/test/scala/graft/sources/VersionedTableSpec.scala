@@ -44,4 +44,20 @@ class VersionedTableSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("init first"))
   }
+
+  test("a partial (crashed) version directory is never visible as committed") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft-vt3").toFile.getAbsolutePath + "/t"
+    VersionedTable.init(Seq((1L, 1.0)).toDF("k", "v"), path)
+    // simulate a writer that died mid-commit: a v= directory with data
+    // files but no _SUCCESS marker
+    val partial = new java.io.File(s"$path/v=7")
+    assert(partial.mkdirs())
+    Files.write(partial.toPath.resolve("part-00000.parquet"),
+      Array[Byte](1, 2, 3))
+    assert(VersionedTable.versions(spark, path) == Seq(0),
+      "partial directory must be invisible")
+    // readers and the next merge still address the committed chain only
+    assert(VersionedTable.read(spark, path).count() == 1)
+  }
 }
