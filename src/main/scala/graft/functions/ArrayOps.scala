@@ -41,7 +41,7 @@ case class LongArrayDot(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = ArrayOps.checkSameLength(x, y)
     var acc = 0L
     var i = 0
     while (i < n) {
@@ -57,7 +57,7 @@ case class LongArrayDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = Math.min($x.numElements(), $y.numElements());
+         |int $n = graft.functions.ArrayOps.checkSameLength($x, $y);
          |long $acc = 0L;
          |for (int $i = 0; $i < $n; $i++) {
          |  $acc += $x.getLong($i) * $y.getLong($i);
@@ -114,6 +114,18 @@ object ArrayOps {
     column(LongArrayDot(expression(a), expression(b)))
   def longNorm2(a: Column): Column =
     column(LongArrayNorm2(expression(a)))
+
+  /** Mismatched vector lengths are a data bug (a truncated dot product
+    * would silently look like a plausible similarity) — fail loudly.
+    */
+  def checkSameLength(x: ArrayData, y: ArrayData): Int = {
+    val n = x.numElements()
+    if (n != y.numElements()) {
+      throw new IllegalArgumentException(
+        s"LongArrayDot: vector lengths differ (${n} vs ${y.numElements()})")
+    }
+    n
+  }
 
   /** Runtime helper for generated code. */
   def norm2(x: ArrayData): Long = {

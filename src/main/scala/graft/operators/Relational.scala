@@ -636,6 +636,46 @@ object Relational {
       |                        (o_orderstatus, o_orderpriority), ())
       |ORDER BY status, priority""".stripMargin
 
+  /** Q28 — map-typed columns end to end: build a map<priority, count> per
+    * customer with map_from_entries, then operate on it with map_keys /
+    * map_values / element_at / map_filter / aggregate. Outputs flatten to
+    * scalars (a graded result may not carry map/array cells — same rule as
+    * arrays). DuckDB's map surface diverges (map_extract returns LIST), so
+    * the oracle computes the same scalars relationally.
+    */
+  def q28MapFuncs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = Tables.orders(s, dir)
+      .groupBy($"o_custkey", $"o_orderpriority")
+      .agg(count(lit(1)).as("c"))
+      .groupBy($"o_custkey")
+      .agg(map_from_entries(
+        array_sort(collect_list(struct($"o_orderpriority", $"c")))).as("m"))
+    m.select(
+      $"o_custkey".as("custkey"),
+      size(map_keys($"m")).cast("long").as("n_keys"),
+      concat_ws(",", array_sort(map_keys($"m"))).as("keys"),
+      aggregate(map_values($"m"), lit(0L), (a, x) => a + x).as("n_orders"),
+      array_max(map_values($"m")).as("max_per_priority"),
+      coalesce(element_at($"m", "1-URGENT"), lit(0L)).as("urgent"),
+      size(map_filter($"m", (k, _) => substring(k, 1, 1).isin("4", "5")))
+        .cast("long").as("n_low"))
+      .orderBy($"custkey")
+  }
+
+  val q28Sql: String =
+    """WITH pc AS (
+      |  SELECT o_custkey, o_orderpriority AS p, count(*)::BIGINT AS c
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT o_custkey AS custkey,
+      |  count(*)::BIGINT AS n_keys,
+      |  string_agg(p, ',' ORDER BY p) AS keys,
+      |  sum(c)::BIGINT AS n_orders,
+      |  max(c)::BIGINT AS max_per_priority,
+      |  coalesce(max(CASE WHEN p = '1-URGENT' THEN c END), 0)::BIGINT AS urgent,
+      |  count(CASE WHEN substr(p, 1, 1) IN ('4', '5') THEN 1 END)::BIGINT AS n_low
+      |FROM pc GROUP BY o_custkey ORDER BY custkey""".stripMargin
+
   /** All relational queries + oracles, consumed by SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> q1PricingSummary _,
@@ -663,6 +703,7 @@ object Relational {
     "q23_date_arith" -> q23DateArith _,
     "q26_grouped_topk" -> q26GroupedTopK _,
     "q27_grouping_sets" -> q27GroupingSets _,
+    "q28_map_funcs" -> q28MapFuncs _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -691,5 +732,6 @@ object Relational {
     "q23_date_arith" -> q23Sql,
     "q26_grouped_topk" -> q26Sql,
     "q27_grouping_sets" -> q27Sql,
+    "q28_map_funcs" -> q28Sql,
   )
 }

@@ -116,6 +116,9 @@ object GroupedTopK {
     */
   def apply(df: DataFrame, groupCols: Seq[String], orderCols: Seq[String],
       k: Int): DataFrame = {
+    // k = 0 would NPE in the exec's heap (peek() on never-filled heap);
+    // reject it at the API boundary instead
+    require(k >= 1, s"grouped top-k needs k >= 1, got $k")
     val spark = df.sparkSession
     if (!spark.experimental.extraStrategies.contains(GroupedTopKStrategy)) {
       spark.experimental.extraStrategies =

@@ -49,4 +49,15 @@ class GroupedTopKSpec extends SparkSpec {
       .collect().map(_.getLong(2)).sorted
     assert(got.sameElements(Array(2L, 3L))) // descending (v, id): ids 3, 2
   }
+
+  test("k < 1 is rejected at the API boundary") {
+    import spark.implicits._
+    val data = Seq((1, 5.0, 1L)).toDF("g", "v", "id")
+    for (k <- Seq(0, -3)) {
+      val e = intercept[IllegalArgumentException] {
+        GroupedTopK(data, Seq("g"), Seq("v", "id"), k)
+      }
+      assert(e.getMessage.contains("k >= 1"))
+    }
+  }
 }
