@@ -32,12 +32,17 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getLong(1) == 25L) // 9 + 16
   }
 
-  test("null input yields null, mismatched lengths use the shorter prefix") {
+  test("null input yields null, mismatched lengths raise") {
     val r = spark.sql(
-      """SELECT graft_dot(CAST(NULL AS ARRAY<BIGINT>), array(1L)) AS d1,
-        |       graft_dot(array(1L, 2L), array(10L)) AS d2""".stripMargin)
+      "SELECT graft_dot(CAST(NULL AS ARRAY<BIGINT>), array(1L)) AS d1")
       .collect()(0)
     assert(r.isNullAt(0))
-    assert(r.getLong(1) == 10L)
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_dot(array(1L, 2L), array(10L)) AS d2").collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(causes(e).exists(c =>
+      Option(c.getMessage).exists(_.contains("vector lengths differ"))))
   }
 }
