@@ -116,8 +116,13 @@ object Multimodal {
     * channel i % 8; the corpus is ASCII so ascii(char) == byte value.
     */
   val mediaFeaturesSql: String = {
+    // coalesce(…, 0.0) + LEFT JOIN: a channel with no bytes (text shorter
+    // than 8 chars) is 0.0 in stubDecode, and a row must survive even for
+    // an empty text — corpus-safe today (min length 44), but the oracle
+    // must match the decoder on any corpus
     val fs = (0 until 8).map(b =>
-      s"  max(CASE WHEN b = $b THEN sm::DOUBLE / cnt END) AS f$b").mkString(",\n")
+      s"  coalesce(max(CASE WHEN b = $b THEN sm::DOUBLE / cnt END), 0.0) AS f$b")
+      .mkString(",\n")
     s"""WITH cs AS (
        |  SELECT doc_id, [ascii(c)::BIGINT FOR c IN string_split(text, '')] AS codes
        |  FROM documents),
@@ -128,9 +133,9 @@ object Multimodal {
        |  SELECT doc_id, i % 8 AS b, sum(code)::BIGINT AS sm,
        |         count(*)::BIGINT AS cnt
        |  FROM ch GROUP BY 1, 2)
-       |SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes,
+       |SELECT d.doc_id AS media_id, octet_length(encode(d.text)) AS n_bytes,
        |$fs
-       |FROM fm JOIN documents USING (doc_id)
+       |FROM documents d LEFT JOIN fm ON fm.doc_id = d.doc_id
        |GROUP BY 1, 2 ORDER BY media_id""".stripMargin
   }
 

@@ -1,6 +1,5 @@
 package graft.sources
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.kv.KvOps
@@ -22,44 +21,23 @@ import graft.kv.KvOps
   */
 object VersionedTable {
 
-  private def fs(spark: SparkSession, path: String) =
-    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-
   private def versionDir(path: String, v: Int) = s"$path/v=$v"
 
-  /** Atomic commit: write the snapshot to a hidden temp directory, then
-    * rename into `v=N` — a crashed or in-flight write can never surface as
-    * a committed version, and a lost rename race (concurrent committer of
-    * the same N) cleans up and fails instead of corrupting the winner.
-    * `versions()` additionally requires the parquet `_SUCCESS` marker.
+  /** Atomic commit via [[AtomicDir]]: a crashed or in-flight write can
+    * never surface as a committed version, and a lost rename race
+    * (concurrent committer of the same N) cleans up and fails instead of
+    * corrupting the winner.
     */
-  private def commitVersion(df: DataFrame, path: String, v: Int): Unit = {
-    val spark = df.sparkSession
-    val tmp = s"$path/.tmp-v$v-${java.util.UUID.randomUUID}"
-    df.write.mode("errorifexists").parquet(tmp)
-    val f = fs(spark, path)
-    val dest = new Path(versionDir(path, v))
-    if (f.exists(dest) || !f.rename(new Path(tmp), dest)) {
-      f.delete(new Path(tmp), true)
-      throw new IllegalStateException(
-        s"version $v at $path was committed concurrently")
+  private def commitVersion(df: DataFrame, path: String, v: Int): Unit =
+    AtomicDir.commit(df.sparkSession, versionDir(path, v)) { tmp =>
+      df.write.mode("errorifexists").parquet(tmp)
     }
-  }
 
-  /** All committed version numbers, ascending (only `_SUCCESS`-marked
+  /** All committed version numbers, ascending (only marker-stamped
     * directories count — partial writes are invisible).
     */
-  def versions(spark: SparkSession, path: String): Seq[Int] = {
-    val p = new Path(path)
-    val f = fs(spark, path)
-    if (!f.exists(p)) Seq.empty
-    else f.listStatus(p).toSeq
-      .map(_.getPath)
-      .filter(d => d.getName.startsWith("v=") &&
-        f.exists(new Path(d, "_SUCCESS")))
-      .map(_.getName.stripPrefix("v=").toInt)
-      .sorted
-  }
+  def versions(spark: SparkSession, path: String): Seq[Int] =
+    AtomicDir.committed(spark, path, "v=")
 
   def latestVersion(spark: SparkSession, path: String): Option[Int] =
     versions(spark, path).lastOption

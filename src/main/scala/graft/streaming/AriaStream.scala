@@ -45,7 +45,7 @@ class AriaStream(
     newValue: (Column, Column) => Column,
     stateDir: Option[String] = None) extends Serializable {
 
-  @volatile var table: DataFrame = table0.localCheckpoint(true)
+  @volatile var table: DataFrame = null
   @volatile var pending: Option[DataFrame] = None
   @volatile var epoch: Int = 1
   @volatile var history: Vector[(Int, Long, Long)] = Vector.empty
@@ -54,19 +54,8 @@ class AriaStream(
 
   private def spark = table0.sparkSession
 
-  private def fsOf(p: String) =
-    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
-
-  private def committedStates(dir: String): Seq[Int] = {
-    val f = fsOf(dir)
-    val p = new Path(dir)
-    if (!f.exists(p)) Seq.empty
-    else f.listStatus(p).toSeq.map(_.getPath)
-      .filter(d => d.getName.startsWith("s=") &&
-        f.exists(new Path(d, "table/_SUCCESS")))
-      .map(_.getName.stripPrefix("s=").toInt)
-      .sorted
-  }
+  private def committedStates(dir: String): Seq[Int] =
+    graft.sources.AtomicDir.committed(spark, dir, "s=")
 
   private def resumeFrom(dir: String): Unit =
     committedStates(dir).lastOption.foreach { n =>
@@ -84,29 +73,28 @@ class AriaStream(
     }
 
   stateDir.foreach(resumeFrom)
+  // resume replaces the table; only pay the base-table materialization
+  // when there is no snapshot to resume from
+  if (table == null) table = table0.localCheckpoint(true)
 
-  /** Atomic snapshot commit (same pattern as
-    * [[graft.sources.VersionedTable]]): write under a hidden temp dir,
-    * rename into `s=N`, retain the last two snapshots.
+  /** Atomic snapshot commit via [[graft.sources.AtomicDir]]; retains the
+    * last two snapshots.
     */
   private def persistState(emptyOps: DataFrame): Unit = stateDir.foreach { dir =>
     val sp = spark
     import sp.implicits._
     val n = stateVersion + 1
-    val tmp = s"$dir/.tmp-s$n-${java.util.UUID.randomUUID}"
-    table.write.parquet(s"$tmp/table")
-    pending.getOrElse(emptyOps).write.parquet(s"$tmp/pending")
-    history.toDF("epoch", "committed", "aborted")
-      .coalesce(1).write.parquet(s"$tmp/history")
-    Seq(lastBatchId).toDF("last_batch_id")
-      .coalesce(1).write.parquet(s"$tmp/meta")
-    val f = fsOf(dir)
-    val dest = new Path(s"$dir/s=$n")
-    if (f.exists(dest) || !f.rename(new Path(tmp), dest)) {
-      f.delete(new Path(tmp), true)
-      throw new IllegalStateException(s"state $n at $dir committed concurrently")
+    graft.sources.AtomicDir.commit(sp, s"$dir/s=$n") { tmp =>
+      table.write.parquet(s"$tmp/table")
+      pending.getOrElse(emptyOps).write.parquet(s"$tmp/pending")
+      history.toDF("epoch", "committed", "aborted")
+        .coalesce(1).write.parquet(s"$tmp/history")
+      Seq(lastBatchId).toDF("last_batch_id")
+        .coalesce(1).write.parquet(s"$tmp/meta")
     }
     stateVersion = n
+    val f = new Path(dir)
+      .getFileSystem(sp.sparkContext.hadoopConfiguration)
     committedStates(dir).dropRight(2)
       .foreach(o => f.delete(new Path(s"$dir/s=$o"), true))
   }
@@ -133,15 +121,33 @@ class AriaStream(
 
   /** One epoch per micro-batch: pending retries join the new arrivals.
     * A batch id at or below the persisted high-water mark is a post-crash
-    * replay of work already folded into the committed state — skip it.
+    * replay of work already folded into the committed state — skip it
+    * (loudly: if the streaming checkpoint was deleted or moved while
+    * `stateDir` was kept, batch ids restart at 0 and NEW data would match
+    * this test — the warning is the operator's signal). The high-water
+    * mark only advances if the epoch succeeds, so a failed batch retried
+    * on this same instance is reprocessed, not dropped.
     */
   def processBatch(newOps: DataFrame, batchId: Long): Unit = synchronized {
-    if (batchId > lastBatchId) {
+    if (batchId <= lastBatchId) {
+      AriaStream.log.warn(
+        s"skipping micro-batch $batchId (state high-water mark $lastBatchId): " +
+          "treated as a post-crash replay. If the streaming checkpoint was " +
+          "reset while stateDir was kept, this batch holds NEW data — use a " +
+          "fresh stateDir to reprocess.")
+    } else {
+      val prev = lastBatchId
       lastBatchId = batchId
-      step((pending match {
-        case Some(p) => p.unionByName(newOps)
-        case None => newOps
-      }).localCheckpoint(true))
+      try {
+        step((pending match {
+          case Some(p) => p.unionByName(newOps)
+          case None => newOps
+        }).localCheckpoint(true))
+      } catch {
+        case t: Throwable =>
+          lastBatchId = prev
+          throw t
+      }
     }
   }
 
@@ -158,4 +164,8 @@ class AriaStream(
       .outputMode("append")
       .foreachBatch((batch: DataFrame, id: Long) => processBatch(batch, id))
       .trigger(Trigger.AvailableNow())
+}
+
+object AriaStream {
+  private val log = org.slf4j.LoggerFactory.getLogger(classOf[AriaStream])
 }

@@ -43,14 +43,18 @@ def dtype_err(name, spark_df, duck_df):
              for c in sd if c in dd and sd[c] != dd[c]]
     if diffs:
         return "DTYPE mismatch: " + "; ".join(diffs)
+    import numpy as np
     for df, side in ((spark_df, "spark"), (duck_df, "duck")):
         for c in df.columns:
-            if df[c].dtype == object and len(df) and \
-                    not isinstance(df[c].iloc[0], (str, bytes, int, float,
-                                                   bool, type(None))):
-                return (f"UNSORTABLE column {c} ({side}): "
-                        f"{type(df[c].iloc[0]).__name__} — the driver's "
-                        "pandas sort_values will crash on this")
+            if df[c].dtype == object and len(df):
+                # scan ALL rows: a NULL in row 0 must not mask nested
+                # cells further down
+                nested = df[c].map(lambda v: isinstance(
+                    v, (np.ndarray, list, dict, set, tuple)))
+                if nested.any():
+                    t = type(df[c][nested.idxmax()]).__name__
+                    return (f"UNSORTABLE column {c} ({side}): {t} — the "
+                            "driver's pandas sort_values will crash on this")
     return None
 
 
