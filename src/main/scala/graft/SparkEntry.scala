@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.operators.{Events, KvAria, Multimodal, Relational, Similarity, Skew, Skyline, TemporalJoins, TextOps}
+import graft.operators.{Events, KvAria, Multimodal, Relational, Similarity, Skew, Sketches, Skyline, TemporalJoins, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,12 +21,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ KvAria.queries ++ Events.queries ++
       TextOps.queries ++ Similarity.queries ++ Multimodal.queries ++
-      Skew.queries ++ TemporalJoins.queries ++ Skyline.queries
+      Skew.queries ++ TemporalJoins.queries ++ Skyline.queries ++
+      Sketches.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ KvAria.oracles ++ Events.oracles ++
       TextOps.oracles ++ Similarity.oracles ++ Multimodal.oracles ++
-      Skew.oracles ++ TemporalJoins.oracles ++ Skyline.oracles
+      Skew.oracles ++ TemporalJoins.oracles ++ Skyline.oracles ++
+      Sketches.oracles
 }

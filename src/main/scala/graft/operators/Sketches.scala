@@ -1,0 +1,187 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Deterministic sketch operators (builder prompt: "a novel sketch" as
+  * custom-operator material; SURVEY.md §2.2 extended surface).
+  *
+  * Spark's own approximate aggregates (approx_count_distinct, percentile
+  * sketches) are engine-private in their randomness and merge order, so no
+  * cross-engine oracle can hash-match them. These sketches get the same
+  * scale behavior from DETERMINISTIC integer hashes — every estimate is a
+  * pure function of the data, reproducible bit-for-bit in DuckDB SQL:
+  *
+  *  - KMV (k-minimum-values) distinct-count estimator: keep the k smallest
+  *    distinct hash values per group; estimate ≈ (k−1)·M / h_(k). The
+  *    k-smallest selection rides the engine's own GroupedTopK physical
+  *    operator (bounded per-group heaps, map-side partials — the 100 TB
+  *    shape; a sort-based top-k would shuffle the full hash set).
+  *  - Hash-threshold Bernoulli sampling: keep rows with h(x) mod D < T —
+  *    the standard deterministic sample that is stable across reruns,
+  *    partitionings, and engines (no RNG state).
+  *  - Count-min sketch: d=2 hash rows × w=32 buckets of counts; a point
+  *    frequency estimate is the min over rows of its bucket count.
+  *
+  * All hash arithmetic stays below 2^53 so int64 math is exact in both
+  * engines (see graft-oracle-parity rules in SURVEY.md §7.4).
+  */
+object Sketches {
+
+  private val M = 2147483647L // 2^31 − 1, the hash modulus
+
+  private def h(x: Column, a: Long, b: Long): Column =
+    (lit(a) * x + lit(b)) % M
+
+  // ---- KMV distinct-count estimator ----
+
+  /** Per l_returnflag: the 64 smallest distinct part-key hashes → k-th min
+    * and the implied distinct-count estimate, alongside the exact count
+    * (the estimator's error is part of the result surface).
+    */
+  def kmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = 64
+    // Knuth multiplicative constant: small sequential part keys must
+    // spread over [0, M) or the (k−1)·M/h_k estimate is meaningless;
+    // products stay < 2^53 (exact in both engines) for any plausible SF
+    val hashes = Tables.lineitem(s, dir)
+      .select($"l_returnflag".as("grp"),
+        h($"l_partkey", 2654435761L, 12007L).as("hv"))
+      .distinct()
+      .withColumn("hneg", -$"hv")
+    val kept = graft.plans.GroupedTopK(hashes,
+      groupCols = Seq("grp"), orderCols = Seq("hneg", "hv"), k = k)
+    val exact = Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag".as("grp"))
+      .agg(countDistinct($"l_partkey").as("exact_distinct"))
+    kept.groupBy($"grp")
+      .agg(max($"hv").as("kth_hash"), count(lit(1)).as("n_kept"))
+      .withColumn("est_distinct",
+        floor(($"n_kept" - 1).cast("double") * lit(M.toDouble)
+          / $"kth_hash".cast("double")).cast("long"))
+      .join(exact, Seq("grp"))
+      .orderBy($"grp")
+  }
+
+  val kmvDistinctSql: String =
+    s"""WITH hs AS (
+       |  SELECT DISTINCT l_returnflag AS grp,
+       |    (2654435761 * l_partkey + 12007) % $M AS hv
+       |  FROM lineitem),
+       |r AS (
+       |  SELECT grp, hv,
+       |    row_number() OVER (PARTITION BY grp ORDER BY hv) AS rn
+       |  FROM hs),
+       |kept AS (
+       |  SELECT grp, max(hv)::BIGINT AS kth_hash, count(*)::BIGINT AS n_kept
+       |  FROM r WHERE rn <= 64 GROUP BY grp)
+       |SELECT grp, kth_hash, n_kept,
+       |  floor((n_kept - 1)::DOUBLE * $M::DOUBLE / kth_hash::DOUBLE)::BIGINT
+       |    AS est_distinct,
+       |  (SELECT count(DISTINCT l_partkey) FROM lineitem l
+       |   WHERE l.l_returnflag = kept.grp)::BIGINT AS exact_distinct
+       |FROM kept ORDER BY grp""".stripMargin
+
+  // ---- deterministic Bernoulli sample ----
+
+  /** ~2% hash-threshold sample of lineitem (h(orderkey, linenumber,
+    * partkey) mod 1000 < 20), aggregated per returnflag: the sample is a
+    * pure function of row values, so reruns, repartitions, and the oracle
+    * all select the same rows.
+    */
+  def hashSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hv = (($"l_orderkey" * 131071L + $"l_linenumber" * 8191L
+      + $"l_partkey") % M) % 1000L
+    Tables.lineitem(s, dir)
+      .filter(hv < 20L)
+      .groupBy($"l_returnflag".as("grp"))
+      .agg(count(lit(1)).as("n_sampled"),
+        sum($"l_quantity".cast("long")).as("sum_qty"))
+      .withColumn("scaled_rows", $"n_sampled" * 50L)
+      .orderBy($"grp")
+  }
+
+  val hashSampleSql: String =
+    s"""SELECT l_returnflag AS grp, count(*)::BIGINT AS n_sampled,
+       |  sum(l_quantity::BIGINT)::BIGINT AS sum_qty,
+       |  (count(*) * 50)::BIGINT AS scaled_rows
+       |FROM lineitem
+       |WHERE ((l_orderkey * 131071 + l_linenumber * 8191 + l_partkey)
+       |       % $M) % 1000 < 20
+       |GROUP BY 1 ORDER BY grp""".stripMargin
+
+  // ---- count-min sketch ----
+
+  /** Count-min over order priorities (key = first char code): build the
+    * d=2 × w=32 counter table, then estimate each priority's frequency as
+    * the min over rows of its bucket — returned next to the exact count.
+    * The sketch build is two map-side-combinable aggregations; estimates
+    * read d cells per key.
+    */
+  def cmsFreq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val key = ascii(substring($"o_orderpriority", 1, 1)).cast("long")
+    val w = 32L
+    val rows = Seq((0, 1103L, 12007L), (1, 52361L, 33023L))
+    val cells = rows.map { case (j, a, b) =>
+      Tables.orders(s, dir)
+        .select((h(key, a, b) % w).as("bucket"))
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("c"))
+        .withColumn("j", lit(j))
+    }.reduce(_ unionByName _)
+    val keys = Tables.orders(s, dir)
+      .groupBy($"o_orderpriority".as("priority"))
+      .agg(count(lit(1)).as("exact_n"))
+      .withColumn("key", ascii(substring($"priority", 1, 1)).cast("long"))
+    val probes = rows.map { case (j, a, b) =>
+      keys.withColumn("j", lit(j))
+        .withColumn("bucket", h($"key", a, b) % w)
+    }.reduce(_ unionByName _)
+    probes.join(cells, Seq("j", "bucket"))
+      .groupBy($"priority", $"exact_n")
+      .agg(min($"c").as("est_n"))
+      .select($"priority", $"est_n", $"exact_n")
+      .orderBy($"priority")
+  }
+
+  val cmsFreqSql: String =
+    s"""WITH ks AS (
+       |  SELECT o_orderpriority AS priority, count(*)::BIGINT AS exact_n,
+       |    ascii(substr(o_orderpriority, 1, 1))::BIGINT AS key
+       |  FROM orders GROUP BY 1),
+       |cells AS (
+       |  SELECT 0 AS j, ((1103 * k + 12007) % $M) % 32 AS bucket,
+       |         count(*)::BIGINT AS c
+       |  FROM (SELECT ascii(substr(o_orderpriority, 1, 1))::BIGINT AS k
+       |        FROM orders) GROUP BY 2
+       |  UNION ALL
+       |  SELECT 1, ((52361 * k + 33023) % $M) % 32, count(*)::BIGINT
+       |  FROM (SELECT ascii(substr(o_orderpriority, 1, 1))::BIGINT AS k
+       |        FROM orders) GROUP BY 2),
+       |probes AS (
+       |  SELECT priority, exact_n, 0 AS j,
+       |    ((1103 * key + 12007) % $M) % 32 AS bucket FROM ks
+       |  UNION ALL
+       |  SELECT priority, exact_n, 1,
+       |    ((52361 * key + 33023) % $M) % 32 FROM ks)
+       |SELECT priority, min(c)::BIGINT AS est_n, exact_n
+       |FROM probes JOIN cells USING (j, bucket)
+       |GROUP BY priority, exact_n ORDER BY priority""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_kmv_distinct" -> kmvDistinct _,
+    "sketch_hash_sample" -> hashSample _,
+    "sketch_cms_freq" -> cmsFreq _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "sketch_kmv_distinct" -> kmvDistinctSql,
+    "sketch_hash_sample" -> hashSampleSql,
+    "sketch_cms_freq" -> cmsFreqSql,
+  )
+}
