@@ -139,13 +139,111 @@ object Multimodal {
        |GROUP BY 1, 2 ORDER BY media_id""".stripMargin
   }
 
+  /** STUB resize: nearest-neighbor downsample of the payload to a fixed
+    * 16 "pixels" — out(j) = payload(floor(j·n/16)). A real image resize
+    * swaps only this kernel; the contract (bytes → fixed-width row, one
+    * partition-batched pass) is the real plumbing.
+    */
+  def stubResize(payload: Array[Byte], target: Int): Array[Int] = {
+    val out = new Array[Int](target)
+    var j = 0
+    while (j < target) {
+      out(j) = payload((j.toLong * payload.length / target).toInt) & 0xff
+      j += 1
+    }
+    out
+  }
+
+  private val resizeTarget = 16
+
+  private val resizeSchema = StructType(
+    StructField("media_id", LongType) +: StructField("n_bytes", IntegerType) +:
+      (0 until resizeTarget).map(j => StructField(s"p$j", IntegerType)))
+
+  def mediaResize(s: SparkSession, dir: String): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(resizeSchema)
+    mediaTable(s, dir)
+      .select(col("media_id"), col("payload"), col("n_bytes"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val payload = r.getAs[Array[Byte]]("payload")
+          Row.fromSeq(r.getAs[Long]("media_id") +: payload.length +:
+            stubResize(payload, resizeTarget).toSeq)
+        }
+      }(enc)
+      .orderBy(col("media_id"))
+  }
+
+  /** Oracle: out(j) = byte at 0-based floor(j·n/16) = ascii of the char at
+    * 1-based floor(j·n/16)+1 (ASCII corpus).
+    */
+  val mediaResizeSql: String = {
+    val ps = (0 until resizeTarget).map(j =>
+      s"  ascii(substr(text, ((${j}::BIGINT * length(text)) // 16 + 1)::INT, 1)) AS p$j")
+      .mkString(",\n")
+    s"""SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes,
+       |$ps
+       |FROM documents ORDER BY media_id""".stripMargin
+  }
+
+  /** STUB frame sampler: the payload is read as consecutive 8-byte frames
+    * (a stand-in for video frames); every 4th complete frame is sampled
+    * and summarized by its mean byte. One input row → many output rows —
+    * the partition-batched 1-to-N shape of real frame extraction.
+    */
+  def frameSample(s: SparkSession, dir: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("frame_idx", IntegerType),
+      StructField("frame_mean", DoubleType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(schema)
+    mediaTable(s, dir)
+      .select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val payload = r.getAs[Array[Byte]]("payload")
+          val id = r.getAs[Long]("media_id")
+          val nFrames = payload.length / 8
+          (0 until nFrames by 4).iterator.map { f =>
+            var sum = 0L
+            var i = f * 8
+            while (i < f * 8 + 8) { sum += payload(i) & 0xff; i += 1 }
+            Row(id, f, sum.toDouble / 8d)
+          }
+        }
+      }(enc)
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+
+  val frameSampleSql: String =
+    """WITH cs AS (
+      |  SELECT doc_id, [ascii(c)::BIGINT FOR c IN string_split(text, '')] AS codes
+      |  FROM documents),
+      |ch AS (
+      |  SELECT doc_id, unnest(codes) AS code,
+      |         generate_subscripts(codes, 1) - 1 AS i FROM cs),
+      |frames AS (
+      |  SELECT doc_id, (i // 8)::INT AS frame_idx,
+      |         sum(code)::BIGINT AS s, count(*)::BIGINT AS cnt
+      |  FROM ch GROUP BY 1, 2)
+      |SELECT doc_id AS media_id, frame_idx, s::DOUBLE / 8 AS frame_mean
+      |FROM frames
+      |WHERE frame_idx % 4 = 0 AND cnt = 8
+      |ORDER BY media_id, frame_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_media_meta" -> mediaMeta _,
     "mm_media_features" -> mediaFeatures _,
+    "mm_media_resize" -> mediaResize _,
+    "mm_frame_sample" -> frameSample _,
   )
 
   val oracles: Map[String, String] = Map(
     "mm_media_meta" -> mediaMetaSql,
     "mm_media_features" -> mediaFeaturesSql,
+    "mm_media_resize" -> mediaResizeSql,
+    "mm_frame_sample" -> frameSampleSql,
   )
 }

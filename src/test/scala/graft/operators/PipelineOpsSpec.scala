@@ -92,4 +92,36 @@ class PipelineOpsSpec extends SparkSpec {
       assert(got.length == 8 && got.sameElements(want))
     }
   }
+
+  test("stub resize: nearest-neighbor bytes at floor(j*n/16)") {
+    import spark.implicits._
+    val rows = Multimodal.mediaResize(spark, dir).limit(10).collect()
+    val texts = graft.sources.Tables.documents(spark, dir)
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val bytes = texts(r.getLong(0)).getBytes("UTF-8")
+      val want = Multimodal.stubResize(bytes, 16)
+      assert((0 until 16).forall(j => r.getInt(2 + j) == want(j)))
+    }
+  }
+
+  test("frame sampler emits every 4th complete 8-byte frame's mean") {
+    import spark.implicits._
+    val byDoc = Multimodal.frameSample(spark, dir).collect()
+      .groupBy(_.getLong(0))
+    val texts = graft.sources.Tables.documents(spark, dir)
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val (id, got) = byDoc.head
+    val bytes = texts(id).getBytes("UTF-8")
+    val wantIdx = (0 until bytes.length / 8 by 4)
+    assert(got.map(_.getInt(1)).sorted.sameElements(wantIdx))
+    got.foreach { r =>
+      val f = r.getInt(1)
+      val mean = (f * 8 until f * 8 + 8).map(bytes(_) & 0xff).sum / 8.0
+      assert(r.getDouble(2) == mean)
+    }
+  }
 }
