@@ -425,6 +425,73 @@ object TextOps {
        |ORDER BY a, b""".stripMargin
   }
 
+  /** Near-dup CLUSTERING: connected components over the shingle-LSH pair
+    * graph — the step a dedup pipeline runs after pair generation to pick
+    * one canonical document per duplicate cluster. Iterative min-label
+    * propagation: every doc starts labeled with itself; each round a doc
+    * takes the minimum label among itself and its neighbors, until no label
+    * changes (≤ graph diameter rounds). Each round is one join + one
+    * map-side-combinable min-aggregation — the standard scalable CC shape
+    * (Pregel-style, no driver-side graph). The oracle replays reachability
+    * as a DuckDB recursive CTE.
+    */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = shinglePairs(s, dir).select($"a", $"b")
+    val edges = pairs
+      .unionByName(pairs.select($"b".as("a"), $"a".as("b")))
+      .localCheckpoint(true)
+    var labels = Tables.documents(s, dir)
+      .select($"doc_id", $"doc_id".as("label"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < 50) {
+      val neighborMin = edges
+        .join(labels.select($"doc_id".as("b"), $"label".as("nl")), Seq("b"))
+        .groupBy($"a")
+        .agg(min($"nl").as("mn"))
+        .withColumnRenamed("a", "doc_id")
+      val next = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select($"doc_id",
+          least($"label", coalesce($"mn", $"label")).as("label"))
+        .localCheckpoint(true)
+      changed = next
+        .join(labels.select($"doc_id", $"label".as("old")), Seq("doc_id"))
+        .filter($"label" < $"old").count()
+      labels = next
+      round += 1
+    }
+    labels.select($"doc_id", $"label".as("cluster"),
+        ($"doc_id" === $"label").cast("int").as("is_canonical"))
+      .orderBy($"doc_id")
+  }
+
+  val dedupClustersSql: String =
+    shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ") + {
+      val cols = A.indices.map(j =>
+        s"min((${A(j)} * code + ${B(j)}) % 2147483647) AS mh$j").mkString(", ")
+      def sig(i: Int) =
+        (1 until 4).foldLeft(s"mh${i}")((acc, j) =>
+          s"(($acc) % $M * 131071 + mh${i + j}) % $M")
+      s""", sigs AS (SELECT doc_id, $cols FROM codes GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, ${sig(0)} AS sig FROM sigs
+         |  UNION ALL SELECT doc_id, 1, ${sig(4)} FROM sigs),
+         |pairs AS (
+         |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         |  FROM bands l JOIN bands r
+         |    ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id),
+         |edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+         |reach(node, m) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.a, r.m FROM edges e JOIN reach r ON e.b = r.node)
+         |SELECT node AS doc_id, min(m)::BIGINT AS cluster,
+         |  CASE WHEN node = min(m) THEN 1 ELSE 0 END AS is_canonical
+         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
+    }
+
   /** SimHash (16-bit): per token-hash bit, ±1 votes over the distinct token
     * set; sign of each bit-sum forms the fingerprint. Near-dup docs differ
     * in few bits. Pure integer arithmetic (floor-div instead of dynamic
@@ -467,6 +534,7 @@ object TextOps {
     "dedup_shingle_pairs" -> shinglePairs _,
     "dedup_jaccard_pairs" -> jaccardPairs _,
     "dedup_simhash" -> simhash _,
+    "dedup_clusters" -> dedupClusters _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -481,5 +549,6 @@ object TextOps {
     "dedup_shingle_pairs" -> shinglePairsSql,
     "dedup_jaccard_pairs" -> jaccardPairsSql,
     "dedup_simhash" -> simhashSql,
+    "dedup_clusters" -> dedupClustersSql,
   )
 }
