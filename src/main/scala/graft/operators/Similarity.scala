@@ -279,7 +279,10 @@ object Similarity {
       cents = cents.join(next, Seq("cid"), "left")
         .select($"cid", coalesce($"cq2", $"cq").as("cq"))
     }
-    cents
+    // materialize the 8-row centroid table: downstream queries reference
+    // the assignment from several plan branches, and without truncation
+    // each branch would re-run the whole iterative fit
+    cents.localCheckpoint(true)
   }
 
   /** Cell assignment against the fitted centroids: smallest exact integer
