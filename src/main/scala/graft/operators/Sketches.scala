@@ -99,15 +99,18 @@ object Sketches {
     Tables.lineitem(s, dir)
       .filter(hv < 20L)
       .groupBy($"l_returnflag".as("grp"))
+      // floor() on BOTH sides: Spark's cast-to-long truncates while
+      // DuckDB's ::BIGINT rounds — integral today, divergent on any
+      // fractional quantity
       .agg(count(lit(1)).as("n_sampled"),
-        sum($"l_quantity".cast("long")).as("sum_qty"))
+        sum(floor($"l_quantity").cast("long")).as("sum_qty"))
       .withColumn("scaled_rows", $"n_sampled" * 50L)
       .orderBy($"grp")
   }
 
   val hashSampleSql: String =
     s"""SELECT l_returnflag AS grp, count(*)::BIGINT AS n_sampled,
-       |  sum(l_quantity::BIGINT)::BIGINT AS sum_qty,
+       |  sum(floor(l_quantity)::BIGINT)::BIGINT AS sum_qty,
        |  (count(*) * 50)::BIGINT AS scaled_rows
        |FROM lineitem
        |WHERE ((l_orderkey * 131071 + l_linenumber * 8191 + l_partkey)
@@ -119,25 +122,30 @@ object Sketches {
   /** Count-min over order priorities (key = first char code): build the
     * d=2 × w=32 counter table, then estimate each priority's frequency as
     * the min over rows of its bucket — returned next to the exact count.
-    * The sketch build is two map-side-combinable aggregations; estimates
-    * read d cells per key.
+    * The sketch build is one scan + one map-side-combinable aggregation
+    * (each record explodes to its d cells); estimates read d cells per key.
     */
   def cmsFreq(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val key = ascii(substring($"o_orderpriority", 1, 1)).cast("long")
     val w = 32L
     val rows = Seq((0, 1103L, 12007L), (1, 52361L, 33023L))
-    val cells = rows.map { case (j, a, b) =>
-      Tables.orders(s, dir)
-        .select((h(key, a, b) % w).as("bucket"))
-        .groupBy($"bucket")
-        .agg(count(lit(1)).as("c"))
-        .withColumn("j", lit(j))
-    }.reduce(_ unionByName _)
+    // ONE orders scan builds all d rows of the sketch (explode to the d
+    // (j, bucket) cells per record), and the tiny per-key table is
+    // materialized so the probe branches don't re-aggregate orders
+    val cells = Tables.orders(s, dir)
+      .select(key.as("key"))
+      .select(explode(array(rows.map { case (j, a, b) =>
+        struct(lit(j).as("j"), (h($"key", a, b) % w).as("bucket"))
+      }: _*)).as("e"))
+      .select($"e.j".as("j"), $"e.bucket".as("bucket"))
+      .groupBy($"j", $"bucket")
+      .agg(count(lit(1)).as("c"))
     val keys = Tables.orders(s, dir)
       .groupBy($"o_orderpriority".as("priority"))
       .agg(count(lit(1)).as("exact_n"))
       .withColumn("key", ascii(substring($"priority", 1, 1)).cast("long"))
+      .localCheckpoint(true)
     val probes = rows.map { case (j, a, b) =>
       keys.withColumn("j", lit(j))
         .withColumn("bucket", h($"key", a, b) % w)

@@ -462,6 +462,10 @@ object TextOps {
       labels = next
       round += 1
     }
+    // converging within the cap is a hard contract: returning partially
+    // propagated labels would silently disagree with the exact oracle
+    require(changed == 0,
+      s"label propagation did not converge within $round rounds")
     labels.select($"doc_id", $"label".as("cluster"),
         ($"doc_id" === $"label").cast("int").as("is_canonical"))
       .orderBy($"doc_id")

@@ -35,12 +35,18 @@ class RuntimeFilterSpec extends SparkSpec {
       val optimized = joined.queryExecution.optimizedPlan.toString()
       assert(optimized.contains("might_contain"),
         s"expected an injected bloom filter in:\n$optimized")
-      val n = joined.count()
-      // result must equal the un-filtered plan's
+      // value-level equality, not just row count: a filter that dropped
+      // one matching row and duplicated another would keep counts equal
+      def fingerprint() = {
+        val d = joined
+        d.agg(count(lit(1)), bit_xor(xxhash64(d.columns.map(col): _*)))
+          .collect().head
+      }
+      val withFilter = fingerprint()
       spark.conf.set(
         "spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
-      assert(joined.count() == n)
-      assert(n > 0)
+      assert(fingerprint() == withFilter)
+      assert(withFilter.getLong(0) > 0)
     } finally prev.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None) => spark.conf.unset(k)
