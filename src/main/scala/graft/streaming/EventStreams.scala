@@ -159,4 +159,29 @@ object EventStreams {
       .outputMode("update")
       .foreachBatch((batch: DataFrame, id: Long) => sink.merge(batch, id))
       .trigger(Trigger.AvailableNow())
+
+  /** Durable form of the KV sink: each micro-batch's per-key updates commit
+    * as one new [[graft.sources.VersionedTable]] COW version, so streaming
+    * output is atomic on disk, survives the driver, and is time-travelable
+    * to any micro-batch boundary. In update mode a running aggregate emits
+    * each changed key with its full current value, so last-writer-wins
+    * merge per version reconstructs the exact batch-mode state. Pair with
+    * `.option("checkpointLocation", …)` for end-to-end exactly-once
+    * (source offsets + idempotent last-writer-wins merges).
+    */
+  def toVersionedSink(agg: DataFrame, path: String, keyCol: String)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    agg.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.localCheckpoint(true)
+        if (graft.sources.VersionedTable
+            .latestVersion(b.sparkSession, path).isEmpty) {
+          graft.sources.VersionedTable.init(b, path)
+        } else {
+          graft.sources.VersionedTable.merge(b.sparkSession, path, b, keyCol)
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
 }

@@ -142,6 +142,32 @@ class EventStreamsSpec extends SparkSpec {
     assert(alerts.nonEmpty)
   }
 
+  test("versioned sink commits one COW version per micro-batch; latest equals batch state") {
+    val schema = spark.read.parquet(stagingDir).schema
+    val stream = EventStreams.readEvents(spark, stagingDir, schema)
+    val perUser = stream
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    val path = Files.createTempDirectory("graft-vsink")
+      .toFile.getAbsolutePath + "/t"
+    val q = EventStreams.toVersionedSink(perUser, path, "user_id").start()
+    q.awaitTermination()
+    import graft.sources.VersionedTable
+    val versions = VersionedTable.versions(spark, path)
+    assert(versions.size >= 2, s"expected one version per micro-batch, got $versions")
+    val got = VersionedTable.read(spark, path).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = spark.read.parquet(stagingDir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    // time travel: an earlier version holds counts <= the final state
+    val v0 = VersionedTable.read(spark, path, versions.head).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(v0.nonEmpty && v0.forall { case (u, n) => n <= want(u) })
+  }
+
   test("foreachBatch KV sink folds micro-batches into one snapshot") {
     val schema = spark.read.parquet(stagingDir).schema
     val stream = EventStreams.readEvents(spark, stagingDir, schema)
