@@ -85,6 +85,33 @@ object Sketches {
        |   WHERE l.l_returnflag = kept.grp)::BIGINT AS exact_distinct
        |FROM kept ORDER BY grp""".stripMargin
 
+  /** The same KMV estimate through the engine's UDAF extension point
+    * ([[graft.functions.KMinValues]]): ONE aggregation over raw rows — the
+    * bounded buffer dedups and trims as it goes, so there is no distinct,
+    * no top-k operator, and no join in the plan. `element_at(kmv,
+    * size(kmv))` is the k-th minimum. Same oracle as [[kmvDistinct]].
+    */
+  def kmvAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.KMinValues.kMinValues
+    val exact = Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag".as("grp"))
+      .agg(countDistinct($"l_partkey").as("exact_distinct"))
+    Tables.lineitem(s, dir)
+      .select($"l_returnflag".as("grp"),
+        h($"l_partkey", 2654435761L, 12007L).as("hv"))
+      .groupBy($"grp")
+      .agg(kMinValues($"hv", 64).as("kmv"))
+      .select($"grp",
+        element_at($"kmv", size($"kmv")).as("kth_hash"),
+        size($"kmv").cast("long").as("n_kept"))
+      .withColumn("est_distinct",
+        floor(($"n_kept" - 1).cast("double") * lit(M.toDouble)
+          / $"kth_hash".cast("double")).cast("long"))
+      .join(exact, Seq("grp"))
+      .orderBy($"grp")
+  }
+
   // ---- deterministic Bernoulli sample ----
 
   /** ~2% hash-threshold sample of lineitem (h(orderkey, linenumber,
@@ -183,12 +210,14 @@ object Sketches {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sketch_kmv_distinct" -> kmvDistinct _,
+    "sketch_kmv_agg" -> kmvAgg _,
     "sketch_hash_sample" -> hashSample _,
     "sketch_cms_freq" -> cmsFreq _,
   )
 
   val oracles: Map[String, String] = Map(
     "sketch_kmv_distinct" -> kmvDistinctSql,
+    "sketch_kmv_agg" -> kmvDistinctSql, // same logical result, UDAF plan
     "sketch_hash_sample" -> hashSampleSql,
     "sketch_cms_freq" -> cmsFreqSql,
   )

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{LongArrayDot, LongArrayNorm2}
+import graft.functions.{KMinValues, LongArrayDot, LongArrayNorm2}
 
 /** Engine extension point (SURVEY.md §7.3): registers the codegen'd vector
   * kernels as SQL functions so `spark.sql("... graft_dot(a, b) ...")` works
@@ -17,7 +17,8 @@ import graft.functions.{LongArrayDot, LongArrayNorm2}
   *
   * No optimizer rules or planner strategies are injected: SURVEY.md §4
   * concluded Catalyst already provides every rewrite the engine needs —
-  * the extension surface is expressions only.
+  * the extension surface is expressions plus one typed imperative
+  * aggregate ([[graft.functions.KMinValues]], the KMV sketch UDAF).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
@@ -31,5 +32,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[LongArrayNorm2].getName, "graft_norm2"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         LongArrayNorm2(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("graft_kminv"),
+      new ExpressionInfo(classOf[KMinValues].getName, "graft_kminv"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        KMinValues(exprs(0), exprs(1))))
   }
 }

@@ -32,6 +32,13 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getLong(1) == 25L) // 9 + 16
   }
 
+  test("graft_kminv aggregate is callable from SQL") {
+    val r = spark.sql(
+      "SELECT graft_kminv(v, 2) FROM VALUES (3L), (1L), (2L), (1L) t(v)")
+      .collect()(0)
+    assert(r.getSeq[Long](0) == Seq(1L, 2L))
+  }
+
   test("null input yields null, mismatched lengths raise") {
     val r = spark.sql(
       "SELECT graft_dot(CAST(NULL AS ARRAY<BIGINT>), array(1L)) AS d1")
