@@ -266,9 +266,13 @@ object KvAria {
     */
   def ariaReferenceScenario(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // materialize once: both install-policy runs re-checkpoint their
+    // inputs, and without this each would regenerate all 200k seeded
+    // payloads from scratch
     val table = graft.aria.TxnGen.bulkLoad(s, 200000)
       .select($"k", $"fields"(0).as("f0"))
-    val ops = graft.aria.TxnGen.ops(s, 150)
+      .localCheckpoint(true)
+    val ops = graft.aria.TxnGen.ops(s, 150).localCheckpoint(true)
     val newValue = (tid: org.apache.spark.sql.Column,
         ep: org.apache.spark.sql.Column) =>
       concat(lit("v"), tid.cast("string"), lit("e"), ep.cast("string"))
