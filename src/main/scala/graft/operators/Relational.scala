@@ -676,6 +676,38 @@ object Relational {
       |  count(CASE WHEN substr(p, 1, 1) IN ('4', '5') THEN 1 END)::BIGINT AS n_low
       |FROM pc GROUP BY o_custkey ORDER BY custkey""".stripMargin
 
+  /** Q29 — exact quantiles + fixed-bin histogram per group: `percentile`
+    * (exact linear interpolation ≡ DuckDB's quantile_cont type-7 formula;
+    * identical sorted doubles → identical interpolants, rounded 3) and a
+    * 6-bucket ×20k price histogram as conditional sums (one aggregation,
+    * map-side combinable — the scalable shape for distribution profiling).
+    */
+  def q29QuantileHistogram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hists = (0 to 5).map(b =>
+      sum(when(floor($"l_extendedprice" / 20000).cast("int") === b, 1L)
+        .otherwise(0L)).as(s"h$b"))
+    val aggs = Seq(
+      count(lit(1)).as("n"),
+      round(percentile($"l_extendedprice", lit(0.5)), 3).as("p50"),
+      round(percentile($"l_extendedprice", lit(0.9)), 3).as("p90")) ++ hists
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag".as("grp"))
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy($"grp")
+  }
+
+  val q29Sql: String = {
+    val hs = (0 to 5).map(b =>
+      s"  sum(CASE WHEN floor(l_extendedprice / 20000)::INT = $b THEN 1 ELSE 0 END)::BIGINT AS h$b")
+      .mkString(",\n")
+    s"""SELECT l_returnflag AS grp, count(*)::BIGINT AS n,
+       |  round(quantile_cont(l_extendedprice, 0.5), 3) AS p50,
+       |  round(quantile_cont(l_extendedprice, 0.9), 3) AS p90,
+       |$hs
+       |FROM lineitem GROUP BY 1 ORDER BY grp""".stripMargin
+  }
+
   /** All relational queries + oracles, consumed by SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> q1PricingSummary _,
@@ -704,6 +736,7 @@ object Relational {
     "q26_grouped_topk" -> q26GroupedTopK _,
     "q27_grouping_sets" -> q27GroupingSets _,
     "q28_map_funcs" -> q28MapFuncs _,
+    "q29_quantile_histogram" -> q29QuantileHistogram _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -733,5 +766,6 @@ object Relational {
     "q26_grouped_topk" -> q26Sql,
     "q27_grouping_sets" -> q27Sql,
     "q28_map_funcs" -> q28Sql,
+    "q29_quantile_histogram" -> q29Sql,
   )
 }
