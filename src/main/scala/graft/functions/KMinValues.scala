@@ -40,6 +40,8 @@ case class KMinValues(
         s"expected bigint input, got ${child.dataType}")
     } else if (!kExpr.foldable || kExpr.dataType != org.apache.spark.sql.types.IntegerType) {
       TypeCheckResult.TypeCheckFailure("k must be an int literal")
+    } else if (kExpr.eval() == null) {
+      TypeCheckResult.TypeCheckFailure("k must not be null")
     } else if (k < 1) {
       TypeCheckResult.TypeCheckFailure(s"k must be >= 1, got $k")
     } else TypeCheckResult.TypeCheckSuccess

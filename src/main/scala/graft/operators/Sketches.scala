@@ -37,33 +37,46 @@ object Sketches {
 
   // ---- KMV distinct-count estimator ----
 
-  /** Per l_returnflag: the 64 smallest distinct part-key hashes → k-th min
-    * and the implied distinct-count estimate, alongside the exact count
-    * (the estimator's error is part of the result surface).
+  /** Knuth multiplicative constant: small sequential part keys must spread
+    * over [0, M) or the (k−1)·M/h_k estimate is meaningless; products stay
+    * < 2^53 (exact in both engines) for any plausible SF.
     */
-  def kmvDistinct(s: SparkSession, dir: String): DataFrame = {
+  private def partKeyHash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val k = 64
-    // Knuth multiplicative constant: small sequential part keys must
-    // spread over [0, M) or the (k−1)·M/h_k estimate is meaningless;
-    // products stay < 2^53 (exact in both engines) for any plausible SF
-    val hashes = Tables.lineitem(s, dir)
+    Tables.lineitem(s, dir)
       .select($"l_returnflag".as("grp"),
         h($"l_partkey", 2654435761L, 12007L).as("hv"))
-      .distinct()
-      .withColumn("hneg", -$"hv")
-    val kept = graft.plans.GroupedTopK(hashes,
-      groupCols = Seq("grp"), orderCols = Seq("hneg", "hv"), k = k)
+  }
+
+  /** Shared estimator tail: from per-group (kth_hash, n_kept), the implied
+    * distinct-count estimate alongside the exact count (the estimator's
+    * error is part of the result surface). Both KMV variants end here, so
+    * formula and oracle can never diverge between them.
+    */
+  private def kmvFinish(s: SparkSession, dir: String, kept: DataFrame): DataFrame = {
+    import s.implicits._
     val exact = Tables.lineitem(s, dir)
       .groupBy($"l_returnflag".as("grp"))
       .agg(countDistinct($"l_partkey").as("exact_distinct"))
-    kept.groupBy($"grp")
-      .agg(max($"hv").as("kth_hash"), count(lit(1)).as("n_kept"))
+    kept
       .withColumn("est_distinct",
         floor(($"n_kept" - 1).cast("double") * lit(M.toDouble)
           / $"kth_hash".cast("double")).cast("long"))
       .join(exact, Seq("grp"))
       .orderBy($"grp")
+  }
+
+  /** Per l_returnflag: the 64 smallest distinct part-key hashes → k-th min
+    * and the implied distinct-count estimate, via the GroupedTopK physical
+    * operator over the distinct hash set.
+    */
+  def kmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hashes = partKeyHash(s, dir).distinct().withColumn("hneg", -$"hv")
+    val kept = graft.plans.GroupedTopK(hashes,
+      groupCols = Seq("grp"), orderCols = Seq("hneg", "hv"), k = 64)
+    kmvFinish(s, dir, kept.groupBy($"grp")
+      .agg(max($"hv").as("kth_hash"), count(lit(1)).as("n_kept")))
   }
 
   val kmvDistinctSql: String =
@@ -94,22 +107,12 @@ object Sketches {
   def kmvAgg(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.functions.KMinValues.kMinValues
-    val exact = Tables.lineitem(s, dir)
-      .groupBy($"l_returnflag".as("grp"))
-      .agg(countDistinct($"l_partkey").as("exact_distinct"))
-    Tables.lineitem(s, dir)
-      .select($"l_returnflag".as("grp"),
-        h($"l_partkey", 2654435761L, 12007L).as("hv"))
+    kmvFinish(s, dir, partKeyHash(s, dir)
       .groupBy($"grp")
       .agg(kMinValues($"hv", 64).as("kmv"))
       .select($"grp",
         element_at($"kmv", size($"kmv")).as("kth_hash"),
-        size($"kmv").cast("long").as("n_kept"))
-      .withColumn("est_distinct",
-        floor(($"n_kept" - 1).cast("double") * lit(M.toDouble)
-          / $"kth_hash".cast("double")).cast("long"))
-      .join(exact, Seq("grp"))
-      .orderBy($"grp")
+        size($"kmv").cast("long").as("n_kept")))
   }
 
   // ---- deterministic Bernoulli sample ----

@@ -35,7 +35,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       FunctionIdentifier("graft_kminv"),
       new ExpressionInfo(classOf[KMinValues].getName, "graft_kminv"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        KMinValues(exprs(0), exprs(1))))
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 2,
+          s"graft_kminv requires 2 arguments (value, k), got ${exprs.length}")
+        KMinValues(exprs(0), exprs(1))
+      }))
   }
 }

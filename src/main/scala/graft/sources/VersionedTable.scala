@@ -23,15 +23,42 @@ object VersionedTable {
 
   private def versionDir(path: String, v: Int) = s"$path/v=$v"
 
+  private val TagFile = "_GRAFT_TAG"
+
   /** Atomic commit via [[AtomicDir]]: a crashed or in-flight write can
     * never surface as a committed version, and a lost rename race
     * (concurrent committer of the same N) cleans up and fails instead of
-    * corrupting the winner.
+    * corrupting the winner. An optional `tag` (e.g. a streaming batch id)
+    * is stored inside the snapshot so writers can recognize their own
+    * replays — see [[tagOf]].
     */
-  private def commitVersion(df: DataFrame, path: String, v: Int): Unit =
+  private def commitVersion(df: DataFrame, path: String, v: Int,
+      tag: Option[String]): Unit =
     AtomicDir.commit(df.sparkSession, versionDir(path, v)) { tmp =>
       df.write.mode("errorifexists").parquet(tmp)
+      tag.foreach { t =>
+        val f = new org.apache.hadoop.fs.Path(tmp).getFileSystem(
+          df.sparkSession.sparkContext.hadoopConfiguration)
+        val out = f.create(new org.apache.hadoop.fs.Path(tmp, TagFile), true)
+        out.write(t.getBytes("UTF-8"))
+        out.close()
+      }
     }
+
+  /** The tag a version was committed with, if any. */
+  def tagOf(spark: SparkSession, path: String, v: Int): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(versionDir(path, v), TagFile)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try {
+        val bytes = new Array[Byte](f.getFileStatus(p).getLen.toInt)
+        in.readFully(bytes)
+        Some(new String(bytes, "UTF-8"))
+      } finally in.close()
+    }
+  }
 
   /** All committed version numbers, ascending (only marker-stamped
     * directories count — partial writes are invisible).
@@ -43,8 +70,8 @@ object VersionedTable {
     versions(spark, path).lastOption
 
   /** Create version 0. */
-  def init(df: DataFrame, path: String): Unit =
-    commitVersion(df, path, 0)
+  def init(df: DataFrame, path: String, tag: Option[String] = None): Unit =
+    commitVersion(df, path, 0, tag)
 
   /** Read a specific version (time travel) or the latest. */
   def read(spark: SparkSession, path: String, version: Int = -1): DataFrame = {
@@ -60,12 +87,12 @@ object VersionedTable {
     * version number.
     */
   def merge(spark: SparkSession, path: String, updates: DataFrame,
-      keyCol: String): Int = {
+      keyCol: String, tag: Option[String] = None): Int = {
     val current = latestVersion(spark, path).getOrElse(
       throw new IllegalArgumentException(s"no versions at $path — init first"))
     val next = current + 1
     commitVersion(
-      KvOps.upsert(read(spark, path, current), updates, keyCol), path, next)
+      KvOps.upsert(read(spark, path, current), updates, keyCol), path, next, tag)
     next
   }
 
@@ -76,7 +103,7 @@ object VersionedTable {
       throw new IllegalArgumentException(s"no versions at $path — init first"))
     val next = current + 1
     commitVersion(
-      KvOps.delete(read(spark, path, current), keys, keyCol), path, next)
+      KvOps.delete(read(spark, path, current), keys, keyCol), path, next, None)
     next
   }
 }

@@ -165,23 +165,36 @@ object EventStreams {
     * output is atomic on disk, survives the driver, and is time-travelable
     * to any micro-batch boundary. In update mode a running aggregate emits
     * each changed key with its full current value, so last-writer-wins
-    * merge per version reconstructs the exact batch-mode state. Pair with
-    * `.option("checkpointLocation", …)` for end-to-end exactly-once
-    * (source offsets + idempotent last-writer-wins merges).
+    * merge per version reconstructs the exact batch-mode state. Each
+    * version is tagged with its batch id and a replayed batch (crash after
+    * the version committed but before the streaming commit log recorded
+    * it) is skipped, so with `.option("checkpointLocation", …)` the sink
+    * is exactly-once INCLUDING the version history (one version per
+    * processed batch, crash or not).
     */
+  def mergeVersionedBatch(batch: DataFrame, batchId: Long, path: String,
+      keyCol: String): Unit = {
+    val sp = batch.sparkSession
+    import graft.sources.VersionedTable
+    val latest = VersionedTable.latestVersion(sp, path)
+    val replayed = latest.exists(v =>
+      VersionedTable.tagOf(sp, path, v).contains(batchId.toString))
+    if (!replayed) {
+      if (latest.isEmpty) {
+        VersionedTable.init(batch, path, Some(batchId.toString))
+      } else {
+        VersionedTable.merge(sp, path, batch, keyCol, Some(batchId.toString))
+      }
+    }
+    ()
+  }
+
   def toVersionedSink(agg: DataFrame, path: String, keyCol: String)
       : DataStreamWriter[org.apache.spark.sql.Row] =
     agg.writeStream
       .outputMode("update")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val b = batch.localCheckpoint(true)
-        if (graft.sources.VersionedTable
-            .latestVersion(b.sparkSession, path).isEmpty) {
-          graft.sources.VersionedTable.init(b, path)
-        } else {
-          graft.sources.VersionedTable.merge(b.sparkSession, path, b, keyCol)
-        }
-        ()
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        mergeVersionedBatch(batch, id, path, keyCol)
       }
       .trigger(Trigger.AvailableNow())
 }

@@ -166,6 +166,13 @@ class EventStreamsSpec extends SparkSpec {
     val v0 = VersionedTable.read(spark, path, versions.head).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(v0.nonEmpty && v0.forall { case (u, n) => n <= want(u) })
+    // post-crash replay of the last batch id must not mint a new version
+    val lastTag = VersionedTable.tagOf(spark, path, versions.last)
+    assert(lastTag.isDefined)
+    EventStreams.mergeVersionedBatch(
+      VersionedTable.read(spark, path), lastTag.get.toLong, path, "user_id")
+    assert(VersionedTable.versions(spark, path) == versions,
+      "replayed batch id minted a duplicate version")
   }
 
   test("foreachBatch KV sink folds micro-batches into one snapshot") {
