@@ -142,6 +142,27 @@ class EventStreamsSpec extends SparkSpec {
     assert(alerts.nonEmpty)
   }
 
+  test("KMV aggregate runs under streaming state and converges to the batch sketch") {
+    import graft.functions.KMinValues.kMinValues
+    // the UDAF's serialize/deserialize path only runs when buffers cross
+    // micro-batch boundaries through the state store — a pure batch test
+    // never exercises it
+    val schema = spark.read.parquet(stagingDir).schema
+    val hv = (col("user_id") * 2654435761L + 12007L) % 2147483647L
+    def sketch(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("event_type"))
+      .agg(kMinValues(hv, 16).as("kmv"))
+    val q = sketch(EventStreams.readEvents(spark, stagingDir, schema))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("kmv_stream").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("kmv_stream").collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val want = sketch(spark.read.parquet(stagingDir)).collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(got == want && got.nonEmpty)
+  }
+
   test("versioned sink commits one COW version per micro-batch; latest equals batch state") {
     val schema = spark.read.parquet(stagingDir).schema
     val stream = EventStreams.readEvents(spark, stagingDir, schema)
