@@ -105,28 +105,37 @@ object Similarity {
     * sub-quadratic alternative when approximate recall is acceptable is
     * [[lshTopK]]/[[ivfTopK]].
     */
-  def nearDupPairs(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val B = 8
-    val blockIds = array((0 until B).map(lit): _*)
-    val emb = Tables.embeddings(s, dir)
-      .select($"vec_id", qvec($"embedding").as("q"))
-      .withColumn("n2", norm2($"q"))
+  /** Grid-join core over quantized rows (vec_id, q, n2) — package-visible
+    * so the spec can feed synthetic vectors and compare against a naive
+    * all-pairs reference.
+    */
+  private[operators] def nearDupPairsOf(emb: DataFrame, threshold: Double,
+      blocks: Int): DataFrame = {
+    import emb.sparkSession.implicits._
+    val blockIds = array((0 until blocks).map(lit): _*)
     val l = emb
       .select($"vec_id".as("a"), $"q".as("qa"), $"n2".as("na"),
-        ($"vec_id" % B).as("gl"))
+        ($"vec_id" % blocks).as("gl"))
       .withColumn("gr", explode(blockIds))
     val r = emb
       .select($"vec_id".as("b"), $"q".as("qb"), $"n2".as("nb"),
-        ($"vec_id" % B).as("gr"))
+        ($"vec_id" % blocks).as("gr"))
       .withColumn("gl", explode(blockIds))
     l.join(r, Seq("gl", "gr")).filter($"a" < $"b")
       .withColumn("cos",
         round(dot($"qa", $"qb").cast("double")
           / (sqrt($"na".cast("double")) * sqrt($"nb".cast("double"))), 4))
-      .filter($"cos" >= 0.45)
+      .filter($"cos" >= threshold)
       .select($"a", $"b", $"cos")
       .orderBy($"a", $"b")
+  }
+
+  def nearDupPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+      .select($"vec_id", qvec($"embedding").as("q"))
+      .withColumn("n2", norm2($"q"))
+    nearDupPairsOf(emb, 0.45, 8)
   }
 
   val nearDupPairsSql: String = qvecCte +

@@ -93,6 +93,29 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("grid-blocked near-dup join equals naive all-pairs on random vectors") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    // ids deliberately NOT 0..n-1: block assignment must not assume density
+    val vecs = (0 until 60).map(i =>
+      (i * 7L + 3, Array.fill(8)(rng.nextInt(2001).toLong - 1000)))
+    val emb = vecs.toDF("vec_id", "q")
+      .withColumn("n2", graft.functions.ArrayOps.longNorm2($"q"))
+    for (blocks <- Seq(1, 3, 8)) {
+      val got = Similarity.nearDupPairsOf(emb, 0.30, blocks).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val want = (for {
+        (a, qa) <- vecs; (b, qb) <- vecs if a < b
+        dotp = qa.zip(qb).map { case (x, y) => x * y }.sum.toDouble
+        cos = BigDecimal(dotp / (math.sqrt(qa.map(x => x * x).sum.toDouble)
+          * math.sqrt(qb.map(x => x * x).sum.toDouble)))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if cos >= 0.30
+      } yield (a, b, cos)).toSet
+      assert(got == want, s"blocks=$blocks")
+    }
+  }
+
   test("stub resize: nearest-neighbor bytes at floor(j*n/16)") {
     import spark.implicits._
     val rows = Multimodal.mediaResize(spark, dir).limit(10).collect()
