@@ -21,6 +21,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // ContextCleaner frees finished broadcasts/shuffles only after a GC;
+      // the default periodic-GC interval (30min) never fires within one
+      // bench run, so ~75 queries × 3 iters of broadcast blocks pile up in
+      // block-manager memory and late queries pay the GC pressure.
+      .config("spark.cleaner.periodicGC.interval", "30s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try SparkEntry.entry(spark).count()
@@ -33,10 +38,15 @@ object Bench {
       }.sorted
       name -> times(times.length / 2)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // The driver parses this line out of a bounded stdout tail (~2 KB):
+    // BENCH_r01/r02 recorded `"parsed": null` because full-precision doubles
+    // pushed the line past the tail window. 3 decimals (1 ms) keeps all ~75
+    // queries under the window with room for sbt's trailing [success] line.
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","iters":$iters}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","iters":$iters}""")
     spark.stop()
   }
 }

