@@ -176,7 +176,14 @@ object Multimodal {
   }
 
   /** Oracle: out(j) = byte at 0-based floor(j·n/16) = ascii of the char at
-    * 1-based floor(j·n/16)+1 (ASCII corpus).
+    * 1-based floor(j·n/16)+1.
+    *
+    * ASCII-corpus assumption (shared by every payload oracle here): the
+    * Spark side indexes PAYLOAD BYTES while this SQL indexes CHARACTERS
+    * via length(text)/substr/ascii, so the two agree only while every
+    * character is one byte. The synthetic documents corpus is all-ASCII;
+    * on a multi-byte corpus the oracle — not the operator — would need a
+    * byte-indexed rewrite (octet_length + blob slicing).
     */
   val mediaResizeSql: String = {
     val ps = (0 until resizeTarget).map(j =>

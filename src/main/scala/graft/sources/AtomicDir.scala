@@ -28,20 +28,54 @@ object AtomicDir {
   /** Write via `write(tmpPath)`, stamp the marker, rename into `dest`.
     * Fails (and cleans the temp dir) if `dest` was committed concurrently.
     * After a successful commit, sweeps stale orphaned temp dirs.
+    *
+    * The exists-then-rename pair alone is a TOCTOU race whose outcome
+    * depends on filesystem rename semantics: local FS refuses to rename
+    * onto an existing directory (rename returns false), but HDFS/posix-mv
+    * semantics move the temp dir INSIDE the existing destination and
+    * report success. So the marker carries a per-attempt commit id and the
+    * writer verifies, after the rename, that the marker at `dest` is its
+    * own — a loser whose rename "succeeded" into a concurrently-committed
+    * dest sees the winner's id, cleans up its nested stray, and fails.
     */
   def commit(spark: SparkSession, dest: String)(write: String => Unit): Unit = {
     val destPath = new Path(dest)
     val parent = destPath.getParent
-    val tmp = new Path(parent,
-      s".tmp-${destPath.getName}-${java.util.UUID.randomUUID}")
+    val commitId = java.util.UUID.randomUUID.toString
+    val tmp = new Path(parent, s".tmp-${destPath.getName}-$commitId")
     write(tmp.toString)
     val f = fs(spark, dest)
-    f.create(new Path(tmp, Marker), true).close()
+    val out = f.create(new Path(tmp, Marker), true)
+    out.write(commitId.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
     if (f.exists(destPath) || !f.rename(tmp, destPath)) {
       f.delete(tmp, true)
       throw new IllegalStateException(s"$dest was committed concurrently")
     }
+    if (!markerContent(spark, dest).contains(commitId)) {
+      // rename-onto-existing "succeeded" by nesting tmp inside the
+      // winner's dest; remove our stray and report the lost race
+      f.delete(new Path(destPath, tmp.getName), true)
+      throw new IllegalStateException(s"$dest was committed concurrently")
+    }
     sweepStaleTmp(spark, parent.toString)
+  }
+
+  /** Contents of the commit marker at `dir`, if present. */
+  private def markerContent(spark: SparkSession, dir: String): Option[String] = {
+    val f = fs(spark, dir)
+    val m = new Path(dir, Marker)
+    if (!f.exists(m)) None
+    else {
+      val in = f.open(m)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](256)
+        var n = in.read(chunk)
+        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+        Some(new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8))
+      } finally in.close()
+    }
   }
 
   /** Committed (marker-stamped) directories named `<prefix><int>` under

@@ -93,10 +93,42 @@ class AriaStream(
         .coalesce(1).write.parquet(s"$tmp/meta")
     }
     stateVersion = n
-    val f = new Path(dir)
-      .getFileSystem(sp.sparkContext.hadoopConfiguration)
-    committedStates(dir).dropRight(2)
-      .foreach(o => f.delete(new Path(s"$dir/s=$o"), true))
+    // Retention is best-effort: once s=n is committed the epoch has
+    // durably succeeded, and a cleanup hiccup must not fail the batch —
+    // a failure AFTER the commit would make the rollback-and-retry path
+    // re-run the epoch against an already-advanced snapshot.
+    try {
+      val f = new Path(dir)
+        .getFileSystem(sp.sparkContext.hadoopConfiguration)
+      committedStates(dir).dropRight(2)
+        .foreach(o => f.delete(new Path(s"$dir/s=$o"), true))
+    } catch {
+      case scala.util.control.NonFatal(t) =>
+        AriaStream.log.warn(s"snapshot retention sweep failed under $dir " +
+          "(stale snapshots remain; next commit retries the sweep)", t)
+    }
+  }
+
+  /** Run `body` with all-or-nothing semantics over the engine's mutable
+    * fields: on failure every field — not just the batch high-water mark —
+    * is restored to its pre-step value, so a retry of the same batch on
+    * this instance re-runs the epoch against the original state instead of
+    * double-applying it on top of a half-advanced one. This is sound
+    * because [[persistState]] mutates `stateVersion` only after its
+    * snapshot commit succeeded and treats retention as best-effort: a
+    * failure anywhere in `body` implies no new snapshot was committed, so
+    * memory and disk roll back together.
+    */
+  private def atomically(body: => Unit): Unit = {
+    val (t0, p0, e0, h0, b0, v0) =
+      (table, pending, epoch, history, lastBatchId, stateVersion)
+    try body
+    catch {
+      case t: Throwable =>
+        table = t0; pending = p0; epoch = e0; history = h0
+        lastBatchId = b0; stateVersion = v0
+        throw t
+    }
   }
 
   /** One epoch over `ops`: decide, install, record history, carry aborts. */
@@ -135,19 +167,12 @@ class AriaStream(
           "treated as a post-crash replay. If the streaming checkpoint was " +
           "reset while stateDir was kept, this batch holds NEW data — use a " +
           "fresh stateDir to reprocess.")
-    } else {
-      val prev = lastBatchId
+    } else atomically {
       lastBatchId = batchId
-      try {
-        step((pending match {
-          case Some(p) => p.unionByName(newOps)
-          case None => newOps
-        }).localCheckpoint(true))
-      } catch {
-        case t: Throwable =>
-          lastBatchId = prev
-          throw t
-      }
+      step((pending match {
+        case Some(p) => p.unionByName(newOps)
+        case None => newOps
+      }).localCheckpoint(true))
     }
   }
 
@@ -155,7 +180,7 @@ class AriaStream(
     * reference's run-to-completion tail).
     */
   def drain(): Unit = synchronized {
-    while (pending.isDefined) step(pending.get)
+    while (pending.isDefined) atomically(step(pending.get))
   }
 
   /** Wire an ops stream (tid, opidx, k, isUpdate rows) into this engine. */

@@ -172,15 +172,23 @@ object EventStreams {
     * is exactly-once INCLUDING the version history (one version per
     * processed batch, crash or not).
     */
+  /** Single-writer sink: the replay guard assumes the one-query-per-path
+    * discipline of Spark's foreachBatch (which replays only un-logged
+    * batches); concurrent writers to the same path are not coordinated
+    * beyond AtomicDir's same-version commit race. The guard scans EVERY
+    * version's batch tag, not just the latest, so an out-of-order replay
+    * (e.g. a hand-rolled retry of an older batch) is still skipped rather
+    * than minting a duplicate version.
+    */
   def mergeVersionedBatch(batch: DataFrame, batchId: Long, path: String,
       keyCol: String): Unit = {
     val sp = batch.sparkSession
     import graft.sources.VersionedTable
-    val latest = VersionedTable.latestVersion(sp, path)
-    val replayed = latest.exists(v =>
+    val versions = VersionedTable.versions(sp, path)
+    val replayed = versions.exists(v =>
       VersionedTable.tagOf(sp, path, v).contains(batchId.toString))
     if (!replayed) {
-      if (latest.isEmpty) {
+      if (versions.isEmpty) {
         VersionedTable.init(batch, path, Some(batchId.toString))
       } else {
         VersionedTable.merge(sp, path, batch, keyCol, Some(batchId.toString))

@@ -50,7 +50,8 @@ class VersionedTableSpec extends SparkSpec {
     val path = Files.createTempDirectory("graft-vt3").toFile.getAbsolutePath + "/t"
     VersionedTable.init(Seq((1L, 1.0)).toDF("k", "v"), path)
     // simulate a writer that died mid-commit: a v= directory with data
-    // files but no _SUCCESS marker
+    // files but no _GRAFT_COMMIT marker (AtomicDir.Marker — the commit
+    // protocol's own stamp, distinct from the parquet committer's _SUCCESS)
     val partial = new java.io.File(s"$path/v=7")
     assert(partial.mkdirs())
     Files.write(partial.toPath.resolve("part-00000.parquet"),

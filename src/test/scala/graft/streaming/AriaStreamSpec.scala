@@ -50,6 +50,36 @@ class AriaStreamSpec extends SparkSpec {
     assert(t1.keySet == (1L to 40L).toSet, "key set unchanged")
   }
 
+  test("a batch that fails mid-persist rolls back ALL engine state and retries clean") {
+    import spark.implicits._
+    val stateDir = Files.createTempDirectory("graft-aria-rb").toFile.getAbsolutePath
+    val engine = new AriaStream(table0, reorder = true, Seq("f0"), newValue,
+      stateDir = Some(stateDir))
+    engine.processBatch(ops.filter($"tid".between(1L, 10L)), 0L)
+    val (t0, h0, e0) = (engine.table.collect().toSet, engine.history, engine.epoch)
+    // Sabotage the NEXT snapshot commit: a marker-less squatter at s=1 is
+    // invisible to committedStates (so no resume picks it up) but makes
+    // AtomicDir.commit fail AFTER the epoch has computed and the in-memory
+    // fields have advanced — the exact window the rollback must cover.
+    val squatter = new java.io.File(s"$stateDir/s=1")
+    assert(squatter.mkdirs())
+    val failed = intercept[IllegalStateException] {
+      engine.processBatch(ops.filter($"tid".between(11L, 20L)), 1L)
+    }
+    assert(failed.getMessage.contains("committed concurrently"))
+    assert(engine.table.collect().toSet == t0, "table rolled back")
+    assert(engine.history == h0 && engine.epoch == e0, "history/epoch rolled back")
+    // retry of the SAME batch id after the blocker clears must not be
+    // treated as a replay and must produce the same result as a clean run
+    assert(squatter.delete())
+    engine.processBatch(ops.filter($"tid".between(11L, 20L)), 1L)
+    assert(engine.history.size > h0.size, "retried batch was processed, not skipped")
+    val resumed = new AriaStream(table0.limit(0), reorder = true, Seq("f0"),
+      newValue, stateDir = Some(stateDir))
+    assert(resumed.table.collect().toSet == engine.table.collect().toSet,
+      "disk snapshot matches memory after the retried commit")
+  }
+
   test("file-source wiring: every txn commits exactly once and drain empties") {
     val dir = Files.createTempDirectory("graft-aria-stream").toFile.getAbsolutePath
     // arrival contract: partition by tid so each txn's ops land in ONE file
