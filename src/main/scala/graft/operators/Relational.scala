@@ -708,6 +708,132 @@ object Relational {
        |FROM lineitem GROUP BY 1 ORDER BY grp""".stripMargin
   }
 
+  /** Q30 — TPC-H Q4 shape (EXISTS-correlated aggregate): orders placed in
+    * 1996 that had at least one late line (shipped more than 60 days after
+    * the order date), counted by priority. The correlated EXISTS becomes a
+    * LEFT SEMI join with a non-equi conjunct on the equi key.
+    * Scale: semi join shuffles both sides on orderkey once and emits each
+    * order at most once (no fan-out); the agg output is 5 rows.
+    */
+  def q30ExistsAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ord = Tables.orders(s, dir)
+      .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1997-01-01").cast("timestamp"))
+    val li = Tables.lineitem(s, dir).select($"l_orderkey", $"l_shipdate")
+    ord.join(li,
+        $"o_orderkey" === $"l_orderkey" &&
+          $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val q30Sql: String =
+    """SELECT o_orderpriority, count(*)::BIGINT AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey
+      |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Q31 — TPC-H Q12 shape (conditional aggregation over a join): lines
+    * shipped in 1997 classified by return flag, counting high- vs
+    * low-priority orders per flag.
+    * Scale: one shuffle join on orderkey; the CASE sums are map-side
+    * partial aggregates into a 3-row result.
+    */
+  def q31PriorityCase(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hi = $"o_orderpriority".isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(s, dir)
+      .filter($"l_shipdate" >= lit("1997-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1998-01-01").cast("timestamp"))
+      .select($"l_orderkey", $"l_returnflag")
+      .join(Tables.orders(s, dir).select($"o_orderkey", $"o_orderpriority"),
+        $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_returnflag")
+      .agg(
+        sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(hi, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q31Sql: String =
+    """SELECT l_returnflag,
+      |  sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+      |           THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+      |  sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+      |           THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01'
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Q32 — TPC-H Q16 shape (distinct-count with NOT-IN exclusion): how many
+    * distinct suppliers shipped each (brand, size) bucket of small parts,
+    * excluding suppliers in deficit. NOT IN becomes a LEFT ANTI join.
+    * Scale: the supplier exclusion list is tiny (filter on the 1%-of-rows
+    * dim table) and broadcast; part is broadcast onto lineitem; the only
+    * shuffle is the distinct-aggregate on (brand, size, suppkey).
+    */
+  def q32SupplierCnt(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val deficit = Tables.supplier(s, dir)
+      .filter($"s_acctbal" < 0).select($"s_suppkey")
+    val smallParts = Tables.part(s, dir)
+      .filter($"p_brand" =!= "Brand#4" && $"p_size" <= 10)
+      .select($"p_partkey", $"p_brand", $"p_size")
+    Tables.lineitem(s, dir).select($"l_partkey", $"l_suppkey")
+      .join(broadcast(deficit), $"l_suppkey" === $"s_suppkey", "left_anti")
+      .join(broadcast(smallParts), $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand", $"p_size")
+      .agg(countDistinct($"l_suppkey").as("supplier_cnt"))
+      .orderBy($"supplier_cnt".desc, $"p_brand", $"p_size")
+  }
+
+  val q32Sql: String =
+    """SELECT p_brand, p_size, count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand <> 'Brand#4' AND p_size <= 10
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY p_brand, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin
+
+  /** Q33 — rank-function battery: ntile / percent_rank / cume_dist per
+    * market segment. The window ORDER BY is made total with the unique
+    * custkey tie-break, so every rank value is deterministic; percent_rank
+    * and cume_dist are exact rationals of row counts, so the doubles are
+    * bit-identical cross-engine (IEEE division of equal integers).
+    * Scale: one hash exchange on the partition key + per-partition sort —
+    * rank functions add nothing over the sort. Skewed segments would salt
+    * the same way skew_salted_agg does.
+    */
+  def q33RankBattery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"c_mktsegment")
+      .orderBy($"c_acctbal", $"c_custkey")
+    Tables.customer(s, dir)
+      .select($"c_mktsegment", $"c_custkey",
+        round($"c_acctbal", 2).as("acctbal"))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .withColumn("pct_rank", round(percent_rank().over(w), 6))
+      .withColumn("cdist", round(cume_dist().over(w), 6))
+      .orderBy($"c_mktsegment", $"c_custkey")
+  }
+
+  val q33Sql: String =
+    """SELECT c_mktsegment, c_custkey, round(c_acctbal, 2) AS acctbal,
+      |  ntile(4) OVER w::BIGINT AS quartile,
+      |  round(percent_rank() OVER w, 6) AS pct_rank,
+      |  round(cume_dist() OVER w, 6) AS cdist
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+      |ORDER BY c_mktsegment, c_custkey""".stripMargin
+
   /** All relational queries + oracles, consumed by SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> q1PricingSummary _,
@@ -737,6 +863,10 @@ object Relational {
     "q27_grouping_sets" -> q27GroupingSets _,
     "q28_map_funcs" -> q28MapFuncs _,
     "q29_quantile_histogram" -> q29QuantileHistogram _,
+    "q30_exists_agg" -> q30ExistsAgg _,
+    "q31_priority_case" -> q31PriorityCase _,
+    "q32_supplier_cnt" -> q32SupplierCnt _,
+    "q33_rank_battery" -> q33RankBattery _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -767,5 +897,9 @@ object Relational {
     "q27_grouping_sets" -> q27Sql,
     "q28_map_funcs" -> q28Sql,
     "q29_quantile_histogram" -> q29Sql,
+    "q30_exists_agg" -> q30Sql,
+    "q31_priority_case" -> q31Sql,
+    "q32_supplier_cnt" -> q32Sql,
+    "q33_rank_battery" -> q33Sql,
   )
 }
