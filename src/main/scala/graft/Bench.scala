@@ -30,14 +30,20 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     try SparkEntry.entry(spark).count()
     catch { case _: Throwable => () }
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() }
+        catch { case _: Throwable => failed += name; -1L }
         (System.nanoTime() - t0) / 1e9
       }.sorted
       name -> times(times.length / 2)
     }
+    // A throwing query records only its time-to-throw and would masquerade
+    // as the fastest query in the round — call it out where humans look.
+    if (failed.nonEmpty)
+      System.err.println(s"[bench] FAILED queries (times are time-to-throw): ${failed.mkString(", ")}")
     // The driver parses this line out of a bounded stdout tail (~2 KB):
     // BENCH_r01/r02 recorded `"parsed": null` because full-precision doubles
     // pushed the line past the tail window. 3 decimals (1 ms) keeps all ~75

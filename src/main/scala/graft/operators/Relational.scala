@@ -817,11 +817,13 @@ object Relational {
     val w = Window.partitionBy($"c_mktsegment")
       .orderBy($"c_acctbal", $"c_custkey")
     Tables.customer(s, dir)
-      .select($"c_mktsegment", $"c_custkey",
-        round($"c_acctbal", 2).as("acctbal"))
+      .select($"c_mktsegment", $"c_custkey", $"c_acctbal")
       .withColumn("quartile", ntile(4).over(w).cast("long"))
       .withColumn("pct_rank", round(percent_rank().over(w), 6))
       .withColumn("cdist", round(cume_dist().over(w), 6))
+      .select($"c_mktsegment", $"c_custkey",
+        round($"c_acctbal", 2).as("acctbal"),
+        $"quartile", $"pct_rank", $"cdist")
       .orderBy($"c_mktsegment", $"c_custkey")
   }
 

@@ -52,14 +52,38 @@ object AtomicDir {
       f.delete(tmp, true)
       throw new IllegalStateException(s"$dest was committed concurrently")
     }
-    if (!markerContent(spark, dest).contains(commitId)) {
+    if (!verifyOwnCommit(spark, destPath, tmp.getName, commitId)) {
       // rename-onto-existing "succeeded" by nesting tmp inside the
       // winner's dest; remove our stray and report the lost race
       f.delete(new Path(destPath, tmp.getName), true)
       throw new IllegalStateException(s"$dest was committed concurrently")
     }
-    sweepStaleTmp(spark, parent.toString)
+    // Post-commit housekeeping: the snapshot is durable at this point, so a
+    // sweep failure must not surface as a commit failure (the caller would
+    // roll back state that IS on disk and livelock on retry).
+    try sweepStaleTmp(spark, parent.toString)
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(
+          s"AtomicDir: post-commit temp sweep under $parent failed " +
+            s"(ignored): $e")
+    }
   }
+
+  /** Post-rename ownership check. A lost rename-onto-existing race always
+    * leaves our temp dir nested INSIDE the winner's dest, so when the
+    * marker read itself fails with an IO error (ambiguous: the commit may
+    * well have taken effect) we fall back to that structural signal rather
+    * than reporting a phantom lost race — `commit` must only throw when the
+    * commit truly didn't take effect.
+    */
+  private def verifyOwnCommit(spark: SparkSession, destPath: Path,
+      tmpName: String, commitId: String): Boolean =
+    try markerContent(spark, destPath.toString).contains(commitId)
+    catch {
+      case _: java.io.IOException =>
+        !fs(spark, destPath.toString).exists(new Path(destPath, tmpName))
+    }
 
   /** Contents of the commit marker at `dir`, if present. */
   private def markerContent(spark: SparkSession, dir: String): Option[String] = {

@@ -171,22 +171,37 @@ object EventStreams {
     * it) is skipped, so with `.option("checkpointLocation", …)` the sink
     * is exactly-once INCLUDING the version history (one version per
     * processed batch, crash or not).
-    */
-  /** Single-writer sink: the replay guard assumes the one-query-per-path
+    *
+    * Single-writer sink: the replay guard assumes the one-query-per-path
     * discipline of Spark's foreachBatch (which replays only un-logged
     * batches); concurrent writers to the same path are not coordinated
-    * beyond AtomicDir's same-version commit race. The guard scans EVERY
-    * version's batch tag, not just the latest, so an out-of-order replay
-    * (e.g. a hand-rolled retry of an older batch) is still skipped rather
-    * than minting a duplicate version.
+    * beyond AtomicDir's same-version commit race. The guard still covers an
+    * out-of-order replay (e.g. a hand-rolled retry of an older batch), but
+    * scans newest-first with early exit: this sink mints exactly one
+    * version per processed batch with monotonically increasing batch ids,
+    * so once a version's numeric tag drops below `batchId` no older version
+    * can match — the common non-replay case reads ONE marker instead of
+    * O(versions) per batch.
     */
   def mergeVersionedBatch(batch: DataFrame, batchId: Long, path: String,
       keyCol: String): Unit = {
     val sp = batch.sparkSession
     import graft.sources.VersionedTable
     val versions = VersionedTable.versions(sp, path)
-    val replayed = versions.exists(v =>
-      VersionedTable.tagOf(sp, path, v).contains(batchId.toString))
+    val replayed = {
+      var found = false
+      var stop = false
+      val it = versions.reverseIterator // versions() is ascending
+      while (!stop && it.hasNext) {
+        VersionedTable.tagOf(sp, path, it.next()) match {
+          case Some(t) if t == batchId.toString => found = true; stop = true
+          case Some(t) if scala.util.Try(t.toLong).toOption.exists(_ < batchId) =>
+            stop = true // tags ascend; nothing older can match
+          case _ => () // untagged or foreign tag: keep scanning
+        }
+      }
+      found
+    }
     if (!replayed) {
       if (versions.isEmpty) {
         VersionedTable.init(batch, path, Some(batchId.toString))
