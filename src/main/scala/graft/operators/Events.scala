@@ -162,6 +162,51 @@ object Events {
       |  max(json_extract_string(props, '$.k')::BIGINT) AS max_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Conversion funnel view → click → purchase: a user advances a stage
+    * only with an event strictly AFTER their earliest event of the prior
+    * stage (the classic ordered-funnel semantics, not mere presence).
+    * Three per-user min-aggregates chained by equi-joins on user_id — every
+    * shuffle is on the same key so AQE coalesces them, and each stage's
+    * frame only shrinks, so later joins are broadcast-sized at any corpus
+    * scale where the funnel actually narrows.
+    */
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir).select($"user_id", $"event_type", $"ts")
+    def stage(typ: String, prev: Option[DataFrame]): DataFrame = {
+      val base = ev.filter($"event_type" === typ)
+      val gated = prev match {
+        case None => base
+        case Some(p) => base.join(p, "user_id").filter($"ts" > $"t_prev")
+      }
+      gated.groupBy($"user_id").agg(min($"ts").as("t")).
+        select($"user_id", $"t".as("t_prev"))
+    }
+    val v = stage("view", None)
+    val c = stage("click", Some(v))
+    val p = stage("purchase", Some(c))
+    Seq(("1_view", v), ("2_click", c), ("3_purchase", p))
+      .map { case (nm, df) =>
+        df.agg(count(lit(1)).as("users")).select(lit(nm).as("stage"), $"users")
+      }
+      .reduce(_ unionByName _)
+      .orderBy($"stage")
+  }
+
+  val funnelSql: String =
+    """WITH v AS (SELECT user_id, min(ts) AS t FROM events
+      |           WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, min(e.ts) AS t
+      |      FROM events e JOIN v ON e.user_id = v.user_id
+      |      WHERE e.event_type = 'click' AND e.ts > v.t GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, min(e.ts) AS t
+      |      FROM events e JOIN c ON e.user_id = c.user_id
+      |      WHERE e.event_type = 'purchase' AND e.ts > c.t GROUP BY e.user_id)
+      |SELECT '1_view' AS stage, count(*)::BIGINT AS users FROM v
+      |UNION ALL SELECT '2_click', count(*)::BIGINT FROM c
+      |UNION ALL SELECT '3_purchase', count(*)::BIGINT FROM p
+      |ORDER BY stage""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_tumbling" -> tumbling _,
     "ev_sliding" -> sliding _,
@@ -169,6 +214,7 @@ object Events {
     "ev_daily_topk" -> dailyTopEvents _,
     "ev_pivot" -> pivotTypes _,
     "ev_json_extract" -> jsonExtract _,
+    "ev_funnel" -> funnel _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -178,5 +224,6 @@ object Events {
     "ev_daily_topk" -> dailyTopEventsSql,
     "ev_pivot" -> pivotTypesSql,
     "ev_json_extract" -> jsonExtractSql,
+    "ev_funnel" -> funnelSql,
   )
 }

@@ -836,6 +836,68 @@ object Relational {
       |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
       |ORDER BY c_mktsegment, c_custkey""".stripMargin
 
+  /** Q34 — TPC-H Q4 shape (order-priority checking): orders from a
+    * six-month window with at least one lineitem shipped strictly after
+    * the order date, counted per priority. The EXISTS is a left-semi join
+    * with a mixed equi + range condition — the equi key (orderkey) drives
+    * the shuffle, the range predicate evaluates post-probe, so it scales
+    * exactly like a plain equi-join at 100 TB (no nested-loop anywhere).
+    * The date filter prunes orders BEFORE the join (verified pushdown).
+    */
+  def q34OrderPriority(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, dir)
+      .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1996-07-01").cast("timestamp"))
+      .select($"o_orderkey", $"o_orderdate", $"o_orderpriority")
+    val l = Tables.lineitem(s, dir).select($"l_orderkey", $"l_shipdate")
+    o.join(l, $"o_orderkey" === $"l_orderkey" &&
+        $"l_shipdate" > $"o_orderdate", "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val q34Sql: String =
+    """SELECT o_orderpriority, count(*)::BIGINT AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Q35 — TPC-H Q12 shape (no shipmode column in this corpus, so the
+    * grouping key is l_returnflag): among late-shipped lines, per
+    * returnflag, how many came from high- vs low-priority orders.
+    * One equi-join shuffle + one agg shuffle with map-side partials; the
+    * CASE sums are codegen'd expressions, free at any scale.
+    */
+  def q35LateLines(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val high = $"o_orderpriority".isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_returnflag", $"l_shipdate")
+      .join(Tables.orders(s, dir)
+        .select($"o_orderkey", $"o_orderdate", $"o_orderpriority"),
+        $"l_orderkey" === $"o_orderkey")
+      .filter($"l_shipdate" > $"o_orderdate")
+      .groupBy($"l_returnflag")
+      .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(!high, 1L).otherwise(0L)).as("low_line_count"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q35Sql: String =
+    """SELECT l_returnflag,
+      |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |      THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+      |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |      THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate > o_orderdate
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** All relational queries + oracles, consumed by SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> q1PricingSummary _,
@@ -869,6 +931,8 @@ object Relational {
     "q31_priority_case" -> q31PriorityCase _,
     "q32_supplier_cnt" -> q32SupplierCnt _,
     "q33_rank_battery" -> q33RankBattery _,
+    "q34_order_priority" -> q34OrderPriority _,
+    "q35_late_lines" -> q35LateLines _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -903,5 +967,7 @@ object Relational {
     "q31_priority_case" -> q31Sql,
     "q32_supplier_cnt" -> q32Sql,
     "q33_rank_battery" -> q33Sql,
+    "q34_order_priority" -> q34Sql,
+    "q35_late_lines" -> q35Sql,
   )
 }

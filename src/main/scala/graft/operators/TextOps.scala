@@ -526,8 +526,45 @@ object TextOps {
       |  sum(CASE WHEN vote > 0 THEN power(2, b)::BIGINT ELSE 0 END)::BIGINT AS simhash
       |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Top-5 character trigrams per language by frequency — the n-gram
+    * statistics pass a language-ID / contamination-analysis pipeline runs
+    * over a corpus. Trigram explosion is a per-row generator (no shuffle);
+    * the count is one agg shuffle on (lang, gram) with map-side partials;
+    * the top-k rides the engine's own bounded-heap
+    * [[graft.plans.GroupedTopK]] operator instead of a full window sort, so
+    * the post-agg sort state is O(k · langs), not O(distinct grams) —
+    * the 100 TB shape. Ties break on gram DESC (the operator is
+    * largest-first lexicographic on its order columns).
+    */
+  def ngramTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val grams = Tables.documents(s, dir)
+      .filter(length($"text") >= 3)
+      .select($"lang", explode(expr(
+        "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
+        .as("gram"))
+      .groupBy($"lang", $"gram").agg(count(lit(1)).as("cnt"))
+    graft.plans.GroupedTopK(grams,
+      groupCols = Seq("lang"), orderCols = Seq("cnt", "gram"), k = 5)
+      .orderBy($"lang", $"cnt".desc, $"gram".desc)
+  }
+
+  val ngramTopKSql: String =
+    """SELECT lang, gram, cnt FROM (
+      |  SELECT lang, gram, cnt,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY cnt DESC, gram DESC) AS rn
+      |  FROM (
+      |    SELECT lang, substr(text, i::INT, 3) AS gram, count(*)::BIGINT AS cnt
+      |    FROM (SELECT lang, text, unnest(range(1, length(text) - 1)) AS i
+      |          FROM documents WHERE length(text) >= 3) x
+      |    GROUP BY lang, gram) g) t
+      |WHERE rn <= 5
+      |ORDER BY lang, cnt DESC, gram DESC""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> textStats _,
+    "text_ngram_topk" -> ngramTopK _,
     "text_lang_id" -> langId _,
     "text_fingerprint" -> fingerprint _,
     "text_quality" -> quality _,
@@ -543,6 +580,7 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     "text_stats" -> textStatsSql,
+    "text_ngram_topk" -> ngramTopKSql,
     "text_lang_id" -> langIdSql,
     "text_fingerprint" -> fingerprintSql,
     "text_quality" -> qualitySql,

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Semantic invariants of the round-4 analytics queries (the exact-value
+  * gate is the DuckDB oracle; these pin the properties a value diff can't
+  * explain, plus the plan shapes that matter at scale).
+  */
+class AnalyticsSpec extends SparkSpec {
+
+  private val dir = sf("sf0.001")
+
+  test("q34 priority counts equal a distinct-count recomputation of EXISTS") {
+    import spark.implicits._
+    val got = Relational.q34OrderPriority(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val o = graft.sources.Tables.orders(spark, dir)
+      .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1996-07-01").cast("timestamp"))
+    val want = o.join(graft.sources.Tables.lineitem(spark, dir),
+        $"o_orderkey" === $"l_orderkey" && $"l_shipdate" > $"o_orderdate")
+      .select($"o_orderpriority", $"o_orderkey").distinct()
+      .groupBy($"o_orderpriority").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    assert(got.values.sum > 0)
+  }
+
+  test("q34 plan is a hash/merge semi-join, not a nested loop") {
+    val plan = Relational.q34OrderPriority(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
+  test("q35 high + low line counts cover exactly the late lines") {
+    import spark.implicits._
+    val rows = Relational.q35LateLines(spark, dir).collect()
+    val total = rows.map(r => r.getLong(1) + r.getLong(2)).sum
+    val late = graft.sources.Tables.lineitem(spark, dir)
+      .join(graft.sources.Tables.orders(spark, dir),
+        $"l_orderkey" === $"o_orderkey")
+      .filter($"l_shipdate" > $"o_orderdate").count()
+    assert(total == late)
+    assert(rows.nonEmpty)
+  }
+
+  test("funnel stages are non-increasing and stage 1 counts view users") {
+    import spark.implicits._
+    val stages = Events.funnel(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val viewUsers = graft.sources.Tables.events(spark, dir)
+      .filter($"event_type" === "view").select($"user_id").distinct().count()
+    assert(stages("1_view") == viewUsers)
+    assert(stages("1_view") >= stages("2_click"))
+    assert(stages("2_click") >= stages("3_purchase"))
+  }
+
+  test("funnel stage ordering is strict: advancing events are after the prior stage") {
+    import spark.implicits._
+    // A user whose ONLY click precedes their first view must not advance.
+    val ev = graft.sources.Tables.events(spark, dir)
+      .select($"user_id", $"event_type", $"ts")
+    val firstView = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("tv"))
+    val lateClickUsers = ev.filter($"event_type" === "click")
+      .join(firstView, "user_id").filter($"ts" > $"tv")
+      .select($"user_id").distinct().count()
+    val stages = Events.funnel(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stages("2_click") == lateClickUsers)
+  }
+
+  test("ngram top-k emits at most 5 rows per lang, counts non-increasing, via GroupedTopKExec") {
+    import spark.implicits._
+    val df = TextOps.ngramTopK(spark, dir)
+    assert(df.queryExecution.executedPlan.toString.contains("GroupedTopK"))
+    val rows = df.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    rows.groupBy(_._1).foreach { case (lang, rs) =>
+      assert(rs.length <= 5, s"$lang has ${rs.length} rows")
+      val cnts = rs.map(_._3).toSeq
+      assert(cnts == cnts.sorted.reverse, s"$lang counts not sorted: $cnts")
+    }
+    assert(rows.nonEmpty)
+  }
+
+  test("q33 resolves and quartiles span 1..4 (round-3 regression: window col renamed away)") {
+    import spark.implicits._
+    val q = Relational.q33RankBattery(spark, dir)
+    val quartiles = q.select($"quartile").distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(quartiles == Seq(1L, 2L, 3L, 4L))
+  }
+}
