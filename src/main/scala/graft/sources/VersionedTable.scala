@@ -33,9 +33,11 @@ object VersionedTable {
     * replays — see [[tagOf]].
     */
   private def commitVersion(df: DataFrame, path: String, v: Int,
-      tag: Option[String]): Unit =
+      tag: Option[String], partitionBy: Seq[String] = Nil): Unit =
     AtomicDir.commit(df.sparkSession, versionDir(path, v)) { tmp =>
-      df.write.mode("errorifexists").parquet(tmp)
+      val w = df.write.mode("errorifexists")
+      (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+        .parquet(tmp)
       tag.foreach { t =>
         val f = new org.apache.hadoop.fs.Path(tmp).getFileSystem(
           df.sparkSession.sparkContext.hadoopConfiguration)
@@ -69,9 +71,15 @@ object VersionedTable {
   def latestVersion(spark: SparkSession, path: String): Option[Int] =
     versions(spark, path).lastOption
 
-  /** Create version 0. */
-  def init(df: DataFrame, path: String, tag: Option[String] = None): Unit =
-    commitVersion(df, path, 0, tag)
+  /** Create version 0. `partitionBy` lays the snapshot out hive-style
+    * (`col=value` directories), so any read with a filter on those columns
+    * partition-prunes — at 100 TB this is the difference between touching
+    * one partition and listing the world. Pass the same columns on every
+    * `merge` so the layout survives version evolution.
+    */
+  def init(df: DataFrame, path: String, tag: Option[String] = None,
+      partitionBy: Seq[String] = Nil): Unit =
+    commitVersion(df, path, 0, tag, partitionBy)
 
   /** Read a specific version (time travel) or the latest. */
   def read(spark: SparkSession, path: String, version: Int = -1): DataFrame = {
@@ -87,13 +95,34 @@ object VersionedTable {
     * version number.
     */
   def merge(spark: SparkSession, path: String, updates: DataFrame,
-      keyCol: String, tag: Option[String] = None): Int = {
+      keyCol: String, tag: Option[String] = None,
+      partitionBy: Seq[String] = Nil): Int = {
     val current = latestVersion(spark, path).getOrElse(
       throw new IllegalArgumentException(s"no versions at $path — init first"))
     val next = current + 1
     commitVersion(
-      KvOps.upsert(read(spark, path, current), updates, keyCol), path, next, tag)
+      KvOps.upsert(read(spark, path, current), updates, keyCol), path, next,
+      tag, partitionBy)
     next
+  }
+
+  /** Version retention: drop all but the newest `keepLast` snapshots.
+    * Returns the versions removed. Bounds both storage (each version is a
+    * full COW snapshot) and any scan over the version list — the streaming
+    * sink's replay guard and `versions` itself are O(retained), not
+    * O(history), once retention runs periodically. Time travel to a
+    * dropped version fails with "no such version" semantics (the dir is
+    * gone); callers choose the window.
+    */
+  def retain(spark: SparkSession, path: String, keepLast: Int): Seq[Int] = {
+    require(keepLast >= 1, s"retain needs keepLast >= 1, got $keepLast")
+    val drop = versions(spark, path).dropRight(keepLast)
+    val f = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    drop.foreach { v =>
+      f.delete(new org.apache.hadoop.fs.Path(versionDir(path, v)), true)
+    }
+    drop
   }
 
   /** Delete keys (anti join), committed as the next version. */

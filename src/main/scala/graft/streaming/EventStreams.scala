@@ -87,6 +87,21 @@ object EventStreams {
     }
   }
 
+  /** Streaming exact deduplication — the ingest-side guard of the corpus
+    * dedup pipeline (at-least-once upstreams re-deliver events; this drops
+    * re-deliveries before they reach storage). State is one entry per key
+    * seen within the watermark horizon and is evicted as event time
+    * advances, so memory is bounded by arrival rate × watermark, NOT by
+    * stream lifetime — the property that lets it run forever at 100 TB/day.
+    * Exactness contract: duplicates arriving within the watermark of the
+    * original are dropped; later re-deliveries are the upstream's problem
+    * (same contract as Kafka idempotent producers' bounded window).
+    */
+  def dedupEvents(events: DataFrame, horizon: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Custom per-key state via mapGroupsWithState: running event count +
     * last-seen timestamp per user, re-emitted on every micro-batch that
     * touches the key. This is the engine's arbitrary-stateful extension

@@ -61,4 +61,45 @@ class VersionedTableSpec extends SparkSpec {
     // readers and the next merge still address the committed chain only
     assert(VersionedTable.read(spark, path).count() == 1)
   }
+
+  test("partitioned snapshots lay out hive-style and reads partition-prune") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft-vt4").toFile.getAbsolutePath + "/t"
+    val base = Seq((1L, "us", 1.0), (2L, "eu", 2.0), (3L, "us", 3.0))
+      .toDF("k", "region", "v")
+    VersionedTable.init(base, path, partitionBy = Seq("region"))
+    assert(new java.io.File(s"$path/v=0/region=us").isDirectory)
+    assert(new java.io.File(s"$path/v=0/region=eu").isDirectory)
+
+    val v1 = VersionedTable.merge(spark, path,
+      Seq((2L, "eu", 20.0), (4L, "ap", 4.0)).toDF("k", "region", "v"), "k",
+      partitionBy = Seq("region"))
+    assert(new java.io.File(s"$path/v=$v1/region=ap").isDirectory)
+
+    val pruned = VersionedTable.read(spark, path).filter($"region" === "us")
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") &&
+      scan.contains("region"), scan.take(1500))
+    assert(pruned.collect().map(_.getAs[Long]("k")).toSet == Set(1L, 3L))
+    // merge semantics unaffected by layout
+    assert(VersionedTable.read(spark, path).count() == 4)
+  }
+
+  test("retain drops old versions; the kept chain stays readable") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft-vt5").toFile.getAbsolutePath + "/t"
+    VersionedTable.init(Seq((1L, 1.0)).toDF("k", "v"), path)
+    (1 to 3).foreach { i =>
+      VersionedTable.merge(spark, path, Seq((i.toLong, i * 10.0)).toDF("k", "v"), "k")
+    }
+    assert(VersionedTable.versions(spark, path) == Seq(0, 1, 2, 3))
+    val dropped = VersionedTable.retain(spark, path, keepLast = 2)
+    assert(dropped == Seq(0, 1))
+    assert(VersionedTable.versions(spark, path) == Seq(2, 3))
+    assert(VersionedTable.read(spark, path).count() == 3) // latest intact
+    intercept[Exception] { VersionedTable.read(spark, path, 0).collect() }
+    intercept[IllegalArgumentException] {
+      VersionedTable.retain(spark, path, keepLast = 0)
+    }
+  }
 }

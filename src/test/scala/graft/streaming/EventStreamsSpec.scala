@@ -213,4 +213,26 @@ class EventStreamsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(snap == want)
   }
+
+  test("streaming dedup emits each re-delivered event exactly once") {
+    import java.nio.file.Files
+    // an at-least-once upstream: every event delivered twice, shuffled
+    // across files so duplicates land in different micro-batches
+    val dupDir = Files.createTempDirectory("graft-dup").toFile.getAbsolutePath
+    val ev = spark.read.parquet(stagingDir)
+    ev.union(ev).repartition(4).write.mode("overwrite").parquet(dupDir)
+    val schema = spark.read.parquet(dupDir).schema
+    val stream = EventStreams.readEvents(spark, dupDir, schema)
+    // files are not time-ordered, so use a horizon wider than the data's
+    // span — nothing is evicted mid-test and the dedup must be exact
+    val q = EventStreams.dedupEvents(stream, horizon = "60 days")
+      .select(col("event_id"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("dedup_out").collect().map(_.getLong(0))
+    assert(got.length == got.distinct.length, "emitted a duplicate event_id")
+    val want = ev.select(col("event_id")).distinct().count()
+    assert(got.length == want)
+  }
 }
