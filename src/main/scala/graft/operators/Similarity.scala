@@ -423,8 +423,42 @@ object Similarity {
       |    ORDER BY cos DESC, vec_id) AS rn FROM scored) t
       |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
 
+  /** Per-label centroids of the embedding column, one row per (label,
+    * dimension) — the class-prototype aggregation of embedding-space
+    * analysis (cluster quality, label drift, nearest-class-mean
+    * classification). Fixed-point quantization keeps sums exact int64
+    * (2^53/2e4 ≈ 4.5e11 rows per label before the double mean could lose a
+    * ULP — beyond any per-label corpus here). posexplode fans each vector
+    * into 64 (dim, value) rows map-side; the agg groups on (label, dim) —
+    * bounded state (labels × dims), one shuffle, map-side partials.
+    */
+  def labelCentroids(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, dir)
+      .select($"label", posexplode(qvec($"embedding")).as(Seq("d", "e")))
+      .groupBy($"label", $"d")
+      .agg(count(lit(1)).as("n"), sum($"e").as("sum_e"))
+      .select($"label".cast("long").as("label"), $"d".cast("long").as("d"),
+        $"n", $"sum_e",
+        floor($"sum_e".cast("double") / $"n").cast("long").as("mean_e"))
+      .orderBy($"label", $"d")
+  }
+
+  val labelCentroidsSql: String =
+    """WITH qv AS (
+      |  SELECT label,
+      |    [floor(x::DOUBLE * 10000)::BIGINT FOR x IN embedding] AS q
+      |  FROM embeddings),
+      |ex AS (SELECT label, unnest(q) AS e,
+      |              generate_subscripts(q, 1) - 1 AS d FROM qv)
+      |SELECT label::BIGINT AS label, d::BIGINT AS d, count(*)::BIGINT AS n,
+      |  sum(e)::BIGINT AS sum_e,
+      |  floor(sum(e)::DOUBLE / count(*))::BIGINT AS mean_e
+      |FROM ex GROUP BY label, d ORDER BY label, d""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_cosine_topk" -> cosineTopK _,
+    "sim_label_centroids" -> labelCentroids _,
     "sim_neardup_pairs" -> nearDupPairs _,
     "sim_lsh_buckets" -> lshBuckets _,
     "sim_lsh_topk" -> lshTopK _,
@@ -434,6 +468,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "sim_cosine_topk" -> cosineTopKSql,
+    "sim_label_centroids" -> labelCentroidsSql,
     "sim_neardup_pairs" -> nearDupPairsSql,
     "sim_lsh_buckets" -> lshBucketsSql,
     "sim_lsh_topk" -> lshTopKSql,
