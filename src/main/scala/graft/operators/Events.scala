@@ -182,8 +182,11 @@ object Events {
       gated.groupBy($"user_id").agg(min($"ts").as("t")).
         select($"user_id", $"t".as("t_prev"))
     }
-    val v = stage("view", None)
-    val c = stage("click", Some(v))
+    // v feeds its own count branch AND the c join (likewise c): checkpoint
+    // the tiny per-user stage frames so the events scan + agg run once per
+    // stage, not once per downstream consumer
+    val v = stage("view", None).localCheckpoint()
+    val c = stage("click", Some(v)).localCheckpoint()
     val p = stage("purchase", Some(c))
     Seq(("1_view", v), ("2_click", c), ("3_purchase", p))
       .map { case (nm, df) =>

@@ -883,8 +883,11 @@ object Relational {
         $"l_orderkey" === $"o_orderkey")
       .filter($"l_shipdate" > $"o_orderdate")
       .groupBy($"l_returnflag")
+      // low must be when(high, 0).otherwise(1), not when(!high, 1): for a
+      // NULL priority, !high is NULL → 0 in Spark, while the oracle's
+      // CASE ... ELSE 1 yields 1 — ELSE semantics, not negation
       .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
-        sum(when(!high, 1L).otherwise(0L)).as("low_line_count"))
+        sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
       .orderBy($"l_returnflag")
   }
 

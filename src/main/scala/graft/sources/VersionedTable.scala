@@ -25,6 +25,32 @@ object VersionedTable {
 
   private val TagFile = "_GRAFT_TAG"
 
+  private val SchemaFile = "_GRAFT_SCHEMA"
+
+  private def writeSidecar(spark: SparkSession, dir: String, name: String,
+      content: String): Unit = {
+    val f = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val out = f.create(new org.apache.hadoop.fs.Path(dir, name), true)
+    out.write(content.getBytes("UTF-8"))
+    out.close()
+  }
+
+  private def readSidecar(spark: SparkSession, dir: String,
+      name: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(dir, name)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try {
+        val bytes = new Array[Byte](f.getFileStatus(p).getLen.toInt)
+        in.readFully(bytes)
+        Some(new String(bytes, "UTF-8"))
+      } finally in.close()
+    }
+  }
+
   /** Atomic commit via [[AtomicDir]]: a crashed or in-flight write can
     * never surface as a committed version, and a lost rename race
     * (concurrent committer of the same N) cleans up and fails instead of
@@ -38,29 +64,18 @@ object VersionedTable {
       val w = df.write.mode("errorifexists")
       (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
         .parquet(tmp)
-      tag.foreach { t =>
-        val f = new org.apache.hadoop.fs.Path(tmp).getFileSystem(
-          df.sparkSession.sparkContext.hadoopConfiguration)
-        val out = f.create(new org.apache.hadoop.fs.Path(tmp, TagFile), true)
-        out.write(t.getBytes("UTF-8"))
-        out.close()
-      }
+      // The exact schema rides with the snapshot: hive-layout reads would
+      // otherwise run partition-column TYPE INFERENCE (a string column
+      // holding "01" comes back as int 1 and the next merge rewrites the
+      // stored value) and move partition columns to the end. read()
+      // applies this schema, so round-trips are type- and order-exact.
+      writeSidecar(df.sparkSession, tmp, SchemaFile, df.schema.json)
+      tag.foreach(t => writeSidecar(df.sparkSession, tmp, TagFile, t))
     }
 
   /** The tag a version was committed with, if any. */
-  def tagOf(spark: SparkSession, path: String, v: Int): Option[String] = {
-    val p = new org.apache.hadoop.fs.Path(versionDir(path, v), TagFile)
-    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!f.exists(p)) None
-    else {
-      val in = f.open(p)
-      try {
-        val bytes = new Array[Byte](f.getFileStatus(p).getLen.toInt)
-        in.readFully(bytes)
-        Some(new String(bytes, "UTF-8"))
-      } finally in.close()
-    }
-  }
+  def tagOf(spark: SparkSession, path: String, v: Int): Option[String] =
+    readSidecar(spark, versionDir(path, v), TagFile)
 
   /** All committed version numbers, ascending (only marker-stamped
     * directories count — partial writes are invisible).
@@ -81,13 +96,24 @@ object VersionedTable {
       partitionBy: Seq[String] = Nil): Unit =
     commitVersion(df, path, 0, tag, partitionBy)
 
-  /** Read a specific version (time travel) or the latest. */
+  /** Read a specific version (time travel) or the latest. Applies the
+    * snapshot's stored schema when present (see [[commitVersion]]) so
+    * partitioned layouts read back with exact column types and order.
+    */
   def read(spark: SparkSession, path: String, version: Int = -1): DataFrame = {
     val v =
       if (version >= 0) version
       else latestVersion(spark, path).getOrElse(
         throw new IllegalArgumentException(s"no versions at $path"))
-    spark.read.parquet(versionDir(path, v))
+    val dir = versionDir(path, v)
+    readSidecar(spark, dir, SchemaFile) match {
+      case Some(json) =>
+        val schema = org.apache.spark.sql.types.DataType.fromJson(json)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        spark.read.schema(schema).parquet(dir).select(
+          schema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*)
+      case None => spark.read.parquet(dir)
+    }
   }
 
   /** MERGE: last-writer-wins upsert of `updates` (key-unique) into the
@@ -119,10 +145,13 @@ object VersionedTable {
     val drop = versions(spark, path).dropRight(keepLast)
     val f = new org.apache.hadoop.fs.Path(path).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    drop.foreach { v =>
-      f.delete(new org.apache.hadoop.fs.Path(versionDir(path, v)), true)
+    // FileSystem.delete reports failure as `false`, not an exception
+    // (permissions, concurrent removal on some stores): only report a
+    // version dropped if it is actually gone
+    drop.filter { v =>
+      val p = new org.apache.hadoop.fs.Path(versionDir(path, v))
+      f.delete(p, true) || !f.exists(p)
     }
-    drop
   }
 
   /** Delete keys (anti join), committed as the next version. */

@@ -196,7 +196,12 @@ object EventStreams {
     * version per processed batch with monotonically increasing batch ids,
     * so once a version's numeric tag drops below `batchId` no older version
     * can match — the common non-replay case reads ONE marker instead of
-    * O(versions) per batch.
+    * O(versions) per batch. [[graft.sources.VersionedTable.retain]] may
+    * have dropped the old versions whose tags a very old replay would
+    * match; a batch id BELOW every retained numeric tag is therefore also
+    * treated as replayed (tags ascend, so it can only predate the retained
+    * window) — never re-merged, which would overwrite newer values and
+    * break the monotonic-tag invariant for every later replay.
     */
   def mergeVersionedBatch(batch: DataFrame, batchId: Long, path: String,
       keyCol: String): Unit = {
@@ -206,16 +211,25 @@ object EventStreams {
     val replayed = {
       var found = false
       var stop = false
+      var minNumericTag = Long.MaxValue
       val it = versions.reverseIterator // versions() is ascending
       while (!stop && it.hasNext) {
         VersionedTable.tagOf(sp, path, it.next()) match {
           case Some(t) if t == batchId.toString => found = true; stop = true
-          case Some(t) if scala.util.Try(t.toLong).toOption.exists(_ < batchId) =>
-            stop = true // tags ascend; nothing older can match
-          case _ => () // untagged or foreign tag: keep scanning
+          case Some(t) =>
+            scala.util.Try(t.toLong).toOption match {
+              case Some(n) if n < batchId =>
+                stop = true // tags ascend; nothing older can match
+              case Some(n) => minNumericTag = math.min(minNumericTag, n)
+              case None => () // foreign tag: keep scanning
+            }
+          case None => () // untagged version: keep scanning
         }
       }
-      found
+      // exhausted without a match, and every retained tag is newer than
+      // batchId: the matching version was retained away — still a replay
+      found || (!stop && minNumericTag != Long.MaxValue &&
+        minNumericTag > batchId)
     }
     if (!replayed) {
       if (versions.isEmpty) {

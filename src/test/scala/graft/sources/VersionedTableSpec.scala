@@ -85,6 +85,26 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.read(spark, path).count() == 4)
   }
 
+  test("partitioned snapshots round-trip string partition values type-exactly") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft-vt6").toFile.getAbsolutePath + "/t"
+    // "01" in a hive dir would come back as int 1 under partition-column
+    // type inference; the stored snapshot schema must win
+    val base = Seq((1L, "01", 1.0), (2L, "2", 2.0)).toDF("k", "bucket", "v")
+    VersionedTable.init(base, path, partitionBy = Seq("bucket"))
+    val back = VersionedTable.read(spark, path)
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      base.schema.map(f => (f.name, f.dataType)), back.schema.treeString)
+    assert(back.collect().map(r => r.getLong(0) -> r.getString(1)).toMap ==
+      Map(1L -> "01", 2L -> "2"))
+    // and the next merge keeps the value intact
+    VersionedTable.merge(spark, path,
+      Seq((3L, "03", 3.0)).toDF("k", "bucket", "v"), "k",
+      partitionBy = Seq("bucket"))
+    assert(VersionedTable.read(spark, path)
+      .collect().map(_.getString(1)).toSet == Set("01", "2", "03"))
+  }
+
   test("retain drops old versions; the kept chain stays readable") {
     import spark.implicits._
     val path = Files.createTempDirectory("graft-vt5").toFile.getAbsolutePath + "/t"

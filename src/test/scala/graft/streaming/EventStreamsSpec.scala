@@ -235,4 +235,24 @@ class EventStreamsSpec extends SparkSpec {
     val want = ev.select(col("event_id")).distinct().count()
     assert(got.length == want)
   }
+
+  test("replay of a retained-away batch is skipped, never re-merged") {
+    import java.nio.file.Files
+    import graft.sources.VersionedTable
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft-replay").toFile
+      .getAbsolutePath + "/t"
+    def batch(v: Double) = Seq((1L, v)).toDF("k", "v")
+    (0L to 3L).foreach(i =>
+      EventStreams.mergeVersionedBatch(batch(i.toDouble), i, path, "k"))
+    assert(VersionedTable.versions(spark, path) == Seq(0, 1, 2, 3))
+    assert(VersionedTable.retain(spark, path, keepLast = 2) == Seq(0, 1))
+    // batch 0's tagged version is gone; its id is below every retained tag,
+    // so it MUST still be treated as a replay — re-merging would overwrite
+    // the newer value and mint a non-monotonic tag
+    EventStreams.mergeVersionedBatch(batch(999.0), 0L, path, "k")
+    assert(VersionedTable.versions(spark, path) == Seq(2, 3))
+    assert(VersionedTable.read(spark, path)
+      .collect().map(r => r.getDouble(1)).toSeq == Seq(3.0))
+  }
 }
