@@ -210,6 +210,39 @@ object Events {
       |UNION ALL SELECT '3_purchase', count(*)::BIGINT FROM p
       |ORDER BY stage""".stripMargin
 
+  /** Cohort retention: users grouped by the week of their first event
+    * (cohort), counted as retained in each later week they were active.
+    * Two shuffles — first-event per user, then distinct actives per
+    * (cohort, offset) — both keyed on bounded-cardinality groups with
+    * map-side partials. The first-seen frame is per-user-small, so the
+    * activity join broadcasts or AQE-picks its side at any scale.
+    */
+  def retention(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"user_id", date_trunc("week", $"ts").as("wk"))
+    val firstWeek = ev.groupBy($"user_id").agg(min($"wk").as("cohort"))
+    ev.join(firstWeek, "user_id")
+      .select($"user_id", date_format($"cohort", "yyyy-MM-dd").as("cohort"),
+        // floor() on BOTH sides: Spark's double->long cast truncates but
+        // DuckDB's ::BIGINT rounds, so a bare (days/7)::BIGINT diverges
+        floor(datediff($"wk", $"cohort") / 7.0).cast("long").as("week_offset"))
+      .distinct()
+      .groupBy($"cohort", $"week_offset")
+      .agg(count(lit(1)).as("active_users"))
+      .orderBy($"cohort", $"week_offset")
+  }
+
+  val retentionSql: String =
+    """WITH ev AS (SELECT user_id, date_trunc('week', ts) AS wk FROM events),
+      |fw AS (SELECT user_id, min(wk) AS cohort FROM ev GROUP BY user_id)
+      |SELECT strftime(cohort, '%Y-%m-%d') AS cohort,
+      |  floor(date_diff('day', cohort, wk) / 7.0)::BIGINT AS week_offset,
+      |  count(DISTINCT ev.user_id)::BIGINT AS active_users
+      |FROM ev JOIN fw ON ev.user_id = fw.user_id
+      |GROUP BY cohort, week_offset
+      |ORDER BY cohort, week_offset""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_tumbling" -> tumbling _,
     "ev_sliding" -> sliding _,
@@ -218,6 +251,7 @@ object Events {
     "ev_pivot" -> pivotTypes _,
     "ev_json_extract" -> jsonExtract _,
     "ev_funnel" -> funnel _,
+    "ev_retention" -> retention _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -228,5 +262,6 @@ object Events {
     "ev_pivot" -> pivotTypesSql,
     "ev_json_extract" -> jsonExtractSql,
     "ev_funnel" -> funnelSql,
+    "ev_retention" -> retentionSql,
   )
 }

@@ -562,9 +562,49 @@ object TextOps {
       |WHERE rn <= 5
       |ORDER BY lang, cnt DESC, gram DESC""".stripMargin
 
+  /** Keyword extraction: top-3 terms per document ranked tf-idf-style with
+    * pure integers — tf DESC (frequent in this doc), df ASC (rare in the
+    * corpus), term ASC. Integer ranks are exactly the ordering
+    * tf·log(N/df) induces for fixed N when ties break the same way, with
+    * zero cross-engine float risk. Shape: explode (no shuffle) → tf agg →
+    * df agg (vocab-sized, broadcast back) → per-doc window. The df frame
+    * is bounded by vocabulary, not corpus, so the join stays broadcast at
+    * any scale.
+    */
+  def tfidfTopTerms(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val terms = Tables.documents(s, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("term"))
+    val tf = terms.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy($"doc_id")
+      .orderBy($"tf".desc, $"df".asc, $"term".asc)
+    tf.join(broadcast(df), "term")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 3)
+      .select($"doc_id", $"term", $"tf", $"df", $"rank")
+      .orderBy($"doc_id", $"rank")
+  }
+
+  val tfidfTopTermsSql: String =
+    """WITH terms AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+      |       FROM terms GROUP BY doc_id, term),
+      |df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term)
+      |SELECT doc_id, term, tf, df, rank FROM (
+      |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+      |    row_number() OVER (PARTITION BY tf.doc_id
+      |      ORDER BY tf.tf DESC, df.df ASC, tf.term ASC)::BIGINT AS rank
+      |  FROM tf JOIN df ON tf.term = df.term) t
+      |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> textStats _,
     "text_ngram_topk" -> ngramTopK _,
+    "text_tfidf_terms" -> tfidfTopTerms _,
     "text_lang_id" -> langId _,
     "text_fingerprint" -> fingerprint _,
     "text_quality" -> quality _,
@@ -581,6 +621,7 @@ object TextOps {
   val oracles: Map[String, String] = Map(
     "text_stats" -> textStatsSql,
     "text_ngram_topk" -> ngramTopKSql,
+    "text_tfidf_terms" -> tfidfTopTermsSql,
     "text_lang_id" -> langIdSql,
     "text_fingerprint" -> fingerprintSql,
     "text_quality" -> qualitySql,
