@@ -211,7 +211,44 @@ object Sketches {
        |FROM probes JOIN cells USING (j, bucket)
        |GROUP BY priority, exact_n ORDER BY priority""".stripMargin
 
+  /** Stratified sampling over the corpus: per-language per-mille rates
+    * (downsample the dominant language, keep the tail), selected by a
+    * deterministic multiplicative hash of the row key — rerun-, partition-
+    * and engine-stable, unlike rand(). The filter is a pure row predicate
+    * (no shuffle, no state); a training-data pipeline materializes
+    * `docs.filter(hv < rate)` directly — this query reports the per-stratum
+    * sample-vs-total accounting the pipeline would log.
+    */
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rate = when($"lang" === "en", 100L)
+      .when($"lang" === "de", 300L).otherwise(500L)
+    val hv = (($"doc_id" * 131071L + $"n_chars" * 8191L) % M) % 1000L
+    val docs = Tables.documents(s, dir)
+    val sampled = docs.filter(hv < rate)
+      .groupBy($"lang").agg(count(lit(1)).as("n_sampled"))
+    docs.groupBy($"lang")
+      .agg(count(lit(1)).as("n_total"), first(rate).as("rate_pm"))
+      .join(sampled, Seq("lang"), "left")
+      .select($"lang", $"n_total", $"rate_pm",
+        coalesce($"n_sampled", lit(0L)).as("n_sampled"))
+      .orderBy($"lang")
+  }
+
+  val stratifiedSampleSql: String =
+    s"""WITH rated AS (
+       |  SELECT lang, doc_id,
+       |    CASE WHEN lang = 'en' THEN 100
+       |         WHEN lang = 'de' THEN 300 ELSE 500 END AS rate_pm,
+       |    ((doc_id * 131071 + n_chars * 8191) % $M) % 1000 AS hv
+       |  FROM documents)
+       |SELECT lang, count(*)::BIGINT AS n_total,
+       |  min(rate_pm)::BIGINT AS rate_pm,
+       |  sum(CASE WHEN hv < rate_pm THEN 1 ELSE 0 END)::BIGINT AS n_sampled
+       |FROM rated GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_stratified" -> stratifiedSample _,
     "sketch_kmv_distinct" -> kmvDistinct _,
     "sketch_kmv_agg" -> kmvAgg _,
     "sketch_hash_sample" -> hashSample _,
@@ -219,6 +256,7 @@ object Sketches {
   )
 
   val oracles: Map[String, String] = Map(
+    "sample_stratified" -> stratifiedSampleSql,
     "sketch_kmv_distinct" -> kmvDistinctSql,
     "sketch_kmv_agg" -> kmvDistinctSql, // same logical result, UDAF plan
     "sketch_hash_sample" -> hashSampleSql,
