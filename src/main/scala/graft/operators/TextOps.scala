@@ -601,10 +601,54 @@ object TextOps {
       |  FROM tf JOIN df ON tf.term = df.term) t
       |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
 
+  /** Sequence packing, concat-and-chunk style: within each source shard,
+    * documents are concatenated in stable doc_id order and cut into
+    * 2048-token bins — each doc's bin is floor(tokens-before-it / 2048),
+    * exactly the pretraining packer's accounting. The running sum windows
+    * per SOURCE (the shard key), so packing parallelizes across shards
+    * instead of serializing on a global order — a global cumsum is the one
+    * window no 1000-executor cluster should ever run.
+    */
+  def packSequences(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val tokens = (length($"text")
+      - length(regexp_replace($"text", lit(" "), lit(""))) + 1).cast("long")
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, dir)
+      .select($"source", $"doc_id", tokens.as("n_tokens"))
+      .withColumn("bin",
+        floor(coalesce(sum($"n_tokens").over(w), lit(0L)) / 2048.0)
+          .cast("long"))
+      .groupBy($"source", $"bin")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("sum_tokens"),
+        min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+      .orderBy($"source", $"bin")
+  }
+
+  val packSequencesSql: String =
+    """WITH toks AS (
+      |  SELECT source, doc_id,
+      |    (length(text) - length(replace(text, ' ', '')) + 1)::BIGINT
+      |      AS n_tokens
+      |  FROM documents),
+      |binned AS (
+      |  SELECT source, doc_id, n_tokens,
+      |    floor(coalesce(sum(n_tokens) OVER (PARTITION BY source
+      |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+      |      AND 1 PRECEDING), 0) / 2048.0)::BIGINT AS bin
+      |  FROM toks)
+      |SELECT source, bin, count(*)::BIGINT AS n_docs,
+      |  sum(n_tokens)::BIGINT AS sum_tokens,
+      |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM binned GROUP BY source, bin ORDER BY source, bin""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> textStats _,
     "text_ngram_topk" -> ngramTopK _,
     "text_tfidf_terms" -> tfidfTopTerms _,
+    "text_pack_sequences" -> packSequences _,
     "text_lang_id" -> langId _,
     "text_fingerprint" -> fingerprint _,
     "text_quality" -> quality _,
@@ -622,6 +666,7 @@ object TextOps {
     "text_stats" -> textStatsSql,
     "text_ngram_topk" -> ngramTopKSql,
     "text_tfidf_terms" -> tfidfTopTermsSql,
+    "text_pack_sequences" -> packSequencesSql,
     "text_lang_id" -> langIdSql,
     "text_fingerprint" -> fingerprintSql,
     "text_quality" -> qualitySql,
