@@ -501,7 +501,10 @@ object TextOps {
     * in few bits. Pure integer arithmetic (floor-div instead of dynamic
     * shifts, which Spark's shiftright can't do with a column shift amount).
     */
-  def simhash(s: SparkSession, dir: String): DataFrame = {
+  /** Unordered (doc_id, simhash) frame shared by the signature query and
+    * the pairs query.
+    */
+  private def simhashRaw(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val h = ((lit(A(0)) * tokenCode($"w") + B(0)) % P).as("h")
     val bits = tokens(s, dir).select($"doc_id", h)
@@ -512,19 +515,69 @@ object TextOps {
     bits.groupBy($"doc_id")
       .agg(sum(when($"vote" > 0,
         pow(lit(2.0), $"b").cast("long")).otherwise(0L)).as("simhash"))
-      .orderBy($"doc_id")
   }
 
-  val simhashSql: String = tokCte +
+  def simhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    simhashRaw(s, dir).orderBy($"doc_id")
+  }
+
+  /** CTE prefix ending in `sh(doc_id, simhash)` — shared by the signature
+    * and pairs oracles.
+    */
+  private val simhashCte: String = tokCte +
     """, hs AS (SELECT doc_id, (1103 * code + 12007) % 2147483647 AS h FROM codes),
       |votes AS (
       |  SELECT doc_id, b,
       |    sum(CASE WHEN floor(h / power(2, b))::BIGINT % 2 = 1
       |             THEN 1 ELSE -1 END) AS vote
-      |  FROM hs CROSS JOIN range(16) t(b) GROUP BY doc_id, b)
-      |SELECT doc_id,
-      |  sum(CASE WHEN vote > 0 THEN power(2, b)::BIGINT ELSE 0 END)::BIGINT AS simhash
-      |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      |  FROM hs CROSS JOIN range(16) t(b) GROUP BY doc_id, b),
+      |sh AS (
+      |  SELECT doc_id,
+      |    sum(CASE WHEN vote > 0 THEN power(2, b)::BIGINT ELSE 0 END)::BIGINT
+      |      AS simhash
+      |  FROM votes GROUP BY doc_id)
+      |""".stripMargin
+
+  val simhashSql: String = simhashCte +
+    "SELECT doc_id, simhash FROM sh ORDER BY doc_id"
+
+  /** SimHash near-duplicate pairs at Hamming distance ≤ 1, found by
+    * pigeonhole banding: split the 16-bit signature into two bytes — a
+    * pair within distance 1 differs in at most one byte, so it MUST agree
+    * exactly on the other. Candidates come from equi-joins on (band,
+    * byte) buckets (the scalable LSH-style shape — never all-pairs), then
+    * the exact Hamming filter keeps true neighbors. The oracle is the
+    * naive all-pairs definition, so the gate also proves the banding loses
+    * nothing. bit_count(xor) is codegen'd in Spark and vectorized in
+    * DuckDB.
+    */
+  def simhashPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val banded = simhashRaw(s, dir).select($"doc_id", $"simhash",
+      explode(array(
+        struct(lit(0).as("band"), ($"simhash" % 256L).as("key")),
+        struct(lit(1).as("band"), shiftright($"simhash", 8).as("key"))))
+        .as("e"))
+      .select($"doc_id", $"simhash", $"e.band", $"e.key")
+    val l = banded.select($"doc_id".as("a"), $"simhash".as("sa"),
+      $"band", $"key")
+    val r = banded.select($"doc_id".as("b"), $"simhash".as("sb"),
+      $"band", $"key")
+    l.join(r, Seq("band", "key")).filter($"a" < $"b")
+      .select($"a", $"b", $"sa", $"sb").distinct()
+      .select($"a", $"b",
+        bit_count($"sa".bitwiseXOR($"sb")).cast("long").as("hamming"))
+      .filter($"hamming" <= 1)
+      .orderBy($"a", $"b")
+  }
+
+  val simhashPairsSql: String = simhashCte +
+    """SELECT a.doc_id AS a, b.doc_id AS b,
+      |  bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+      |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+      |ORDER BY a, b""".stripMargin
 
   /** Top-5 character trigrams per language by frequency — the n-gram
     * statistics pass a language-ID / contamination-analysis pipeline runs
@@ -659,6 +712,7 @@ object TextOps {
     "dedup_shingle_pairs" -> shinglePairs _,
     "dedup_jaccard_pairs" -> jaccardPairs _,
     "dedup_simhash" -> simhash _,
+    "dedup_simhash_pairs" -> simhashPairs _,
     "dedup_clusters" -> dedupClusters _,
   )
 
@@ -677,6 +731,7 @@ object TextOps {
     "dedup_shingle_pairs" -> shinglePairsSql,
     "dedup_jaccard_pairs" -> jaccardPairsSql,
     "dedup_simhash" -> simhashSql,
+    "dedup_simhash_pairs" -> simhashPairsSql,
     "dedup_clusters" -> dedupClustersSql,
   )
 }
