@@ -591,11 +591,14 @@ object TextOps {
     */
   def ngramTopK(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // explode POSITIONS (an int array) and substring at each, rather than
+    // materializing a per-row array of ~len 3-char strings — measurably
+    // less allocation per row on long documents
     val grams = Tables.documents(s, dir)
       .filter(length($"text") >= 3)
-      .select($"lang", explode(expr(
-        "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
-        .as("gram"))
+      .select($"lang", $"text",
+        explode(sequence(lit(1), length($"text") - 2)).as("i"))
+      .select($"lang", expr("substring(text, i, 3)").as("gram"))
       .groupBy($"lang", $"gram").agg(count(lit(1)).as("cnt"))
     graft.plans.GroupedTopK(grams,
       groupCols = Seq("lang"), orderCols = Seq("cnt", "gram"), k = 5)
