@@ -901,6 +901,40 @@ object Relational {
       |WHERE l_shipdate > o_orderdate
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Q36 — value-based window frame (RANGE BETWEEN): per customer, revenue
+    * from orders within ±30 days of each order — peers are selected by
+    * ORDER-BY VALUE distance, not row position, the one frame kind
+    * rowsBetween can't express. floor() to long before summing: a double
+    * sum's value depends on addition order, which no engine pins.
+    * Same scale shape as any window: one exchange on the partition key +
+    * per-partition sort; the frame is a sliding two-pointer over the
+    * sorted run, O(n) per partition.
+    */
+  def q36RangeFrame(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val days = datediff($"o_orderdate", lit("1995-01-01").cast("timestamp"))
+      .cast("long")
+    val w = Window.partitionBy($"o_custkey").orderBy($"days")
+      .rangeBetween(-30, 30)
+    Tables.orders(s, dir)
+      .select($"o_custkey", $"o_orderkey", days.as("days"),
+        floor($"o_totalprice").cast("long").as("price"))
+      .withColumn("nearby_revenue", sum($"price").over(w))
+      .select($"o_custkey", $"o_orderkey", $"days", $"nearby_revenue")
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  val q36Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate)::BIGINT
+      |    AS days,
+      |  sum(floor(o_totalprice)::BIGINT) OVER (
+      |    PARTITION BY o_custkey
+      |    ORDER BY date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate)
+      |    RANGE BETWEEN 30 PRECEDING AND 30 FOLLOWING)::BIGINT
+      |    AS nearby_revenue
+      |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
+
   /** All relational queries + oracles, consumed by SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> q1PricingSummary _,
@@ -936,6 +970,7 @@ object Relational {
     "q33_rank_battery" -> q33RankBattery _,
     "q34_order_priority" -> q34OrderPriority _,
     "q35_late_lines" -> q35LateLines _,
+    "q36_range_frame" -> q36RangeFrame _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -972,5 +1007,6 @@ object Relational {
     "q33_rank_battery" -> q33Sql,
     "q34_order_priority" -> q34Sql,
     "q35_late_lines" -> q35Sql,
+    "q36_range_frame" -> q36Sql,
   )
 }
