@@ -700,8 +700,53 @@ object TextOps {
       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
       |FROM binned GROUP BY source, bin ORDER BY source, bin""".stripMargin
 
+  /** Benchmark decontamination: flag every training document sharing at
+    * least one 3-word shingle with the held-out eval set (source `src0`
+    * stands in for the benchmark). The eval shingle set is DISTINCT'd and
+    * broadcast — eval benchmarks are tiny by definition, so the 100 TB
+    * training side streams through a broadcast semi-join-with-count, no
+    * shuffle of the big side beyond the per-doc aggregate. Reuses the
+    * exact shingle codes of the dedup pipeline, so "contaminated" and
+    * "near-duplicate" agree on what a shingle is.
+    */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val codes = shingleCodes(s, dir)
+    val docs = Tables.documents(s, dir)
+    val evalCodes = codes
+      .join(docs.filter($"source" === "src0").select($"doc_id"), "doc_id")
+      .select($"code").distinct()
+    val train = docs.filter($"source" =!= "src0").select($"doc_id")
+    val hits = codes.join(train, "doc_id")
+      .join(broadcast(evalCodes), "code")
+      // shingle codes are distinct per doc upstream, so plain count IS the
+      // distinct shared-shingle count
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_shared"))
+    train.join(hits, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_shared", lit(0L)).as("n_shared"),
+        when($"n_shared".isNotNull, 1L).otherwise(0L).as("contaminated"))
+      .orderBy($"doc_id")
+  }
+
+  val decontaminateSql: String = shingleCte +
+    """, ec AS (
+      |  SELECT DISTINCT code FROM codes
+      |  JOIN documents USING (doc_id) WHERE source = 'src0'),
+      |train AS (SELECT doc_id FROM documents WHERE source <> 'src0'),
+      |hits AS (
+      |  SELECT c.doc_id, count(*)::BIGINT AS n_shared
+      |  FROM codes c JOIN train t ON c.doc_id = t.doc_id
+      |  JOIN ec ON c.code = ec.code
+      |  GROUP BY c.doc_id)
+      |SELECT t.doc_id, coalesce(h.n_shared, 0)::BIGINT AS n_shared,
+      |  (CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END)::BIGINT AS contaminated
+      |FROM train t LEFT JOIN hits h ON t.doc_id = h.doc_id
+      |ORDER BY t.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> textStats _,
+    "text_decontaminate" -> decontaminate _,
     "text_ngram_topk" -> ngramTopK _,
     "text_tfidf_terms" -> tfidfTopTerms _,
     "text_pack_sequences" -> packSequences _,
@@ -721,6 +766,7 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     "text_stats" -> textStatsSql,
+    "text_decontaminate" -> decontaminateSql,
     "text_ngram_topk" -> ngramTopKSql,
     "text_tfidf_terms" -> tfidfTopTermsSql,
     "text_pack_sequences" -> packSequencesSql,
