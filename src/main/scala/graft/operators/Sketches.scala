@@ -219,19 +219,25 @@ object Sketches {
     * `docs.filter(hv < rate)` directly — this query reports the per-stratum
     * sample-vs-total accounting the pipeline would log.
     */
+  /** The per-language per-mille rate and the deterministic row-hash — the
+    * pipeline's reusable selection predicate is `sampleHash < sampleRate`.
+    */
+  def sampleRate: org.apache.spark.sql.Column =
+    when(col("lang") === "en", 100L)
+      .when(col("lang") === "de", 300L).otherwise(500L)
+
+  def sampleHash: org.apache.spark.sql.Column =
+    ((col("doc_id") * 131071L + col("n_chars") * 8191L) % M) % 1000L
+
   def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val rate = when($"lang" === "en", 100L)
-      .when($"lang" === "de", 300L).otherwise(500L)
-    val hv = (($"doc_id" * 131071L + $"n_chars" * 8191L) % M) % 1000L
-    val docs = Tables.documents(s, dir)
-    val sampled = docs.filter(hv < rate)
-      .groupBy($"lang").agg(count(lit(1)).as("n_sampled"))
-    docs.groupBy($"lang")
-      .agg(count(lit(1)).as("n_total"), first(rate).as("rate_pm"))
-      .join(sampled, Seq("lang"), "left")
-      .select($"lang", $"n_total", $"rate_pm",
-        coalesce($"n_sampled", lit(0L)).as("n_sampled"))
+    // one scan, one shuffle: the sampled count is a conditional aggregate
+    // (the oracle's CASE-WHEN shape), not a second scan + join
+    Tables.documents(s, dir)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_total"), min(sampleRate).as("rate_pm"),
+        sum(when(sampleHash < sampleRate, 1L).otherwise(0L)).as("n_sampled"))
+      .select($"lang", $"n_total", $"rate_pm", $"n_sampled")
       .orderBy($"lang")
   }
 

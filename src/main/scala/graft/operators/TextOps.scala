@@ -340,11 +340,19 @@ object TextOps {
     * Shingle codes fold the three word codes with the modular polynomial;
     * positions come from posexplode + lead(), identical in SQL.
     */
-  private def shingleCodes(s: SparkSession, dir: String): DataFrame = {
+  private def shingleCodes(s: SparkSession, dir: String): DataFrame =
+    shingleCodesOf(Tables.documents(s, dir))
+
+  /** Shingle codes of an arbitrary document frame — lets callers shingle a
+    * pre-filtered subset (e.g. just the eval split) instead of paying a
+    * full-corpus shingling pass and filtering after.
+    */
+  private[operators] def shingleCodesOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy($"doc_id").orderBy($"pos")
-    Tables.documents(s, dir)
+    docs
       .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "w")))
       .select($"doc_id", $"pos", tokenCode($"w").as("c0"))
       .withColumn("c1", lead($"c0", 1).over(w))
@@ -618,14 +626,16 @@ object TextOps {
       |WHERE rn <= 5
       |ORDER BY lang, cnt DESC, gram DESC""".stripMargin
 
-  /** Keyword extraction: top-3 terms per document ranked tf-idf-style with
-    * pure integers — tf DESC (frequent in this doc), df ASC (rare in the
-    * corpus), term ASC. Integer ranks are exactly the ordering
-    * tf·log(N/df) induces for fixed N when ties break the same way, with
-    * zero cross-engine float risk. Shape: explode (no shuffle) → tf agg →
-    * df agg (vocab-sized, broadcast back) → per-doc window. The df frame
-    * is bounded by vocabulary, not corpus, so the join stays broadcast at
-    * any scale.
+  /** Keyword extraction: top-3 terms per document by tf-major ranking —
+    * tf DESC (frequent in this doc), df ASC (rare in the corpus) as the
+    * tie-break, term ASC last. This is a deterministic integer SURROGATE
+    * for tf·idf, not the tf·idf ordering itself (a rarer term with lower
+    * tf can out-score a commoner term under tf·log(N/df); here tf always
+    * wins first) — chosen because it is exactly reproducible across
+    * engines with zero float risk, which real tf·idf's log() is not.
+    * Shape: explode (no shuffle) → tf agg → df agg (vocab-sized,
+    * broadcast back) → per-doc window. The df frame is bounded by
+    * vocabulary, not corpus, so the join stays broadcast at any scale.
     */
   def tfidfTopTerms(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -665,18 +675,29 @@ object TextOps {
     * instead of serializing on a global order — a global cumsum is the one
     * window no 1000-executor cluster should ever run.
     */
-  def packSequences(s: SparkSession, dir: String): DataFrame = {
+  /** Per-document bin assignment over an arbitrary document frame — the
+    * DataFrame-to-DataFrame form pipelines compose with (the query below
+    * is its per-bin accounting at the default 2048-token bin size).
+    * Returns (source, doc_id, n_tokens, bin).
+    */
+  def packSequencesOf(docs: DataFrame, binTokens: Long): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val tokens = (length($"text")
       - length(regexp_replace($"text", lit(" "), lit(""))) + 1).cast("long")
     val w = Window.partitionBy($"source").orderBy($"doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
-    Tables.documents(s, dir)
+    docs
       .select($"source", $"doc_id", tokens.as("n_tokens"))
       .withColumn("bin",
-        floor(coalesce(sum($"n_tokens").over(w), lit(0L)) / 2048.0)
+        floor(coalesce(sum($"n_tokens").over(w), lit(0L)) / binTokens.toDouble)
           .cast("long"))
+  }
+
+  def packSequences(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    packSequencesOf(Tables.documents(s, dir), 2048L)
       .groupBy($"source", $"bin")
       .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("sum_tokens"),
         min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
@@ -702,27 +723,27 @@ object TextOps {
 
   /** Benchmark decontamination: flag every training document sharing at
     * least one 3-word shingle with the held-out eval set (source `src0`
-    * stands in for the benchmark). The eval shingle set is DISTINCT'd and
-    * broadcast — eval benchmarks are tiny by definition, so the 100 TB
-    * training side streams through a broadcast semi-join-with-count, no
-    * shuffle of the big side beyond the per-doc aggregate. Reuses the
+    * stands in for the benchmark). Each split is shingled SEPARATELY —
+    * the eval side shingles only its own tiny slice, never a full-corpus
+    * pass. Shingling the training side costs the per-doc window + distinct
+    * any shingle pipeline pays; after that the contamination probe itself
+    * is a broadcast join against the DISTINCT'd eval shingles (benchmarks
+    * are tiny by definition), so no extra big-side shuffle. Reuses the
     * exact shingle codes of the dedup pipeline, so "contaminated" and
     * "near-duplicate" agree on what a shingle is.
     */
   def decontaminate(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val codes = shingleCodes(s, dir)
     val docs = Tables.documents(s, dir)
-    val evalCodes = codes
-      .join(docs.filter($"source" === "src0").select($"doc_id"), "doc_id")
+    val evalCodes = shingleCodesOf(docs.filter($"source" === "src0"))
       .select($"code").distinct()
-    val train = docs.filter($"source" =!= "src0").select($"doc_id")
-    val hits = codes.join(train, "doc_id")
+    val train = docs.filter($"source" =!= "src0")
+    val hits = shingleCodesOf(train)
       .join(broadcast(evalCodes), "code")
       // shingle codes are distinct per doc upstream, so plain count IS the
       // distinct shared-shingle count
       .groupBy($"doc_id").agg(count(lit(1)).as("n_shared"))
-    train.join(hits, Seq("doc_id"), "left")
+    train.select($"doc_id").join(hits, Seq("doc_id"), "left")
       .select($"doc_id",
         coalesce($"n_shared", lit(0L)).as("n_shared"),
         when($"n_shared".isNotNull, 1L).otherwise(0L).as("contaminated"))

@@ -28,43 +28,42 @@ class PipelineE2ESpec extends SparkSpec {
     val nKept = kept.count()
     assert(nKept > 0 && nKept <= total)
 
-    // stage 2: deterministic per-language downsample of the survivors
-    val rate = when($"lang" === "en", 100L)
-      .when($"lang" === "de", 300L).otherwise(500L)
-    val hv = (($"doc_id" * 131071L + $"n_chars" * 8191L) % 2147483647L) % 1000L
-    val sampled = kept.filter(hv < rate)
+    // stage 2: deterministic per-language downsample of the survivors —
+    // the PRODUCTION predicate (Sketches.sampleHash/sampleRate), so a rate
+    // or modulus change there is exercised here
+    val sampled = kept.filter(Sketches.sampleHash < Sketches.sampleRate)
     val nSampled = sampled.count()
     assert(nSampled > 0 && nSampled < nKept)
     // determinism: the same predicate selects the same rows again
     assert(sampled.select($"doc_id").collect().map(_.getLong(0)).sorted
-      .sameElements(kept.filter(hv < rate).select($"doc_id")
-        .collect().map(_.getLong(0)).sorted))
+      .sameElements(kept.filter(Sketches.sampleHash < Sketches.sampleRate)
+        .select($"doc_id").collect().map(_.getLong(0)).sorted))
 
-    // stage 3: pack the sampled survivors into 512-token bins per source
-    import org.apache.spark.sql.expressions.Window
-    val tokens = (length($"text")
-      - length(regexp_replace($"text", lit(" "), lit(""))) + 1).cast("long")
-    val w = Window.partitionBy($"source").orderBy($"doc_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val packed = sampled
-      .select($"source", $"doc_id", tokens.as("n_tokens"))
-      .withColumn("bin",
-        floor(coalesce(sum($"n_tokens").over(w), lit(0L)) / 512.0).cast("long"))
+    // stage 3: pack the sampled survivors with the PRODUCTION packer
+    val binSize = 512L
+    val packed = TextOps.packSequencesOf(sampled, binSize)
 
     // conservation: every sampled doc lands in exactly one bin
     assert(packed.count() == nSampled)
     assert(packed.select($"doc_id").distinct().count() == nSampled)
-    // bins are dense per source, starting at 0
     val binStats = packed.groupBy($"source")
       .agg(min($"bin").as("lo"), max($"bin").as("hi"),
         countDistinct($"bin").as("n"))
       .collect()
     binStats.foreach { r =>
       assert(r.getLong(1) == 0L, s"${r.getString(0)}: first bin not 0")
+    }
+    // density holds only while every doc fits a bin (floor(cum/bin) skips
+    // bins when one doc spans several) — assert it under its precondition
+    // instead of baking the current corpus's doc lengths into the test
+    val maxTokens = packed.agg(max($"n_tokens")).collect()(0).getLong(0)
+    if (maxTokens <= binSize) binStats.foreach { r =>
       assert(r.getLong(3) == r.getLong(2) + 1,
         s"${r.getString(0)}: bins not dense")
     }
     // token conservation: bin sums add up to the sampled total
+    val tokens = (length($"text")
+      - length(regexp_replace($"text", lit(" "), lit(""))) + 1).cast("long")
     val sumTokens = packed.agg(sum($"n_tokens")).collect()(0).getLong(0)
     val directSum = sampled.select(tokens.as("t"))
       .agg(sum($"t")).collect()(0).getLong(0)
