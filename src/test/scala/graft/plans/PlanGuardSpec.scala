@@ -1,0 +1,43 @@
+package graft.plans
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Plan-quality regression guard over the ENTIRE query surface: no query
+  * may plan a BroadcastNestedLoopJoin or CartesianProduct unless it is on
+  * the explicit whitelist of documented intentional cross joins (each one
+  * joins against a broadcast CONSTANT-sized side, so its cost is linear in
+  * the big side at any scale). A new query that accidentally degrades to
+  * an all-pairs join fails here before it ever reaches a benchmark.
+  */
+class PlanGuardSpec extends SparkSpec {
+
+  /** Queries whose plans legitimately contain a broadcast nested loop —
+    * every one is a cross join against a bounded broadcast side:
+    * the 8-row k-means centroid table (ivf), the fixed query-vector set
+    * (cosine/lsh/neardup probes), or single-row aggregate frames
+    * (kv_scan_count's count×capacity join, the reference scenario's
+    * three-aggregate summary row).
+    */
+  private val intentionalCross = Set(
+    "sim_ivf_assign", "sim_ivf_topk", "sim_cosine_topk", "sim_lsh_topk",
+    "sim_neardup_pairs", "kv_scan_count", "aria_reference_scenario",
+    // 40-row broadcast quarter calendar, interval-containment join
+    "q25_range_join")
+
+  test("no query plans an accidental nested-loop or cartesian join") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan =
+          try fn(spark, sf("sf0.001")).queryExecution.executedPlan.toString
+          catch { case e: Throwable => s"PLANNING FAILED: ${e.getMessage}" }
+        val bad =
+          (plan.contains("BroadcastNestedLoopJoin") ||
+            plan.contains("CartesianProduct")) &&
+            !intentionalCross.contains(name)
+        val failed = plan.startsWith("PLANNING FAILED")
+        if (bad || failed) Some(name -> plan.take(300)) else None
+    }
+    assert(offenders.isEmpty,
+      offenders.map { case (n, p) => s"\n$n: $p" }.mkString)
+  }
+}
