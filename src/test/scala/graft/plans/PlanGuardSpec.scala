@@ -19,8 +19,9 @@ class PlanGuardSpec extends SparkSpec {
     * three-aggregate summary row).
     */
   private val intentionalCross = Set(
-    "sim_ivf_assign", "sim_ivf_topk", "sim_cosine_topk", "sim_lsh_topk",
-    "sim_neardup_pairs", "kv_scan_count", "aria_reference_scenario",
+    "sim_ivf_assign", "sim_ivf_topk", // 8-row broadcast centroid table
+    "sim_cosine_topk", // fixed broadcast query-vector set
+    "kv_scan_count", // single-row aggregate frames joined for the summary
     // 40-row broadcast quarter calendar, interval-containment join
     "q25_range_join")
 
