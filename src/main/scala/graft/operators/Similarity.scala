@@ -456,8 +456,48 @@ object Similarity {
       |  floor(sum(e)::DOUBLE / count(*))::BIGINT AS mean_e
       |FROM ex GROUP BY label, d ORDER BY label, d""".stripMargin
 
+  /** ANN self-evaluation: recall of the hyperplane-LSH top-k against the
+    * exact brute-force top-k, per query vector — the measurement loop any
+    * production ANN deployment runs before trusting the index. Pure
+    * integer output (exact hits over candidate counts; the division is
+    * left to the reader so no float crosses engines). Left join keeps
+    * queries whose LSH bucket returned nothing (recall 0), which is
+    * exactly the failure this query exists to expose.
+    */
+  def lshRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val exact = cosineTopK(s, dir).select($"qid", $"vec_id")
+    val approx = lshTopK(s, dir)
+      .select($"qid".as("aqid"), $"vec_id".as("avid"))
+    val hits = exact.join(approx,
+        $"qid" === $"aqid" && $"vec_id" === $"avid", "left")
+      .groupBy($"qid")
+      .agg(count(lit(1)).as("n_exact"), count($"avid").as("n_hit"))
+    val returned = approx.groupBy($"aqid".as("qid"))
+      .agg(count(lit(1)).as("n_returned"))
+    hits.join(returned, Seq("qid"), "left")
+      .select($"qid", $"n_exact", $"n_hit",
+        coalesce($"n_returned", lit(0L)).as("n_returned"))
+      .orderBy($"qid")
+  }
+
+  val lshRecallSql: String =
+    s"""WITH e AS ($cosineTopKSql),
+       |a AS ($lshTopKSql),
+       |hits AS (
+       |  SELECT e.qid, count(*)::BIGINT AS n_exact,
+       |    count(a.vec_id)::BIGINT AS n_hit
+       |  FROM e LEFT JOIN a ON e.qid = a.qid AND e.vec_id = a.vec_id
+       |  GROUP BY e.qid),
+       |ret AS (SELECT qid, count(*)::BIGINT AS n_returned FROM a GROUP BY qid)
+       |SELECT h.qid, h.n_exact, h.n_hit,
+       |  coalesce(r.n_returned, 0)::BIGINT AS n_returned
+       |FROM hits h LEFT JOIN ret r ON h.qid = r.qid
+       |ORDER BY h.qid""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_cosine_topk" -> cosineTopK _,
+    "sim_lsh_recall" -> lshRecall _,
     "sim_label_centroids" -> labelCentroids _,
     "sim_neardup_pairs" -> nearDupPairs _,
     "sim_lsh_buckets" -> lshBuckets _,
@@ -468,6 +508,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "sim_cosine_topk" -> cosineTopKSql,
+    "sim_lsh_recall" -> lshRecallSql,
     "sim_label_centroids" -> labelCentroidsSql,
     "sim_neardup_pairs" -> nearDupPairsSql,
     "sim_lsh_buckets" -> lshBucketsSql,
