@@ -21,6 +21,7 @@ class PlanGuardSpec extends SparkSpec {
   private val intentionalCross = Set(
     "sim_ivf_assign", "sim_ivf_topk", // 8-row broadcast centroid table
     "sim_cosine_topk", // fixed broadcast query-vector set
+    "sim_lsh_recall", // composes cosine_topk + lsh_topk, inherits theirs
     "kv_scan_count", // single-row aggregate frames joined for the summary
     // 40-row broadcast quarter calendar, interval-containment join
     "q25_range_join")
