@@ -240,11 +240,93 @@ object Multimodal {
       |WHERE frame_idx % 4 = 0 AND cnt = 8
       |ORDER BY media_id, frame_idx""".stripMargin
 
+  /** STUB perceptual hash: bit b is set iff channel b's mean exceeds the
+    * overall byte mean — the aHash recipe over the stub decoder's channel
+    * sums. The comparison is CROSS-MULTIPLIED (sum_b · total_count >
+    * total_sum · count_b) so the hash is pure int64 arithmetic: no
+    * division, no float, bit-identical in any engine. A real pHash swaps
+    * the channel sums for DCT coefficients; the bucketing downstream is
+    * unchanged.
+    */
+  def stubPHash(payload: Array[Byte]): Long = {
+    val sums = new Array[Long](8)
+    val counts = new Array[Long](8)
+    var i = 0
+    while (i < payload.length) {
+      val b = i % 8
+      sums(b) += (payload(i) & 0xff).toLong
+      counts(b) += 1
+      i += 1
+    }
+    var totalSum = 0L
+    var totalCnt = 0L
+    var j = 0
+    while (j < 8) { totalSum += sums(j); totalCnt += counts(j); j += 1 }
+    var h = 0L
+    j = 0
+    while (j < 8) {
+      if (sums(j) * totalCnt > totalSum * counts(j)) h |= (1L << j)
+      j += 1
+    }
+    h
+  }
+
+  private val phashSchema = StructType(Seq(
+    StructField("media_id", LongType), StructField("phash", LongType)))
+
+  /** Media near-duplicate grouping by perceptual hash: each media's phash
+    * plus how many media share it — the multimodal counterpart of the text
+    * dedup pipeline (identical-phash buckets are the dedup candidates).
+    * The bucket-size frame has at most 256 rows (an 8-bit hash), so its
+    * join back is a broadcast at any corpus size.
+    */
+  def mediaPHash(s: SparkSession, dir: String): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(phashSchema)
+    val ph = mediaTable(s, dir)
+      .select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          Row(r.getAs[Long]("media_id"),
+            stubPHash(r.getAs[Array[Byte]]("payload")))
+        }
+      }(enc)
+    val sizes = ph.groupBy(col("phash"))
+      .agg(count(lit(1)).as("n_same"))
+    ph.join(broadcast(sizes), "phash")
+      .select(col("media_id"), col("phash"), col("n_same"))
+      .orderBy(col("media_id"))
+  }
+
+  val mediaPHashSql: String =
+    """WITH cs AS (
+      |  SELECT doc_id, [ascii(c)::BIGINT FOR c IN string_split(text, '')] AS codes
+      |  FROM documents),
+      |ch AS (
+      |  SELECT doc_id, unnest(codes) AS code,
+      |         generate_subscripts(codes, 1) - 1 AS i FROM cs),
+      |fm AS (
+      |  SELECT doc_id, i % 8 AS b, sum(code)::BIGINT AS sm,
+      |         count(*)::BIGINT AS cnt
+      |  FROM ch GROUP BY 1, 2),
+      |tot AS (SELECT doc_id, sum(sm)::BIGINT AS ts, sum(cnt)::BIGINT AS tc
+      |        FROM fm GROUP BY 1),
+      |ph AS (
+      |  SELECT f.doc_id,
+      |    sum(CASE WHEN f.sm * t.tc > t.ts * f.cnt
+      |        THEN (1::BIGINT << f.b) ELSE 0 END)::BIGINT AS phash
+      |  FROM fm f JOIN tot t ON f.doc_id = t.doc_id GROUP BY f.doc_id),
+      |sz AS (SELECT phash, count(*)::BIGINT AS n_same FROM ph GROUP BY 1)
+      |SELECT ph.doc_id AS media_id, ph.phash, sz.n_same
+      |FROM ph JOIN sz ON ph.phash = sz.phash
+      |ORDER BY media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_media_meta" -> mediaMeta _,
     "mm_media_features" -> mediaFeatures _,
     "mm_media_resize" -> mediaResize _,
     "mm_frame_sample" -> frameSample _,
+    "mm_phash" -> mediaPHash _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -252,5 +334,6 @@ object Multimodal {
     "mm_media_features" -> mediaFeaturesSql,
     "mm_media_resize" -> mediaResizeSql,
     "mm_frame_sample" -> frameSampleSql,
+    "mm_phash" -> mediaPHashSql,
   )
 }
