@@ -168,6 +168,58 @@ object EventStreams {
       }
   }
 
+  /** Incremental funnel: per-user state machine over the event stream,
+    * re-emitting the user's CURRENT funnel stage (0 none, 1 view, 2 click
+    * after first view, 3 purchase after that click) on every micro-batch
+    * that touches the user — the streaming form of
+    * [[graft.operators.Events.funnel]]'s strict ordered semantics. State
+    * keeps each user's raw stage timestamps so out-of-order arrival across
+    * micro-batches converges to EXACTLY the batch answer (an
+    * earlier-than-known view arriving late can re-validate an old click;
+    * recomputing from the kept timestamps handles it; emissions carry a
+    * seq so readers take each user's latest). At production scale the
+    * per-user lists would be finalized and pruned at the watermark; kept
+    * whole here to make streaming ≡ batch exact, which is what the test
+    * pins.
+    */
+  case class FunnelState(views: List[Long], clicks: List[Long],
+      purchases: List[Long], seq: Long)
+  case class FunnelStage(user_id: Long, stage: Int, seq: Long)
+
+  def funnelStages(events: DataFrame)
+      : org.apache.spark.sql.Dataset[FunnelStage] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    events
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")))
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[FunnelState, FunnelStage](
+        GroupStateTimeout.NoTimeout) { (uid, it, state) =>
+        val prev = state.getOption
+          .getOrElse(FunnelState(Nil, Nil, Nil, 0L))
+        var v = prev.views
+        var c = prev.clicks
+        var p = prev.purchases
+        it.foreach {
+          case (_, "view", ts) => v ::= ts
+          case (_, "click", ts) => c ::= ts
+          case (_, "purchase", ts) => p ::= ts
+          case _ => ()
+        }
+        val next = FunnelState(v, c, p, prev.seq + 1)
+        state.update(next)
+        val tv = v.minOption
+        val tc = tv.flatMap(t0 => c.filter(_ > t0).minOption)
+        val tp = tc.flatMap(t1 => p.filter(_ > t1).minOption)
+        val stage =
+          if (tp.isDefined) 3 else if (tc.isDefined) 2
+          else if (tv.isDefined) 1 else 0
+        FunnelStage(uid, stage, next.seq)
+      }
+  }
+
   /** Wire an aggregated stream into a KvSink in update mode. */
   def toKvSink(agg: DataFrame, sink: KvSink): DataStreamWriter[org.apache.spark.sql.Row] =
     agg.writeStream

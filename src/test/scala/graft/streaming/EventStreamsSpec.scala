@@ -236,6 +236,30 @@ class EventStreamsSpec extends SparkSpec {
     assert(got.length == want)
   }
 
+  test("incremental funnel converges to the batch funnel across micro-batches") {
+    val schema = spark.read.parquet(stagingDir).schema
+    val stream = EventStreams.readEvents(spark, stagingDir, schema)
+    val q = EventStreams.funnelStages(stream)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("funnel_out").start()
+    q.processAllAvailable(); q.stop()
+    // latest emission per user = that user's final stage
+    import org.apache.spark.sql.expressions.Window
+    val finalStages = spark.table("funnel_out")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id")).orderBy(col("seq").desc)))
+      .filter(col("rn") === 1)
+      .groupBy(col("stage")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    def atLeast(s: Int) =
+      finalStages.filter { case (st, _) => st >= s }.values.sum
+    val batch = graft.operators.Events.funnel(spark, sf("sf0.001"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(atLeast(1) == batch("1_view"))
+    assert(atLeast(2) == batch("2_click"))
+    assert(atLeast(3) == batch("3_purchase"))
+  }
+
   test("replay of a retained-away batch is skipped, never re-merged") {
     import java.nio.file.Files
     import graft.sources.VersionedTable
