@@ -65,19 +65,29 @@ object Multimodal {
     * implementation would decode `payload` and pool actual channels; the
     * signature (bytes → fixed-width float vector) is the real contract.
     */
-  def stubDecode(payload: Array[Byte]): Array[Double] = {
-    val feats = new Array[Double](8)
-    val counts = new Array[Int](8)
+  /** Per-channel byte sums and counts (channel = position mod 8) — the one
+    * accumulation loop behind both the stub decoder and the perceptual
+    * hash, so a channel-count or corpus-handling change lands in one place.
+    */
+  private def channelSums(payload: Array[Byte]): (Array[Long], Array[Long]) = {
+    val sums = new Array[Long](8)
+    val counts = new Array[Long](8)
     var i = 0
     while (i < payload.length) {
       val b = i % 8
-      feats(b) += (payload(i) & 0xff).toDouble
+      sums(b) += (payload(i) & 0xff).toLong
       counts(b) += 1
       i += 1
     }
+    (sums, counts)
+  }
+
+  def stubDecode(payload: Array[Byte]): Array[Double] = {
+    val (sums, counts) = channelSums(payload)
+    val feats = new Array[Double](8)
     var j = 0
     while (j < 8) {
-      if (counts(j) > 0) feats(j) = feats(j) / counts(j)
+      if (counts(j) > 0) feats(j) = sums(j).toDouble / counts(j)
       j += 1
     }
     feats
@@ -115,6 +125,18 @@ object Multimodal {
   /** Oracle for the stub decode: byte b at 0-based position i contributes to
     * channel i % 8; the corpus is ASCII so ascii(char) == byte value.
     */
+  /** Shared oracle prefix: per-doc byte codes exploded with 0-based
+    * positions, ending in `ch(doc_id, code, i)` — one copy for the three
+    * byte-level oracles (features, frame-sample, phash).
+    */
+  private val channelCte: String =
+    """WITH cs AS (
+      |  SELECT doc_id, [ascii(c)::BIGINT FOR c IN string_split(text, '')] AS codes
+      |  FROM documents),
+      |ch AS (
+      |  SELECT doc_id, unnest(codes) AS code,
+      |         generate_subscripts(codes, 1) - 1 AS i FROM cs)""".stripMargin
+
   val mediaFeaturesSql: String = {
     // coalesce(…, 0.0) + LEFT JOIN: a channel with no bytes (text shorter
     // than 8 chars) is 0.0 in stubDecode, and a row must survive even for
@@ -123,12 +145,7 @@ object Multimodal {
     val fs = (0 until 8).map(b =>
       s"  coalesce(max(CASE WHEN b = $b THEN sm::DOUBLE / cnt END), 0.0) AS f$b")
       .mkString(",\n")
-    s"""WITH cs AS (
-       |  SELECT doc_id, [ascii(c)::BIGINT FOR c IN string_split(text, '')] AS codes
-       |  FROM documents),
-       |ch AS (
-       |  SELECT doc_id, unnest(codes) AS code,
-       |         generate_subscripts(codes, 1) - 1 AS i FROM cs),
+    s"""$channelCte,
        |fm AS (
        |  SELECT doc_id, i % 8 AS b, sum(code)::BIGINT AS sm,
        |         count(*)::BIGINT AS cnt
@@ -225,12 +242,7 @@ object Multimodal {
   }
 
   val frameSampleSql: String =
-    """WITH cs AS (
-      |  SELECT doc_id, [ascii(c)::BIGINT FOR c IN string_split(text, '')] AS codes
-      |  FROM documents),
-      |ch AS (
-      |  SELECT doc_id, unnest(codes) AS code,
-      |         generate_subscripts(codes, 1) - 1 AS i FROM cs),
+    s"""$channelCte,
       |frames AS (
       |  SELECT doc_id, (i // 8)::INT AS frame_idx,
       |         sum(code)::BIGINT AS s, count(*)::BIGINT AS cnt
@@ -249,23 +261,23 @@ object Multimodal {
     * unchanged.
     */
   def stubPHash(payload: Array[Byte]): Long = {
-    val sums = new Array[Long](8)
-    val counts = new Array[Long](8)
-    var i = 0
-    while (i < payload.length) {
-      val b = i % 8
-      sums(b) += (payload(i) & 0xff).toLong
-      counts(b) += 1
-      i += 1
-    }
+    val (sums, counts) = channelSums(payload)
     var totalSum = 0L
     var totalCnt = 0L
     var j = 0
     while (j < 8) { totalSum += sums(j); totalCnt += counts(j); j += 1 }
+    // a·d > c·b without int64 overflow: the fast path covers payloads to
+    // ~8 MB of 0xff (every factor < 2^31 → products < 2^62); beyond that
+    // fall back to BigInt rather than silently wrapping (the oracle side
+    // multiplies in HUGEINT for the same reason)
+    def gtFrac(a: Long, b: Long, c: Long, d: Long): Boolean =
+      if (a < (1L << 31) && b < (1L << 31) && c < (1L << 31) && d < (1L << 31))
+        a * b > c * d
+      else BigInt(a) * BigInt(b) > BigInt(c) * BigInt(d)
     var h = 0L
     j = 0
     while (j < 8) {
-      if (sums(j) * totalCnt > totalSum * counts(j)) h |= (1L << j)
+      if (gtFrac(sums(j), totalCnt, totalSum, counts(j))) h |= (1L << j)
       j += 1
     }
     h
@@ -291,6 +303,9 @@ object Multimodal {
             stubPHash(r.getAs[Array[Byte]]("payload")))
         }
       }(enc)
+      // ph feeds both the bucket-size aggregate and the join back — one
+      // decode pass, not two
+      .localCheckpoint()
     val sizes = ph.groupBy(col("phash"))
       .agg(count(lit(1)).as("n_same"))
     ph.join(broadcast(sizes), "phash")
@@ -299,12 +314,11 @@ object Multimodal {
   }
 
   val mediaPHashSql: String =
-    """WITH cs AS (
-      |  SELECT doc_id, [ascii(c)::BIGINT FOR c IN string_split(text, '')] AS codes
-      |  FROM documents),
-      |ch AS (
-      |  SELECT doc_id, unnest(codes) AS code,
-      |         generate_subscripts(codes, 1) - 1 AS i FROM cs),
+    // documents LEFT JOIN + coalesce: an empty text yields phash 0 in
+    // stubPHash, and its row must survive here too (the rule
+    // mediaFeaturesSql establishes); HUGEINT multiply mirrors the Scala
+    // side's BigInt fallback instead of overflowing BIGINT
+    s"""$channelCte,
       |fm AS (
       |  SELECT doc_id, i % 8 AS b, sum(code)::BIGINT AS sm,
       |         count(*)::BIGINT AS cnt
@@ -313,12 +327,15 @@ object Multimodal {
       |        FROM fm GROUP BY 1),
       |ph AS (
       |  SELECT f.doc_id,
-      |    sum(CASE WHEN f.sm * t.tc > t.ts * f.cnt
+      |    sum(CASE WHEN f.sm::HUGEINT * t.tc > t.ts::HUGEINT * f.cnt
       |        THEN (1::BIGINT << f.b) ELSE 0 END)::BIGINT AS phash
       |  FROM fm f JOIN tot t ON f.doc_id = t.doc_id GROUP BY f.doc_id),
-      |sz AS (SELECT phash, count(*)::BIGINT AS n_same FROM ph GROUP BY 1)
-      |SELECT ph.doc_id AS media_id, ph.phash, sz.n_same
-      |FROM ph JOIN sz ON ph.phash = sz.phash
+      |phall AS (
+      |  SELECT d.doc_id, coalesce(ph.phash, 0)::BIGINT AS phash
+      |  FROM documents d LEFT JOIN ph ON d.doc_id = ph.doc_id),
+      |sz AS (SELECT phash, count(*)::BIGINT AS n_same FROM phall GROUP BY 1)
+      |SELECT phall.doc_id AS media_id, phall.phash, sz.n_same
+      |FROM phall JOIN sz ON phall.phash = sz.phash
       |ORDER BY media_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

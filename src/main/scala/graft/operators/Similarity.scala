@@ -456,18 +456,24 @@ object Similarity {
       |  floor(sum(e)::DOUBLE / count(*))::BIGINT AS mean_e
       |FROM ex GROUP BY label, d ORDER BY label, d""".stripMargin
 
-  /** ANN self-evaluation: recall of the hyperplane-LSH top-k against the
-    * exact brute-force top-k, per query vector — the measurement loop any
-    * production ANN deployment runs before trusting the index. Pure
-    * integer output (exact hits over candidate counts; the division is
-    * left to the reader so no float crosses engines). Left join keeps
-    * queries whose LSH bucket returned nothing (recall 0), which is
-    * exactly the failure this query exists to expose.
+  /** ANN self-evaluation: recall@3 of the hyperplane-LSH top-3 against the
+    * exact brute-force top-3, per query vector — the measurement loop any
+    * production ANN deployment runs before trusting the index. Both sides
+    * are truncated to the SAME k (the exact query returns top-5; comparing
+    * against approx's top-3 untruncated would cap "recall" at 3/5 and make
+    * a perfect index read as 0.6). Pure integer output (exact hits over
+    * candidate counts; the division is left to the reader so no float
+    * crosses engines). Left join keeps queries whose LSH bucket returned
+    * nothing (recall 0), which is exactly the failure this query exists to
+    * expose.
     */
   def lshRecall(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val exact = cosineTopK(s, dir).select($"qid", $"vec_id")
+    val exact = cosineTopK(s, dir).filter($"rn" <= 3).select($"qid", $"vec_id")
     val approx = lshTopK(s, dir)
+      // one pass: the approx subtree feeds both the hits join and the
+      // returned-count aggregate below
+      .localCheckpoint()
       .select($"qid".as("aqid"), $"vec_id".as("avid"))
     val hits = exact.join(approx,
         $"qid" === $"aqid" && $"vec_id" === $"avid", "left")
@@ -482,7 +488,8 @@ object Similarity {
   }
 
   val lshRecallSql: String =
-    s"""WITH e AS ($cosineTopKSql),
+    s"""WITH e0 AS ($cosineTopKSql),
+       |e AS (SELECT * FROM e0 WHERE rn <= 3),
        |a AS ($lshTopKSql),
        |hits AS (
        |  SELECT e.qid, count(*)::BIGINT AS n_exact,

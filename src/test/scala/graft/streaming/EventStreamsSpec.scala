@@ -236,7 +236,7 @@ class EventStreamsSpec extends SparkSpec {
     assert(got.length == want)
   }
 
-  test("incremental funnel converges to the batch funnel across micro-batches") {
+  test("incremental funnel converges to the batch funnel PER USER across micro-batches") {
     val schema = spark.read.parquet(stagingDir).schema
     val stream = EventStreams.readEvents(spark, stagingDir, schema)
     val q = EventStreams.funnelStages(stream)
@@ -245,19 +245,67 @@ class EventStreamsSpec extends SparkSpec {
     q.processAllAvailable(); q.stop()
     // latest emission per user = that user's final stage
     import org.apache.spark.sql.expressions.Window
-    val finalStages = spark.table("funnel_out")
+    val got = spark.table("funnel_out")
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("user_id")).orderBy(col("seq").desc)))
       .filter(col("rn") === 1)
-      .groupBy(col("stage")).count()
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    def atLeast(s: Int) =
-      finalStages.filter { case (st, _) => st >= s }.values.sum
-    val batch = graft.operators.Events.funnel(spark, sf("sf0.001"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(atLeast(1) == batch("1_view"))
-    assert(atLeast(2) == batch("2_click"))
-    assert(atLeast(3) == batch("3_purchase"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // per-user batch recomputation (aggregate compares would let
+    // compensating per-user errors cancel)
+    val ev = spark.read.parquet(stagingDir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("tv"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("ts") > col("tv"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("tc"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("ts") > col("tc"))
+      .select(col("user_id")).distinct()
+    val s3 = p.collect().map(_.getLong(0)).toSet
+    val s2 = c.select(col("user_id")).collect().map(_.getLong(0)).toSet
+    val s1 = v.select(col("user_id")).collect().map(_.getLong(0)).toSet
+    val want = ev.select(col("user_id")).distinct().collect()
+      .map(_.getLong(0)).map { u =>
+        u -> (if (s3(u)) 3 else if (s2(u)) 2 else if (s1(u)) 1 else 0)
+      }.toMap
+    assert(got.filter(_._2 > 0) == want.filter(_._2 > 0),
+      s"diff: ${(got.toSet diff want.toSet).take(5)}")
+  }
+
+  test("funnel handles an out-of-order late view that re-validates an earlier click") {
+    import java.nio.file.{Files => JFiles}
+    import java.nio.file.attribute.FileTime
+    import spark.implicits._
+    // user 7's click arrives in micro-batch 1, but the view that PRECEDES
+    // it (event-time) only arrives in micro-batch 2 — the state machine
+    // must re-validate the click and land on stage 2
+    val dir = JFiles.createTempDirectory("graft-ooo").toFile.getAbsolutePath
+    def write(name: String, rows: Seq[(Long, java.sql.Timestamp, Long, String, Double, String)],
+        mtime: Long): Unit = {
+      val f = s"$dir/$name"
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(f)
+      JFiles.walk(java.nio.file.Paths.get(f)).forEach(p =>
+        JFiles.setLastModifiedTime(p, FileTime.fromMillis(mtime)))
+    }
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    write("b1", Seq((1L, t(30), 7L, "click", 1.0, "{}")), 1000000L)
+    write("b2", Seq((2L, t(10), 7L, "view", 1.0, "{}")), 2000000L)
+    val schema = spark.read.parquet(s"$dir/b1").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/*")
+    val q = EventStreams.funnelStages(stream)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("funnel_ooo").start()
+    q.processAllAvailable(); q.stop()
+    import org.apache.spark.sql.expressions.Window
+    val fin = spark.table("funnel_ooo")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id")).orderBy(col("seq").desc)))
+      .filter(col("rn") === 1)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(fin(7L) == 2, s"late view must re-validate the click: $fin")
   }
 
   test("replay of a retained-away batch is skipped, never re-merged") {
