@@ -47,19 +47,36 @@ object Bench {
     // as the fastest query in the round — call it out where humans look.
     if (failed.nonEmpty)
       System.err.println(s"[bench] FAILED queries (times are time-to-throw): ${failed.mkString(", ")}")
-    // The driver parses this line out of a bounded stdout tail (~2 KB):
-    // BENCH_r01/r02 recorded `"parsed": null` because full-precision doubles
-    // pushed the line past the tail window. 3 decimals (1 ms) keeps all ~75
-    // queries under the window with room for sbt's trailing [success] line.
+    // The driver parses its JSON out of the LAST 2000 chars of stdout
+    // (BENCH_r01..r04 all record the tail at exactly 2000 chars with the
+    // line's head cut off and `"parsed": null`). A single line carrying all
+    // ~95 per-query times cannot fit that window, so emit TWO lines:
+    //  1. the full per-query line (for humans / local tooling; its head will
+    //     be truncated out of the driver's tail), then
+    //  2. a compact final line, budgeted to fit the tail window with room
+    //     for sbt's trailing `[success] Total time: ...` line, carrying the
+    //     authoritative total and the slowest queries that fit. `nq` is the
+    //     true query count and `qsum` the sum over ALL queries (== value),
+    //     so the partial `queries` map can't be mistaken for the whole run.
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
-      .mkString("{", ",", "}")
+    def kv(p: (String, Double)): String = "\"" + p._1 + "\":" + f3(p._2)
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // the driver reads stdout, not stderr — a failed query must be visible
     // in the parsed JSON itself (its "time" is just time-to-throw)
     val failedJson = if (failed.isEmpty) ""
       else s""","failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","iters":$iters$failedJson}""")
+    val fullQs = results.map(kv).mkString("{", ",", "}")
+    println(s"""{"metric":"total_full","value":${f3(total)},"unit":"sec","queries":$fullQs,"sf":"$sfDir","iters":$iters$failedJson}""")
+    val head = s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","iters":$iters,"nq":${results.size},"qsum":${f3(total)}$failedJson,"queries":{"""
+    val tail = "}}"
+    val budget = 1500 - head.length - tail.length
+    val slowestFirst = results.sortBy(-_._2).map(kv)
+    val kept = scala.collection.mutable.ArrayBuffer.empty[String]
+    var used = 0
+    slowestFirst.foreach { s =>
+      if (used + s.length + 1 <= budget) { kept += s; used += s.length + 1 }
+    }
+    println(head + kept.mkString(",") + tail)
     spark.stop()
   }
 }
