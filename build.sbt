@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify driver parses JSON out of the forked run's stdout tail;
+// sbt's default logger decorates every forked stdout line with "[info] ",
+// which broke that parse for five rounds (BENCH_r01..r05 "parsed": null).
+// StdoutOutput passes the child's stdout through bare.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -67,9 +67,17 @@ object Bench {
       else s""","failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
     val fullQs = results.map(kv).mkString("{", ",", "}")
     println(s"""{"metric":"total_full","value":${f3(total)},"unit":"sec","queries":$fullQs,"sf":"$sfDir","iters":$iters$failedJson}""")
-    val head = s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","iters":$iters,"nq":${results.size},"qsum":${f3(total)}$failedJson,"queries":{"""
+    // The compact line must keep a bounded head: an unbounded failed list
+    // could itself overflow the tail window, so it carries a count plus at
+    // most 5 names; the total_full line above keeps the complete list.
+    val failedCompact = if (failed.isEmpty) ""
+      else s""","failed_n":${failed.size},"failed":${failed.take(5).map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+    val head = s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","iters":$iters,"nq":${results.size},"qsum":${f3(total)}$failedCompact,"queries":{"""
     val tail = "}}"
     val budget = 1500 - head.length - tail.length
+    // Slowest-first greedy fill: entries are offered in descending time and
+    // kept if they fit, so a long-named slow query may be skipped in favor
+    // of later shorter ones — maximizes entries shown, not a strict prefix.
     val slowestFirst = results.sortBy(-_._2).map(kv)
     val kept = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = 0
