@@ -292,10 +292,14 @@ object Multimodal {
     * The bucket-size frame has at most 256 rows (an 8-bit hash), so its
     * join back is a broadcast at any corpus size.
     */
-  def mediaPHash(s: SparkSession, dir: String): DataFrame = {
+  /** (media_id, phash) frame shared by the bucket query and the near-dup
+    * pairs query — one decode pass, localCheckpointed because every
+    * consumer fans it into ≥2 plan branches.
+    */
+  private def phFrame(s: SparkSession, dir: String): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(phashSchema)
-    val ph = mediaTable(s, dir)
+    mediaTable(s, dir)
       .select(col("media_id"), col("payload"))
       .mapPartitions { rows =>
         rows.map { r =>
@@ -303,9 +307,11 @@ object Multimodal {
             stubPHash(r.getAs[Array[Byte]]("payload")))
         }
       }(enc)
-      // ph feeds both the bucket-size aggregate and the join back — one
-      // decode pass, not two
       .localCheckpoint()
+  }
+
+  def mediaPHash(s: SparkSession, dir: String): DataFrame = {
+    val ph = phFrame(s, dir)
     val sizes = ph.groupBy(col("phash"))
       .agg(count(lit(1)).as("n_same"))
     ph.join(broadcast(sizes), "phash")
@@ -338,12 +344,81 @@ object Multimodal {
       |FROM phall JOIN sz ON phall.phash = sz.phash
       |ORDER BY media_id""".stripMargin
 
+  /** Near-duplicate media pairs at Hamming distance 1..2 over the
+    * perceptual hash (distance-0 — identical hashes — is already
+    * [[mediaPHash]]'s `n_same` bucket). Candidates come from pigeonhole
+    * banding — the same argument as the text SimHash pairs: a pair within
+    * Hamming ≤ 2 differs in at most 2 of 3 bands, so it MUST agree on one;
+    * equi-join on (band, bits), then the exact `bit_count(xor)` filter.
+    *
+    * Scale shape: the banding self-join runs over the DISTINCT-hash table
+    * (≤ 256 rows for the 8-bit stub hash — constant in corpus size), and
+    * doc pairs materialize only per matching hash pair via two equi-joins
+    * back; the output volume is the answer's own size, never an
+    * intermediate. With a real 64-bit pHash the identical banding applies
+    * directly on doc signatures (as in the text `dedup_simhash_pairs`,
+    * k+1 bands for Hamming ≤ k); only the band arithmetic widens.
+    *
+    * The oracle is the naive all-pairs definition over doc ids, so the
+    * gate also proves the banding loses no pair.
+    */
+  def mediaPHashPairs(s: SparkSession, dir: String): DataFrame = {
+    val ph = phFrame(s, dir)
+    // 8 bits → 3 bands (3+3+2): Hamming ≤ 2 ⇒ some band identical
+    val distinctH = ph.select(col("phash")).distinct()
+    val banded = distinctH.select(col("phash"), explode(array(
+        struct(lit(0).as("band"), (col("phash") % 8).as("key")),
+        struct(lit(1).as("band"), (shiftright(col("phash"), 3) % 8).as("key")),
+        struct(lit(2).as("band"), shiftright(col("phash"), 6).as("key"))))
+        .as("e"))
+      .select(col("phash"), col("e.band"), col("e.key"))
+    val hl = banded.select(col("phash").as("ha"), col("band"), col("key"))
+    val hr = banded.select(col("phash").as("hb"), col("band"), col("key"))
+    val hashPairs = hl.join(hr, Seq("band", "key"))
+      .filter(col("ha") < col("hb"))          // ha < hb also rules out d=0
+      .select(col("ha"), col("hb")).distinct()
+      .withColumn("hamming",
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+      .filter(col("hamming") <= 2)
+    val a = ph.select(col("media_id").as("ida"), col("phash").as("ha"))
+    val b = ph.select(col("media_id").as("idb"), col("phash").as("hb"))
+    a.join(broadcast(hashPairs), "ha").join(b, "hb")
+      .select(least(col("ida"), col("idb")).as("a"),
+        greatest(col("ida"), col("idb")).as("b"), col("hamming"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  val mediaPHashPairsSql: String =
+    // naive all-pairs over doc ids — the losslessness oracle for the
+    // banded plan; phall (incl. the empty-text phash-0 rows) as in mm_phash
+    s"""$channelCte,
+      |fm AS (
+      |  SELECT doc_id, i % 8 AS b, sum(code)::BIGINT AS sm,
+      |         count(*)::BIGINT AS cnt
+      |  FROM ch GROUP BY 1, 2),
+      |tot AS (SELECT doc_id, sum(sm)::BIGINT AS ts, sum(cnt)::BIGINT AS tc
+      |        FROM fm GROUP BY 1),
+      |ph AS (
+      |  SELECT f.doc_id,
+      |    sum(CASE WHEN f.sm::HUGEINT * t.tc > t.ts::HUGEINT * f.cnt
+      |        THEN (1::BIGINT << f.b) ELSE 0 END)::BIGINT AS phash
+      |  FROM fm f JOIN tot t ON f.doc_id = t.doc_id GROUP BY f.doc_id),
+      |phall AS (
+      |  SELECT d.doc_id, coalesce(ph.phash, 0)::BIGINT AS phash
+      |  FROM documents d LEFT JOIN ph ON d.doc_id = ph.doc_id)
+      |SELECT x.doc_id AS a, y.doc_id AS b,
+      |  bit_count(xor(x.phash, y.phash))::BIGINT AS hamming
+      |FROM phall x JOIN phall y ON x.doc_id < y.doc_id
+      |WHERE bit_count(xor(x.phash, y.phash)) BETWEEN 1 AND 2
+      |ORDER BY a, b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_media_meta" -> mediaMeta _,
     "mm_media_features" -> mediaFeatures _,
     "mm_media_resize" -> mediaResize _,
     "mm_frame_sample" -> frameSample _,
     "mm_phash" -> mediaPHash _,
+    "mm_phash_pairs" -> mediaPHashPairs _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -352,5 +427,6 @@ object Multimodal {
     "mm_media_resize" -> mediaResizeSql,
     "mm_frame_sample" -> frameSampleSql,
     "mm_phash" -> mediaPHashSql,
+    "mm_phash_pairs" -> mediaPHashPairsSql,
   )
 }

@@ -15,13 +15,18 @@ import graft.functions.{KMinValues, LongArrayDot, LongArrayNorm2}
   * `--conf spark.sql.extensions=graft.plans.GraftExtensions` (the config
   * route works on a cluster where the session is built by spark-submit).
   *
-  * No optimizer rules or planner strategies are injected: SURVEY.md §4
-  * concluded Catalyst already provides every rewrite the engine needs —
-  * the extension surface is expressions plus one typed imperative
-  * aggregate ([[graft.functions.KMinValues]], the KMV sketch UDAF).
+  * Besides the function surface (codegen'd vector kernels plus the
+  * [[graft.functions.KMinValues]] KMV sketch UDAF), one optimizer rule +
+  * planner strategy pair is injected: [[GroupedTopKRewrite]] turns the
+  * `row_number() OVER (PARTITION BY … ORDER BY …) <= k` filter idiom into
+  * the bounded-heap [[GroupedTopKNode]] plan, and [[GroupedTopKStrategy]]
+  * plans that node. Everything else SURVEY.md §4 examined is already
+  * rewritten optimally by Catalyst.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => GroupedTopKRewrite)
+    e.injectPlannerStrategy(_ => GroupedTopKStrategy)
     e.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[LongArrayDot].getName, "graft_dot"),

@@ -26,13 +26,15 @@ import org.apache.spark.sql.graftbridge.Bridge
   * — Spark plans the hash exchange (and AQE sizes it), so the operator
   * composes with the rest of the planner instead of hand-rolling a shuffle.
   *
-  * Ordering: lexicographic DESCENDING over `orderExprs` (binary comparison
-  * of the projected UnsafeRows' sort key — callers append a unique
-  * tie-break column for determinism).
+  * Ordering: keeps the k rows per group that sort FIRST under `order`
+  * (lexicographic over the [[SortOrder]]s, direction- and null-ordering-
+  * aware — callers append a unique tie-break column for determinism).
+  * [[GroupedTopK.apply]] wraps plain columns Descending = largest-first;
+  * [[GroupedTopKRewrite]] passes a window's orderSpec through verbatim.
   */
 case class GroupedTopKNode(
     groupExprs: Seq[Expression],
-    orderExprs: Seq[Expression],
+    order: Seq[SortOrder],
     k: Int,
     child: LogicalPlan) extends UnaryNode {
   override def output: Seq[Attribute] = child.output
@@ -48,7 +50,7 @@ case class GroupedTopKNode(
   */
 case class GroupedTopKExec(
     groupExprs: Seq[Expression],
-    orderExprs: Seq[Expression],
+    order: Seq[SortOrder],
     k: Int,
     partial: Boolean,
     child: SparkPlan) extends UnaryExecNode {
@@ -61,13 +63,14 @@ case class GroupedTopKExec(
 
   override protected def doExecute(): RDD[InternalRow] = {
     val boundGroup = groupExprs.map(BindReferences.bindReference(_, child.output))
-    val sortOrders = orderExprs.map(e =>
-      SortOrder(BindReferences.bindReference(e, child.output), Descending))
+    val sortOrders = order.map(so =>
+      SortOrder(BindReferences.bindReference(so.child, child.output),
+        so.direction, so.nullOrdering, Seq.empty))
     child.execute().mapPartitions({ iter =>
       val groupProj = UnsafeProjection.create(boundGroup)
-      // ordering.compare(a,b) < 0  ⟺  a sorts first (a is "better": larger
-      // under Descending). Heap head = the WORST kept row (max under the
-      // ordering), evicted when a better row arrives.
+      // ordering.compare(a,b) < 0  ⟺  a sorts first (a is "better": it
+      // would get the lower row_number). Heap head = the WORST kept row
+      // (last under the ordering), evicted when a better row arrives.
       val ordering = new LazilyGeneratedOrdering(sortOrders)
       val worstFirst = new java.util.Comparator[InternalRow] {
         override def compare(a: InternalRow, b: InternalRow): Int =
@@ -130,6 +133,7 @@ object GroupedTopK {
       .getOrElse(throw new IllegalArgumentException(
         s"column $name not in ${analyzed.output.map(_.name)}"))
     Bridge.ofRows(spark,
-      GroupedTopKNode(groupCols.map(attr), orderCols.map(attr), k, analyzed))
+      GroupedTopKNode(groupCols.map(attr),
+        orderCols.map(c => SortOrder(attr(c), Descending)), k, analyzed))
   }
 }
