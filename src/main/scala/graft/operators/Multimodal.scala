@@ -286,12 +286,6 @@ object Multimodal {
   private val phashSchema = StructType(Seq(
     StructField("media_id", LongType), StructField("phash", LongType)))
 
-  /** Media near-duplicate grouping by perceptual hash: each media's phash
-    * plus how many media share it — the multimodal counterpart of the text
-    * dedup pipeline (identical-phash buckets are the dedup candidates).
-    * The bucket-size frame has at most 256 rows (an 8-bit hash), so its
-    * join back is a broadcast at any corpus size.
-    */
   /** (media_id, phash) frame shared by the bucket query and the near-dup
     * pairs query — one decode pass, localCheckpointed because every
     * consumer fans it into ≥2 plan branches.
@@ -310,6 +304,12 @@ object Multimodal {
       .localCheckpoint()
   }
 
+  /** Media near-duplicate grouping by perceptual hash: each media's phash
+    * plus how many media share it — the multimodal counterpart of the text
+    * dedup pipeline (identical-phash buckets are the dedup candidates).
+    * The bucket-size frame has at most 256 rows (an 8-bit hash), so its
+    * join back is a broadcast at any corpus size.
+    */
   def mediaPHash(s: SparkSession, dir: String): DataFrame = {
     val ph = phFrame(s, dir)
     val sizes = ph.groupBy(col("phash"))

@@ -49,11 +49,15 @@ object GroupedTopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
   private object RankLimit {
     def unapply(e: Expression): Option[(Attribute, Int)] = e match {
       case LessThanOrEqual(a: Attribute, IntegerLiteral(k)) => Some((a, k))
-      case LessThan(a: Attribute, IntegerLiteral(k)) => Some((a, k - 1))
+      // k > Int.MinValue guards the decrement: `rn < Int.MinValue` is
+      // always-false, and k-1 would wrap to Int.MaxValue (a top-everything)
+      case LessThan(a: Attribute, IntegerLiteral(k)) if k > Int.MinValue =>
+        Some((a, k - 1))
       case EqualTo(a: Attribute, IntegerLiteral(1)) => Some((a, 1))
       case EqualTo(IntegerLiteral(1), a: Attribute) => Some((a, 1))
       case GreaterThanOrEqual(IntegerLiteral(k), a: Attribute) => Some((a, k))
-      case GreaterThan(IntegerLiteral(k), a: Attribute) => Some((a, k - 1))
+      case GreaterThan(IntegerLiteral(k), a: Attribute) if k > Int.MinValue =>
+        Some((a, k - 1))
       case _ => None
     }
   }

@@ -90,6 +90,19 @@ class TopKRewriteSpec extends AnyFunSuite {
       ("g3", 2, 7)))
   }
 
+  test("does NOT fire for rn < Int.MinValue (k-1 must not wrap)") {
+    fixture()
+    // always-false predicate: an unguarded k-1 wraps to Int.MaxValue and
+    // would rewrite this into a top-everything returning all 7 rows
+    val df = spark.sql(
+      s"""SELECT g, v, id
+         |FROM (SELECT *, row_number() OVER (PARTITION BY g ORDER BY v DESC, id) rn
+         |      FROM t)
+         |WHERE rn < ${Int.MinValue}""".stripMargin)
+    assert(!hasTopKExec(df))
+    assert(df.count() == 0)
+  }
+
   test("does NOT fire when the row number survives the projection") {
     fixture()
     val df = spark.sql(
