@@ -935,6 +935,53 @@ object Relational {
       |    AS nearby_revenue
       |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  /** Q37 — TPC-H Q20 shape (semi-join whose inner is a correlated aggregate
+    * over lineitem): suppliers who, for some 'small'-named part, shipped
+    * more than 4× the part's size worth of quantity during 1995 — p_size
+    * standing in for Q20's ps_availqty capacity bound (this corpus has no
+    * partsupp table). The IN-subquery-with-HAVING decorrelates to an
+    * aggregate + filter + LEFT SEMI join; quantities are integral doubles,
+    * cast to long so the HAVING compares exact integers (no float-sum
+    * order sensitivity at the threshold).
+    * Scale: the part filter broadcasts (small-name parts ≪ lineitem), the
+    * per-(supplier,part) agg is the only lineitem shuffle, and the semi
+    * join probes it with the tiny supplier table; nation broadcasts.
+    */
+  def q37NestedSemi(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val smallParts = Tables.part(s, dir)
+      .filter($"p_name".startsWith("small "))
+      .select($"p_partkey", $"p_size")
+    val heavy = Tables.lineitem(s, dir)
+      .filter($"l_shipdate" >= lit("1995-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1996-01-01").cast("timestamp"))
+      .select($"l_suppkey", $"l_partkey", $"l_quantity")
+      .join(broadcast(smallParts), $"l_partkey" === $"p_partkey")
+      .groupBy($"l_suppkey", $"l_partkey", $"p_size")
+      .agg(sum($"l_quantity".cast("long")).as("qty"))
+      .filter($"qty" > $"p_size".cast("long") * 4L)
+      .select($"l_suppkey")
+    Tables.supplier(s, dir)
+      .join(heavy, $"s_suppkey" === $"l_suppkey", "left_semi")
+      .join(broadcast(Tables.nation(s, dir)),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"s_name", $"n_name",
+        floor($"s_acctbal").cast("long").as("acctbal_fl"))
+      .orderBy($"s_name")
+  }
+
+  val q37Sql: String =
+    """SELECT s_name, n_name, floor(s_acctbal)::BIGINT AS acctbal_fl
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |WHERE s_suppkey IN (
+      |  SELECT l_suppkey FROM lineitem JOIN part ON p_partkey = l_partkey
+      |  WHERE p_name LIKE 'small %'
+      |    AND l_shipdate >= TIMESTAMP '1995-01-01'
+      |    AND l_shipdate < TIMESTAMP '1996-01-01'
+      |  GROUP BY l_suppkey, l_partkey, p_size
+      |  HAVING sum(l_quantity::BIGINT) > 4 * p_size)
+      |ORDER BY s_name""".stripMargin
+
   /** All relational queries + oracles, consumed by SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> q1PricingSummary _,
@@ -971,6 +1018,7 @@ object Relational {
     "q34_order_priority" -> q34OrderPriority _,
     "q35_late_lines" -> q35LateLines _,
     "q36_range_frame" -> q36RangeFrame _,
+    "q37_nested_semi" -> q37NestedSemi _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1008,5 +1056,6 @@ object Relational {
     "q34_order_priority" -> q34Sql,
     "q35_late_lines" -> q35Sql,
     "q36_range_frame" -> q36Sql,
+    "q37_nested_semi" -> q37Sql,
   )
 }
