@@ -433,47 +433,84 @@ object TextOps {
        |ORDER BY a, b""".stripMargin
   }
 
+  /** Connected components by alternating large-star / small-star edge
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14): each round relinks every node toward the minimum
+    * id in its neighborhood, which contracts path-shaped components
+    * exponentially — O(log n) rounds regardless of graph diameter, where
+    * plain min-label propagation needs O(diameter) rounds (a 10M-node
+    * chain would take 10M Spark jobs; this takes ~25).
+    *
+    * Invariant: `edges` is always oriented (hi, lo) with hi > lo and no
+    * self-loops, so the fixed point is a star forest where every non-root
+    * carries one edge to its component's minimum node.
+    *  - large-star(u): for every neighbor v > u, emit (v, m) where m =
+    *    min(neighborhood(u) ∪ u) — preserves connectivity, strictly
+    *    shrinks big endpoints toward the min;
+    *  - small-star(u): for the smaller-side neighbors, emit (v, m) and
+    *    (u, m) — re-centers each local star on its minimum.
+    * Each half-round is one shuffle (groupBy min + join); convergence is
+    * an exact set comparison of consecutive checkpointed edge frames.
+    *
+    * Returns the per-node assignment (doc_id, label) — label = component
+    * minimum, isolated nodes label themselves — plus the round count the
+    * caller can assert O(log n) bounds on.
+    */
+  def starContraction(nodes: DataFrame, pairs: DataFrame,
+      maxRounds: Int = 50): (DataFrame, Int) = {
+    val s = nodes.sparkSession
+    import s.implicits._
+    var edges = pairs.filter($"a" =!= $"b")
+      .select(greatest($"a", $"b").as("hi"), least($"a", $"b").as("lo"))
+      .distinct().localCheckpoint(true)
+    var round = 0
+    var converged = edges.isEmpty
+    while (!converged && round < maxRounds) {
+      // large-star over the symmetric adjacency
+      val sym = edges.select($"hi".as("u"), $"lo".as("v"))
+        .unionByName(edges.select($"lo".as("u"), $"hi".as("v")))
+      val mins = sym.groupBy($"u")
+        .agg(min($"v").as("mn"))
+        .select($"u", least($"mn", $"u").as("m"))
+      val large = sym.filter($"v" > $"u")
+        .join(mins, Seq("u"))
+        .select($"v".as("hi"), $"m".as("lo"))
+        .distinct()
+      // small-star on the (hi, lo) orientation large-star guarantees
+      val smins = large.groupBy($"hi").agg(min($"lo").as("m"))
+      val next = large.join(smins, Seq("hi"))
+        .select($"lo".as("hi"), $"m".as("lo"))
+        .filter($"hi" =!= $"lo")
+        .unionByName(smins.select($"hi", $"m".as("lo")))
+        .distinct().localCheckpoint(true)
+      converged = next.count() == edges.count() &&
+        next.exceptAll(edges).isEmpty
+      edges = next
+      round += 1
+    }
+    // converging within the cap is a hard contract: a partially contracted
+    // forest would silently disagree with the exact reachability oracle
+    require(converged,
+      s"star contraction did not converge within $round rounds")
+    val labels = nodes.join(edges.select($"hi".as(nodes.columns.head),
+        $"lo".as("label")), Seq(nodes.columns.head), "left")
+      .select(col(nodes.columns.head),
+        coalesce($"label", col(nodes.columns.head)).as("label"))
+    (labels, round)
+  }
+
   /** Near-dup CLUSTERING: connected components over the shingle-LSH pair
     * graph — the step a dedup pipeline runs after pair generation to pick
-    * one canonical document per duplicate cluster. Iterative min-label
-    * propagation: every doc starts labeled with itself; each round a doc
-    * takes the minimum label among itself and its neighbors, until no label
-    * changes (≤ graph diameter rounds). Each round is one join + one
-    * map-side-combinable min-aggregation — the standard scalable CC shape
-    * (Pregel-style, no driver-side graph). The oracle replays reachability
-    * as a DuckDB recursive CTE.
+    * one canonical document per duplicate cluster. Components via
+    * [[starContraction]] (O(log n) rounds, diameter-independent); the
+    * oracle replays reachability as a DuckDB recursive CTE, so the labels
+    * must be exactly the per-component minima.
     */
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val pairs = shinglePairs(s, dir).select($"a", $"b")
-    val edges = pairs
-      .unionByName(pairs.select($"b".as("a"), $"a".as("b")))
-      .localCheckpoint(true)
-    var labels = Tables.documents(s, dir)
-      .select($"doc_id", $"doc_id".as("label"))
-      .localCheckpoint(true)
-    var changed = 1L
-    var round = 0
-    while (changed > 0 && round < 50) {
-      val neighborMin = edges
-        .join(labels.select($"doc_id".as("b"), $"label".as("nl")), Seq("b"))
-        .groupBy($"a")
-        .agg(min($"nl").as("mn"))
-        .withColumnRenamed("a", "doc_id")
-      val next = labels.join(neighborMin, Seq("doc_id"), "left")
-        .select($"doc_id",
-          least($"label", coalesce($"mn", $"label")).as("label"))
-        .localCheckpoint(true)
-      changed = next
-        .join(labels.select($"doc_id", $"label".as("old")), Seq("doc_id"))
-        .filter($"label" < $"old").count()
-      labels = next
-      round += 1
-    }
-    // converging within the cap is a hard contract: returning partially
-    // propagated labels would silently disagree with the exact oracle
-    require(changed == 0,
-      s"label propagation did not converge within $round rounds")
+    val nodes = Tables.documents(s, dir).select($"doc_id")
+    val (labels, _) =
+      starContraction(nodes, shinglePairs(s, dir).select($"a", $"b"))
     labels.select($"doc_id", $"label".as("cluster"),
         ($"doc_id" === $"label").cast("int").as("is_canonical"))
       .orderBy($"doc_id")
