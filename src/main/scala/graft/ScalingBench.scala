@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One-off scaling-slope harness: times the most expensive queries at the
+  * sf0.1 corpus and at a ~10× synthetic blow-up, to verify the banded /
+  * contracted operators scale near-linearly in rows (the 100 TB claim,
+  * measured instead of argued from the plan).
+  *
+  * The 10× corpus is NOT naive replication — copying documents verbatim
+  * would put 10 identical docs in every LSH bucket and inflate pair output
+  * quadratically, measuring a different (denser) problem. Instead each of
+  * the `mult` shards gets a disjoint token vocabulary (every word suffixed
+  * with the shard id), so each shard reproduces the original corpus's
+  * intra-shard similarity structure exactly (token remapping is a bijection,
+  * Jaccard/shingle overlaps are preserved) and cross-shard similarity is
+  * zero: pair volume and row count both scale by exactly `mult`, which is
+  * what a linear-in-data slope should be measured against. Embeddings are
+  * replicated with offset ids (the cosine/IVF query set is pinned to
+  * vec_id < 10, so query count stays constant while data grows).
+  *
+  * The Aria scenario reads no corpus table; its 10× point scales the
+  * workload itself (keys, txns, keyspace all ×mult, holding conflict
+  * density roughly constant).
+  *
+  * Usage: `sbt "runMain graft.ScalingBench"` — writes the scaled corpus
+  * under tmp/ (gitignored) on first run, prints one JSON line per
+  * (query, scale) with rows and seconds, then a summary slope table.
+  * Results are recorded in PLANS.md §scaling.
+  */
+object ScalingBench {
+  private def f3(v: Double): String =
+    "%.3f".formatLocal(java.util.Locale.ROOT, v)
+
+  private def buildCorpus(spark: SparkSession, base: String, out: String,
+      mult: Int): Unit = {
+    val done = new java.io.File(s"$out/_DONE")
+    if (done.exists()) return
+    val docs = spark.read.parquet(s"$base/documents.parquet")
+    val nDocs = docs.agg(max("doc_id")).head().getLong(0) + 1
+    docs.withColumn("shard", explode(sequence(lit(0), lit(mult - 1))))
+      .select(
+        (col("doc_id") + col("shard") * nDocs).as("doc_id"),
+        // shard 0 keeps the original text byte-for-byte; other shards remap
+        // every token into a shard-private vocabulary
+        when(col("shard") === 0, col("text"))
+          .otherwise(concat_ws(" ",
+            transform(split(col("text"), " "),
+              w => concat(w, lit("s"), col("shard"))))).as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    val emb = spark.read.parquet(s"$base/embeddings.parquet")
+    val nVec = emb.agg(max("vec_id")).head().getLong(0) + 1
+    emb.withColumn("shard", explode(sequence(lit(0), lit(mult - 1))))
+      .select((col("vec_id") + col("shard") * nVec).as("vec_id"),
+        col("embedding"), col("label"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    done.getParentFile.mkdirs()
+    done.createNewFile()
+    ()
+  }
+
+  /** min-of-iters wall seconds + result rows for one DataFrame builder. */
+  private def time(iters: Int)(build: => DataFrame): (Double, Long) = {
+    var rows = 0L
+    val secs = (1 to iters).map { _ =>
+      val t0 = System.nanoTime()
+      rows = build.count()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    (secs, rows)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val mult = if (args.length > 1) args(1).toInt else 10
+    val out = s"tmp/sfx$mult"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.cleaner.periodicGC.interval", "30s")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    buildCorpus(spark, base, out, mult)
+
+    val corpusQs = Seq("dedup_minhash_pairs", "dedup_jaccard_pairs",
+      "dedup_simhash_pairs", "dedup_clusters", "sim_ivf_topk")
+    val report = scala.collection.mutable.ArrayBuffer.empty[String]
+    for (q <- corpusQs; (tag, dir) <- Seq("1x" -> base, s"${mult}x" -> out)) {
+      val (secs, rows) = time(iters)(SparkEntry.queries(q)(spark, dir))
+      val line = s"""{"query":"$q","scale":"$tag","sec":${f3(secs)},"rows":$rows}"""
+      println(line)
+      report += line
+    }
+
+    // Aria: workload-parameterized 10× (no corpus input)
+    import graft.aria.{AriaEngine, TxnGen}
+    for ((tag, k) <- Seq("1x" -> 1, s"${mult}x" -> mult)) {
+      val (secs, rows) = time(iters) {
+        import spark.implicits._
+        val table = TxnGen.bulkLoad(spark, 200000L * k)
+          .select($"k", $"fields" (0).as("f0")).localCheckpoint(true)
+        val ops = TxnGen.ops(spark, 150L * k,
+          TxnGen.Config(keysMax = 20000L * k)).localCheckpoint(true)
+        val nv = (tid: org.apache.spark.sql.Column,
+            ep: org.apache.spark.sql.Column) =>
+          concat(lit("v"), tid.cast("string"), lit("e"), ep.cast("string"))
+        val runs = Seq(true, false).map { reorder =>
+          val (_, history) =
+            AriaEngine.run(spark, table, ops, reorder, Seq("f0"), nv)
+          history.map { case (e, c, a) =>
+            (if (reorder) "reorder" else "noreorder", e, c, a)
+          }
+        }
+        runs.flatten.toDF("mode", "epoch", "committed", "aborted")
+      }
+      val line =
+        s"""{"query":"aria_reference_scenario","scale":"$tag","sec":${f3(secs)},"rows":$rows}"""
+      println(line)
+      report += line
+    }
+    println("SCALING_DONE " + report.size)
+    spark.stop()
+  }
+}

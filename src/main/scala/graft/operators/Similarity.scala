@@ -502,8 +502,57 @@ object Similarity {
        |FROM hits h LEFT JOIN ret r ON h.qid = r.qid
        |ORDER BY h.qid""".stripMargin
 
+  /** Int8 symmetric quantization of the embedding column — the compression
+    * step a 100 TB embedding store runs before ANN indexing (4× smaller
+    * than float32, 8× smaller than the int64 grid). Per vector: scale =
+    * ceil(max|x|/127) on the fixed-point grid, code_i = floor(x_i/scale) ∈
+    * [-128, 127]; the reported residual sum(x_i - code_i*scale) =
+    * sum(floor-mod(x_i, scale)) is integer-exact in both engines, so the
+    * per-label quality stats hash-match DuckDB bit-for-bit (same contract
+    * as the cosine queries: all arithmetic on the int grid).
+    * Scale: one narrow map stage + one tiny (per-label) aggregation — no
+    * join, no per-row state; the natural shape for a full-corpus pass.
+    */
+  def quantizeErr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, dir)
+      .select($"label", qvec($"embedding").as("q"))
+      .withColumn("amax",
+        array_max(transform($"q", e => abs(e))))
+      .withColumn("qscale",
+        greatest(lit(1L), floor(($"amax" + lit(126L)) / lit(127)).cast("long")))
+      .withColumn("err",
+        aggregate(transform($"q", e => pmod(e, $"qscale")),
+          lit(0L), (acc, x) => acc + x))
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n_vec"),
+        round(avg($"err"), 3).as("avg_err"),
+        max($"err").as("max_err"),
+        round(avg($"qscale"), 3).as("avg_scale"))
+      .orderBy($"label")
+  }
+
+  val quantizeErrSql: String =
+    """WITH qv AS (
+      |  SELECT label,
+      |    [floor(x::DOUBLE * 10000)::BIGINT FOR x IN embedding] AS q
+      |  FROM embeddings),
+      |pv AS (
+      |  SELECT label, q,
+      |    greatest(1, floor((list_max([abs(e) FOR e IN q]) + 126) / 127)::BIGINT)
+      |      AS qscale
+      |  FROM qv),
+      |ev AS (
+      |  SELECT label, qscale,
+      |    list_sum([((e % qscale) + qscale) % qscale FOR e IN q])::BIGINT AS err
+      |  FROM pv)
+      |SELECT label, count(*)::BIGINT AS n_vec, round(avg(err), 3) AS avg_err,
+      |  max(err)::BIGINT AS max_err, round(avg(qscale), 3) AS avg_scale
+      |FROM ev GROUP BY label ORDER BY label""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_cosine_topk" -> cosineTopK _,
+    "sim_quantize_err" -> quantizeErr _,
     "sim_lsh_recall" -> lshRecall _,
     "sim_label_centroids" -> labelCentroids _,
     "sim_neardup_pairs" -> nearDupPairs _,
@@ -515,6 +564,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "sim_cosine_topk" -> cosineTopKSql,
+    "sim_quantize_err" -> quantizeErrSql,
     "sim_lsh_recall" -> lshRecallSql,
     "sim_label_centroids" -> labelCentroidsSql,
     "sim_neardup_pairs" -> nearDupPairsSql,
