@@ -243,8 +243,55 @@ object Events {
       |GROUP BY cohort, week_offset
       |ORDER BY cohort, week_offset""".stripMargin
 
+  /** Click attribution — the point-in-time-correct join a training-data
+    * pipeline needs when labeling events with the feature snapshot that
+    * preceded them: each click is attributed to the MOST RECENT view by the
+    * same user within the preceding 30 minutes (no future leakage, no stale
+    * match beyond the horizon). The interval join shuffles both sides once
+    * on user_id; the per-click row_number() ≤ 1 idiom is rewritten by
+    * [[graft.plans.GroupedTopKRewrite]] into the bounded-heap top-k when
+    * the extensions are installed, so "latest preceding" never sorts the
+    * full candidate set. Streaming twin (unbounded, state-evicting):
+    * [[graft.streaming.EventStreams.clickAttribution]].
+    */
+  def attribution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id".as("click_id"), $"user_id", $"ts".as("click_ts"))
+    val views = ev.filter($"event_type" === "view")
+      .select($"event_id".as("view_id"), $"user_id", $"ts".as("view_ts"))
+    clicks.join(views, Seq("user_id"))
+      .filter($"view_ts" <= $"click_ts" &&
+        $"view_ts" >= $"click_ts" - expr("INTERVAL 30 MINUTES"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"click_id")
+          .orderBy($"view_ts".desc, $"view_id".desc)))
+      .filter($"rn" === 1)
+      .select($"user_id", $"click_id",
+        date_format($"click_ts", fmt).as("click_ts"),
+        $"view_id", date_format($"view_ts", fmt).as("view_ts"))
+      .orderBy($"click_id")
+  }
+
+  val attributionSql: String =
+    """SELECT user_id, click_id, click_ts, view_id, view_ts FROM (
+      |  SELECT c.user_id, c.event_id AS click_id,
+      |    strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+      |    v.event_id AS view_id,
+      |    strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+      |    row_number() OVER (PARTITION BY c.event_id
+      |      ORDER BY v.ts DESC, v.event_id DESC) AS rn
+      |  FROM events c JOIN events v
+      |    ON c.user_id = v.user_id
+      |   AND c.event_type = 'click' AND v.event_type = 'view'
+      |   AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 30 MINUTE
+      |) t WHERE rn = 1 ORDER BY click_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_tumbling" -> tumbling _,
+    "ev_attribution" -> attribution _,
     "ev_sliding" -> sliding _,
     "ev_sessions" -> sessions _,
     "ev_daily_topk" -> dailyTopEvents _,
@@ -256,6 +303,7 @@ object Events {
 
   val oracles: Map[String, String] = Map(
     "ev_tumbling" -> tumblingSql,
+    "ev_attribution" -> attributionSql,
     "ev_sliding" -> slidingSql,
     "ev_sessions" -> sessionsSql,
     "ev_daily_topk" -> dailyTopEventsSql,

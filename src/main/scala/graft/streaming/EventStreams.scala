@@ -102,6 +102,35 @@ object EventStreams {
       .withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join (click attribution, unbounded twin of
+    * [[graft.operators.Events.attribution]]): every view/click pair of the
+    * same user with the click at most 30 minutes after the view. Both sides
+    * carry a watermark and the join condition bounds click_ts to a window
+    * around view_ts, which is exactly what Spark's state cleanup needs: a
+    * buffered view can be dropped once the click watermark passes
+    * view_ts + 30 min, so join state is bounded by arrival rate × horizon,
+    * not stream lifetime. Emits ALL pairs in the window (append mode);
+    * "most recent only" is a per-click aggregation downstream consumers
+    * apply batch-side, where late data is settled.
+    */
+  def clickAttribution(events: DataFrame, horizon: String = "2 hours")
+      : DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("view_ts", horizon)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", horizon)
+    views.join(clicks,
+        col("v_user") === col("c_user") &&
+          col("click_ts") >= col("view_ts") &&
+          col("click_ts") <= col("view_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("v_user").as("user_id"), col("view_id"), col("click_id"),
+        col("view_ts"), col("click_ts"))
+  }
+
   /** Custom per-key state via mapGroupsWithState: running event count +
     * last-seen timestamp per user, re-emitted on every micro-batch that
     * touches the key. This is the engine's arbitrary-stateful extension

@@ -83,6 +83,34 @@ class EventStreamsSpec extends SparkSpec {
     assert(want.nonEmpty && got == want)
   }
 
+  test("clickAttribution emits exactly the batch view→click pairs") {
+    val schema = spark.read.parquet(stagingDir).schema
+    val stream = EventStreams.readEvents(spark, stagingDir, schema)
+    // 60-day horizon for the same reason as the inline join test above:
+    // staged files are unordered, state must stay live across batches
+    val q = EventStreams.clickAttribution(stream, horizon = "60 days")
+      .select("view_id", "click_id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("attr_out").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("attr_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ev = spark.read.parquet(stagingDir)
+    val bv = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("vu"), col("ts").as("vts"),
+        col("event_id").as("view_id"))
+    val bcl = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("cts"),
+        col("event_id").as("click_id"))
+    val want = bv.join(bcl,
+        col("vu") === col("cu") &&
+          col("cts") >= col("vts") &&
+          col("cts") <= col("vts") + expr("INTERVAL 30 MINUTES"))
+      .select("view_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want.nonEmpty && got == want)
+  }
+
   test("streaming dropDuplicates dedups across micro-batches") {
     // duplicate the staged events (same event_ids twice across files):
     // stateful dedup must converge to the distinct id count
