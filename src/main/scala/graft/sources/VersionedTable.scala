@@ -27,6 +27,8 @@ object VersionedTable {
 
   private val SchemaFile = "_GRAFT_SCHEMA"
 
+  private val StatsFile = "_GRAFT_STATS"
+
   private def writeSidecar(spark: SparkSession, dir: String, name: String,
       content: String): Unit = {
     val f = new org.apache.hadoop.fs.Path(dir).getFileSystem(
@@ -59,7 +61,8 @@ object VersionedTable {
     * replays — see [[tagOf]].
     */
   private def commitVersion(df: DataFrame, path: String, v: Int,
-      tag: Option[String], partitionBy: Seq[String] = Nil): Unit =
+      tag: Option[String], partitionBy: Seq[String] = Nil,
+      statsCols: Seq[String] = Nil): Unit =
     AtomicDir.commit(df.sparkSession, versionDir(path, v)) { tmp =>
       val w = df.write.mode("errorifexists")
       (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
@@ -71,7 +74,132 @@ object VersionedTable {
       // applies this schema, so round-trips are type- and order-exact.
       writeSidecar(df.sparkSession, tmp, SchemaFile, df.schema.json)
       tag.foreach(t => writeSidecar(df.sparkSession, tmp, TagFile, t))
+      if (statsCols.nonEmpty)
+        writeSidecar(df.sparkSession, tmp, StatsFile,
+          computeStats(df.sparkSession, tmp, statsCols))
     }
+
+  /** Per-file zone maps: one min/max pair per stats column per data file,
+    * computed by re-scanning the freshly written snapshot (the same
+    * information Delta/Iceberg harvest from parquet footers — one extra
+    * columnar pass at commit time buys file-level skipping on every
+    * subsequent read). File paths are stored relative to the version dir,
+    * so the sidecar survives the atomic rename. Values are JSON numbers
+    * for numeric columns and JSON strings otherwise; an all-null file
+    * stores nulls and is never pruned.
+    */
+  private def computeStats(spark: SparkSession, tmp: String,
+      statsCols: Seq[String]): String = {
+    import org.apache.spark.sql.functions._
+    val aggs = statsCols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    val rows = spark.read.parquet(tmp)
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    val prefix = new org.apache.hadoop.fs.Path(tmp).toUri.getPath
+    def j(v: Any): String = v match {
+      case null => "null"
+      case n: java.lang.Number => n.toString
+      case other => "\"" + other.toString
+        .replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    }
+    rows.map { r =>
+      val abs = new java.net.URI(r.getString(0)).getPath
+      val rel = abs.stripPrefix(prefix).stripPrefix("/")
+      val cols = statsCols.map { c =>
+        s""""$c":{"min":${j(r.get(r.fieldIndex(s"min_$c")))},"max":${j(r.get(r.fieldIndex(s"max_$c")))}}"""
+      }.mkString(",")
+      s"""{"file":"$rel","stats":{$cols}}"""
+    }.mkString("[", ",", "]")
+  }
+
+  private def resolveVersion(spark: SparkSession, path: String,
+      version: Int): Int =
+    if (version >= 0) version
+    else latestVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no versions at $path"))
+
+  /** (relative file, min node, max node) triples for `c` from the stats
+    * sidecar — Jackson nodes so numeric vs string comparison semantics
+    * follow the stored JSON type.
+    */
+  private def statsFor(spark: SparkSession, dir: String, c: String)
+      : Option[Seq[(String, com.fasterxml.jackson.databind.JsonNode,
+        com.fasterxml.jackson.databind.JsonNode)]] =
+    readSidecar(spark, dir, StatsFile).map { json =>
+      val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+      (0 until root.size()).map { i =>
+        val e = root.get(i)
+        val st = e.get("stats").get(c)
+        require(st != null, s"no zone-map stats for column $c in $dir")
+        (e.get("file").asText(), st.get("min"), st.get("max"))
+      }
+    }
+
+  /** Does [min, max] (possibly null = unknown) overlap [lo, hi]? */
+  private def zoneOverlaps(mn: com.fasterxml.jackson.databind.JsonNode,
+      mx: com.fasterxml.jackson.databind.JsonNode, lo: Any, hi: Any): Boolean = {
+    if (mn == null || mx == null || mn.isNull || mx.isNull) return true
+    if (mn.isNumber) {
+      def d(a: Any) = a match {
+        case n: java.lang.Number => n.doubleValue()
+        case other => other.toString.toDouble
+      }
+      !(mx.asDouble() < d(lo) || mn.asDouble() > d(hi))
+    } else
+      !(mx.asText() < lo.toString || mn.asText() > hi.toString)
+  }
+
+  /** Zone-map file pruning: (files kept, total files) for a `c BETWEEN lo
+    * AND hi` scan of `version` — the observability hook the data-skipping
+    * spec asserts on.
+    */
+  def prunedFiles(spark: SparkSession, path: String, c: String, lo: Any,
+      hi: Any, version: Int = -1): (Int, Int) = {
+    val dir = versionDir(path, resolveVersion(spark, path, version))
+    statsFor(spark, dir, c) match {
+      case None => (0, 0)
+      case Some(entries) =>
+        (entries.count(e => zoneOverlaps(e._2, e._3, lo, hi)), entries.size)
+    }
+  }
+
+  /** Data-skipping scan: `c BETWEEN lo AND hi` over a snapshot committed
+    * with `statsCols` containing `c` — only files whose zone map overlaps
+    * the range are opened; the residual filter still applies (zone maps
+    * are a superset guarantee). Falls back to a plain filtered read when
+    * the snapshot carries no stats sidecar. At 100 TB this is the layout
+    * half of pruning: hive partitioning skips directories, zone maps skip
+    * files within a partition — together a range probe touches only the
+    * files that can contain it (the parquet reader's row-group stats then
+    * prune within each file).
+    */
+  def scanPruned(spark: SparkSession, path: String, c: String, lo: Any,
+      hi: Any, version: Int = -1): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val v = resolveVersion(spark, path, version)
+    val dir = versionDir(path, v)
+    val pred = col(c) >= lo && col(c) <= hi
+    statsFor(spark, dir, c) match {
+      case None => read(spark, path, v).filter(pred)
+      case Some(entries) =>
+        val keep = entries.filter(e => zoneOverlaps(e._2, e._3, lo, hi))
+        if (keep.isEmpty) read(spark, path, v).limit(0).filter(pred)
+        else {
+          val reader = spark.read.option("basePath", dir)
+          val withSchema = readSidecar(spark, dir, SchemaFile) match {
+            case Some(json) =>
+              val schema = org.apache.spark.sql.types.DataType.fromJson(json)
+                .asInstanceOf[org.apache.spark.sql.types.StructType]
+              reader.schema(schema).parquet(keep.map(e => s"$dir/${e._1}"): _*)
+                .select(schema.fieldNames.map(col).toSeq: _*)
+            case None => reader.parquet(keep.map(e => s"$dir/${e._1}"): _*)
+          }
+          withSchema.filter(pred)
+        }
+    }
+  }
 
   /** The tag a version was committed with, if any. */
   def tagOf(spark: SparkSession, path: String, v: Int): Option[String] =
@@ -93,8 +221,8 @@ object VersionedTable {
     * `merge` so the layout survives version evolution.
     */
   def init(df: DataFrame, path: String, tag: Option[String] = None,
-      partitionBy: Seq[String] = Nil): Unit =
-    commitVersion(df, path, 0, tag, partitionBy)
+      partitionBy: Seq[String] = Nil, statsCols: Seq[String] = Nil): Unit =
+    commitVersion(df, path, 0, tag, partitionBy, statsCols)
 
   /** Read a specific version (time travel) or the latest. Applies the
     * snapshot's stored schema when present (see [[commitVersion]]) so
@@ -122,13 +250,13 @@ object VersionedTable {
     */
   def merge(spark: SparkSession, path: String, updates: DataFrame,
       keyCol: String, tag: Option[String] = None,
-      partitionBy: Seq[String] = Nil): Int = {
+      partitionBy: Seq[String] = Nil, statsCols: Seq[String] = Nil): Int = {
     val current = latestVersion(spark, path).getOrElse(
       throw new IllegalArgumentException(s"no versions at $path — init first"))
     val next = current + 1
     commitVersion(
       KvOps.upsert(read(spark, path, current), updates, keyCol), path, next,
-      tag, partitionBy)
+      tag, partitionBy, statsCols)
     next
   }
 

@@ -122,4 +122,56 @@ class VersionedTableSpec extends SparkSpec {
       VersionedTable.retain(spark, path, keepLast = 0)
     }
   }
+
+  test("zone-map stats skip files outside the probed range; results stay exact") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft-vt6").toFile.getAbsolutePath + "/t"
+    // range-partitioned layout → each of the 4 files holds a disjoint key
+    // range, the layout zone maps are built for
+    val df = (0L until 400L).map(k => (k, s"n$k", k * 1.5)).toDF("k", "name", "v")
+      .repartitionByRange(4, col("k"))
+    VersionedTable.init(df, path, statsCols = Seq("k", "v"))
+
+    val (kept, total) = VersionedTable.prunedFiles(spark, path, "k", 120L, 180L)
+    assert(total == 4 && kept < total, s"expected skipping, got $kept/$total")
+
+    val got = VersionedTable.scanPruned(spark, path, "k", 120L, 180L)
+      .collect().map(_.getLong(0)).sorted
+    assert(got.sameElements(120L to 180L))
+
+    // double column probes prune too, and the residual filter stays exact
+    val (kv, tv) = VersionedTable.prunedFiles(spark, path, "v", 0.0, 10.0)
+    assert(tv == 4 && kv == 1)
+    assert(VersionedTable.scanPruned(spark, path, "v", 0.0, 10.0).count() == 7)
+
+    // a probe entirely outside every zone reads zero files and zero rows
+    val (k0, _) = VersionedTable.prunedFiles(spark, path, "k", 5000L, 6000L)
+    assert(k0 == 0)
+    assert(VersionedTable.scanPruned(spark, path, "k", 5000L, 6000L).count() == 0)
+  }
+
+  test("zone maps compose with hive partitioning (basePath keeps partition cols)") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft-vt7").toFile.getAbsolutePath + "/t"
+    val df = (0L until 100L).map(k => (k, if (k % 2 == 0) "even" else "odd"))
+      .toDF("k", "par").repartitionByRange(4, col("k"))
+    VersionedTable.init(df, path, partitionBy = Seq("par"),
+      statsCols = Seq("k"))
+    val out = VersionedTable.scanPruned(spark, path, "k", 10L, 20L)
+    assert(out.columns.toSeq == Seq("k", "par"), out.columns.mkString(","))
+    val rows = out.collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(rows.map(_._1).sameElements(10L to 20L))
+    assert(rows.forall { case (k, p) => p == (if (k % 2 == 0) "even" else "odd") })
+    val (kept, total) = VersionedTable.prunedFiles(spark, path, "k", 10L, 20L)
+    assert(kept < total, s"expected skipping across $total files, kept $kept")
+  }
+
+  test("scanPruned falls back to a plain filtered read without a stats sidecar") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft-vt8").toFile.getAbsolutePath + "/t"
+    VersionedTable.init((0L until 50L).map(k => (k, k * 2)).toDF("k", "x"), path)
+    val (kept, total) = VersionedTable.prunedFiles(spark, path, "k", 0L, 9L)
+    assert((kept, total) == ((0, 0)))
+    assert(VersionedTable.scanPruned(spark, path, "k", 0L, 9L).count() == 10)
+  }
 }
