@@ -982,6 +982,40 @@ object Relational {
       |  HAVING sum(l_quantity::BIGINT) > 4 * p_size)
       |ORDER BY s_name""".stripMargin
 
+  /** Q38 — UNPIVOT (wide→long reshape, the inverse of `ev_pivot`): melt
+    * three lineitem measures into (measure, val) rows, then aggregate per
+    * (returnflag, measure). Uses the native `Dataset.unpivot` (Spark's
+    * Expand under the hood: each input row fans to 3 output rows in one
+    * narrow, codegen'd stage — no shuffle until the final aggregate, whose
+    * output is 9 rows). Measures are floored to longs first so the sums
+    * are addition-order-independent in both engines.
+    */
+  def q38Unpivot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .select($"l_returnflag",
+        floor($"l_quantity").cast("long").as("quantity"),
+        floor($"l_extendedprice").cast("long").as("extendedprice"),
+        floor($"l_tax" * 100).cast("long").as("tax_pct"))
+      .unpivot(Array($"l_returnflag"),
+        Array($"quantity", $"extendedprice", $"tax_pct"), "measure", "val")
+      .groupBy($"l_returnflag", $"measure")
+      .agg(count(lit(1)).as("n"), sum($"val").as("total"))
+      .orderBy($"l_returnflag", $"measure")
+  }
+
+  val q38Sql: String =
+    """WITH m AS (
+      |  SELECT l_returnflag, 'quantity' AS measure,
+      |         floor(l_quantity)::BIGINT AS val FROM lineitem
+      |  UNION ALL SELECT l_returnflag, 'extendedprice',
+      |         floor(l_extendedprice)::BIGINT FROM lineitem
+      |  UNION ALL SELECT l_returnflag, 'tax_pct',
+      |         floor(l_tax * 100)::BIGINT FROM lineitem)
+      |SELECT l_returnflag, measure, count(*)::BIGINT AS n,
+      |  sum(val)::BIGINT AS total
+      |FROM m GROUP BY 1, 2 ORDER BY l_returnflag, measure""".stripMargin
+
   /** All relational queries + oracles, consumed by SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> q1PricingSummary _,
@@ -1019,6 +1053,7 @@ object Relational {
     "q35_late_lines" -> q35LateLines _,
     "q36_range_frame" -> q36RangeFrame _,
     "q37_nested_semi" -> q37NestedSemi _,
+    "q38_unpivot" -> q38Unpivot _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1057,5 +1092,6 @@ object Relational {
     "q35_late_lines" -> q35Sql,
     "q36_range_frame" -> q36Sql,
     "q37_nested_semi" -> q37Sql,
+    "q38_unpivot" -> q38Sql,
   )
 }

@@ -253,8 +253,96 @@ object Sketches {
        |  sum(CASE WHEN hv < rate_pm THEN 1 ELSE 0 END)::BIGINT AS n_sampled
        |FROM rated GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---- Bloom filter (192-bit, k=2, deterministic) ----
+
+  /** Per-nation Bloom filter over customer keys, built with composable
+    * aggregates only (`bit_or` over word contributions — no UDAF): 192 bits
+    * as 4×48-bit words, two independent hashes per key. 48 bits per word
+    * keeps every intermediate < 2^53, so the dynamic bit arithmetic
+    * (floor(2^j), floor(word/2^j)) is exact float→int in both engines and
+    * the filter contents hash-match DuckDB's native `<<`/`>>`/`bit_or`
+    * bit-for-bit. The probe pass then scores every customer against every
+    * nation's bloom and reports the false-positive count — the number a
+    * bloom-prefiltered semi join would pay in extra probe-side rows.
+    * Scale: build is one groupBy(nation); the 25 finished blooms broadcast
+    * (200 bytes each), so the probe side streams with NO shuffle — exactly
+    * how a bloom prefilter cuts a 100 TB shuffle join's probe volume. No
+    * false negatives by construction (a member's bits are always set).
+    */
+  def bloomFilter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = 4
+    val wbits = 48
+    val mBits = words * wbits
+    val cust = Tables.customer(s, dir)
+      .select($"c_nationkey".as("nk"), $"c_custkey".as("x"))
+      .withColumn("h1", h($"x", 2654435761L, 12007L) % mBits)
+      .withColumn("h2", h($"x", 1779033703L, 514229L) % mBits)
+    def contrib(hc: Column, w: Int): Column =
+      when(floor(hc / wbits) === w,
+        floor(pow(lit(2.0), hc % wbits)).cast("long")).otherwise(0L)
+    val aggs = (0 until words).map(w =>
+      bit_or(contrib($"h1", w).bitwiseOR(contrib($"h2", w))).as(s"b$w")) :+
+      count(lit(1)).as("n_members")
+    val blooms = cust.groupBy($"nk").agg(aggs.head, aggs.tail: _*)
+    def testBit(hc: Column): Column = {
+      val word = when(floor(hc / wbits) === 0, $"b0")
+        .when(floor(hc / wbits) === 1, $"b1")
+        .when(floor(hc / wbits) === 2, $"b2")
+        .otherwise($"b3")
+      // word * 2^-j is a pure exponent shift (exact), so floor is the true
+      // integer shift-right
+      pmod(floor(word.cast("double") / pow(lit(2.0), hc % wbits)).cast("long"),
+        lit(2L))
+    }
+    val might = cust.select($"x", $"h1", $"h2")
+      .crossJoin(broadcast(blooms.drop("n_members")))
+      .filter(testBit($"h1") === 1L && testBit($"h2") === 1L)
+      .groupBy($"nk").agg(count(lit(1)).as("n_might"))
+    blooms.join(might, Seq("nk"), "left")
+      .select($"nk".as("nationkey"), $"n_members",
+        (bit_count($"b0") + bit_count($"b1") + bit_count($"b2")
+          + bit_count($"b3")).as("bits_set"),
+        coalesce($"n_might", lit(0L)).as("n_might"))
+      .withColumn("n_fp", $"n_might" - $"n_members")
+      .orderBy($"nationkey")
+  }
+
+  val bloomFilterSql: String = {
+    def bld(w: Int) =
+      s"""    bit_or((CASE WHEN h1 // 48 = $w THEN 1::BIGINT << (h1 % 48)::INT ELSE 0 END) |
+         |           (CASE WHEN h2 // 48 = $w THEN 1::BIGINT << (h2 % 48)::INT ELSE 0 END)) AS b$w""".stripMargin
+    def tst(hc: String) =
+      s"""((CASE $hc // 48 WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END
+         |          >> ($hc % 48)::INT) & 1) = 1""".stripMargin
+    s"""WITH c AS (
+       |  SELECT c_nationkey AS nk, c_custkey AS x,
+       |    ((2654435761 * c_custkey + 12007) % 2147483647) % 192 AS h1,
+       |    ((1779033703 * c_custkey + 514229) % 2147483647) % 192 AS h2
+       |  FROM customer),
+       |bl AS (
+       |  SELECT nk,
+       |${(0 until 4).map(bld).mkString(",\n")},
+       |    count(*)::BIGINT AS n_members
+       |  FROM c GROUP BY nk),
+       |mi AS (
+       |  SELECT bl.nk, count(*)::BIGINT AS n_might
+       |  FROM bl CROSS JOIN c
+       |  WHERE ${tst("h1")}
+       |    AND ${tst("h2")}
+       |  GROUP BY bl.nk)
+       |SELECT bl.nk AS nationkey, n_members,
+       |  bit_count(b0) + bit_count(b1) + bit_count(b2) + bit_count(b3)
+       |    AS bits_set,
+       |  coalesce(n_might, 0)::BIGINT AS n_might,
+       |  coalesce(n_might, 0)::BIGINT - n_members AS n_fp
+       |FROM bl LEFT JOIN mi ON bl.nk = mi.nk
+       |ORDER BY nationkey""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_stratified" -> stratifiedSample _,
+    "sketch_bloom_filter" -> bloomFilter _,
     "sketch_kmv_distinct" -> kmvDistinct _,
     "sketch_kmv_agg" -> kmvAgg _,
     "sketch_hash_sample" -> hashSample _,
@@ -263,6 +351,7 @@ object Sketches {
 
   val oracles: Map[String, String] = Map(
     "sample_stratified" -> stratifiedSampleSql,
+    "sketch_bloom_filter" -> bloomFilterSql,
     "sketch_kmv_distinct" -> kmvDistinctSql,
     "sketch_kmv_agg" -> kmvDistinctSql, // same logical result, UDAF plan
     "sketch_hash_sample" -> hashSampleSql,

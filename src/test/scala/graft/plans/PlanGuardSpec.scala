@@ -29,7 +29,9 @@ class PlanGuardSpec extends SparkSpec {
     "sim_lsh_recall" -> 2, // composes cosine_topk + lsh_topk, inherits theirs
     "kv_scan_count" -> 2, // single-row aggregate frames joined for summary
     // 40-row broadcast quarter calendar, interval-containment join
-    "q25_range_join" -> 1)
+    "q25_range_join" -> 1,
+    // 25-row broadcast bloom table probed by every customer
+    "sketch_bloom_filter" -> 1)
 
   test("no query plans an accidental nested-loop or cartesian join") {
     def crossCount(plan: String): Int =
