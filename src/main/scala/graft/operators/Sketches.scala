@@ -332,8 +332,8 @@ object Sketches {
        |    AND ${tst("h2")}
        |  GROUP BY bl.nk)
        |SELECT bl.nk AS nationkey, n_members,
-       |  bit_count(b0) + bit_count(b1) + bit_count(b2) + bit_count(b3)
-       |    AS bits_set,
+       |  bit_count(b0)::INT + bit_count(b1)::INT + bit_count(b2)::INT
+       |    + bit_count(b3)::INT AS bits_set,
        |  coalesce(n_might, 0)::BIGINT AS n_might,
        |  coalesce(n_might, 0)::BIGINT - n_members AS n_fp
        |FROM bl LEFT JOIN mi ON bl.nk = mi.nk

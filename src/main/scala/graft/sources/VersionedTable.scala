@@ -100,9 +100,20 @@ object VersionedTable {
     val prefix = new org.apache.hadoop.fs.Path(tmp).toUri.getPath
     def j(v: Any): String = v match {
       case null => "null"
+      // NaN/Infinity are not JSON tokens; an unknown bound is stored as
+      // null, which zoneOverlaps treats as never-prunable
+      case d: java.lang.Double if d.isNaN || d.isInfinite => "null"
+      case f: java.lang.Float if f.isNaN || f.isInfinite => "null"
       case n: java.lang.Number => n.toString
-      case other => "\"" + other.toString
-        .replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      case other => "\"" + other.toString.flatMap {
+        case '"'  => "\\\""
+        case '\\' => "\\\\"
+        case '\n' => "\\n"
+        case '\r' => "\\r"
+        case '\t' => "\\t"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
     }
     rows.map { r =>
       val abs = new java.net.URI(r.getString(0)).getPath
@@ -122,33 +133,63 @@ object VersionedTable {
 
   /** (relative file, min node, max node) triples for `c` from the stats
     * sidecar — Jackson nodes so numeric vs string comparison semantics
-    * follow the stored JSON type.
+    * follow the stored JSON type. None when the snapshot has no sidecar OR
+    * the sidecar doesn't cover `c` (e.g. a later commit narrowed
+    * statsCols): both degrade to the unpruned full-scan path.
     */
   private def statsFor(spark: SparkSession, dir: String, c: String)
       : Option[Seq[(String, com.fasterxml.jackson.databind.JsonNode,
         com.fasterxml.jackson.databind.JsonNode)]] =
-    readSidecar(spark, dir, StatsFile).map { json =>
+    readSidecar(spark, dir, StatsFile).flatMap { json =>
       val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
-      (0 until root.size()).map { i =>
+      val entries = (0 until root.size()).map { i =>
         val e = root.get(i)
-        val st = e.get("stats").get(c)
-        require(st != null, s"no zone-map stats for column $c in $dir")
-        (e.get("file").asText(), st.get("min"), st.get("max"))
+        (e.get("file").asText(), e.get("stats").get(c))
       }
+      if (entries.exists(_._2 == null)) None
+      else Some(entries.map { case (f, st) => (f, st.get("min"), st.get("max")) })
     }
 
-  /** Does [min, max] (possibly null = unknown) overlap [lo, hi]? */
+  /** Unsigned UTF-8 byte order ≡ code-point order — the ordering Spark's
+    * UTF8String comparisons (and DuckDB's VARCHAR collation) use. Plain
+    * java.lang.String comparison is UTF-16 code-UNIT order, which disagrees
+    * above the basic plane and would prune files that contain matches.
+    */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < x.length && i < y.length) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** Does [min, max] (possibly null = unknown) overlap [lo, hi]?
+    * Conservative by construction: any representation doubt (null bound,
+    * numeric zone probed with a non-numeric value, string zone probed with
+    * a non-String) keeps the file — pruning may only drop files that
+    * provably contain no match.
+    */
   private def zoneOverlaps(mn: com.fasterxml.jackson.databind.JsonNode,
       mx: com.fasterxml.jackson.databind.JsonNode, lo: Any, hi: Any): Boolean = {
     if (mn == null || mx == null || mn.isNull || mx.isNull) return true
-    if (mn.isNumber) {
-      def d(a: Any) = a match {
-        case n: java.lang.Number => n.doubleValue()
-        case other => other.toString.toDouble
+    def num(a: Any): Option[Double] = a match {
+      case n: java.lang.Number => Some(n.doubleValue())
+      case _ => None
+    }
+    if (mn.isNumber)
+      (num(lo), num(hi)) match {
+        case (Some(l), Some(h)) => !(mx.asDouble() < l || mn.asDouble() > h)
+        case _ => true
       }
-      !(mx.asDouble() < d(lo) || mn.asDouble() > d(hi))
-    } else
-      !(mx.asText() < lo.toString || mn.asText() > hi.toString)
+    else (lo, hi) match {
+      case (l: String, h: String) =>
+        !(utf8Lt(mx.asText(), l) || utf8Lt(h, mn.asText()))
+      case _ => true
+    }
   }
 
   /** Zone-map file pruning: (files kept, total files) for a `c BETWEEN lo
@@ -169,11 +210,17 @@ object VersionedTable {
     * with `statsCols` containing `c` — only files whose zone map overlaps
     * the range are opened; the residual filter still applies (zone maps
     * are a superset guarantee). Falls back to a plain filtered read when
-    * the snapshot carries no stats sidecar. At 100 TB this is the layout
-    * half of pruning: hive partitioning skips directories, zone maps skip
-    * files within a partition — together a range probe touches only the
-    * files that can contain it (the parquet reader's row-group stats then
-    * prune within each file).
+    * the snapshot carries no stats sidecar (or no stats for `c`). At 100 TB
+    * this is the layout half of pruning: hive partitioning skips
+    * directories, zone maps skip files within a partition — together a
+    * range probe touches only the files that can contain it (the parquet
+    * reader's row-group stats then prune within each file).
+    *
+    * Type contract: zone maps are designed for numeric and string columns;
+    * probe `lo`/`hi` with the column's own type (a Number for numeric
+    * columns, a String for string columns). Any other pairing disables
+    * pruning for the mismatched files rather than risking a wrong prune —
+    * see [[zoneOverlaps]].
     */
   def scanPruned(spark: SparkSession, path: String, c: String, lo: Any,
       hi: Any, version: Int = -1): DataFrame = {
@@ -282,14 +329,20 @@ object VersionedTable {
     }
   }
 
-  /** Delete keys (anti join), committed as the next version. */
+  /** Delete keys (anti join), committed as the next version. Pass the same
+    * `partitionBy`/`statsCols` as every other commit — a delete is a full
+    * COW snapshot like any merge, and omitting them here would silently
+    * strip the hive layout and zone maps from the new latest version.
+    */
   def delete(spark: SparkSession, path: String, keys: DataFrame,
-      keyCol: String): Int = {
+      keyCol: String, partitionBy: Seq[String] = Nil,
+      statsCols: Seq[String] = Nil): Int = {
     val current = latestVersion(spark, path).getOrElse(
       throw new IllegalArgumentException(s"no versions at $path — init first"))
     val next = current + 1
     commitVersion(
-      KvOps.delete(read(spark, path, current), keys, keyCol), path, next, None)
+      KvOps.delete(read(spark, path, current), keys, keyCol), path, next, None,
+      partitionBy, statsCols)
     next
   }
 }

@@ -93,12 +93,16 @@ class TopKRewriteSpec extends AnyFunSuite {
   test("does NOT fire for rn < Int.MinValue (k-1 must not wrap)") {
     fixture()
     // always-false predicate: an unguarded k-1 wraps to Int.MaxValue and
-    // would rewrite this into a top-everything returning all 7 rows
-    val df = spark.sql(
-      s"""SELECT g, v, id
-         |FROM (SELECT *, row_number() OVER (PARTITION BY g ORDER BY v DESC, id) rn
-         |      FROM t)
-         |WHERE rn < ${Int.MinValue}""".stripMargin)
+    // would rewrite this into a top-everything returning all 7 rows.
+    // DataFrame lit(), NOT a SQL literal: the SQL parser reads -2147483648
+    // as Long (2147483648 overflows Int before negation), which would
+    // bypass RankLimit's IntegerLiteral match and never exercise the guard.
+    import org.apache.spark.sql.expressions.{Window => W}
+    import org.apache.spark.sql.functions._
+    val df = spark.table("t")
+      .withColumn("rn", row_number().over(
+        W.partitionBy("g").orderBy(col("v").desc, col("id"))))
+      .filter(col("rn") < lit(Int.MinValue)).drop("rn")
     assert(!hasTopKExec(df))
     assert(df.count() == 0)
   }

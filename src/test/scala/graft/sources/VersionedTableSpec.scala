@@ -166,6 +166,33 @@ class VersionedTableSpec extends SparkSpec {
     assert(kept < total, s"expected skipping across $total files, kept $kept")
   }
 
+  test("probing a column absent from statsCols degrades to a full filtered scan") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft-vt9").toFile.getAbsolutePath + "/t"
+    VersionedTable.init(
+      (0L until 80L).map(k => (k, k * 3)).toDF("k", "x")
+        .repartitionByRange(4, col("k")),
+      path, statsCols = Seq("k"))
+    // "x" has no zone maps: no pruning, but no crash and exact results
+    assert(VersionedTable.prunedFiles(spark, path, "x", 0L, 29L) == ((0, 0)))
+    assert(VersionedTable.scanPruned(spark, path, "x", 0L, 29L).count() == 10)
+  }
+
+  test("delete keeps zone maps when statsCols is passed through") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft-vt10").toFile.getAbsolutePath + "/t"
+    VersionedTable.init(
+      (0L until 100L).map(k => (k, s"v$k")).toDF("k", "s")
+        .repartitionByRange(4, col("k")),
+      path, statsCols = Seq("k"))
+    VersionedTable.delete(spark, path, Seq(0L, 1L).toDF("k"), "k",
+      statsCols = Seq("k"))
+    val (kept, total) = VersionedTable.prunedFiles(spark, path, "k", 60L, 70L)
+    assert(total > 0 && kept < total,
+      s"delete dropped the zone maps: kept $kept of $total")
+    assert(VersionedTable.scanPruned(spark, path, "k", 60L, 70L).count() == 11)
+  }
+
   test("scanPruned falls back to a plain filtered read without a stats sidecar") {
     import spark.implicits._
     val path = Files.createTempDirectory("graft-vt8").toFile.getAbsolutePath + "/t"
