@@ -105,6 +105,14 @@ object VersionedTable {
       case d: java.lang.Double if d.isNaN || d.isInfinite => "null"
       case f: java.lang.Float if f.isNaN || f.isInfinite => "null"
       case n: java.lang.Number => n.toString
+      // temporal bounds are stored on the same numeric axes probeValue
+      // converts probes to: micros for timestamps, epoch days for dates
+      case t: java.sql.Timestamp =>
+        (t.getTime * 1000L + (t.getNanos / 1000) % 1000L).toString
+      case d: java.sql.Date => d.toLocalDate.toEpochDay.toString
+      case i: java.time.Instant =>
+        (i.getEpochSecond * 1000000L + i.getNano / 1000L).toString
+      case l: java.time.LocalDate => l.toEpochDay.toString
       case other => "\"" + other.toString.flatMap {
         case '"'  => "\\\""
         case '\\' => "\\\\"
@@ -167,17 +175,69 @@ object VersionedTable {
     x.length < y.length
   }
 
+  /** The probe value converted onto the axis the column's stats were
+    * stored on — None when the probe's type doesn't match the column's
+    * (which must disable pruning, never guess: comparing a Timestamp's
+    * micros against a Date column's day numbers would prune everything).
+    */
+  private def probeValue(dt: Option[org.apache.spark.sql.types.DataType],
+      v: Any): Option[Any] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case Some(_: TimestampType) => v match {
+        case t: java.sql.Timestamp =>
+          Some(t.getTime * 1000L + (t.getNanos / 1000) % 1000L)
+        case i: java.time.Instant =>
+          Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
+        case _ => None
+      }
+      case Some(_: DateType) => v match {
+        case d: java.sql.Date => Some(d.toLocalDate.toEpochDay)
+        case l: java.time.LocalDate => Some(l.toEpochDay)
+        case _ => None
+      }
+      case Some(_: NumericType) => v match {
+        case n: java.lang.Number => Some(n)
+        case _ => None
+      }
+      case Some(_: StringType) => v match {
+        case s: String => Some(s)
+        case _ => None
+      }
+      // unknown column type (no schema sidecar): fall back to the probe's
+      // own runtime type and let zoneOverlaps' JSON-kind check guard it
+      case _ => v match {
+        case n: java.lang.Number => Some(n)
+        case s: String => Some(s)
+        case _ => None
+      }
+    }
+  }
+
+  /** The committed column type for `c`, from the schema sidecar. */
+  private def columnType(spark: SparkSession, dir: String, c: String)
+      : Option[org.apache.spark.sql.types.DataType] =
+    readSidecar(spark, dir, SchemaFile).flatMap { json =>
+      org.apache.spark.sql.types.DataType.fromJson(json) match {
+        case s: org.apache.spark.sql.types.StructType =>
+          s.fields.find(_.name == c).map(_.dataType)
+        case _ => None
+      }
+    }
+
   /** Does [min, max] (possibly null = unknown) overlap [lo, hi]?
-    * Conservative by construction: any representation doubt (null bound,
-    * numeric zone probed with a non-numeric value, string zone probed with
-    * a non-String) keeps the file — pruning may only drop files that
+    * `lo`/`hi` are pre-converted by [[probeValue]]. Conservative by
+    * construction: any representation doubt (null bound, numeric zone
+    * probed with a non-numeric value, string zone probed with a
+    * non-String) keeps the file — pruning may only drop files that
     * provably contain no match.
     */
   private def zoneOverlaps(mn: com.fasterxml.jackson.databind.JsonNode,
-      mx: com.fasterxml.jackson.databind.JsonNode, lo: Any, hi: Any): Boolean = {
+      mx: com.fasterxml.jackson.databind.JsonNode, lo: Option[Any],
+      hi: Option[Any]): Boolean = {
     if (mn == null || mx == null || mn.isNull || mx.isNull) return true
-    def num(a: Any): Option[Double] = a match {
-      case n: java.lang.Number => Some(n.doubleValue())
+    def num(a: Option[Any]): Option[Double] = a match {
+      case Some(n: java.lang.Number) => Some(n.doubleValue())
       case _ => None
     }
     if (mn.isNumber)
@@ -186,7 +246,7 @@ object VersionedTable {
         case _ => true
       }
     else (lo, hi) match {
-      case (l: String, h: String) =>
+      case (Some(l: String), Some(h: String)) =>
         !(utf8Lt(mx.asText(), l) || utf8Lt(h, mn.asText()))
       case _ => true
     }
@@ -202,7 +262,9 @@ object VersionedTable {
     statsFor(spark, dir, c) match {
       case None => (0, 0)
       case Some(entries) =>
-        (entries.count(e => zoneOverlaps(e._2, e._3, lo, hi)), entries.size)
+        val dt = columnType(spark, dir, c)
+        val (l, h) = (probeValue(dt, lo), probeValue(dt, hi))
+        (entries.count(e => zoneOverlaps(e._2, e._3, l, h)), entries.size)
     }
   }
 
@@ -216,22 +278,25 @@ object VersionedTable {
     * range probe touches only the files that can contain it (the parquet
     * reader's row-group stats then prune within each file).
     *
-    * Type contract: zone maps are designed for numeric and string columns;
-    * probe `lo`/`hi` with the column's own type (a Number for numeric
-    * columns, a String for string columns). Any other pairing disables
-    * pruning for the mismatched files rather than risking a wrong prune —
-    * see [[zoneOverlaps]].
+    * Type contract: probe `lo`/`hi` with the column's own external type —
+    * a Number for numeric columns, a String for string columns,
+    * Timestamp/Instant for timestamp columns, Date/LocalDate for date
+    * columns (temporal bounds are stored as epoch micros/days and probes
+    * convert onto the same axis). Any other pairing disables pruning
+    * rather than risking a wrong prune — see [[probeValue]].
     */
   def scanPruned(spark: SparkSession, path: String, c: String, lo: Any,
       hi: Any, version: Int = -1): DataFrame = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, lit}
     val v = resolveVersion(spark, path, version)
     val dir = versionDir(path, v)
-    val pred = col(c) >= lo && col(c) <= hi
+    val pred = col(c) >= lit(lo) && col(c) <= lit(hi)
     statsFor(spark, dir, c) match {
       case None => read(spark, path, v).filter(pred)
       case Some(entries) =>
-        val keep = entries.filter(e => zoneOverlaps(e._2, e._3, lo, hi))
+        val dt = columnType(spark, dir, c)
+        val (l, h) = (probeValue(dt, lo), probeValue(dt, hi))
+        val keep = entries.filter(e => zoneOverlaps(e._2, e._3, l, h))
         if (keep.isEmpty) read(spark, path, v).limit(0).filter(pred)
         else {
           val reader = spark.read.option("basePath", dir)

@@ -193,6 +193,34 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.scanPruned(spark, path, "k", 60L, 70L).count() == 11)
   }
 
+  test("timestamp zone maps prune with Timestamp probes; mismatched probe types never prune") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft-vt11").toFile.getAbsolutePath + "/t"
+    // 4 files of one day each (Jan 1–4 1995), hour resolution
+    val df = (0L until 96L)
+      .map(h => (h, java.sql.Timestamp.valueOf(
+        java.time.LocalDateTime.of(1995, 1, 1, 0, 0).plusHours(h.toInt))))
+      .toDF("id", "ts").repartitionByRange(4, col("ts"))
+    VersionedTable.init(df, path, statsCols = Seq("ts"))
+
+    val lo = java.sql.Timestamp.valueOf("1995-01-02 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("1995-01-02 23:00:00")
+    val (kept, total) = VersionedTable.prunedFiles(spark, path, "ts", lo, hi)
+    assert(total == 4 && kept == 1, s"expected 1/4 files, got $kept/$total")
+    assert(VersionedTable.scanPruned(spark, path, "ts", lo, hi).count() == 24)
+
+    // Instant probes land on the same micros axis
+    val (ki, _) = VersionedTable.prunedFiles(spark, path, "ts",
+      lo.toInstant, hi.toInstant)
+    assert(ki == 1)
+
+    // a LocalDate probe against a timestamp column must disable pruning,
+    // not guess an axis (days vs micros would prune every file)
+    val (kd, td) = VersionedTable.prunedFiles(spark, path, "ts",
+      java.time.LocalDate.of(1995, 1, 2), java.time.LocalDate.of(1995, 1, 2))
+    assert(kd == td, s"mismatched probe type must keep all files: $kd/$td")
+  }
+
   test("scanPruned falls back to a plain filtered read without a stats sidecar") {
     import spark.implicits._
     val path = Files.createTempDirectory("graft-vt8").toFile.getAbsolutePath + "/t"
