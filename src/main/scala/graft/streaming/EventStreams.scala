@@ -114,7 +114,20 @@ object EventStreams {
     * apply batch-side, where late data is settled.
     */
   def clickAttribution(events: DataFrame, horizon: String = "2 hours")
-      : DataFrame = {
+      : DataFrame = attributionJoin(events, horizon, "inner")
+
+  /** Left-outer variant: additionally emits each view that saw NO click in
+    * its 30-minute window, with null click columns — the "unconverted
+    * impressions" feed. Emission of an unmatched view is necessarily
+    * deferred until the click-side watermark passes view_ts + 30 min (only
+    * then is "no click arrived" final); matched pairs stream out
+    * immediately, same as the inner form.
+    */
+  def clickAttributionOuter(events: DataFrame, horizon: String = "2 hours")
+      : DataFrame = attributionJoin(events, horizon, "left_outer")
+
+  private def attributionJoin(events: DataFrame, horizon: String,
+      joinType: String): DataFrame = {
     val views = events.filter(col("event_type") === "view")
       .select(col("user_id").as("v_user"), col("ts").as("view_ts"),
         col("event_id").as("view_id"))
@@ -126,7 +139,8 @@ object EventStreams {
     views.join(clicks,
         col("v_user") === col("c_user") &&
           col("click_ts") >= col("view_ts") &&
-          col("click_ts") <= col("view_ts") + expr("INTERVAL 30 MINUTES"))
+          col("click_ts") <= col("view_ts") + expr("INTERVAL 30 MINUTES"),
+        joinType)
       .select(col("v_user").as("user_id"), col("view_id"), col("click_id"),
         col("view_ts"), col("click_ts"))
   }

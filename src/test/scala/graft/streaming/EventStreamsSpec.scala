@@ -111,6 +111,45 @@ class EventStreamsSpec extends SparkSpec {
     assert(want.nonEmpty && got == want)
   }
 
+  test("outer clickAttribution emits unmatched views once the watermark passes") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-attr-outer").toFile.getAbsolutePath
+    def writeBatch(sub: String,
+        rows: Seq[(Long, String, Long, String)]): Unit =
+      rows.map { case (id, ts, user, typ) =>
+        (id, java.sql.Timestamp.valueOf(ts), user, typ, 1.0, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(s"$dir/$sub")
+    // batch 1: user 1 converts (view 10:00 → click 10:10);
+    //          user 2's view 10:05 never gets a click
+    writeBatch("b1", Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "view"),
+      (2L, "2024-01-01 10:10:00", 1L, "click"),
+      (3L, "2024-01-01 10:05:00", 2L, "view")))
+    val schema = spark.read.parquet(s"$dir/b1").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/*")
+    val q = EventStreams.clickAttributionOuter(stream, horizon = "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("attr_outer_out").start()
+    q.processAllAvailable()
+    val afterB1 = spark.table("attr_outer_out").collect()
+      .map(r => (r.getLong(1), Option(r.get(2)))).toSet
+    // the match may stream out immediately; "no click for view 3" is NOT
+    // final yet — it must not have been emitted
+    assert(!afterB1.contains((3L, None)), s"premature outer emit: $afterB1")
+    // batch 2: far-future sentinel pushes the watermark past 10:05+30m+10m
+    writeBatch("b2", Seq((9L, "2024-01-01 20:00:00", 99L, "view")))
+    q.processAllAvailable()
+    // one more empty-progress cycle lets the engine finalize state evictions
+    writeBatch("b3", Seq((10L, "2024-01-01 21:00:00", 98L, "click")))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("attr_outer_out").collect()
+      .map(r => (r.getLong(1), Option(r.get(2)))).toSet
+    assert(got.contains((1L, Some(2L))), s"matched pair missing: $got")
+    assert(got.contains((3L, None)), s"unmatched view not emitted: $got")
+  }
+
   test("streaming dropDuplicates dedups across micro-batches") {
     // duplicate the staged events (same event_ids twice across files):
     // stateful dedup must converge to the distinct id count
