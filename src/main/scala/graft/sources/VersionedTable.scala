@@ -106,13 +106,12 @@ object VersionedTable {
       case f: java.lang.Float if f.isNaN || f.isInfinite => "null"
       case n: java.lang.Number => n.toString
       // temporal bounds are stored on the same numeric axes probeValue
-      // converts probes to: micros for timestamps, epoch days for dates
-      case t: java.sql.Timestamp =>
-        (t.getTime * 1000L + (t.getNanos / 1000) % 1000L).toString
-      case d: java.sql.Date => d.toLocalDate.toEpochDay.toString
-      case i: java.time.Instant =>
-        (i.getEpochSecond * 1000000L + i.getNano / 1000L).toString
-      case l: java.time.LocalDate => l.toEpochDay.toString
+      // converts probes to (the SHARED toMicros/toDays helpers — stats and
+      // probes must stay bit-identical or pruning silently goes wrong)
+      case t: java.sql.Timestamp => toMicros(t).toString
+      case i: java.time.Instant => toMicros(i).toString
+      case d: java.sql.Date => toDays(d).toString
+      case l: java.time.LocalDate => toDays(l).toString
       case other => "\"" + other.toString.flatMap {
         case '"'  => "\\\""
         case '\\' => "\\\\"
@@ -175,6 +174,26 @@ object VersionedTable {
     x.length < y.length
   }
 
+  /** Timestamp-ish → epoch micros (Spark's own fromJavaTimestamp formula).
+    * Shared by computeStats and probeValue: both sides of a prune decision
+    * MUST use this one conversion.
+    */
+  private def toMicros(v: Any): Long = v match {
+    case t: java.sql.Timestamp =>
+      t.getTime * 1000L + (t.getNanos / 1000) % 1000L
+    case i: java.time.Instant =>
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    case other =>
+      throw new IllegalArgumentException(s"not a timestamp: $other")
+  }
+
+  /** Date-ish → epoch days. Shared for the same reason as [[toMicros]]. */
+  private def toDays(v: Any): Long = v match {
+    case d: java.sql.Date => d.toLocalDate.toEpochDay
+    case l: java.time.LocalDate => l.toEpochDay
+    case other => throw new IllegalArgumentException(s"not a date: $other")
+  }
+
   /** The probe value converted onto the axis the column's stats were
     * stored on — None when the probe's type doesn't match the column's
     * (which must disable pruning, never guess: comparing a Timestamp's
@@ -185,15 +204,13 @@ object VersionedTable {
     import org.apache.spark.sql.types._
     dt match {
       case Some(_: TimestampType) => v match {
-        case t: java.sql.Timestamp =>
-          Some(t.getTime * 1000L + (t.getNanos / 1000) % 1000L)
-        case i: java.time.Instant =>
-          Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
+        case t: java.sql.Timestamp => Some(toMicros(t))
+        case i: java.time.Instant => Some(toMicros(i))
         case _ => None
       }
       case Some(_: DateType) => v match {
-        case d: java.sql.Date => Some(d.toLocalDate.toEpochDay)
-        case l: java.time.LocalDate => Some(l.toEpochDay)
+        case d: java.sql.Date => Some(toDays(d))
+        case l: java.time.LocalDate => Some(toDays(l))
         case _ => None
       }
       case Some(_: NumericType) => v match {
@@ -214,16 +231,20 @@ object VersionedTable {
     }
   }
 
-  /** The committed column type for `c`, from the schema sidecar. */
-  private def columnType(spark: SparkSession, dir: String, c: String)
-      : Option[org.apache.spark.sql.types.DataType] =
-    readSidecar(spark, dir, SchemaFile).flatMap { json =>
-      org.apache.spark.sql.types.DataType.fromJson(json) match {
-        case s: org.apache.spark.sql.types.StructType =>
-          s.fields.find(_.name == c).map(_.dataType)
-        case _ => None
-      }
-    }
+  /** The committed snapshot schema, parsed once per call site. */
+  private def schemaOf(spark: SparkSession, dir: String)
+      : Option[org.apache.spark.sql.types.StructType] =
+    readSidecar(spark, dir, SchemaFile).collect {
+      case json => org.apache.spark.sql.types.DataType.fromJson(json)
+    }.collect { case s: org.apache.spark.sql.types.StructType => s }
+
+  /** Column type lookup, case-insensitive like Spark's own resolution —
+    * statsCols = Seq("TS") against a column named "ts" writes stats under
+    * "TS", and an exact-match lookup here would silently disable pruning.
+    */
+  private def columnType(schema: Option[org.apache.spark.sql.types.StructType],
+      c: String): Option[org.apache.spark.sql.types.DataType] =
+    schema.flatMap(_.fields.find(_.name.equalsIgnoreCase(c)).map(_.dataType))
 
   /** Does [min, max] (possibly null = unknown) overlap [lo, hi]?
     * `lo`/`hi` are pre-converted by [[probeValue]]. Conservative by
@@ -262,7 +283,7 @@ object VersionedTable {
     statsFor(spark, dir, c) match {
       case None => (0, 0)
       case Some(entries) =>
-        val dt = columnType(spark, dir, c)
+        val dt = columnType(schemaOf(spark, dir), c)
         val (l, h) = (probeValue(dt, lo), probeValue(dt, hi))
         (entries.count(e => zoneOverlaps(e._2, e._3, l, h)), entries.size)
     }
@@ -294,18 +315,19 @@ object VersionedTable {
     statsFor(spark, dir, c) match {
       case None => read(spark, path, v).filter(pred)
       case Some(entries) =>
-        val dt = columnType(spark, dir, c)
+        // one sidecar read serves both the probe-type lookup and the reader
+        // schema — on an object store each read is a network round trip
+        val schema = schemaOf(spark, dir)
+        val dt = columnType(schema, c)
         val (l, h) = (probeValue(dt, lo), probeValue(dt, hi))
         val keep = entries.filter(e => zoneOverlaps(e._2, e._3, l, h))
         if (keep.isEmpty) read(spark, path, v).limit(0).filter(pred)
         else {
           val reader = spark.read.option("basePath", dir)
-          val withSchema = readSidecar(spark, dir, SchemaFile) match {
-            case Some(json) =>
-              val schema = org.apache.spark.sql.types.DataType.fromJson(json)
-                .asInstanceOf[org.apache.spark.sql.types.StructType]
-              reader.schema(schema).parquet(keep.map(e => s"$dir/${e._1}"): _*)
-                .select(schema.fieldNames.map(col).toSeq: _*)
+          val withSchema = schema match {
+            case Some(s) =>
+              reader.schema(s).parquet(keep.map(e => s"$dir/${e._1}"): _*)
+                .select(s.fieldNames.map(col).toSeq: _*)
             case None => reader.parquet(keep.map(e => s"$dir/${e._1}"): _*)
           }
           withSchema.filter(pred)
