@@ -433,6 +433,62 @@ object TextOps {
        |ORDER BY a, b""".stripMargin
   }
 
+  /** Asymmetric CONTAINMENT dedup: among the shingle-LSH candidate pairs,
+    * pairs where one doc's shingle set is ≥80% contained in the other —
+    * the subset/boilerplate case Jaccard misses (a paragraph quoted inside
+    * a long doc has high containment but low Jaccard, because the union is
+    * dominated by the long doc). Containment(A→B) = |A∩B| / |A|, per
+    * direction. Candidate-bounded like every pair op here: the shared-
+    * shingle count joins only LSH candidates, never all pairs; shingle
+    * sizes join back from a per-doc aggregate.
+    */
+  def containmentPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val codes = shingleCodes(s, dir).localCheckpoint(true)
+    val sizes = codes.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val inter = shinglePairs(s, dir).select($"a", $"b")
+      .join(codes.select($"doc_id".as("a"), $"code"), Seq("a"))
+      .join(codes.select($"doc_id".as("b"), $"code"), Seq("b", "code"))
+      .groupBy($"a", $"b").agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.select($"doc_id".as("a"), $"n".as("na")), Seq("a"))
+      .join(sizes.select($"doc_id".as("b"), $"n".as("nb")), Seq("b"))
+      .select($"a", $"b", $"c",
+        round($"c" * 1.0 / $"na", 4).as("cont_a"),
+        round($"c" * 1.0 / $"nb", 4).as("cont_b"))
+      .filter(greatest($"cont_a", $"cont_b") >= 0.8)
+      .orderBy($"a", $"b")
+  }
+
+  val containmentPairsSql: String = shingleCte + {
+    val cols = A.indices.map(j =>
+      s"min((${A(j)} * code + ${B(j)}) % 2147483647) AS mh$j").mkString(", ")
+    def sig(i: Int) =
+      (1 until 4).foldLeft(s"mh${i}")((acc, j) =>
+        s"(($acc) % $M * 131071 + mh${i + j}) % $M")
+    s""", sigs AS (SELECT doc_id, $cols FROM codes GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, 0 AS band, ${sig(0)} AS sig FROM sigs
+       |  UNION ALL SELECT doc_id, 1, ${sig(4)} FROM sigs),
+       |pairs AS (
+       |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+       |  FROM bands l JOIN bands r
+       |    ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id),
+       |sz AS (SELECT doc_id, count(*)::BIGINT AS n FROM codes GROUP BY doc_id),
+       |inter AS (
+       |  SELECT p.a, p.b, count(*)::BIGINT AS c
+       |  FROM pairs p
+       |  JOIN codes ca ON ca.doc_id = p.a
+       |  JOIN codes cb ON cb.doc_id = p.b AND cb.code = ca.code
+       |  GROUP BY 1, 2)
+       |SELECT a, b, c, round(c * 1.0 / sa.n, 4) AS cont_a,
+       |  round(c * 1.0 / sb.n, 4) AS cont_b
+       |FROM inter
+       |JOIN sz sa ON a = sa.doc_id JOIN sz sb ON b = sb.doc_id
+       |WHERE greatest(round(c * 1.0 / sa.n, 4), round(c * 1.0 / sb.n, 4)) >= 0.8
+       |ORDER BY a, b""".stripMargin
+  }
+
   /** Connected components by alternating large-star / small-star edge
     * contraction (Kiveris et al., "Connected Components in MapReduce and
     * Beyond", SoCC'14): each round relinks every node toward the minimum
@@ -820,6 +876,7 @@ object TextOps {
     "dedup_simhash" -> simhash _,
     "dedup_simhash_pairs" -> simhashPairs _,
     "dedup_clusters" -> dedupClusters _,
+    "dedup_containment_pairs" -> containmentPairs _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -840,5 +897,6 @@ object TextOps {
     "dedup_simhash" -> simhashSql,
     "dedup_simhash_pairs" -> simhashPairsSql,
     "dedup_clusters" -> dedupClustersSql,
+    "dedup_containment_pairs" -> containmentPairsSql,
   )
 }
