@@ -36,7 +36,8 @@ case class GroupedTopKNode(
     groupExprs: Seq[Expression],
     order: Seq[SortOrder],
     k: Int,
-    child: LogicalPlan) extends UnaryNode {
+    child: LogicalPlan,
+    withTies: Boolean = false) extends UnaryNode {
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(c: LogicalPlan): GroupedTopKNode =
     copy(child = c)
@@ -53,7 +54,8 @@ case class GroupedTopKExec(
     order: Seq[SortOrder],
     k: Int,
     partial: Boolean,
-    child: SparkPlan) extends UnaryExecNode {
+    child: SparkPlan,
+    withTies: Boolean = false) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning: Partitioning = child.outputPartitioning
@@ -78,6 +80,23 @@ case class GroupedTopKExec(
       }
       val heaps = new java.util.HashMap[UnsafeRow,
         java.util.PriorityQueue[InternalRow]]()
+      // withTies: rows tying the CURRENT boundary (= heap head) live here;
+      // `rank() <= k` keeps every row whose sort key equals the k-th row's.
+      // Invariant: a buffer is nonempty only while all its rows compare
+      // equal to its group's head — a strict boundary improvement clears it
+      // (those rows now have > k rows ahead). Memory is heap k + however
+      // many rows tie the boundary, which is exactly the extra output
+      // WITH TIES must produce.
+      val ties: java.util.HashMap[UnsafeRow, java.util.ArrayList[InternalRow]] =
+        if (withTies) new java.util.HashMap() else null
+      def tieBuf(g: UnsafeRow): java.util.ArrayList[InternalRow] = {
+        var buf = ties.get(g)
+        if (buf == null) {
+          buf = new java.util.ArrayList[InternalRow]()
+          ties.put(g.copy(), buf)
+        }
+        buf
+      }
       iter.foreach { row =>
         val g = groupProj(row)
         var heap = heaps.get(g)
@@ -87,13 +106,30 @@ case class GroupedTopKExec(
         }
         if (heap.size() < k) {
           heap.add(row.copy())
-        } else if (ordering.compare(row, heap.peek()) < 0) {
-          heap.poll()
-          heap.add(row.copy())
+        } else {
+          val cmp = ordering.compare(row, heap.peek())
+          if (cmp < 0) {
+            val evicted = heap.poll()
+            heap.add(row.copy())
+            if (withTies) {
+              val buf = tieBuf(g)
+              if (ordering.compare(evicted, heap.peek()) == 0) buf.add(evicted)
+              else if (!buf.isEmpty) buf.clear()
+            }
+          } else if (withTies && cmp == 0) {
+            tieBuf(g).add(row.copy())
+          }
         }
       }
       import scala.jdk.CollectionConverters._
-      heaps.values().asScala.iterator.flatMap(_.asScala)
+      heaps.entrySet().asScala.iterator.flatMap { e =>
+        val kept = e.getValue.asScala
+        if (ties == null) kept
+        else {
+          val buf = ties.get(e.getKey)
+          if (buf == null) kept else kept ++ buf.asScala
+        }
+      }
     }, preservesPartitioning = true)
   }
 
@@ -103,10 +139,14 @@ case class GroupedTopKExec(
 
 object GroupedTopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case GroupedTopKNode(g, o, k, child) =>
-      // two-phase: map-side partial bounds the shuffle, final reduces
+    case GroupedTopKNode(g, o, k, child, ties) =>
+      // two-phase: map-side partial bounds the shuffle, final reduces.
+      // WITH TIES composes: a row with final rank <= k has partition rank
+      // <= k in its own partition, so the partial (which keeps ties too)
+      // never drops a final survivor.
       GroupedTopKExec(g, o, k, partial = false,
-        GroupedTopKExec(g, o, k, partial = true, planLater(child))) :: Nil
+        GroupedTopKExec(g, o, k, partial = true, planLater(child), ties),
+        ties) :: Nil
     case _ => Nil
   }
 }
@@ -118,7 +158,17 @@ object GroupedTopK {
     * on any session without builder-time configuration.
     */
   def apply(df: DataFrame, groupCols: Seq[String], orderCols: Seq[String],
-      k: Int): DataFrame = {
+      k: Int): DataFrame = build(df, groupCols, orderCols, k, ties = false)
+
+  /** `rank() <= k` semantics: additionally keeps every row tying the k-th
+    * row's sort key (SQL's FETCH FIRST k ROWS WITH TIES, per group). Same
+    * bounded-heap plan; memory grows only by the tie rows themselves.
+    */
+  def withTies(df: DataFrame, groupCols: Seq[String], orderCols: Seq[String],
+      k: Int): DataFrame = build(df, groupCols, orderCols, k, ties = true)
+
+  private def build(df: DataFrame, groupCols: Seq[String],
+      orderCols: Seq[String], k: Int, ties: Boolean): DataFrame = {
     // k = 0 would NPE in the exec's heap (peek() on never-filled heap);
     // reject it at the API boundary instead
     require(k >= 1, s"grouped top-k needs k >= 1, got $k")
@@ -134,6 +184,6 @@ object GroupedTopK {
         s"column $name not in ${analyzed.output.map(_.name)}"))
     Bridge.ofRows(spark,
       GroupedTopKNode(groupCols.map(attr),
-        orderCols.map(c => SortOrder(attr(c), Descending)), k, analyzed))
+        orderCols.map(c => SortOrder(attr(c), Descending)), k, analyzed, ties))
   }
 }

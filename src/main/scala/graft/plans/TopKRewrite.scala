@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, CurrentRow, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, IntegerLiteral, LessThan, LessThanOrEqual, PredicateHelper, RowFrame, RowNumber, SortOrder, SpecifiedWindowFrame, UnboundedPreceding, WindowExpression, WindowSpecDefinition}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, CurrentRow, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, IntegerLiteral, LessThan, LessThanOrEqual, PredicateHelper, Rank, RowFrame, RowNumber, SortOrder, SpecifiedWindowFrame, UnboundedPreceding, WindowExpression, WindowSpecDefinition}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, Window, WindowGroupLimit}
 import org.apache.spark.sql.catalyst.rules.Rule
 
@@ -21,8 +21,10 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *
   * Fires only when ALL of:
   *  - the Window computes exactly one expression: `row_number()` with the
-  *    standard (UnboundedPreceding, CurrentRow) row frame — NOT rank /
-  *    dense_rank, whose tie semantics can keep more than k rows;
+  *    standard row frame (→ exactly-k semantics), or `rank()` with the
+  *    standard range frame (→ WITH TIES: the heap additionally keeps rows
+  *    tying the k-th). dense_rank never matches — it bounds distinct keys,
+  *    not rows, which a bounded-row heap cannot answer;
   *  - the filter bounds that attribute by an integer literal
   *    (`rn <= k`, `rn < k`, `rn = 1`, or the mirrored forms), possibly
   *    conjoined with predicates that don't reference rn (those are kept
@@ -62,12 +64,20 @@ object GroupedTopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
     }
   }
 
-  /** A Window whose sole output is a frame-standard `row_number()`. */
+  /** A Window whose sole output is a frame-standard `row_number()` or
+    * `rank()` (both resolve with the (RowFrame, UnboundedPreceding,
+    * CurrentRow) frame). The boolean is withTies: row_number keeps exactly
+    * k rows per group; rank ≤ k keeps every row tying the k-th (both map
+    * to [[GroupedTopKNode]], which implements the tie semantics natively).
+    * dense_rank deliberately does NOT match — `dense_rank() <= k` bounds
+    * DISTINCT keys, not rows, which no bounded-row heap can answer.
+    */
   private object RowNumberWindow {
     def unapply(p: LogicalPlan)
-        : Option[(Attribute, Seq[Expression], Seq[SortOrder], LogicalPlan)] =
+        : Option[(Attribute, Seq[Expression], Seq[SortOrder], LogicalPlan,
+          Boolean)] =
       p match {
-        case Window(Seq(a @ Alias(WindowExpression(_: RowNumber,
+        case Window(Seq(a @ Alias(WindowExpression(fn,
               WindowSpecDefinition(part, order,
                 SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))),
               _)), _, _, child, _) if order.nonEmpty && part.nonEmpty =>
@@ -77,7 +87,11 @@ object GroupedTopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
             case WindowGroupLimit(_, _, _, _, c) => c
             case c => c
           }
-          Some((a.toAttribute, part, order, inner))
+          fn match {
+            case _: RowNumber => Some((a.toAttribute, part, order, inner, false))
+            case _: Rank => Some((a.toAttribute, part, order, inner, true))
+            case _ => None
+          }
         case _ => None
       }
   }
@@ -90,7 +104,7 @@ object GroupedTopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   private def rewrite(p: Project): Option[LogicalPlan] = p match {
     case Project(projectList,
-        Filter(cond, RowNumberWindow(rnAttr, part, order, wChild)))
+        Filter(cond, RowNumberWindow(rnAttr, part, order, wChild, ties)))
         if projectList.forall(_.references.subsetOf(wChild.outputSet)) =>
       val (rankConjuncts, rest) =
         splitConjunctivePredicates(cond).partition {
@@ -100,7 +114,7 @@ object GroupedTopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
       val ks = rankConjuncts.collect { case RankLimit(_, k) => k }
       if (ks.size == 1 && ks.head >= 1 &&
           rest.forall(!_.references.contains(rnAttr))) {
-        val topk = GroupedTopKNode(part, order, ks.head, wChild)
+        val topk = GroupedTopKNode(part, order, ks.head, wChild, ties)
         Some(Project(projectList,
           rest.reduceOption(And).map(Filter(_, topk)).getOrElse(topk)))
       } else None

@@ -60,4 +60,32 @@ class GroupedTopKSpec extends SparkSpec {
       assert(e.getMessage.contains("k >= 1"))
     }
   }
+
+  test("withTies matches a window rank() filter on seeded random data with heavy ties") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rng = new scala.util.Random(7)
+    // values drawn from a tiny domain so boundary ties are everywhere;
+    // ordering on v alone (NOT unique) is exactly the with-ties case
+    val data = (1 to 400).map(i =>
+      (rng.nextInt(5), rng.nextInt(4).toDouble, i.toLong))
+    for (parts <- Seq(1, 7); k <- Seq(1, 2, 3)) {
+      val df = data.toDF("g", "v", "id").repartition(parts)
+      val got = GroupedTopK.withTies(df, Seq("g"), Seq("v"), k)
+        .collect().map(r => (r.getInt(0), r.getDouble(1), r.getLong(2)))
+        .sorted.toSeq
+      val want = df.withColumn("rk", rank().over(
+          Window.partitionBy($"g").orderBy($"v".desc)))
+        .filter($"rk" <= k).drop("rk")
+        .collect().map(r => (r.getInt(0), r.getDouble(1), r.getLong(2)))
+        .sorted.toSeq
+      assert(got == want, s"parts=$parts k=$k: got ${got.size}, want ${want.size}")
+    }
+  }
+
+  test("withTies keeps all rows of an all-tied group") {
+    import spark.implicits._
+    val data = Seq((1, 5.0, 1L), (1, 5.0, 2L), (1, 5.0, 3L)).toDF("g", "v", "id")
+    assert(GroupedTopK.withTies(data, Seq("g"), Seq("v"), 1).count() == 3)
+  }
 }

@@ -78,14 +78,37 @@ class TopKRewriteSpec extends AnyFunSuite {
       ("g2", 9, 5)))
   }
 
-  test("does NOT fire for rank() (tie semantics differ)") {
+  test("rank() rewrites to the WITH TIES top-k and keeps tied rows") {
     fixture()
     val df = spark.sql(
       """SELECT g, v, id
         |FROM (SELECT *, rank() OVER (PARTITION BY g ORDER BY v DESC) rk FROM t)
         |WHERE rk <= 1""".stripMargin)
+    assert(hasTopKExec(df) && !hasWindow(df))
+    // rank keeps BOTH tied g1 rows — the tie semantics the heap must honor
+    assert(rows(df) == Seq(("g1", 5, 1), ("g1", 5, 2), ("g2", 9, 5),
+      ("g3", 2, 7)))
+  }
+
+  test("rank() <= 2 keeps boundary ties but excludes rank 3") {
+    fixture()
+    // g1 values desc: 5, 5, 3, 1 → ranks 1, 1, 3, 4; rk <= 2 keeps the 5s
+    val df = spark.sql(
+      """SELECT g, v, id
+        |FROM (SELECT *, rank() OVER (PARTITION BY g ORDER BY v DESC) rk FROM t)
+        |WHERE rk <= 2""".stripMargin)
+    assert(hasTopKExec(df) && !hasWindow(df))
+    assert(rows(df) == Seq(("g1", 5, 1), ("g1", 5, 2), ("g2", 8, 6),
+      ("g2", 9, 5), ("g3", 2, 7)))
+  }
+
+  test("does NOT fire for dense_rank() (bounds distinct keys, not rows)") {
+    fixture()
+    val df = spark.sql(
+      """SELECT g, v, id
+        |FROM (SELECT *, dense_rank() OVER (PARTITION BY g ORDER BY v DESC) dr FROM t)
+        |WHERE dr <= 1""".stripMargin)
     assert(!hasTopKExec(df) && hasWindow(df))
-    // rank keeps BOTH tied g1 rows — the behavior the rewrite must not break
     assert(rows(df) == Seq(("g1", 5, 1), ("g1", 5, 2), ("g2", 9, 5),
       ("g3", 2, 7)))
   }
