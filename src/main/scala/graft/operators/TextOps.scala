@@ -385,10 +385,19 @@ object TextOps {
   /** Shingle-MinHash signatures (8 permutations over distinct 3-shingles). */
   def shingleMinhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    shingleMinhashOf(shingleCodes(s, dir)).orderBy($"doc_id")
+  }
+
+  /** Signatures from an already-built (doc_id, code) frame — lets callers
+    * that materialized the codes (containmentPairs) reuse them instead of
+    * re-shingling the corpus.
+    */
+  private def shingleMinhashOf(codes: DataFrame): DataFrame = {
+    val s = codes.sparkSession
+    import s.implicits._
     val aggs = A.indices.map(j =>
       min((lit(A(j)) * $"code" + B(j)) % P).as(s"mh$j"))
-    shingleCodes(s, dir).groupBy($"doc_id")
-      .agg(aggs.head, aggs.tail: _*).orderBy($"doc_id")
+    codes.groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
   val shingleMinhashSql: String = shingleCte + {
@@ -404,7 +413,16 @@ object TextOps {
     */
   def shinglePairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sig = shingleMinhash(s, dir)
+    shinglePairsOf(shingleCodes(s, dir)).orderBy($"a", $"b")
+  }
+
+  /** Candidate pairs from an already-built (doc_id, code) frame (unordered
+    * — the public query adds the deterministic sort).
+    */
+  private def shinglePairsOf(codes: DataFrame): DataFrame = {
+    val s = codes.sparkSession
+    import s.implicits._
+    val sig = shingleMinhashOf(codes)
     val bands = (0 until 2).map { b =>
       sig.select($"doc_id", lit(b).as("band"),
         bandSig((0 until 4).map(i => col(s"mh${4 * b + i}"))).as("sig"))
@@ -414,10 +432,13 @@ object TextOps {
           && $"l.doc_id" < $"r.doc_id")
       .select($"l.doc_id".as("a"), $"r.doc_id".as("b"))
       .distinct()
-      .orderBy($"a", $"b")
   }
 
-  val shinglePairsSql: String = shingleCte + {
+  /** sigs/bands/pairs CTEs over `codes` — the ONE copy of the banding SQL,
+    * shared by the three shingle-LSH oracles (pairs, clusters, containment)
+    * so the band count / fold constants can never drift between them.
+    */
+  private val shingleBandsCte: String = {
     val cols = A.indices.map(j =>
       s"min((${A(j)} * code + ${B(j)}) % 2147483647) AS mh$j").mkString(", ")
     def sig(i: Int) =
@@ -426,12 +447,15 @@ object TextOps {
     s""", sigs AS (SELECT doc_id, $cols FROM codes GROUP BY doc_id),
        |bands AS (
        |  SELECT doc_id, 0 AS band, ${sig(0)} AS sig FROM sigs
-       |  UNION ALL SELECT doc_id, 1, ${sig(4)} FROM sigs)
-       |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-       |FROM bands l JOIN bands r
-       |  ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
-       |ORDER BY a, b""".stripMargin
+       |  UNION ALL SELECT doc_id, 1, ${sig(4)} FROM sigs),
+       |pairs AS (
+       |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+       |  FROM bands l JOIN bands r
+       |    ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id)""".stripMargin
   }
+
+  val shinglePairsSql: String = shingleCte + shingleBandsCte +
+    "\nSELECT a, b FROM pairs ORDER BY a, b"
 
   /** Asymmetric CONTAINMENT dedup: among the shingle-LSH candidate pairs,
     * pairs where one doc's shingle set is ≥80% contained in the other —
@@ -444,9 +468,11 @@ object TextOps {
     */
   def containmentPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // one shingling pass, checkpointed: candidates, sizes, and the
+    // intersection join all fan out from this frame
     val codes = shingleCodes(s, dir).localCheckpoint(true)
     val sizes = codes.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val inter = shinglePairs(s, dir).select($"a", $"b")
+    val inter = shinglePairsOf(codes)
       .join(codes.select($"doc_id".as("a"), $"code"), Seq("a"))
       .join(codes.select($"doc_id".as("b"), $"code"), Seq("b", "code"))
       .groupBy($"a", $"b").agg(count(lit(1)).as("c"))
@@ -460,20 +486,8 @@ object TextOps {
       .orderBy($"a", $"b")
   }
 
-  val containmentPairsSql: String = shingleCte + {
-    val cols = A.indices.map(j =>
-      s"min((${A(j)} * code + ${B(j)}) % 2147483647) AS mh$j").mkString(", ")
-    def sig(i: Int) =
-      (1 until 4).foldLeft(s"mh${i}")((acc, j) =>
-        s"(($acc) % $M * 131071 + mh${i + j}) % $M")
-    s""", sigs AS (SELECT doc_id, $cols FROM codes GROUP BY doc_id),
-       |bands AS (
-       |  SELECT doc_id, 0 AS band, ${sig(0)} AS sig FROM sigs
-       |  UNION ALL SELECT doc_id, 1, ${sig(4)} FROM sigs),
-       |pairs AS (
-       |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-       |  FROM bands l JOIN bands r
-       |    ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id),
+  val containmentPairsSql: String = shingleCte + shingleBandsCte + {
+    s""",
        |sz AS (SELECT doc_id, count(*)::BIGINT AS n FROM codes GROUP BY doc_id),
        |inter AS (
        |  SELECT p.a, p.b, count(*)::BIGINT AS c
@@ -573,20 +587,8 @@ object TextOps {
   }
 
   val dedupClustersSql: String =
-    shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ") + {
-      val cols = A.indices.map(j =>
-        s"min((${A(j)} * code + ${B(j)}) % 2147483647) AS mh$j").mkString(", ")
-      def sig(i: Int) =
-        (1 until 4).foldLeft(s"mh${i}")((acc, j) =>
-          s"(($acc) % $M * 131071 + mh${i + j}) % $M")
-      s""", sigs AS (SELECT doc_id, $cols FROM codes GROUP BY doc_id),
-         |bands AS (
-         |  SELECT doc_id, 0 AS band, ${sig(0)} AS sig FROM sigs
-         |  UNION ALL SELECT doc_id, 1, ${sig(4)} FROM sigs),
-         |pairs AS (
-         |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-         |  FROM bands l JOIN bands r
-         |    ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id),
+    shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ") + shingleBandsCte + {
+      s""",
          |edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
          |reach(node, m) AS (
          |  SELECT doc_id, doc_id FROM documents

@@ -112,9 +112,14 @@ case class GroupedTopKExec(
             val evicted = heap.poll()
             heap.add(row.copy())
             if (withTies) {
-              val buf = tieBuf(g)
-              if (ordering.compare(evicted, heap.peek()) == 0) buf.add(evicted)
-              else if (!buf.isEmpty) buf.clear()
+              if (ordering.compare(evicted, heap.peek()) == 0) {
+                tieBuf(g).add(evicted)
+              } else {
+                // boundary strictly improved: don't allocate a buffer just
+                // to clear it — only touch one that already exists
+                val buf = ties.get(g)
+                if (buf != null && !buf.isEmpty) buf.clear()
+              }
             }
           } else if (withTies && cmp == 0) {
             tieBuf(g).add(row.copy())

@@ -20,11 +20,12 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * Window (and its sort) entirely.
   *
   * Fires only when ALL of:
-  *  - the Window computes exactly one expression: `row_number()` with the
-  *    standard row frame (→ exactly-k semantics), or `rank()` with the
-  *    standard range frame (→ WITH TIES: the heap additionally keeps rows
-  *    tying the k-th). dense_rank never matches — it bounds distinct keys,
-  *    not rows, which a bounded-row heap cannot answer;
+  *  - the Window computes exactly one expression: `row_number()` (→
+  *    exactly-k semantics) or `rank()` (→ WITH TIES: the heap additionally
+  *    keeps rows tying the k-th), both with the standard (RowFrame,
+  *    UnboundedPreceding, CurrentRow) frame they resolve to. dense_rank
+  *    never matches — it bounds distinct keys, not rows, which a
+  *    bounded-row heap cannot answer;
   *  - the filter bounds that attribute by an integer literal
   *    (`rn <= k`, `rn < k`, `rn = 1`, or the mirrored forms), possibly
   *    conjoined with predicates that don't reference rn (those are kept
