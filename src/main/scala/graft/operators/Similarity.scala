@@ -399,6 +399,62 @@ object Similarity {
       .orderBy($"qid", $"rn")
   }
 
+  /** Persist the fitted IVF index — the 8-row centroid table and the
+    * per-vector cell assignment — as [[graft.sources.VersionedTable]]
+    * snapshots. This is the index LIFECYCLE a 100 TB deployment needs: fit
+    * once (the expensive corpus pass), commit atomically, then serve
+    * probes from the saved index without refitting; re-fits commit as new
+    * versions, so a probe fleet can pin a version while a rebuild runs.
+    * Assignments carry zone maps on the cell id: a single-cell probe scan
+    * opens only the files holding that cell.
+    */
+  def saveIvfIndex(s: SparkSession, dir: String, path: String): Unit = {
+    import s.implicits._
+    import graft.sources.VersionedTable
+    val emb = Tables.embeddings(s, dir)
+      .select($"vec_id", qvec($"embedding").as("q"))
+      .withColumn("n2", norm2($"q"))
+    // first fit inits version 0; a re-fit commits as the next version (the
+    // new fit covers every key, so the keyed upsert IS a full replacement)
+    def commit(df: DataFrame, p: String, keyCol: String,
+        statsCols: Seq[String]): Unit =
+      if (VersionedTable.latestVersion(s, p).isEmpty)
+        VersionedTable.init(df, p, statsCols = statsCols)
+      else { VersionedTable.merge(s, p, df, keyCol, statsCols = statsCols); () }
+    commit(ivfCentroids(s, emb), s"$path/centroids", "cid", Nil)
+    commit(ivfAssignRaw(s, dir).repartitionByRange(4, $"centroid"),
+      s"$path/assign", "vec_id", Seq("centroid"))
+  }
+
+  /** The ivfTopK probe served from a saved index instead of an inline fit:
+    * same output, no k-means job — the only corpus work is the cell-match
+    * join. Version -1 = latest.
+    */
+  def ivfTopKFromIndex(s: SparkSession, dir: String, path: String,
+      version: Int = -1): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val assign = graft.sources.VersionedTable
+      .read(s, s"$path/assign", version)
+    val emb = Tables.embeddings(s, dir)
+      .select($"vec_id", qvec($"embedding").as("q"))
+      .withColumn("n2", norm2($"q"))
+      .join(assign, Seq("vec_id"))
+    val queries = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"q".as("qq"), $"n2".as("qn2"),
+        $"centroid".as("qc"))
+    emb.join(broadcast(queries),
+        $"centroid" === $"qc" && $"vec_id" =!= $"qid")
+      .withColumn("cos",
+        round(dot($"q", $"qq").cast("double")
+          / (sqrt($"n2".cast("double")) * sqrt($"qn2".cast("double"))), 4))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"qid").orderBy($"cos".desc, $"vec_id")))
+      .filter($"rn" <= 3)
+      .select($"qid", $"vec_id", $"cos", $"rn")
+      .orderBy($"qid", $"rn")
+  }
+
   val ivfTopKSql: String = qvecCte + kmeansCtes +
     s""",
        |assign AS (SELECT vec_id, cid AS centroid FROM a$kmeansIters),

@@ -93,4 +93,27 @@ class AnalyticsSpec extends SparkSpec {
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(quartiles == Seq(1L, 2L, 3L, 4L))
   }
+
+  test("IVF probes from a saved index match the inline-fit ivf_topk exactly") {
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf")
+      .toFile.getAbsolutePath + "/idx"
+    val dir = sf("sf0.001")
+    Similarity.saveIvfIndex(spark, dir, path)
+    val fromIndex = Similarity.ivfTopKFromIndex(spark, dir, path)
+      .collect().map(_.toSeq).toSeq
+    val inline = Similarity.ivfTopK(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(fromIndex.nonEmpty && fromIndex == inline)
+    // the assignment snapshot carries centroid zone maps: a one-cell probe
+    // must not open every file
+    val (kept, total) = graft.sources.VersionedTable
+      .prunedFiles(spark, s"$path/assign", "centroid", 0L, 0L)
+    assert(total > 1 && kept < total, s"no skipping: $kept/$total")
+    // a re-fit commits as a new version; the old one stays probeable
+    Similarity.saveIvfIndex(spark, dir, path)
+    assert(graft.sources.VersionedTable
+      .versions(spark, s"$path/assign") == Seq(0, 1))
+    assert(Similarity.ivfTopKFromIndex(spark, dir, path, version = 0)
+      .collect().map(_.toSeq).toSeq == inline)
+  }
 }
