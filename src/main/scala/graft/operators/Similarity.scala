@@ -132,19 +132,23 @@ object Similarity {
           / (sqrt($"na".cast("double")) * sqrt($"nb".cast("double"))), 4))
       .filter($"cos" >= threshold)
       .select($"a", $"b", $"cos")
-      .orderBy($"a", $"b")
+  }
+
+  /** Quantized embeddings frame shared by the pair queries: (vec_id, q, n2). */
+  private def qEmb(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, dir)
+      .select($"vec_id", qvec($"embedding").as("q"))
+      .withColumn("n2", norm2($"q"))
   }
 
   def nearDupPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val emb = Tables.embeddings(s, dir)
-      .select($"vec_id", qvec($"embedding").as("q"))
-      .withColumn("n2", norm2($"q"))
     // 32 blocks → 1024 cells: finer cells cost more replication (each row
     // is shipped to B cells) but keep every task small and even; measured
     // best at local[32] and the right order for a 1000-executor cluster,
     // where B should track the executor count.
-    nearDupPairsOf(emb, 0.45, 32)
+    nearDupPairsOf(qEmb(s, dir), 0.45, 32).orderBy($"a", $"b")
   }
 
   val nearDupPairsSql: String = qvecCte +
@@ -158,6 +162,49 @@ object Similarity {
       |FROM dots JOIN nrm na ON a = na.vec_id JOIN nrm nb ON b = nb.vec_id
       |WHERE round(d / (sqrt(na.n2) * sqrt(nb.n2)), 4) >= 0.45
       |ORDER BY a, b""".stripMargin
+
+  /** SEMANTIC dedup clusters: connected components over the exact
+    * cosine ≥ 0.45 pair graph — the embedding-space analogue of
+    * [[graft.operators.TextOps.dedupClusters]] (which clusters over
+    * shingle-LSH pairs). A training-data pipeline runs this after
+    * near-dup pair generation to keep one canonical document per
+    * semantic-duplicate group. Components via the same large-star /
+    * small-star contraction (O(log n) rounds, diameter-independent);
+    * the pair input is the grid-blocked exact join UNSORTED (the
+    * contraction re-shuffles immediately, so a presentation sort here
+    * would be a wasted global exchange at 100 TB). Oracle: reachability
+    * replayed as a DuckDB recursive CTE over the same pair predicate.
+    */
+  def semanticClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nodes = Tables.embeddings(s, dir).select($"vec_id")
+    val (labels, _) = TextOps.starContraction(nodes,
+      nearDupPairsOf(qEmb(s, dir), 0.45, 32).select($"a", $"b"))
+    labels.select($"vec_id", $"label".as("cluster"),
+        ($"vec_id" === $"label").cast("int").as("is_canonical"))
+      .orderBy($"vec_id")
+  }
+
+  val semanticClustersSql: String =
+    qvecCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """, dots AS (
+        |  SELECT a, b, sum(x * y) AS d FROM (
+        |    SELECT a.vec_id AS a, b.vec_id AS b,
+        |           unnest(a.q) AS x, unnest(b.q) AS y
+        |    FROM qv a JOIN qv b ON a.vec_id < b.vec_id) z
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT a, b FROM dots
+        |  JOIN nrm na ON a = na.vec_id JOIN nrm nb ON b = nb.vec_id
+        |  WHERE round(d / (sqrt(na.n2) * sqrt(nb.n2)), 4) >= 0.45),
+        |edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+        |reach(node, m) AS (
+        |  SELECT vec_id, vec_id FROM embeddings
+        |  UNION
+        |  SELECT e.a, r.m FROM edges e JOIN reach r ON e.b = r.node)
+        |SELECT node AS vec_id, min(m)::BIGINT AS cluster,
+        |  CASE WHEN node = min(m) THEN 1 ELSE 0 END AS is_canonical
+        |FROM reach GROUP BY node ORDER BY vec_id""".stripMargin
 
   /** Random-hyperplane LSH bucketing: 8 deterministic integer hyperplanes
     * (h[j][i] = ((1 + (j*64+i)*2654435761) mod 1999) − 999), sign of each
@@ -612,6 +659,7 @@ object Similarity {
     "sim_lsh_recall" -> lshRecall _,
     "sim_label_centroids" -> labelCentroids _,
     "sim_neardup_pairs" -> nearDupPairs _,
+    "sim_semantic_clusters" -> semanticClusters _,
     "sim_lsh_buckets" -> lshBuckets _,
     "sim_lsh_topk" -> lshTopK _,
     "sim_ivf_assign" -> ivfAssign _,
@@ -624,6 +672,7 @@ object Similarity {
     "sim_lsh_recall" -> lshRecallSql,
     "sim_label_centroids" -> labelCentroidsSql,
     "sim_neardup_pairs" -> nearDupPairsSql,
+    "sim_semantic_clusters" -> semanticClustersSql,
     "sim_lsh_buckets" -> lshBucketsSql,
     "sim_lsh_topk" -> lshTopKSql,
     "sim_ivf_assign" -> ivfAssignSql,

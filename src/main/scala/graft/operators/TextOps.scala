@@ -191,6 +191,50 @@ object TextOps {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** Repetition-based quality signals (the Gopher/Rae et al. repetition
+    * rules, reduced to exact arithmetic): per doc, the duplicate-word
+    * fraction (1 − distinct/total) and the most-frequent-word fraction.
+    * A high score on either marks boilerplate/spam for removal before
+    * training. One explode + two map-side-combinable aggregations — the
+    * same inverted-index shuffle shape as [[textStats]], so the 100 TB
+    * plan is one pass over the corpus with no join. Thresholds (0.55 /
+    * 0.12) are calibrated to split this corpus near its median; the
+    * `keep` verdict compares the ROUNDED fractions so both engines gate
+    * on bit-identical values.
+    */
+  def repetition(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wc = Tables.documents(s, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("w"))
+      .groupBy($"doc_id", $"w").agg(count(lit(1)).as("c"))
+    wc.groupBy($"doc_id")
+      .agg(sum($"c").as("n_words"), count(lit(1)).as("n_distinct"),
+        max($"c").as("top_count"))
+      .select($"doc_id", $"n_words", $"n_distinct",
+        round(lit(1.0) - $"n_distinct".cast("double") / $"n_words", 4)
+          .as("dup_frac"),
+        round($"top_count".cast("double") / $"n_words", 4).as("top_frac"))
+      .withColumn("keep",
+        ($"dup_frac" <= 0.55 && $"top_frac" <= 0.12).cast("int"))
+      .orderBy($"doc_id")
+  }
+
+  val repetitionSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |wc AS (SELECT doc_id, w, count(*)::BIGINT AS c FROM w GROUP BY doc_id, w),
+      |agg AS (
+      |  SELECT doc_id, sum(c)::BIGINT AS n_words, count(*)::BIGINT AS n_distinct,
+      |         max(c)::BIGINT AS top_count
+      |  FROM wc GROUP BY doc_id)
+      |SELECT doc_id, n_words, n_distinct,
+      |  round(1.0::DOUBLE - n_distinct::DOUBLE / n_words, 4) AS dup_frac,
+      |  round(top_count::DOUBLE / n_words, 4) AS top_frac,
+      |  CASE WHEN round(1.0::DOUBLE - n_distinct::DOUBLE / n_words, 4) <= 0.55
+      |        AND round(top_count::DOUBLE / n_words, 4) <= 0.12
+      |       THEN 1 ELSE 0 END AS keep
+      |FROM agg ORDER BY doc_id""".stripMargin
+
   // ---- deduplication ----
 
   /** Exact dedup: group identical texts (by content, with an md5 witness),
@@ -869,6 +913,7 @@ object TextOps {
     "text_lang_id" -> langId _,
     "text_fingerprint" -> fingerprint _,
     "text_quality" -> quality _,
+    "text_repetition" -> repetition _,
     "dedup_exact" -> dedupExact _,
     "dedup_minhash" -> minhash _,
     "dedup_minhash_pairs" -> minhashPairs _,
@@ -890,6 +935,7 @@ object TextOps {
     "text_lang_id" -> langIdSql,
     "text_fingerprint" -> fingerprintSql,
     "text_quality" -> qualitySql,
+    "text_repetition" -> repetitionSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_minhash" -> minhashSql,
     "dedup_minhash_pairs" -> minhashPairsSql,

@@ -394,6 +394,47 @@ object VersionedTable {
     next
   }
 
+  /** COMPACTION: rewrite the latest snapshot's data files into
+    * ~`targetFileBytes` outputs, committed as the next version — a pure
+    * layout change (same rows, fewer/bigger files). Streaming sinks and
+    * frequent small merges accrete many small files; at 100 TB the
+    * resulting per-file open/seek overhead and task explosion dominate
+    * scan cost, and periodic compaction is what keeps the table readable
+    * (exactly Delta/Iceberg's OPTIMIZE, expressed on the same COW model —
+    * readers of older versions are untouched, and the atomic commit means
+    * a crashed compaction is invisible).
+    *
+    * `sortBy` additionally range-clusters the rewrite (repartitionByRange
+    * + in-partition sort), which makes the recomputed `statsCols` zone
+    * maps NON-OVERLAPPING — after `compact(sortBy = Seq("ts"), statsCols
+    * = Seq("ts"))` a range probe via [[scanPruned]] opens ~1 file instead
+    * of all of them. Without `sortBy`, a hive layout (`partitionBy`)
+    * compacts to one file per partition directory; otherwise to
+    * ⌈bytes/target⌉ hash-spread files. Returns the new version number.
+    */
+  def compact(spark: SparkSession, path: String,
+      targetFileBytes: Long = 128L << 20, sortBy: Seq[String] = Nil,
+      partitionBy: Seq[String] = Nil, statsCols: Seq[String] = Nil): Int = {
+    import org.apache.spark.sql.functions.col
+    require(targetFileBytes > 0, s"targetFileBytes must be > 0")
+    val current = latestVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no versions at $path — init first"))
+    val dir = new org.apache.hadoop.fs.Path(versionDir(path, current))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(dir).getLength
+    val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
+      .min(Int.MaxValue.toLong).toInt
+    val df = read(spark, path, current)
+    val out =
+      if (sortBy.nonEmpty)
+        df.repartitionByRange(nFiles, sortBy.map(col): _*)
+          .sortWithinPartitions(sortBy.map(col): _*)
+      else if (partitionBy.nonEmpty) df.repartition(partitionBy.map(col): _*)
+      else df.repartition(nFiles)
+    commitVersion(out, path, current + 1, None, partitionBy, statsCols)
+    current + 1
+  }
+
   /** Version retention: drop all but the newest `keepLast` snapshots.
     * Returns the versions removed. Bounds both storage (each version is a
     * full COW snapshot) and any scan over the version list — the streaming

@@ -23,6 +23,39 @@ class ApproxAggSpec extends SparkSpec {
     }
   }
 
+  test("deterministic HLL equals an in-memory register replay and tracks exact counts") {
+    val rows = Tables.lineitem(spark, sf("sf0.01"))
+      .selectExpr("l_returnflag", "cast(l_partkey as long)").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val M = 2147483647L
+    val ref = rows.groupBy(_._1).map { case (g, rs) =>
+      val regs = new Array[Int](64)
+      rs.foreach { case (_, k) =>
+        val x1 = (2654435761L * k + 12007L) % M
+        val y1 = x1 ^ (x1 >> 15)
+        val x2 = (1779033703L * y1 + 514229L) % M
+        val hv = x2 ^ (x2 >> 13)
+        val w = hv / 64
+        val rho = if (w == 0L) 26 else 26 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+        val j = (hv % 64).toInt
+        if (rho > regs(j)) regs(j) = rho
+      }
+      val ssum = regs.map(r => math.pow(2.0, -r)).sum
+      g -> ((math.floor(0.709 * 4096.0 / ssum).toLong, regs.count(_ == 0).toLong))
+    }
+    val got = graft.operators.Sketches.hllDistinct(spark, sf("sf0.01")).collect()
+    assert(got.length == ref.size)
+    got.foreach { r =>
+      val (est, nZero) = ref(r.getString(0))
+      assert(r.getLong(1) == nZero, s"${r.getString(0)}: n_zero")
+      assert(r.getLong(2) == est, s"${r.getString(0)}: estimate")
+      val exact = r.getLong(3).toDouble
+      // m=64 -> ~13% standard error; 3 sigma guard against a broken hash
+      assert(math.abs(r.getLong(2) - exact) / exact < 0.4,
+        s"${r.getString(0)}: est=${r.getLong(2)} exact=$exact")
+    }
+  }
+
   test("approx percentile brackets the exact median") {
     val ord = Tables.orders(spark, sf("sf0.01"))
     val apx = ord.agg(

@@ -24,6 +24,59 @@ class PipelineOpsSpec extends SparkSpec {
       s"missed ${exact.diff(cand).size} of ${exact.size} exact-dup pairs")
   }
 
+  test("repetition fractions equal an in-memory recount on the real corpus") {
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+    val want = docs.map { r =>
+      val ws = r.getString(1).split(" ", -1)
+      val n = ws.length.toLong
+      val d = ws.distinct.length.toLong
+      val top = ws.groupBy(identity).valuesIterator.map(_.length).max.toLong
+      r.getLong(0) -> ((n, d, 1.0 - d.toDouble / n, top.toDouble / n))
+    }.toMap
+    val got = TextOps.repetition(spark, dir).collect()
+    assert(got.length == want.size)
+    got.foreach { r =>
+      val (n, d, dupF, topF) = want(r.getLong(0))
+      assert(r.getLong(1) == n && r.getLong(2) == d, s"doc ${r.getLong(0)}")
+      assert(math.abs(r.getDouble(3) - dupF) < 5e-5, s"doc ${r.getLong(0)} dup")
+      assert(math.abs(r.getDouble(4) - topF) < 5e-5, s"doc ${r.getLong(0)} top")
+      // the keep verdict must gate on the op's own ROUNDED fractions
+      val keepWant = if (r.getDouble(3) <= 0.55 && r.getDouble(4) <= 0.12) 1 else 0
+      assert(r.getInt(5) == keepWant, s"doc ${r.getLong(0)} keep")
+    }
+  }
+
+  test("semantic clusters equal union-find over exact cosine pairs") {
+    val vecs = graft.sources.Tables.embeddings(spark, dir)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 10000d).toLong).toArray))
+    // brute-force exact pairs at the op's threshold, with its rounding
+    val parent = scala.collection.mutable.Map(vecs.map(v => v._1 -> v._1): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    for ((a, qa) <- vecs; (b, qb) <- vecs if a < b) {
+      val dot = qa.zip(qb).map { case (x, y) => x * y }.sum.toDouble
+      val cos = BigDecimal(dot / (math.sqrt(qa.map(x => x * x).sum.toDouble)
+        * math.sqrt(qb.map(x => x * x).sum.toDouble)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if (cos >= 0.45) {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+    }
+    val want = vecs.map(v => v._1 -> find(v._1)).toMap
+    assert(want.values.toSet.size < want.size,
+      "corpus should contain at least one non-trivial semantic cluster")
+    val got = Similarity.semanticClusters(spark, dir).collect()
+    assert(got.length == want.size)
+    got.foreach { r =>
+      assert(r.getLong(1) == want(r.getLong(0)), s"vec ${r.getLong(0)}")
+      assert(r.getInt(2) == (if (r.getLong(0) == r.getLong(1)) 1 else 0))
+    }
+  }
+
   test("simhash of identical token sets is identical") {
     import spark.implicits._
     val exact = TextOps.jaccardPairs(spark, dir).filter($"jaccard" === 1.0)

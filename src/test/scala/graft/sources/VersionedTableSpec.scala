@@ -36,6 +36,42 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.read(spark, path).count() == 3)
   }
 
+  test("compact bin-packs small files; rows and time travel intact; sorted compaction tightens zone maps") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft-vtc").toFile.getAbsolutePath + "/t"
+    def dataFiles(v: Int): Int =
+      new java.io.File(s"$path/v=$v").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+    // a "streaming sink accreted small files" layout: 16 files, keys shuffled
+    val df = (0L until 400L).map(k => (k * 131 % 400, k * 1.5))
+      .toDF("k", "v").repartition(16)
+    VersionedTable.init(df, path, statsCols = Seq("k"))
+    assert(dataFiles(0) == 16)
+
+    // default 128 MB target >> data: everything packs into one file
+    val v1 = VersionedTable.compact(spark, path, statsCols = Seq("k"))
+    assert(v1 == 1 && VersionedTable.versions(spark, path) == Seq(0, 1))
+    assert(dataFiles(1) == 1)
+    assert(VersionedTable.read(spark, path, 1).collect().map(_.getLong(0))
+      .sorted.sameElements(0L until 400L))
+    // the pre-compaction snapshot is untouched (COW: readers of v0 unaffected)
+    assert(dataFiles(0) == 16 &&
+      VersionedTable.read(spark, path, 0).count() == 400)
+
+    // sorted compaction: ~4 range-clustered files -> a point probe's zone
+    // maps keep exactly one
+    val bytes = new java.io.File(s"$path/v=1").listFiles().map(_.length).sum
+    val v2 = VersionedTable.compact(spark, path,
+      targetFileBytes = math.max(1L, (bytes + 3) / 4),
+      sortBy = Seq("k"), statsCols = Seq("k"))
+    val (kept, total) = VersionedTable.prunedFiles(spark, path, "k", 10L, 10L,
+      version = v2)
+    assert(total >= 3, s"expected a multi-file rewrite, got $total files")
+    assert(kept == 1, s"sorted zones should keep exactly 1 file, kept $kept")
+    assert(VersionedTable.scanPruned(spark, path, "k", 10L, 10L, version = v2)
+      .collect().map(_.getLong(0)).sameElements(Seq(10L)))
+  }
+
   test("merge without init fails with a clear error") {
     val path = Files.createTempDirectory("graft-vt2").toFile.getAbsolutePath + "/t"
     import spark.implicits._
