@@ -1016,6 +1016,47 @@ object Relational {
       |  sum(val)::BIGINT AS total
       |FROM m GROUP BY 1, 2 ORDER BY l_returnflag, measure""".stripMargin
 
+  /** Q39 — TPC-H Q2's signature shape: per group, the row achieving a
+    * correlated aggregate MINIMUM (cheapest shipment per size-1 part, ties
+    * to the smallest suppkey). The classic decorrelation is a two-pass
+    * "aggregate then join back on equality" (the oracle spells it that
+    * way); the engine plan instead folds the argmin into ONE shuffle with
+    * `min(struct(price, suppkey))` — lexicographic struct-min IS the
+    * deterministic argmin, and at 100 TB it halves the passes over the
+    * fact table and removes the join. Supplier lookup broadcasts.
+    */
+  def q39ArgminSupplier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val p1 = Tables.part(s, dir).filter($"p_size" === 1).select($"p_partkey")
+    val best = Tables.lineitem(s, dir)
+      .join(broadcast(p1), $"l_partkey" === $"p_partkey")
+      .groupBy($"l_partkey")
+      .agg(min(struct($"l_extendedprice", $"l_suppkey")).as("m"))
+      .select($"l_partkey".as("partkey"),
+        round($"m.l_extendedprice", 2).as("min_price"),
+        $"m.l_suppkey".as("best_supp"))
+    best.join(broadcast(Tables.supplier(s, dir)),
+        $"best_supp" === $"s_suppkey")
+      .select($"partkey", $"best_supp", $"s_name", $"min_price")
+      .orderBy($"partkey")
+  }
+
+  val q39Sql: String =
+    """WITH li AS (
+      |  SELECT l_partkey, l_suppkey, l_extendedprice
+      |  FROM lineitem JOIN part ON p_partkey = l_partkey AND p_size = 1),
+      |mins AS (
+      |  SELECT l_partkey, min(l_extendedprice) AS mp FROM li GROUP BY 1),
+      |best AS (
+      |  SELECT li.l_partkey AS partkey, min(l_suppkey) AS best_supp,
+      |         round(mp, 2) AS min_price
+      |  FROM li JOIN mins ON li.l_partkey = mins.l_partkey
+      |                   AND li.l_extendedprice = mins.mp
+      |  GROUP BY 1, 3)
+      |SELECT partkey, best_supp, s_name, min_price
+      |FROM best JOIN supplier ON best_supp = s_suppkey
+      |ORDER BY partkey""".stripMargin
+
   /** All relational queries + oracles, consumed by SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> q1PricingSummary _,
@@ -1054,6 +1095,7 @@ object Relational {
     "q36_range_frame" -> q36RangeFrame _,
     "q37_nested_semi" -> q37NestedSemi _,
     "q38_unpivot" -> q38Unpivot _,
+    "q39_argmin_supplier" -> q39ArgminSupplier _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1093,5 +1135,6 @@ object Relational {
     "q36_range_frame" -> q36Sql,
     "q37_nested_semi" -> q37Sql,
     "q38_unpivot" -> q38Sql,
+    "q39_argmin_supplier" -> q39Sql,
   )
 }

@@ -260,10 +260,18 @@ object TextOps {
     */
   def minhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    minhashOf(s, dir).orderBy($"doc_id")
+  }
+
+  /** Unsorted signature frame shared by [[minhash]] and [[minhashPairs]]
+    * (the public query adds the presentation sort).
+    */
+  private def minhashOf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val codes = tokens(s, dir).select($"doc_id", tokenCode($"w").as("code"))
     val aggs = A.indices.map(j =>
       min((lit(A(j)) * $"code" + B(j)) % P).as(s"mh$j"))
-    codes.groupBy($"doc_id").agg(aggs.head, aggs.tail: _*).orderBy($"doc_id")
+    codes.groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
   val minhashSql: String = tokCte + {
@@ -290,7 +298,13 @@ object TextOps {
 
   def minhashPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sig = minhash(s, dir)
+    // checkpoint the per-doc signatures: the band union references the
+    // frame twice and the self-join doubles each side again, so without a
+    // materialization the tokenize+explode+8-way-min pipeline over the
+    // corpus runs FOUR times (measured: the whole-plan explain showed 4
+    // parquet scans). The signature frame is n_docs × 9 longs — the cheap
+    // thing to hold; the corpus pass is the expensive thing to repeat.
+    val sig = minhashOf(s, dir).localCheckpoint(true)
     val bands = (0 until 2).map { b =>
       sig.select($"doc_id", lit(b).as("band"),
         bandSig((0 until 4).map(i => col(s"mh${4 * b + i}"))).as("sig"))
@@ -466,7 +480,9 @@ object TextOps {
   private def shinglePairsOf(codes: DataFrame): DataFrame = {
     val s = codes.sparkSession
     import s.implicits._
-    val sig = shingleMinhashOf(codes)
+    // materialized for the same reason as minhashPairs' signatures: band
+    // union × self-join would otherwise re-run the shingling agg 4×
+    val sig = shingleMinhashOf(codes).localCheckpoint(true)
     val bands = (0 until 2).map { b =>
       sig.select($"doc_id", lit(b).as("band"),
         bandSig((0 until 4).map(i => col(s"mh${4 * b + i}"))).as("sig"))
@@ -623,8 +639,10 @@ object TextOps {
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val nodes = Tables.documents(s, dir).select($"doc_id")
+    // the unsorted pair frame: contraction re-shuffles immediately, so the
+    // public query's presentation sort would be a wasted global exchange
     val (labels, _) =
-      starContraction(nodes, shinglePairs(s, dir).select($"a", $"b"))
+      starContraction(nodes, shinglePairsOf(shingleCodes(s, dir)))
     labels.select($"doc_id", $"label".as("cluster"),
         ($"doc_id" === $"label").cast("int").as("is_canonical"))
       .orderBy($"doc_id")

@@ -394,6 +394,44 @@ object VersionedTable {
     next
   }
 
+  /** CHANGE DATA FEED between two committed versions: per key, what a
+    * consumer must apply to get from `fromV` to `toV` — `insert` (key only
+    * in `toV`), `delete` (key only in `fromV`), or `update` (present in
+    * both with any non-key column changed; comparison is null-safe, so a
+    * column moving to/from NULL is an update, not a miss). Unchanged keys
+    * are not emitted. Returns (key, _change, _old, _new) with the non-key
+    * columns as structs.
+    *
+    * On the COW model the diff is one full-outer shuffle join of the two
+    * snapshots — the same cost class as the merge that produced the
+    * version, and how downstream incremental consumers (a feature store,
+    * an index, an aggregate) subscribe to a 100 TB table without rescanning
+    * it: they read the delta, not the snapshot. Both versions must share a
+    * schema (COW versions produced by [[merge]]/[[delete]]/[[compact]] do).
+    */
+  def diff(spark: SparkSession, path: String, fromV: Int, toV: Int,
+      keyCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val a = read(spark, path, fromV)
+    val b = read(spark, path, toV)
+    require(a.columns.sorted.sameElements(b.columns.sorted),
+      s"diff needs matching schemas; v$fromV has ${a.columns.mkString(",")}, " +
+        s"v$toV has ${b.columns.mkString(",")}")
+    val payload = a.columns.filterNot(_.equalsIgnoreCase(keyCol))
+    val old = a.select(col(keyCol), struct(payload.map(col).toSeq: _*).as("_old"))
+    val neu = b.select(col(keyCol).as("_k2"),
+      struct(payload.map(col).toSeq: _*).as("_new"))
+    old.join(neu, col(keyCol) === col("_k2"), "full_outer")
+      .withColumn("_change",
+        when(col("_old").isNull, "insert")
+          .when(col("_new").isNull, "delete")
+          .when(!(col("_old") <=> col("_new")), "update")
+          .otherwise("none"))
+      .filter(col("_change") =!= "none")
+      .select(coalesce(col(keyCol), col("_k2")).as(keyCol), col("_change"),
+        col("_old"), col("_new"))
+  }
+
   /** COMPACTION: rewrite the latest snapshot's data files into
     * ~`targetFileBytes` outputs, committed as the next version — a pure
     * layout change (same rows, fewer/bigger files). Streaming sinks and

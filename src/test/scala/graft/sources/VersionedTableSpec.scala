@@ -36,6 +36,36 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.read(spark, path).count() == 3)
   }
 
+  test("diff emits exactly the insert/update/delete delta between versions") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft-vtd").toFile.getAbsolutePath + "/t"
+    VersionedTable.init(Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "v"), path)
+    VersionedTable.merge(spark, path,
+      Seq((2L, "B", 200.0), (9L, "z", 90.0)).toDF("k", "name", "v"), "k")
+    VersionedTable.delete(spark, path, Seq(1L).toDF("k"), "k")
+
+    def changes(from: Int, to: Int): Map[Long, String] =
+      VersionedTable.diff(spark, path, from, to, "k").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(changes(0, 1) == Map(2L -> "update", 9L -> "insert"))
+    assert(changes(1, 2) == Map(1L -> "delete"))
+    assert(changes(0, 2) ==
+      Map(1L -> "delete", 2L -> "update", 9L -> "insert"))
+    assert(changes(0, 0).isEmpty)
+    // a reversed range reads as the inverse feed
+    assert(changes(2, 0) ==
+      Map(1L -> "insert", 2L -> "update", 9L -> "delete"))
+
+    // null-safe comparison: a column moving to NULL is an update
+    VersionedTable.merge(spark, path,
+      Seq((3L, Option.empty[String], 30.0)).toDF("k", "name", "v"), "k")
+    assert(changes(2, 3) == Map(3L -> "update"))
+    // and the _old/_new structs carry the payloads
+    val r = VersionedTable.diff(spark, path, 2, 3, "k").collect()(0)
+    assert(r.getStruct(2).getString(0) == "c" && r.getStruct(3).isNullAt(0))
+  }
+
   test("compact bin-packs small files; rows and time travel intact; sorted compaction tightens zone maps") {
     import spark.implicits._
     val path = Files.createTempDirectory("graft-vtc").toFile.getAbsolutePath + "/t"
