@@ -50,7 +50,17 @@ object Plans {
     "ev_attribution" -> ("point-in-time interval self-join shuffled once " +
       "on user_id; the latest-view rn=1 filter is rewritten to the " +
       "bounded-heap GroupedTopK by the injected optimizer rule — no " +
-      "per-click candidate sort"))
+      "per-click candidate sort"),
+    "sketch_hll_distinct" -> ("HyperLogLog: ONE map-side-combinable " +
+      "aggregation over the scan (64 max-merged registers per group); the " +
+      "register fill and exact-count sides broadcast"),
+    "q39_argmin_supplier" -> ("correlated-minimum argmin folded into ONE " +
+      "shuffle via lexicographic min(struct(price, suppkey)) — no " +
+      "aggregate-then-join-back second pass over the fact table"),
+    "sim_semantic_clusters" -> ("star-contraction components over the " +
+      "grid-blocked exact pair join; the pair frame feeds the contraction " +
+      "unsorted (no wasted global exchange) and each round is two " +
+      "bounded shuffles"))
 
   /** Measured scaling evidence, maintained by hand from ScalingBench runs
     * (see its scaladoc) and appended after the plans so regeneration
@@ -91,6 +101,17 @@ object Plans {
       |bands), bucket density — and therefore output volume — is controlled by
       |sketch width, not by the join plan; the plans themselves carry no
       |super-linear term in INPUT size.
+      |
+      |Round-7 re-run (after the signature-materialization fix): every 1× point
+      |reproduced within noise, and `dedup_clusters` improved at BOTH scales
+      |(2.71 s / 4.81 s vs 3.19 s / 6.45 s — the contraction now consumes the
+      |unsorted, checkpoint-backed pair frame). The 10× pair-emitter points of
+      |that re-run are not comparable to the table: they ran back-to-back in one
+      |session and the 409M-pair minhash point left the JVM under visible memory
+      |pressure (TaskMemoryManager 2 GB allocation retries), inflating every
+      |subsequent 10× point — `dedup_jaccard_pairs`, whose code did not change,
+      |measured 5× its tabled value in that session. Same-session sequencing is
+      |part of the measurement protocol now: big-output points last.
       |""".stripMargin
 
   def main(args: Array[String]): Unit = {

@@ -56,6 +56,18 @@ object EventStreams {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Stream-static enrichment: each streaming event joined against a
+    * static (batch) dimension frame — the standard "decorate the stream
+    * with reference data" pattern. The static side is broadcast, so every
+    * micro-batch pays one hash-probe pass and the stream side never
+    * shuffles; at 100 TB/day of events the dimension snapshot is the only
+    * thing that moves. Left join: an event with no dimension row must
+    * survive (it's a stream — dropping it silently loses data).
+    */
+  def enrichStatic(events: DataFrame, dim: DataFrame,
+      key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** Per-user session aggregation with watermark-bounded session state. */
   def sessionCounts(events: DataFrame): DataFrame =
     events

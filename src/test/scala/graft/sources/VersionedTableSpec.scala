@@ -66,6 +66,44 @@ class VersionedTableSpec extends SparkSpec {
     assert(r.getStruct(2).getString(0) == "c" && r.getStruct(3).isNullAt(0))
   }
 
+  test("diff maintains a downstream aggregate incrementally (no snapshot rescan)") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft-vti").toFile.getAbsolutePath + "/t"
+    // (key, group, value): the consumer maintains sum(v)/count per group
+    val base = (0L until 200L).map(k => (k, s"g${k % 5}", k.toDouble))
+      .toDF("k", "grp", "v")
+    VersionedTable.init(base, path)
+    val agg0 = VersionedTable.read(spark, path, 0)
+      .groupBy($"grp").agg(sum($"v").as("s"), count(lit(1)).as("n"))
+    // a merge (updates + inserts) and a delete, as separate versions
+    VersionedTable.merge(spark, path,
+      (0L until 30L).map(k => (k, s"g${k % 5}", k * 100.0))
+        .toDF("k", "grp", "v")
+        .union(Seq((900L, "g9", 9.0)).toDF("k", "grp", "v")), "k")
+    VersionedTable.delete(spark, path, (150L until 170L).toDF("k"), "k")
+
+    // incremental maintenance: fold ONLY the change feed into agg0 —
+    // deletes/updates retract the old payload, inserts/updates add the new
+    val d = VersionedTable.diff(spark, path, 0, 2, "k")
+    val retract = d.filter($"_change".isin("delete", "update"))
+      .select($"_old.grp".as("grp"), (-$"_old.v").as("v"), lit(-1L).as("dn"))
+    val add = d.filter($"_change".isin("insert", "update"))
+      .select($"_new.grp".as("grp"), $"_new.v".as("v"), lit(1L).as("dn"))
+    val incr = agg0.select($"grp", $"s".as("v"), $"n".as("dn"))
+      .unionByName(retract).unionByName(add)
+      .groupBy($"grp").agg(sum($"v").as("s"), sum($"dn").as("n"))
+      .filter($"n" > 0)
+
+    val full = VersionedTable.read(spark, path, 2)
+      .groupBy($"grp").agg(sum($"v").as("s"), count(lit(1)).as("n"))
+    val gotI = incr.collect().map(r => r.getString(0) ->
+      ((r.getDouble(1), r.getLong(2)))).toMap
+    val gotF = full.collect().map(r => r.getString(0) ->
+      ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(gotI == gotF)
+    assert(gotI.contains("g9") && gotI("g9") == ((9.0, 1L)))
+  }
+
   test("compact bin-packs small files; rows and time travel intact; sorted compaction tightens zone maps") {
     import spark.implicits._
     val path = Files.createTempDirectory("graft-vtc").toFile.getAbsolutePath + "/t"

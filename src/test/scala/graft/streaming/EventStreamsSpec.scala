@@ -40,6 +40,31 @@ class EventStreamsSpec extends SparkSpec {
     assert(got.length == want.length && got.sameElements(want))
   }
 
+  test("stream-static enrichment equals the batch join and keeps dimensionless events") {
+    val schema = spark.read.parquet(stagingDir).schema
+    // static dimension: a tier per user, deliberately missing user 0 so the
+    // left-join survival contract is exercised
+    val dim = spark.range(1, 50)
+      .select(col("id").as("user_id"),
+        concat(lit("tier"), col("id") % 3).as("tier"))
+    val stream = EventStreams.readEvents(spark, stagingDir, schema)
+    val q = EventStreams.enrichStatic(stream, dim, "user_id")
+      .select(col("event_id"), col("user_id"), col("tier"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("enrich_out").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("enrich_out").collect()
+      .map(r => (r.getLong(0), Option(r.getString(2)))).toMap
+    val want = spark.read.parquet(stagingDir)
+      .join(broadcast(dim), Seq("user_id"), "left")
+      .select(col("event_id"), col("tier")).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toMap
+    assert(got.size == want.size && got == want)
+    assert(got.values.exists(_.isEmpty),
+      "expected at least one event without a dimension row to survive")
+    assert(got.values.exists(_.nonEmpty))
+  }
+
   test("stream-stream interval join matches the batch join") {
     // clicks joined to purchases of the same user within [click, click+1h)
     val schema = spark.read.parquet(stagingDir).schema
