@@ -42,12 +42,15 @@ object ScalingBench {
     docs.withColumn("shard", explode(sequence(lit(0), lit(mult - 1))))
       .select(
         (col("doc_id") + col("shard") * nDocs).as("doc_id"),
-        // shard 0 keeps the original text byte-for-byte; other shards remap
-        // every token into a shard-private vocabulary
-        when(col("shard") === 0, col("text"))
-          .otherwise(concat_ws(" ",
-            transform(split(col("text"), " "),
-              w => concat(w, lit("s"), col("shard"))))).as("text"),
+        // EVERY shard (including 0) remaps into a shard-private vocabulary:
+        // with ≤10 shards the suffixes "s0".."s9" are equal-length and end
+        // in distinct digits, so cross-shard token equality is impossible
+        // by construction — no assumption about the base alphabet (keeping
+        // shard 0 unmapped would collide if a base token ever ended in
+        // "s<digit>")
+        concat_ws(" ",
+          transform(split(col("text"), " "),
+            w => concat(w, lit("s"), col("shard")))).as("text"),
         col("lang"), col("source"))
       .withColumn("n_chars", length(col("text")))
       .repartition(32)

@@ -357,11 +357,17 @@ object Similarity {
     * cell (nprobe=1 here).
     */
   private def ivfAssignRaw(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val emb = Tables.embeddings(s, dir)
-      .select($"vec_id", qvec($"embedding").as("q"))
-      .withColumn("n2", norm2($"q"))
-    val cents = broadcast(ivfCentroids(s, emb).withColumn("cn2", norm2($"cq")))
+    val emb = qEmb(s, dir)
+    ivfAssignOf(emb, ivfCentroids(s, emb))
+  }
+
+  /** Assignment of an already-quantized frame against already-fitted
+    * centroids — callers that persist the index ([[saveIvfIndex]]) fit
+    * once and pass the result here instead of refitting.
+    */
+  private def ivfAssignOf(emb: DataFrame, centroids: DataFrame): DataFrame = {
+    import emb.sparkSession.implicits._
+    val cents = broadcast(centroids.withColumn("cn2", norm2($"cq")))
     emb.crossJoin(cents)
       .withColumn("d2", $"n2" - lit(2L) * dot($"q", $"cq") + $"cn2")
       .groupBy($"vec_id")
@@ -424,13 +430,16 @@ object Similarity {
        |FROM a$kmeansIters ORDER BY vec_id""".stripMargin
 
   /** IVF top-3: brute-force cosine restricted to the query's cell. */
-  def ivfTopK(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  def ivfTopK(s: SparkSession, dir: String): DataFrame =
+    ivfProbe(qEmb(s, dir).join(ivfAssignRaw(s, dir), Seq("vec_id")))
+
+  /** The cell-probe tail shared by the inline-fit and saved-index paths:
+    * input is the quantized frame with its cell assignment (vec_id, q, n2,
+    * centroid); ONE maintained copy so the two probes can never drift.
+    */
+  private def ivfProbe(emb: DataFrame): DataFrame = {
+    import emb.sparkSession.implicits._
     import org.apache.spark.sql.expressions.Window
-    val emb = Tables.embeddings(s, dir)
-      .select($"vec_id", qvec($"embedding").as("q"))
-      .withColumn("n2", norm2($"q"))
-      .join(ivfAssignRaw(s, dir), Seq("vec_id"))
     val queries = emb.filter($"vec_id" < 10)
       .select($"vec_id".as("qid"), $"q".as("qq"), $"n2".as("qn2"),
         $"centroid".as("qc"))
@@ -458,19 +467,21 @@ object Similarity {
   def saveIvfIndex(s: SparkSession, dir: String, path: String): Unit = {
     import s.implicits._
     import graft.sources.VersionedTable
-    val emb = Tables.embeddings(s, dir)
-      .select($"vec_id", qvec($"embedding").as("q"))
-      .withColumn("n2", norm2($"q"))
-    // first fit inits version 0; a re-fit commits as the next version (the
-    // new fit covers every key, so the keyed upsert IS a full replacement)
-    def commit(df: DataFrame, p: String, keyCol: String,
-        statsCols: Seq[String]): Unit =
+    val emb = qEmb(s, dir)
+    // ONE fit feeds both snapshots (the fit is the expensive corpus pass;
+    // ivfCentroids checkpoints its 8 rows, so the assignment below reuses
+    // the materialized result instead of refitting)
+    val cents = ivfCentroids(s, emb)
+    // first fit inits version 0; a re-fit REPLACES as the next version —
+    // a fit covers every key, and merge's keyed-upsert hash shuffle would
+    // destroy the range clustering the centroid zone maps depend on
+    def commit(df: DataFrame, p: String, statsCols: Seq[String]): Unit =
       if (VersionedTable.latestVersion(s, p).isEmpty)
         VersionedTable.init(df, p, statsCols = statsCols)
-      else { VersionedTable.merge(s, p, df, keyCol, statsCols = statsCols); () }
-    commit(ivfCentroids(s, emb), s"$path/centroids", "cid", Nil)
-    commit(ivfAssignRaw(s, dir).repartitionByRange(4, $"centroid"),
-      s"$path/assign", "vec_id", Seq("centroid"))
+      else { VersionedTable.replace(s, p, df, statsCols = statsCols); () }
+    commit(cents, s"$path/centroids", Nil)
+    commit(ivfAssignOf(emb, cents).repartitionByRange(4, $"centroid"),
+      s"$path/assign", Seq("centroid"))
   }
 
   /** The ivfTopK probe served from a saved index instead of an inline fit:
@@ -479,27 +490,9 @@ object Similarity {
     */
   def ivfTopKFromIndex(s: SparkSession, dir: String, path: String,
       version: Int = -1): DataFrame = {
-    import s.implicits._
-    import org.apache.spark.sql.expressions.Window
     val assign = graft.sources.VersionedTable
       .read(s, s"$path/assign", version)
-    val emb = Tables.embeddings(s, dir)
-      .select($"vec_id", qvec($"embedding").as("q"))
-      .withColumn("n2", norm2($"q"))
-      .join(assign, Seq("vec_id"))
-    val queries = emb.filter($"vec_id" < 10)
-      .select($"vec_id".as("qid"), $"q".as("qq"), $"n2".as("qn2"),
-        $"centroid".as("qc"))
-    emb.join(broadcast(queries),
-        $"centroid" === $"qc" && $"vec_id" =!= $"qid")
-      .withColumn("cos",
-        round(dot($"q", $"qq").cast("double")
-          / (sqrt($"n2".cast("double")) * sqrt($"qn2".cast("double"))), 4))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy($"qid").orderBy($"cos".desc, $"vec_id")))
-      .filter($"rn" <= 3)
-      .select($"qid", $"vec_id", $"cos", $"rn")
-      .orderBy($"qid", $"rn")
+    ivfProbe(qEmb(s, dir).join(assign, Seq("vec_id")))
   }
 
   val ivfTopKSql: String = qvecCte + kmeansCtes +

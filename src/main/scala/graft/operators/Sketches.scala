@@ -115,6 +115,16 @@ object Sketches {
         size($"kmv").cast("long").as("n_kept")))
   }
 
+  /** The avalanched 31-bit hash ([[hllDistinct]]'s scaladoc explains why
+    * HLL can't ride the plain affine hash the other sketches use).
+    */
+  private def hllHash(k: Column): Column = {
+    val x1 = h(k, 2654435761L, 12007L)
+    val y1 = x1.bitwiseXOR(shiftright(x1, 15))
+    val x2 = h(y1, 1779033703L, 514229L)
+    x2.bitwiseXOR(shiftright(x2, 13))
+  }
+
   /** HyperLogLog distinct-count estimator (Flajolet et al. 2007), built
     * deterministically so the register contents — and therefore the
     * estimate — hash-match DuckDB bit-for-bit:
@@ -148,16 +158,6 @@ object Sketches {
     * per group, mergeable by max) — the canonical distinct-count sketch for
     * a 100 TB corpus, cheaper than KMV's top-k heap when groups are many.
     */
-  /** The avalanched 31-bit hash ([[hllDistinct]]'s scaladoc explains why
-    * HLL can't ride the plain affine hash the other sketches use).
-    */
-  private def hllHash(k: Column): Column = {
-    val x1 = h(k, 2654435761L, 12007L)
-    val y1 = x1.bitwiseXOR(shiftright(x1, 15))
-    val x2 = h(y1, 1779033703L, 514229L)
-    x2.bitwiseXOR(shiftright(x2, 13))
-  }
-
   def hllDistinct(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val regs = Tables.lineitem(s, dir)

@@ -495,6 +495,25 @@ object VersionedTable {
     }
   }
 
+  /** REPLACE: commit `df` wholesale as the next version — for producers
+    * that regenerate the FULL snapshot (an index re-fit, a batch job that
+    * overwrites its output table). Unlike [[merge]] there is no
+    * read-modify-write upsert shuffle, and the writer's own layout
+    * survives: a range-clustered `df` commits range-clustered, so its
+    * `statsCols` zone maps stay selective (an upsert's hash shuffle would
+    * destroy the clustering and with it the file skipping). Returns the
+    * new version number.
+    */
+  def replace(spark: SparkSession, path: String, df: DataFrame,
+      tag: Option[String] = None, partitionBy: Seq[String] = Nil,
+      statsCols: Seq[String] = Nil): Int = {
+    val current = latestVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no versions at $path — init first"))
+    val next = current + 1
+    commitVersion(df, path, next, tag, partitionBy, statsCols)
+    next
+  }
+
   /** Delete keys (anti join), committed as the next version. Pass the same
     * `partitionBy`/`statsCols` as every other commit — a delete is a full
     * COW snapshot like any merge, and omitting them here would silently

@@ -115,5 +115,11 @@ class AnalyticsSpec extends SparkSpec {
       .versions(spark, s"$path/assign") == Seq(0, 1))
     assert(Similarity.ivfTopKFromIndex(spark, dir, path, version = 0)
       .collect().map(_.toSeq).toSeq == inline)
+    // ...and the re-fit version keeps its zone-map selectivity: the commit
+    // is a REPLACE, so the range clustering (and with it file skipping)
+    // must survive — an upsert-style rewrite would hash it away
+    val (kept1, total1) = graft.sources.VersionedTable
+      .prunedFiles(spark, s"$path/assign", "centroid", 0L, 0L, version = 1)
+    assert(total1 > 1 && kept1 < total1, s"v1 lost skipping: $kept1/$total1")
   }
 }
