@@ -563,6 +563,54 @@ object TextOps {
        |ORDER BY a, b""".stripMargin
   }
 
+  /** Threshold CALIBRATION curve: over the shingle-LSH candidate pairs,
+    * exact shingle-Jaccard per pair, then the pair count surviving each
+    * candidate threshold — the number a pipeline operator reads to pick
+    * its dedup cutoff (too low merges distinct docs, too high leaves
+    * duplicates). One shingling pass (checkpointed), the same
+    * candidate-bounded intersection join as [[containmentPairs]], then a
+    * SINGLE row of conditional sums unpivoted to (threshold, n_pairs) —
+    * no per-threshold rescans, so trying 5 cutoffs costs the same as
+    * trying one. Monotone by construction (each count ⊇ the next).
+    */
+  def thresholdCurve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val codes = shingleCodes(s, dir).localCheckpoint(true)
+    val sizes = codes.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val jac = shinglePairsOf(codes)
+      .join(codes.select($"doc_id".as("a"), $"code"), Seq("a"))
+      .join(codes.select($"doc_id".as("b"), $"code"), Seq("b", "code"))
+      .groupBy($"a", $"b").agg(count(lit(1)).as("c"))
+      .join(sizes.select($"doc_id".as("a"), $"n".as("na")), Seq("a"))
+      .join(sizes.select($"doc_id".as("b"), $"n".as("nb")), Seq("b"))
+      .select(round($"c" * 1.0 / ($"na" + $"nb" - $"c"), 4).as("jac"))
+    val ts = Seq(0.0, 0.5, 0.6, 0.7, 0.8, 0.9)
+    val aggs = ts.map(t =>
+      sum(when($"jac" >= t, 1L).otherwise(0L)).as(s"n${(t * 10).toInt}"))
+    jac.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(ts.map(t => struct(lit(t).as("threshold"),
+        col(s"n${(t * 10).toInt}").as("n_pairs"))): _*)).as("e"))
+      .select($"e.threshold".as("threshold"), $"e.n_pairs".as("n_pairs"))
+      .orderBy($"threshold")
+  }
+
+  val thresholdCurveSql: String = shingleCte + shingleBandsCte + {
+    s""",
+       |sz AS (SELECT doc_id, count(*)::BIGINT AS n FROM codes GROUP BY doc_id),
+       |jac AS (
+       |  SELECT round(i.c * 1.0 / (sa.n + sb.n - i.c), 4) AS jac FROM (
+       |    SELECT p.a, p.b, count(*)::BIGINT AS c
+       |    FROM pairs p
+       |    JOIN codes ca ON ca.doc_id = p.a
+       |    JOIN codes cb ON cb.doc_id = p.b AND cb.code = ca.code
+       |    GROUP BY 1, 2) i
+       |  JOIN sz sa ON i.a = sa.doc_id JOIN sz sb ON i.b = sb.doc_id),
+       |t AS (SELECT unnest([0.0, 0.5, 0.6, 0.7, 0.8, 0.9]::DOUBLE[]) AS threshold)
+       |SELECT threshold,
+       |  (SELECT count(*) FROM jac WHERE jac >= threshold)::BIGINT AS n_pairs
+       |FROM t ORDER BY threshold""".stripMargin
+  }
+
   /** Connected components by alternating large-star / small-star edge
     * contraction (Kiveris et al., "Connected Components in MapReduce and
     * Beyond", SoCC'14): each round relinks every node toward the minimum
@@ -942,6 +990,7 @@ object TextOps {
     "dedup_simhash_pairs" -> simhashPairs _,
     "dedup_clusters" -> dedupClusters _,
     "dedup_containment_pairs" -> containmentPairs _,
+    "dedup_threshold_curve" -> thresholdCurve _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -964,5 +1013,6 @@ object TextOps {
     "dedup_simhash_pairs" -> simhashPairsSql,
     "dedup_clusters" -> dedupClustersSql,
     "dedup_containment_pairs" -> containmentPairsSql,
+    "dedup_threshold_curve" -> thresholdCurveSql,
   )
 }

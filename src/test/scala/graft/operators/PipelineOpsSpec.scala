@@ -77,6 +77,18 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("threshold curve is monotone and anchored at the candidate-pair count") {
+    val rows = TextOps.thresholdCurve(spark, dir).collect()
+    assert(rows.map(_.getDouble(0))
+      .sameElements(Array(0.0, 0.5, 0.6, 0.7, 0.8, 0.9)))
+    val ns = rows.map(_.getLong(1))
+    assert(ns.zip(ns.tail).forall { case (hi, lo) => hi >= lo },
+      s"curve not monotone: ${ns.mkString(",")}")
+    // jaccard >= 0.0 keeps every candidate, so the anchor IS the LSH
+    // candidate-pair count
+    assert(ns.head == TextOps.shinglePairs(spark, dir).count())
+  }
+
   test("simhash of identical token sets is identical") {
     import spark.implicits._
     val exact = TextOps.jaccardPairs(spark, dir).filter($"jaccard" === 1.0)

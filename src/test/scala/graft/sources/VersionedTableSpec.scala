@@ -66,6 +66,26 @@ class VersionedTableSpec extends SparkSpec {
     assert(r.getStruct(2).getString(0) == "c" && r.getStruct(3).isNullAt(0))
   }
 
+  test("replace commits a full snapshot as the next version, preserving the writer's layout") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft-vtr").toFile.getAbsolutePath + "/t"
+    VersionedTable.init(Seq((1L, "a"), (2L, "b")).toDF("k", "name"), path)
+    // regenerated snapshot, range-clustered by the writer
+    val regen = (0L until 100L).map(k => (k, s"n$k")).toDF("k", "name")
+      .repartitionByRange(4, col("k"))
+    val v1 = VersionedTable.replace(spark, path, regen, statsCols = Seq("k"))
+    assert(v1 == 1 && VersionedTable.versions(spark, path) == Seq(0, 1))
+    assert(VersionedTable.read(spark, path).count() == 100)
+    assert(VersionedTable.read(spark, path, 0).count() == 2)
+    // the range clustering survived the commit: a point probe skips files
+    val (kept, total) = VersionedTable.prunedFiles(spark, path, "k", 5L, 5L)
+    assert(total == 4 && kept == 1, s"layout lost: $kept/$total")
+    // replace without init is an error like merge
+    intercept[IllegalArgumentException] {
+      VersionedTable.replace(spark, path + "-none", regen)
+    }
+  }
+
   test("diff maintains a downstream aggregate incrementally (no snapshot rescan)") {
     import spark.implicits._
     val path = Files.createTempDirectory("graft-vti").toFile.getAbsolutePath + "/t"
