@@ -35,7 +35,10 @@ object ScalingBench {
 
   private def buildCorpus(spark: SparkSession, base: String, out: String,
       mult: Int): Unit = {
-    val done = new java.io.File(s"$out/_DONE")
+    // the marker carries a GENERATION suffix: bump it whenever the corpus
+    // layout changes (v2 = every shard remapped), so machines holding a
+    // pre-change cache rebuild instead of silently measuring the old layout
+    val done = new java.io.File(s"$out/_DONE_v2")
     if (done.exists()) return
     val docs = spark.read.parquet(s"$base/documents.parquet")
     val nDocs = docs.agg(max("doc_id")).head().getLong(0) + 1

@@ -526,17 +526,54 @@ object TextOps {
     * shingle count joins only LSH candidates, never all pairs; shingle
     * sizes join back from a per-doc aggregate.
     */
+  /** Per-doc shingle-set sizes from the (checkpointed) codes frame. */
+  private def shingleSizes(codes: DataFrame): DataFrame = {
+    import codes.sparkSession.implicits._
+    codes.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+  }
+
+  /** (a, b, c): shared-shingle count for EVERY LSH candidate pair — the
+    * ONE copy of the candidate-intersection join, shared by containment
+    * and the threshold curve. LEFT join from the candidates: a band-fold
+    * collision can pair docs sharing no shingle, and such a pair must
+    * surface with c = 0, not vanish (the threshold curve's t = 0 anchor
+    * counts every candidate). The candidate frame is checkpointed — it
+    * feeds both sides of the left join.
+    */
+  private def shingleInterCounts(codes: DataFrame): DataFrame = {
+    import codes.sparkSession.implicits._
+    val pairs = shinglePairsOf(codes).localCheckpoint(true)
+    val inter = pairs
+      .join(codes.select($"doc_id".as("a"), $"code"), Seq("a"))
+      .join(codes.select($"doc_id".as("b"), $"code"), Seq("b", "code"))
+      .groupBy($"a", $"b").agg(count(lit(1)).as("c"))
+    pairs.join(inter, Seq("a", "b"), "left")
+      .select($"a", $"b", coalesce($"c", lit(0L)).as("c"))
+  }
+
+  /** sz + inter CTEs over `codes`/`pairs` — the SQL mirror of
+    * [[shingleSizes]]/[[shingleInterCounts]], shared by the same two
+    * oracles so the intersection semantics can never drift.
+    */
+  private val shingleInterCte: String =
+    """,
+      |sz AS (SELECT doc_id, count(*)::BIGINT AS n FROM codes GROUP BY doc_id),
+      |inter AS (
+      |  SELECT p.a, p.b, coalesce(i.c, 0)::BIGINT AS c
+      |  FROM pairs p LEFT JOIN (
+      |    SELECT p2.a, p2.b, count(*)::BIGINT AS c
+      |    FROM pairs p2
+      |    JOIN codes ca ON ca.doc_id = p2.a
+      |    JOIN codes cb ON cb.doc_id = p2.b AND cb.code = ca.code
+      |    GROUP BY 1, 2) i ON p.a = i.a AND p.b = i.b)""".stripMargin
+
   def containmentPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // one shingling pass, checkpointed: candidates, sizes, and the
     // intersection join all fan out from this frame
     val codes = shingleCodes(s, dir).localCheckpoint(true)
-    val sizes = codes.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val inter = shinglePairsOf(codes)
-      .join(codes.select($"doc_id".as("a"), $"code"), Seq("a"))
-      .join(codes.select($"doc_id".as("b"), $"code"), Seq("b", "code"))
-      .groupBy($"a", $"b").agg(count(lit(1)).as("c"))
-    inter
+    val sizes = shingleSizes(codes)
+    shingleInterCounts(codes)
       .join(sizes.select($"doc_id".as("a"), $"n".as("na")), Seq("a"))
       .join(sizes.select($"doc_id".as("b"), $"n".as("nb")), Seq("b"))
       .select($"a", $"b", $"c",
@@ -546,22 +583,15 @@ object TextOps {
       .orderBy($"a", $"b")
   }
 
-  val containmentPairsSql: String = shingleCte + shingleBandsCte + {
-    s""",
-       |sz AS (SELECT doc_id, count(*)::BIGINT AS n FROM codes GROUP BY doc_id),
-       |inter AS (
-       |  SELECT p.a, p.b, count(*)::BIGINT AS c
-       |  FROM pairs p
-       |  JOIN codes ca ON ca.doc_id = p.a
-       |  JOIN codes cb ON cb.doc_id = p.b AND cb.code = ca.code
-       |  GROUP BY 1, 2)
-       |SELECT a, b, c, round(c * 1.0 / sa.n, 4) AS cont_a,
-       |  round(c * 1.0 / sb.n, 4) AS cont_b
-       |FROM inter
-       |JOIN sz sa ON a = sa.doc_id JOIN sz sb ON b = sb.doc_id
-       |WHERE greatest(round(c * 1.0 / sa.n, 4), round(c * 1.0 / sb.n, 4)) >= 0.8
-       |ORDER BY a, b""".stripMargin
-  }
+  val containmentPairsSql: String = shingleCte + shingleBandsCte +
+    shingleInterCte +
+    """
+      |SELECT a, b, c, round(c * 1.0 / sa.n, 4) AS cont_a,
+      |  round(c * 1.0 / sb.n, 4) AS cont_b
+      |FROM inter
+      |JOIN sz sa ON a = sa.doc_id JOIN sz sb ON b = sb.doc_id
+      |WHERE greatest(round(c * 1.0 / sa.n, 4), round(c * 1.0 / sb.n, 4)) >= 0.8
+      |ORDER BY a, b""".stripMargin
 
   /** Threshold CALIBRATION curve: over the shingle-LSH candidate pairs,
     * exact shingle-Jaccard per pair, then the pair count surviving each
@@ -576,17 +606,16 @@ object TextOps {
   def thresholdCurve(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val codes = shingleCodes(s, dir).localCheckpoint(true)
-    val sizes = codes.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val jac = shinglePairsOf(codes)
-      .join(codes.select($"doc_id".as("a"), $"code"), Seq("a"))
-      .join(codes.select($"doc_id".as("b"), $"code"), Seq("b", "code"))
-      .groupBy($"a", $"b").agg(count(lit(1)).as("c"))
+    val sizes = shingleSizes(codes)
+    val jac = shingleInterCounts(codes)
       .join(sizes.select($"doc_id".as("a"), $"n".as("na")), Seq("a"))
       .join(sizes.select($"doc_id".as("b"), $"n".as("nb")), Seq("b"))
       .select(round($"c" * 1.0 / ($"na" + $"nb" - $"c"), 4).as("jac"))
     val ts = Seq(0.0, 0.5, 0.6, 0.7, 0.8, 0.9)
+    // count(when(...)) not sum(...otherwise(0)): on an EMPTY candidate set
+    // the aggregate must produce 0 like the oracle's COUNT, never NULL
     val aggs = ts.map(t =>
-      sum(when($"jac" >= t, 1L).otherwise(0L)).as(s"n${(t * 10).toInt}"))
+      count(when($"jac" >= t, lit(1))).as(s"n${(t * 10).toInt}"))
     jac.agg(aggs.head, aggs.tail: _*)
       .select(explode(array(ts.map(t => struct(lit(t).as("threshold"),
         col(s"n${(t * 10).toInt}").as("n_pairs"))): _*)).as("e"))
@@ -594,22 +623,17 @@ object TextOps {
       .orderBy($"threshold")
   }
 
-  val thresholdCurveSql: String = shingleCte + shingleBandsCte + {
-    s""",
-       |sz AS (SELECT doc_id, count(*)::BIGINT AS n FROM codes GROUP BY doc_id),
-       |jac AS (
-       |  SELECT round(i.c * 1.0 / (sa.n + sb.n - i.c), 4) AS jac FROM (
-       |    SELECT p.a, p.b, count(*)::BIGINT AS c
-       |    FROM pairs p
-       |    JOIN codes ca ON ca.doc_id = p.a
-       |    JOIN codes cb ON cb.doc_id = p.b AND cb.code = ca.code
-       |    GROUP BY 1, 2) i
-       |  JOIN sz sa ON i.a = sa.doc_id JOIN sz sb ON i.b = sb.doc_id),
-       |t AS (SELECT unnest([0.0, 0.5, 0.6, 0.7, 0.8, 0.9]::DOUBLE[]) AS threshold)
-       |SELECT threshold,
-       |  (SELECT count(*) FROM jac WHERE jac >= threshold)::BIGINT AS n_pairs
-       |FROM t ORDER BY threshold""".stripMargin
-  }
+  val thresholdCurveSql: String = shingleCte + shingleBandsCte +
+    shingleInterCte +
+    """,
+      |jac AS (
+      |  SELECT round(i.c * 1.0 / (sa.n + sb.n - i.c), 4) AS jac
+      |  FROM inter i
+      |  JOIN sz sa ON i.a = sa.doc_id JOIN sz sb ON i.b = sb.doc_id),
+      |t AS (SELECT unnest([0.0, 0.5, 0.6, 0.7, 0.8, 0.9]::DOUBLE[]) AS threshold)
+      |SELECT threshold,
+      |  (SELECT count(*) FROM jac WHERE jac >= threshold)::BIGINT AS n_pairs
+      |FROM t ORDER BY threshold""".stripMargin
 
   /** Connected components by alternating large-star / small-star edge
     * contraction (Kiveris et al., "Connected Components in MapReduce and
