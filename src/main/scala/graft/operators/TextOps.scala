@@ -351,11 +351,18 @@ object TextOps {
     */
   def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // ONE tokenize pass over the corpus: tok feeds the per-doc aggregate
+    // AND the deletion signatures, and perDoc is referenced five times
+    // downstream (full sigs, dels, candidate join, both verification
+    // joins) — without materialization the whole explode+distinct pipeline
+    // re-runs per reference (the defect the minhash/shingle paths had)
     val tok = tokens(s, dir)
       .select($"doc_id", $"w", ((lit(A(0)) * tokenCode($"w") + B(0)) % P).as("hw"))
+      .localCheckpoint(true)
     val perDoc = tok.groupBy($"doc_id")
       .agg(sort_array(collect_list($"w")).as("arr"),
         count(lit(1)).as("n"), sum($"hw").as("h"))
+      .localCheckpoint(true)
     val full = perDoc.select($"doc_id", $"h".as("sig"))
     val dels = tok.join(perDoc.select($"doc_id", $"h"), Seq("doc_id"))
       .select($"doc_id", ($"h" - $"hw").as("sig"))
@@ -791,7 +798,11 @@ object TextOps {
     */
   def simhashPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val banded = simhashRaw(s, dir).select($"doc_id", $"simhash",
+    // materialize the n_docs×2 signature frame: both self-join sides fan
+    // out from it, and without the checkpoint the tokenize + 16-bit vote
+    // aggregation pipeline runs twice (same defect class as minhashPairs)
+    val banded = simhashRaw(s, dir).localCheckpoint(true)
+      .select($"doc_id", $"simhash",
       explode(array(
         struct(lit(0).as("band"), ($"simhash" % 256L).as("key")),
         struct(lit(1).as("band"), shiftright($"simhash", 8).as("key"))))
@@ -871,7 +882,10 @@ object TextOps {
     import org.apache.spark.sql.expressions.Window
     val terms = Tables.documents(s, dir)
       .select($"doc_id", explode(split($"text", " ")).as("term"))
+    // tf feeds BOTH the df aggregate and the ranking join — materialize it
+    // so the corpus explode+agg runs once, not once per reference
     val tf = terms.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy($"doc_id")
       .orderBy($"tf".desc, $"df".asc, $"term".asc)
