@@ -72,46 +72,45 @@ object Plans {
       |
       |Harness: `sbt "runMain graft.ScalingBench"` (min-of-2 per point, local[32]).
       |The 10× corpus gives each of 10 shards a disjoint token vocabulary (a
-      |bijective remap of the sf0.1 corpus per shard), so each shard reproduces the
-      |original corpus's intra-shard similarity structure exactly and true
-      |cross-shard similarity is zero — rows and true pair volume both scale by
-      |exactly 10. Embeddings replicate with offset ids (the query set is pinned
-      |to vec_id < 10, so probe count stays constant while data grows). The Aria
-      |point scales the generated workload itself (keys, txns, keyspace ×10,
-      |conflict density held).
+      |bijective remap of the sf0.1 corpus per shard — EVERY shard remapped, with
+      |equal-length digit-terminated suffixes, so cross-shard token equality is
+      |impossible by construction), so each shard reproduces the original corpus's
+      |intra-shard similarity structure exactly and true cross-shard similarity
+      |is zero — rows and true pair volume both scale by exactly 10. Embeddings
+      |replicate with offset ids (the query set is pinned to vec_id < 10, so
+      |probe count stays constant while data grows). The Aria point scales the
+      |generated workload itself (keys, txns, keyspace ×10, conflict density
+      |held). Measurement protocol, learned the hard way: small-output points
+      |run FIRST — the two big pair emitters leave the shared JVM under memory
+      |pressure (TaskMemoryManager GB-page retries) that was measured to inflate
+      |a code-identical query run right after them by 5×.
+      |
+      |These numbers follow the round-7 plan-reuse fixes (signature frames
+      |materialized once instead of re-computed per self-join branch).
       |
       || query | 1× sec | 1× rows | 10× sec | 10× rows | time slope | note |
       ||---|---|---|---|---|---|---|
-      || dedup_jaccard_pairs | 3.76 | 190,925 | 3.37 | 1,909,250 | **×0.9 for ×10 rows** | deletion-neighborhood join; fixed job overhead dominates both points |
-      || dedup_clusters | 3.19 | 5,000 | 6.45 | 50,000 | ×2.0 | star contraction: rounds grow O(log n), not O(n) |
-      || sim_ivf_topk | 1.22 | 30 | 2.21 | 30 | ×1.8 | k-means fit + assign is the linear part; probe constant |
-      || aria_reference_scenario | 3.36 | 7 | 6.79 | 10 | ×2.0 | ×10 keys/txns and MORE epochs (10 vs 7 history rows) for ×2 wall |
-      || dedup_minhash_pairs | 3.37 | 4.95M | 308.5 | 409.6M | ×1.5 per output row | see below |
-      || dedup_simhash_pairs | 2.18 | 1.26M | 154.4 | 242.7M | ×0.6 per output row | see below |
+      || dedup_jaccard_pairs | 3.59 | 190,925 | 6.37 | 1,909,250 | **×1.8 for ×10 rows** | deletion-neighborhood join |
+      || dedup_clusters | 3.43 | 5,000 | 5.66 | 50,000 | ×1.7 | star contraction: rounds grow O(log n), not O(n) |
+      || sim_ivf_topk | 2.12 | 30 | 3.35 | 30 | ×1.6 | k-means fit + assign is the linear part; probe constant |
+      || aria_reference_scenario | 3.83 | 7 | 10.0 | 10 | ×2.6 | ×10 keys/txns and MORE epochs (10 vs 7 history rows) |
+      || dedup_simhash_pairs | 2.15 | 1.26M | 257.4 | 297.8M | ×0.5 per output row | see below |
+      || dedup_minhash_pairs | 2.65 | 4.95M | 648.4 | 499.6M | ×2.4 per output row | see below |
       |
       |The two LSH pair-emitters are the honest case: their cost is Θ(output
       |pairs), and on THIS corpus the 10× blow-up densifies their small hash
       |spaces (4-minhash band signatures over a ~30-word base vocabulary; 16-bit
       |simhash), so cross-shard bucket collisions inflate the emitted-pair count
-      |×83/×192 — far beyond the ×10 true-duplicate growth. Per EMITTED PAIR the
-      |throughput is flat-to-better (minhash 1.47M pairs/s → 1.33M/s; simhash
-      |0.58M/s → 1.57M/s): the banded equi-join plans do linear work in output
-      |size, which is the strongest guarantee any exact pair enumerator can make.
-      |At 100 TB with a realistic vocabulary (simhash widened to 64 bits, more
-      |bands), bucket density — and therefore output volume — is controlled by
-      |sketch width, not by the join plan; the plans themselves carry no
-      |super-linear term in INPUT size.
-      |
-      |Round-7 re-run (after the signature-materialization fix): every 1× point
-      |reproduced within noise, and `dedup_clusters` improved at BOTH scales
-      |(2.71 s / 4.81 s vs 3.19 s / 6.45 s — the contraction now consumes the
-      |unsorted, checkpoint-backed pair frame). The 10× pair-emitter points of
-      |that re-run are not comparable to the table: they ran back-to-back in one
-      |session and the 409M-pair minhash point left the JVM under visible memory
-      |pressure (TaskMemoryManager 2 GB allocation retries), inflating every
-      |subsequent 10× point — `dedup_jaccard_pairs`, whose code did not change,
-      |measured 5× its tabled value in that session. Same-session sequencing is
-      |part of the measurement protocol now: big-output points last.
+      |×236/×101 — far beyond the ×10 true-duplicate growth. Per EMITTED PAIR,
+      |simhash gets FASTER (0.59M → 1.16M pairs/s); minhash drops from 1.87M to
+      |0.77M pairs/s because half a billion output rows through one 32-thread
+      |JVM spill the pair-dedup hash tables (the visible GB-page retries) — on a
+      |multi-executor cluster that distinct is spread across machines, which is
+      |exactly what the banded equi-join plan parallelizes. At 100 TB with a
+      |realistic vocabulary (simhash widened to 64 bits, more bands), bucket
+      |density — and therefore output volume — is controlled by sketch width,
+      |not by the join plan; the plans themselves carry no super-linear term in
+      |INPUT size.
       |""".stripMargin
 
   def main(args: Array[String]): Unit = {

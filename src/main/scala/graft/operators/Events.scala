@@ -219,14 +219,19 @@ object Events {
     */
   def retention(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // cohort = the user's first week, as a WINDOW MIN rather than the
+    // aggregate-then-join-back decorrelation the oracle spells: one scan
+    // of the fact table and one user_id shuffle instead of two scans plus
+    // a join — at 100 TB the fact scan is the whole cost
     val ev = Tables.events(s, dir)
       .select($"user_id", date_trunc("week", $"ts").as("wk"))
-    val firstWeek = ev.groupBy($"user_id").agg(min($"wk").as("cohort"))
-    ev.join(firstWeek, "user_id")
-      .select($"user_id", date_format($"cohort", "yyyy-MM-dd").as("cohort"),
+      .withColumn("cohort0",
+        min($"wk").over(Window.partitionBy($"user_id")))
+    ev.select($"user_id", date_format($"cohort0", "yyyy-MM-dd").as("cohort"),
         // floor() on BOTH sides: Spark's double->long cast truncates but
         // DuckDB's ::BIGINT rounds, so a bare (days/7)::BIGINT diverges
-        floor(datediff($"wk", $"cohort") / 7.0).cast("long").as("week_offset"))
+        floor(datediff($"wk", $"cohort0") / 7.0).cast("long").as("week_offset"))
       .distinct()
       .groupBy($"cohort", $"week_offset")
       .agg(count(lit(1)).as("active_users"))
