@@ -1057,6 +1057,42 @@ object Relational {
       |FROM best JOIN supplier ON best_supp = s_suppkey
       |ORDER BY partkey""".stripMargin
 
+  /** Q40 — LATEST RECORD PER KEY (the CDC-compaction read: a change log
+    * collapses to its current snapshot by keeping each key's newest row).
+    * Written through the SQL frontend as the standard `row_number() = 1`
+    * idiom so the injected [[graft.plans.TopKRewrite]] turns it into the
+    * bounded-heap GroupedTopK plan — per-key state is O(1), never a full
+    * per-key sort, which is the 100 TB shape for compacting a 10⁹-key log.
+    * Newest = (shipdate, linenumber) DESC with the unique linenumber as
+    * the deterministic tie-break.
+    */
+  def q40LatestPerKey(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+    s.sql(
+      """SELECT l_orderkey, l_linenumber, l_quantity_fl, ship_s
+        |FROM (
+        |  SELECT l_orderkey, l_linenumber,
+        |    floor(l_quantity) AS l_quantity_fl,
+        |    date_format(l_shipdate, 'yyyy-MM-dd') AS ship_s,
+        |    row_number() OVER (PARTITION BY l_orderkey
+        |      ORDER BY l_shipdate DESC, l_linenumber DESC) AS rn
+        |  FROM lineitem_v) t
+        |WHERE rn = 1
+        |ORDER BY l_orderkey""".stripMargin)
+  }
+
+  val q40Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity_fl, ship_s
+      |FROM (
+      |  SELECT l_orderkey, l_linenumber,
+      |    floor(l_quantity)::BIGINT AS l_quantity_fl,
+      |    strftime(l_shipdate, '%Y-%m-%d') AS ship_s,
+      |    row_number() OVER (PARTITION BY l_orderkey
+      |      ORDER BY l_shipdate DESC, l_linenumber DESC) AS rn
+      |  FROM lineitem) t
+      |WHERE rn = 1
+      |ORDER BY l_orderkey""".stripMargin
+
   /** All relational queries + oracles, consumed by SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> q1PricingSummary _,
@@ -1096,6 +1132,7 @@ object Relational {
     "q37_nested_semi" -> q37NestedSemi _,
     "q38_unpivot" -> q38Unpivot _,
     "q39_argmin_supplier" -> q39ArgminSupplier _,
+    "q40_latest_per_key" -> q40LatestPerKey _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1136,5 +1173,6 @@ object Relational {
     "q37_nested_semi" -> q37Sql,
     "q38_unpivot" -> q38Sql,
     "q39_argmin_supplier" -> q39Sql,
+    "q40_latest_per_key" -> q40Sql,
   )
 }
