@@ -1063,8 +1063,12 @@ object Relational {
     * idiom so the injected [[graft.plans.TopKRewrite]] turns it into the
     * bounded-heap GroupedTopK plan — per-key state is O(1), never a full
     * per-key sort, which is the 100 TB shape for compacting a 10⁹-key log.
-    * Newest = (shipdate, linenumber) DESC with the unique linenumber as
-    * the deterministic tie-break.
+    * Newest = shipdate DESC; ties broken by (linenumber, partkey, suppkey,
+    * extendedprice) DESC — in this synthetic corpus (orderkey, linenumber)
+    * is NOT unique (verified: duplicate groups exist at both sf0.01 and
+    * sf0.1), and the first full-gate run caught the resulting
+    * nondeterministic row_number as an intermittent hash mismatch; this
+    * column set is verified duplicate-free at both scales.
     */
   def q40LatestPerKey(s: SparkSession, dir: String): DataFrame = {
     Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
@@ -1075,7 +1079,8 @@ object Relational {
         |    floor(l_quantity) AS l_quantity_fl,
         |    date_format(l_shipdate, 'yyyy-MM-dd') AS ship_s,
         |    row_number() OVER (PARTITION BY l_orderkey
-        |      ORDER BY l_shipdate DESC, l_linenumber DESC) AS rn
+        |      ORDER BY l_shipdate DESC, l_linenumber DESC, l_partkey DESC,
+        |               l_suppkey DESC, l_extendedprice DESC) AS rn
         |  FROM lineitem_v) t
         |WHERE rn = 1
         |ORDER BY l_orderkey""".stripMargin)
@@ -1088,7 +1093,8 @@ object Relational {
       |    floor(l_quantity)::BIGINT AS l_quantity_fl,
       |    strftime(l_shipdate, '%Y-%m-%d') AS ship_s,
       |    row_number() OVER (PARTITION BY l_orderkey
-      |      ORDER BY l_shipdate DESC, l_linenumber DESC) AS rn
+      |      ORDER BY l_shipdate DESC, l_linenumber DESC, l_partkey DESC,
+      |               l_suppkey DESC, l_extendedprice DESC) AS rn
       |  FROM lineitem) t
       |WHERE rn = 1
       |ORDER BY l_orderkey""".stripMargin
