@@ -60,7 +60,10 @@ object Plans {
     "sim_semantic_clusters" -> ("star-contraction components over the " +
       "grid-blocked exact pair join; the pair frame feeds the contraction " +
       "unsorted (no wasted global exchange) and each round is two " +
-      "bounded shuffles"))
+      "bounded shuffles"),
+    "q40_latest_per_key" -> ("CDC-compaction read (latest record per key): " +
+      "the rn=1 window idiom is rewritten to the bounded-heap GroupedTopK " +
+      "— one partial-then-final exchange, no Window, no per-key sort"))
 
   /** Measured scaling evidence, maintained by hand from ScalingBench runs
     * (see its scaladoc) and appended after the plans so regeneration

@@ -25,8 +25,12 @@ import graft.sources.Tables
   *  - Count-min sketch: d=2 hash rows × w=32 buckets of counts; a point
   *    frequency estimate is the min over rows of its bucket count.
   *
-  * All hash arithmetic stays below 2^53 so int64 math is exact in both
-  * engines (see graft-oracle-parity rules in SURVEY.md §7.4).
+  * Hash arithmetic is exact int64 in both engines. Most paths stay below
+  * 2^53 (also float64-safe); the HLL second mixing round intentionally
+  * exceeds that (1779033703 · y can reach ~3.8e18 < 2^63) and relies on
+  * both engines computing BIGINT products exactly — which they do, and the
+  * oracle hash-match proves it (see graft-oracle-parity rules in SURVEY.md
+  * §7.4).
   */
 object Sketches {
 

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 import graft.kv.KvOps
 
@@ -408,6 +408,12 @@ object VersionedTable {
     * an index, an aggregate) subscribe to a 100 TB table without rescanning
     * it: they read the delta, not the snapshot. Both versions must share a
     * schema (COW versions produced by [[merge]]/[[delete]]/[[compact]] do).
+    *
+    * Keys must be NON-NULL — the same contract as the [[merge]] upsert
+    * that maintains the table (equi-joins never match NULL to NULL, so a
+    * NULL-keyed row present in both versions would surface as a spurious
+    * delete+insert pair rather than an update/none). NULL-keyed rows are
+    * rejected up front rather than silently mis-diffed.
     */
   def diff(spark: SparkSession, path: String, fromV: Int, toV: Int,
       keyCol: String): DataFrame = {
@@ -418,8 +424,16 @@ object VersionedTable {
       s"diff needs matching schemas; v$fromV has ${a.columns.mkString(",")}, " +
         s"v$toV has ${b.columns.mkString(",")}")
     val payload = a.columns.filterNot(_.equalsIgnoreCase(keyCol))
-    val old = a.select(col(keyCol), struct(payload.map(col).toSeq: _*).as("_old"))
-    val neu = b.select(col(keyCol).as("_k2"),
+    // zero-extra-pass key check, embedded in the key expression itself (a
+    // side filter could be optimizer-simplified away; the key column is
+    // what the join consumes, so this cannot be pruned): any NULL key
+    // raises on the same scan that feeds the join — no validation action
+    def checkedKey(v: Int): Column =
+      when(col(keyCol).isNotNull, col(keyCol)).otherwise(raise_error(
+        lit(s"diff: NULL $keyCol in v$v — keys must be non-null")))
+    val old = a.select(checkedKey(fromV).as(keyCol),
+      struct(payload.map(col).toSeq: _*).as("_old"))
+    val neu = b.select(checkedKey(toV).as("_k2"),
       struct(payload.map(col).toSeq: _*).as("_new"))
     old.join(neu, col(keyCol) === col("_k2"), "full_outer")
       .withColumn("_change",
@@ -448,13 +462,22 @@ object VersionedTable {
     * = Seq("ts"))` a range probe via [[scanPruned]] opens ~1 file instead
     * of all of them. Without `sortBy`, a hive layout (`partitionBy`)
     * compacts to one file per partition directory; otherwise to
-    * ⌈bytes/target⌉ hash-spread files. Returns the new version number.
+    * ⌈bytes/target⌉ hash-spread files. The two layouts are mutually
+    * exclusive: a hive write of range-clustered partitions would re-split
+    * every range file across partition directories, destroying the
+    * clustering it just paid for — so passing both is rejected (use
+    * `sortBy` with the partition column leading if you want both orders).
+    * Returns the new version number.
     */
   def compact(spark: SparkSession, path: String,
       targetFileBytes: Long = 128L << 20, sortBy: Seq[String] = Nil,
       partitionBy: Seq[String] = Nil, statsCols: Seq[String] = Nil): Int = {
     import org.apache.spark.sql.functions.col
     require(targetFileBytes > 0, s"targetFileBytes must be > 0")
+    require(sortBy.isEmpty || partitionBy.isEmpty,
+      "compact takes sortBy (range-cluster) OR partitionBy (hive layout), " +
+        "not both: a hive re-split of range-clustered output would destroy " +
+        "the clustering")
     val current = latestVersion(spark, path).getOrElse(
       throw new IllegalArgumentException(s"no versions at $path — init first"))
     val dir = new org.apache.hadoop.fs.Path(versionDir(path, current))

@@ -130,6 +130,15 @@ class TopKRewriteSpec extends AnyFunSuite {
     assert(df.count() == 0)
   }
 
+  test("q40_latest_per_key (the registered CDC-compaction query) rides the rewrite") {
+    // COVERAGE.md advertises q40 as "plan verified: no Window" — this is
+    // that verification, against the real registered query on real data
+    val df = graft.SparkEntry.queries("q40_latest_per_key")(
+      spark, "/root/testdata/sf0.001")
+    assert(hasTopKExec(df) && !hasWindow(df))
+    assert(df.count() > 0)
+  }
+
   test("does NOT fire when the row number survives the projection") {
     fixture()
     val df = spark.sql(

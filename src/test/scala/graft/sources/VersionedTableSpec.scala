@@ -66,6 +66,35 @@ class VersionedTableSpec extends SparkSpec {
     assert(r.getStruct(2).getString(0) == "c" && r.getStruct(3).isNullAt(0))
   }
 
+  test("diff rejects NULL keys instead of mis-diffing them") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft-vtn").toFile.getAbsolutePath + "/t"
+    // a NULL-keyed row present in BOTH versions: the full-outer equi-join
+    // would silently surface it as a spurious delete+insert pair
+    VersionedTable.init(Seq((Some(1L), "a"), (None, "ghost"))
+      .toDF("k", "name"), path)
+    VersionedTable.merge(spark, path, Seq((Some(2L), "b")).toDF("k", "name"),
+      "k")
+    val e = intercept[Exception] {
+      VersionedTable.diff(spark, path, 0, 1, "k").collect()
+    }
+    assert(e.getMessage.contains("non-null") ||
+      Option(e.getCause).exists(_.getMessage.contains("non-null")),
+      s"expected the non-null key error, got: ${e.getMessage}")
+  }
+
+  test("compact rejects sortBy + partitionBy together (layouts are exclusive)") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft-vtx").toFile.getAbsolutePath + "/t"
+    VersionedTable.init(Seq((1L, "us", 1.0), (2L, "eu", 2.0))
+      .toDF("k", "region", "v"), path)
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.compact(spark, path, sortBy = Seq("k"),
+        partitionBy = Seq("region"))
+    }
+    assert(e.getMessage.contains("not both"))
+  }
+
   test("replace commits a full snapshot as the next version, preserving the writer's layout") {
     import spark.implicits._
     val path = Files.createTempDirectory("graft-vtr").toFile.getAbsolutePath + "/t"
