@@ -24,8 +24,11 @@ import org.apache.spark.sql.functions._
   *    next table snapshot (immutability ⇒ version production, which is
   *    faithful because the reference's install phase is the sole writer and
   *    runs after all reads);
-  *  - the epoch loop is a driver `while`, with `localCheckpoint` truncating
-  *    lineage so plans don't grow across epochs (SURVEY.md §7.4).
+  *  - the epoch loop is a driver `while`; each epoch checkpoints only its
+  *    tiny abort-verdict frame (one action/epoch), and the retry batch is
+  *    re-derived lazily through broadcast probes of those frames, with a
+  *    periodic `localCheckpoint` keeping worst-case plans flat
+  *    (SURVEY.md §7.4).
   *
   * Determinism: commit decisions depend only on the *relative order* of
   * Tids, so we keep original sparse Tids across retries instead of the
@@ -180,19 +183,34 @@ object AriaEngine {
     * DEFERRED INSTALL: with the O14 skip-missing execute path and blind
     * deterministic writes, the table's KEY SET is invariant across epochs
     * and written values never feed back into conflict analysis — so the
-    * install phase commutes past the whole loop. The drain loop therefore
-    * touches only the ops batch (one eager checkpoint + one count per
-    * epoch, no table materialization), and a single merged install at the
-    * end applies, per key, the winner of the LAST epoch that wrote it.
-    * Per-epoch committed Tids fall out of the retained checkpoints:
-    * committed(e) = tids(ops_e) ∖ tids(ops_{e+1}).
+    * install phase commutes past the whole loop, and a single merged
+    * install at the end applies, per key, the winner of the LAST epoch
+    * that wrote it.
+    *
+    * ONE driver action per epoch: the only data-dependent output an epoch
+    * produces is its abort verdict, and `decisions` is already one row per
+    * txn — so the loop checkpoints just the tiny aborted-tid frame. The
+    * history count is then a job over that materialized handful of rows
+    * (microseconds), the next epoch's batch is a broadcast semi-join
+    * against it (lazy — no batch-sized materialization), and the same
+    * frame is each epoch's exact committed-complement for the merged
+    * install: committed(e) = tids(ops_e) ∖ aborted(e). The previous shape
+    * (eager ops checkpoint + a separate distinct().count()) paid TWO
+    * batch-sized driver actions per epoch and was the measured latency
+    * floor of the flagship scenario query.
     */
   def run(spark: SparkSession, table0: DataFrame, ops0: DataFrame,
       reorder: Boolean, valueCols: Seq[String],
       newValue: (Column, Column) => Column,
       maxEpochs: Int = 100): (DataFrame, Seq[(Int, Long, Long)]) = {
-    val table = table0.localCheckpoint(true)
-    val rawOps = ops0.localCheckpoint(true)
+    // table0/ops0 are read a bounded number of times (table: the live
+    // filter + the final install; ops: the tid count + the live filter)
+    // and are NOT re-checkpointed here: every caller passes either an
+    // already-materialized frame or a cheap deterministic derivation, and
+    // the previous unconditional localCheckpoint was measured to cost two
+    // extra batch-sized copies per policy run in the flagship scenario.
+    val table = table0
+    val rawOps = ops0
     // key set is epoch-invariant: filter dead ops ONCE (one key-column
     // pass over the table), not once per epoch/winner branch. Accounting
     // still counts txns from the RAW batch: a txn whose ops all miss
@@ -200,32 +218,35 @@ object AriaEngine {
     var ops = liveOps(rawOps, table).localCheckpoint(true)
     var epoch = 1
     val history = Seq.newBuilder[(Int, Long, Long)]
-    val opsByEpoch = Seq.newBuilder[(Int, DataFrame)]
+    // (epoch, that epoch's live ops, that epoch's aborted-tid frame)
+    val opsByEpoch = Seq.newBuilder[(Int, DataFrame, DataFrame)]
     var remaining = rawOps.select("tid").distinct().count()
     val flag = if (reorder) "committed_reorder" else "committed_noreorder"
     while (remaining > 0 && epoch <= maxEpochs) {
-      opsByEpoch += ((epoch, ops))
       val decided = decisions(ops, reservations(ops))
+      // the epoch's ONE action: materialize the per-txn abort verdicts
+      // (decided is groupBy(tid), so this is one row per aborted txn)
       val aborted = decided.filter(!col(flag)).select("tid")
-      val opsNext = ops
-        .join(broadcast(aborted), Seq("tid"), "left_semi")
         .localCheckpoint(true)
-      val nAborted = opsNext.select("tid").distinct().count()
+      val nAborted = aborted.count() // over the tiny materialized frame
       history += ((epoch, remaining - nAborted, nAborted))
-      ops = opsNext
+      opsByEpoch += ((epoch, ops, aborted))
+      ops = ops.join(broadcast(aborted), Seq("tid"), "left_semi")
+      // the retry batch stays lazy (a broadcast probe of the checkpointed
+      // verdicts); only a pathological maxEpochs-long abort chain would
+      // stack enough semi-joins to bloat the plan — flatten periodically
+      if (epoch % 8 == 0) ops = ops.localCheckpoint(true)
       remaining = nAborted
       epoch += 1
     }
     // merged install: per epoch, winners among its committed writers; per
-    // key, the highest-epoch winner lands. `ops` now holds the post-loop
-    // survivors (empty when drained; still-live txns if maxEpochs hit),
-    // which is exactly the right complement for the last epoch too.
-    val epochs = opsByEpoch.result()
-    val winnersAll = epochs.zipWithIndex.map { case ((e, opsE), i) =>
-      val after = if (i + 1 < epochs.length) epochs(i + 1)._2 else ops
+    // key, the highest-epoch winner lands. Each epoch's aborted frame is
+    // its exact committed-complement — including the last one (empty when
+    // drained; the still-live survivors if maxEpochs was hit).
+    val winnersAll = opsByEpoch.result().map { case (e, opsE, abortedE) =>
       opsE // already live-filtered
         .filter(col("isUpdate"))
-        .join(after.select("tid"), Seq("tid"), "left_anti")
+        .join(broadcast(abortedE), Seq("tid"), "left_anti")
         .groupBy(col("k"))
         .agg(min(col("tid")).as("writer_tid"))
         .withColumn("win_epoch", lit(e))
