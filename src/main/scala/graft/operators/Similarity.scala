@@ -598,6 +598,132 @@ object Similarity {
        |FROM hits h LEFT JOIN ret r ON h.qid = r.qid
        |ORDER BY h.qid""".stripMargin
 
+  /** ANN self-evaluation for IVF, mirroring [[lshRecall]]: recall@3 of the
+    * cell-probe top-3 against the exact brute-force top-3, per query vector
+    * and per nprobe ∈ {1, 2} — nprobe=1 reads only the query's nearest
+    * cell (the cheapest probe, [[ivfTopK]]'s configuration), nprobe=2 adds
+    * the second-nearest, which is the standard recall lever when a query
+    * lands near a Voronoi boundary and its true neighbors sit one cell
+    * over. ONE k-means fit and ONE corpus cell assignment feed both probe
+    * settings (the fit is the expensive pass; only the bounded per-cell
+    * candidate joins differ), and the exact side is computed once. Same
+    * integer-only output contract as lshRecall: hits over counts, division
+    * left to the reader.
+    */
+  def ivfRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val emb = qEmb(s, dir)
+    val cents = ivfCentroids(s, emb) // checkpointed 8 rows
+    // corpus side: one assignment pass, materialized — both nprobe probes
+    // (and nothing else) read it
+    val withCell = emb.join(ivfAssignOf(emb, cents), Seq("vec_id"))
+      .localCheckpoint(true)
+    // per query: ALL centroids ranked by exact integer distance; each
+    // nprobe setting keeps a prefix of the same ranking
+    val withN = broadcast(cents.withColumn("cn2", norm2($"cq")))
+    val qcells = withCell.filter($"vec_id" < 10)
+      .crossJoin(withN)
+      .withColumn("d2", $"n2" - lit(2L) * dot($"q", $"cq") + $"cn2")
+      .withColumn("cell_rank", row_number().over(
+        Window.partitionBy($"vec_id").orderBy($"d2", $"cid")))
+      .select($"vec_id".as("qid"), $"q".as("qq"), $"n2".as("qn2"),
+        $"cid".as("qc"), $"cell_rank")
+      .localCheckpoint(true)
+    val exact = cosineTopK(s, dir).filter($"rn" <= 3)
+      .select($"qid", $"vec_id").localCheckpoint(true)
+    val perNprobe = Seq(1, 2).map { np =>
+      val approx = withCell.join(
+          broadcast(qcells.filter($"cell_rank" <= np)),
+          $"centroid" === $"qc" && $"vec_id" =!= $"qid")
+        .withColumn("cos",
+          round(dot($"q", $"qq").cast("double")
+            / (sqrt($"n2".cast("double")) * sqrt($"qn2".cast("double"))), 4))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"qid").orderBy($"cos".desc, $"vec_id")))
+        .filter($"rn" <= 3)
+        // one pass: feeds both the hits join and the returned-count agg
+        .select($"qid".as("aqid"), $"vec_id".as("avid"))
+        .localCheckpoint()
+      val hits = exact.join(approx,
+          $"qid" === $"aqid" && $"vec_id" === $"avid", "left")
+        .groupBy($"qid")
+        .agg(count(lit(1)).as("n_exact"), count($"avid").as("n_hit"))
+      val returned = approx.groupBy($"aqid".as("qid"))
+        .agg(count(lit(1)).as("n_returned"))
+      hits.join(returned, Seq("qid"), "left")
+        .select(lit(np).as("nprobe"), $"qid", $"n_exact", $"n_hit",
+          coalesce($"n_returned", lit(0L)).as("n_returned"))
+    }
+    perNprobe.reduce(_ unionByName _).orderBy($"nprobe", $"qid")
+  }
+
+  /** SQL mirror: shared qv/kmeans/exact CTEs, then one probe branch per
+    * nprobe over the same ranked query-cell CTE.
+    */
+  val ivfRecallSql: String = {
+    def probe(np: Int) =
+      s""",
+         |dots$np AS (
+         |  SELECT qid, vec_id, sum(x * y) AS d FROM (
+         |    SELECT q.qid, e.vec_id, unnest(q.q) AS x, unnest(e.q) AS y
+         |    FROM (SELECT c.qid, qv.q, c.cid FROM qcells c
+         |          JOIN qv ON qv.vec_id = c.qid WHERE c.cell_rank <= $np) q
+         |    JOIN (SELECT qv.vec_id, qv.q, a.cid FROM qv
+         |          JOIN a$kmeansIters a ON qv.vec_id = a.vec_id) e
+         |      ON q.cid = e.cid AND e.vec_id <> q.qid) z
+         |  GROUP BY 1, 2),
+         |top$np AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT qid, d.vec_id, row_number() OVER (PARTITION BY qid
+         |      ORDER BY round(d / (sqrt(nq.n2) * sqrt(ne.n2)), 4) DESC,
+         |        d.vec_id) AS rn
+         |    FROM dots$np d JOIN nrm nq ON d.qid = nq.vec_id
+         |                   JOIN nrm ne ON d.vec_id = ne.vec_id) t
+         |  WHERE rn <= 3),
+         |hit$np AS (
+         |  SELECT e.qid, count(*)::BIGINT AS n_exact,
+         |    count(t.vec_id)::BIGINT AS n_hit
+         |  FROM exact3 e LEFT JOIN top$np t
+         |    ON e.qid = t.qid AND e.vec_id = t.vec_id
+         |  GROUP BY e.qid),
+         |rec$np AS (
+         |  SELECT $np AS nprobe, h.qid, h.n_exact, h.n_hit,
+         |    coalesce(r.n_returned, 0)::BIGINT AS n_returned
+         |  FROM hit$np h LEFT JOIN (
+         |    SELECT qid, count(*)::BIGINT AS n_returned
+         |    FROM top$np GROUP BY qid) r ON h.qid = r.qid)""".stripMargin
+    qvecCte + kmeansCtes +
+      s""",
+         |qcells AS (
+         |  SELECT cd.vec_id AS qid, cd.cid,
+         |    row_number() OVER (PARTITION BY cd.vec_id
+         |      ORDER BY ne.n2 - 2 * cd.d + cn.cn2, cd.cid) AS cell_rank
+         |  FROM cd$kmeansIters cd
+         |  JOIN nrm ne ON cd.vec_id = ne.vec_id
+         |  JOIN cn$kmeansIters cn ON cd.cid = cn.cid
+         |  WHERE cd.vec_id < 10),
+         |edots AS (
+         |  SELECT qid, vec_id, sum(x * y) AS d FROM (
+         |    SELECT q.vec_id AS qid, e.vec_id,
+         |           unnest(q.q) AS x, unnest(e.q) AS y
+         |    FROM (SELECT vec_id, q FROM qv WHERE vec_id < 10) q
+         |    JOIN qv e ON e.vec_id <> q.vec_id) z
+         |  GROUP BY 1, 2),
+         |exact3 AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT qid, d.vec_id, row_number() OVER (PARTITION BY qid
+         |      ORDER BY round(d / (sqrt(nq.n2) * sqrt(ne.n2)), 4) DESC,
+         |        d.vec_id) AS rn
+         |    FROM edots d JOIN nrm nq ON d.qid = nq.vec_id
+         |                 JOIN nrm ne ON d.vec_id = ne.vec_id) t
+         |  WHERE rn <= 3)""".stripMargin +
+      probe(1) + probe(2) +
+      """
+        |SELECT * FROM rec1 UNION ALL SELECT * FROM rec2
+        |ORDER BY nprobe, qid""".stripMargin
+  }
+
   /** Int8 symmetric quantization of the embedding column — the compression
     * step a 100 TB embedding store runs before ANN indexing (4× smaller
     * than float32, 8× smaller than the int64 grid). Per vector: scale =
@@ -657,6 +783,7 @@ object Similarity {
     "sim_lsh_topk" -> lshTopK _,
     "sim_ivf_assign" -> ivfAssign _,
     "sim_ivf_topk" -> ivfTopK _,
+    "sim_ivf_recall" -> ivfRecall _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -670,5 +797,6 @@ object Similarity {
     "sim_lsh_topk" -> lshTopKSql,
     "sim_ivf_assign" -> ivfAssignSql,
     "sim_ivf_topk" -> ivfTopKSql,
+    "sim_ivf_recall" -> ivfRecallSql,
   )
 }

@@ -122,4 +122,32 @@ class AnalyticsSpec extends SparkSpec {
       .prunedFiles(spark, s"$path/assign", "centroid", 0L, 0L, version = 1)
     assert(total1 > 1 && kept1 < total1, s"v1 lost skipping: $kept1/$total1")
   }
+
+  test("IVF recall is monotone in nprobe and nprobe=1 matches ivf_topk's hits") {
+    import spark.implicits._
+    val rec = Similarity.ivfRecall(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    val qids = rec.keys.map(_._2).toSeq.distinct
+    assert(qids.size == 10, s"expected 10 query vectors, got ${qids.size}")
+    qids.foreach { q =>
+      val (nExact1, hit1) = rec((1, q))
+      val (nExact2, hit2) = rec((2, q))
+      assert(nExact1 == 3 && nExact2 == 3)
+      // widening the probe set can only add candidates, never drop one
+      assert(hit2 >= hit1, s"qid $q: recall fell $hit1 -> $hit2 at nprobe=2")
+    }
+    // the nprobe=1 branch IS ivf_topk's probe: hits must agree with a
+    // direct intersection of ivf_topk and the exact top-3
+    val exact = Similarity.cosineTopK(spark, dir)
+      .filter($"rn" <= 3).select($"qid", $"vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(spark, dir).select($"qid", $"vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    qids.foreach { q =>
+      val direct = (exact & ivf).count(_._1 == q).toLong
+      assert(rec((1, q))._2 == direct,
+        s"qid $q: recall query says ${rec((1, q))._2} hits, direct check $direct")
+    }
+  }
 }
