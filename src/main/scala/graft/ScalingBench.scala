@@ -135,6 +135,40 @@ object ScalingBench {
       report += line
     }
 
+    // zone-map + z-order composition: a point probe on a z-ordered,
+    // zone-mapped VersionedTable must open ~O(1) files while the table
+    // (and its file count) grows ×mult — the claim LayoutSpec proves at
+    // sf0.01, measured here at 10×. Layout exactly as LayoutSpec/compact's
+    // range-cluster branch: z column → range partition → in-file sort →
+    // commit with stats (file count scales with data, ×8 per 1×).
+    for ((tag, dir, nFiles) <- Seq(("1x", base, 8), (s"${mult}x", out, 8 * mult))) {
+      import graft.sources.{Layout, VersionedTable}
+      val path = s"$out/zorder_$tag/t"
+      if (VersionedTable.latestVersion(spark, path).isEmpty) {
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("n_chars"))
+        val z = docs
+          .withColumn("z", Layout.zOrder2(col("doc_id"), col("n_chars"), 21))
+          .repartitionByRange(nFiles, col("z"))
+          .sortWithinPartitions("z")
+          .drop("z")
+        VersionedTable.init(z, path, statsCols = Seq("doc_id", "n_chars"))
+      }
+      val probeId = 4321L
+      val (kId, tId) = VersionedTable.prunedFiles(spark, path, "doc_id",
+        probeId, probeId)
+      // the z-order claim: the NON-leading dimension prunes too
+      val (kNc, tNc) = VersionedTable.prunedFiles(spark, path, "n_chars",
+        100L, 120L)
+      val (secs, rows) = time(iters)(
+        VersionedTable.scanPruned(spark, path, "doc_id", probeId, probeId))
+      val line = s"""{"query":"scan_pruned_zorder","scale":"$tag",""" +
+        s""""sec":${f3(secs)},"rows":$rows,"files_opened_id":$kId,""" +
+        s""""files_total":$tId,"files_opened_nchars":$kNc,"files_total_nchars":$tNc}"""
+      println(line)
+      report += line
+    }
+
     for (q <- corpusQs; (tag, dir) <- Seq("1x" -> base, s"${mult}x" -> out)) {
       val (secs, rows) = time(iters)(SparkEntry.queries(q)(spark, dir))
       val line = s"""{"query":"$q","scale":"$tag","sec":${f3(secs)},"rows":$rows}"""

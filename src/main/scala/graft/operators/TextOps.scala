@@ -35,19 +35,29 @@ object TextOps {
       .distinct()
   }
 
-  /** Integer token code: first 3 chars packed base-256 + length.
-    * `ascii('') = 0` in both engines covers words shorter than 3 chars.
+  /** Integer token code: first 3 chars packed base-256 + length, then the
+    * LAST char appended in a further base-256 digit. The tail character
+    * matters: with only a prefix + length, any two tokens agreeing on
+    * their first 3 chars and length collide unconditionally ("running" /
+    * "runtime"), which collapses distinct vocabulary into one sketch
+    * input — measured on a 10× suffix-disambiguated corpus, that collapse
+    * (not bucket math) was what inflated LSH candidate pairs ~quadratically.
+    * Bound: < 2^26 · 256 = 2^34, so A_max·code + B < 2^51 stays exact in
+    * int64 AND float64 in both engines. `ascii('') = 0` in both engines
+    * covers words shorter than 3 chars.
     */
   private def tokenCode(w: Column): Column =
-    (ascii(substring(w, 1, 1)).cast("long") * 65536L
+    ((ascii(substring(w, 1, 1)).cast("long") * 65536L
       + ascii(substring(w, 2, 1)).cast("long") * 256L
       + ascii(substring(w, 3, 1)).cast("long")
-      + length(w).cast("long"))
+      + length(w).cast("long")) * 256L
+      + ascii(w.substr(length(w), lit(1))).cast("long"))
 
   private val tokenCodeSql =
-    """(ascii(substr(w,1,1))::BIGINT * 65536
+    """((ascii(substr(w,1,1))::BIGINT * 65536
       | + ascii(substr(w,2,1))::BIGINT * 256
-      | + ascii(substr(w,3,1))::BIGINT + length(w)::BIGINT)""".stripMargin
+      | + ascii(substr(w,3,1))::BIGINT + length(w)::BIGINT) * 256
+      | + ascii(substr(w,length(w),1))::BIGINT)""".stripMargin
       .replace("\n", " ")
 
   private val tokCte =
