@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** One-off scaling-slope harness: times the most expensive queries at the
@@ -102,15 +102,23 @@ object ScalingBench {
     // emitters (hundreds of millions of output rows at 10×) LAST — their
     // memory/GC pressure lingers in the JVM and was measured to inflate a
     // code-identical query run right after them by 5×
+    // optional 3rd arg: comma-separated corpus-query filter (re-measure a
+    // single point without re-paying the full run; aria/zorder skipped
+    // when a filter is given)
+    val onlyQs = if (args.length > 2)
+      Some(args(2).split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    else None
     val corpusQs = Seq("dedup_clusters", "sim_ivf_topk",
-      "dedup_jaccard_pairs", "dedup_simhash_pairs", "dedup_minhash_pairs")
+      "dedup_jaccard_pairs", "dedup_simhash_wide_pairs",
+      "dedup_simhash_pairs", "dedup_minhash_pairs")
+      .filter(q => onlyQs.forall(_.contains(q)))
     val report = scala.collection.mutable.ArrayBuffer.empty[String]
 
     // Aria first (same protocol: it is small-output too, and must not pay
     // the emitters' leftover pressure): workload-parameterized 10× (no
     // corpus input)
     import graft.aria.{AriaEngine, TxnGen}
-    for ((tag, k) <- Seq("1x" -> 1, s"${mult}x" -> mult)) {
+    for ((tag, k) <- Seq("1x" -> 1, s"${mult}x" -> mult) if onlyQs.isEmpty) {
       val (secs, rows) = time(iters) {
         import spark.implicits._
         val table = TxnGen.bulkLoad(spark, 200000L * k)
@@ -141,14 +149,31 @@ object ScalingBench {
     // sf0.01, measured here at 10×. Layout exactly as LayoutSpec/compact's
     // range-cluster branch: z column → range partition → in-file sort →
     // commit with stats (file count scales with data, ×8 per 1×).
-    for ((tag, dir, nFiles) <- Seq(("1x", base, 8), (s"${mult}x", out, 8 * mult))) {
+    for ((tag, dir, nFiles) <- Seq(("1x", base, 8), (s"${mult}x", out, 8 * mult))
+         if onlyQs.isEmpty) {
       import graft.sources.{Layout, VersionedTable}
-      val path = s"$out/zorder_$tag/t"
+      // absolute path: the COW commit's atomic rename resolves relative
+      // paths inconsistently between the Hadoop FS and the parquet writer
+      val path = new java.io.File(s"$out/zorder_$tag/t").getAbsolutePath
       if (VersionedTable.latestVersion(spark, path).isEmpty) {
+        // normalize n_chars to long: the scaled corpus stores it int32 and
+        // zone-map probes only prune on an exact type match
         val docs = spark.read.parquet(s"$dir/documents.parquet")
-          .select(col("doc_id"), col("n_chars"))
+          .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
+        // z-order needs BOTH dims on the same bit range: doc_id spans 16
+        // bits at 10× while n_chars spans ~10, and raw interleaving lets
+        // the wider dim's high bits dominate — the layout degenerates to a
+        // doc_id sort and the other dim never prunes. Min/max-normalize
+        // each dim to 10 bits before interleaving (at 100 TB the same
+        // normalization comes from table stats / approx quantiles).
+        val st = docs.agg(min("doc_id"), max("doc_id"),
+          min("n_chars"), max("n_chars")).head()
+        def norm(c: Column, lo: Long, hi: Long): Column =
+          (c - lo) * 1024L / (hi - lo + 1L)
         val z = docs
-          .withColumn("z", Layout.zOrder2(col("doc_id"), col("n_chars"), 21))
+          .withColumn("z", Layout.zOrder2(
+            norm(col("doc_id"), st.getLong(0), st.getLong(1)),
+            norm(col("n_chars"), st.getLong(2), st.getLong(3)), 10))
           .repartitionByRange(nFiles, col("z"))
           .sortWithinPartitions("z")
           .drop("z")

@@ -837,6 +837,116 @@ object TextOps {
       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
       |ORDER BY a, b""".stripMargin
 
+  /** WIDE SimHash (62-bit) near-dup pairs at Hamming ≤ 3 — the
+    * production-width configuration of [[simhashPairs]]. A 16-bit
+    * fingerprint saturates once the corpus outgrows its 65,536 signature
+    * space (measured: ×71 emitted pairs for ×10 docs on the scaling
+    * corpus — birthday collisions, not true duplicates); at 62 bits the
+    * space is ~4.6e18, so bucket density — and with it output volume — is
+    * set by the data's true duplication at any realistic corpus size.
+    * Two independent AVALANCHED 31-bit hashes supply the bit votes (bits
+    * 0–30 from h1, 31–61 from h2; every 2^b stays exact, the signature
+    * < 2^62). Avalanching (affine → xor-shift → affine → xor-shift, the
+    * [[Sketches]] HLL construction; products < 2^63 exact in both
+    * engines) is load-bearing exactly as it was for HLL: simhash reads
+    * the hash's BIT PATTERN, and under a plain affine map two token sets
+    * whose codes differ by a small constant (e.g. vocabulary variants
+    * differing in one trailing character) get hashes with correlated high
+    * bits — measured on the scaling corpus, that correlation alone pushed
+    * disjoint-vocabulary shards within Hamming 3 of each other and
+    * re-inflated pairs ~quadratically even at 62 bits.
+    * Pigeonhole: 4 bands (16+16+15+15 bits) — a pair within Hamming 3
+    * must agree exactly on ≥ 1 band, so the (band, key) equi-join loses
+    * nothing, which the naive all-pairs oracle proves at the gate.
+    */
+  private def avalanche(x: Column, a2: Long, b2: Long): Column = {
+    val y = x.bitwiseXOR(shiftright(x, 15))
+    val z = (lit(a2) * y + b2) % P
+    z.bitwiseXOR(shiftright(z, 13))
+  }
+
+  private def simhashWideRaw(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val code = tokenCode($"w")
+    val h1 = avalanche((lit(A(0)) * code + B(0)) % P, 1779033703L, 514229L)
+    val h2 = avalanche((lit(A(1)) * code + B(1)) % P, 2654435761L, 12007L)
+    val bits = tokens(s, dir)
+      .select($"doc_id", h1.as("h1"), h2.as("h2"))
+      .select($"doc_id", $"h1", $"h2",
+        explode(sequence(lit(0), lit(61))).as("b"))
+      .withColumn("bit",
+        when($"b" < 31, floor($"h1" / pow(lit(2.0), $"b")).cast("long") % 2)
+          .otherwise(floor($"h2" / pow(lit(2.0), $"b" - 31)).cast("long") % 2))
+      .groupBy($"doc_id", $"b")
+      .agg(sum(when($"bit" === 1, 1L).otherwise(-1L)).as("vote"))
+    bits.groupBy($"doc_id")
+      .agg(sum(when($"vote" > 0,
+        pow(lit(2.0), $"b").cast("long")).otherwise(0L)).as("simhash"))
+  }
+
+  def simhashWidePairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // same materialization rationale as simhashPairs: both join sides fan
+    // out of the signature frame
+    val sig = simhashWideRaw(s, dir).localCheckpoint(true)
+    val banded = sig.select($"doc_id", $"simhash", explode(array(
+        struct(lit(0).as("band"),
+          $"simhash".bitwiseAND(65535L).as("key")),
+        struct(lit(1).as("band"),
+          shiftright($"simhash", 16).bitwiseAND(65535L).as("key")),
+        struct(lit(2).as("band"),
+          shiftright($"simhash", 32).bitwiseAND(32767L).as("key")),
+        struct(lit(3).as("band"),
+          shiftright($"simhash", 47).as("key")))).as("e"))
+      .select($"doc_id", $"simhash", $"e.band", $"e.key")
+    val l = banded.select($"doc_id".as("a"), $"simhash".as("sa"),
+      $"band", $"key")
+    val r = banded.select($"doc_id".as("b"), $"simhash".as("sb"),
+      $"band", $"key")
+    l.join(r, Seq("band", "key")).filter($"a" < $"b")
+      .select($"a", $"b", $"sa", $"sb").distinct()
+      .select($"a", $"b",
+        bit_count($"sa".bitwiseXOR($"sb")).cast("long").as("hamming"))
+      .filter($"hamming" <= 3)
+      .orderBy($"a", $"b")
+  }
+
+  /** Naive all-pairs oracle over the 62-bit signatures — also the
+    * losslessness proof for the 4-band pigeonhole join.
+    */
+  val simhashWidePairsSql: String = tokCte +
+    s""", hs0 AS (
+       |  SELECT doc_id,
+       |    (${A(0)} * code + ${B(0)}) % 2147483647 AS x1,
+       |    (${A(1)} * code + ${B(1)}) % 2147483647 AS x2
+       |  FROM codes),
+       |hs1 AS (
+       |  SELECT doc_id,
+       |    (1779033703 * xor(x1, x1 >> 15) + 514229) % 2147483647 AS z1,
+       |    (2654435761 * xor(x2, x2 >> 15) + 12007) % 2147483647 AS z2
+       |  FROM hs0),
+       |hs AS (
+       |  SELECT doc_id, xor(z1, z1 >> 13) AS h1, xor(z2, z2 >> 13) AS h2
+       |  FROM hs1),
+       |votes AS (
+       |  SELECT doc_id, b,
+       |    sum(CASE WHEN (CASE WHEN b < 31
+       |                   THEN floor(h1 / power(2, b))::BIGINT
+       |                   ELSE floor(h2 / power(2, b - 31))::BIGINT
+       |              END) % 2 = 1
+       |        THEN 1 ELSE -1 END) AS vote
+       |  FROM hs CROSS JOIN range(62) t(b) GROUP BY doc_id, b),
+       |sh AS (
+       |  SELECT doc_id,
+       |    sum(CASE WHEN vote > 0 THEN power(2, b)::BIGINT ELSE 0 END)::BIGINT
+       |      AS simhash
+       |  FROM votes GROUP BY doc_id)
+       |SELECT a.doc_id AS a, b.doc_id AS b,
+       |  bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+       |ORDER BY a, b""".stripMargin
+
   /** Top-5 character trigrams per language by frequency — the n-gram
     * statistics pass a language-ID / contamination-analysis pipeline runs
     * over a corpus. Trigram explosion is a per-row generator (no shuffle);
@@ -1036,6 +1146,7 @@ object TextOps {
     "dedup_jaccard_pairs" -> jaccardPairs _,
     "dedup_simhash" -> simhash _,
     "dedup_simhash_pairs" -> simhashPairs _,
+    "dedup_simhash_wide_pairs" -> simhashWidePairs _,
     "dedup_clusters" -> dedupClusters _,
     "dedup_containment_pairs" -> containmentPairs _,
     "dedup_threshold_curve" -> thresholdCurve _,
@@ -1059,6 +1170,7 @@ object TextOps {
     "dedup_jaccard_pairs" -> jaccardPairsSql,
     "dedup_simhash" -> simhashSql,
     "dedup_simhash_pairs" -> simhashPairsSql,
+    "dedup_simhash_wide_pairs" -> simhashWidePairsSql,
     "dedup_clusters" -> dedupClustersSql,
     "dedup_containment_pairs" -> containmentPairsSql,
     "dedup_threshold_curve" -> thresholdCurveSql,
