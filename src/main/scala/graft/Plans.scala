@@ -71,7 +71,7 @@ object Plans {
     */
   private val scalingSection: String =
     """
-      |## Scaling slope: sf0.1 vs a 10× corpus (measured, round 7)
+      |## Scaling slope: sf0.1 vs a 10× corpus (measured, round 8)
       |
       |Harness: `sbt "runMain graft.ScalingBench"` (min-of-2 per point, local[32]).
       |The 10× corpus gives each of 10 shards a disjoint token vocabulary (a
@@ -83,37 +83,67 @@ object Plans {
       |replicate with offset ids (the query set is pinned to vec_id < 10, so
       |probe count stays constant while data grows). The Aria point scales the
       |generated workload itself (keys, txns, keyspace ×10, conflict density
-      |held). Measurement protocol, learned the hard way: small-output points
-      |run FIRST — the two big pair emitters leave the shared JVM under memory
-      |pressure (TaskMemoryManager GB-page retries) that was measured to inflate
-      |a code-identical query run right after them by 5×.
+      |held). Measurement protocol: small-output points run FIRST — the big pair
+      |emitters leave the shared JVM under memory pressure measured to inflate a
+      |code-identical query run right after them by 5×.
       |
-      |These numbers follow the round-7 plan-reuse fixes (signature frames
-      |materialized once instead of re-computed per self-join branch).
+      |Round 7 measured ×101/×236 emitted-pair blow-ups on the two LSH emitters
+      |and attributed them to narrow sketches. Round 8 found and fixed the two
+      |REAL root causes, both in the sketch INPUT, not the join plans:
       |
-      || query | 1× sec | 1× rows | 10× sec | 10× rows | time slope | note |
+      |1. **Token-code prefix collapse** — token codes packed only the first 3
+      |   chars + length, so the suffix-remapped shards collapsed back into ONE
+      |   vocabulary at the code level and every sketch saw 10 copies of each
+      |   doc: candidate volume went ~quadratic (mult²) by construction.
+      |   Appending the last char as one more base-256 digit (exactness bound
+      |   < 2^51 preserved) restored true shard disjointness: minhash pairs
+      |   dropped ×100.9 → ×11.1 for ×10 docs with NO band/width change.
+      |2. **Affine hash bit-correlation** — even at 62 bits, simhash pairs
+      |   stayed ~quadratic because codes differing by a small constant (the
+      |   shard digit) get affine hashes with correlated high bits, pulling
+      |   disjoint shards within Hamming 3. Avalanching the token hashes (the
+      |   HLL xorshift construction) fixed it: ×99.6 → ×14.5 for ×10 docs.
+      |
+      || query | 1× sec | 1× rows | 10× sec | 10× rows | slope | note |
       ||---|---|---|---|---|---|---|
-      || dedup_jaccard_pairs | 3.59 | 190,925 | 6.37 | 1,909,250 | **×1.8 for ×10 rows** | deletion-neighborhood join |
-      || dedup_clusters | 3.43 | 5,000 | 5.66 | 50,000 | ×1.7 | star contraction: rounds grow O(log n), not O(n) |
-      || sim_ivf_topk | 2.12 | 30 | 3.35 | 30 | ×1.6 | k-means fit + assign is the linear part; probe constant |
-      || aria_reference_scenario | 3.83 | 7 | 10.0 | 10 | ×2.6 | ×10 keys/txns and MORE epochs (10 vs 7 history rows) |
-      || dedup_simhash_pairs | 2.15 | 1.26M | 257.4 | 297.8M | ×0.5 per output row | see below |
-      || dedup_minhash_pairs | 2.65 | 4.95M | 648.4 | 499.6M | ×2.4 per output row | see below |
+      || dedup_jaccard_pairs | 3.16 | 190,925 | 4.85 | 1,909,250 | **×1.5 for ×10 rows** | deletion-neighborhood join |
+      || dedup_clusters | 3.00 | 5,000 | 3.90 | 50,000 | ×1.3 | star contraction: rounds O(log n) |
+      || sim_ivf_topk | 1.79 | 30 | 3.01 | 30 | ×1.7 | fit+assign linear; probe constant |
+      || aria_reference_scenario | 4.85 | 7 | 8.61 | 10 | ×1.8 | ×10 keys/txns and MORE epochs; round-8 one-action loop |
+      || scan_pruned_zorder | 0.21 | 1 | 0.14 | 1 | ~flat | see below |
+      || dedup_simhash_wide_pairs | 4.15 | 162,673 | 8.95 | 2,358,264 | ×2.2 for ×14.5 pairs | 62-bit avalanched, Hamming ≤ 3, 4 bands |
+      || dedup_minhash_pairs | 4.07 | 4.36M | 75.4 | 48.2M | ×18.5 for ×11.1 pairs | output ≈ linear now; see below |
+      || dedup_simhash_pairs | 1.77 | 533,215 | 34.3 | 37.8M | ×19 for ×71 pairs | 16-bit kept as the saturation case |
       |
-      |The two LSH pair-emitters are the honest case: their cost is Θ(output
-      |pairs), and on THIS corpus the 10× blow-up densifies their small hash
-      |spaces (4-minhash band signatures over a ~30-word base vocabulary; 16-bit
-      |simhash), so cross-shard bucket collisions inflate the emitted-pair count
-      |×236/×101 — far beyond the ×10 true-duplicate growth. Per EMITTED PAIR,
-      |simhash gets FASTER (0.59M → 1.16M pairs/s); minhash drops from 1.87M to
-      |0.77M pairs/s because half a billion output rows through one 32-thread
-      |JVM spill the pair-dedup hash tables (the visible GB-page retries) — on a
-      |multi-executor cluster that distinct is spread across machines, which is
-      |exactly what the banded equi-join plan parallelizes. At 100 TB with a
-      |realistic vocabulary (simhash widened to 64 bits, more bands), bucket
-      |density — and therefore output volume — is controlled by sketch width,
-      |not by the join plan; the plans themselves carry no super-linear term in
-      |INPUT size.
+      |Reading the emitters: **output volume is now ≈ linear in data** for
+      |minhash (×11.1) and wide simhash (×14.5 — the residual over ×10 is
+      |per-shard hash-realization variance at the Hamming-3 boundary, since
+      |each remapped shard is an independent hash draw of the same corpus).
+      |The 16-bit simhash row is retained deliberately as the measured
+      |saturation case: 50k docs overflow a 65,536-signature space, which is a
+      |sketch-width property, not a plan property — the wide row is the same
+      |join plan with a wider key. Minhash time grows ×18.5 against ×11.1
+      |output because 48M pairs through one 32-thread JVM spill the pair-dedup
+      |hash table; on a multi-executor cluster that distinct spreads across
+      |machines — exactly what the banded equi-join parallelizes.
+      |
+      |**scan_pruned_zorder** (zone maps + z-order at 10×): a z-ordered,
+      |zone-mapped VersionedTable (both dims min/max-normalized to a shared
+      |10-bit range before interleaving) built at 8 files (1×) and 80 files
+      |(10×), point-probed on doc_id and range-probed on n_chars:
+      |
+      || scale | files | doc_id probe opens | n_chars probe opens | probe sec |
+      ||---|---|---|---|---|
+      || 1× | 8 | 5 | 3 | 0.21 |
+      || 10× | 80 | 18 | 14 | 0.14 |
+      |
+      |Both dimensions prune (a linear sort prunes only its leading column —
+      |LayoutSpec proves the contrast), and the opened FRACTION falls 62% → 22%
+      |as the table grows ×10 — the 2-D z-curve's O(√F) law, so probe cost
+      |grows ~√10 while the table grows ×10. When O(1) opens is required on a
+      |single dimension, the 1-D path already provides it: compact(sortBy)
+      |range-clusters and a point probe opens exactly 1 file of 4+
+      |(VersionedTableSpec "sorted compaction tightens zone maps").
       |""".stripMargin
 
   def main(args: Array[String]): Unit = {
