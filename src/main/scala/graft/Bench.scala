@@ -98,7 +98,8 @@ object Bench {
       else s""","failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
     // full line carries the [min, med, max] iteration spread per query
     val fullQs = spreads.map { case (name, ts) =>
-      val med = ts(ts.size / 2)
+      // lower median: ts.size/2 overshoots to the MAX when iters is even
+      val med = ts((ts.size - 1) / 2)
       "\"" + name + "\":[" + f3(ts.head) + "," + f3(med) + "," + f3(ts.last) + "]"
     }.mkString("{", ",", "}")
     println(s"""{"metric":"total_full","value":${f3(total)},"unit":"sec","queries":$fullQs,"sf":"$sfDir","iters":$iters$failedJson}""")

@@ -30,15 +30,22 @@ import org.apache.spark.sql.functions._
   * Results are recorded in PLANS.md §scaling.
   */
 object ScalingBench {
+  // cache generations: bump corpusGen whenever the corpus layout changes
+  // (v2 = every shard remapped), zorderGen whenever the z-order table
+  // construction changes (z1 = 10-bit min/max normalization) — stale
+  // caches rebuild instead of being silently re-measured
+  private val corpusGen = "v2"
+  private val zorderGen = "z1"
+
   private def f3(v: Double): String =
     "%.3f".formatLocal(java.util.Locale.ROOT, v)
 
   private def buildCorpus(spark: SparkSession, base: String, out: String,
       mult: Int): Unit = {
-    // the marker carries a GENERATION suffix: bump it whenever the corpus
-    // layout changes (v2 = every shard remapped), so machines holding a
-    // pre-change cache rebuild instead of silently measuring the old layout
-    val done = new java.io.File(s"$out/_DONE_v2")
+    // the marker carries the corpusGen suffix (see the constants above):
+    // machines holding a pre-change cache rebuild instead of silently
+    // measuring the old layout
+    val done = new java.io.File(s"$out/_DONE_$corpusGen")
     if (done.exists()) return
     val docs = spark.read.parquet(s"$base/documents.parquet")
     val nDocs = docs.agg(max("doc_id")).head().getLong(0) + 1
@@ -153,8 +160,12 @@ object ScalingBench {
          if onlyQs.isEmpty) {
       import graft.sources.{Layout, VersionedTable}
       // absolute path: the COW commit's atomic rename resolves relative
-      // paths inconsistently between the Hadoop FS and the parquet writer
-      val path = new java.io.File(s"$out/zorder_$tag/t").getAbsolutePath
+      // paths inconsistently between the Hadoop FS and the parquet writer.
+      // The path carries BOTH generation stamps (corpus + z layout): a
+      // corpus rebuild or a layout-code change lands in a fresh directory
+      // instead of silently re-measuring a stale cached table.
+      val path = new java.io.File(
+        s"$out/zorder_${corpusGen}_${zorderGen}_$tag/t").getAbsolutePath
       if (VersionedTable.latestVersion(spark, path).isEmpty) {
         // normalize n_chars to long: the scaled corpus stores it int32 and
         // zone-map probes only prune on an exact type match

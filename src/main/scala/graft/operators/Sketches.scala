@@ -119,15 +119,24 @@ object Sketches {
         size($"kmv").cast("long").as("n_kept")))
   }
 
+  /** The ONE copy of the avalanche finisher (xor-shift 15 → affine mod M
+    * → xor-shift 13): any operator whose estimate reads the hash's BIT
+    * PATTERN rather than just its order needs it (HLL here; the wide
+    * simhash in [[TextOps]]) — a plain affine map leaves nearby inputs
+    * with correlated high bits. Products a·y < 2^31.4 · 2^31 < 2^63 stay
+    * exact int64 in both engines.
+    */
+  private[operators] def avalanche(x: Column, a: Long, b: Long): Column = {
+    val y = x.bitwiseXOR(shiftright(x, 15))
+    val z = h(y, a, b)
+    z.bitwiseXOR(shiftright(z, 13))
+  }
+
   /** The avalanched 31-bit hash ([[hllDistinct]]'s scaladoc explains why
     * HLL can't ride the plain affine hash the other sketches use).
     */
-  private def hllHash(k: Column): Column = {
-    val x1 = h(k, 2654435761L, 12007L)
-    val y1 = x1.bitwiseXOR(shiftright(x1, 15))
-    val x2 = h(y1, 1779033703L, 514229L)
-    x2.bitwiseXOR(shiftright(x2, 13))
-  }
+  private def hllHash(k: Column): Column =
+    avalanche(h(k, 2654435761L, 12007L), 1779033703L, 514229L)
 
   /** HyperLogLog distinct-count estimator (Flajolet et al. 2007), built
     * deterministically so the register contents — and therefore the

@@ -859,17 +859,15 @@ object TextOps {
     * must agree exactly on ≥ 1 band, so the (band, key) equi-join loses
     * nothing, which the naive all-pairs oracle proves at the gate.
     */
-  private def avalanche(x: Column, a2: Long, b2: Long): Column = {
-    val y = x.bitwiseXOR(shiftright(x, 15))
-    val z = (lit(a2) * y + b2) % P
-    z.bitwiseXOR(shiftright(z, 13))
-  }
-
   private def simhashWideRaw(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // Sketches.avalanche is the one shared copy of the xorshift finisher
+    // (Sketches' modulus M equals P — both are 2^31 − 1)
     val code = tokenCode($"w")
-    val h1 = avalanche((lit(A(0)) * code + B(0)) % P, 1779033703L, 514229L)
-    val h2 = avalanche((lit(A(1)) * code + B(1)) % P, 2654435761L, 12007L)
+    val h1 = Sketches.avalanche((lit(A(0)) * code + B(0)) % P,
+      1779033703L, 514229L)
+    val h2 = Sketches.avalanche((lit(A(1)) * code + B(1)) % P,
+      2654435761L, 12007L)
     val bits = tokens(s, dir)
       .select($"doc_id", h1.as("h1"), h2.as("h2"))
       .select($"doc_id", $"h1", $"h2",
