@@ -314,17 +314,26 @@ object TextOps {
     // corpus runs FOUR times (measured: the whole-plan explain showed 4
     // parquet scans). The signature frame is n_docs × 9 longs — the cheap
     // thing to hold; the corpus pass is the expensive thing to repeat.
+    //
+    // FIRST-MATCHING-BAND emission: a pair agreeing in several bands is
+    // emitted only from its lowest matching band (later bands carry the
+    // band-0 signature and filter on its inequality), so the candidate
+    // set needs NO distinct — at 10× scale that distinct was a 48M-row
+    // exchange+dedup and the emitters' dominant cost; the filter rides
+    // the join itself.
     val sig = minhashOf(s, dir).localCheckpoint(true)
-    val bands = (0 until 2).map { b =>
-      sig.select($"doc_id", lit(b).as("band"),
-        bandSig((0 until 4).map(i => col(s"mh${4 * b + i}"))).as("sig"))
-    }.reduce(_ unionByName _)
-    val l = bands.as("l")
-    val r = bands.as("r")
-    l.join(r, $"l.band" === $"r.band" && $"l.sig" === $"r.sig"
-        && $"l.doc_id" < $"r.doc_id")
-      .select($"l.doc_id".as("a"), $"r.doc_id".as("b"))
-      .distinct()
+    val bands = sig.select($"doc_id",
+        bandSig((0 until 4).map(i => col(s"mh$i"))).as("sig0"),
+        bandSig((4 until 8).map(i => col(s"mh$i"))).as("sig1"))
+      .select($"doc_id", $"sig0", explode(array(
+        struct(lit(0).as("band"), $"sig0".as("sig")),
+        struct(lit(1).as("band"), $"sig1".as("sig")))).as("e"))
+      .select($"doc_id", $"sig0", $"e.band", $"e.sig")
+    val l = bands.select($"doc_id".as("a"), $"sig0".as("s0a"), $"band", $"sig")
+    val r = bands.select($"doc_id".as("b"), $"sig0".as("s0b"), $"band", $"sig")
+    l.join(r, Seq("band", "sig"))
+      .filter($"a" < $"b" && ($"band" === 0 || $"s0a" =!= $"s0b"))
+      .select($"a", $"b")
       .orderBy($"a", $"b")
   }
 
@@ -498,17 +507,22 @@ object TextOps {
     val s = codes.sparkSession
     import s.implicits._
     // materialized for the same reason as minhashPairs' signatures: band
-    // union × self-join would otherwise re-run the shingling agg 4×
+    // union × self-join would otherwise re-run the shingling agg 4×;
+    // first-matching-band emission (see minhashPairs) replaces the
+    // pair distinct with a filter riding the join
     val sig = shingleMinhashOf(codes).localCheckpoint(true)
-    val bands = (0 until 2).map { b =>
-      sig.select($"doc_id", lit(b).as("band"),
-        bandSig((0 until 4).map(i => col(s"mh${4 * b + i}"))).as("sig"))
-    }.reduce(_ unionByName _)
-    bands.as("l").join(bands.as("r"),
-        $"l.band" === $"r.band" && $"l.sig" === $"r.sig"
-          && $"l.doc_id" < $"r.doc_id")
-      .select($"l.doc_id".as("a"), $"r.doc_id".as("b"))
-      .distinct()
+    val bands = sig.select($"doc_id",
+        bandSig((0 until 4).map(i => col(s"mh$i"))).as("sig0"),
+        bandSig((4 until 8).map(i => col(s"mh$i"))).as("sig1"))
+      .select($"doc_id", $"sig0", explode(array(
+        struct(lit(0).as("band"), $"sig0".as("sig")),
+        struct(lit(1).as("band"), $"sig1".as("sig")))).as("e"))
+      .select($"doc_id", $"sig0", $"e.band", $"e.sig")
+    val l = bands.select($"doc_id".as("a"), $"sig0".as("s0a"), $"band", $"sig")
+    val r = bands.select($"doc_id".as("b"), $"sig0".as("s0b"), $"band", $"sig")
+    l.join(r, Seq("band", "sig"))
+      .filter($"a" < $"b" && ($"band" === 0 || $"s0a" =!= $"s0b"))
+      .select($"a", $"b")
   }
 
   /** sigs/bands/pairs CTEs over `codes` — the ONE copy of the banding SQL,
@@ -810,20 +824,22 @@ object TextOps {
     import s.implicits._
     // materialize the n_docs×2 signature frame: both self-join sides fan
     // out from it, and without the checkpoint the tokenize + 16-bit vote
-    // aggregation pipeline runs twice (same defect class as minhashPairs)
+    // aggregation pipeline runs twice (same defect class as minhashPairs);
+    // first-matching-band emission (see minhashPairs) replaces the pair
+    // distinct with a filter — band 1 emits only key-0 non-matches
     val banded = simhashRaw(s, dir).localCheckpoint(true)
-      .select($"doc_id", $"simhash",
+      .select($"doc_id", $"simhash", ($"simhash" % 256L).as("k0"),
       explode(array(
         struct(lit(0).as("band"), ($"simhash" % 256L).as("key")),
         struct(lit(1).as("band"), shiftright($"simhash", 8).as("key"))))
         .as("e"))
-      .select($"doc_id", $"simhash", $"e.band", $"e.key")
+      .select($"doc_id", $"simhash", $"k0", $"e.band", $"e.key")
     val l = banded.select($"doc_id".as("a"), $"simhash".as("sa"),
-      $"band", $"key")
+      $"k0".as("k0a"), $"band", $"key")
     val r = banded.select($"doc_id".as("b"), $"simhash".as("sb"),
-      $"band", $"key")
-    l.join(r, Seq("band", "key")).filter($"a" < $"b")
-      .select($"a", $"b", $"sa", $"sb").distinct()
+      $"k0".as("k0b"), $"band", $"key")
+    l.join(r, Seq("band", "key"))
+      .filter($"a" < $"b" && ($"band" === 0 || $"k0a" =!= $"k0b"))
       .select($"a", $"b",
         bit_count($"sa".bitwiseXOR($"sb")).cast("long").as("hamming"))
       .filter($"hamming" <= 1)
@@ -885,24 +901,34 @@ object TextOps {
   def simhashWidePairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // same materialization rationale as simhashPairs: both join sides fan
-    // out of the signature frame
+    // out of the signature frame. First-matching-band emission over 4
+    // bands: band b emits only pairs whose bands 0..b−1 all differ, so no
+    // pair distinct is needed — the signature columns k0..k2 ride along
+    // (3 longs per row) and the dedup is a join-side filter.
     val sig = simhashWideRaw(s, dir).localCheckpoint(true)
-    val banded = sig.select($"doc_id", $"simhash", explode(array(
-        struct(lit(0).as("band"),
-          $"simhash".bitwiseAND(65535L).as("key")),
-        struct(lit(1).as("band"),
-          shiftright($"simhash", 16).bitwiseAND(65535L).as("key")),
-        struct(lit(2).as("band"),
-          shiftright($"simhash", 32).bitwiseAND(32767L).as("key")),
-        struct(lit(3).as("band"),
-          shiftright($"simhash", 47).as("key")))).as("e"))
-      .select($"doc_id", $"simhash", $"e.band", $"e.key")
+      .select($"doc_id", $"simhash",
+        $"simhash".bitwiseAND(65535L).as("k0"),
+        shiftright($"simhash", 16).bitwiseAND(65535L).as("k1"),
+        shiftright($"simhash", 32).bitwiseAND(32767L).as("k2"),
+        shiftright($"simhash", 47).as("k3"))
+    val banded = sig.select($"doc_id", $"simhash", $"k0", $"k1", $"k2",
+        explode(array(
+          struct(lit(0).as("band"), $"k0".as("key")),
+          struct(lit(1).as("band"), $"k1".as("key")),
+          struct(lit(2).as("band"), $"k2".as("key")),
+          struct(lit(3).as("band"), $"k3".as("key")))).as("e"))
+      .select($"doc_id", $"simhash", $"k0", $"k1", $"k2",
+        $"e.band", $"e.key")
     val l = banded.select($"doc_id".as("a"), $"simhash".as("sa"),
-      $"band", $"key")
+      $"k0".as("k0a"), $"k1".as("k1a"), $"k2".as("k2a"), $"band", $"key")
     val r = banded.select($"doc_id".as("b"), $"simhash".as("sb"),
-      $"band", $"key")
-    l.join(r, Seq("band", "key")).filter($"a" < $"b")
-      .select($"a", $"b", $"sa", $"sb").distinct()
+      $"k0".as("k0b"), $"k1".as("k1b"), $"k2".as("k2b"), $"band", $"key")
+    l.join(r, Seq("band", "key"))
+      .filter($"a" < $"b" && ($"band" === 0 ||
+        ($"band" === 1 && $"k0a" =!= $"k0b") ||
+        ($"band" === 2 && $"k0a" =!= $"k0b" && $"k1a" =!= $"k1b") ||
+        ($"band" === 3 && $"k0a" =!= $"k0b" && $"k1a" =!= $"k1b"
+          && $"k2a" =!= $"k2b")))
       .select($"a", $"b",
         bit_count($"sa".bitwiseXOR($"sb")).cast("long").as("hamming"))
       .filter($"hamming" <= 3)
