@@ -366,6 +366,105 @@ object Sketches {
        |  sum(CASE WHEN hv < rate_pm THEN 1 ELSE 0 END)::BIGINT AS n_sampled
        |FROM rated GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---- mixture sampling (domain reweighting) ----
+
+  /** Multi-source mixture sampling: given target mixture weights over
+    * source *domains* (the training-data recipe shape — e.g. web 20%,
+    * books 50%, code 30% of tokens), compute the largest total token
+    * budget the corpus can serve at EXACTLY those proportions
+    * (T = min_d avail_d/w_d — the scarcest domain binds), each domain's
+    * token quota, the per-mille acceptance rate meeting it, and the
+    * docs/tokens the deterministic hash-sample actually admits. All
+    * arithmetic is integer-exact (< 2^53), so the oracle hash-matches.
+    *
+    * Scale shape: one scan builds the 3-row per-domain availability;
+    * rates derive from a window-min over that tiny frame (no driver
+    * round-trip, no crossJoin); the sampling pass re-scans with the
+    * 3-row rate table broadcast — the same two-pass shape as TF-IDF.
+    * A pipeline materializes `docs.filter(hv < rate_pm)` as the actual
+    * mixture; this query reports the accounting it would log.
+    */
+  private def mixDomain(src: Column): Column = {
+    val n = substring(src, 4, 9).cast("int")
+    when(n <= 6, "web").when(n <= 13, "books").otherwise("code")
+  }
+
+  private def mixTargetPm(domain: Column): Column =
+    when(domain === "web", 200L).when(domain === "books", 500L)
+      .otherwise(300L)
+
+  def mixtureSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir).select(
+      $"doc_id",
+      mixDomain($"source").as("domain"),
+      (length($"text") - length(regexp_replace($"text", " ", "")) + 1)
+        .cast("long").as("n_words"),
+      (($"doc_id" * 65537L + $"n_chars" * 4099L) % M % 1000L).as("hv"))
+    val avail = docs.groupBy($"domain")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_words").as("avail_tokens"))
+      .withColumn("target_pm", mixTargetPm($"domain"))
+    val rates = avail
+      .withColumn("t_total",
+        min(floor($"avail_tokens" * 1000L / $"target_pm"))
+          .over(Window.partitionBy()))
+      .withColumn("quota_tokens",
+        floor($"t_total" * $"target_pm" / 1000L))
+      .withColumn("rate_pm",
+        floor($"quota_tokens" * 1000L / $"avail_tokens"))
+      .select($"domain", $"n_docs", $"avail_tokens", $"target_pm",
+        $"quota_tokens", $"rate_pm")
+    docs.join(broadcast(rates), Seq("domain"))
+      .groupBy($"domain")
+      .agg(min($"n_docs").as("n_docs"),
+        min($"avail_tokens").as("avail_tokens"),
+        min($"target_pm").as("target_pm"),
+        min($"quota_tokens").as("quota_tokens"),
+        min($"rate_pm").as("rate_pm"),
+        sum(when($"hv" < $"rate_pm", 1L).otherwise(0L)).as("docs_sampled"),
+        sum(when($"hv" < $"rate_pm", $"n_words").otherwise(0L))
+          .as("tokens_sampled"))
+      .orderBy($"domain")
+  }
+
+  val mixtureSampleSql: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id,
+       |    CASE WHEN CAST(substr(source, 4) AS INT) <= 6 THEN 'web'
+       |         WHEN CAST(substr(source, 4) AS INT) <= 13 THEN 'books'
+       |         ELSE 'code' END AS domain,
+       |    (length(text) - length(replace(text, ' ', '')) + 1)::BIGINT
+       |      AS n_words,
+       |    ((doc_id * 65537 + n_chars * 4099) % $M) % 1000 AS hv
+       |  FROM documents),
+       |avail AS (
+       |  SELECT domain, count(*)::BIGINT AS n_docs,
+       |    sum(n_words)::BIGINT AS avail_tokens,
+       |    CASE WHEN domain = 'web' THEN 200
+       |         WHEN domain = 'books' THEN 500 ELSE 300 END AS target_pm
+       |  FROM docs GROUP BY 1),
+       |rates AS (
+       |  SELECT domain, n_docs, avail_tokens, target_pm,
+       |    floor(min(floor(avail_tokens * 1000 / target_pm)) OVER ()
+       |      * target_pm / 1000)::BIGINT AS quota_tokens
+       |  FROM avail),
+       |rated AS (
+       |  SELECT domain, n_docs, avail_tokens, target_pm, quota_tokens,
+       |    floor(quota_tokens * 1000 / avail_tokens)::BIGINT AS rate_pm
+       |  FROM rates)
+       |SELECT domain, min(r.n_docs)::BIGINT AS n_docs,
+       |  min(r.avail_tokens)::BIGINT AS avail_tokens,
+       |  min(r.target_pm)::BIGINT AS target_pm,
+       |  min(r.quota_tokens)::BIGINT AS quota_tokens,
+       |  min(r.rate_pm)::BIGINT AS rate_pm,
+       |  sum(CASE WHEN d.hv < r.rate_pm THEN 1 ELSE 0 END)::BIGINT
+       |    AS docs_sampled,
+       |  sum(CASE WHEN d.hv < r.rate_pm THEN d.n_words ELSE 0 END)::BIGINT
+       |    AS tokens_sampled
+       |FROM docs d JOIN rated r USING (domain)
+       |GROUP BY domain ORDER BY domain""".stripMargin
+
   // ---- Bloom filter (192-bit, k=2, deterministic) ----
 
   /** Per-nation Bloom filter over customer keys, built with composable
@@ -455,6 +554,7 @@ object Sketches {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_stratified" -> stratifiedSample _,
+    "sample_mixture" -> mixtureSample _,
     "sketch_bloom_filter" -> bloomFilter _,
     "sketch_kmv_distinct" -> kmvDistinct _,
     "sketch_kmv_agg" -> kmvAgg _,
@@ -465,6 +565,7 @@ object Sketches {
 
   val oracles: Map[String, String] = Map(
     "sample_stratified" -> stratifiedSampleSql,
+    "sample_mixture" -> mixtureSampleSql,
     "sketch_bloom_filter" -> bloomFilterSql,
     "sketch_kmv_distinct" -> kmvDistinctSql,
     "sketch_kmv_agg" -> kmvDistinctSql, // same logical result, UDAF plan

@@ -322,19 +322,89 @@ object TextOps {
     // exchange+dedup and the emitters' dominant cost; the filter rides
     // the join itself.
     val sig = minhashOf(s, dir).localCheckpoint(true)
-    val bands = sig.select($"doc_id",
-        bandSig((0 until 4).map(i => col(s"mh$i"))).as("sig0"),
-        bandSig((4 until 8).map(i => col(s"mh$i"))).as("sig1"))
-      .select($"doc_id", $"sig0", explode(array(
-        struct(lit(0).as("band"), $"sig0".as("sig")),
-        struct(lit(1).as("band"), $"sig1".as("sig")))).as("e"))
-      .select($"doc_id", $"sig0", $"e.band", $"e.sig")
+    val bands = bandedOf(sig)
     val l = bands.select($"doc_id".as("a"), $"sig0".as("s0a"), $"band", $"sig")
     val r = bands.select($"doc_id".as("b"), $"sig0".as("s0b"), $"band", $"sig")
     l.join(r, Seq("band", "sig"))
       .filter($"a" < $"b" && ($"band" === 0 || $"s0a" =!= $"s0b"))
       .select($"a", $"b")
       .orderBy($"a", $"b")
+  }
+
+  /** (doc_id, sig0, band, sig) band-exploded view of an 8-column minhash
+    * signature frame — 2 bands × 4 rows folded by [[bandSig]]. sig0 rides
+    * along for first-matching-band dedup at the join.
+    */
+  private def bandedOf(sig: DataFrame): DataFrame = {
+    val s = sig.sparkSession
+    import s.implicits._
+    sig.select($"doc_id",
+        bandSig((0 until 4).map(i => col(s"mh$i"))).as("sig0"),
+        bandSig((4 until 8).map(i => col(s"mh$i"))).as("sig1"))
+      .select($"doc_id", $"sig0", explode(array(
+        struct(lit(0).as("band"), $"sig0".as("sig")),
+        struct(lit(1).as("band"), $"sig1".as("sig")))).as("e"))
+      .select($"doc_id", $"sig0", $"e.band", $"e.sig")
+  }
+
+  /** Incremental (delta-vs-corpus) near-dup candidates: every new-batch doc
+    * paired with the indexed-corpus docs it collides with, plus collisions
+    * inside the batch itself. This is the PRODUCTION dedup shape at 100 TB:
+    * the corpus side joins from its PERSISTED signature table (n_docs × 9
+    * longs — ~3 orders of magnitude smaller than the text it sketches, see
+    * IncrementalDedupSpec's VersionedTable round-trip), so a daily delta
+    * re-sketches only itself and never re-reads the corpus text. The banded
+    * join is the same first-matching-band equi-join as [[minhashPairs]];
+    * corpus→delta pairs take no id-order constraint (roles disambiguate),
+    * delta→delta pairs dedup on a < b.
+    */
+  def incrementalPairsOf(corpusSig: DataFrame, deltaSig: DataFrame): DataFrame = {
+    val s = corpusSig.sparkSession
+    import s.implicits._
+    val l = bandedOf(corpusSig).withColumn("a_new", lit(false))
+      .unionByName(bandedOf(deltaSig).withColumn("a_new", lit(true)))
+      .select($"doc_id".as("a"), $"sig0".as("s0a"), $"a_new", $"band", $"sig")
+    val r = bandedOf(deltaSig)
+      .select($"doc_id".as("b"), $"sig0".as("s0b"), $"band", $"sig")
+    l.join(r, Seq("band", "sig"))
+      .filter((!$"a_new" || $"a" < $"b") &&
+        ($"band" === 0 || $"s0a" =!= $"s0b"))
+      .select($"b".as("new_id"), $"a".as("match_id"),
+        when($"a_new", "delta").otherwise("corpus").as("match_src"))
+  }
+
+  /** The oracle-gated incremental-dedup query: docs with doc_id ≡ 4 (mod 5)
+    * are the "new batch" (20%, interleaved — scale-free and deterministic),
+    * the rest are the indexed corpus. One signature pass over the corpus
+    * feeds both roles (the split filters read the checkpointed frame).
+    */
+  def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sig = minhashOf(s, dir).localCheckpoint(true)
+    val isNew = $"doc_id" % 5 === 4
+    incrementalPairsOf(sig.filter(!isNew), sig.filter(isNew))
+      .orderBy($"new_id", $"match_id")
+  }
+
+  val incrementalDedupSql: String = tokCte + {
+    val cols = A.indices.map(j =>
+      s"min((${A(j)} * code + ${B(j)}) % 2147483647) AS mh$j").mkString(", ")
+    def sig(i: Int) =
+      (1 until 4).foldLeft(s"mh${i}")((acc, j) =>
+        s"(($acc) % $M * 131071 + mh${i + j}) % $M")
+    s""", sigs AS (SELECT doc_id, $cols FROM codes GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, 0 AS band, ${sig(0)} AS sig FROM sigs
+       |  UNION ALL SELECT doc_id, 1, ${sig(4)} FROM sigs),
+       |pairs AS (
+       |  SELECT DISTINCT r.doc_id AS new_id, l.doc_id AS match_id
+       |  FROM bands l JOIN bands r ON l.band = r.band AND l.sig = r.sig
+       |  WHERE r.doc_id % 5 = 4
+       |    AND (l.doc_id % 5 <> 4 OR l.doc_id < r.doc_id))
+       |SELECT new_id, match_id,
+       |  CASE WHEN match_id % 5 = 4 THEN 'delta' ELSE 'corpus' END
+       |    AS match_src
+       |FROM pairs ORDER BY new_id, match_id""".stripMargin
   }
 
   val minhashPairsSql: String = tokCte + {
@@ -826,20 +896,25 @@ object TextOps {
     // out from it, and without the checkpoint the tokenize + 16-bit vote
     // aggregation pipeline runs twice (same defect class as minhashPairs);
     // first-matching-band emission (see minhashPairs) replaces the pair
-    // distinct with a filter — band 1 emits only key-0 non-matches
+    // distinct with a filter — band 1 emits only key-0 non-matches. The
+    // band-0 keys are recomputed from sa/sb INSIDE the filter (a couple
+    // of ALU ops per joined row) instead of riding the explode + exchange
+    // as extra columns: the signatures are already carried for the
+    // Hamming check, and widening the shuffled rows was measured to cost
+    // more than the distinct it replaced on the wide variant.
     val banded = simhashRaw(s, dir).localCheckpoint(true)
-      .select($"doc_id", $"simhash", ($"simhash" % 256L).as("k0"),
-      explode(array(
+      .select($"doc_id", $"simhash", explode(array(
         struct(lit(0).as("band"), ($"simhash" % 256L).as("key")),
         struct(lit(1).as("band"), shiftright($"simhash", 8).as("key"))))
         .as("e"))
-      .select($"doc_id", $"simhash", $"k0", $"e.band", $"e.key")
+      .select($"doc_id", $"simhash", $"e.band", $"e.key")
     val l = banded.select($"doc_id".as("a"), $"simhash".as("sa"),
-      $"k0".as("k0a"), $"band", $"key")
+      $"band", $"key")
     val r = banded.select($"doc_id".as("b"), $"simhash".as("sb"),
-      $"k0".as("k0b"), $"band", $"key")
+      $"band", $"key")
     l.join(r, Seq("band", "key"))
-      .filter($"a" < $"b" && ($"band" === 0 || $"k0a" =!= $"k0b"))
+      .filter($"a" < $"b" &&
+        ($"band" === 0 || ($"sa" % 256L) =!= ($"sb" % 256L)))
       .select($"a", $"b",
         bit_count($"sa".bitwiseXOR($"sb")).cast("long").as("hamming"))
       .filter($"hamming" <= 1)
@@ -903,32 +978,36 @@ object TextOps {
     // same materialization rationale as simhashPairs: both join sides fan
     // out of the signature frame. First-matching-band emission over 4
     // bands: band b emits only pairs whose bands 0..b−1 all differ, so no
-    // pair distinct is needed — the signature columns k0..k2 ride along
-    // (3 longs per row) and the dedup is a join-side filter.
-    val sig = simhashWideRaw(s, dir).localCheckpoint(true)
-      .select($"doc_id", $"simhash",
-        $"simhash".bitwiseAND(65535L).as("k0"),
-        shiftright($"simhash", 16).bitwiseAND(65535L).as("k1"),
-        shiftright($"simhash", 32).bitwiseAND(32767L).as("k2"),
-        shiftright($"simhash", 47).as("k3"))
-    val banded = sig.select($"doc_id", $"simhash", $"k0", $"k1", $"k2",
-        explode(array(
-          struct(lit(0).as("band"), $"k0".as("key")),
-          struct(lit(1).as("band"), $"k1".as("key")),
-          struct(lit(2).as("band"), $"k2".as("key")),
-          struct(lit(3).as("band"), $"k3".as("key")))).as("e"))
-      .select($"doc_id", $"simhash", $"k0", $"k1", $"k2",
-        $"e.band", $"e.key")
+    // pair distinct is needed. The earlier-band keys are recomputed from
+    // sa/sb inside the post-join filter (shift+mask per row) rather than
+    // carried through the explode + exchange — carrying k0..k2 as 3 extra
+    // longs per banded row was measured to cost MORE at 10× (14.8s) than
+    // the distinct it replaced (8.9s); deriving them from the already-
+    // carried signatures keeps the shuffled rows at their original width.
+    val banded = simhashWideRaw(s, dir).localCheckpoint(true)
+      .select($"doc_id", $"simhash", explode(array(
+          struct(lit(0).as("band"),
+            $"simhash".bitwiseAND(65535L).as("key")),
+          struct(lit(1).as("band"),
+            shiftright($"simhash", 16).bitwiseAND(65535L).as("key")),
+          struct(lit(2).as("band"),
+            shiftright($"simhash", 32).bitwiseAND(32767L).as("key")),
+          struct(lit(3).as("band"), shiftright($"simhash", 47).as("key"))))
+        .as("e"))
+      .select($"doc_id", $"simhash", $"e.band", $"e.key")
     val l = banded.select($"doc_id".as("a"), $"simhash".as("sa"),
-      $"k0".as("k0a"), $"k1".as("k1a"), $"k2".as("k2a"), $"band", $"key")
+      $"band", $"key")
     val r = banded.select($"doc_id".as("b"), $"simhash".as("sb"),
-      $"k0".as("k0b"), $"k1".as("k1b"), $"k2".as("k2b"), $"band", $"key")
+      $"band", $"key")
+    def kne(shift: Int, mask: Long): Column =
+      shiftright($"sa", shift).bitwiseAND(mask) =!=
+        shiftright($"sb", shift).bitwiseAND(mask)
     l.join(r, Seq("band", "key"))
       .filter($"a" < $"b" && ($"band" === 0 ||
-        ($"band" === 1 && $"k0a" =!= $"k0b") ||
-        ($"band" === 2 && $"k0a" =!= $"k0b" && $"k1a" =!= $"k1b") ||
-        ($"band" === 3 && $"k0a" =!= $"k0b" && $"k1a" =!= $"k1b"
-          && $"k2a" =!= $"k2b")))
+        ($"band" === 1 && kne(0, 65535L)) ||
+        ($"band" === 2 && kne(0, 65535L) && kne(16, 65535L)) ||
+        ($"band" === 3 && kne(0, 65535L) && kne(16, 65535L)
+          && kne(32, 32767L))))
       .select($"a", $"b",
         bit_count($"sa".bitwiseXOR($"sb")).cast("long").as("hamming"))
       .filter($"hamming" <= 3)
@@ -1174,6 +1253,7 @@ object TextOps {
     "dedup_clusters" -> dedupClusters _,
     "dedup_containment_pairs" -> containmentPairs _,
     "dedup_threshold_curve" -> thresholdCurve _,
+    "dedup_incremental" -> incrementalDedup _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1198,5 +1278,6 @@ object TextOps {
     "dedup_clusters" -> dedupClustersSql,
     "dedup_containment_pairs" -> containmentPairsSql,
     "dedup_threshold_curve" -> thresholdCurveSql,
+    "dedup_incremental" -> incrementalDedupSql,
   )
 }
