@@ -50,6 +50,15 @@ object Bench {
     // driver never sets it, so graded runs always cover everything.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // a typo'd name would otherwise be silently dropped by the filter and
+    // the run would proceed (possibly empty, total 0.0, no canary) with no
+    // indication the requested query never ran
+    only.foreach { req =>
+      val unknown = req -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty)
+        System.err.println("[bench] WARNING: SPARK_GRAFT_BENCH_ONLY names " +
+          s"not in SparkEntry.queries (skipped): ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val spreads = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>

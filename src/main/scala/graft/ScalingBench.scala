@@ -179,8 +179,11 @@ object ScalingBench {
         // normalization comes from table stats / approx quantiles).
         val st = docs.agg(min("doc_id"), max("doc_id"),
           min("n_chars"), max("n_chars")).head()
+        // explicit floor + cast: `/` on longs is double division in Spark,
+        // and relying on zOrder2's internal cast("long") to truncate the
+        // fraction would couple correctness to that implementation detail
         def norm(c: Column, lo: Long, hi: Long): Column =
-          (c - lo) * 1024L / (hi - lo + 1L)
+          floor((c - lo) * 1024L / (hi - lo + 1L)).cast("long")
         val z = docs
           .withColumn("z", Layout.zOrder2(
             norm(col("doc_id"), st.getLong(0), st.getLong(1)),

@@ -31,4 +31,16 @@ object SparkEntry {
       TextOps.oracles ++ Similarity.oracles ++ Multimodal.oracles ++
       Skew.oracles ++ TemporalJoins.oracles ++ Skyline.oracles ++
       Sketches.oracles
+
+  /** DIAGNOSTIC queries: correct (oracle-gated) at gate scale but kept as
+    * measured baselines for a production-width sibling, NOT recommended
+    * operators — exclude them from scaled benchmarks and do not use them
+    * on real corpora. Currently:
+    *   - `dedup_simhash_pairs` — 16-bit SimHash saturation baseline for
+    *     `dedup_simhash_wide_pairs` (62-bit). A 16-bit signature space
+    *     (65,536 values) overflows once the corpus outgrows ~50k docs:
+    *     PLANS.md's scaling table measures ×71 emitted pairs at ×10 docs,
+    *     pure birthday collisions. The wide variant is the production path.
+    */
+  val diagnostic: Set[String] = Set("dedup_simhash_pairs")
 }

@@ -198,29 +198,50 @@ object AriaEngine {
     * (eager ops checkpoint + a separate distinct().count()) paid TWO
     * batch-sized driver actions per epoch and was the measured latency
     * floor of the flagship scenario query.
+    *
+    * DETERMINISM CONTRACT: `table0`/`ops0` are NOT checkpointed here and
+    * are each read more than once (table: the live filter + the final
+    * install; ops: the tid count + the live filter). A caller passing a
+    * nondeterministic frame (rand(), an unseeded sample) would see
+    * different rows in each read and get silently inconsistent commits —
+    * pass only deterministic derivations (seeded generators, file reads)
+    * or pre-materialize with localCheckpoint(true). The unconditional
+    * defensive checkpoint this replaces was measured to cost two extra
+    * batch-sized copies per policy run in the flagship scenario.
     */
   def run(spark: SparkSession, table0: DataFrame, ops0: DataFrame,
       reorder: Boolean, valueCols: Seq[String],
       newValue: (Column, Column) => Column,
-      maxEpochs: Int = 100): (DataFrame, Seq[(Int, Long, Long)]) = {
-    // table0/ops0 are read a bounded number of times (table: the live
-    // filter + the final install; ops: the tid count + the live filter)
-    // and are NOT re-checkpointed here: every caller passes either an
-    // already-materialized frame or a cheap deterministic derivation, and
-    // the previous unconditional localCheckpoint was measured to cost two
-    // extra batch-sized copies per policy run in the flagship scenario.
-    val table = table0
-    val rawOps = ops0
+      maxEpochs: Int = 100): (DataFrame, Seq[(Int, Long, Long)]) =
     // key set is epoch-invariant: filter dead ops ONCE (one key-column
     // pass over the table), not once per epoch/winner branch. Accounting
     // still counts txns from the RAW batch: a txn whose ops all miss
     // commits trivially in epoch 1 (it can never conflict or abort).
-    var ops = liveOps(rawOps, table).localCheckpoint(true)
+    runLive(spark, table0, liveOps(ops0, table0).localCheckpoint(true),
+      ops0.select("tid").distinct().count(), reorder, valueCols, newValue,
+      maxEpochs)
+
+  /** [[run]] with the live-filtered op batch and raw-batch txn count
+    * supplied by the caller. Lets a caller running the SAME (table, ops)
+    * under BOTH install policies (the flagship reference scenario) compute
+    * and materialize `liveOps` + the tid count ONCE and share them — the
+    * two-policy scenario previously paid a second batch-sized live-filter
+    * materialization and a second full-batch distinct-count for run #2.
+    * `live` must be exactly `liveOps(rawOps, table)` (pre-materialized;
+    * the epoch loop re-reads it every epoch) and `nTids` the distinct tid
+    * count of the RAW batch — the same determinism contract as [[run]]
+    * applies to `table`.
+    */
+  def runLive(spark: SparkSession, table: DataFrame, live: DataFrame,
+      nTids: Long, reorder: Boolean, valueCols: Seq[String],
+      newValue: (Column, Column) => Column,
+      maxEpochs: Int = 100): (DataFrame, Seq[(Int, Long, Long)]) = {
+    var ops = live
     var epoch = 1
     val history = Seq.newBuilder[(Int, Long, Long)]
     // (epoch, that epoch's live ops, that epoch's aborted-tid frame)
     val opsByEpoch = Seq.newBuilder[(Int, DataFrame, DataFrame)]
-    var remaining = rawOps.select("tid").distinct().count()
+    var remaining = nTids
     val flag = if (reorder) "committed_reorder" else "committed_noreorder"
     while (remaining > 0 && epoch <= maxEpochs) {
       val decided = decisions(ops, reservations(ops))

@@ -276,9 +276,15 @@ object KvAria {
     val newValue = (tid: org.apache.spark.sql.Column,
         ep: org.apache.spark.sql.Column) =>
       concat(lit("v"), tid.cast("string"), lit("e"), ep.cast("string"))
+    // liveOps and the raw tid count are policy-independent — compute and
+    // materialize them ONCE and share across both runs (runLive) instead
+    // of paying a second batch-sized live-filter materialization + full
+    // distinct-count for the second policy.
+    val live = AriaEngine.liveOps(ops, table).localCheckpoint(true)
+    val nTids = ops.select($"tid").distinct().count()
     val runs = Seq(true, false).map { reorder =>
-      val (_, history) = AriaEngine.run(
-        s, table, ops, reorder, Seq("f0"), newValue)
+      val (_, history) = AriaEngine.runLive(
+        s, table, live, nTids, reorder, Seq("f0"), newValue)
       val mode = if (reorder) "reorder" else "noreorder"
       history.map { case (e, c, a) => (mode, e, c, a) }
     }

@@ -312,27 +312,40 @@ object Similarity {
       |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
 
   /** IVF coarse quantizer: seeded k-means in pure DataFrame ops. Init
-    * centroids are the vectors with vec_id 0..7 (deterministic seed), then
-    * [[kmeansIters]] Lloyd iterations refine them. Centroids stay INTEGER
-    * vectors — each iteration re-quantizes the cluster mean per component
-    * as floor(sum/m) (sum, m exact int64, the division exact in doubles
-    * since |sum/m − k| is either 0 or ≥ 1/m ≫ ulp) — so every distance is
-    * exact int64 and the SQL oracle reproduces assignment bit-for-bit.
-    * Empty clusters keep their previous centroid. No driver collect: the
-    * whole fit is one DAG over 8×64 centroid cells.
+    * centroids are the vectors with vec_id 0..nCells-1 (deterministic
+    * seed), then `iters` Lloyd iterations refine them. Centroids stay
+    * INTEGER vectors — each iteration re-quantizes the cluster mean per
+    * component as floor(sum/m) (sum, m exact int64, the division exact in
+    * doubles since |sum/m − k| is either 0 or ≥ 1/m ≫ ulp) — so every
+    * distance is exact int64 and the SQL oracle reproduces assignment
+    * bit-for-bit. Empty clusters keep their previous centroid. No driver
+    * collect: the whole fit is one DAG over nCells×64 centroid cells.
+    *
+    * The gate queries pin (nCells=8, iters=2) — right for the 500-vector
+    * gate corpus, and the oracle SQL mirrors exactly those values. A real
+    * deployment sizes nCells ≈ √N (the standard IVF heuristic: balances
+    * cells-scanned-per-probe against vectors-per-cell), which is why both
+    * knobs are arguments: [[saveIvfIndex]] passes them through so a
+    * 100 TB index build is a parameter choice, not a code change.
     */
   private val kmeansIters = 2
 
-  private def ivfCentroids(s: SparkSession, emb: DataFrame): DataFrame = {
+  private[operators] def ivfCentroids(s: SparkSession, emb: DataFrame,
+      nCells: Int = 8, iters: Int = kmeansIters): DataFrame = {
     import s.implicits._
-    var cents = emb.filter($"vec_id" < 8)
+    require(nCells > 0, s"nCells must be positive, got $nCells")
+    // the min(d2*n + cid) % n tie-break packs (distance, id) into one
+    // int64: d2 ≤ ~4·(2e4)²·64 ≈ 1e11 for quantized embeddings, so the
+    // product stays far from overflow for any plausible cell count
+    val n = lit(nCells.toLong)
+    var cents = emb.filter($"vec_id" < nCells)
       .select($"vec_id".as("cid"), $"q".as("cq"))
-    for (_ <- 1 to kmeansIters) {
+    for (_ <- 1 to iters) {
       val withN = broadcast(cents.withColumn("cn2", norm2($"cq")))
       val assigned = emb.crossJoin(withN)
         .withColumn("d2", $"n2" - lit(2L) * dot($"q", $"cq") + $"cn2")
         .groupBy($"vec_id")
-        .agg((min($"d2" * 8L + $"cid") % 8L).as("cid"))
+        .agg((min($"d2" * n + $"cid") % n).as("cid"))
       val sums = assigned.join(emb, Seq("vec_id"))
         .select($"cid", posexplode($"q"))
         .groupBy($"cid", $"pos")
@@ -344,9 +357,9 @@ object Similarity {
       cents = cents.join(next, Seq("cid"), "left")
         .select($"cid", coalesce($"cq2", $"cq").as("cq"))
     }
-    // materialize the 8-row centroid table: downstream queries reference
-    // the assignment from several plan branches, and without truncation
-    // each branch would re-run the whole iterative fit
+    // materialize the nCells-row centroid table: downstream queries
+    // reference the assignment from several plan branches, and without
+    // truncation each branch would re-run the whole iterative fit
     cents.localCheckpoint(true)
   }
 
@@ -363,15 +376,19 @@ object Similarity {
 
   /** Assignment of an already-quantized frame against already-fitted
     * centroids — callers that persist the index ([[saveIvfIndex]]) fit
-    * once and pass the result here instead of refitting.
+    * once and pass the result here instead of refitting. `nCells` must
+    * cover every cid in `centroids` (the tie-break packs cid into the
+    * low digits mod nCells).
     */
-  private def ivfAssignOf(emb: DataFrame, centroids: DataFrame): DataFrame = {
+  private[operators] def ivfAssignOf(emb: DataFrame, centroids: DataFrame,
+      nCells: Int = 8): DataFrame = {
     import emb.sparkSession.implicits._
+    val n = lit(nCells.toLong)
     val cents = broadcast(centroids.withColumn("cn2", norm2($"cq")))
     emb.crossJoin(cents)
       .withColumn("d2", $"n2" - lit(2L) * dot($"q", $"cq") + $"cn2")
       .groupBy($"vec_id")
-      .agg((min($"d2" * 8L + $"cid") % 8L).as("centroid"))
+      .agg((min($"d2" * n + $"cid") % n).as("centroid"))
   }
 
   /** SQL mirror of the k-means fit: one (cn, cd, a) assignment block per
@@ -455,23 +472,25 @@ object Similarity {
       .orderBy($"qid", $"rn")
   }
 
-  /** Persist the fitted IVF index — the 8-row centroid table and the
+  /** Persist the fitted IVF index — the nCells-row centroid table and the
     * per-vector cell assignment — as [[graft.sources.VersionedTable]]
     * snapshots. This is the index LIFECYCLE a 100 TB deployment needs: fit
     * once (the expensive corpus pass), commit atomically, then serve
     * probes from the saved index without refitting; re-fits commit as new
     * versions, so a probe fleet can pin a version while a rebuild runs.
     * Assignments carry zone maps on the cell id: a single-cell probe scan
-    * opens only the files holding that cell.
+    * opens only the files holding that cell. Size `nCells` ≈ √N for a real
+    * corpus (defaults match the gate queries' 8/2 pin).
     */
-  def saveIvfIndex(s: SparkSession, dir: String, path: String): Unit = {
+  def saveIvfIndex(s: SparkSession, dir: String, path: String,
+      nCells: Int = 8, iters: Int = kmeansIters): Unit = {
     import s.implicits._
     import graft.sources.VersionedTable
     val emb = qEmb(s, dir)
     // ONE fit feeds both snapshots (the fit is the expensive corpus pass;
-    // ivfCentroids checkpoints its 8 rows, so the assignment below reuses
-    // the materialized result instead of refitting)
-    val cents = ivfCentroids(s, emb)
+    // ivfCentroids checkpoints its nCells rows, so the assignment below
+    // reuses the materialized result instead of refitting)
+    val cents = ivfCentroids(s, emb, nCells, iters)
     // first fit inits version 0; a re-fit REPLACES as the next version —
     // a fit covers every key, and merge's keyed-upsert hash shuffle would
     // destroy the range clustering the centroid zone maps depend on
@@ -480,7 +499,8 @@ object Similarity {
         VersionedTable.init(df, p, statsCols = statsCols)
       else { VersionedTable.replace(s, p, df, statsCols = statsCols); () }
     commit(cents, s"$path/centroids", Nil)
-    commit(ivfAssignOf(emb, cents).repartitionByRange(4, $"centroid"),
+    commit(ivfAssignOf(emb, cents, nCells)
+        .repartitionByRange(4, $"centroid"),
       s"$path/assign", Seq("centroid"))
   }
 

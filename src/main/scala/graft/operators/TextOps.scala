@@ -356,7 +356,11 @@ object TextOps {
     * re-sketches only itself and never re-reads the corpus text. The banded
     * join is the same first-matching-band equi-join as [[minhashPairs]];
     * corpus→delta pairs take no id-order constraint (roles disambiguate),
-    * delta→delta pairs dedup on a < b.
+    * delta→delta pairs dedup on a < b. The explicit a ≠ b guard makes the
+    * helper safe even when the corpus and delta frames share doc_ids (a
+    * re-submitted doc would otherwise emit a corpus-side self-pair); the
+    * gate query's mod-5 split never exercises that case, so the guard is
+    * the only thing enforcing the contract for external callers.
     */
   def incrementalPairsOf(corpusSig: DataFrame, deltaSig: DataFrame): DataFrame = {
     val s = corpusSig.sparkSession
@@ -367,7 +371,7 @@ object TextOps {
     val r = bandedOf(deltaSig)
       .select($"doc_id".as("b"), $"sig0".as("s0b"), $"band", $"sig")
     l.join(r, Seq("band", "sig"))
-      .filter((!$"a_new" || $"a" < $"b") &&
+      .filter($"a" =!= $"b" && (!$"a_new" || $"a" < $"b") &&
         ($"band" === 0 || $"s0a" =!= $"s0b"))
       .select($"b".as("new_id"), $"a".as("match_id"),
         when($"a_new", "delta").otherwise("corpus").as("match_src"))
@@ -889,6 +893,16 @@ object TextOps {
     * naive all-pairs definition, so the gate also proves the banding loses
     * nothing. bit_count(xor) is codegen'd in Spark and vectorized in
     * DuckDB.
+    *
+    * DIAGNOSTIC — saturation baseline, not a production operator (listed
+    * in `SparkEntry.diagnostic`). The PLAN is sound (identical banded join
+    * to [[simhashWidePairs]]) but the 16-bit SIGNATURE WIDTH saturates
+    * once the corpus outgrows its 65,536-value space: PLANS.md's scaling
+    * table measured ×71 emitted pairs for ×10 docs — birthday collisions,
+    * not duplicates — so beyond ~50k docs output grows ~quadratically.
+    * Kept deliberately as the measured width-saturation case the 62-bit
+    * wide variant is judged against; use [[simhashWidePairs]] on real
+    * corpora and exclude this one from scaled benchmarks.
     */
   def simhashPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

@@ -87,6 +87,12 @@ object VersionedTable {
     * so the sidecar survives the atomic rename. Values are JSON numbers
     * for numeric columns and JSON strings otherwise; an all-null file
     * stores nulls and is never pruned.
+    *
+    * DRIVER-MEMORY BOUND: the collect below pulls exactly ONE row per
+    * data file (2 scalars per stats column), the same shape Delta keeps in
+    * its transaction log — at 100 TB / 128 MB files that is ~800k rows of
+    * a few hundred bytes, well under 1 GB of driver heap; it cannot grow
+    * with row count, only with file count.
     */
   private def computeStats(spark: SparkSession, tmp: String,
       statsCols: Seq[String]): String = {

@@ -123,6 +123,26 @@ class AnalyticsSpec extends SparkSpec {
     assert(total1 > 1 && kept1 < total1, s"v1 lost skipping: $kept1/$total1")
   }
 
+  test("IVF fit is parameterizable: a 16-cell, 3-iter index fills the wider cell space") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf16")
+      .toFile.getAbsolutePath + "/idx"
+    val dir = sf("sf0.001")
+    Similarity.saveIvfIndex(spark, dir, path, nCells = 16, iters = 3)
+    val cents = graft.sources.VersionedTable.read(spark, s"$path/centroids")
+    assert(cents.count() == 16L)
+    val assign = graft.sources.VersionedTable.read(spark, s"$path/assign")
+    // every vector assigned exactly once, into the widened cell space
+    val nVec = graft.sources.Tables.embeddings(spark, dir).count()
+    assert(assign.count() == nVec)
+    val cells = assign.select($"centroid").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    assert(cells.forall(c => c >= 0L && c < 16L), s"cell ids out of range: $cells")
+    // the extra cells are actually used — the fit did not collapse back
+    // into the default-8 space (deterministic: seeded corpus, seeded init)
+    assert(cells.exists(_ >= 8L), "no cell beyond the default-8 space was used")
+  }
+
   test("IVF recall is monotone in nprobe and nprobe=1 matches ivf_topk's hits") {
     import spark.implicits._
     val rec = Similarity.ivfRecall(spark, dir).collect()

@@ -1,0 +1,146 @@
+#!/usr/bin/env python3
+"""Compare two graft bench artifacts: per-query min-vs-min deltas beyond a
+noise floor, plus canary contamination flags.
+
+Usage:
+  python3 tools/bench_compare.py OLD NEW [--abs 0.15] [--rel 1.3]
+
+OLD/NEW each accept either
+  - a driver artifact (BENCH_r{N}.json: {"tail": ..., "parsed": ...} — the
+    tail holds the last 2000 chars of Bench stdout, i.e. a truncated
+    per-query [min,med,max] line followed by the complete compact line), or
+  - raw Bench stdout (the two JSON lines Bench prints).
+
+Per-query minimum is taken from the full spread line where readable and
+from the compact line otherwise, so the comparison covers every query the
+artifacts preserve. A delta is reported only when BOTH gates trip:
+|new-old| > --abs seconds AND max/min ratio > --rel. This box's measured
+same-code noise is ~1.3x per query (VERDICT r8), hence the defaults.
+
+Canary: kv_scan_count is a pure-count scan whose min only moves with
+co-tenant load, never query code. Clean floor ~0.25s at sf0.1; a side
+reading >= 2x that is flagged CONTAMINATED and every delta on that side is
+suspect.
+
+Exit codes: 0 clean, 1 regressions found, 2 canary contaminated (trumps 1).
+"""
+import json
+import re
+import sys
+
+CANARY = "kv_scan_count"
+CANARY_CLEAN_FLOOR = 0.30  # seconds at sf0.1; >=2x this => contaminated
+
+SPREAD_RE = re.compile(r'"([A-Za-z0-9_]+)":\[([0-9.]+),([0-9.]+),([0-9.]+)\]')
+COMPACT_RE = re.compile(r'"([A-Za-z0-9_]+)":([0-9.]+)')
+NON_QUERY_KEYS = {"value", "qsum", "canary_" + CANARY, "failed_n", "n",
+                  "rc", "cpus", "sf", "iters", "nq"}
+
+
+def load_text(path):
+    """Return the bench stdout text held by `path` (driver artifact or raw)."""
+    raw = open(path).read()
+    try:
+        obj = json.loads(raw)
+        if isinstance(obj, dict) and "tail" in obj:
+            return obj["tail"]
+    except json.JSONDecodeError:
+        pass
+    return raw
+
+
+def parse_side(path):
+    """-> (mins: {query: min_sec}, total: float|None, canary: float|None,
+           n_spread: int) for one artifact."""
+    text = load_text(path)
+    mins = {}
+    # compact line first (complete, but only the slowest queries fit)
+    m = re.search(r'\{"metric":"total",.*\}', text)
+    total = canary = None
+    if m:
+        compact = m.group(0)
+        tm = re.search(r'"value":([0-9.]+)', compact)
+        total = float(tm.group(1)) if tm else None
+        cm = re.search(r'"canary_' + CANARY + r'":([0-9.]+)', compact)
+        canary = float(cm.group(1)) if cm else None
+        qm = re.search(r'"queries":\{(.*)\}\}', compact)
+        if qm:
+            for name, v in COMPACT_RE.findall(qm.group(1)):
+                if name not in NON_QUERY_KEYS:
+                    mins[name] = float(v)
+    # full spread line (possibly head-truncated): its mins are authoritative
+    n_spread = 0
+    for name, lo, _med, _hi in SPREAD_RE.findall(text):
+        mins[name] = float(lo)
+        n_spread += 1
+    if canary is None and CANARY in mins:
+        canary = mins[CANARY]
+    return mins, total, canary, n_spread
+
+
+def main(argv):
+    args = [a for a in argv if not a.startswith("--")]
+    opts = dict(a.lstrip("-").split("=", 1) if "=" in a else (a.lstrip("-"), True)
+                for a in argv if a.startswith("--"))
+    # also accept "--abs 0.2" style
+    flat = []
+    it = iter(argv)
+    for a in it:
+        if a in ("--abs", "--rel"):
+            opts[a.lstrip("-")] = next(it, None)
+        elif not a.startswith("--"):
+            flat.append(a)
+    if len(flat) != 2:
+        print(__doc__)
+        return 64
+    abs_floor = float(opts.get("abs", 0.15))
+    rel_floor = float(opts.get("rel", 1.3))
+    old_path, new_path = flat
+    old, old_total, old_canary, old_ns = parse_side(old_path)
+    new, new_total, new_canary, new_ns = parse_side(new_path)
+
+    contaminated = False
+    for tag, c in (("OLD", old_canary), ("NEW", new_canary)):
+        if c is None:
+            print(f"[canary] {tag}: {CANARY} not present — cannot vouch for the run")
+        elif c >= 2 * CANARY_CLEAN_FLOOR:
+            print(f"[canary] {tag}: {CANARY} min {c:.3f}s >= "
+                  f"{2 * CANARY_CLEAN_FLOOR:.2f}s — RUN CONTAMINATED, "
+                  "deltas on this side are not trustworthy")
+            contaminated = True
+        else:
+            print(f"[canary] {tag}: {CANARY} min {c:.3f}s — clean")
+
+    if old_total is not None and new_total is not None:
+        print(f"[total] {old_total:.1f}s -> {new_total:.1f}s "
+              f"({new_total - old_total:+.1f}s)")
+    common = sorted(set(old) & set(new))
+    print(f"[coverage] OLD: {len(old)} query mins ({old_ns} with spreads); "
+          f"NEW: {len(new)} ({new_ns}); comparable: {len(common)}")
+    only_old = sorted(set(old) - set(new))
+    only_new = sorted(set(new) - set(old))
+    if only_old:
+        print(f"[coverage] dropped in NEW (or truncated out): {', '.join(only_old)}")
+    if only_new:
+        print(f"[coverage] added in NEW: {', '.join(only_new)}")
+
+    regressions, improvements = [], []
+    for q in common:
+        a, b = old[q], new[q]
+        if abs(b - a) <= abs_floor or max(a, b) <= min(a, b) * rel_floor:
+            continue
+        (regressions if b > a else improvements).append((b - a, q, a, b))
+    for title, rows in (("REGRESSIONS", sorted(regressions, reverse=True)),
+                        ("improvements", sorted(improvements))):
+        if rows:
+            print(f"-- {title} (|delta| > {abs_floor}s and ratio > {rel_floor}x)")
+            for d, q, a, b in rows:
+                print(f"  {q}: {a:.3f}s -> {b:.3f}s ({d:+.3f}s, x{b / a:.2f})")
+    if not regressions and not improvements:
+        print(f"-- no per-query delta beyond the noise floor "
+              f"(|delta| > {abs_floor}s and ratio > {rel_floor}x)")
+    return 2 if contaminated else (1 if regressions else 0)
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
