@@ -71,7 +71,8 @@ object Plans {
     */
   private val scalingSection: String =
     """
-      |## Scaling slope: sf0.1 vs a 10× corpus (measured, round 8)
+      |## Scaling slope: sf0.1 vs a 10× corpus (measured, round 9 — post
+      |## first-matching-band, distinct-free LSH emitters, shared live-ops Aria)
       |
       |Harness: `sbt "runMain graft.ScalingBench"` (min-of-2 per point, local[32]).
       |The 10× corpus gives each of 10 shards a disjoint token vocabulary (a
@@ -106,44 +107,66 @@ object Plans {
       |
       || query | 1× sec | 1× rows | 10× sec | 10× rows | slope | note |
       ||---|---|---|---|---|---|---|
-      || dedup_jaccard_pairs | 3.16 | 190,925 | 4.85 | 1,909,250 | **×1.5 for ×10 rows** | deletion-neighborhood join |
-      || dedup_clusters | 3.00 | 5,000 | 3.90 | 50,000 | ×1.3 | star contraction: rounds O(log n) |
-      || sim_ivf_topk | 1.79 | 30 | 3.01 | 30 | ×1.7 | fit+assign linear; probe constant |
-      || aria_reference_scenario | 4.85 | 7 | 8.61 | 10 | ×1.8 | ×10 keys/txns and MORE epochs; round-8 one-action loop |
-      || scan_pruned_zorder | 0.21 | 1 | 0.14 | 1 | ~flat | see below |
-      || dedup_simhash_wide_pairs | 4.15 | 162,673 | 8.95 | 2,358,264 | ×2.2 for ×14.5 pairs | 62-bit avalanched, Hamming ≤ 3, 4 bands |
-      || dedup_minhash_pairs | 4.07 | 4.36M | 75.4 | 48.2M | ×18.5 for ×11.1 pairs | output ≈ linear now; see below |
-      || dedup_simhash_pairs | 1.77 | 533,215 | 34.3 | 37.8M | ×19 for ×71 pairs | 16-bit kept as the saturation case |
+      || dedup_jaccard_pairs | 3.50 | 190,925 | 2.95 | 1,909,250 | **≤×1 for ×10 rows** | deletion-neighborhood join |
+      || dedup_clusters | 2.13 | 5,000 | 2.88 | 50,000 | ×1.35 | star contraction: rounds O(log n) |
+      || sim_ivf_topk | 1.56 | 30 | 2.06 | 30 | ×1.3 | fit+assign linear; probe constant |
+      || aria_reference_scenario | 4.40 | 7 | 6.40 | 10 | ×1.45 | ×10 keys/txns and MORE epochs; r9 shared live-ops |
+      || scan_pruned_zorder | 0.12 | 1 | 0.15 | 1 | ~flat | see below (incl. a 100× point) |
+      || dedup_simhash_wide_pairs | 3.04 | 162,673 | 6.62 | 2,358,264 | ×2.2 for ×14.5 pairs | 62-bit avalanched, Hamming ≤ 3, 4 bands |
+      || dedup_minhash_pairs | 0.67 | 4.36M | 11.7 | 48.2M | ×17.4 for ×11.1 pairs | distinct-free; cost IS the 48M-row emission |
+      || dedup_simhash_pairs | 0.92 | 533,215 | 3.88 | 37.8M | ×4.2 for ×71 pairs | 16-bit DIAGNOSTIC saturation case |
       |
-      |Reading the emitters: **output volume is now ≈ linear in data** for
-      |minhash (×11.1) and wide simhash (×14.5 — the residual over ×10 is
-      |per-shard hash-realization variance at the Hamming-3 boundary, since
-      |each remapped shard is an independent hash draw of the same corpus).
-      |The 16-bit simhash row is retained deliberately as the measured
-      |saturation case: 50k docs overflow a 65,536-signature space, which is a
-      |sketch-width property, not a plan property — the wide row is the same
-      |join plan with a wider key. Minhash time grows ×18.5 against ×11.1
-      |output because 48M pairs through one 32-thread JVM spill the pair-dedup
-      |hash table; on a multi-executor cluster that distinct spreads across
-      |machines — exactly what the banded equi-join parallelizes.
+      |Round-9 re-measurement note: the round-8 table was taken BEFORE commit
+      |2240b3a (first-matching-band emission) landed; this table describes the
+      |shipped distinct-free emitters. The change is decisive at scale:
+      |dedup_minhash_pairs' 10× point fell 75.4s → 11.7s (and 1× 4.07 → 0.67)
+      |with identical output — the old cost was the 48M-row pair distinct's
+      |hash table spilling in one JVM; with first-matching-band there is
+      |nothing left to dedup, so the residual ×17.4-vs-×11.1 gap is just
+      |emitting 48M counted rows through 32 threads. 16-bit simhash likewise
+      |34.3s → 3.9s, confirming r8's "saturation, not plan" diagnosis —
+      |it stays DIAGNOSTIC (SparkEntry.diagnostic): ×71 pairs for ×10 docs is
+      |birthday-collision output, unusable beyond ~50k docs regardless of
+      |speed. Output volume is ≈ linear in data for minhash (×11.1) and wide
+      |simhash (×14.5 — the residual over ×10 is per-shard hash-realization
+      |variance at the Hamming-3 boundary, since each remapped shard is an
+      |independent hash draw of the same corpus).
       |
-      |**scan_pruned_zorder** (zone maps + z-order at 10×): a z-ordered,
-      |zone-mapped VersionedTable (both dims min/max-normalized to a shared
-      |10-bit range before interleaving) built at 8 files (1×) and 80 files
-      |(10×), point-probed on doc_id and range-probed on n_chars:
+      |**100× points (round 9)** — one more decade for the cheapest-slope
+      |queries (100 shards, same disjoint-vocabulary construction; the
+      |after-last-'s' digit-run argument makes cross-shard token equality
+      |impossible at ANY shard count, not just ≤10):
+      |
+      || query | 1× sec | 100× sec | slope | note |
+      ||---|---|---|---|---|
+      || dedup_jaccard_pairs | 4.54 | 52.8 | **×11.6 for ×100 rows** | 19.1M pairs emitted |
+      || dedup_clusters | 2.93 | 19.2 | **×6.6 for ×100 rows** | 500k docs, rounds still O(log n) |
+      |
+      |Wall-clock grows an order of magnitude SLOWER than data across two
+      |decades on a fixed 32-thread box — the per-row cost falls as fixed
+      |job overhead amortizes, which is the signature of a plan whose work is
+      |all in data-parallel stages (on a 1000-executor cluster the same plans
+      |spread by partition count).
+      |
+      |**scan_pruned_zorder** (zone maps + z-order): a z-ordered, zone-mapped
+      |VersionedTable (both dims min/max-normalized to a shared 10-bit range
+      |before interleaving) built at 8 files (1×), 80 files (10×), 800 files
+      |(100×), point-probed on doc_id and range-probed on n_chars:
       |
       || scale | files | doc_id probe opens | n_chars probe opens | probe sec |
       ||---|---|---|---|---|
-      || 1× | 8 | 5 | 3 | 0.21 |
-      || 10× | 80 | 18 | 14 | 0.14 |
+      || 1× | 8 | 5 (62%) | 3 (38%) | 0.12 |
+      || 10× | 80 | 18 (22%) | 14 (18%) | 0.15 |
+      || 100× | 800 | 42 (5.3%) | 65 (8.1%) | 0.30 |
       |
       |Both dimensions prune (a linear sort prunes only its leading column —
-      |LayoutSpec proves the contrast), and the opened FRACTION falls 62% → 22%
-      |as the table grows ×10 — the 2-D z-curve's O(√F) law, so probe cost
-      |grows ~√10 while the table grows ×10. When O(1) opens is required on a
-      |single dimension, the 1-D path already provides it: compact(sortBy)
-      |range-clusters and a point probe opens exactly 1 file of 4+
-      |(VersionedTableSpec "sorted compaction tightens zone maps").
+      |LayoutSpec proves the contrast), and the opened FRACTION falls
+      |62% → 22% → 5.3% across two decades — the 2-D z-curve's O(√F) law
+      |measured, not argued: opens grow ~×8.4 while files grow ×100 (√100 =
+      |10). When O(1) opens is required on a single dimension, the 1-D path
+      |already provides it: compact(sortBy) range-clusters and a point probe
+      |opens exactly 1 file of 4+ (VersionedTableSpec "sorted compaction
+      |tightens zone maps").
       |""".stripMargin
 
   def main(args: Array[String]): Unit = {

@@ -135,9 +135,13 @@ object ScalingBench {
         val nv = (tid: org.apache.spark.sql.Column,
             ep: org.apache.spark.sql.Column) =>
           concat(lit("v"), tid.cast("string"), lit("e"), ep.cast("string"))
+        // same shared-liveOps shape as the shipped ariaReferenceScenario:
+        // the live filter + tid count are policy-independent, computed once
+        val live = AriaEngine.liveOps(ops, table).localCheckpoint(true)
+        val nTids = ops.select($"tid").distinct().count()
         val runs = Seq(true, false).map { reorder =>
-          val (_, history) =
-            AriaEngine.run(spark, table, ops, reorder, Seq("f0"), nv)
+          val (_, history) = AriaEngine.runLive(
+            spark, table, live, nTids, reorder, Seq("f0"), nv)
           history.map { case (e, c, a) =>
             (if (reorder) "reorder" else "noreorder", e, c, a)
           }
@@ -156,8 +160,10 @@ object ScalingBench {
     // sf0.01, measured here at 10×. Layout exactly as LayoutSpec/compact's
     // range-cluster branch: z column → range partition → in-file sort →
     // commit with stats (file count scales with data, ×8 per 1×).
+    // the zorder block participates in a filtered run when the filter names
+    // it explicitly (the O(√F) law gains most from an extra decade of scale)
     for ((tag, dir, nFiles) <- Seq(("1x", base, 8), (s"${mult}x", out, 8 * mult))
-         if onlyQs.isEmpty) {
+         if onlyQs.forall(_.contains("scan_pruned_zorder"))) {
       import graft.sources.{Layout, VersionedTable}
       // absolute path: the COW commit's atomic rename resolves relative
       // paths inconsistently between the Hadoop FS and the parquet writer.

@@ -792,6 +792,237 @@ object Similarity {
       |  max(err)::BIGINT AS max_err, round(avg(qscale), 3) AS avg_scale
       |FROM ev GROUP BY label ORDER BY label""".stripMargin
 
+  // ---- Product quantization (PQ / ADC) ----
+
+  /** PQ constants: M=4 subspaces × 16 dims (the 64-dim embedding), k=8
+    * centroids per subspace, [[kmeansIters]] Lloyd iterations — the same
+    * determinism contract as the IVF fit, so the oracle reproduces every
+    * code bit-for-bit.
+    */
+  private val pqM = 4
+  private val pqDims = 16
+  private val pqK = 8
+
+  /** Subvector frame (vec_id, m, sq, sn2): each vector exploded into its
+    * M subspace slices. ONE frame feeds the codebook fit, the corpus
+    * encode, and the query LUT.
+    */
+  private def pqSub(emb: DataFrame): DataFrame = {
+    import emb.sparkSession.implicits._
+    emb.select($"vec_id", explode(array((0 until pqM).map { m =>
+        struct(lit(m.toLong).as("m"),
+          slice($"q", m * pqDims + 1, pqDims).as("sq"))
+      }: _*)).as("e"))
+      .select($"vec_id", $"e.m".as("m"), $"e.sq".as("sq"))
+      .withColumn("sn2", norm2($"sq"))
+  }
+
+  /** PQ codebook (Jégou, Douze, Schmid, "Product Quantization for Nearest
+    * Neighbor Search", TPAMI 2011): an independent k-means per subspace —
+    * run here as ONE k-means keyed (m, cid), so all M fits ride the same
+    * jobs: the per-iteration cost is a broadcast join + two aggregations
+    * regardless of M, and no driver loop over subspaces exists. Same
+    * integer-exact floor-mean requantization as [[ivfCentroids]]. Output:
+    * the M×k codebook (m, cid, cq), checkpointed (32 rows).
+    */
+  private def pqCodebook(sub: DataFrame): DataFrame = {
+    import sub.sparkSession.implicits._
+    val k = lit(pqK.toLong)
+    var cents = sub.filter($"vec_id" < pqK)
+      .select($"m", $"vec_id".as("cid"), $"sq".as("cq"))
+    for (_ <- 1 to kmeansIters) {
+      val withN = broadcast(cents.withColumn("cn2", norm2($"cq")))
+      val assigned = sub.join(withN, Seq("m"))
+        .withColumn("d2", $"sn2" - lit(2L) * dot($"sq", $"cq") + $"cn2")
+        .groupBy($"vec_id", $"m")
+        .agg((min($"d2" * k + $"cid") % k).as("cid"))
+      val sums = assigned.join(sub, Seq("vec_id", "m"))
+        .select($"m", $"cid", posexplode($"sq"))
+        .groupBy($"m", $"cid", $"pos")
+        .agg(sum($"col").as("sv"), count(lit(1)).as("cnt"))
+        .withColumn("c", floor($"sv".cast("double") / $"cnt").cast("long"))
+      val next = sums.groupBy($"m", $"cid")
+        .agg(transform(array_sort(collect_list(struct($"pos", $"c"))),
+          x => x.getField("c")).as("cq2"))
+      cents = cents.join(next, Seq("m", "cid"), "left")
+        .select($"m", $"cid", coalesce($"cq2", $"cq").as("cq"))
+    }
+    cents.localCheckpoint(true)
+  }
+
+  /** The ADC (asymmetric distance computation) top-3: corpus vectors are
+    * collapsed to M=4 one-byte codes (128× smaller than the int64 grid —
+    * the memory story that makes billion-scale ANN fit in RAM), queries
+    * stay exact, and the approximate distance is the sum of M lookup-table
+    * entries ‖q_m − c_{m,code_m}‖². All integer: the LUT is 10 queries ×
+    * 32 codebook cells = 320 exact-int64 rows, broadcast; scoring is a
+    * broadcast equi-join on (m, cid) + a map-side-combinable sum — the
+    * corpus is touched once, narrow, no shuffle beyond the per-(qid,vec)
+    * 4-row sum. At 100 TB the codes table IS the index: 4 bytes/vector.
+    */
+  private def pqAdcTop3(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val sub = pqSub(qEmb(s, dir)).localCheckpoint(true)
+    val book = pqCodebook(sub)
+    val withN = broadcast(book.withColumn("cn2", norm2($"cq")))
+    val d2 = $"sn2" - lit(2L) * dot($"sq", $"cq") + $"cn2"
+    val k = lit(pqK.toLong)
+    val codes = sub.join(withN, Seq("m"))
+      .withColumn("d2", d2)
+      .groupBy($"vec_id", $"m")
+      .agg((min($"d2" * k + $"cid") % k).as("cid"))
+    val lut = broadcast(sub.filter($"vec_id" < 10)
+      .join(withN, Seq("m"))
+      .select($"vec_id".as("qid"), $"m", $"cid", d2.as("qd2")))
+    codes.join(lut, Seq("m", "cid"))
+      .filter($"vec_id" =!= $"qid")
+      .groupBy($"qid", $"vec_id")
+      .agg(sum($"qd2").as("d2_adc"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"qid").orderBy($"d2_adc", $"vec_id")))
+      .filter($"rn" <= 3)
+  }
+
+  def pqTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    pqAdcTop3(s, dir).select($"qid", $"vec_id", $"d2_adc", $"rn")
+      .orderBy($"qid", $"rn")
+  }
+
+  /** SQL mirror of the PQ fit + encode: subvector slices, the keyed
+    * (m, cid) k-means (pcn/pcd/pa per iteration, ps/pk/pcent mean
+    * requantization), ending in codes pa`kmeansIters` with psubn and the
+    * final-iteration pcn/pcd kept for LUT reuse.
+    */
+  private def pqCtes: String = {
+    val sb = new StringBuilder
+    sb ++=
+      s""",
+         |sub AS (
+         |  SELECT vec_id, m,
+         |    q[m * $pqDims + 1 : m * $pqDims + $pqDims] AS sq
+         |  FROM qv CROSS JOIN (SELECT unnest(range(0, $pqM)) AS m) ms),
+         |psubn AS (
+         |  SELECT vec_id, m, sum(y * y)::BIGINT AS sn2
+         |  FROM (SELECT vec_id, m, unnest(sq) AS y FROM sub) GROUP BY 1, 2),
+         |pcent0 AS (
+         |  SELECT m, vec_id AS cid, sq AS cq FROM sub WHERE vec_id < $pqK)""".stripMargin
+    for (t <- 0 to kmeansIters) {
+      sb ++=
+        s""",
+           |pcn$t AS (
+           |  SELECT m, cid, sum(y * y)::BIGINT AS cn2
+           |  FROM (SELECT m, cid, unnest(cq) AS y FROM pcent$t) GROUP BY 1, 2),
+           |pcd$t AS (
+           |  SELECT vec_id, m, cid, sum(x * y)::BIGINT AS d FROM (
+           |    SELECT s.vec_id, s.m, c.cid, unnest(s.sq) AS x, unnest(c.cq) AS y
+           |    FROM sub s JOIN pcent$t c ON s.m = c.m) z
+           |  GROUP BY 1, 2, 3),
+           |pa$t AS (
+           |  SELECT cd.vec_id, cd.m,
+           |    (min((sn.sn2 - 2 * cd.d + cn.cn2) * $pqK + cd.cid) % $pqK)::BIGINT
+           |      AS cid
+           |  FROM pcd$t cd
+           |  JOIN psubn sn ON cd.vec_id = sn.vec_id AND cd.m = sn.m
+           |  JOIN pcn$t cn ON cd.m = cn.m AND cd.cid = cn.cid
+           |  GROUP BY 1, 2)""".stripMargin
+      if (t < kmeansIters) {
+        sb ++=
+          s""",
+             |ps${t + 1} AS (
+             |  SELECT a.m, a.cid, u.i, sum(u.e)::BIGINT AS sv,
+             |    count(*)::BIGINT AS cnt
+             |  FROM pa$t a JOIN (
+             |    SELECT vec_id, m, unnest(sq) AS e,
+             |           generate_subscripts(sq, 1) - 1 AS i FROM sub) u
+             |    ON a.vec_id = u.vec_id AND a.m = u.m
+             |  GROUP BY 1, 2, 3),
+             |pk${t + 1} AS (
+             |  SELECT m, cid, list(floor(sv::DOUBLE / cnt)::BIGINT ORDER BY i) AS cq
+             |  FROM ps${t + 1} GROUP BY 1, 2),
+             |pcent${t + 1} AS (
+             |  SELECT p.m, p.cid, coalesce(c.cq, p.cq) AS cq
+             |  FROM pcent$t p LEFT JOIN pk${t + 1} c
+             |    ON p.m = c.m AND p.cid = c.cid)""".stripMargin
+      }
+    }
+    sb.toString
+  }
+
+  /** LUT + ADC scoring CTEs shared by the topk and recall oracles. */
+  private def pqAdcCtes: String =
+    s""",
+       |lut AS (
+       |  SELECT cd.vec_id AS qid, cd.m, cd.cid,
+       |    (sn.sn2 - 2 * cd.d + cn.cn2)::BIGINT AS qd2
+       |  FROM pcd$kmeansIters cd
+       |  JOIN psubn sn ON cd.vec_id = sn.vec_id AND cd.m = sn.m
+       |  JOIN pcn$kmeansIters cn ON cd.m = cn.m AND cd.cid = cn.cid
+       |  WHERE cd.vec_id < 10),
+       |adc AS (
+       |  SELECT l.qid, c.vec_id, sum(l.qd2)::BIGINT AS d2_adc
+       |  FROM pa$kmeansIters c JOIN lut l ON c.m = l.m AND c.cid = l.cid
+       |  WHERE c.vec_id <> l.qid
+       |  GROUP BY 1, 2)""".stripMargin
+
+  val pqTopKSql: String = qvecCte + pqCtes + pqAdcCtes +
+    """
+      |SELECT qid, vec_id, d2_adc, rn FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY qid
+      |    ORDER BY d2_adc, vec_id) AS rn FROM adc) t
+      |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
+
+  /** PQ self-evaluation, mirroring [[lshRecall]]/[[ivfRecall]]: recall@3 of
+    * the ADC top-3 against the EXACT integer L2 top-3 (the metric ADC
+    * approximates — not cosine, so the comparison isolates quantization
+    * loss from metric mismatch). Integer-only output: hits over counts.
+    */
+  def pqRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val emb = qEmb(s, dir)
+    val queries = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"q".as("qq"), $"n2".as("qn2"))
+    val exact = emb.crossJoin(broadcast(queries))
+      .filter($"vec_id" =!= $"qid")
+      .withColumn("d2", $"n2" - lit(2L) * dot($"q", $"qq") + $"qn2")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"qid").orderBy($"d2", $"vec_id")))
+      .filter($"rn" <= 3)
+      .select($"qid", $"vec_id")
+    val approx = pqAdcTop3(s, dir)
+      .select($"qid".as("aqid"), $"vec_id".as("avid"))
+    exact.join(approx, $"qid" === $"aqid" && $"vec_id" === $"avid", "left")
+      .groupBy($"qid")
+      .agg(count(lit(1)).as("n_exact"), count($"avid").as("n_hit"))
+      .orderBy($"qid")
+  }
+
+  val pqRecallSql: String = qvecCte + pqCtes + pqAdcCtes +
+    """,
+      |atop AS (
+      |  SELECT qid, vec_id FROM (
+      |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+      |      ORDER BY d2_adc, vec_id) AS rn FROM adc) t
+      |  WHERE rn <= 3),
+      |edots AS (
+      |  SELECT qid, vec_id, sum(x * y)::BIGINT AS d FROM (
+      |    SELECT q.vec_id AS qid, e.vec_id, unnest(q.q) AS x, unnest(e.q) AS y
+      |    FROM (SELECT vec_id, q FROM qv WHERE vec_id < 10) q
+      |    JOIN qv e ON e.vec_id <> q.vec_id) z
+      |  GROUP BY 1, 2),
+      |exact3 AS (
+      |  SELECT qid, vec_id FROM (
+      |    SELECT d.qid, d.vec_id, row_number() OVER (PARTITION BY d.qid
+      |      ORDER BY ne.n2 - 2 * d.d + nq.n2, d.vec_id) AS rn
+      |    FROM edots d JOIN nrm nq ON d.qid = nq.vec_id
+      |                 JOIN nrm ne ON d.vec_id = ne.vec_id) t
+      |  WHERE rn <= 3)
+      |SELECT e.qid, count(*)::BIGINT AS n_exact, count(a.vec_id)::BIGINT AS n_hit
+      |FROM exact3 e LEFT JOIN atop a ON e.qid = a.qid AND e.vec_id = a.vec_id
+      |GROUP BY e.qid ORDER BY e.qid""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_cosine_topk" -> cosineTopK _,
     "sim_quantize_err" -> quantizeErr _,
@@ -804,6 +1035,8 @@ object Similarity {
     "sim_ivf_assign" -> ivfAssign _,
     "sim_ivf_topk" -> ivfTopK _,
     "sim_ivf_recall" -> ivfRecall _,
+    "sim_pq_topk" -> pqTopK _,
+    "sim_pq_recall" -> pqRecall _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -818,5 +1051,7 @@ object Similarity {
     "sim_ivf_assign" -> ivfAssignSql,
     "sim_ivf_topk" -> ivfTopKSql,
     "sim_ivf_recall" -> ivfRecallSql,
+    "sim_pq_topk" -> pqTopKSql,
+    "sim_pq_recall" -> pqRecallSql,
   )
 }

@@ -552,9 +552,56 @@ object Sketches {
        |ORDER BY nationkey""".stripMargin
   }
 
+  // ---- weighted (πps / Poisson) sampling ----
+
+  /** Probability-proportional-to-size Poisson sample: doc i is kept iff
+    * hash(doc_id) mod W < min(w_i, W), weight w_i = n_chars, W = 8192 —
+    * inclusion probability π_i = min(w_i, W)/W ∝ weight (capped at 1),
+    * the design behind size-biased corpus selection (long docs carry more
+    * tokens, so an unweighted doc sample under-represents their tokens).
+    * The Horvitz–Thompson estimator Σ_{sampled} w_i/π_i recovers total
+    * weight, and since w_i/π_i = W exactly for uncapped docs it is
+    * INTEGER-exact here (n_uncapped·W + Σ capped w_i) — reported next to
+    * the exact total so the estimator's error is part of the result
+    * surface, as with the other sketches. Deterministic hash: rerun,
+    * repartition, and the oracle all select the same rows; one scan, one
+    * map-side-combinable conditional aggregation, no shuffle beyond the
+    * per-language rollup — a pipeline materializes
+    * `docs.filter(hv < least(w, W))` directly.
+    */
+  def weightedSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val W = 8192L
+    val hv = (($"doc_id" * 52361L + 33023L) % M) % W
+    val w = $"n_chars".cast("long")
+    val kept = hv < least(w, lit(W))
+    Tables.documents(s, dir)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_total"),
+        sum(w).as("exact_w"),
+        sum(when(kept, 1L).otherwise(0L)).as("n_sampled"),
+        sum(when(kept, when(w >= W, w).otherwise(lit(W))).otherwise(0L))
+          .as("ht_est_w"))
+      .orderBy($"lang")
+  }
+
+  val weightedSampleSql: String =
+    s"""WITH d AS (
+       |  SELECT lang, n_chars::BIGINT AS w,
+       |    ((doc_id * 52361 + 33023) % $M) % 8192 AS hv
+       |  FROM documents)
+       |SELECT lang, count(*)::BIGINT AS n_total, sum(w)::BIGINT AS exact_w,
+       |  sum(CASE WHEN hv < least(w, 8192) THEN 1 ELSE 0 END)::BIGINT
+       |    AS n_sampled,
+       |  sum(CASE WHEN hv < least(w, 8192)
+       |           THEN (CASE WHEN w >= 8192 THEN w ELSE 8192 END)
+       |           ELSE 0 END)::BIGINT AS ht_est_w
+       |FROM d GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_stratified" -> stratifiedSample _,
     "sample_mixture" -> mixtureSample _,
+    "sample_weighted" -> weightedSample _,
     "sketch_bloom_filter" -> bloomFilter _,
     "sketch_kmv_distinct" -> kmvDistinct _,
     "sketch_kmv_agg" -> kmvAgg _,
@@ -566,6 +613,7 @@ object Sketches {
   val oracles: Map[String, String] = Map(
     "sample_stratified" -> stratifiedSampleSql,
     "sample_mixture" -> mixtureSampleSql,
+    "sample_weighted" -> weightedSampleSql,
     "sketch_bloom_filter" -> bloomFilterSql,
     "sketch_kmv_distinct" -> kmvDistinctSql,
     "sketch_kmv_agg" -> kmvDistinctSql, // same logical result, UDAF plan

@@ -1245,8 +1245,66 @@ object TextOps {
       |FROM train t LEFT JOIN hits h ON t.doc_id = h.doc_id
       |ORDER BY t.doc_id""".stripMargin
 
+  // ---- unigram-LM surprisal (quality filtering) ----
+
+  /** CCNet-style LM quality scoring (Wenzek et al., "CCNet: Extracting
+    * High Quality Monolingual Datasets from Web Crawl Data", LREC 2020):
+    * score each document by its average per-token surprisal under a
+    * unigram LM fitted on the corpus itself — the standard
+    * perplexity-bucket signal for filtering/stratifying training data
+    * (low = repetitive/common vocabulary, high = rare/noisy).
+    *
+    * Cross-engine exactness forbids ln()/log2() (libm last-ulp behavior is
+    * engine-specific — the HLL scaladoc's reason for dropping its linear-
+    * counting branch), so surprisal is quantized to INTEGER BITS:
+    * bits(token) = bitlength(⌊N/cnt⌋) ≈ log2(N/cnt)+1, via the same
+    * `length(bin(x))` idiom HLL's rank uses. 1-bit resolution is coarse
+    * per token but the per-doc mean (reported in millibits) separates
+    * quality buckets exactly as well at corpus scale; a float refinement
+    * is a client-side divide over the shipped integer sums.
+    *
+    * Scale shape: token STREAM (not the distinct set — a unigram LM counts
+    * occurrences), one map-side-combinable count per code builds the LM,
+    * one equi-join + aggregation scores all docs; the 1-row corpus total
+    * rides a broadcast. No driver collect, no per-doc state.
+    */
+  def textSurprisal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val stream = Tables.documents(s, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("w"))
+      .select($"doc_id", tokenCode($"w").as("code"))
+    val lm = stream.groupBy($"code").agg(count(lit(1)).as("cnt"))
+    val total = lm.agg(sum($"cnt").as("n_total"))
+    stream.join(lm, Seq("code"))
+      .crossJoin(broadcast(total))
+      // ⌊N/cnt⌋ ≥ 1 always (cnt ≤ N), so bin() never sees 0 here; the
+      // double division is exact (both operands < 2^53)
+      .withColumn("bits",
+        length(bin(floor($"n_total" / $"cnt").cast("long"))).cast("long"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum($"bits").as("surprisal_bits"))
+      .withColumn("mean_millibits",
+        floor($"surprisal_bits" * 1000L / $"n_tokens").cast("long"))
+      .orderBy($"doc_id")
+  }
+
+  val textSurprisalSql: String =
+    s"""WITH ts AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |cs AS (SELECT doc_id, $tokenCodeSql AS code FROM ts),
+       |lm AS (SELECT code, count(*)::BIGINT AS cnt FROM cs GROUP BY code),
+       |tot AS (SELECT sum(cnt)::BIGINT AS n_total FROM lm),
+       |sc AS (
+       |  SELECT doc_id, length(bin(n_total // cnt))::BIGINT AS bits
+       |  FROM cs JOIN lm USING (code) CROSS JOIN tot)
+       |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       |  sum(bits)::BIGINT AS surprisal_bits,
+       |  ((sum(bits)::BIGINT * 1000) // count(*))::BIGINT AS mean_millibits
+       |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> textStats _,
+    "text_surprisal" -> textSurprisal _,
     "text_decontaminate" -> decontaminate _,
     "text_ngram_topk" -> ngramTopK _,
     "text_tfidf_terms" -> tfidfTopTerms _,
@@ -1272,6 +1330,7 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     "text_stats" -> textStatsSql,
+    "text_surprisal" -> textSurprisalSql,
     "text_decontaminate" -> decontaminateSql,
     "text_ngram_topk" -> ngramTopKSql,
     "text_tfidf_terms" -> tfidfTopTermsSql,

@@ -24,6 +24,69 @@ class PipelineOpsSpec extends SparkSpec {
       s"missed ${exact.diff(cand).size} of ${exact.size} exact-dup pairs")
   }
 
+  test("PQ ADC top-3 is well-formed and recalls true L2 neighbors") {
+    import spark.implicits._
+    val top = Similarity.pqTopK(spark, dir).collect()
+    val byQ = top.groupBy(_.getLong(0))
+    assert(byQ.size == 10, s"expected 10 query vectors, got ${byQ.size}")
+    byQ.foreach { case (q, rows) =>
+      assert(rows.length == 3, s"qid $q returned ${rows.length} rows")
+      assert(rows.map(_.getInt(3)).sorted.toSeq == Seq(1, 2, 3))
+      assert(rows.forall(_.getLong(2) >= 0L), s"qid $q: negative ADC distance")
+      assert(rows.forall(_.getLong(1) != q), s"qid $q returned itself")
+    }
+    // the quantizer must carry real signal: random top-3 guessing over 499
+    // candidates expects ~0.2/30 hits; the 12-bit codes measure 7/30 on
+    // this (near-random, so hard-for-PQ) corpus — assert well above chance
+    // without pinning the exact value (deterministic, but the margin keeps
+    // the test robust to corpus regeneration)
+    val rec = Similarity.pqRecall(spark, dir).collect()
+    assert(rec.length == 10)
+    rec.foreach(r => assert(r.getLong(1) == 3L))
+    val hits = rec.map(_.getLong(2)).sum
+    assert(hits >= 5, s"PQ recall@3 at chance level: $hits/30 hits")
+  }
+
+  test("weighted sample is size-biased: heavier docs are kept at a higher rate") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select($"doc_id", $"n_chars".cast("long").as("w")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val M = 2147483647L
+    def kept(id: Long, w: Long): Boolean =
+      ((id * 52361L + 33023L) % M) % 8192L < math.min(w, 8192L)
+    // inclusion rate of the heavier half should exceed the lighter half
+    val sorted = docs.sortBy(_._2)
+    val (light, heavy) = sorted.splitAt(sorted.length / 2)
+    def rate(xs: Array[(Long, Long)]) =
+      xs.count((kept _).tupled).toDouble / xs.length
+    assert(rate(heavy) > rate(light),
+      s"heavy rate ${rate(heavy)} !> light rate ${rate(light)}")
+    // and the query's per-lang accounting matches a direct recount
+    val got = Sketches.weightedSample(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+    val langW = graft.sources.Tables.documents(spark, dir)
+      .select($"lang", $"doc_id", $"n_chars".cast("long")).collect()
+      .groupBy(_.getString(0))
+    langW.foreach { case (lang, rows) =>
+      val n = rows.length.toLong
+      val s = rows.count(r => kept(r.getLong(1), r.getLong(2))).toLong
+      assert(got(lang) == ((n, s)), s"$lang: got ${got(lang)}, want ($n, $s)")
+    }
+  }
+
+  test("surprisal floors at 1 bit/token and matches its own integer accounting") {
+    import spark.implicits._
+    val rows = TextOps.textSurprisal(spark, dir).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val (n, bits, milli) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(n >= 1L && bits >= n, s"doc ${r.getLong(0)}: bits $bits < tokens $n")
+      assert(milli >= 1000L, s"doc ${r.getLong(0)}: mean $milli < 1 bit")
+      assert(milli == bits * 1000L / n)
+    }
+  }
+
   test("repetition fractions equal an in-memory recount on the real corpus") {
     val docs = graft.sources.Tables.documents(spark, dir)
       .select("doc_id", "text").collect()

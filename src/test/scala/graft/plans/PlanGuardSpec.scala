@@ -31,7 +31,11 @@ class PlanGuardSpec extends SparkSpec {
     // 40-row broadcast quarter calendar, interval-containment join
     "q25_range_join" -> 1,
     // 25-row broadcast bloom table probed by every customer
-    "sketch_bloom_filter" -> 1)
+    "sketch_bloom_filter" -> 1,
+    // 1-row broadcast corpus-total frame (the LM normalizer)
+    "text_surprisal" -> 1,
+    // exact-L2 baseline side: fixed 10-row broadcast query-vector set
+    "sim_pq_recall" -> 1)
 
   test("no query plans an accidental nested-loop or cartesian join") {
     def crossCount(plan: String): Int =
