@@ -566,6 +566,84 @@ object TextOps {
        |FROM codes GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** Exact n-gram overlap pairs (the exact-substring dedup family — Lee
+    * et al., "Deduplicating Training Data Makes Language Models Better",
+    * ACL 2022): every pair of docs sharing at least one exact 4-word
+    * window, with the count of DISTINCT shared windows as the overlap
+    * strength. Unlike the MinHash/shingle-LSH emitters this is NOT a
+    * sketch — the join key is the window fingerprint itself, so recall
+    * is 1 by construction and the oracle equality is definitional.
+    *
+    * Scale guards, both essential at 100 TB:
+    *  - BOILERPLATE DF-CAP: windows appearing in more than 32 docs
+    *    (licenses, headers, navigation chrome) are dropped BEFORE the
+    *    pair join. An m-doc window alone emits C(m,2) pairs, so one
+    *    viral sentence would otherwise go quadratic; the cap bounds each
+    *    window's contribution at C(32,2) and removes exactly the windows
+    *    that carry no pairwise-dedup signal (standard practice in the
+    *    exact-substring pipelines). The cap is one mergeable
+    *    groupBy(code) count.
+    *  - the pair aggregation groups on (a, b) — output is bounded by
+    *    TRUE overlap volume; per-window pair rows exist only inside the
+    *    exchange, never materialized.
+    */
+  def ngramOverlapPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    val grams = Tables.documents(s, dir)
+      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "w")))
+      .select($"doc_id", $"pos", tokenCode($"w").as("c0"))
+      .withColumn("c1", lead($"c0", 1).over(w))
+      .withColumn("c2", lead($"c0", 2).over(w))
+      .withColumn("c3", lead($"c0", 3).over(w))
+      .filter($"c3".isNotNull)
+      .select($"doc_id",
+        (((($"c0" % M * 131071L + $"c1") % M * 131071L + $"c2") % M
+          * 131071L + $"c3") % M).as("code"))
+      .distinct()
+    // df-capped gram frame, materialized once: both self-join sides and
+    // nothing else read it (grams are distinct per doc, so the per-code
+    // count IS document frequency)
+    val kept = grams.join(
+        grams.groupBy($"code").agg(count(lit(1)).as("df"))
+          .filter($"df" <= 32L),
+        Seq("code"))
+      .select($"doc_id", $"code")
+      .localCheckpoint(true)
+    kept.select($"doc_id".as("a"), $"code")
+      .join(kept.select($"doc_id".as("b"), $"code"), Seq("code"))
+      .filter($"a" < $"b")
+      .groupBy($"a", $"b")
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy($"a", $"b")
+  }
+
+  val ngramOverlapPairsSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
+       |         unnest(string_split(text, ' ')) AS w
+       |  FROM documents),
+       |wcodes AS (SELECT doc_id, pos, $tokenCodeSql AS c0 FROM toks),
+       |scodes AS (
+       |  SELECT doc_id, c0,
+       |    lead(c0, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS c1,
+       |    lead(c0, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS c2,
+       |    lead(c0, 3) OVER (PARTITION BY doc_id ORDER BY pos) AS c3
+       |  FROM wcodes),
+       |grams AS (
+       |  SELECT DISTINCT doc_id,
+       |    ((((c0 % $M * 131071 + c1) % $M * 131071 + c2) % $M
+       |      * 131071 + c3) % $M) AS code
+       |  FROM scodes WHERE c3 IS NOT NULL),
+       |kept AS (
+       |  SELECT g.doc_id, g.code FROM grams g
+       |  JOIN (SELECT code FROM grams GROUP BY code HAVING count(*) <= 32) d
+       |    USING (code))
+       |SELECT a.doc_id AS a, b.doc_id AS b, count(*)::BIGINT AS n_shared
+       |FROM kept a JOIN kept b ON a.code = b.code AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 ORDER BY a, b""".stripMargin
+
   /** Shingle-LSH candidate pairs (2 bands × 4 rows over the shingle
     * signatures) — the bucket-join stage of the shingle pipeline.
     */
@@ -1318,6 +1396,7 @@ object TextOps {
     "dedup_minhash_pairs" -> minhashPairs _,
     "dedup_shingle_minhash" -> shingleMinhash _,
     "dedup_shingle_pairs" -> shinglePairs _,
+    "dedup_ngram_overlap" -> ngramOverlapPairs _,
     "dedup_jaccard_pairs" -> jaccardPairs _,
     "dedup_simhash" -> simhash _,
     "dedup_simhash_pairs" -> simhashPairs _,
@@ -1344,6 +1423,7 @@ object TextOps {
     "dedup_minhash_pairs" -> minhashPairsSql,
     "dedup_shingle_minhash" -> shingleMinhashSql,
     "dedup_shingle_pairs" -> shinglePairsSql,
+    "dedup_ngram_overlap" -> ngramOverlapPairsSql,
     "dedup_jaccard_pairs" -> jaccardPairsSql,
     "dedup_simhash" -> simhashSql,
     "dedup_simhash_pairs" -> simhashPairsSql,

@@ -87,6 +87,37 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("dedup_ngram_overlap equals an in-memory recount (exact, no sketch)") {
+    val M = 2147483647L
+    def tokCode(w: String): Long = {
+      def a(i: Int): Long = if (w.length > i) w.charAt(i).toLong else 0L
+      val last = if (w.isEmpty) 0L else w.charAt(w.length - 1).toLong
+      (a(0) * 65536L + a(1) * 256L + a(2) + w.length) * 256L + last
+    }
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val gramSets: Map[Long, Set[Long]] = docs.map { case (id, text) =>
+      val cs = text.split(" ").map(tokCode)
+      id -> cs.sliding(4).filter(_.length == 4)
+        .map(g => g.foldLeft(0L)((acc, c) => (acc % M * 131071L + c) % M))
+        .toSet
+    }.toMap
+    val df = gramSets.values.flatten.groupBy(identity).view.mapValues(_.size)
+    val capped = gramSets.view
+      .mapValues(_.filter(g => df(g) <= 32)).toMap
+    val want = (for {
+      (a, ga) <- capped.toSeq; (b, gb) <- capped.toSeq if a < b
+      shared = (ga & gb).size if shared > 0
+    } yield (a, b) -> shared.toLong).toMap
+    assert(want.nonEmpty, "corpus should contain window-sharing pairs")
+    val got = TextOps.ngramOverlapPairs(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got == want,
+      s"overlap mismatch: extra=${(got.keySet -- want.keySet).take(5)} " +
+        s"missing=${(want.keySet -- got.keySet).take(5)}")
+  }
+
   test("repetition fractions equal an in-memory recount on the real corpus") {
     val docs = graft.sources.Tables.documents(spark, dir)
       .select("doc_id", "text").collect()
