@@ -116,7 +116,8 @@ object ScalingBench {
       Some(args(2).split(",").map(_.trim).filter(_.nonEmpty).toSet)
     else None
     val corpusQs = Seq("dedup_clusters", "sim_ivf_topk",
-      "dedup_jaccard_pairs", "dedup_simhash_wide_pairs",
+      "dedup_ngram_overlap", "dedup_jaccard_pairs",
+      "dedup_simhash_wide_pairs",
       "dedup_simhash_pairs", "dedup_minhash_pairs")
       .filter(q => onlyQs.forall(_.contains(q)))
     val report = scala.collection.mutable.ArrayBuffer.empty[String]

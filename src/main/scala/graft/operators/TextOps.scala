@@ -574,6 +574,21 @@ object TextOps {
     * sketch — the join key is the window fingerprint itself, so recall
     * is 1 by construction and the oracle equality is definitional.
     *
+    * WINDOW IDENTITY is a dual-channel fingerprint, and the width is
+    * load-bearing (measured, round 9): a first cut keyed windows on the
+    * prefix-packed [[tokenCode]] folded mod 2^31, and the 100× scaling
+    * corpus blew up ×715 instead of ×100 — tokenCode packs (first 3
+    * chars, length, LAST char), so the 100-shard suffixes "s12"/"s22"/…
+    * collide systematically and whole shard vocabularies collapse into
+    * one code space (the same sketch-input defect class as round 7's
+    * prefix collapse, one corpus decade later). Windows are therefore
+    * keyed on TWO independent full-character polynomial word hashes
+    * (the [[fingerprint]] aggregate ≡ list_reduce idiom — every char
+    * participates, so no packing artifact can collide two distinct
+    * words) folded per 4-gram into the pair (g1, g2): an effective
+    * ~2^61-value window space in which birthday collisions are
+    * negligible until ~10^9 distinct windows per df-cap bucket.
+    *
     * Scale guards, both essential at 100 TB:
     *  - BOILERPLATE DF-CAP: windows appearing in more than 32 docs
     *    (licenses, headers, navigation chrome) are dropped BEFORE the
@@ -582,7 +597,7 @@ object TextOps {
     *    window's contribution at C(32,2) and removes exactly the windows
     *    that carry no pairwise-dedup signal (standard practice in the
     *    exact-substring pipelines). The cap is one mergeable
-    *    groupBy(code) count.
+    *    groupBy(g1, g2) count.
     *  - the pair aggregation groups on (a, b) — output is bounded by
     *    TRUE overlap volume; per-window pair rows exist only inside the
     *    exchange, never materialized.
@@ -590,59 +605,87 @@ object TextOps {
   def ngramOverlapPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
+    // two independent full-char rolling hashes per word: channel params
+    // (init, mult, mod) differ; mod < 2^31 keeps every gram-fold product
+    // below 2^49 — exact in int64 and float64 in both engines
+    def wordHash(w: Column, init: Long, mult: Long, mod: Long): Column =
+      aggregate(split(w, ""), lit(init),
+        (acc, c) => (acc * mult + ascii(c)) % mod)
+    def gramFold(cs: Seq[Column]): Column =
+      cs.reduceLeft((acc, c) => (acc % M * 131071L + c) % M)
     val w = Window.partitionBy($"doc_id").orderBy($"pos")
     val grams = Tables.documents(s, dir)
       .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "w")))
-      .select($"doc_id", $"pos", tokenCode($"w").as("c0"))
+      .select($"doc_id", $"pos",
+        wordHash($"w", 7L, 31L, 1000000007L).as("c0"),
+        wordHash($"w", 13L, 131L, 998244353L).as("d0"))
       .withColumn("c1", lead($"c0", 1).over(w))
       .withColumn("c2", lead($"c0", 2).over(w))
       .withColumn("c3", lead($"c0", 3).over(w))
+      .withColumn("d1", lead($"d0", 1).over(w))
+      .withColumn("d2", lead($"d0", 2).over(w))
+      .withColumn("d3", lead($"d0", 3).over(w))
       .filter($"c3".isNotNull)
       .select($"doc_id",
-        (((($"c0" % M * 131071L + $"c1") % M * 131071L + $"c2") % M
-          * 131071L + $"c3") % M).as("code"))
+        gramFold(Seq($"c0", $"c1", $"c2", $"c3")).as("g1"),
+        gramFold(Seq($"d0", $"d1", $"d2", $"d3")).as("g2"))
       .distinct()
     // df-capped gram frame, materialized once: both self-join sides and
-    // nothing else read it (grams are distinct per doc, so the per-code
+    // nothing else read it (grams are distinct per doc, so the per-key
     // count IS document frequency)
     val kept = grams.join(
-        grams.groupBy($"code").agg(count(lit(1)).as("df"))
+        grams.groupBy($"g1", $"g2").agg(count(lit(1)).as("df"))
           .filter($"df" <= 32L),
-        Seq("code"))
-      .select($"doc_id", $"code")
+        Seq("g1", "g2"))
+      .select($"doc_id", $"g1", $"g2")
       .localCheckpoint(true)
-    kept.select($"doc_id".as("a"), $"code")
-      .join(kept.select($"doc_id".as("b"), $"code"), Seq("code"))
+    kept.select($"doc_id".as("a"), $"g1", $"g2")
+      .join(kept.select($"doc_id".as("b"), $"g1", $"g2"), Seq("g1", "g2"))
       .filter($"a" < $"b")
       .groupBy($"a", $"b")
       .agg(count(lit(1)).as("n_shared"))
       .orderBy($"a", $"b")
   }
 
-  val ngramOverlapPairsSql: String =
+  val ngramOverlapPairsSql: String = {
+    def wh(init: Long, mult: Long, mod: Long): String =
+      s"""list_reduce(list_prepend($init::BIGINT,
+         |      [ascii(c)::BIGINT FOR c IN string_split(w, '')]),
+         |    (a, b) -> (a * $mult + b) % $mod)""".stripMargin
+    def fold(cs: Seq[String]): String =
+      cs.reduceLeft((acc, c) => s"(($acc) % $M * 131071 + $c) % $M")
     s"""WITH toks AS (
        |  SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
        |         unnest(string_split(text, ' ')) AS w
        |  FROM documents),
-       |wcodes AS (SELECT doc_id, pos, $tokenCodeSql AS c0 FROM toks),
+       |wcodes AS (
+       |  SELECT doc_id, pos,
+       |    ${wh(7L, 31L, 1000000007L)} AS c0,
+       |    ${wh(13L, 131L, 998244353L)} AS d0
+       |  FROM toks),
        |scodes AS (
-       |  SELECT doc_id, c0,
+       |  SELECT doc_id, c0, d0,
        |    lead(c0, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS c1,
        |    lead(c0, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS c2,
-       |    lead(c0, 3) OVER (PARTITION BY doc_id ORDER BY pos) AS c3
+       |    lead(c0, 3) OVER (PARTITION BY doc_id ORDER BY pos) AS c3,
+       |    lead(d0, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS d1,
+       |    lead(d0, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS d2,
+       |    lead(d0, 3) OVER (PARTITION BY doc_id ORDER BY pos) AS d3
        |  FROM wcodes),
        |grams AS (
        |  SELECT DISTINCT doc_id,
-       |    ((((c0 % $M * 131071 + c1) % $M * 131071 + c2) % $M
-       |      * 131071 + c3) % $M) AS code
+       |    ${fold(Seq("c0", "c1", "c2", "c3"))} AS g1,
+       |    ${fold(Seq("d0", "d1", "d2", "d3"))} AS g2
        |  FROM scodes WHERE c3 IS NOT NULL),
        |kept AS (
-       |  SELECT g.doc_id, g.code FROM grams g
-       |  JOIN (SELECT code FROM grams GROUP BY code HAVING count(*) <= 32) d
-       |    USING (code))
+       |  SELECT g.doc_id, g.g1, g.g2 FROM grams g
+       |  JOIN (SELECT g1, g2 FROM grams GROUP BY g1, g2
+       |        HAVING count(*) <= 32) d USING (g1, g2))
        |SELECT a.doc_id AS a, b.doc_id AS b, count(*)::BIGINT AS n_shared
-       |FROM kept a JOIN kept b ON a.code = b.code AND a.doc_id < b.doc_id
+       |FROM kept a JOIN kept b
+       |  ON a.g1 = b.g1 AND a.g2 = b.g2 AND a.doc_id < b.doc_id
        |GROUP BY 1, 2 ORDER BY a, b""".stripMargin
+  }
 
   /** Shingle-LSH candidate pairs (2 bands × 4 rows over the shingle
     * signatures) — the bucket-join stage of the shingle pipeline.

@@ -89,19 +89,19 @@ class PipelineOpsSpec extends SparkSpec {
 
   test("dedup_ngram_overlap equals an in-memory recount (exact, no sketch)") {
     val M = 2147483647L
-    def tokCode(w: String): Long = {
-      def a(i: Int): Long = if (w.length > i) w.charAt(i).toLong else 0L
-      val last = if (w.isEmpty) 0L else w.charAt(w.length - 1).toLong
-      (a(0) * 65536L + a(1) * 256L + a(2) + w.length) * 256L + last
-    }
+    def wordHash(w: String, init: Long, mult: Long, mod: Long): Long =
+      w.foldLeft(init)((acc, c) => (acc * mult + c.toLong) % mod)
+    def gram(cs: Seq[Long]): Long =
+      cs.reduceLeft((acc, c) => (acc % M * 131071L + c) % M)
     val docs = graft.sources.Tables.documents(spark, dir)
       .select("doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1)))
-    val gramSets: Map[Long, Set[Long]] = docs.map { case (id, text) =>
-      val cs = text.split(" ").map(tokCode)
-      id -> cs.sliding(4).filter(_.length == 4)
-        .map(g => g.foldLeft(0L)((acc, c) => (acc % M * 131071L + c) % M))
-        .toSet
+    val gramSets: Map[Long, Set[(Long, Long)]] = docs.map { case (id, text) =>
+      val ws = text.split(" ")
+      val h1 = ws.map(wordHash(_, 7L, 31L, 1000000007L)).toSeq
+      val h2 = ws.map(wordHash(_, 13L, 131L, 998244353L)).toSeq
+      id -> (h1.sliding(4).filter(_.length == 4).map(gram) zip
+        h2.sliding(4).filter(_.length == 4).map(gram)).toSet
     }.toMap
     val df = gramSets.values.flatten.groupBy(identity).view.mapValues(_.size)
     val capped = gramSets.view
