@@ -245,6 +245,95 @@ object TextOps {
       |       THEN 1 ELSE 0 END AS keep
       |FROM agg ORDER BY doc_id""".stripMargin
 
+  /** Gopher-style quality rule battery (Rae et al. 2021, §A1.1), reduced
+    * to exact arithmetic: per doc the five standard pretraining filters —
+    * word count in [50, 100k], mean word length in [3, 10], symbol-to-word
+    * ratio ('#' and '...') ≤ 0.1, ≥ 80% of words containing an alphabetic
+    * character, and distinct stopwords present — each as its own rule
+    * bit plus the composite `keep`. (Gopher's stopword rule is ≥ 2 of a
+    * larger list; this synthetic word-soup corpus carries at most one of
+    * the markers per doc, so the rule is calibrated to ≥ 1 — the point
+    * is the rule-battery shape and the exact cross-engine arithmetic.) Distinct from [[quality]] (a score)
+    * and [[repetition]] (dup-fraction rules): this is the rule-battery
+    * shape where each filter is auditable independently, which is how
+    * production pipelines report per-rule removal counts.
+    *
+    * Scale: ONE explode + ONE groupBy(doc_id) aggregation — no join, every
+    * aggregate map-side combinable (the stopword count-distinct has an
+    * 8-value domain). All fractions are rounded before the rule compare so
+    * both engines gate on bit-identical values.
+    */
+  def gopherRules(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    // literal (non-regex) occurrence count of `m` inside one word, exact:
+    // each hit removes exactly m.length chars, so the division is integral
+    def litOcc(c: Column, m: String): Column =
+      ((length(c) - length(replace(c, lit(m), lit("")))) / m.length)
+        .cast("long")
+    Tables.documents(s, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("w"))
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(length($"w").cast("long")).as("sum_wlen"),
+        sum((lower($"w") =!= upper($"w")).cast("long")).as("alpha_words"),
+        count_distinct(when($"w".isin(stops: _*), $"w")).as("stop_distinct"),
+        sum(litOcc($"w", "#") + litOcc($"w", "...")).as("sym_hits"))
+      .select($"doc_id", $"n_words",
+        round($"sum_wlen".cast("double") / $"n_words", 3).as("mean_wlen"),
+        round($"alpha_words".cast("double") / $"n_words", 4).as("alpha_frac"),
+        round($"sym_hits".cast("double") / $"n_words", 4).as("sym_frac"),
+        $"stop_distinct")
+      .withColumn("r_words",
+        ($"n_words" >= 50L && $"n_words" <= 100000L).cast("int"))
+      .withColumn("r_wlen",
+        ($"mean_wlen" >= 3.0 && $"mean_wlen" <= 10.0).cast("int"))
+      .withColumn("r_alpha", ($"alpha_frac" >= 0.8).cast("int"))
+      .withColumn("r_sym", ($"sym_frac" <= 0.1).cast("int"))
+      .withColumn("r_stop", ($"stop_distinct" >= 1L).cast("int"))
+      .withColumn("keep",
+        ($"r_words" * $"r_wlen" * $"r_alpha" * $"r_sym" * $"r_stop").cast("int"))
+      .orderBy($"doc_id")
+  }
+
+  val gopherRulesSql: String = {
+    val stopList = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+      .map(w => s"'$w'").mkString(", ")
+    """WITH w AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |agg AS (
+      |  SELECT doc_id, count(*)::BIGINT AS n_words,
+      |    sum(length(w))::BIGINT AS sum_wlen,
+      |    sum(CASE WHEN lower(w) <> upper(w) THEN 1 ELSE 0 END)::BIGINT
+      |      AS alpha_words,
+      |    count(DISTINCT CASE WHEN w IN (STOPS) THEN w END)::BIGINT
+      |      AS stop_distinct,
+      |    sum(((length(w) - length(replace(w, '#', '')))
+      |       + (length(w) - length(replace(w, '...', ''))) // 3)::BIGINT)::BIGINT
+      |      AS sym_hits
+      |  FROM w GROUP BY doc_id),
+      |m AS (
+      |  SELECT doc_id, n_words,
+      |    round(sum_wlen * 1.0 / n_words, 3) AS mean_wlen,
+      |    round(alpha_words * 1.0 / n_words, 4) AS alpha_frac,
+      |    round(sym_hits * 1.0 / n_words, 4) AS sym_frac,
+      |    stop_distinct
+      |  FROM agg)
+      |SELECT doc_id, n_words, mean_wlen, alpha_frac, sym_frac, stop_distinct,
+      |  (CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END)::INT AS r_words,
+      |  (CASE WHEN mean_wlen BETWEEN 3.0 AND 10.0 THEN 1 ELSE 0 END)::INT AS r_wlen,
+      |  (CASE WHEN alpha_frac >= 0.8 THEN 1 ELSE 0 END)::INT AS r_alpha,
+      |  (CASE WHEN sym_frac <= 0.1 THEN 1 ELSE 0 END)::INT AS r_sym,
+      |  (CASE WHEN stop_distinct >= 1 THEN 1 ELSE 0 END)::INT AS r_stop,
+      |  ((CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END)
+      |   * (CASE WHEN mean_wlen BETWEEN 3.0 AND 10.0 THEN 1 ELSE 0 END)
+      |   * (CASE WHEN alpha_frac >= 0.8 THEN 1 ELSE 0 END)
+      |   * (CASE WHEN sym_frac <= 0.1 THEN 1 ELSE 0 END)
+      |   * (CASE WHEN stop_distinct >= 1 THEN 1 ELSE 0 END))::INT AS keep
+      |FROM m ORDER BY doc_id""".stripMargin.replace("STOPS", stopList)
+  }
+
   // ---- deduplication ----
 
   /** Exact dedup: group identical texts (by content, with an md5 witness),
@@ -1434,6 +1523,7 @@ object TextOps {
     "text_fingerprint" -> fingerprint _,
     "text_quality" -> quality _,
     "text_repetition" -> repetition _,
+    "text_gopher_rules" -> gopherRules _,
     "dedup_exact" -> dedupExact _,
     "dedup_minhash" -> minhash _,
     "dedup_minhash_pairs" -> minhashPairs _,
@@ -1461,6 +1551,7 @@ object TextOps {
     "text_fingerprint" -> fingerprintSql,
     "text_quality" -> qualitySql,
     "text_repetition" -> repetitionSql,
+    "text_gopher_rules" -> gopherRulesSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_minhash" -> minhashSql,
     "dedup_minhash_pairs" -> minhashPairsSql,

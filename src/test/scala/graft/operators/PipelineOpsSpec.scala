@@ -141,6 +141,44 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("gopher rule battery equals an in-memory recount on the real corpus") {
+    val stops = Set("the", "be", "to", "of", "and", "that", "have", "with")
+    def litOcc(w: String, m: String): Long = {
+      var i = 0; var n = 0L
+      while ({ i = w.indexOf(m, i); i >= 0 }) { n += 1; i += m.length }
+      n
+    }
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+    val want = docs.map { r =>
+      val ws = r.getString(1).split(" ", -1)
+      val n = ws.length.toLong
+      val alpha = ws.count(w => w.exists(_.isLetter)).toLong
+      val stopD = ws.filter(stops).distinct.length.toLong
+      val sym = ws.map(w => litOcc(w, "#") + litOcc(w, "...")).sum
+      r.getLong(0) -> ((n, ws.map(_.length.toLong).sum, alpha, stopD, sym))
+    }.toMap
+    val got = TextOps.gopherRules(spark, dir).collect()
+    assert(got.length == want.size)
+    got.foreach { r =>
+      val (n, sumW, alpha, stopD, sym) = want(r.getLong(0))
+      assert(r.getLong(1) == n, s"doc ${r.getLong(0)} n_words")
+      assert(math.abs(r.getDouble(2) - sumW.toDouble / n) < 5e-4, "mean_wlen")
+      assert(math.abs(r.getDouble(3) - alpha.toDouble / n) < 5e-5, "alpha")
+      assert(math.abs(r.getDouble(4) - sym.toDouble / n) < 5e-5, "sym")
+      assert(r.getLong(5) == stopD, s"doc ${r.getLong(0)} stop_distinct")
+      // rule bits gate on the op's own ROUNDED fractions
+      val keepWant =
+        if (n >= 50 && n <= 100000 && r.getDouble(2) >= 3.0 &&
+          r.getDouble(2) <= 10.0 && r.getDouble(3) >= 0.8 &&
+          r.getDouble(4) <= 0.1 && stopD >= 1) 1 else 0
+      assert(r.getInt(11) == keepWant, s"doc ${r.getLong(0)} keep")
+    }
+    // the battery must actually split this corpus (not a vacuous filter)
+    val keeps = got.map(_.getInt(11)).sum
+    assert(keeps > 0 && keeps < got.length, s"degenerate battery: $keeps")
+  }
+
   test("semantic clusters equal union-find over exact cosine pairs") {
     val vecs = graft.sources.Tables.embeddings(spark, dir)
       .select("vec_id", "embedding").collect()
