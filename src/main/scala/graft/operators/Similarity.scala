@@ -863,6 +863,24 @@ object Similarity {
   private def pqAdcTop3(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
+    val (codes, lut) = pqCodesAndLut(s, dir)
+    codes.join(broadcast(lut), Seq("m", "cid"))
+      .filter($"vec_id" =!= $"qid")
+      .groupBy($"qid", $"vec_id")
+      .agg(sum($"qd2").as("d2_adc"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"qid").orderBy($"d2_adc", $"vec_id")))
+      .filter($"rn" <= 3)
+  }
+
+  /** The PQ encode shared by the flat-ADC and IVF-PQ probes: the corpus
+    * code table (vec_id, m, cid) and the query LUT (qid, m, cid, qd2 =
+    * exact ‖q_m − c_{m,cid}‖² for EVERY codebook cell — so a code row
+    * matches exactly one LUT row per subspace and the ADC sum is always
+    * complete). ONE maintained encode so the two probes can never drift.
+    */
+  private def pqCodesAndLut(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import s.implicits._
     val sub = pqSub(qEmb(s, dir)).localCheckpoint(true)
     val book = pqCodebook(sub)
     val withN = broadcast(book.withColumn("cn2", norm2($"cq")))
@@ -872,16 +890,10 @@ object Similarity {
       .withColumn("d2", d2)
       .groupBy($"vec_id", $"m")
       .agg((min($"d2" * k + $"cid") % k).as("cid"))
-    val lut = broadcast(sub.filter($"vec_id" < 10)
+    val lut = sub.filter($"vec_id" < 10)
       .join(withN, Seq("m"))
-      .select($"vec_id".as("qid"), $"m", $"cid", d2.as("qd2")))
-    codes.join(lut, Seq("m", "cid"))
-      .filter($"vec_id" =!= $"qid")
-      .groupBy($"qid", $"vec_id")
-      .agg(sum($"qd2").as("d2_adc"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy($"qid").orderBy($"d2_adc", $"vec_id")))
-      .filter($"rn" <= 3)
+      .select($"vec_id".as("qid"), $"m", $"cid", d2.as("qd2"))
+    (codes, lut)
   }
 
   def pqTopK(s: SparkSession, dir: String): DataFrame = {
@@ -1023,6 +1035,62 @@ object Similarity {
       |FROM exact3 e LEFT JOIN atop a ON e.qid = a.qid AND e.vec_id = a.vec_id
       |GROUP BY e.qid ORDER BY e.qid""".stripMargin
 
+  /** IVF-PQ composed probe — the production billion-scale ANN architecture
+    * (Jégou et al. TPAMI 2011 §V; the FAISS `IVFPQ` index): the coarse IVF
+    * quantizer prunes the corpus to the query's cell, and the survivors are
+    * scored by PQ/ADC lookup instead of exact arithmetic. The two layers
+    * solve different scale problems and compose: IVF bounds how much of the
+    * corpus a probe TOUCHES (nprobe/nCells of it), PQ bounds what a touched
+    * vector COSTS (M one-byte codes + M LUT adds, no raw vector read). At
+    * 100 TB the serving state is the code table (4 bytes/vector) plus cell
+    * assignments, both zone-mapped by cell via [[saveIvfIndex]]'s layout;
+    * the scoring join is broadcast-LUT + map-side-combinable sum, and the
+    * cell equality lands INSIDE the join so pruning happens before any ADC
+    * work, not after.
+    *
+    * Output mirrors [[pqTopK]] (qid, vec_id, d2_adc, rn) restricted to the
+    * query's cell — rank-3 within cell, deterministic (d2_adc, vec_id)
+    * tie-break.
+    */
+  def ivfPqTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val emb = qEmb(s, dir)
+    val assign = ivfAssignOf(emb, ivfCentroids(s, emb)).localCheckpoint(true)
+    val (codes, lut) = pqCodesAndLut(s, dir)
+    val cellCodes = codes.join(assign, Seq("vec_id"))
+    val cellLut = lut.join(
+      assign.select($"vec_id".as("qid"), $"centroid".as("qc")), Seq("qid"))
+    cellCodes.join(broadcast(cellLut), Seq("m", "cid"))
+      .filter($"centroid" === $"qc" && $"vec_id" =!= $"qid")
+      .groupBy($"qid", $"vec_id")
+      .agg(sum($"qd2").as("d2_adc"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"qid").orderBy($"d2_adc", $"vec_id")))
+      .filter($"rn" <= 3)
+      .select($"qid", $"vec_id", $"d2_adc", $"rn")
+      .orderBy($"qid", $"rn")
+  }
+
+  /** Oracle: the flat ADC scores joined to the IVF assignment on both ends
+    * and filtered to same-cell pairs before ranking — post-filtering the
+    * complete ADC table is value-identical to pre-filtering the candidate
+    * stream (the ADC distance does not depend on the cell), so the oracle
+    * stays a direct composition of the two already-proven CTE sets.
+    */
+  val ivfPqTopKSql: String = qvecCte + kmeansCtes + pqCtes + pqAdcCtes +
+    s""",
+       |assign AS (SELECT vec_id, cid AS centroid FROM a$kmeansIters),
+       |cadc AS (
+       |  SELECT a.qid, a.vec_id, a.d2_adc
+       |  FROM adc a JOIN assign ea ON a.vec_id = ea.vec_id
+       |             JOIN assign qa ON a.qid = qa.vec_id
+       |  WHERE ea.centroid = qa.centroid)
+       |SELECT qid, vec_id, d2_adc, rn FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid
+       |    ORDER BY d2_adc, vec_id) AS rn FROM cadc) t
+       |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_cosine_topk" -> cosineTopK _,
     "sim_quantize_err" -> quantizeErr _,
@@ -1037,6 +1105,7 @@ object Similarity {
     "sim_ivf_recall" -> ivfRecall _,
     "sim_pq_topk" -> pqTopK _,
     "sim_pq_recall" -> pqRecall _,
+    "sim_ivfpq_topk" -> ivfPqTopK _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1053,5 +1122,6 @@ object Similarity {
     "sim_ivf_recall" -> ivfRecallSql,
     "sim_pq_topk" -> pqTopKSql,
     "sim_pq_recall" -> pqRecallSql,
+    "sim_ivfpq_topk" -> ivfPqTopKSql,
   )
 }

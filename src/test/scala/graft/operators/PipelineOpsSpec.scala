@@ -47,6 +47,37 @@ class PipelineOpsSpec extends SparkSpec {
     assert(hits >= 5, s"PQ recall@3 at chance level: $hits/30 hits")
   }
 
+  test("IVF-PQ probe = flat ADC ranking restricted to the query's cell") {
+    import spark.implicits._
+    val assign = Similarity.ivfAssign(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val flat = Similarity.pqTopK(spark, dir)
+    val got = Similarity.ivfPqTopK(spark, dir).collect()
+    val byQ = got.groupBy(_.getLong(0))
+    byQ.foreach { case (q, rows) =>
+      assert(rows.length <= 3 && rows.nonEmpty, s"qid $q: ${rows.length} rows")
+      assert(rows.map(_.getInt(3)).sorted.toSeq == (1 to rows.length))
+      rows.foreach { r =>
+        val v = r.getLong(1)
+        assert(v != q, s"qid $q returned itself")
+        assert(assign(v) == assign(q),
+          s"qid $q (cell ${assign(q)}) returned vec $v from cell ${assign(v)}")
+      }
+    }
+    // consistency with the flat scorer: when a flat-ADC top-3 hit lies in
+    // the query's cell, the composed probe must rank it at least as high
+    // (same distance table, smaller candidate set)
+    val gotRank = got.map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(3)).toMap
+    flat.collect().foreach { r =>
+      val (q, v, rn) = (r.getLong(0), r.getLong(1), r.getInt(3))
+      if (assign(v) == assign(q)) {
+        val cr = gotRank.get((q, v))
+        assert(cr.isDefined && cr.get <= rn,
+          s"flat top-$rn ($q,$v) in-cell but composed rank ${cr.orNull}")
+      }
+    }
+  }
+
   test("weighted sample is size-biased: heavier docs are kept at a higher rate") {
     import spark.implicits._
     val docs = graft.sources.Tables.documents(spark, dir)
