@@ -1048,6 +1048,69 @@ object TextOps {
          |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
     }
 
+  /** Canonical-document SELECTION — the dedup *action* that follows
+    * clustering: per near-dup cluster, keep the highest-quality member
+    * (most words; doc_id breaks ties deterministically) and report the
+    * survivor manifest (cluster, keep_id, keep_words, n_members). A real
+    * pipeline materializes exactly this frame and anti-joins the corpus
+    * against the non-survivors; [[dedupClusters]] only LABELS (its
+    * canonical is the arbitrary per-component min id), this picks by
+    * merit, which is what production dedup does (keep the longest /
+    * best-scored copy, drop truncated mirrors).
+    *
+    * Scale: rides the same star-contraction labels; the quality join is
+    * doc_id-keyed (no extra corpus pass — n_words is length arithmetic on
+    * the already-read text), and the per-cluster argmax is one window +
+    * one mergeable agg, both on the cluster-keyed shuffle. Cluster sizes
+    * are near-dup groups — bounded small by construction, no skew risk.
+    */
+  def keepBest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val nodes = Tables.documents(s, dir).select($"doc_id")
+    val (labels, _) =
+      starContraction(nodes, shinglePairsOf(shingleCodes(s, dir)))
+    val nw = Tables.documents(s, dir).select($"doc_id",
+      (length($"text") - length(regexp_replace($"text", lit(" "), lit(""))) + 1)
+        .cast("long").as("n_words"))
+    labels.select($"doc_id", $"label".as("cluster"))
+      .join(nw, Seq("doc_id"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"cluster").orderBy($"n_words".desc, $"doc_id")))
+      .groupBy($"cluster")
+      .agg(
+        min(when($"rk" === 1, $"doc_id")).as("keep_id"),
+        min(when($"rk" === 1, $"n_words")).as("keep_words"),
+        count(lit(1)).as("n_members"))
+      .orderBy($"cluster")
+  }
+
+  val keepBestSql: String =
+    shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ") + shingleBandsCte + {
+      """,
+        |edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+        |reach(node, m) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.a, r.m FROM edges e JOIN reach r ON e.b = r.node),
+        |lab AS (SELECT node AS doc_id, min(m)::BIGINT AS cluster
+        |        FROM reach GROUP BY node),
+        |nw AS (SELECT doc_id,
+        |         (length(text) - length(replace(text, ' ', '')) + 1)::BIGINT
+        |           AS n_words
+        |       FROM documents),
+        |rk AS (
+        |  SELECT l.cluster, l.doc_id, nw.n_words,
+        |    row_number() OVER (PARTITION BY l.cluster
+        |      ORDER BY nw.n_words DESC, l.doc_id) AS rk
+        |  FROM lab l JOIN nw USING (doc_id))
+        |SELECT cluster,
+        |  min(CASE WHEN rk = 1 THEN doc_id END)::BIGINT AS keep_id,
+        |  min(CASE WHEN rk = 1 THEN n_words END)::BIGINT AS keep_words,
+        |  count(*)::BIGINT AS n_members
+        |FROM rk GROUP BY cluster ORDER BY cluster""".stripMargin
+    }
+
   /** SimHash (16-bit): per token-hash bit, ±1 votes over the distinct token
     * set; sign of each bit-sum forms the fingerprint. Near-dup docs differ
     * in few bits. Pure integer arithmetic (floor-div instead of dynamic
@@ -1535,6 +1598,7 @@ object TextOps {
     "dedup_simhash_pairs" -> simhashPairs _,
     "dedup_simhash_wide_pairs" -> simhashWidePairs _,
     "dedup_clusters" -> dedupClusters _,
+    "dedup_keep_best" -> keepBest _,
     "dedup_containment_pairs" -> containmentPairs _,
     "dedup_threshold_curve" -> thresholdCurve _,
     "dedup_incremental" -> incrementalDedup _,
@@ -1563,6 +1627,7 @@ object TextOps {
     "dedup_simhash_pairs" -> simhashPairsSql,
     "dedup_simhash_wide_pairs" -> simhashWidePairsSql,
     "dedup_clusters" -> dedupClustersSql,
+    "dedup_keep_best" -> keepBestSql,
     "dedup_containment_pairs" -> containmentPairsSql,
     "dedup_threshold_curve" -> thresholdCurveSql,
     "dedup_incremental" -> incrementalDedupSql,
