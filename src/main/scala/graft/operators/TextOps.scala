@@ -1111,6 +1111,100 @@ object TextOps {
         |FROM rk GROUP BY cluster ORDER BY cluster""".stripMargin
     }
 
+  /** BPE tokenizer TRAINING (Sennrich et al. 2016), k greedy merge rounds
+    * over the whitespace-token corpus — the tokenizer-fitting step of an
+    * LLM data pipeline, run as a distributed iteration. Each round:
+    * (1) count every adjacent token pair corpus-wide (one explode over
+    * zipped array slices + one map-side-combinable count), (2) pick the
+    * globally most frequent pair (freq desc, then lexicographic (a, b) —
+    * a total order, so the winner is deterministic cross-engine),
+    * (3) merge every occurrence left-greedily. The merge uses literal
+    * `replace` over a `|tok|`-wrapped rendering of the doc, where the
+    * pattern `|a||b|` consumes both delimiters — non-overlapping
+    * left-to-right replacement is then EXACTLY greedy BPE ("a a a"
+    * merges once), and DuckDB's `replace` has identical semantics, so
+    * the oracle reproduces the merge bit-for-bit. Integer/string ops
+    * only — no floats anywhere.
+    *
+    * Output: one row per round — (round, merge_a, merge_b, freq,
+    * n_tokens) with n_tokens the corpus token count AFTER the merge
+    * (wrapped rendering ⇒ tokens = bars/2, exact).
+    *
+    * Scale: per round one shuffle (the pair count), one 1-row
+    * `TakeOrdered` winner (broadcast back — the winner never touches the
+    * driver), one corpus-wide map. O(k) linear passes; the re-rendered
+    * corpus is localCheckpointed each round because three consumers
+    * (stats, next round's pairs, next round's merge) would otherwise
+    * re-derive the whole merge chain multiply — the classic
+    * multiply-consumed-frame trap.
+    */
+  def bpeTrain(s: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
+    import s.implicits._
+    val bar = lit("|")
+    var txt = Tables.documents(s, dir)
+      .select($"doc_id",
+        concat(bar, regexp_replace($"text", lit(" "), lit("||")), bar).as("t"))
+      .localCheckpoint(true)
+    var out: Option[DataFrame] = None
+    for (r <- 1 to rounds) {
+      val arr = split(expr("substring(t, 2, length(t) - 2)"), "\\|\\|")
+      val pairs = txt
+        .select(explode(arrays_zip(
+          slice(arr, lit(1), size(arr) - 1).as("a"),
+          slice(arr, lit(2), size(arr) - 1).as("b"))).as("p"))
+        .select($"p.a".as("a"), $"p.b".as("b"))
+      val winner = pairs.groupBy($"a", $"b")
+        .agg(count(lit(1)).as("freq"))
+        .orderBy($"freq".desc, $"a", $"b")
+        .limit(1)
+        .localCheckpoint(true) // 1 row; reused by the merge AND the report
+      txt = txt.crossJoin(broadcast(winner))
+        .select($"doc_id",
+          replace($"t",
+            concat(bar, $"a", lit("||"), $"b", bar),
+            concat(bar, $"a", lit("@"), $"b", bar)).as("t"))
+        .localCheckpoint(true)
+      val nTokens = txt.agg(
+        (sum(length($"t") - length(replace($"t", bar, lit("")))) / 2L)
+          .cast("long").as("n_tokens"))
+      val row = winner.crossJoin(nTokens)
+        .select(lit(r.toLong).as("round"), $"a".as("merge_a"),
+          $"b".as("merge_b"), $"freq", $"n_tokens")
+      out = Some(out.map(_.unionByName(row)).getOrElse(row))
+    }
+    out.get.orderBy($"round")
+  }
+
+  val bpeTrainSql: String = {
+    def roundCtes(r: Int): String =
+      s""",
+         |p$r AS (
+         |  SELECT l[i.i] AS a, l[i.i+1] AS b
+         |  FROM (SELECT doc_id, string_split(substr(t, 2, length(t)-2), '||') AS l
+         |        FROM d${r - 1}) s,
+         |       LATERAL (SELECT unnest(range(1, len(s.l))) AS i) i),
+         |w$r AS (SELECT a, b, count(*)::BIGINT AS freq FROM p$r
+         |        GROUP BY a, b ORDER BY freq DESC, a, b LIMIT 1),
+         |d$r AS (SELECT doc_id,
+         |          replace(t, '|' || w.a || '||' || w.b || '|',
+         |                     '|' || w.a || '@' || w.b || '|') AS t
+         |        FROM d${r - 1}, w$r w),
+         |s$r AS (SELECT sum((length(t) - length(replace(t,'|','')))//2)::BIGINT AS n
+         |        FROM d$r)""".stripMargin
+    """WITH d0 AS (SELECT doc_id, '|' || replace(text, ' ', '||') || '|' AS t
+      |            FROM documents)""".stripMargin +
+      (1 to 3).map(roundCtes).mkString +
+      """
+        |SELECT * FROM (
+        |  SELECT 1::BIGINT AS round, a AS merge_a, b AS merge_b, freq,
+        |         (SELECT n FROM s1) AS n_tokens FROM w1
+        |  UNION ALL
+        |  SELECT 2::BIGINT, a, b, freq, (SELECT n FROM s2) FROM w2
+        |  UNION ALL
+        |  SELECT 3::BIGINT, a, b, freq, (SELECT n FROM s3) FROM w3)
+        |ORDER BY round""".stripMargin
+  }
+
   /** SimHash (16-bit): per token-hash bit, ±1 votes over the distinct token
     * set; sign of each bit-sum forms the fingerprint. Near-dup docs differ
     * in few bits. Pure integer arithmetic (floor-div instead of dynamic
@@ -1587,6 +1681,7 @@ object TextOps {
     "text_quality" -> quality _,
     "text_repetition" -> repetition _,
     "text_gopher_rules" -> gopherRules _,
+    "text_bpe_train" -> ((s: SparkSession, dir: String) => bpeTrain(s, dir)),
     "dedup_exact" -> dedupExact _,
     "dedup_minhash" -> minhash _,
     "dedup_minhash_pairs" -> minhashPairs _,
@@ -1616,6 +1711,7 @@ object TextOps {
     "text_quality" -> qualitySql,
     "text_repetition" -> repetitionSql,
     "text_gopher_rules" -> gopherRulesSql,
+    "text_bpe_train" -> bpeTrainSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_minhash" -> minhashSql,
     "dedup_minhash_pairs" -> minhashPairsSql,
