@@ -397,6 +397,16 @@ object TextOps {
 
   def minhashPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    minhashCandidates(s, dir).orderBy($"a", $"b")
+  }
+
+  /** The unsorted minhash-LSH candidate pair set (a < b, each pair once —
+    * first-matching-band). Shared by [[minhashPairs]] (which adds the
+    * presentation sort) and graph consumers ([[pageRank]]) that re-shuffle
+    * immediately and must not pay a wasted global exchange.
+    */
+  private def minhashCandidates(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     // checkpoint the per-doc signatures: the band union references the
     // frame twice and the self-join doubles each side again, so without a
     // materialization the tokenize+explode+8-way-min pipeline over the
@@ -417,7 +427,6 @@ object TextOps {
     l.join(r, Seq("band", "sig"))
       .filter($"a" < $"b" && ($"band" === 0 || $"s0a" =!= $"s0b"))
       .select($"a", $"b")
-      .orderBy($"a", $"b")
   }
 
   /** (doc_id, sig0, band, sig) band-exploded view of an 8-column minhash
@@ -500,7 +509,11 @@ object TextOps {
        |FROM pairs ORDER BY new_id, match_id""".stripMargin
   }
 
-  val minhashPairsSql: String = tokCte + {
+  /** tokCte + sigs/bands + a distinct `pairs` CTE — the minhash candidate
+    * set as a reusable prefix (pairs ≡ the Spark first-matching-band
+    * emission, which is distinct by construction).
+    */
+  private val minhashPairsCte: String = tokCte + {
     val cols = A.indices.map(j =>
       s"min((${A(j)} * code + ${B(j)}) % 2147483647) AS mh$j").mkString(", ")
     def sig(i: Int) =
@@ -509,12 +522,15 @@ object TextOps {
     s""", sigs AS (SELECT doc_id, $cols FROM codes GROUP BY doc_id),
        |bands AS (
        |  SELECT doc_id, 0 AS band, ${sig(0)} AS sig FROM sigs
-       |  UNION ALL SELECT doc_id, 1, ${sig(4)} FROM sigs)
-       |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-       |FROM bands l JOIN bands r
-       |  ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
-       |ORDER BY a, b""".stripMargin
+       |  UNION ALL SELECT doc_id, 1, ${sig(4)} FROM sigs),
+       |pairs AS (
+       |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+       |  FROM bands l JOIN bands r
+       |    ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id)""".stripMargin
   }
+
+  val minhashPairsSql: String =
+    minhashPairsCte + "\nSELECT a, b FROM pairs ORDER BY a, b"
 
   /** Exact token-set Jaccard pairs at threshold 0.95.
     *
@@ -1205,6 +1221,76 @@ object TextOps {
         |ORDER BY round""".stripMargin
   }
 
+  /** PageRank over the minhash near-dup graph — the Pregel-style iterative
+    * graph op (Page et al. 1999; used in practice as a document-quality /
+    * centrality feature over dedup and link graphs in pretraining
+    * pipelines). Nodes = all docs, edges = the LSH candidate pairs (both
+    * directions); k power-iteration rounds in FIXED-POINT integer
+    * arithmetic: rank scaled by 10^6, damping 85/100, every division an
+    * integer `div` — both engines compute bit-identical ranks (floor-div
+    * ≡ DuckDB `//` on the non-negative domain), so the oracle is an exact
+    * hash gate, not a tolerance compare. Dangling/singleton docs hold the
+    * teleport mass 150000 (= 0.15 × 10^6); mass lost to floors is the
+    * standard fixed-point tradeoff and identical cross-engine.
+    *
+    * Scale: the canonical BSP shape — per iteration one join of edges
+    * against the rank frame (both hash-partitioned on src), one map-side
+    * combinable contribution sum keyed by dst, one left join back to
+    * nodes. Edges + degrees are computed ONCE and localCheckpointed (every
+    * iteration re-reads them — the multiply-consumed-frame rule); the rank
+    * frame itself is consumed once per round, so it stays lazy and the
+    * whole k-round recursion is one DAG. At real scale this is exactly
+    * GraphX/Pregel's data layout: partition edges by src, ship ranks to
+    * edges, aggregate messages by dst.
+    */
+  def pageRank(s: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+    import s.implicits._
+    val nodes = Tables.documents(s, dir).select($"doc_id")
+      .localCheckpoint(true) // re-read every round (the rank left-join base)
+    val pairs = minhashCandidates(s, dir).localCheckpoint(true) // union reads it twice
+    val edges = pairs.select($"a".as("src"), $"b".as("dst"))
+      .unionByName(pairs.select($"b".as("src"), $"a".as("dst")))
+    // fold the out-degree INTO the edge list once (an adjacency list with
+    // degree, the GraphX layout) so each round pays exactly ONE join —
+    // edges⋈deg repeated per round would double the iteration's exchanges
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("d"))
+    val edgesD = edges.join(deg, "src")
+      .select($"src", $"dst", $"d")
+      .localCheckpoint(true) // re-joined every round
+    var r = nodes.select($"doc_id", lit(1000000L).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = edgesD
+        .join(r.withColumnRenamed("doc_id", "src"), "src")
+        .select($"dst".as("doc_id"), expr("r div d").as("c"))
+        .groupBy($"doc_id").agg(sum($"c").as("s"))
+      r = nodes.join(contrib, Seq("doc_id"), "left")
+        .select($"doc_id",
+          (lit(150000L) + expr("(85 * coalesce(s, 0)) div 100")).as("r"))
+    }
+    r.select($"doc_id", $"r".as("rank")).orderBy($"doc_id")
+  }
+
+  val pageRankSql: String = {
+    def iterCte(k: Int): String =
+      s""",
+         |r$k AS (
+         |  SELECT n.doc_id,
+         |    (150000 + (85 * COALESCE(c.s, 0)) // 100)::BIGINT AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS doc_id, sum(r.r // deg.d)::BIGINT AS s
+         |    FROM edges e JOIN r${k - 1} r ON e.src = r.doc_id
+         |                 JOIN deg ON deg.src = e.src
+         |    GROUP BY e.dst) c ON n.doc_id = c.doc_id)""".stripMargin
+    minhashPairsCte +
+      """, nodes AS (SELECT doc_id FROM documents),
+        |edges AS (SELECT a AS src, b AS dst FROM pairs
+        |          UNION ALL SELECT b, a FROM pairs),
+        |deg AS (SELECT src, count(*)::BIGINT AS d FROM edges GROUP BY src),
+        |r0 AS (SELECT doc_id, 1000000::BIGINT AS r FROM nodes)""".stripMargin +
+      (1 to 3).map(iterCte).mkString +
+      "\nSELECT doc_id, r AS rank FROM r3 ORDER BY doc_id"
+  }
+
   /** SimHash (16-bit): per token-hash bit, ±1 votes over the distinct token
     * set; sign of each bit-sum forms the fingerprint. Near-dup docs differ
     * in few bits. Pure integer arithmetic (floor-div instead of dynamic
@@ -1682,6 +1768,7 @@ object TextOps {
     "text_repetition" -> repetition _,
     "text_gopher_rules" -> gopherRules _,
     "text_bpe_train" -> ((s: SparkSession, dir: String) => bpeTrain(s, dir)),
+    "graph_pagerank" -> ((s: SparkSession, dir: String) => pageRank(s, dir)),
     "dedup_exact" -> dedupExact _,
     "dedup_minhash" -> minhash _,
     "dedup_minhash_pairs" -> minhashPairs _,
@@ -1712,6 +1799,7 @@ object TextOps {
     "text_repetition" -> repetitionSql,
     "text_gopher_rules" -> gopherRulesSql,
     "text_bpe_train" -> bpeTrainSql,
+    "graph_pagerank" -> pageRankSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_minhash" -> minhashSql,
     "dedup_minhash_pairs" -> minhashPairsSql,
