@@ -1291,6 +1291,41 @@ object TextOps {
       "\nSELECT doc_id, r AS rank FROM r3 ORDER BY doc_id"
   }
 
+  /** Inverted-index build: per term, document frequency and the first 20
+    * postings (sorted doc_ids, rendered as a canonical comma string so the
+    * oracle compare is exact on both engines). The retrieval-side
+    * counterpart of [[tfidfTerms]] — postings are what a search/dedup
+    * service serves.
+    *
+    * Scale: the posting CAP is applied BEFORE aggregation (a per-term
+    * row_number over the term-keyed shuffle keeps only rank ≤ 20), so the
+    * collect_list is bounded at 20 elements per term no matter how hot the
+    * term — an uncapped collect_list over a stopword's postings would
+    * materialize one array the size of the corpus. df is the full count
+    * from the same shuffle. At real scale postings beyond the cap shard
+    * into bucketed segment files instead (this query is the index CONTRACT;
+    * the storage layout is [[graft.sources.VersionedTable]]'s job).
+    */
+  def invertedIndex(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    tokens(s, dir)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"w").orderBy($"doc_id")))
+      .groupBy($"w".as("term"))
+      .agg(count(lit(1)).as("df"),
+        array_join(sort_array(collect_list(when($"rn" <= 20, $"doc_id"))),
+          ",").as("postings"))
+      .orderBy($"term")
+  }
+
+  val invertedIndexSql: String =
+    """WITH tok AS (SELECT DISTINCT doc_id, w FROM
+      |  (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents))
+      |SELECT w AS term, count(*)::BIGINT AS df,
+      |  array_to_string((list(doc_id ORDER BY doc_id))[1:20], ',') AS postings
+      |FROM tok GROUP BY w ORDER BY term""".stripMargin
+
   /** SimHash (16-bit): per token-hash bit, ±1 votes over the distinct token
     * set; sign of each bit-sum forms the fingerprint. Near-dup docs differ
     * in few bits. Pure integer arithmetic (floor-div instead of dynamic
@@ -1769,6 +1804,7 @@ object TextOps {
     "text_gopher_rules" -> gopherRules _,
     "text_bpe_train" -> ((s: SparkSession, dir: String) => bpeTrain(s, dir)),
     "graph_pagerank" -> ((s: SparkSession, dir: String) => pageRank(s, dir)),
+    "text_inverted_index" -> invertedIndex _,
     "dedup_exact" -> dedupExact _,
     "dedup_minhash" -> minhash _,
     "dedup_minhash_pairs" -> minhashPairs _,
@@ -1800,6 +1836,7 @@ object TextOps {
     "text_gopher_rules" -> gopherRulesSql,
     "text_bpe_train" -> bpeTrainSql,
     "graph_pagerank" -> pageRankSql,
+    "text_inverted_index" -> invertedIndexSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_minhash" -> minhashSql,
     "dedup_minhash_pairs" -> minhashPairsSql,
