@@ -1156,6 +1156,18 @@ object TextOps {
     */
   def bpeTrain(s: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
     import s.implicits._
+    bpeChain(s, dir, rounds)._2.orderBy($"round")
+  }
+
+  /** Shared BPE merge chain: runs `rounds` greedy merges and returns BOTH
+    * the re-rendered corpus after the last merge (for [[bpeEncode]]) and
+    * the per-round report frame (for [[bpeTrain]]). One chain, two
+    * consumers — each round's corpus is already localCheckpointed, so
+    * neither caller re-derives the merge history.
+    */
+  private def bpeChain(s: SparkSession, dir: String,
+      rounds: Int): (DataFrame, DataFrame) = {
+    import s.implicits._
     val bar = lit("|")
     var txt = Tables.documents(s, dir)
       .select($"doc_id",
@@ -1188,10 +1200,44 @@ object TextOps {
           $"b".as("merge_b"), $"freq", $"n_tokens")
       out = Some(out.map(_.unionByName(row)).getOrElse(row))
     }
-    out.get.orderBy($"round")
+    (txt, out.get)
   }
 
-  val bpeTrainSql: String = {
+  /** BPE tokenizer APPLICATION: encode every document with the 3 merges
+    * [[bpeTrain]] learns and report the per-doc token accounting —
+    * whitespace tokens in, BPE tokens out, merges applied. This is the
+    * tokenize step every pretraining pipeline runs after fitting: the
+    * budget per document (and the compression the merges buy) is exactly
+    * what sequence packing and cost estimation consume downstream.
+    * Same exact cross-engine merge semantics as training (literal
+    * `replace` over the bar-wrapped rendering), so counts are bit-exact.
+    *
+    * Scale: the chain is O(rounds) linear corpus passes (see
+    * [[bpeTrain]]); the encode itself adds one length-arithmetic map and
+    * one doc_id-keyed join against the raw corpus — at real scale the
+    * merge table is a broadcast list applied in one pass, which is
+    * exactly what the chain's per-round broadcast winner already does.
+    */
+  def bpeEncode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val txt = bpeChain(s, dir, 3)._1
+    val ws = Tables.documents(s, dir).select($"doc_id",
+      (length($"text") - length(replace($"text", lit(" "), lit(""))) + 1L)
+        .cast("long").as("n_ws"))
+    txt
+      .select($"doc_id",
+        expr("(length(t) - length(replace(t, '|', ''))) div 2").as("n_bpe"))
+      .join(ws, "doc_id")
+      .select($"doc_id", $"n_ws", $"n_bpe",
+        ($"n_ws" - $"n_bpe").as("n_merged"))
+      .orderBy($"doc_id")
+  }
+
+  /** The d0→d3 merge-chain CTEs shared by [[bpeTrainSql]] and
+    * [[bpeEncodeSql]] — one definition so the oracle's merge semantics
+    * can never drift between the two gates.
+    */
+  private val bpeChainCtes: String = {
     def roundCtes(r: Int): String =
       s""",
          |p$r AS (
@@ -1209,7 +1255,22 @@ object TextOps {
          |        FROM d$r)""".stripMargin
     """WITH d0 AS (SELECT doc_id, '|' || replace(text, ' ', '||') || '|' AS t
       |            FROM documents)""".stripMargin +
-      (1 to 3).map(roundCtes).mkString +
+      (1 to 3).map(roundCtes).mkString
+  }
+
+  val bpeEncodeSql: String = bpeChainCtes +
+    """
+      |SELECT d.doc_id,
+      |  (length(doc.text) - length(replace(doc.text, ' ', '')) + 1)::BIGINT
+      |    AS n_ws,
+      |  ((length(d.t) - length(replace(d.t, '|', ''))) // 2)::BIGINT AS n_bpe,
+      |  ((length(doc.text) - length(replace(doc.text, ' ', '')) + 1)
+      |   - (length(d.t) - length(replace(d.t, '|', ''))) // 2)::BIGINT
+      |    AS n_merged
+      |FROM d3 d JOIN documents doc USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
+  val bpeTrainSql: String = bpeChainCtes +
       """
         |SELECT * FROM (
         |  SELECT 1::BIGINT AS round, a AS merge_a, b AS merge_b, freq,
@@ -1219,7 +1280,6 @@ object TextOps {
         |  UNION ALL
         |  SELECT 3::BIGINT, a, b, freq, (SELECT n FROM s3) FROM w3)
         |ORDER BY round""".stripMargin
-  }
 
   /** PageRank over the minhash near-dup graph — the Pregel-style iterative
     * graph op (Page et al. 1999; used in practice as a document-quality /
@@ -1290,6 +1350,81 @@ object TextOps {
       (1 to 3).map(iterCte).mkString +
       "\nSELECT doc_id, r AS rank FROM r3 ORDER BY doc_id"
   }
+
+  /** Triangle counting over the minhash near-dup graph (node-iterator++ /
+    * MPS degree orientation — Suri & Vassilvitskii 2011, the MapReduce
+    * formulation): per doc, the number of triangles it belongs to — the
+    * local-density signal that separates template/boilerplate families
+    * (clique-like, high count) from chance LSH collisions (count 0).
+    *
+    * The algorithm IS the scale story: every edge is oriented from its
+    * lower-(degree, id) endpoint to its higher one, wedges are built only
+    * between OUT-neighbors of the shared low-degree center, and one join
+    * against the oriented edge list closes them. Out-degree under this
+    * orientation is O(√m) even for a hub vertex, so wedge volume is
+    * O(m^1.5) worst-case instead of the Σd(v)² blow-up a star vertex
+    * causes under naive id-orientation — this is the standard distributed
+    * triangle algorithm at any scale. Because the closing edge {u,w} gets
+    * the SAME orientation rule, wedge order ((du,u) < (dw,w)) aligns with
+    * it and the close is a single equi-join, no per-row normalization.
+    * Pure integer compares; each triangle is found exactly once (from its
+    * unique lowest-(degree,id) vertex), so the oracle is an exact hash
+    * gate.
+    */
+  def triangles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = minhashCandidates(s, dir)
+    val nodes = pairs.select($"a".as("v")).unionByName(pairs.select($"b".as("v")))
+    val deg = nodes.groupBy($"v").agg(count(lit(1)).as("d"))
+    // orient each edge low-(deg,id) → high-(deg,id), carrying the dst's
+    // degree so wedge ordering and the closing join need no further lookup
+    val oriented = pairs
+      .join(deg.select($"v".as("a"), $"d".as("da")), "a")
+      .join(deg.select($"v".as("b"), $"d".as("db")), "b")
+      .select(
+        when($"da" < $"db" || ($"da" === $"db" && $"a" < $"b"),
+          struct($"a".as("src"), $"b".as("dst"), $"db".as("dd")))
+          .otherwise(struct($"b".as("src"), $"a".as("dst"), $"da".as("dd")))
+          .as("e"))
+      .select($"e.src", $"e.dst", $"e.dd")
+      .localCheckpoint(true) // consumed three times: both wedge sides + close
+    val wedges = oriented.as("x")
+      .join(oriented.as("y"), $"x.src" === $"y.src" &&
+        ($"x.dd" < $"y.dd" || ($"x.dd" === $"y.dd" && $"x.dst" < $"y.dst")))
+      .select($"x.src".as("v"), $"x.dst".as("u"), $"y.dst".as("w"))
+    val tri = wedges
+      .join(oriented.as("z"), $"u" === $"z.src" && $"w" === $"z.dst")
+      .select($"v", $"u", $"w")
+      .localCheckpoint(true) // three member-explode consumers below
+    tri.select($"v".as("doc_id"))
+      .unionByName(tri.select($"u".as("doc_id")))
+      .unionByName(tri.select($"w".as("doc_id")))
+      .groupBy($"doc_id").agg(count(lit(1)).as("tri_cnt"))
+      .orderBy($"doc_id")
+  }
+
+  val trianglesSql: String = minhashPairsCte +
+    """,
+      |nd AS (SELECT a AS v FROM pairs UNION ALL SELECT b FROM pairs),
+      |dg AS (SELECT v, count(*)::BIGINT AS d FROM nd GROUP BY v),
+      |o AS (SELECT
+      |    CASE WHEN da.d < db.d OR (da.d = db.d AND p.a < p.b)
+      |         THEN p.a ELSE p.b END AS src,
+      |    CASE WHEN da.d < db.d OR (da.d = db.d AND p.a < p.b)
+      |         THEN p.b ELSE p.a END AS dst
+      |  FROM pairs p JOIN dg da ON p.a = da.v JOIN dg db ON p.b = db.v),
+      |od AS (SELECT o.src, o.dst, dg.d AS dd FROM o JOIN dg ON o.dst = dg.v),
+      |tri AS (
+      |  SELECT x.src AS v, x.dst AS u, y.dst AS ww
+      |  FROM od x JOIN od y ON x.src = y.src
+      |    AND (x.dd < y.dd OR (x.dd = y.dd AND x.dst < y.dst))
+      |  WHERE EXISTS (SELECT 1 FROM od z
+      |                WHERE z.src = x.dst AND z.dst = y.dst)),
+      |mem AS (SELECT v AS doc_id FROM tri
+      |        UNION ALL SELECT u FROM tri
+      |        UNION ALL SELECT ww FROM tri)
+      |SELECT doc_id, count(*)::BIGINT AS tri_cnt
+      |FROM mem GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** Inverted-index build: per term, document frequency and the first 20
     * postings (sorted doc_ids, rendered as a canonical comma string so the
@@ -1803,8 +1938,10 @@ object TextOps {
     "text_repetition" -> repetition _,
     "text_gopher_rules" -> gopherRules _,
     "text_bpe_train" -> ((s: SparkSession, dir: String) => bpeTrain(s, dir)),
+    "text_bpe_encode" -> bpeEncode _,
     "graph_pagerank" -> ((s: SparkSession, dir: String) => pageRank(s, dir)),
     "text_inverted_index" -> invertedIndex _,
+    "graph_triangles" -> triangles _,
     "dedup_exact" -> dedupExact _,
     "dedup_minhash" -> minhash _,
     "dedup_minhash_pairs" -> minhashPairs _,
@@ -1835,8 +1972,10 @@ object TextOps {
     "text_repetition" -> repetitionSql,
     "text_gopher_rules" -> gopherRulesSql,
     "text_bpe_train" -> bpeTrainSql,
+    "text_bpe_encode" -> bpeEncodeSql,
     "graph_pagerank" -> pageRankSql,
     "text_inverted_index" -> invertedIndexSql,
+    "graph_triangles" -> trianglesSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_minhash" -> minhashSql,
     "dedup_minhash_pairs" -> minhashPairsSql,
