@@ -1925,9 +1925,163 @@ object TextOps {
        |  ((sum(bits)::BIGINT * 1000) // count(*))::BIGINT AS mean_millibits
        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Bigram-LM surprisal — the second-order refinement of
+    * [[textSurprisal]]: score each doc by its mean CONDITIONAL surprisal
+    * bits(w2 | w1) = bitlength(⌊cnt(w1·)/cnt(w1,w2)⌋) under a bigram LM
+    * fitted on the corpus itself. A unigram model can't see scrambled or
+    * templated word order; the bigram conditional is the cheapest signal
+    * that can (real prose scores low, shuffled/keyword-stuffed text
+    * high). Same integer-bits quantization as the unigram query (libm-free
+    * ⇒ bit-exact cross-engine); cnt(w1·) ≥ cnt(w1,w2) always, so the
+    * ratio is ≥ 1 and bin() never sees 0.
+    *
+    * Scale shape: bigrams are formed per-row by zipping adjacent array
+    * slices (NO positional self-join on the Spark side — pairing is free
+    * map work), then one map-side-combinable count builds each LM level
+    * and one equi-join + agg scores all docs. The bigram stream feeds
+    * three consumers (both LM fits + the scoring join), so it is
+    * materialized once. Docs with fewer than two tokens surface with
+    * n_bigrams = 0 via the left join — they are unscorable, not missing.
+    */
+  def bigramSurprisal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val arr = split($"text", " ")
+    val bg = Tables.documents(s, dir)
+      .select($"doc_id", explode(arrays_zip(
+        slice(arr, lit(1), size(arr) - 1).as("a"),
+        slice(arr, lit(2), size(arr) - 1).as("b"))).as("p"))
+      .select($"doc_id", tokenCode($"p.a").as("c1"), tokenCode($"p.b").as("c2"))
+      .localCheckpoint(true)
+    val lm2 = bg.groupBy($"c1", $"c2").agg(count(lit(1)).as("cnt2"))
+    val lm1 = bg.groupBy($"c1").agg(count(lit(1)).as("cnt1"))
+    val scored = bg.join(lm2, Seq("c1", "c2")).join(lm1, Seq("c1"))
+      .withColumn("bits",
+        length(bin(floor($"cnt1" / $"cnt2").cast("long"))).cast("long"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("nb"), sum($"bits").as("sb"))
+    Tables.documents(s, dir).select($"doc_id")
+      .join(scored, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"nb", lit(0L)).as("n_bigrams"),
+        coalesce($"sb", lit(0L)).as("surprisal_bits"))
+      .withColumn("mean_millibits",
+        when($"n_bigrams" > 0,
+          floor($"surprisal_bits" * 1000L / $"n_bigrams"))
+          .otherwise(0L).cast("long"))
+      .orderBy($"doc_id")
+  }
+
+  val bigramSurprisalSql: String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+       |ts AS (SELECT doc_id, i.i AS pos, l[i.i] AS w
+       |       FROM d, LATERAL (SELECT unnest(range(1, len(d.l) + 1)) AS i) i),
+       |cs AS (SELECT doc_id, pos, $tokenCodeSql AS code FROM ts),
+       |bg AS (SELECT a.doc_id, a.code AS c1, b.code AS c2
+       |       FROM cs a JOIN cs b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+       |lm2 AS (SELECT c1, c2, count(*)::BIGINT AS cnt2 FROM bg GROUP BY c1, c2),
+       |lm1 AS (SELECT c1, count(*)::BIGINT AS cnt1 FROM bg GROUP BY c1),
+       |sc AS (
+       |  SELECT doc_id, length(bin(cnt1 // cnt2))::BIGINT AS bits
+       |  FROM bg JOIN lm2 USING (c1, c2) JOIN lm1 USING (c1)),
+       |agg AS (SELECT doc_id, count(*)::BIGINT AS nb, sum(bits)::BIGINT AS sb
+       |        FROM sc GROUP BY doc_id)
+       |SELECT doc.doc_id,
+       |  coalesce(nb, 0)::BIGINT AS n_bigrams,
+       |  coalesce(sb, 0)::BIGINT AS surprisal_bits,
+       |  CASE WHEN coalesce(nb, 0) > 0 THEN (sb * 1000) // nb
+       |       ELSE 0 END::BIGINT AS mean_millibits
+       |FROM documents doc LEFT JOIN agg ON doc.doc_id = agg.doc_id
+       |ORDER BY doc.doc_id""".stripMargin
+
+  // ---- content-defined chunking (sub-document dedup) ----
+
+  private val P31: Array[Long] =
+    Iterator.iterate(1L)(_ * 31L).take(8).toArray // 31^0 .. 31^7
+
+  /** Content-defined chunking (Rabin/Gear-style, as in LBFS/FastCDC and
+    * the chunk-level dedup used for code corpora): split every doc at
+    * positions where an 8-char window hash ≡ 0 (mod 64), then measure how
+    * much of each doc is chunk-level copy-paste shared with OTHER docs —
+    * the sub-document dedup signal whole-doc MinHash can't give (a doc
+    * that embeds a copied paragraph inside fresh text). Boundaries depend
+    * only on local content, so insertions shift chunk frames without
+    * invalidating downstream chunks — the property that makes CDC work
+    * where fixed-width blocking fails.
+    *
+    * Window hash = Σ ascii(c_j)·31^(7-j) over the 8 trailing chars —
+    * max < 7.3e12, exact in int64 on both engines; expected chunk ≈ 64
+    * chars. The doc end is always a sentinel boundary, so every doc has
+    * ≥ 1 chunk and the per-doc ratio is never 0/0.
+    *
+    * Scale: boundary detection is a pure flatMap (position explode + 8
+    * char reads — no window function, no sequential scan dependency);
+    * chunk assembly is one per-doc lag over the SMALL boundary frame
+    * (~len/64 rows per doc, not per char); occurrence counting shuffles
+    * on chunk content exactly like exact dedup. The chunk frame is
+    * materialized once for its two consumers (occurrence count + scoring
+    * join).
+    */
+  def cdcChunks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir).select($"doc_id", $"text")
+      .localCheckpoint(true) // read by positions, the sentinel union, and chunk assembly
+    val h = (0 to 7).map(j =>
+      ascii($"text".substr($"i" + lit(j - 7), lit(1))).cast("long")
+        * lit(P31(7 - j))).reduce(_ + _)
+    val bounds = docs.filter(length($"text") >= 8)
+      .select($"doc_id", $"text", explode(sequence(lit(8), length($"text"))).as("i"))
+      .filter(h % 64 === 0)
+      .select($"doc_id", $"i".as("b"))
+      .unionByName(docs.select($"doc_id", length($"text").as("b")))
+      .distinct()
+    val chunks = bounds
+      .withColumn("st",
+        coalesce(lag($"b", 1).over(
+          Window.partitionBy($"doc_id").orderBy($"b")), lit(0)) + 1)
+      .join(docs, "doc_id")
+      .select($"doc_id", $"text".substr($"st", $"b" - $"st" + 1).as("chunk"))
+      .localCheckpoint(true)
+    val occ = chunks.groupBy($"chunk")
+      .agg(countDistinct($"doc_id").as("ndocs"))
+    chunks.join(occ, "chunk")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when($"ndocs" > 1, 1L).otherwise(0L)).as("dup_chunks"))
+      .withColumn("dup_permille",
+        floor($"dup_chunks" * 1000L / $"n_chunks").cast("long"))
+      .orderBy($"doc_id")
+  }
+
+  val cdcChunksSql: String = {
+    val h = (0 to 7).map(j =>
+      s"ascii(substr(text, i + ${j - 7}, 1))::BIGINT * ${P31(7 - j)}")
+      .mkString(" + ")
+    s"""WITH d AS (SELECT doc_id, text FROM documents),
+       |pos AS (SELECT doc_id, text, i.i AS i
+       |        FROM d, LATERAL (SELECT unnest(range(8, length(d.text) + 1)) AS i) i),
+       |b0 AS (SELECT doc_id, i AS b FROM pos WHERE ($h) % 64 = 0
+       |       UNION SELECT doc_id, length(text) FROM d),
+       |bl AS (SELECT doc_id, b,
+       |         coalesce(lag(b) OVER (PARTITION BY doc_id ORDER BY b), 0) + 1
+       |           AS st
+       |       FROM b0),
+       |ch AS (SELECT bl.doc_id, substr(d.text, st, b - st + 1) AS chunk
+       |       FROM bl JOIN d USING (doc_id)),
+       |occ AS (SELECT chunk, count(DISTINCT doc_id)::BIGINT AS ndocs
+       |        FROM ch GROUP BY chunk)
+       |SELECT doc_id, count(*)::BIGINT AS n_chunks,
+       |  sum(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END)::BIGINT AS dup_chunks,
+       |  ((sum(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) * 1000) // count(*))
+       |    ::BIGINT AS dup_permille
+       |FROM ch JOIN occ USING (chunk)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> textStats _,
     "text_surprisal" -> textSurprisal _,
+    "text_bigram_surprisal" -> bigramSurprisal _,
     "text_decontaminate" -> decontaminate _,
     "text_ngram_topk" -> ngramTopK _,
     "text_tfidf_terms" -> tfidfTopTerms _,
@@ -1943,6 +2097,7 @@ object TextOps {
     "text_inverted_index" -> invertedIndex _,
     "graph_triangles" -> triangles _,
     "dedup_exact" -> dedupExact _,
+    "dedup_cdc_chunks" -> cdcChunks _,
     "dedup_minhash" -> minhash _,
     "dedup_minhash_pairs" -> minhashPairs _,
     "dedup_shingle_minhash" -> shingleMinhash _,
@@ -1962,6 +2117,7 @@ object TextOps {
   val oracles: Map[String, String] = Map(
     "text_stats" -> textStatsSql,
     "text_surprisal" -> textSurprisalSql,
+    "text_bigram_surprisal" -> bigramSurprisalSql,
     "text_decontaminate" -> decontaminateSql,
     "text_ngram_topk" -> ngramTopKSql,
     "text_tfidf_terms" -> tfidfTopTermsSql,
@@ -1977,6 +2133,7 @@ object TextOps {
     "text_inverted_index" -> invertedIndexSql,
     "graph_triangles" -> trianglesSql,
     "dedup_exact" -> dedupExactSql,
+    "dedup_cdc_chunks" -> cdcChunksSql,
     "dedup_minhash" -> minhashSql,
     "dedup_minhash_pairs" -> minhashPairsSql,
     "dedup_shingle_minhash" -> shingleMinhashSql,
