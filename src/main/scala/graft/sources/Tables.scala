@@ -26,19 +26,28 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  /** `events.ts` is physically TIMESTAMP(NANOS) parquet, which Spark 4
-    * rejects by default ([PARQUET_TYPE_ILLEGAL]). Read the raw nanos as
-    * long and truncate to microseconds — exactly what DuckDB's
-    * `CAST(ts AS TIMESTAMP)` does, so oracle parity is preserved.
+  /** `events.ts` has shipped as two physical parquet types across corpus
+    * generations: TIMESTAMP(NANOS) (which Spark 4 rejects by default,
+    * [PARQUET_TYPE_ILLEGAL] — read as long nanos and truncate to micros,
+    * matching DuckDB's `CAST(ts AS TIMESTAMP)`) and plain TIMESTAMP(MICROS)
+    * without UTC adjustment (read as TIMESTAMP_NTZ). Normalize both to
+    * session-zone TimestampType (sessions run UTC, so the NTZ cast is
+    * value-preserving) so every downstream consumer sees one type.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // integer division: `/` on longs is DOUBLE division in Spark, and at
-    // ~1.7e18 ns the double ulp is 256 ns, which truncated 163 sf0.01
-    // events one microsecond early vs DuckDB's exact conversion
-    table(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        // integer division: `/` on longs is DOUBLE division in Spark, and
+        // at ~1.7e18 ns the double ulp is 256 ns, which truncated 163
+        // sf0.01 events one microsecond early vs DuckDB's exact conversion
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame =
     table(s, d, "documents")

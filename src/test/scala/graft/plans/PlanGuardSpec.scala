@@ -35,7 +35,11 @@ class PlanGuardSpec extends SparkSpec {
     // 1-row broadcast corpus-total frame (the LM normalizer)
     "text_surprisal" -> 1,
     // exact-L2 baseline side: fixed 10-row broadcast query-vector set
-    "sim_pq_recall" -> 1)
+    "sim_pq_recall" -> 1,
+    // one per merge round: the 1-row winner frame × the 1-row post-merge
+    // token-count frame building that round's report row (corpus-side
+    // cross joins are materialized away by the per-round checkpoint)
+    "text_bpe_train" -> 3)
 
   test("no query plans an accidental nested-loop or cartesian join") {
     def crossCount(plan: String): Int =
