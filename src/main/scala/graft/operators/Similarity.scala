@@ -1091,6 +1091,167 @@ object Similarity {
        |    ORDER BY d2_adc, vec_id) AS rn FROM cadc) t
        |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * near-duplicate grouping SCOPED TO IVF cells. The published recipe:
+    * coarse-cluster the embeddings (k-means), compare pairs only WITHIN a
+    * cluster (the approximation that makes semantic dedup tractable —
+    * candidate volume is Σ cell² instead of N²), group by cosine ≥ θ, and
+    * keep ONE member per duplicate group — the member FARTHEST from its
+    * cluster centroid (the paper's keep rule: boundary examples carry more
+    * signal than redundant near-centroid ones).
+    *
+    * Implementation rides the existing integer-exact machinery: the seeded
+    * k-means fit ([[ivfCentroids]]), exact int64 distances/dots, duplicate
+    * groups via large-star/small-star contraction over the within-cell
+    * pair graph, keep-selection as one per-group window (d2 DESC,
+    * vec_id ASC — deterministic cross-engine).
+    *
+    * Scale shape: the pair join shuffles on cell id, so compare volume is
+    * bounded by the largest cell (nCells ≈ √N at real scale keeps cells
+    * ~√N); no all-pairs join, no broadcast that grows with the corpus.
+    * Output: one row per vector — (vec_id, cell, grp, is_kept); dropping
+    * `is_kept = 0` rows IS the dedup action.
+    */
+  def semanticDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val emb = qEmb(s, dir)
+    val cents = ivfCentroids(s, emb) // checkpointed 8-row centroid table
+    val assigned = ivfAssignOf(emb, cents) // (vec_id, centroid)
+    val withCell = emb.join(assigned, Seq("vec_id"))
+    // distance to the OWN cell centroid — the keep-rule score
+    val selfD2 = withCell
+      .join(broadcast(cents.withColumn("cn2", norm2($"cq"))),
+        $"centroid" === $"cid")
+      .select($"vec_id",
+        ($"n2" - lit(2L) * dot($"q", $"cq") + $"cn2").as("d2"))
+    val l = withCell.select($"centroid", $"vec_id".as("a"), $"q".as("qa"),
+      $"n2".as("na"))
+    val r = withCell.select($"centroid", $"vec_id".as("b"), $"q".as("qb"),
+      $"n2".as("nb"))
+    val pairs = l.join(r, Seq("centroid")).filter($"a" < $"b")
+      .withColumn("cos", round(dot($"qa", $"qb").cast("double")
+        / (sqrt($"na".cast("double")) * sqrt($"nb".cast("double"))), 4))
+      .filter($"cos" >= 0.45)
+      .select($"a", $"b")
+    val (labels, _) = TextOps.starContraction(emb.select($"vec_id"), pairs)
+    labels.select($"vec_id", $"label".as("grp"))
+      .join(assigned, Seq("vec_id")).join(selfD2, Seq("vec_id"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"grp").orderBy($"d2".desc, $"vec_id")))
+      .select($"vec_id", $"centroid".as("cell"), $"grp",
+        ($"rn" === 1).cast("int").as("is_kept"))
+      .orderBy($"vec_id")
+  }
+
+  val semanticDedupSql: String =
+    qvecCte.replaceFirst("WITH ", "WITH RECURSIVE ") + kmeansCtes +
+      s""",
+         |cells AS (SELECT vec_id, cid FROM a$kmeansIters),
+         |cn2f AS (
+         |  SELECT cid, sum(y * y)::BIGINT AS cn2
+         |  FROM (SELECT cid, unnest(cq) AS y FROM cent$kmeansIters)
+         |  GROUP BY cid),
+         |sdot AS (
+         |  SELECT vec_id, sum(x * y)::BIGINT AS d FROM (
+         |    SELECT e.vec_id, unnest(e.q) AS x, unnest(c.cq) AS y
+         |    FROM qv e JOIN cells s ON e.vec_id = s.vec_id
+         |              JOIN cent$kmeansIters c ON s.cid = c.cid) z
+         |  GROUP BY vec_id),
+         |selfd AS (
+         |  SELECT s.vec_id, n.n2 - 2 * sd.d + cn.cn2 AS d2
+         |  FROM cells s JOIN sdot sd ON s.vec_id = sd.vec_id
+         |    JOIN nrm n ON s.vec_id = n.vec_id
+         |    JOIN cn2f cn ON s.cid = cn.cid),
+         |pd AS (
+         |  SELECT a, b, sum(x * y) AS d FROM (
+         |    SELECT a.vec_id AS a, b.vec_id AS b,
+         |           unnest(a.q) AS x, unnest(b.q) AS y
+         |    FROM (SELECT qv.*, c.cid FROM qv JOIN cells c USING (vec_id)) a
+         |    JOIN (SELECT qv.*, c.cid FROM qv JOIN cells c USING (vec_id)) b
+         |      ON a.cid = b.cid AND a.vec_id < b.vec_id) z
+         |  GROUP BY 1, 2),
+         |cpairs AS (
+         |  SELECT a, b FROM pd
+         |  JOIN nrm na ON a = na.vec_id JOIN nrm nb ON b = nb.vec_id
+         |  WHERE round(d / (sqrt(na.n2) * sqrt(nb.n2)), 4) >= 0.45),
+         |edges AS (SELECT a, b FROM cpairs UNION ALL SELECT b, a FROM cpairs),
+         |reach(node, m) AS (
+         |  SELECT vec_id, vec_id FROM embeddings
+         |  UNION
+         |  SELECT e.a, r.m FROM edges e JOIN reach r ON e.b = r.node),
+         |grp AS (SELECT node AS vec_id, min(m)::BIGINT AS grp
+         |        FROM reach GROUP BY node)
+         |SELECT g.vec_id, s.cid AS cell, g.grp,
+         |  CASE WHEN row_number() OVER (PARTITION BY g.grp
+         |    ORDER BY d.d2 DESC, g.vec_id) = 1 THEN 1 ELSE 0 END AS is_kept
+         |FROM grp g JOIN cells s ON g.vec_id = s.vec_id
+         |           JOIN selfd d ON g.vec_id = d.vec_id
+         |ORDER BY g.vec_id""".stripMargin
+
+  /** k-NN GRAPH over the whole corpus: every vector's top-3 exact-cosine
+    * neighbors among its LSH-bucket mates. This is the graph that feeds
+    * graph-based curation (SemDeDup variants, diversity sampling, label
+    * propagation) — [[lshTopK]] probes a fixed 10-query set; this builds
+    * the all-nodes neighbor list in one pass.
+    *
+    * Scale shape: one equi-self-join on the 8-bit LSH bucket (candidate
+    * volume ∝ Σ bucket², the standard LSH trade — more hyperplanes at
+    * larger N), then a per-node top-3 window on the bucket-partitioned
+    * shuffle. Vectors whose bucket holds no other member emit no rows
+    * (isolated in the graph), which downstream consumers must treat as
+    * "no neighbors found", not "no similar vectors exist".
+    */
+  def knnGraph(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val withB = qEmb(s, dir).join(lshBucketsRaw(s, dir), Seq("vec_id"))
+    val l = withB.select($"bucket", $"vec_id", $"q", $"n2")
+    val r = withB.select($"bucket", $"vec_id".as("nbr"), $"q".as("qn"),
+      $"n2".as("nn"))
+    l.join(r, Seq("bucket")).filter($"vec_id" =!= $"nbr")
+      .withColumn("cos", round(dot($"q", $"qn").cast("double")
+        / (sqrt($"n2".cast("double")) * sqrt($"nn".cast("double"))), 4))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"vec_id").orderBy($"cos".desc, $"nbr")))
+      .filter($"rn" <= 3)
+      .select($"vec_id", $"nbr", $"cos", $"rn")
+      .orderBy($"vec_id", $"rn")
+  }
+
+  val knnGraphSql: String = qvecCte +
+    """, comp AS (
+      |  SELECT vec_id, unnest(q) AS e, generate_subscripts(q, 1) - 1 AS i
+      |  FROM qv),
+      |hp AS (
+      |  SELECT j, i, ((1 + (j * 64 + i) * 2654435761) % 1999) - 999 AS h
+      |  FROM range(8) t(j), range(64) s(i)),
+      |hdots AS (
+      |  SELECT vec_id, j, sum(e * h) AS d
+      |  FROM comp JOIN hp USING (i) GROUP BY 1, 2),
+      |buckets AS (
+      |  SELECT vec_id, sum(CASE WHEN d >= 0 THEN (2^j)::BIGINT ELSE 0 END) AS bucket
+      |  FROM hdots GROUP BY vec_id),
+      |dots AS (
+      |  SELECT vid, nbr, sum(x * y) AS d FROM (
+      |    SELECT l.vec_id AS vid, e.vec_id AS nbr,
+      |           unnest(l.q) AS x, unnest(e.q) AS y
+      |    FROM (SELECT qv.vec_id, qv.q, b.bucket FROM qv
+      |          JOIN buckets b ON qv.vec_id = b.vec_id) l
+      |    JOIN (SELECT qv.vec_id, qv.q, b.bucket FROM qv
+      |          JOIN buckets b ON qv.vec_id = b.vec_id) e
+      |      ON l.bucket = e.bucket AND e.vec_id <> l.vec_id) z
+      |  GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT vid, nbr,
+      |    round(d / (sqrt(nq.n2) * sqrt(ne.n2)), 4) AS cos
+      |  FROM dots d JOIN nrm nq ON d.vid = nq.vec_id
+      |              JOIN nrm ne ON d.nbr = ne.vec_id)
+      |SELECT vid AS vec_id, nbr, cos, rn FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY vid
+      |    ORDER BY cos DESC, nbr) AS rn FROM scored) t
+      |WHERE rn <= 3 ORDER BY vec_id, rn""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_cosine_topk" -> cosineTopK _,
     "sim_quantize_err" -> quantizeErr _,
@@ -1106,6 +1267,8 @@ object Similarity {
     "sim_pq_topk" -> pqTopK _,
     "sim_pq_recall" -> pqRecall _,
     "sim_ivfpq_topk" -> ivfPqTopK _,
+    "dedup_semantic" -> semanticDedup _,
+    "sim_knn_graph" -> knnGraph _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1123,5 +1286,7 @@ object Similarity {
     "sim_pq_topk" -> pqTopKSql,
     "sim_pq_recall" -> pqRecallSql,
     "sim_ivfpq_topk" -> ivfPqTopKSql,
+    "dedup_semantic" -> semanticDedupSql,
+    "sim_knn_graph" -> knnGraphSql,
   )
 }
