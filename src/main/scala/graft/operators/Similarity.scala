@@ -1117,8 +1117,13 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val emb = qEmb(s, dir)
     val cents = ivfCentroids(s, emb) // checkpointed 8-row centroid table
-    val assigned = ivfAssignOf(emb, cents) // (vec_id, centroid)
-    val withCell = emb.join(assigned, Seq("vec_id"))
+    // the assignment frame IS the IVF index (what saveIvfIndex persists);
+    // materialize it once for its four consumers (keep-rule distances,
+    // both pair sides, the final cell column) instead of re-running the
+    // centroid cross join per plan branch
+    val withCell = emb
+      .join(ivfAssignOf(emb, cents), Seq("vec_id"))
+      .localCheckpoint(true)
     // distance to the OWN cell centroid — the keep-rule score
     val selfD2 = withCell
       .join(broadcast(cents.withColumn("cn2", norm2($"cq"))),
@@ -1136,7 +1141,8 @@ object Similarity {
       .select($"a", $"b")
     val (labels, _) = TextOps.starContraction(emb.select($"vec_id"), pairs)
     labels.select($"vec_id", $"label".as("grp"))
-      .join(assigned, Seq("vec_id")).join(selfD2, Seq("vec_id"))
+      .join(withCell.select($"vec_id", $"centroid"), Seq("vec_id"))
+      .join(selfD2, Seq("vec_id"))
       .withColumn("rn", row_number().over(
         Window.partitionBy($"grp").orderBy($"d2".desc, $"vec_id")))
       .select($"vec_id", $"centroid".as("cell"), $"grp",

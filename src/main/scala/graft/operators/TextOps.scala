@@ -1993,6 +1993,79 @@ object TextOps {
        |FROM documents doc LEFT JOIN agg ON doc.doc_id = agg.doc_id
        |ORDER BY doc.doc_id""".stripMargin
 
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling", arXiv:2302.03169): score
+    * every document by the log-likelihood ratio between a TARGET-domain
+    * unigram LM (here: the `lang = 'en'` slice — the domain a curator
+    * wants more of) and the RAW-corpus LM. Positive = the target model
+    * likes the doc more than the background does; importance resampling
+    * then samples ∝ exp(weight). The published method hashes n-gram
+    * features into buckets; the integer token codes here ARE that hashed
+    * feature space.
+    *
+    * Same integer-bits quantization as [[textSurprisal]] (libm-free,
+    * cross-engine exact): weight(w) = bits_raw(w) − bits_target(w) with
+    * bits_x = bitlength(⌊N_x/cnt_x⌋). The target LM is add-one smoothed
+    * over the RAW vocabulary (cnt_t+1 over N_t+V — tokens unseen in
+    * target stay finite), the raw LM needs none (every stream token has
+    * cnt_r ≥ 1). Σ(cnt_t+1) = N_t+V exactly, so ONE aggregation row
+    * carries both normalizers. The signed mean uses floor of exact double
+    * division on BOTH engines — DuckDB's `//` truncates toward zero on
+    * negatives while Spark's floor() floors, so the integer-division
+    * idiom the positive-only surprisal queries use would diverge here.
+    *
+    * Scale shape: token stream → two map-side-combinable counts (raw,
+    * target) → vocabulary-bounded LM join back to the stream; the 1-row
+    * normalizer frame rides a broadcast. No driver collect.
+    */
+  def dsirWeights(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val stream = Tables.documents(s, dir)
+      .select($"doc_id", $"lang", explode(split($"text", " ")).as("w"))
+      .select($"doc_id", $"lang", tokenCode($"w").as("code"))
+      .localCheckpoint(true) // three consumers: raw LM, target LM, scoring
+    val rawLm = stream.groupBy($"code").agg(count(lit(1)).as("cnt_r"))
+    val tgtLm = stream.filter($"lang" === "en")
+      .groupBy($"code").agg(count(lit(1)).as("cnt_t"))
+    val lm = rawLm.join(tgtLm, Seq("code"), "left")
+      .select($"code", $"cnt_r",
+        (coalesce($"cnt_t", lit(0L)) + 1L).as("cnt_t1"))
+      .localCheckpoint(true) // consumed by the normalizer agg + the scoring join
+    val tot = lm.agg(sum($"cnt_r").as("n_r"), sum($"cnt_t1").as("n_t1"))
+    stream.join(lm, Seq("code")).crossJoin(broadcast(tot))
+      .withColumn("wbits",
+        length(bin(floor($"n_r" / $"cnt_r").cast("long"))).cast("long")
+          - length(bin(floor($"n_t1" / $"cnt_t1").cast("long"))).cast("long"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum($"wbits").as("dsir_bits"))
+      .withColumn("mean_millibits",
+        floor(($"dsir_bits" * 1000L) / $"n_tokens").cast("long"))
+      .orderBy($"doc_id")
+  }
+
+  val dsirWeightsSql: String =
+    s"""WITH ts AS (
+       |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+       |  FROM documents),
+       |cs AS (SELECT doc_id, lang, $tokenCodeSql AS code FROM ts),
+       |rl AS (SELECT code, count(*)::BIGINT AS cnt_r FROM cs GROUP BY code),
+       |tl AS (SELECT code, count(*)::BIGINT AS cnt_t FROM cs
+       |       WHERE lang = 'en' GROUP BY code),
+       |lm AS (SELECT code, cnt_r, coalesce(cnt_t, 0) + 1 AS cnt_t1
+       |       FROM rl LEFT JOIN tl USING (code)),
+       |tot AS (SELECT sum(cnt_r)::BIGINT AS n_r, sum(cnt_t1)::BIGINT AS n_t1
+       |        FROM lm),
+       |sc AS (
+       |  SELECT doc_id,
+       |    length(bin(n_r // cnt_r))::BIGINT
+       |      - length(bin(n_t1 // cnt_t1))::BIGINT AS w
+       |  FROM cs JOIN lm USING (code) CROSS JOIN tot)
+       |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       |  sum(w)::BIGINT AS dsir_bits,
+       |  floor((sum(w)::BIGINT * 1000)::DOUBLE / count(*))::BIGINT
+       |    AS mean_millibits
+       |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ---- content-defined chunking (sub-document dedup) ----
 
   private val P31: Array[Long] =
@@ -2081,6 +2154,7 @@ object TextOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> textStats _,
     "text_surprisal" -> textSurprisal _,
+    "text_dsir_weights" -> dsirWeights _,
     "text_bigram_surprisal" -> bigramSurprisal _,
     "text_decontaminate" -> decontaminate _,
     "text_ngram_topk" -> ngramTopK _,
@@ -2117,6 +2191,7 @@ object TextOps {
   val oracles: Map[String, String] = Map(
     "text_stats" -> textStatsSql,
     "text_surprisal" -> textSurprisalSql,
+    "text_dsir_weights" -> dsirWeightsSql,
     "text_bigram_surprisal" -> bigramSurprisalSql,
     "text_decontaminate" -> decontaminateSql,
     "text_ngram_topk" -> ngramTopKSql,
