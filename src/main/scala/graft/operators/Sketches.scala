@@ -598,6 +598,140 @@ object Sketches {
        |           ELSE 0 END)::BIGINT AS ht_est_w
        |FROM d GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** KMV multiset algebra (Beyer et al., "On Synopses for Distinct-Value
+    * Estimation Under Multiset Operations", SIGMOD 2007): distinct-count
+    * estimates for the UNION and INTERSECTION of every pair of
+    * `l_returnflag` part-key sets, computed purely on the per-flag KMV
+    * sketches — the raw data is touched once (to build the sketches and
+    * the exact-error columns), every set operation after that works on
+    * ≤ k hashes per side. This is the property that matters at 100 TB:
+    * cross-partition / cross-dataset overlap questions ("how many part
+    * keys do these two shards share?") become sketch-sized joins.
+    *
+    * Union sketch = k smallest of the union of the two sketch hash sets
+    * (valid because each side kept its k smallest — any hash in the true
+    * union's k smallest is in one side's k smallest). est_union is the
+    * same (k−1)·M/h_k estimator as [[kmvDistinct]]; est_inter = ρ ·
+    * est_union with ρ = |union-sketch ∩ both-sides| / k (the paper's
+    * match-fraction estimator). Exact union/intersection counts ride
+    * along as the error surface, house style.
+    *
+    * All arithmetic is exact int64 + one floor(double) per estimate
+    * (operands < 2^53, so both engines compute identical doubles).
+    */
+  def kmvSetOps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val hashes = partKeyHash(s, dir).distinct().withColumn("hneg", -$"hv")
+    val kept = graft.plans.GroupedTopK(hashes,
+        groupCols = Seq("grp"), orderCols = Seq("hneg", "hv"), k = 64)
+      .select($"grp", $"hv")
+      .localCheckpoint(true) // ≤ 64·|flags| rows; five consumers below
+    // unordered flag pairs — a |flags|² cross product of two ≤3-row
+    // frames, checkpointed so the tiny nested loop never re-plans
+    val pairs = kept.select($"grp".as("g1")).distinct()
+      .crossJoin(kept.select($"grp".as("g2")).distinct())
+      .filter($"g1" < $"g2")
+      .localCheckpoint(true)
+    val u = pairs.join(kept.select($"grp".as("g1"), $"hv"), Seq("g1"))
+      .select($"g1", $"g2", $"hv")
+      .unionByName(pairs.join(kept.select($"grp".as("g2"), $"hv"), Seq("g2"))
+        .select($"g1", $"g2", $"hv"))
+      .distinct()
+    val topu = u.withColumn("rn", row_number().over(
+        Window.partitionBy($"g1", $"g2").orderBy($"hv")))
+      .filter($"rn" <= 64)
+      .localCheckpoint(true) // consumed by the merged agg AND the ρ join
+    val merged = topu.groupBy($"g1", $"g2")
+      .agg(max($"hv").as("kth_hash"), count(lit(1)).as("n_kept"))
+    val both = kept.select($"grp".as("g1"), $"hv")
+      .join(kept.select($"grp".as("g2"), $"hv"), Seq("hv"))
+      .filter($"g1" < $"g2")
+    val nBoth = topu.join(both, Seq("g1", "g2", "hv"))
+      .groupBy($"g1", $"g2").agg(count(lit(1)).as("n_both"))
+    // exact error surface: per-flag distinct sizes + pairwise overlap
+    val fp = Tables.lineitem(s, dir)
+      .select($"l_returnflag".as("g"), $"l_partkey".as("pk")).distinct()
+      .localCheckpoint(true)
+    val cnt = fp.groupBy($"g").agg(count(lit(1)).as("c"))
+    val xInter = fp.select($"g".as("g1"), $"pk")
+      .join(fp.select($"g".as("g2"), $"pk"), Seq("pk"))
+      .filter($"g1" < $"g2")
+      .groupBy($"g1", $"g2").agg(count(lit(1)).as("exact_inter"))
+    merged
+      .join(nBoth, Seq("g1", "g2"), "left")
+      .withColumn("n_both", coalesce($"n_both", lit(0L)))
+      .withColumn("est_union",
+        floor(($"n_kept" - 1).cast("double") * lit(M.toDouble)
+          / $"kth_hash".cast("double")).cast("long"))
+      .withColumn("est_inter",
+        floor($"n_both".cast("double") * $"est_union".cast("double")
+          / $"n_kept".cast("double")).cast("long"))
+      .join(xInter, Seq("g1", "g2"), "left")
+      .withColumn("exact_inter", coalesce($"exact_inter", lit(0L)))
+      .join(cnt.select($"g".as("g1"), $"c".as("c1")), Seq("g1"))
+      .join(cnt.select($"g".as("g2"), $"c".as("c2")), Seq("g2"))
+      .withColumn("exact_union", $"c1" + $"c2" - $"exact_inter")
+      .select($"g1", $"g2", $"n_kept", $"kth_hash", $"n_both",
+        $"est_union", $"est_inter", $"exact_union", $"exact_inter")
+      .orderBy($"g1", $"g2")
+  }
+
+  val kmvSetOpsSql: String =
+    s"""WITH hs AS (
+       |  SELECT DISTINCT l_returnflag AS grp,
+       |    (2654435761 * l_partkey + 12007) % $M AS hv
+       |  FROM lineitem),
+       |r AS (
+       |  SELECT grp, hv,
+       |    row_number() OVER (PARTITION BY grp ORDER BY hv) AS rn
+       |  FROM hs),
+       |kept AS (SELECT grp, hv FROM r WHERE rn <= 64),
+       |prs AS (
+       |  SELECT a.grp AS g1, b.grp AS g2
+       |  FROM (SELECT DISTINCT grp FROM kept) a
+       |  JOIN (SELECT DISTINCT grp FROM kept) b ON a.grp < b.grp),
+       |u AS (
+       |  SELECT DISTINCT p.g1, p.g2, k.hv
+       |  FROM prs p JOIN kept k ON k.grp = p.g1 OR k.grp = p.g2),
+       |tu AS (
+       |  SELECT g1, g2, hv,
+       |    row_number() OVER (PARTITION BY g1, g2 ORDER BY hv) AS rn
+       |  FROM u),
+       |mg AS (
+       |  SELECT g1, g2, max(hv)::BIGINT AS kth_hash,
+       |    count(*)::BIGINT AS n_kept
+       |  FROM tu WHERE rn <= 64 GROUP BY 1, 2),
+       |bt AS (
+       |  SELECT a.grp AS g1, b.grp AS g2, a.hv
+       |  FROM kept a JOIN kept b ON a.hv = b.hv AND a.grp < b.grp),
+       |nb AS (
+       |  SELECT t.g1, t.g2, count(*)::BIGINT AS n_both
+       |  FROM tu t JOIN bt ON t.g1 = bt.g1 AND t.g2 = bt.g2 AND t.hv = bt.hv
+       |  WHERE t.rn <= 64 GROUP BY 1, 2),
+       |fp AS (SELECT DISTINCT l_returnflag AS g, l_partkey AS pk
+       |       FROM lineitem),
+       |cnt AS (SELECT g, count(*)::BIGINT AS c FROM fp GROUP BY g),
+       |xin AS (
+       |  SELECT a.g AS g1, b.g AS g2, count(*)::BIGINT AS exact_inter
+       |  FROM fp a JOIN fp b ON a.pk = b.pk AND a.g < b.g GROUP BY 1, 2),
+       |est AS (
+       |  SELECT m.g1, m.g2, m.n_kept, m.kth_hash,
+       |    coalesce(nb.n_both, 0)::BIGINT AS n_both,
+       |    floor((m.n_kept - 1)::DOUBLE * $M::DOUBLE
+       |      / m.kth_hash::DOUBLE)::BIGINT AS est_union
+       |  FROM mg m LEFT JOIN nb ON m.g1 = nb.g1 AND m.g2 = nb.g2)
+       |SELECT e.g1, e.g2, e.n_kept, e.kth_hash, e.n_both, e.est_union,
+       |  floor(e.n_both::DOUBLE * e.est_union::DOUBLE
+       |    / e.n_kept::DOUBLE)::BIGINT AS est_inter,
+       |  (c1.c + c2.c - coalesce(x.exact_inter, 0))::BIGINT AS exact_union,
+       |  coalesce(x.exact_inter, 0)::BIGINT AS exact_inter
+       |FROM est e
+       |LEFT JOIN xin x ON e.g1 = x.g1 AND e.g2 = x.g2
+       |JOIN cnt c1 ON e.g1 = c1.g
+       |JOIN cnt c2 ON e.g2 = c2.g
+       |ORDER BY e.g1, e.g2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_stratified" -> stratifiedSample _,
     "sample_mixture" -> mixtureSample _,
@@ -605,6 +739,7 @@ object Sketches {
     "sketch_bloom_filter" -> bloomFilter _,
     "sketch_kmv_distinct" -> kmvDistinct _,
     "sketch_kmv_agg" -> kmvAgg _,
+    "sketch_kmv_setops" -> kmvSetOps _,
     "sketch_hll_distinct" -> hllDistinct _,
     "sketch_hash_sample" -> hashSample _,
     "sketch_cms_freq" -> cmsFreq _,
@@ -617,6 +752,7 @@ object Sketches {
     "sketch_bloom_filter" -> bloomFilterSql,
     "sketch_kmv_distinct" -> kmvDistinctSql,
     "sketch_kmv_agg" -> kmvDistinctSql, // same logical result, UDAF plan
+    "sketch_kmv_setops" -> kmvSetOpsSql,
     "sketch_hll_distinct" -> hllDistinctSql,
     "sketch_hash_sample" -> hashSampleSql,
     "sketch_cms_freq" -> cmsFreqSql,
