@@ -1993,6 +1993,70 @@ object TextOps {
        |FROM documents doc LEFT JOIN agg ON doc.doc_id = agg.doc_id
        |ORDER BY doc.doc_id""".stripMargin
 
+  /** CCNet's perplexity-bucket ACTION (Wenzek et al., LREC 2020 §4.3):
+    * split each language's documents into head/middle/tail terciles by LM
+    * surprisal — the standard curation move after scoring (keep head,
+    * resample middle, drop or down-weight tail). Scores come from the same
+    * integer-bits unigram LM as [[textSurprisal]]; the tercile is one
+    * ntile(3) window per language over the deterministic total order
+    * (mean_millibits, doc_id), so bucket boundaries are exactly
+    * reproducible cross-engine (both engines give the first n mod 3
+    * buckets the extra row).
+    *
+    * Scale shape: the scoring pass is [[textSurprisal]]'s (stream → LM →
+    * join back); the bucketing adds ONE window partitioned by language —
+    * at 100 TB that window's shuffle is per-language and the per-partition
+    * state is a row counter, not a buffer.
+    */
+  def pplBuckets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val stream = Tables.documents(s, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("w"))
+      .select($"doc_id", tokenCode($"w").as("code"))
+    val lm = stream.groupBy($"code").agg(count(lit(1)).as("cnt"))
+    val total = lm.agg(sum($"cnt").as("n_total"))
+    val scored = stream.join(lm, Seq("code"))
+      .crossJoin(broadcast(total))
+      .withColumn("bits",
+        length(bin(floor($"n_total" / $"cnt").cast("long"))).cast("long"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum($"bits").as("sb"))
+      .withColumn("mean_millibits",
+        floor($"sb" * 1000L / $"n_tokens").cast("long"))
+    scored
+      .join(Tables.documents(s, dir).select($"doc_id", $"lang"), Seq("doc_id"))
+      .withColumn("tercile", ntile(3).over(
+        Window.partitionBy($"lang").orderBy($"mean_millibits", $"doc_id")))
+      .select($"doc_id", $"lang", $"mean_millibits",
+        when($"tercile" === 1, "head").when($"tercile" === 2, "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy($"doc_id")
+  }
+
+  val pplBucketsSql: String =
+    s"""WITH ts AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |cs AS (SELECT doc_id, $tokenCodeSql AS code FROM ts),
+       |lm AS (SELECT code, count(*)::BIGINT AS cnt FROM cs GROUP BY code),
+       |tot AS (SELECT sum(cnt)::BIGINT AS n_total FROM lm),
+       |sc AS (
+       |  SELECT doc_id, length(bin(n_total // cnt))::BIGINT AS bits
+       |  FROM cs JOIN lm USING (code) CROSS JOIN tot),
+       |mean AS (
+       |  SELECT doc_id, ((sum(bits)::BIGINT * 1000) // count(*))::BIGINT
+       |    AS mean_millibits
+       |  FROM sc GROUP BY doc_id),
+       |t AS (
+       |  SELECT m.doc_id, d.lang, m.mean_millibits,
+       |    ntile(3) OVER (PARTITION BY d.lang
+       |      ORDER BY m.mean_millibits, m.doc_id) AS tc
+       |  FROM mean m JOIN documents d ON m.doc_id = d.doc_id)
+       |SELECT doc_id, lang, mean_millibits,
+       |  CASE tc WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+       |    AS bucket
+       |FROM t ORDER BY doc_id""".stripMargin
+
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling", arXiv:2302.03169): score
     * every document by the log-likelihood ratio between a TARGET-domain
@@ -2155,6 +2219,7 @@ object TextOps {
     "text_stats" -> textStats _,
     "text_surprisal" -> textSurprisal _,
     "text_dsir_weights" -> dsirWeights _,
+    "text_ppl_buckets" -> pplBuckets _,
     "text_bigram_surprisal" -> bigramSurprisal _,
     "text_decontaminate" -> decontaminate _,
     "text_ngram_topk" -> ngramTopK _,
@@ -2192,6 +2257,7 @@ object TextOps {
     "text_stats" -> textStatsSql,
     "text_surprisal" -> textSurprisalSql,
     "text_dsir_weights" -> dsirWeightsSql,
+    "text_ppl_buckets" -> pplBucketsSql,
     "text_bigram_surprisal" -> bigramSurprisalSql,
     "text_decontaminate" -> decontaminateSql,
     "text_ngram_topk" -> ngramTopKSql,

@@ -36,6 +36,8 @@ class PlanGuardSpec extends SparkSpec {
     "text_surprisal" -> 1,
     // 1-row broadcast normalizer frame (raw + smoothed-target totals)
     "text_dsir_weights" -> 1,
+    // 1-row broadcast corpus-total frame (same LM as text_surprisal)
+    "text_ppl_buckets" -> 1,
     // exact-L2 baseline side: fixed 10-row broadcast query-vector set
     "sim_pq_recall" -> 1,
     // one per merge round: the 1-row winner frame × the 1-row post-merge
