@@ -429,11 +429,28 @@ object TextOps {
       .select($"a", $"b")
   }
 
+  /** The 8 MinHash signature columns as pure PER-ROW array expressions
+    * over a `text` column: array_min over the permuted codes of the
+    * distinct token set. Bit-identical to the groupBy-min the batch
+    * operators use (same distinct set, same permutations — asserted in
+    * DedupStreamSpec), but STATELESS, which is what a streaming ingest
+    * path needs: an append-mode stream cannot emit groupBy aggregates
+    * without watermark expiry, while a map-only signature goes straight
+    * into a stream-static index join ([[graft.streaming.DedupStream]]).
+    */
+  private[graft] def minhashSigCols: Seq[Column] = {
+    val codes = transform(array_distinct(split(col("text"), " ")),
+      w => tokenCode(w))
+    A.indices.map(j =>
+      array_min(transform(codes, c => (lit(A(j)) * c + B(j)) % P))
+        .as(s"mh$j"))
+  }
+
   /** (doc_id, sig0, band, sig) band-exploded view of an 8-column minhash
     * signature frame — 2 bands × 4 rows folded by [[bandSig]]. sig0 rides
     * along for first-matching-band dedup at the join.
     */
-  private def bandedOf(sig: DataFrame): DataFrame = {
+  private[graft] def bandedOf(sig: DataFrame): DataFrame = {
     val s = sig.sparkSession
     import s.implicits._
     sig.select($"doc_id",
