@@ -294,7 +294,54 @@ object Events {
       |   AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 30 MINUTE
       |) t WHERE rn = 1 ORDER BY click_id""".stripMargin
 
+  /** Daily-volume anomaly flags per event type: a day is anomalous when
+    * its count deviates from the type's mean by more than 2σ — computed
+    * ENTIRELY in exact integer arithmetic so both engines agree
+    * bit-for-bit: with D days, S = Σn, SS = Σn², the test
+    * (n−μ)² > 4σ² cross-multiplies to (n·D − S)² > 4·(D·SS − S²)
+    * (all terms ≪ 2^63 at any plausible daily volume). This is the
+    * monitoring query a pipeline runs over ingest volumes; no floats, no
+    * approximate variance.
+    *
+    * Scale shape: one map-side-combinable daily count, one tiny per-type
+    * moment aggregation (|types| rows) broadcast back onto the daily
+    * frame. The raw events are touched once.
+    */
+  def anomalies(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val day = Tables.events(s, dir)
+      .select($"event_type",
+        date_format(date_trunc("day", $"ts"), "yyyy-MM-dd").as("day"))
+      .groupBy($"event_type", $"day").agg(count(lit(1)).as("n"))
+    val st = day.groupBy($"event_type")
+      .agg(count(lit(1)).as("d"), sum($"n").as("sn"),
+        sum($"n" * $"n").as("ss"))
+    day.join(broadcast(st), Seq("event_type"))
+      .withColumn("dev", $"n" * $"d" - $"sn")
+      .select($"event_type", $"day", $"n",
+        ($"dev" * $"dev" > lit(4L) * ($"d" * $"ss" - $"sn" * $"sn"))
+          .cast("int").as("is_anomaly"))
+      .orderBy($"event_type", $"day")
+  }
+
+  val anomaliesSql: String =
+    """WITH d AS (
+      |  SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+      |    count(*)::BIGINT AS n
+      |  FROM events GROUP BY 1, 2),
+      |st AS (
+      |  SELECT event_type, count(*)::BIGINT AS dd, sum(n)::BIGINT AS sn,
+      |    sum(n * n)::BIGINT AS ss
+      |  FROM d GROUP BY 1)
+      |SELECT d.event_type, d.day, d.n,
+      |  CASE WHEN (d.n * st.dd - st.sn) * (d.n * st.dd - st.sn)
+      |         > 4 * (st.dd * st.ss - st.sn * st.sn)
+      |       THEN 1 ELSE 0 END AS is_anomaly
+      |FROM d JOIN st USING (event_type)
+      |ORDER BY d.event_type, d.day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_anomaly" -> anomalies _,
     "ev_tumbling" -> tumbling _,
     "ev_attribution" -> attribution _,
     "ev_sliding" -> sliding _,
@@ -307,6 +354,7 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "ev_anomaly" -> anomaliesSql,
     "ev_tumbling" -> tumblingSql,
     "ev_attribution" -> attributionSql,
     "ev_sliding" -> slidingSql,

@@ -1195,6 +1195,49 @@ object Similarity {
          |           JOIN selfd d ON g.vec_id = d.vec_id
          |ORDER BY g.vec_id""".stripMargin
 
+  /** Maximum-inner-product top-5 per query vector — the recommender /
+    * retrieval scoring order (user·item), which differs from cosine when
+    * norms vary: a long vector can win on raw inner product while losing
+    * on angle. Scores are exact int64 dot products (no normalization, no
+    * floats anywhere — the one similarity query with a fully integer
+    * result surface). Same broadcast-scan shape as [[cosineTopK]]: the
+    * query set rides a broadcast, the corpus streams through one narrow
+    * stage into a per-query top-k. The indexable path at scale is the
+    * standard norm-augmentation reduction (append √(maxN²−‖x‖²) to each
+    * corpus vector, 0 to queries — MIPS order becomes cosine order) on
+    * top of the existing IVF/LSH machinery; this query is the exact
+    * baseline any such index is judged against.
+    */
+  def mipsTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(s, dir)
+      .select($"vec_id", qvec($"embedding").as("q"))
+    val queries = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"q".as("qq"))
+    emb.crossJoin(broadcast(queries))
+      .filter($"vec_id" =!= $"qid")
+      .withColumn("dp", dot($"q", $"qq"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"qid").orderBy($"dp".desc, $"vec_id")))
+      .filter($"rn" <= 5)
+      .select($"qid", $"vec_id", $"dp", $"rn")
+      .orderBy($"qid", $"rn")
+  }
+
+  val mipsTopKSql: String = qvecCte +
+    """, dots AS (
+      |  SELECT qid, vec_id, sum(x * y)::BIGINT AS dp FROM (
+      |    SELECT q.vec_id AS qid, e.vec_id,
+      |           unnest(q.q) AS x, unnest(e.q) AS y
+      |    FROM (SELECT vec_id, q FROM qv WHERE vec_id < 10) q
+      |    JOIN qv e ON e.vec_id <> q.vec_id) z
+      |  GROUP BY 1, 2)
+      |SELECT qid, vec_id, dp, rn FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY qid
+      |    ORDER BY dp DESC, vec_id) AS rn FROM dots) t
+      |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+
   /** k-NN GRAPH over the whole corpus: every vector's top-3 exact-cosine
     * neighbors among its LSH-bucket mates. This is the graph that feeds
     * graph-based curation (SemDeDup variants, diversity sampling, label
@@ -1275,6 +1318,7 @@ object Similarity {
     "sim_ivfpq_topk" -> ivfPqTopK _,
     "dedup_semantic" -> semanticDedup _,
     "sim_knn_graph" -> knnGraph _,
+    "sim_mips_topk" -> mipsTopK _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1294,5 +1338,6 @@ object Similarity {
     "sim_ivfpq_topk" -> ivfPqTopKSql,
     "dedup_semantic" -> semanticDedupSql,
     "sim_knn_graph" -> knnGraphSql,
+    "sim_mips_topk" -> mipsTopKSql,
   )
 }

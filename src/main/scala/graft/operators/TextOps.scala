@@ -101,6 +101,15 @@ object TextOps {
     */
   def langId(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    langPreds(s, dir).orderBy($"doc_id")
+  }
+
+  /** Unsorted (doc_id, lang, s_*, pred_lang) scoring frame shared by
+    * [[langId]] (adds the presentation sort) and [[langIdConfusion]]
+    * (aggregates immediately — a sort here would be a wasted exchange).
+    */
+  private def langPreds(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val p = concat(lit(" "), $"text", lit(" "))
     def occ(m: String): Column =
       ((length(p) - length(regexp_replace(p, lit(m), lit("")))) / m.length)
@@ -116,8 +125,35 @@ object TextOps {
           .when($"s_de" >= $"s_es" && $"s_de" >= $"s_fr", "de")
           .when($"s_es" >= $"s_fr", "es")
           .otherwise("fr"))
-      .orderBy($"doc_id")
   }
+
+  /** Classifier EVALUATION surface: the (true lang × predicted lang)
+    * confusion matrix of the marker heuristic, with per-true-language
+    * permille shares — the quality report a curator reads before trusting
+    * a language filter at corpus scale. One aggregation over the scoring
+    * map plus one language-partitioned window on the ≤|langs|² matrix
+    * frame; the corpus is touched once.
+    */
+  def langIdConfusion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    langPreds(s, dir)
+      .groupBy($"lang", $"pred_lang").agg(count(lit(1)).as("n"))
+      .withColumn("permille",
+        floor($"n" * 1000L
+          / sum($"n").over(Window.partitionBy($"lang"))).cast("long"))
+      .orderBy($"lang", $"pred_lang")
+  }
+
+  // lazy: langIdSql is declared later in the object; a strict val here
+  // would capture null at initialization order
+  lazy val langIdConfusionSql: String =
+    s"""WITH p AS (${"\n"}$langIdSql),
+       |c AS (SELECT lang, pred_lang, count(*)::BIGINT AS n
+       |      FROM p GROUP BY 1, 2)
+       |SELECT lang, pred_lang, n,
+       |  ((n * 1000) // sum(n) OVER (PARTITION BY lang))::BIGINT AS permille
+       |FROM c ORDER BY lang, pred_lang""".stripMargin
 
   val langIdSql: String = {
     def occ(m: String) =
@@ -2237,6 +2273,7 @@ object TextOps {
     "text_surprisal" -> textSurprisal _,
     "text_dsir_weights" -> dsirWeights _,
     "text_ppl_buckets" -> pplBuckets _,
+    "text_langid_confusion" -> langIdConfusion _,
     "text_bigram_surprisal" -> bigramSurprisal _,
     "text_decontaminate" -> decontaminate _,
     "text_ngram_topk" -> ngramTopK _,
@@ -2275,6 +2312,7 @@ object TextOps {
     "text_surprisal" -> textSurprisalSql,
     "text_dsir_weights" -> dsirWeightsSql,
     "text_ppl_buckets" -> pplBucketsSql,
+    "text_langid_confusion" -> langIdConfusionSql,
     "text_bigram_surprisal" -> bigramSurprisalSql,
     "text_decontaminate" -> decontaminateSql,
     "text_ngram_topk" -> ngramTopKSql,

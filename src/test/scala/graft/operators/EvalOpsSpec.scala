@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.Tables
+
+/** Laws for the round-9 evaluation/monitoring operators: exact MIPS
+  * ranking, integer-exact volume anomalies, and the language-ID confusion
+  * matrix — each checked against an independent in-memory recompute.
+  */
+class EvalOpsSpec extends SparkSpec {
+
+  private val dir = sf("sf0.001")
+
+  test("mipsTopK matches a brute-force in-memory inner-product ranking") {
+    import spark.implicits._
+    val got = Similarity.mipsTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val vecs = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 10000d).toLong))
+      .toMap
+    val expect = (for (q <- vecs.keys.filter(_ < 10)) yield {
+      val qq = vecs(q)
+      vecs.toSeq.filter(_._1 != q)
+        .map { case (id, v) =>
+          (id, v.zip(qq).map { case (a, b) => a * b }.sum) }
+        .sortBy { case (id, dp) => (-dp, id) }
+        .take(5).zipWithIndex
+        .map { case ((id, dp), i) => (q, i + 1) -> ((id, dp)) }
+    }).flatten.toMap
+    assert(got == expect)
+  }
+
+  test("ev_anomaly flags exactly the >2-sigma days of an exact recompute") {
+    import spark.implicits._
+    val got = Events.anomalies(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getInt(3))))
+      .toMap
+    val days = Tables.events(spark, dir)
+      .select($"event_type",
+        date_format(date_trunc("day", $"ts"), "yyyy-MM-dd").as("day"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val counts = days.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val expect = counts.map { case ((t, day), n) =>
+      val ns = counts.collect { case ((tt, _), m) if tt == t => m }.toSeq
+      val (d, sn, ss) = (ns.length.toLong, ns.sum, ns.map(x => x * x).sum)
+      val dev = n * d - sn
+      (t, day) -> ((n, if (dev * dev > 4L * (d * ss - sn * sn)) 1 else 0))
+    }
+    assert(got == expect)
+    // volume conservation: per type, the daily counts sum to the raw total
+    val byType = days.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    got.groupBy(_._1._1).foreach { case (t, rows) =>
+      assert(rows.values.map(_._1).sum == byType(t))
+    }
+  }
+
+  test("langIdConfusion is the exact groupBy of the per-doc predictions") {
+    import spark.implicits._
+    val got = TextOps.langIdConfusion(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    val preds = TextOps.langId(spark, dir)
+      .select($"lang", $"pred_lang").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val expect = preds.groupBy(identity).map { case ((l, p), v) =>
+      val n = v.length.toLong
+      val tot = preds.count(_._1 == l).toLong
+      (l, p) -> ((n, n * 1000 / tot))
+    }
+    assert(got == expect)
+    // conservation: matrix cells sum to the corpus size
+    assert(got.values.map(_._1).sum ==
+      Tables.documents(spark, dir).count())
+  }
+}

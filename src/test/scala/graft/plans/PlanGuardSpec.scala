@@ -40,6 +40,8 @@ class PlanGuardSpec extends SparkSpec {
     "text_ppl_buckets" -> 1,
     // exact-L2 baseline side: fixed 10-row broadcast query-vector set
     "sim_pq_recall" -> 1,
+    // fixed 10-row broadcast query-vector set (exact MIPS baseline)
+    "sim_mips_topk" -> 1,
     // one per merge round: the 1-row winner frame × the 1-row post-merge
     // token-count frame building that round's report row (corpus-side
     // cross joins are materialized away by the per-round checkpoint)
