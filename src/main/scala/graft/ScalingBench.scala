@@ -34,7 +34,9 @@ object ScalingBench {
   // (v2 = every shard remapped), zorderGen whenever the z-order table
   // construction changes (z1 = 10-bit min/max normalization) — stale
   // caches rebuild instead of being silently re-measured
-  private val corpusGen = "v2"
+  // v3: embeddings get per-shard ±1 sign transforms (see buildCorpus) so
+  // scaled pair-emitter slopes measure a scaled problem, not a denser one
+  private val corpusGen = "v3"
   private val zorderGen = "z1"
 
   private def f3(v: Double): String =
@@ -69,7 +71,27 @@ object ScalingBench {
     val nVec = emb.agg(max("vec_id")).head().getLong(0) + 1
     emb.withColumn("shard", explode(sequence(lit(0), lit(mult - 1))))
       .select((col("vec_id") + col("shard") * nVec).as("vec_id"),
-        col("embedding"), col("label"))
+        // per-shard diagonal ±1 transform (the embedding analogue of the
+        // documents' vocabulary sharding): flipping dim i of shard s by a
+        // hash bit preserves every INTRA-shard dot product and norm
+        // exactly (the signs cancel), so each shard reproduces the base
+        // corpus's similarity structure bit-for-bit, while ANY two
+        // distinct shards disagree on ~half the dims, scrambling
+        // cross-shard cosines to ≈0 (±1/√64). Without this, replicated
+        // vectors are exact near-dups of each other and a ×mult corpus
+        // carries ×mult² true pairs — a denser problem, not a scaled one.
+        // Shard 0 keeps the identity transform (hash of s = 0 is 0 for
+        // all i), so the 1x slice embedded in the corpus is unchanged.
+        // bit (i mod 31) of shard*knuth via exact double arithmetic
+        // (shard*C < 2^35 ≪ 2^53, division by 2^k is exact scaling) —
+        // shiftright() takes only literal shift counts
+        transform(col("embedding"), (x, i) =>
+          x * (lit(1) - lit(2) * pmod(
+            floor(col("shard") * 2654435761L
+              / pow(lit(2.0), pmod(i, lit(31)))).cast("long"),
+            lit(2L)).cast("int")))
+          .as("embedding"),
+        col("label"))
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
     done.getParentFile.mkdirs()
@@ -116,6 +138,7 @@ object ScalingBench {
       Some(args(2).split(",").map(_.trim).filter(_.nonEmpty).toSet)
     else None
     val corpusQs = Seq("dedup_clusters", "sim_ivf_topk",
+      "dedup_cdc_chunks", "sim_knn_graph",
       "dedup_ngram_overlap", "dedup_jaccard_pairs",
       "dedup_simhash_wide_pairs",
       "dedup_simhash_pairs", "dedup_minhash_pairs")
@@ -221,6 +244,23 @@ object ScalingBench {
       println(line)
       report += line
     }
+
+    // SemDeDup with the cell count sized to the corpus (nCells ≈ √N —
+    // the deployment configuration the operator's scaladoc prescribes):
+    // per-cell compare volume then stays ~N, and the slope should read
+    // near-linear. Running the 10× point at the 1× cell count would
+    // measure the wrong configuration (×mult vectors per cell → ×mult²
+    // compares) by construction.
+    if (onlyQs.forall(_.contains("dedup_semantic")))
+      for ((tag, dir, cells) <- Seq(
+          ("1x", base, 45), (s"${mult}x", out, 140))) {
+        val (secs, rows) = time(iters)(
+          graft.operators.Similarity.semanticDedup(spark, dir, cells))
+        val line = s"""{"query":"dedup_semantic","scale":"$tag",""" +
+          s""""sec":${f3(secs)},"rows":$rows,"n_cells":$cells}"""
+        println(line)
+        report += line
+      }
     println("SCALING_DONE " + report.size)
     spark.stop()
   }

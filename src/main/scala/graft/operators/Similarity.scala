@@ -1112,17 +1112,25 @@ object Similarity {
     * Output: one row per vector — (vec_id, cell, grp, is_kept); dropping
     * `is_kept = 0` rows IS the dedup action.
     */
-  def semanticDedup(s: SparkSession, dir: String): DataFrame = {
+  def semanticDedup(s: SparkSession, dir: String): DataFrame =
+    semanticDedup(s, dir, nCells = 8)
+
+  /** [[semanticDedup]] with the cell count as a parameter: the gate query
+    * pins 8 (mirrored by the oracle SQL); a real deployment sizes
+    * nCells ≈ √N so per-cell compare volume stays ~N — ScalingBench
+    * measures exactly that configuration at 10×.
+    */
+  def semanticDedup(s: SparkSession, dir: String, nCells: Int): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val emb = qEmb(s, dir)
-    val cents = ivfCentroids(s, emb) // checkpointed 8-row centroid table
+    val cents = ivfCentroids(s, emb, nCells) // checkpointed centroid table
     // the assignment frame IS the IVF index (what saveIvfIndex persists);
     // materialize it once for its four consumers (keep-rule distances,
     // both pair sides, the final cell column) instead of re-running the
     // centroid cross join per plan branch
     val withCell = emb
-      .join(ivfAssignOf(emb, cents), Seq("vec_id"))
+      .join(ivfAssignOf(emb, cents, nCells), Seq("vec_id"))
       .localCheckpoint(true)
     // distance to the OWN cell centroid — the keep-rule score
     val selfD2 = withCell
