@@ -412,7 +412,67 @@ object Multimodal {
       |WHERE bit_count(xor(x.phash, y.phash)) BETWEEN 1 AND 2
       |ORDER BY a, b""".stripMargin
 
+  /** STUB shot-boundary (scene-cut) detection: flag frames whose 8-byte
+    * frame SUM jumps by more than 256 from the previous frame — the video
+    * curation step that picks representative frames per shot instead of a
+    * blind every-Nth sample ([[frameSample]]). The decode is the same
+    * deterministic stub (8-byte frames, integer sums — a real pipeline
+    * swaps in the codec); the Spark plumbing is the real shape: one
+    * mapPartitions decode pass emitting (media, frame, sum) rows, then a
+    * per-media lag window — sequential only WITHIN a media item, parallel
+    * across items, which is the unit that scales. Pure integers, so the
+    * cut flags are bit-exact cross-engine.
+    */
+  def sceneCuts(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("frame_idx", IntegerType),
+      StructField("frame_sum", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(schema)
+    val frames = mediaTable(s, dir)
+      .select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val payload = r.getAs[Array[Byte]]("payload")
+          val id = r.getAs[Long]("media_id")
+          val nFrames = payload.length / 8 // complete frames only
+          (0 until nFrames).iterator.map { f =>
+            var sum = 0L
+            var i = f * 8
+            while (i < f * 8 + 8) { sum += payload(i) & 0xff; i += 1 }
+            Row(id, f, sum)
+          }
+        }
+      }(enc)
+    val w = Window.partitionBy(col("media_id")).orderBy(col("frame_idx"))
+    frames
+      .withColumn("prev", lag(col("frame_sum"), 1).over(w))
+      .select(col("media_id"), col("frame_idx"), col("frame_sum"),
+        when(col("prev").isNotNull &&
+          abs(col("frame_sum") - col("prev")) > 256, 1).otherwise(0)
+          .as("is_cut"))
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+
+  val sceneCutsSql: String =
+    s"""$channelCte,
+       |frames AS (
+       |  SELECT doc_id, (i // 8)::INT AS frame_idx,
+       |         sum(code)::BIGINT AS s, count(*)::BIGINT AS cnt
+       |  FROM ch GROUP BY 1, 2),
+       |f2 AS (
+       |  SELECT doc_id, frame_idx, s,
+       |    lag(s) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev
+       |  FROM frames WHERE cnt = 8)
+       |SELECT doc_id AS media_id, frame_idx, s AS frame_sum,
+       |  CASE WHEN prev IS NOT NULL AND abs(s - prev) > 256 THEN 1 ELSE 0 END
+       |    AS is_cut
+       |FROM f2 ORDER BY media_id, frame_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_scene_cuts" -> sceneCuts _,
     "mm_media_meta" -> mediaMeta _,
     "mm_media_features" -> mediaFeatures _,
     "mm_media_resize" -> mediaResize _,
@@ -422,6 +482,7 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    "mm_scene_cuts" -> sceneCutsSql,
     "mm_media_meta" -> mediaMetaSql,
     "mm_media_features" -> mediaFeaturesSql,
     "mm_media_resize" -> mediaResizeSql,

@@ -1309,6 +1309,94 @@ object Similarity {
       |    ORDER BY cos DESC, nbr) AS rn FROM scored) t
       |WHERE rn <= 3 ORDER BY vec_id, rn""".stripMargin
 
+  /** Matryoshka-style truncation evaluation (Kusupati et al. 2022,
+    * arXiv:2205.13147): recall@3 of exact cosine retrieval using only the
+    * FIRST 16 of 64 dimensions against the full-width exact top-3. This
+    * is the question a 100 TB index answers before committing to a
+    * truncated (4× cheaper) index: how much ranking quality do the prefix
+    * dims carry? Both rankings are integer-exact (same quantized grid,
+    * prefix norms recomputed over the slice), so the recall numbers are
+    * bit-reproducible — a property float ANN evals never have.
+    *
+    * Shape: two broadcast-scan top-k passes (full + prefix) over the same
+    * corpus scan shape as [[cosineTopK]], joined per query — at scale the
+    * prefix pass is the one you'd back with an IVF index, which is why
+    * the truncation question is measured at the EXACT tier first.
+    */
+  def matryoshkaRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    def top3(emb: DataFrame): DataFrame = {
+      val queries = emb.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"q".as("qq"), $"n2".as("qn2"))
+      emb.crossJoin(broadcast(queries))
+        .filter($"vec_id" =!= $"qid")
+        .withColumn("cos", round(dot($"q", $"qq").cast("double")
+          / (sqrt($"n2".cast("double")) * sqrt($"qn2".cast("double"))), 4))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"qid").orderBy($"cos".desc, $"vec_id")))
+        .filter($"rn" <= 3)
+        .select($"qid", $"vec_id")
+    }
+    val emb = qEmb(s, dir).localCheckpoint(true) // full + prefix passes
+    val full = top3(emb)
+    val prefix = top3(emb.select($"vec_id", slice($"q", 1, 16).as("q"))
+      .withColumn("n2", norm2($"q")))
+    // one consumer of `full` (a second reference would re-plan its
+    // broadcast pass): left-join marks hits, the per-qid count keeps
+    // zero-recall queries because every qid has its 3 full-width rows
+    full.join(prefix.withColumn("hit", lit(1L)), Seq("qid", "vec_id"), "left")
+      .groupBy($"qid").agg(sum(coalesce($"hit", lit(0L))).as("n_hits"))
+      .withColumn("recall_permille",
+        floor($"n_hits" * 1000L / 3L).cast("long"))
+      .orderBy($"qid")
+  }
+
+  val matryoshkaRecallSql: String = qvecCte +
+    """, qp AS (SELECT vec_id, q[1:16] AS q FROM qv),
+      |np AS (
+      |  SELECT vec_id, sum(e * e)::BIGINT AS n2
+      |  FROM (SELECT vec_id, unnest(q) AS e FROM qp) GROUP BY vec_id),
+      |fd AS (
+      |  SELECT qid, vec_id, sum(x * y) AS d FROM (
+      |    SELECT q.vec_id AS qid, e.vec_id,
+      |           unnest(q.q) AS x, unnest(e.q) AS y
+      |    FROM (SELECT vec_id, q FROM qv WHERE vec_id < 10) q
+      |    JOIN qv e ON e.vec_id <> q.vec_id) z
+      |  GROUP BY 1, 2),
+      |ft AS (
+      |  SELECT qid, vec_id FROM (
+      |    SELECT qid, fd.vec_id, row_number() OVER (PARTITION BY qid
+      |      ORDER BY round(d / (sqrt(nq.n2) * sqrt(ne.n2)), 4) DESC,
+      |               fd.vec_id) AS rn
+      |    FROM fd JOIN nrm nq ON fd.qid = nq.vec_id
+      |            JOIN nrm ne ON fd.vec_id = ne.vec_id) t
+      |  WHERE rn <= 3),
+      |pd AS (
+      |  SELECT qid, vec_id, sum(x * y) AS d FROM (
+      |    SELECT q.vec_id AS qid, e.vec_id,
+      |           unnest(q.q) AS x, unnest(e.q) AS y
+      |    FROM (SELECT vec_id, q FROM qp WHERE vec_id < 10) q
+      |    JOIN qp e ON e.vec_id <> q.vec_id) z
+      |  GROUP BY 1, 2),
+      |pt AS (
+      |  SELECT qid, vec_id FROM (
+      |    SELECT qid, pd.vec_id, row_number() OVER (PARTITION BY qid
+      |      ORDER BY round(d / (sqrt(nq.n2) * sqrt(ne.n2)), 4) DESC,
+      |               pd.vec_id) AS rn
+      |    FROM pd JOIN np nq ON pd.qid = nq.vec_id
+      |            JOIN np ne ON pd.vec_id = ne.vec_id) t
+      |  WHERE rn <= 3),
+      |hits AS (
+      |  SELECT ft.qid, count(*)::BIGINT AS n_hits
+      |  FROM ft JOIN pt ON ft.qid = pt.qid AND ft.vec_id = pt.vec_id
+      |  GROUP BY ft.qid)
+      |SELECT q.qid, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+      |  ((coalesce(h.n_hits, 0) * 1000) // 3)::BIGINT AS recall_permille
+      |FROM (SELECT DISTINCT qid FROM ft) q
+      |LEFT JOIN hits h ON q.qid = h.qid
+      |ORDER BY q.qid""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_cosine_topk" -> cosineTopK _,
     "sim_quantize_err" -> quantizeErr _,
@@ -1327,6 +1415,7 @@ object Similarity {
     "dedup_semantic" -> semanticDedup _,
     "sim_knn_graph" -> knnGraph _,
     "sim_mips_topk" -> mipsTopK _,
+    "sim_matryoshka_recall" -> matryoshkaRecall _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1347,5 +1436,6 @@ object Similarity {
     "dedup_semantic" -> semanticDedupSql,
     "sim_knn_graph" -> knnGraphSql,
     "sim_mips_topk" -> mipsTopKSql,
+    "sim_matryoshka_recall" -> matryoshkaRecallSql,
   )
 }

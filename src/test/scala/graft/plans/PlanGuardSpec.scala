@@ -42,6 +42,9 @@ class PlanGuardSpec extends SparkSpec {
     "sim_pq_recall" -> 1,
     // fixed 10-row broadcast query-vector set (exact MIPS baseline)
     "sim_mips_topk" -> 1,
+    // full-width + prefix-width passes, each against the 10-row broadcast
+    // query set
+    "sim_matryoshka_recall" -> 2,
     // one per merge round: the 1-row winner frame × the 1-row post-merge
     // token-count frame building that round's report row (corpus-side
     // cross joins are materialized away by the per-round checkpoint)
