@@ -732,7 +732,82 @@ object Sketches {
        |JOIN cnt c2 ON e.g2 = c2.g
        |ORDER BY e.g1, e.g2""".stripMargin
 
+  /** Alpha-sampling (temperature-scaled language rebalancing, the
+    * multilingual mixing knob of Conneau & Lample's XLM / mBERT lineage):
+    * sample languages proportional to n^α with α = 1/2 instead of their
+    * natural share, upweighting low-resource languages. α = 1/2 is chosen
+    * BECAUSE it has an exact integer form — weight = ⌊√n⌋ (isqrt: one
+    * correctly-rounded IEEE sqrt + floor, identical in both engines) — so
+    * the whole mixture, including the achievable-total bound and per-lang
+    * permille rates, stays bit-reproducible. Same deterministic
+    * hash-threshold materialization as the other samplers (rerun- and
+    * partition-stable); the rate table is |langs| rows on a broadcast.
+    */
+  def alphaSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir).select(
+      $"doc_id", $"lang",
+      (($"doc_id" * 52361L + $"n_chars" * 12289L) % M % 1000L).as("hv"))
+    val counts = docs.groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("weight", floor(sqrt($"n_docs".cast("double"))).cast("long"))
+    val rates = counts
+      .withColumn("target_pm",
+        floor($"weight" * 1000L
+          / sum($"weight").over(Window.partitionBy())).cast("long"))
+      // largest total sample for which every language can fill its share
+      // from its own docs (rates stay ≤ 1000‰) — the same achievable-
+      // total bound the domain-mixture sampler uses
+      .withColumn("t_total",
+        min(floor($"n_docs" * 1000L / $"target_pm"))
+          .over(Window.partitionBy()))
+      .withColumn("quota_docs", floor($"t_total" * $"target_pm" / 1000L))
+      .withColumn("rate_pm", floor($"quota_docs" * 1000L / $"n_docs"))
+      .select($"lang", $"n_docs", $"weight", $"target_pm", $"quota_docs",
+        $"rate_pm")
+    docs.join(broadcast(rates), Seq("lang"))
+      .groupBy($"lang")
+      .agg(min($"n_docs").as("n_docs"),
+        min($"weight").as("weight"),
+        min($"target_pm").as("target_pm"),
+        min($"quota_docs").as("quota_docs"),
+        min($"rate_pm").as("rate_pm"),
+        sum(when($"hv" < $"rate_pm", 1L).otherwise(0L)).as("docs_sampled"))
+      .orderBy($"lang")
+  }
+
+  val alphaSampleSql: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, lang,
+       |    (doc_id * 52361 + n_chars * 12289) % $M % 1000 AS hv
+       |  FROM documents),
+       |c AS (
+       |  SELECT lang, count(*)::BIGINT AS n_docs,
+       |    floor(sqrt(count(*)::DOUBLE))::BIGINT AS weight
+       |  FROM docs GROUP BY lang),
+       |r AS (
+       |  SELECT lang, n_docs, weight,
+       |    (weight * 1000 // sum(weight) OVER ())::BIGINT AS target_pm
+       |  FROM c),
+       |t AS (
+       |  SELECT *, min(n_docs * 1000 // target_pm) OVER ()::BIGINT AS t_total
+       |  FROM r),
+       |q AS (
+       |  SELECT lang, n_docs, weight, target_pm,
+       |    (t_total * target_pm // 1000)::BIGINT AS quota_docs,
+       |    ((t_total * target_pm // 1000) * 1000 // n_docs)::BIGINT AS rate_pm
+       |  FROM t)
+       |SELECT q.lang, q.n_docs, q.weight, q.target_pm, q.quota_docs,
+       |  q.rate_pm,
+       |  sum(CASE WHEN d.hv < q.rate_pm THEN 1 ELSE 0 END)::BIGINT
+       |    AS docs_sampled
+       |FROM q JOIN docs d ON q.lang = d.lang
+       |GROUP BY 1, 2, 3, 4, 5, 6
+       |ORDER BY q.lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_alpha" -> alphaSample _,
     "sample_stratified" -> stratifiedSample _,
     "sample_mixture" -> mixtureSample _,
     "sample_weighted" -> weightedSample _,
@@ -746,6 +821,7 @@ object Sketches {
   )
 
   val oracles: Map[String, String] = Map(
+    "sample_alpha" -> alphaSampleSql,
     "sample_stratified" -> stratifiedSampleSql,
     "sample_mixture" -> mixtureSampleSql,
     "sample_weighted" -> weightedSampleSql,

@@ -45,6 +45,22 @@ class SemanticDedupSpec extends SparkSpec {
     assert(spans.filter($"nc" =!= 1).count() == 0)
   }
 
+  test("semanticDedup holds its laws at a non-default cell count") {
+    import spark.implicits._
+    val out = Similarity.semanticDedup(spark, dir, nCells = 4)
+      .localCheckpoint(true)
+    assert(out.count() == Tables.embeddings(spark, dir).count())
+    val keepers = out.groupBy($"grp")
+      .agg(sum($"is_kept").as("k"), countDistinct($"cell").as("nc"),
+        count(lit(1)).as("n"))
+    assert(keepers.filter($"k" =!= 1).count() == 0)
+    assert(keepers.filter($"n" > 1 && $"nc" =!= 1).count() == 0)
+    // fewer cells -> bigger cells -> the pair graph can only GAIN edges:
+    // the default-cells grouping must refine the 4-cell grouping wherever
+    // cells agree... the cheap universal law is cell-id range
+    assert(out.agg(max($"cell")).collect()(0).getLong(0) < 4)
+  }
+
   test("knnGraph agrees with lshTopK on the probe-query set") {
     import spark.implicits._
     val g = Similarity.knnGraph(spark, dir)
