@@ -173,6 +173,99 @@ object TextOps {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** LEARNED language classifier: char-trigram multinomial Naive Bayes
+    * with add-one smoothing, trained on the corpus's own labels and
+    * applied back to every document — the data-driven replacement for the
+    * hand-picked marker heuristic ([[langId]]), in the Cavnar–Trenkle
+    * n-gram-profile tradition. Likelihoods are the same libm-free integer
+    * bits the LM scorers use: cost_l(g) = bitlength(⌊(N_l+V)/(cnt_l(g)+1)⌋)
+    * (≈ −log₂ p(g|l)), a document's score per language is the sum of its
+    * trigram costs (unseen trigrams pay the smoothed ceiling bits0_l =
+    * bitlength(N_l+V)), prediction is the argmin with a deterministic
+    * language tie-break — bit-identical cross-engine end to end.
+    *
+    * Scale shape: one (lang, gram) count aggregation (vocabulary-bounded)
+    * trains the model; scoring expands the doc-gram stream by |langs|
+    * broadcast rows and joins the LM on (lang, gram) — one shuffle keyed
+    * by gram, map-side-combinable score sums, no driver collect.
+    *
+    * Accuracy trade, stated plainly: 1-bit likelihood quantization keeps
+    * the classifier bit-reproducible cross-engine but coarsens the
+    * ranking (float log-probs would separate better); on the synthetic
+    * gate corpus, whose language signal is mostly the planted marker
+    * words, the NB sits slightly below the marker heuristic (184 vs
+    * 193 / 500 at sf0.001 — LangNbSpec). On natural text, where the
+    * signal is spread over the whole trigram distribution, the learned
+    * profile is the one that generalizes.
+    */
+  def langNb(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val grams = Tables.documents(s, dir)
+      .filter(length($"text") >= 3)
+      .select($"doc_id", $"lang", $"text",
+        explode(sequence(lit(1), length($"text") - 2)).as("i"))
+      .select($"doc_id", $"lang", expr("substring(text, i, 3)").as("gram"))
+      .localCheckpoint(true) // training counts + scoring stream
+    val lm = grams.groupBy($"lang", $"gram").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true) // totals, vocab, and the scoring join
+    val vocabF = lm.select($"gram").distinct().agg(count(lit(1)).as("v"))
+    val totals = lm.groupBy($"lang").agg(sum($"cnt").as("nl"))
+      .crossJoin(broadcast(vocabF))
+      .localCheckpoint(true) // |langs| rows; feeds lgs + lmBits
+    val langs = totals.select($"lang".as("cand"),
+      length(bin($"nl" + $"v")).cast("long").as("bits0"))
+    val lmBits = lm
+      .join(broadcast(totals.select($"lang", $"nl", $"v")), Seq("lang"))
+      .select($"lang".as("cand"), $"gram",
+        length(bin(floor(($"nl" + $"v") / ($"cnt" + 1L)).cast("long")))
+          .cast("long").as("bits"))
+    val scored = grams.select($"doc_id", $"gram")
+      .crossJoin(broadcast(langs))
+      .join(lmBits, Seq("cand", "gram"), "left")
+      .select($"doc_id", $"cand", coalesce($"bits", $"bits0").as("cost"))
+      .groupBy($"doc_id", $"cand").agg(sum($"cost").as("score"))
+    val pred = scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"doc_id").orderBy($"score", $"cand")))
+      .filter($"rn" === 1)
+      .select($"doc_id", $"cand".as("pred_lang"), $"score")
+    Tables.documents(s, dir).select($"doc_id", $"lang")
+      .join(pred, Seq("doc_id"))
+      .select($"doc_id", $"lang", $"pred_lang", $"score",
+        ($"lang" === $"pred_lang").cast("int").as("correct"))
+      .orderBy($"doc_id")
+  }
+
+  val langNbSql: String =
+    """WITH g AS (
+      |  SELECT doc_id, lang, substr(text, i::INT, 3) AS gram
+      |  FROM (SELECT doc_id, lang, text, unnest(range(1, length(text) - 1)) AS i
+      |        FROM documents WHERE length(text) >= 3) x),
+      |lm AS (SELECT lang, gram, count(*)::BIGINT AS cnt FROM g GROUP BY 1, 2),
+      |vc AS (SELECT count(DISTINCT gram)::BIGINT AS v FROM lm),
+      |tot AS (SELECT lang, sum(cnt)::BIGINT AS nl FROM lm GROUP BY lang),
+      |lgs AS (SELECT lang AS cand, length(bin(nl + v))::BIGINT AS bits0
+      |        FROM tot CROSS JOIN vc),
+      |lb AS (SELECT lm.lang AS cand, lm.gram,
+      |         length(bin((t.nl + vc.v) // (lm.cnt + 1)))::BIGINT AS bits
+      |       FROM lm JOIN tot t ON lm.lang = t.lang CROSS JOIN vc),
+      |sc AS (
+      |  SELECT dg.doc_id, l.cand,
+      |    sum(coalesce(lb.bits, l.bits0))::BIGINT AS score
+      |  FROM (SELECT doc_id, gram FROM g) dg
+      |  CROSS JOIN lgs l
+      |  LEFT JOIN lb ON lb.cand = l.cand AND lb.gram = dg.gram
+      |  GROUP BY 1, 2),
+      |pr AS (
+      |  SELECT doc_id, cand AS pred_lang, score,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY score, cand) AS rn
+      |  FROM sc)
+      |SELECT d.doc_id, d.lang, p.pred_lang, p.score,
+      |  CASE WHEN d.lang = p.pred_lang THEN 1 ELSE 0 END AS correct
+      |FROM documents d JOIN pr p ON d.doc_id = p.doc_id AND p.rn = 1
+      |ORDER BY d.doc_id""".stripMargin
+
   /** Document fingerprint: polynomial rolling hash over all chars,
     * (acc*31 + ascii(c)) mod 1e9+7, init 7 — a real content fingerprint
     * with exact integer parity (Spark `aggregate` ≡ DuckDB `list_reduce`).
@@ -1456,6 +1549,44 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** Degree HISTOGRAM of the near-dup candidate graph in log2 buckets
+    * (bucket = bitlength(degree), isolated docs in bucket 0): the
+    * graph-shape diagnostic a pipeline reads BEFORE running contraction /
+    * PageRank at scale — a heavy tail here predicts skewed shuffles and
+    * says whether the salting/AQE-skew machinery will be needed.
+    * Bit-length bucketing keeps the histogram integer-exact (no float
+    * log); counting every document (left join) makes the histogram
+    * conserve the corpus.
+    */
+  def degreeHist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = minhashCandidates(s, dir)
+    val ends = pairs.select($"a".as("v"))
+      .unionByName(pairs.select($"b".as("v")))
+    val deg = Tables.documents(s, dir).select($"doc_id".as("v"))
+      .join(ends.groupBy($"v").agg(count(lit(1)).as("d")), Seq("v"), "left")
+      .select($"v", coalesce($"d", lit(0L)).as("d"))
+    deg.withColumn("bucket",
+        when($"d" === 0, 0L).otherwise(length(bin($"d")).cast("long")))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_nodes"), min($"d").as("min_deg"),
+        max($"d").as("max_deg"))
+      .orderBy($"bucket")
+  }
+
+  val degreeHistSql: String = minhashPairsCte +
+    """,
+      |nd AS (SELECT a AS v FROM pairs UNION ALL SELECT b FROM pairs),
+      |dg AS (SELECT v, count(*)::BIGINT AS d FROM nd GROUP BY v),
+      |alldeg AS (
+      |  SELECT doc.doc_id AS v, coalesce(dg.d, 0)::BIGINT AS deg
+      |  FROM documents doc LEFT JOIN dg ON doc.doc_id = dg.v)
+      |SELECT (CASE WHEN deg = 0 THEN 0
+      |             ELSE length(bin(deg)) END)::BIGINT AS bucket,
+      |  count(*)::BIGINT AS n_nodes, min(deg)::BIGINT AS min_deg,
+      |  max(deg)::BIGINT AS max_deg
+      |FROM alldeg GROUP BY 1 ORDER BY bucket""".stripMargin
+
   val trianglesSql: String = minhashPairsCte +
     """,
       |nd AS (SELECT a AS v FROM pairs UNION ALL SELECT b FROM pairs),
@@ -2282,6 +2413,8 @@ object TextOps {
     "text_dsir_weights" -> dsirWeights _,
     "text_ppl_buckets" -> pplBuckets _,
     "text_langid_confusion" -> langIdConfusion _,
+    "text_lang_nb" -> langNb _,
+    "graph_degree_hist" -> degreeHist _,
     "text_bigram_surprisal" -> bigramSurprisal _,
     "text_decontaminate" -> decontaminate _,
     "text_ngram_topk" -> ngramTopK _,
@@ -2321,6 +2454,8 @@ object TextOps {
     "text_dsir_weights" -> dsirWeightsSql,
     "text_ppl_buckets" -> pplBucketsSql,
     "text_langid_confusion" -> langIdConfusionSql,
+    "text_lang_nb" -> langNbSql,
+    "graph_degree_hist" -> degreeHistSql,
     "text_bigram_surprisal" -> bigramSurprisalSql,
     "text_decontaminate" -> decontaminateSql,
     "text_ngram_topk" -> ngramTopKSql,

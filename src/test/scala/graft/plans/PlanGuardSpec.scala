@@ -38,6 +38,9 @@ class PlanGuardSpec extends SparkSpec {
     "text_dsir_weights" -> 1,
     // 1-row broadcast corpus-total frame (same LM as text_surprisal)
     "text_ppl_buckets" -> 1,
+    // |langs|-row broadcast candidate set (the NB scoring expansion) +
+    // the 1-row vocab frame crossed into the |langs|-row totals
+    "text_lang_nb" -> 2,
     // exact-L2 baseline side: fixed 10-row broadcast query-vector set
     "sim_pq_recall" -> 1,
     // fixed 10-row broadcast query-vector set (exact MIPS baseline)
