@@ -394,6 +394,15 @@ object TextOps {
     */
   def gopherRules(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    gopherRulesOf(s, dir).orderBy($"doc_id")
+  }
+
+  /** Unsorted rule frame shared by [[gopherRules]] (adds the presentation
+    * sort) and [[keepManifest]] (joins immediately — a sort here would be
+    * a wasted exchange under the join).
+    */
+  private def gopherRulesOf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
     // literal (non-regex) occurrence count of `m` inside one word, exact:
     // each hit removes exactly m.length chars, so the division is integral
@@ -423,7 +432,6 @@ object TextOps {
       .withColumn("r_stop", ($"stop_distinct" >= 1L).cast("int"))
       .withColumn("keep",
         ($"r_words" * $"r_wlen" * $"r_alpha" * $"r_sym" * $"r_stop").cast("int"))
-      .orderBy($"doc_id")
   }
 
   val gopherRulesSql: String = {
@@ -1273,6 +1281,120 @@ object TextOps {
         |FROM rk GROUP BY cluster ORDER BY cluster""".stripMargin
     }
 
+  /** The END-TO-END curation verdict — one frame answering "does this
+    * document go into the training set?", composing the three gates every
+    * production pipeline runs in sequence: quality (the Gopher rule
+    * battery), near-dup survivorship (this doc is its shingle-cluster's
+    * merit keeper — most words, id tie-break), and benchmark
+    * decontamination (no 3-word shingle shared with the held-out eval
+    * split). Scope is the training corpus (source ≠ src0; the eval split
+    * is never a training candidate). keep = quality ∧ keeper ∧ clean.
+    *
+    * This is the manifest a 100 TB run materializes once and anti-joins
+    * everything else against; each component gate is independently
+    * oracle-verified by its own query (text_gopher_rules, dedup_keep_best,
+    * text_decontaminate), and this composition is verified end-to-end —
+    * so a user can swap in any single stage without losing the certified
+    * whole.
+    *
+    * Scale: the three component frames are each one aggregation over
+    * already-justified shapes; the composition adds only doc_id-keyed
+    * joins (co-partitioned after the first exchange). No new corpus pass:
+    * quality and shingles read the same token stream the components read.
+    */
+  def keepManifest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val (labels, _) =
+      starContraction(docs.select($"doc_id"), shinglePairsOf(shingleCodes(s, dir)))
+    val nw = docs.select($"doc_id",
+      (length($"text") - length(regexp_replace($"text", lit(" "), lit(""))) + 1)
+        .cast("long").as("n_words"))
+    val keeper = labels.select($"doc_id", $"label".as("cluster"))
+      .join(nw, Seq("doc_id"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"cluster").orderBy($"n_words".desc, $"doc_id")))
+      .select($"doc_id", ($"rk" === 1).cast("int").as("is_keeper"))
+    val quality = gopherRulesOf(s, dir)
+      .select($"doc_id", $"keep".as("quality_keep"))
+    decontaminateOf(s, dir).select($"doc_id", $"contaminated")
+      .join(quality, Seq("doc_id"))
+      .join(keeper, Seq("doc_id"))
+      .select($"doc_id", $"quality_keep", $"is_keeper",
+        $"contaminated".cast("int").as("contaminated"),
+        ($"quality_keep" * $"is_keeper"
+          * (lit(1) - $"contaminated")).cast("int").as("keep"))
+      .orderBy($"doc_id")
+  }
+
+  val keepManifestSql: String =
+    shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ") + shingleBandsCte + {
+      val stopList = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+        .map(w => s"'$w'").mkString(", ")
+      s""",
+         |edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+         |reach(node, m) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.a, r.m FROM edges e JOIN reach r ON e.b = r.node),
+         |lab AS (SELECT node AS doc_id, min(m)::BIGINT AS cluster
+         |        FROM reach GROUP BY node),
+         |nw AS (SELECT doc_id,
+         |         (length(text) - length(replace(text, ' ', '')) + 1)::BIGINT
+         |           AS n_words
+         |       FROM documents),
+         |kp AS (
+         |  SELECT doc_id,
+         |    CASE WHEN row_number() OVER (PARTITION BY cluster
+         |      ORDER BY n_words DESC, doc_id) = 1 THEN 1 ELSE 0 END
+         |      AS is_keeper
+         |  FROM lab JOIN nw USING (doc_id)),
+         |gw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |       FROM documents),
+         |gagg AS (
+         |  SELECT doc_id, count(*)::BIGINT AS n_words,
+         |    sum(length(w))::BIGINT AS sum_wlen,
+         |    sum(CASE WHEN lower(w) <> upper(w) THEN 1 ELSE 0 END)::BIGINT
+         |      AS alpha_words,
+         |    count(DISTINCT CASE WHEN w IN ($stopList) THEN w END)::BIGINT
+         |      AS stop_distinct,
+         |    sum(((length(w) - length(replace(w, '#', '')))
+         |       + (length(w) - length(replace(w, '...', ''))) // 3)::BIGINT)::BIGINT
+         |      AS sym_hits
+         |  FROM gw GROUP BY doc_id),
+         |gq AS (
+         |  SELECT doc_id,
+         |    ((CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END)
+         |     * (CASE WHEN round(sum_wlen * 1.0 / n_words, 3)
+         |          BETWEEN 3.0 AND 10.0 THEN 1 ELSE 0 END)
+         |     * (CASE WHEN round(alpha_words * 1.0 / n_words, 4) >= 0.8
+         |          THEN 1 ELSE 0 END)
+         |     * (CASE WHEN round(sym_hits * 1.0 / n_words, 4) <= 0.1
+         |          THEN 1 ELSE 0 END)
+         |     * (CASE WHEN stop_distinct >= 1 THEN 1 ELSE 0 END))::INT
+         |      AS quality_keep
+         |  FROM gagg),
+         |ec AS (
+         |  SELECT DISTINCT code FROM codes
+         |  JOIN documents USING (doc_id) WHERE source = 'src0'),
+         |train AS (SELECT doc_id FROM documents WHERE source <> 'src0'),
+         |hits AS (
+         |  SELECT c.doc_id, count(*)::BIGINT AS n_shared
+         |  FROM codes c JOIN train t ON c.doc_id = t.doc_id
+         |  JOIN ec ON c.code = ec.code
+         |  GROUP BY c.doc_id)
+         |SELECT t.doc_id, gq.quality_keep, kp.is_keeper,
+         |  (CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END)::INT AS contaminated,
+         |  (gq.quality_keep * kp.is_keeper
+         |   * (1 - CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END))::INT AS keep
+         |FROM train t
+         |JOIN gq ON t.doc_id = gq.doc_id
+         |JOIN kp ON t.doc_id = kp.doc_id
+         |LEFT JOIN hits h ON t.doc_id = h.doc_id
+         |ORDER BY t.doc_id""".stripMargin
+    }
+
   /** BPE tokenizer TRAINING (Sennrich et al. 2016), k greedy merge rounds
     * over the whitespace-token corpus — the tokenizer-fitting step of an
     * LLM data pipeline, run as a distributed iteration. Each round:
@@ -2021,6 +2143,14 @@ object TextOps {
     */
   def decontaminate(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    decontaminateOf(s, dir).orderBy($"doc_id")
+  }
+
+  /** Unsorted contamination frame shared by [[decontaminate]] and
+    * [[keepManifest]] (same sort-under-join rationale as gopherRulesOf).
+    */
+  private def decontaminateOf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val docs = Tables.documents(s, dir)
     val evalCodes = shingleCodesOf(docs.filter($"source" === "src0"))
       .select($"code").distinct()
@@ -2034,7 +2164,6 @@ object TextOps {
       .select($"doc_id",
         coalesce($"n_shared", lit(0L)).as("n_shared"),
         when($"n_shared".isNotNull, 1L).otherwise(0L).as("contaminated"))
-      .orderBy($"doc_id")
   }
 
   val decontaminateSql: String = shingleCte +
@@ -2415,6 +2544,7 @@ object TextOps {
     "text_langid_confusion" -> langIdConfusion _,
     "text_lang_nb" -> langNb _,
     "graph_degree_hist" -> degreeHist _,
+    "pipeline_keep_manifest" -> keepManifest _,
     "text_bigram_surprisal" -> bigramSurprisal _,
     "text_decontaminate" -> decontaminate _,
     "text_ngram_topk" -> ngramTopK _,
@@ -2456,6 +2586,7 @@ object TextOps {
     "text_langid_confusion" -> langIdConfusionSql,
     "text_lang_nb" -> langNbSql,
     "graph_degree_hist" -> degreeHistSql,
+    "pipeline_keep_manifest" -> keepManifestSql,
     "text_bigram_surprisal" -> bigramSurprisalSql,
     "text_decontaminate" -> decontaminateSql,
     "text_ngram_topk" -> ngramTopKSql,
