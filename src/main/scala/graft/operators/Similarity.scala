@@ -1397,6 +1397,80 @@ object Similarity {
       |LEFT JOIN hits h ON q.qid = h.qid
       |ORDER BY q.qid""".stripMargin
 
+  /** Diversity (coreset) selection: k-center greedy / farthest-point
+    * traversal (Gonzalez 1985, the 2-approximation to the k-center
+    * problem) — start from vec 0, then repeatedly pick the vector
+    * FARTHEST from the chosen set (exact int64 squared L2, smallest-id
+    * tie-break). This is the curation complement of [[semanticDedup]]:
+    * dedup removes redundancy that's already there, diversity selection
+    * builds a small set that COVERS the space (each step's sel_d2 is the
+    * current covering radius — monotonically non-increasing, which the
+    * spec asserts). Used for coreset/eval-set picking in data pipelines.
+    *
+    * Shape: k−1 rounds of (broadcast ≤k-row chosen set → per-vector min
+    * distance → 1-row TakeOrdered winner), each round checkpointed so the
+    * winner never touches the driver and the final plan is flat. The
+    * sequential k dependence is inherent to the greedy algorithm —
+    * parallelism lives inside each round's corpus pass, which is the part
+    * that grows with data. For large k at 100 TB the standard move is
+    * k-means++-style sampled initialization on top of the same kernel.
+    */
+  def diversitySample(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    import s.implicits._
+    val emb = qEmb(s, dir).localCheckpoint(true) // re-scanned every round
+    var chosen = emb.filter($"vec_id" === 0)
+      .select($"vec_id".as("cid"), $"q".as("cq"), $"n2".as("cn2"),
+        lit(0).as("sel_order"), lit(0L).as("sel_d2"))
+      .localCheckpoint(true)
+    for (i <- 1 until k) {
+      val winner = emb
+        .crossJoin(broadcast(chosen.select($"cid", $"cq", $"cn2")))
+        .withColumn("d2", $"n2" - lit(2L) * dot($"q", $"cq") + $"cn2")
+        .groupBy($"vec_id").agg(min($"d2").as("md2"))
+        .orderBy($"md2".desc, $"vec_id")
+        .limit(1)
+        .join(emb, Seq("vec_id"))
+        .select($"vec_id".as("cid"), $"q".as("cq"), $"n2".as("cn2"),
+          lit(i).as("sel_order"), $"md2".as("sel_d2"))
+      chosen = chosen.unionByName(winner).localCheckpoint(true)
+    }
+    chosen.select($"sel_order", $"cid".as("vec_id"), $"sel_d2")
+      .orderBy($"sel_order")
+  }
+
+  val diversitySampleSql: String = {
+    val sb = new StringBuilder(qvecCte)
+    sb ++= """, ch0 AS (
+             |  SELECT vec_id, q, 0 AS sel_order, 0::BIGINT AS sel_d2
+             |  FROM qv WHERE vec_id = 0)""".stripMargin
+    for (i <- 1 until 10) {
+      val prev = s"ch${i - 1}"
+      sb ++=
+        s""",
+           |dd$i AS (
+           |  SELECT vec_id, cid, sum(x * y) AS d FROM (
+           |    SELECT e.vec_id, c.vec_id AS cid,
+           |           unnest(e.q) AS x, unnest(c.q) AS y
+           |    FROM qv e CROSS JOIN $prev c) z
+           |  GROUP BY 1, 2),
+           |m$i AS (
+           |  SELECT dd.vec_id,
+           |    min(ne.n2 - 2 * dd.d + nc.n2)::BIGINT AS md2
+           |  FROM dd$i dd JOIN nrm ne ON dd.vec_id = ne.vec_id
+           |               JOIN nrm nc ON dd.cid = nc.vec_id
+           |  GROUP BY dd.vec_id),
+           |p$i AS (SELECT vec_id, md2 FROM m$i
+           |        ORDER BY md2 DESC, vec_id LIMIT 1),
+           |ch$i AS (
+           |  SELECT vec_id, q, sel_order, sel_d2 FROM $prev
+           |  UNION ALL
+           |  SELECT p.vec_id, qv.q, $i, p.md2
+           |  FROM p$i p JOIN qv ON p.vec_id = qv.vec_id)""".stripMargin
+    }
+    sb ++= "\nSELECT sel_order, vec_id, sel_d2 FROM ch9 ORDER BY sel_order"
+    sb.toString
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_cosine_topk" -> cosineTopK _,
     "sim_quantize_err" -> quantizeErr _,
@@ -1416,6 +1490,8 @@ object Similarity {
     "sim_knn_graph" -> knnGraph _,
     "sim_mips_topk" -> mipsTopK _,
     "sim_matryoshka_recall" -> matryoshkaRecall _,
+    "sim_diversity_sample" -> ((s: SparkSession, dir: String) =>
+      diversitySample(s, dir)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1437,5 +1513,6 @@ object Similarity {
     "sim_knn_graph" -> knnGraphSql,
     "sim_mips_topk" -> mipsTopKSql,
     "sim_matryoshka_recall" -> matryoshkaRecallSql,
+    "sim_diversity_sample" -> diversitySampleSql,
   )
 }
