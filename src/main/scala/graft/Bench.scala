@@ -66,7 +66,18 @@ object Bench {
       val times = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
         val n = try fn(spark, sfDir).count()
-          catch { case _: Throwable => failed += name; -1L }
+          catch {
+            case e: Throwable =>
+              // print the FIRST failure's cause in full: a silent catch
+              // here once hid a mid-run SparkContext death behind 104
+              // "0.004s" time-to-throw readings that looked like wins
+              if (failed.isEmpty)
+                System.err.println(s"[bench] FIRST failure at $name: $e" +
+                  Option(e.getCause).map(c => s"\n[bench]   caused by: $c")
+                    .getOrElse(""))
+              failed += name
+              -1L
+          }
         rows = rows.max(n)
         (System.nanoTime() - t0) / 1e9
       }.sorted

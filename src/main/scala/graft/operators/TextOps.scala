@@ -1641,7 +1641,27 @@ object TextOps {
     */
   def triangles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val pairs = minhashCandidates(s, dir)
+    // NODE = identical-signature GROUP, not document. The doc-level
+    // near-dup graph is clique-structured by construction (every member
+    // of an identical-signature group pairs with every other), and
+    // triangle counting over cliques is degenerate AND cubic: measured at
+    // sf0.1 the doc-level wedge join emitted ~4·10⁹ rows, filled the disk
+    // and killed the SparkContext after 400 s. Groups collapse each
+    // clique to one node (sf0.1: 5000 docs → 1048 groups, 4.36M doc pairs
+    // → 12k group edges, max degree 83), leaving the informative
+    // structure — triadic closure BETWEEN near-dup groups — at a size
+    // that scales with content diversity instead of duplication volume.
+    val bs = minhashOf(s, dir).select($"doc_id",
+      bandSig((0 until 4).map(i => col(s"mh$i"))).as("s0"),
+      bandSig((4 until 8).map(i => col(s"mh$i"))).as("s1"))
+    val g = bs.groupBy($"s0", $"s1").agg(min($"doc_id").as("gid"))
+      .localCheckpoint(true) // both sides of both band joins
+    def bandEdges(c: String): DataFrame =
+      g.select(col(c).as("k"), $"gid".as("a"))
+        .join(g.select(col(c).as("k"), $"gid".as("b")), Seq("k"))
+        .filter($"a" < $"b").select($"a", $"b")
+    val pairs = bandEdges("s0").unionByName(bandEdges("s1")).distinct()
+      .localCheckpoint(true) // degree agg + both orientation joins
     val nodes = pairs.select($"a".as("v")).unionByName(pairs.select($"b".as("v")))
     val deg = nodes.groupBy($"v").agg(count(lit(1)).as("d"))
     // orient each edge low-(deg,id) → high-(deg,id), carrying the dst's
@@ -1664,11 +1684,11 @@ object TextOps {
       .join(oriented.as("z"), $"u" === $"z.src" && $"w" === $"z.dst")
       .select($"v", $"u", $"w")
       .localCheckpoint(true) // three member-explode consumers below
-    tri.select($"v".as("doc_id"))
-      .unionByName(tri.select($"u".as("doc_id")))
-      .unionByName(tri.select($"w".as("doc_id")))
-      .groupBy($"doc_id").agg(count(lit(1)).as("tri_cnt"))
-      .orderBy($"doc_id")
+    tri.select($"v".as("group_id"))
+      .unionByName(tri.select($"u".as("group_id")))
+      .unionByName(tri.select($"w".as("group_id")))
+      .groupBy($"group_id").agg(count(lit(1)).as("tri_cnt"))
+      .orderBy($"group_id")
   }
 
   /** Degree HISTOGRAM of the near-dup candidate graph in log2 buckets
@@ -1709,28 +1729,40 @@ object TextOps {
       |  max(deg)::BIGINT AS max_deg
       |FROM alldeg GROUP BY 1 ORDER BY bucket""".stripMargin
 
-  val trianglesSql: String = minhashPairsCte +
-    """,
-      |nd AS (SELECT a AS v FROM pairs UNION ALL SELECT b FROM pairs),
-      |dg AS (SELECT v, count(*)::BIGINT AS d FROM nd GROUP BY v),
-      |o AS (SELECT
-      |    CASE WHEN da.d < db.d OR (da.d = db.d AND p.a < p.b)
-      |         THEN p.a ELSE p.b END AS src,
-      |    CASE WHEN da.d < db.d OR (da.d = db.d AND p.a < p.b)
-      |         THEN p.b ELSE p.a END AS dst
-      |  FROM pairs p JOIN dg da ON p.a = da.v JOIN dg db ON p.b = db.v),
-      |od AS (SELECT o.src, o.dst, dg.d AS dd FROM o JOIN dg ON o.dst = dg.v),
-      |tri AS (
-      |  SELECT x.src AS v, x.dst AS u, y.dst AS ww
-      |  FROM od x JOIN od y ON x.src = y.src
-      |    AND (x.dd < y.dd OR (x.dd = y.dd AND x.dst < y.dst))
-      |  WHERE EXISTS (SELECT 1 FROM od z
-      |                WHERE z.src = x.dst AND z.dst = y.dst)),
-      |mem AS (SELECT v AS doc_id FROM tri
-      |        UNION ALL SELECT u FROM tri
-      |        UNION ALL SELECT ww FROM tri)
-      |SELECT doc_id, count(*)::BIGINT AS tri_cnt
-      |FROM mem GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  val trianglesSql: String = tokCte + {
+    val cols = A.indices.map(j =>
+      s"min((${A(j)} * code + ${B(j)}) % 2147483647) AS mh$j").mkString(", ")
+    def sig(i: Int) =
+      (1 until 4).foldLeft(s"mh${i}")((acc, j) =>
+        s"(($acc) % $M * 131071 + mh${i + j}) % $M")
+    s""", sigs AS (SELECT doc_id, $cols FROM codes GROUP BY doc_id),
+       |bsig AS (SELECT doc_id, ${sig(0)} AS s0, ${sig(4)} AS s1 FROM sigs),
+       |g AS (SELECT s0, s1, min(doc_id) AS gid FROM bsig GROUP BY s0, s1),
+       |gp AS (
+       |  SELECT DISTINCT l.gid AS a, r.gid AS b
+       |  FROM g l JOIN g r ON (l.s0 = r.s0 OR l.s1 = r.s1)
+       |    AND l.gid < r.gid),
+       |nd AS (SELECT a AS v FROM gp UNION ALL SELECT b FROM gp),
+       |dg AS (SELECT v, count(*)::BIGINT AS d FROM nd GROUP BY v),
+       |o AS (SELECT
+       |    CASE WHEN da.d < db.d OR (da.d = db.d AND p.a < p.b)
+       |         THEN p.a ELSE p.b END AS src,
+       |    CASE WHEN da.d < db.d OR (da.d = db.d AND p.a < p.b)
+       |         THEN p.b ELSE p.a END AS dst
+       |  FROM gp p JOIN dg da ON p.a = da.v JOIN dg db ON p.b = db.v),
+       |od AS (SELECT o.src, o.dst, dg.d AS dd FROM o JOIN dg ON o.dst = dg.v),
+       |tri AS (
+       |  SELECT x.src AS v, x.dst AS u, y.dst AS ww
+       |  FROM od x JOIN od y ON x.src = y.src
+       |    AND (x.dd < y.dd OR (x.dd = y.dd AND x.dst < y.dst))
+       |  WHERE EXISTS (SELECT 1 FROM od z
+       |                WHERE z.src = x.dst AND z.dst = y.dst)),
+       |mem AS (SELECT v AS gid FROM tri
+       |        UNION ALL SELECT u FROM tri
+       |        UNION ALL SELECT ww FROM tri)
+       |SELECT gid AS group_id, count(*)::BIGINT AS tri_cnt
+       |FROM mem GROUP BY gid ORDER BY group_id""".stripMargin
+  }
 
   /** Inverted-index build: per term, document frequency and the first 20
     * postings (sorted doc_ids, rendered as a canonical comma string so the
