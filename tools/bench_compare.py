@@ -30,6 +30,7 @@ import sys
 
 CANARY = "kv_scan_count"
 CANARY_CLEAN_FLOOR = 0.30  # seconds at sf0.1; >=2x this => contaminated
+CANARY_POISON_CEILING = 0.05  # below this = queries threw, not ran (r9)
 
 SPREAD_RE = re.compile(r'"([A-Za-z0-9_]+)":\[([0-9.]+),([0-9.]+),([0-9.]+)\]')
 COMPACT_RE = re.compile(r'"([A-Za-z0-9_]+)":([0-9.]+)')
@@ -107,6 +108,16 @@ def main(argv):
             print(f"[canary] {tag}: {CANARY} min {c:.3f}s >= "
                   f"{2 * CANARY_CLEAN_FLOOR:.2f}s — RUN CONTAMINATED, "
                   "deltas on this side are not trustworthy")
+            contaminated = True
+        elif c <= CANARY_POISON_CEILING:
+            # round 9: a mid-run SparkContext death made every later query
+            # record its time-to-throw (~0.005s) — the canary reading FAR
+            # BELOW floor is the failure signature, and the run's "times"
+            # are not measurements at all
+            print(f"[canary] {tag}: {CANARY} min {c:.3f}s <= "
+                  f"{CANARY_POISON_CEILING:.2f}s — implausibly fast: the "
+                  "run likely died mid-way (check failed_n / stderr); "
+                  "times on this side are time-to-throw, not measurements")
             contaminated = True
         else:
             print(f"[canary] {tag}: {CANARY} min {c:.3f}s — clean")
