@@ -1415,20 +1415,44 @@ object Similarity {
     * that grows with data. For large k at 100 TB the standard move is
     * k-means++-style sampled initialization on top of the same kernel.
     */
-  def diversitySample(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+  def diversitySample(s: SparkSession, dir: String, k: Int = 10): DataFrame =
+    diversitySampleOf(qEmb(s, dir), k)
+
+  /** Kernel over an arbitrary (vec_id, q, n2) frame — split out so the
+    * duplicate-corpus degenerate case (covering radius 0) is testable
+    * without a fixture table. Seeded at vec_id 0 (Gonzalez's seed is
+    * arbitrary). When the distinct-vector pool is exhausted before k
+    * (every remaining vector duplicates a chosen one), the anti-join
+    * leaves an empty candidate frame and the traversal stops short —
+    * fewer-but-distinct centers, never a duplicated one.
+    */
+  private[operators] def diversitySampleOf(embQ: DataFrame, k: Int): DataFrame = {
+    val s = embQ.sparkSession
     import s.implicits._
-    val emb = qEmb(s, dir).localCheckpoint(true) // re-scanned every round
+    val emb = embQ.localCheckpoint(true) // re-scanned every round
     var chosen = emb.filter($"vec_id" === 0)
       .select($"vec_id".as("cid"), $"q".as("cq"), $"n2".as("cn2"),
         lit(0).as("sel_order"), lit(0L).as("sel_d2"))
       .localCheckpoint(true)
     for (i <- 1 until k) {
+      // already-chosen ids leave the candidate frame (broadcast ≤k-row
+      // anti-join): without this, once the covering radius hits 0 (every
+      // remaining vector duplicates a chosen one) all md2 are 0 and the
+      // vec_id tie-break would re-select vec 0 forever — k distinct
+      // centers is the operator's contract, so duplicates must lose by
+      // construction, not by tie-break luck. Mirrored in the oracle CTE.
       val winner = emb
+        .join(broadcast(chosen.select($"cid".as("vec_id"))),
+          Seq("vec_id"), "left_anti")
         .crossJoin(broadcast(chosen.select($"cid", $"cq", $"cn2")))
         .withColumn("d2", $"n2" - lit(2L) * dot($"q", $"cq") + $"cn2")
         .groupBy($"vec_id").agg(min($"d2").as("md2"))
         .orderBy($"md2".desc, $"vec_id")
         .limit(1)
+        // covering radius 0 = every remaining vector duplicates a chosen
+        // one; an empty winner frame ends the traversal (fewer-but-
+        // distinct centers) with no driver-side md2 inspection
+        .filter($"md2" > 0)
         .join(emb, Seq("vec_id"))
         .select($"vec_id".as("cid"), $"q".as("cq"), $"n2".as("cn2"),
           lit(i).as("sel_order"), $"md2".as("sel_d2"))
@@ -1440,7 +1464,13 @@ object Similarity {
 
   val diversitySampleSql: String = {
     val sb = new StringBuilder(qvecCte)
-    sb ++= """, ch0 AS (
+    // ch$i is MATERIALIZED: DuckDB inlines plain CTEs per reference, and
+    // each round references the previous chosen-set three times (distance
+    // cross join, NOT IN anti-join, union) — inlined, that's 3^k
+    // expansions of the base scan and the oracle dies on file handles
+    // before it dies on time. Materialization makes the chain linear,
+    // which is also what the Spark side's per-round localCheckpoint does.
+    sb ++= """, ch0 AS MATERIALIZED (
              |  SELECT vec_id, q, 0 AS sel_order, 0::BIGINT AS sel_d2
              |  FROM qv WHERE vec_id = 0)""".stripMargin
     for (i <- 1 until 10) {
@@ -1451,7 +1481,8 @@ object Similarity {
            |  SELECT vec_id, cid, sum(x * y) AS d FROM (
            |    SELECT e.vec_id, c.vec_id AS cid,
            |           unnest(e.q) AS x, unnest(c.q) AS y
-           |    FROM qv e CROSS JOIN $prev c) z
+           |    FROM qv e CROSS JOIN $prev c
+           |    WHERE e.vec_id NOT IN (SELECT vec_id FROM $prev)) z
            |  GROUP BY 1, 2),
            |m$i AS (
            |  SELECT dd.vec_id,
@@ -1459,9 +1490,9 @@ object Similarity {
            |  FROM dd$i dd JOIN nrm ne ON dd.vec_id = ne.vec_id
            |               JOIN nrm nc ON dd.cid = nc.vec_id
            |  GROUP BY dd.vec_id),
-           |p$i AS (SELECT vec_id, md2 FROM m$i
+           |p$i AS (SELECT vec_id, md2 FROM m$i WHERE md2 > 0
            |        ORDER BY md2 DESC, vec_id LIMIT 1),
-           |ch$i AS (
+           |ch$i AS MATERIALIZED (
            |  SELECT vec_id, q, sel_order, sel_d2 FROM $prev
            |  UNION ALL
            |  SELECT p.vec_id, qv.q, $i, p.md2

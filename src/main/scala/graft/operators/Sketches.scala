@@ -752,10 +752,17 @@ object Sketches {
     val counts = docs.groupBy($"lang")
       .agg(count(lit(1)).as("n_docs"))
       .withColumn("weight", floor(sqrt($"n_docs".cast("double"))).cast("long"))
+    // clamped to ≥ 1‰: a language whose ⌊√n⌋ weight is under 1/1000 of
+    // the total (reachable on corpora with many languages) would floor to
+    // 0 and the achievable-total division below would hit divide-by-zero
+    // — NULL under Spark's non-ANSI division but an ERROR under DuckDB's
+    // `//`, so the engines would diverge instead of degrading. The clamp
+    // (mirrored in the oracle SQL) means every language retains at least
+    // a 1‰ target share.
     val rates = counts
       .withColumn("target_pm",
-        floor($"weight" * 1000L
-          / sum($"weight").over(Window.partitionBy())).cast("long"))
+        greatest(floor($"weight" * 1000L
+          / sum($"weight").over(Window.partitionBy())).cast("long"), lit(1L)))
       // largest total sample for which every language can fill its share
       // from its own docs (rates stay ≤ 1000‰) — the same achievable-
       // total bound the domain-mixture sampler uses
@@ -788,7 +795,8 @@ object Sketches {
        |  FROM docs GROUP BY lang),
        |r AS (
        |  SELECT lang, n_docs, weight,
-       |    (weight * 1000 // sum(weight) OVER ())::BIGINT AS target_pm
+       |    greatest((weight * 1000 // sum(weight) OVER ())::BIGINT, 1)
+       |      AS target_pm
        |  FROM c),
        |t AS (
        |  SELECT *, min(n_docs * 1000 // target_pm) OVER ()::BIGINT AS t_total
