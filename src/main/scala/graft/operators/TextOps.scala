@@ -628,18 +628,22 @@ object TextOps {
 
   /** (doc_id, sig0, band, sig) band-exploded view of an 8-column minhash
     * signature frame — 2 bands × 4 rows folded by [[bandSig]]. sig0 rides
-    * along for first-matching-band dedup at the join.
+    * along for first-matching-band dedup at the join. `carry` names extra
+    * input columns to thread through unchanged (the streaming self-join
+    * carries its event-time column this way).
     */
-  private[graft] def bandedOf(sig: DataFrame): DataFrame = {
+  private[graft] def bandedOf(sig: DataFrame,
+      carry: Seq[String] = Nil): DataFrame = {
     val s = sig.sparkSession
     import s.implicits._
-    sig.select($"doc_id",
+    val carried = carry.map(col)
+    sig.select(Seq($"doc_id",
         bandSig((0 until 4).map(i => col(s"mh$i"))).as("sig0"),
-        bandSig((4 until 8).map(i => col(s"mh$i"))).as("sig1"))
-      .select($"doc_id", $"sig0", explode(array(
+        bandSig((4 until 8).map(i => col(s"mh$i"))).as("sig1")) ++ carried: _*)
+      .select(Seq($"doc_id", $"sig0", explode(array(
         struct(lit(0).as("band"), $"sig0".as("sig")),
-        struct(lit(1).as("band"), $"sig1".as("sig")))).as("e"))
-      .select($"doc_id", $"sig0", $"e.band", $"e.sig")
+        struct(lit(1).as("band"), $"sig1".as("sig")))).as("e")) ++ carried: _*)
+      .select(Seq($"doc_id", $"sig0", $"e.band", $"e.sig") ++ carried: _*)
   }
 
   /** Incremental (delta-vs-corpus) near-dup candidates: every new-batch doc

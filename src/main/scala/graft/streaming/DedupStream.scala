@@ -20,11 +20,12 @@ import graft.operators.TextOps
   *    with the same first-matching-band emission as the batch emitters,
   *    so no per-pair distinct and no stream-side state at all.
   *
-  * Delta-vs-delta collisions inside the stream are intentionally out of
-  * scope here (that is a stream-stream self-join requiring watermarked
-  * state); the production loop handles them by folding each ingested
-  * micro-batch into the index and letting the NEXT batch collide with it
-  * — exactly what [[mergeIndex]] models.
+  * Delta-vs-delta collisions inside the stream are covered by
+  * [[withinStreamMatches]] — a watermarked stream-stream self-join on the
+  * band keys that pairs near-dups arriving within one horizon of each
+  * other (including the same micro-batch); pairs further apart are
+  * handled by the index fold ([[mergeIndex]]) + [[nearDupMatches]], so
+  * the two operators partition the pair space by arrival gap.
   */
 object DedupStream {
 
@@ -61,4 +62,58 @@ object DedupStream {
   def mergeIndex(corpusSig: DataFrame, batchSig: DataFrame): DataFrame =
     corpusSig.join(batchSig.select("doc_id"), Seq("doc_id"), "left_anti")
       .unionByName(batchSig)
+
+  /** Delta-vs-delta matches: near-dup pairs among the STREAMED docs
+    * themselves — the window [[nearDupMatches]] leaves open (the
+    * stream-static join only sees the already-indexed corpus, so two
+    * near-dup docs arriving in the same micro-batch were not paired until
+    * the index fold caught one of them a batch later). A watermarked
+    * stream-stream SELF-join on the LSH band keys closes it:
+    *
+    *  - `deltaDocs` is a streaming (doc_id, text, ingest_ts) frame — the
+    *    event-time column is required, because stream-stream join state
+    *    is evicted by watermark, never by size;
+    *  - both self-join branches carry a `horizon` watermark and the join
+    *    condition bounds |a_ts − b_ts| ≤ horizon, so buffered signatures
+    *    are dropped once the other side's watermark passes — state is
+    *    arrival-rate × horizon, not stream lifetime (the same cleanup
+    *    contract as [[EventStreams.clickAttribution]]);
+    *  - emission is append-mode-safe (inner equi-join on (band, sig)) and
+    *    each unordered pair appears exactly once: the match_id < new_id
+    *    orientation kills the mirrored row, first-matching-band kills the
+    *    second band's duplicate — same contract as the batch
+    *    [[TextOps.incrementalPairsOf]] delta side, which this converges
+    *    to when every delta doc arrives within one horizon.
+    *
+    * Pairs separated by MORE than the horizon are intentionally not
+    * emitted here — by then the earlier doc is in the index and
+    * [[nearDupMatches]] reports the pair; the two operators partition the
+    * pair space by arrival gap instead of double-reporting it.
+    */
+  def withinStreamMatches(deltaDocs: DataFrame,
+      horizon: String = "1 hour"): DataFrame = {
+    val banded = TextOps.bandedOf(
+      deltaDocs.select((col("doc_id") +: col("ingest_ts") +:
+        TextOps.minhashSigCols): _*),
+      carry = Seq("ingest_ts"))
+    // per-side column names: a self-join of one streaming source would
+    // otherwise carry ambiguous attribute references into the condition
+    val a = banded
+      .select(col("doc_id").as("match_id"), col("sig0").as("s0a"),
+        col("band").as("band_a"), col("sig").as("sig_a"),
+        col("ingest_ts").as("a_ts"))
+      .withWatermark("a_ts", horizon)
+    val b = banded
+      .select(col("doc_id").as("new_id"), col("sig0").as("s0b"),
+        col("band").as("band_b"), col("sig").as("sig_b"),
+        col("ingest_ts").as("b_ts"))
+      .withWatermark("b_ts", horizon)
+    a.join(b,
+        col("band_a") === col("band_b") && col("sig_a") === col("sig_b") &&
+          col("match_id") < col("new_id") &&
+          col("b_ts") >= col("a_ts") - expr(s"INTERVAL $horizon") &&
+          col("b_ts") <= col("a_ts") + expr(s"INTERVAL $horizon"))
+      .filter(col("band_a") === 0 || col("s0a") =!= col("s0b"))
+      .select(col("new_id"), col("match_id"))
+  }
 }

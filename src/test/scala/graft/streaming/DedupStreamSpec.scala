@@ -57,6 +57,56 @@ class DedupStreamSpec extends SparkSpec {
     assert(got.nonEmpty, "no matches — the staged delta never collided")
   }
 
+  test("withinStreamMatches pairs same-batch near-dups exactly once and " +
+      "converges to the batch delta-vs-delta pairs") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
+    val isNew = $"doc_id" % 5 === 4
+    val delta = docs.filter(isNew)
+      .withColumn("ingest_ts", to_timestamp(lit("2026-01-01 00:00:00")))
+    // batch reference: the delta-vs-delta side of the incremental operator
+    val want = TextOps.incrementalPairsOf(
+        DedupStream.signatures(docs.filter(!isNew)),
+        DedupStream.signatures(docs.filter(isNew)))
+      .filter($"match_src" === "delta")
+      .select($"new_id", $"match_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(want.nonEmpty, "gate delta has no internal near-dups")
+    assert(want.length == want.distinct.length)
+
+    // ALL delta docs in ONE staged file -> one micro-batch: every pair is
+    // a same-batch collision, the exact case the stream-static path missed
+    val staging = Files.createTempDirectory("graft-wb").toFile.getAbsolutePath
+    delta.coalesce(1).write.mode("overwrite").parquet(staging)
+    val schema = spark.read.parquet(staging).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(staging)
+    val q = DedupStream.withinStreamMatches(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_wb_out").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("dedup_wb_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == got.distinct.length,
+      "a pair was emitted more than once")
+    assert(got.sorted.toSeq == want.sorted.toSeq)
+
+    // staged as several files -> several micro-batches within the
+    // horizon: cross-batch pairs must still surface, and still only once
+    val staging2 = Files.createTempDirectory("graft-wb2").toFile.getAbsolutePath
+    delta.repartition(3).write.mode("overwrite").parquet(staging2)
+    val stream2 = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(staging2)
+    val q2 = DedupStream.withinStreamMatches(stream2)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_wb_out2").start()
+    q2.processAllAvailable(); q2.stop()
+    val got2 = spark.table("dedup_wb_out2").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got2.length == got2.distinct.length)
+    assert(got2.sorted.toSeq == want.sorted.toSeq)
+  }
+
   test("mergeIndex is last-writer-wins and grows the index by new ids") {
     import spark.implicits._
     val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
