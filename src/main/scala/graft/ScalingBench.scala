@@ -138,7 +138,8 @@ object ScalingBench {
       Some(args(2).split(",").map(_.trim).filter(_.nonEmpty).toSet)
     else None
     val corpusQs = Seq("dedup_clusters", "sim_ivf_topk",
-      "dedup_cdc_chunks", "sim_knn_graph",
+      "dedup_cdc_chunks",
+      "pipeline_keep_manifest",
       "dedup_ngram_overlap", "dedup_jaccard_pairs",
       "dedup_simhash_wide_pairs",
       "dedup_simhash_pairs", "dedup_minhash_pairs")
@@ -253,7 +254,12 @@ object ScalingBench {
     // compares) by construction.
     if (onlyQs.forall(_.contains("dedup_semantic")))
       for ((tag, dir, cells) <- Seq(
-          ("1x", base, 45), (s"${mult}x", out, 140))) {
+          // nCells tracks ≈0.63·√N at every scale (45 at N=5000), so each
+          // point measures the deployment configuration, not a denser one;
+          // ×10 keeps its historical 140 (the formula's 142 rounds there)
+          ("1x", base, 45),
+          (s"${mult}x", out,
+            if (mult == 10) 140 else (45 * math.sqrt(mult)).round.toInt))) {
         val (secs, rows) = time(iters)(
           graft.operators.Similarity.semanticDedup(spark, dir, cells))
         val line = s"""{"query":"dedup_semantic","scale":"$tag",""" +
@@ -261,6 +267,63 @@ object ScalingBench {
         println(line)
         report += line
       }
+
+    // k-NN graph in its deployment configuration: hyperplane count grows
+    // with N (planes = 8 + log₂mult, i.e. bucket count tracks data) so
+    // per-bucket compare volume — Σ bucket² — stays linear in N; running
+    // 100× at the 1× 8-plane geometry would self-join ~2000-row buckets
+    // (×mult² compares), a misconfiguration like the fixed-cell SemDeDup
+    if (onlyQs.forall(_.contains("sim_knn_graph")))
+      for ((tag, dir, planes) <- Seq(
+          ("1x", base, 8),
+          (s"${mult}x", out,
+            8 + (math.log(mult) / math.log(2)).ceil.toInt))) {
+        val (secs, rows) = time(iters)(
+          graft.operators.Similarity.knnGraph(spark, dir, planes))
+        val line = s"""{"query":"sim_knn_graph","scale":"$tag",""" +
+          s""""sec":${f3(secs)},"rows":$rows,"n_planes":$planes}"""
+        println(line)
+        report += line
+      }
+
+    // PQ geometry sweep (1× corpus): probe time and serving-state size vs
+    // M at fixed k=8 (nbits=3). bytes/vector = M·nbits/8 is the index the
+    // cluster actually holds; the probe is the flat ADC top-3 over all
+    // corpus codes, so its time exposes the M-term LUT-sum cost directly.
+    if (onlyQs.exists(_.contains("pq_geometry")))
+      for (m <- Seq(2, 4, 8)) {
+        val (secs, rows) = time(iters)(
+          graft.operators.Similarity.pqAdcTop3(spark, base, m, 8))
+        val bytesPerVec = f3(m * 3 / 8.0)
+        val line = s"""{"query":"pq_geometry","scale":"M=$m,k=8",""" +
+          s""""sec":${f3(secs)},"rows":$rows,"bytes_per_vec":$bytesPerVec}"""
+        println(line)
+        report += line
+      }
+
+    // BPE rounds slope: the per-round corpus `replace` makes training
+    // O(rounds·corpus); measure the rounds axis at 1× and the corpus axis
+    // at rounds=3 over the scaled corpus, so both factors of the product
+    // are on record. (The cluster-scale alternative — pair-cache
+    // incremental merging à la the original BPE implementation — trades
+    // the full corpus pass for touching only documents containing the
+    // winning pair; documented in PLANS.md.)
+    if (onlyQs.exists(_.contains("bpe_rounds"))) {
+      for (r <- Seq(3, 8, 16)) {
+        val (secs, rows) = time(iters)(
+          graft.operators.TextOps.bpeTrain(spark, base, r))
+        val line = s"""{"query":"bpe_rounds","scale":"1x,rounds=$r",""" +
+          s""""sec":${f3(secs)},"rows":$rows}"""
+        println(line)
+        report += line
+      }
+      val (secs, rows) = time(iters)(
+        graft.operators.TextOps.bpeTrain(spark, out, 3))
+      val line = s"""{"query":"bpe_rounds","scale":"${mult}x,rounds=3",""" +
+        s""""sec":${f3(secs)},"rows":$rows}"""
+      println(line)
+      report += line
+    }
     println("SCALING_DONE " + report.size)
     spark.stop()
   }

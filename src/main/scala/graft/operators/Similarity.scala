@@ -218,11 +218,12 @@ object Similarity {
     * presentation orderBy lives only in the oracle query, so joins against
     * this never drag a wasted range-exchange + sort into their plans).
     */
-  private def lshBucketsRaw(s: SparkSession, dir: String): DataFrame = {
+  private def lshBucketsRaw(s: SparkSession, dir: String,
+      nPlanes: Int = 8): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, dir)
       .select($"vec_id", qvec($"embedding").as("q"))
-    val bucket = (0 until 8).map { j =>
+    val bucket = (0 until nPlanes).map { j =>
       val h = array(hyperplane(j).map(lit): _*)
       when(dot($"q", h) >= 0, 1L << j).otherwise(0L)
     }.reduce(_ + _)
@@ -794,24 +795,32 @@ object Similarity {
 
   // ---- Product quantization (PQ / ADC) ----
 
-  /** PQ constants: M=4 subspaces × 16 dims (the 64-dim embedding), k=8
-    * centroids per subspace, [[kmeansIters]] Lloyd iterations — the same
-    * determinism contract as the IVF fit, so the oracle reproduces every
-    * code bit-for-bit.
+  /** Gate-pinned PQ geometry: M=4 subspaces × 16 dims (the 64-dim
+    * embedding), k=8 centroids per subspace (nbits=3),
+    * [[kmeansIters]] Lloyd iterations — the same determinism contract as
+    * the IVF fit, so the oracle reproduces every code bit-for-bit. The
+    * fit/encode kernels below take (m, k) as parameters — a 100 TB
+    * deployment tunes the memory/recall trade (bytes per vector = M·nbits
+    * /8; LUT adds per probe = M) without touching the gate, exactly as
+    * the IVF cell count was parameterized. PqGeometrySpec pins the
+    * algebraic laws across geometries.
     */
   private val pqM = 4
-  private val pqDims = 16
   private val pqK = 8
+  private val embDim = 64
+  private val pqDims = embDim / pqM // the oracle CTEs render the gate geometry
 
   /** Subvector frame (vec_id, m, sq, sn2): each vector exploded into its
     * M subspace slices. ONE frame feeds the codebook fit, the corpus
-    * encode, and the query LUT.
+    * encode, and the query LUT. `m` must divide the embedding dim.
     */
-  private def pqSub(emb: DataFrame): DataFrame = {
+  private def pqSub(emb: DataFrame, mSub: Int = pqM): DataFrame = {
     import emb.sparkSession.implicits._
-    emb.select($"vec_id", explode(array((0 until pqM).map { m =>
+    require(embDim % mSub == 0, s"pq M=$mSub must divide dim $embDim")
+    val dims = embDim / mSub
+    emb.select($"vec_id", explode(array((0 until mSub).map { m =>
         struct(lit(m.toLong).as("m"),
-          slice($"q", m * pqDims + 1, pqDims).as("sq"))
+          slice($"q", m * dims + 1, dims).as("sq"))
       }: _*)).as("e"))
       .select($"vec_id", $"e.m".as("m"), $"e.sq".as("sq"))
       .withColumn("sn2", norm2($"sq"))
@@ -825,10 +834,10 @@ object Similarity {
     * integer-exact floor-mean requantization as [[ivfCentroids]]. Output:
     * the M×k codebook (m, cid, cq), checkpointed (32 rows).
     */
-  private def pqCodebook(sub: DataFrame): DataFrame = {
+  private def pqCodebook(sub: DataFrame, kCents: Int = pqK): DataFrame = {
     import sub.sparkSession.implicits._
-    val k = lit(pqK.toLong)
-    var cents = sub.filter($"vec_id" < pqK)
+    val k = lit(kCents.toLong)
+    var cents = sub.filter($"vec_id" < kCents)
       .select($"m", $"vec_id".as("cid"), $"sq".as("cq"))
     for (_ <- 1 to kmeansIters) {
       val withN = broadcast(cents.withColumn("cn2", norm2($"cq")))
@@ -860,10 +869,11 @@ object Similarity {
     * corpus is touched once, narrow, no shuffle beyond the per-(qid,vec)
     * 4-row sum. At 100 TB the codes table IS the index: 4 bytes/vector.
     */
-  private def pqAdcTop3(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def pqAdcTop3(s: SparkSession, dir: String,
+      mSub: Int = pqM, kCents: Int = pqK): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val (codes, lut) = pqCodesAndLut(s, dir)
+    val (codes, lut) = pqCodesAndLut(s, dir, mSub, kCents)
     codes.join(broadcast(lut), Seq("m", "cid"))
       .filter($"vec_id" =!= $"qid")
       .groupBy($"qid", $"vec_id")
@@ -879,13 +889,14 @@ object Similarity {
     * matches exactly one LUT row per subspace and the ADC sum is always
     * complete). ONE maintained encode so the two probes can never drift.
     */
-  private def pqCodesAndLut(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private[graft] def pqCodesAndLut(s: SparkSession, dir: String,
+      mSub: Int = pqM, kCents: Int = pqK): (DataFrame, DataFrame) = {
     import s.implicits._
-    val sub = pqSub(qEmb(s, dir)).localCheckpoint(true)
-    val book = pqCodebook(sub)
+    val sub = pqSub(qEmb(s, dir), mSub).localCheckpoint(true)
+    val book = pqCodebook(sub, kCents)
     val withN = broadcast(book.withColumn("cn2", norm2($"cq")))
     val d2 = $"sn2" - lit(2L) * dot($"sq", $"cq") + $"cn2"
-    val k = lit(pqK.toLong)
+    val k = lit(kCents.toLong)
     val codes = sub.join(withN, Seq("m"))
       .withColumn("d2", d2)
       .groupBy($"vec_id", $"m")
@@ -1252,17 +1263,21 @@ object Similarity {
     * propagation) — [[lshTopK]] probes a fixed 10-query set; this builds
     * the all-nodes neighbor list in one pass.
     *
-    * Scale shape: one equi-self-join on the 8-bit LSH bucket (candidate
-    * volume ∝ Σ bucket², the standard LSH trade — more hyperplanes at
-    * larger N), then a per-node top-3 window on the bucket-partitioned
-    * shuffle. Vectors whose bucket holds no other member emit no rows
+    * Scale shape: one equi-self-join on the `nPlanes`-bit LSH bucket
+    * (candidate volume ∝ Σ bucket², the standard LSH trade), then a
+    * per-node top-3 window on the bucket-partitioned shuffle. `nPlanes`
+    * is the scale knob, exactly like IVF's nCells: bucket count 2^planes
+    * should track N (planes ≈ log₂N − log₂(target bucket size)), keeping
+    * per-bucket compare volume — and hence total work — linear in N; the
+    * gate pins the 8-plane geometry, ScalingBench measures the scaled
+    * ones. Vectors whose bucket holds no other member emit no rows
     * (isolated in the graph), which downstream consumers must treat as
     * "no neighbors found", not "no similar vectors exist".
     */
-  def knnGraph(s: SparkSession, dir: String): DataFrame = {
+  def knnGraph(s: SparkSession, dir: String, nPlanes: Int = 8): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val withB = qEmb(s, dir).join(lshBucketsRaw(s, dir), Seq("vec_id"))
+    val withB = qEmb(s, dir).join(lshBucketsRaw(s, dir, nPlanes), Seq("vec_id"))
     val l = withB.select($"bucket", $"vec_id", $"q", $"n2")
     val r = withB.select($"bucket", $"vec_id".as("nbr"), $"q".as("qn"),
       $"n2".as("nn"))
@@ -1518,7 +1533,7 @@ object Similarity {
     "sim_pq_recall" -> pqRecall _,
     "sim_ivfpq_topk" -> ivfPqTopK _,
     "dedup_semantic" -> semanticDedup _,
-    "sim_knn_graph" -> knnGraph _,
+    "sim_knn_graph" -> ((s: SparkSession, d: String) => knnGraph(s, d)),
     "sim_mips_topk" -> mipsTopK _,
     "sim_matryoshka_recall" -> matryoshkaRecall _,
     "sim_diversity_sample" -> ((s: SparkSession, dir: String) =>

@@ -48,4 +48,22 @@ class BpeTrainSpec extends SparkSpec {
       prevFreq = freq; prevTokens = n
     }
   }
+
+  test("rounds parameter: an 8-round run extends the 3-round run as an " +
+      "exact prefix and every extra round keeps shrinking the corpus") {
+    val r3 = TextOps.bpeTrain(spark, dir, rounds = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    val r8 = TextOps.bpeTrain(spark, dir, rounds = 8).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(r8.length == 8)
+    // greedy determinism: deeper training never rewrites earlier merges
+    assert(r8.take(3) == r3)
+    // rounds-monotonicity: freq non-increasing, corpus strictly shrinking
+    r8.sliding(2).foreach { case Seq(a, b) =>
+      assert(b._4 <= a._4, s"winner freq grew at round ${b._1}")
+      assert(b._5 < a._5, s"round ${b._1} merged nothing")
+    }
+  }
 }

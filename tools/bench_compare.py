@@ -22,7 +22,14 @@ co-tenant load, never query code. Clean floor ~0.25s at sf0.1; a side
 reading >= 2x that is flagged CONTAMINATED and every delta on that side is
 suspect.
 
-Exit codes: 0 clean, 1 regressions found, 2 canary contaminated (trumps 1).
+A side whose artifact records failed queries (failed_n > 0 / a "failed"
+list) or an aborted run ("aborted":true — the SparkContext died mid-run)
+is NOT a set of measurements, and the tool REFUSES to compare: exit 3,
+no delta table. A below-floor canary is treated the same way (it is the
+failure signature round 9 taught us), not merely flagged.
+
+Exit codes: 0 clean, 1 regressions found, 2 canary contaminated (trumps
+1), 3 refused (failed/aborted/poisoned side — nothing was compared).
 """
 import json
 import re
@@ -52,8 +59,18 @@ def load_text(path):
 
 def parse_side(path):
     """-> (mins: {query: min_sec}, total: float|None, canary: float|None,
-           n_spread: int) for one artifact."""
+           n_spread: int, bad: str|None) for one artifact; `bad` is a
+    human-readable reason the side is not a measurement set."""
     text = load_text(path)
+    bad = None
+    if re.search(r'"aborted":true', text):
+        bad = "run aborted mid-way (SparkContext died)"
+    else:
+        fm = re.search(r'"failed_n":(\d+)', text)
+        fl = re.search(r'"failed":\[', text)
+        if (fm and int(fm.group(1)) > 0) or fl:
+            n = fm.group(1) if fm else "some"
+            bad = f"{n} queries failed (times are time-to-throw)"
     mins = {}
     # compact line first (complete, but only the slowest queries fit)
     m = re.search(r'\{"metric":"total",.*\}', text)
@@ -76,7 +93,10 @@ def parse_side(path):
         n_spread += 1
     if canary is None and CANARY in mins:
         canary = mins[CANARY]
-    return mins, total, canary, n_spread
+    if bad is None and canary is not None and canary <= CANARY_POISON_CEILING:
+        bad = (f"canary {canary:.3f}s <= {CANARY_POISON_CEILING:.2f}s — "
+               "implausibly fast, the run likely died mid-way")
+    return mins, total, canary, n_spread, bad
 
 
 def main(argv):
@@ -97,8 +117,20 @@ def main(argv):
     abs_floor = float(opts.get("abs", 0.15))
     rel_floor = float(opts.get("rel", 1.3))
     old_path, new_path = flat
-    old, old_total, old_canary, old_ns = parse_side(old_path)
-    new, new_total, new_canary, new_ns = parse_side(new_path)
+    old, old_total, old_canary, old_ns, old_bad = parse_side(old_path)
+    new, new_total, new_canary, new_ns, new_bad = parse_side(new_path)
+
+    # a failed/aborted/poisoned side holds non-measurements: comparing it
+    # would manufacture deltas out of time-to-throw readings — refuse
+    refused = False
+    for tag, path, bad in (("OLD", old_path, old_bad),
+                           ("NEW", new_path, new_bad)):
+        if bad:
+            print(f"[REFUSED] {tag} ({path}): {bad} — not comparable; "
+                  "re-run the bench instead of reading deltas off this artifact")
+            refused = True
+    if refused:
+        return 3
 
     contaminated = False
     for tag, c in (("OLD", old_canary), ("NEW", new_canary)):
