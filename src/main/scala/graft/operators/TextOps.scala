@@ -1328,6 +1328,54 @@ object TextOps {
         |FROM rk GROUP BY cluster ORDER BY cluster""".stripMargin
     }
 
+  /** Duplicate-aware SOFT reweighting — the alternative dedup *action* to
+    * hard removal ([[keepBest]]): instead of dropping near-duplicates,
+    * weight every member of a duplicate cluster by 1/|cluster| so the
+    * cluster contributes one document's worth of probability mass to
+    * training (the "soft dedup" used when duplicates carry signal — e.g.
+    * boilerplate-heavy but partially distinct mirrors — and hard removal
+    * would lose the variation; cf. the sampling-weight treatment of
+    * duplication in D4 / SoftDeDup-style curation). Singletons keep weight
+    * 1000‰; a k-member cluster's members each get ⌊1000/k⌋‰ — integer
+    * permille so the contract is bit-exact cross-engine.
+    *
+    * Scale: rides the same star-contraction labels as [[dedupClusters]]
+    * (O(log n) bounded shuffles); sizes are one mergeable count on the
+    * cluster-keyed shuffle and the weight join is cluster-keyed
+    * (co-partitioned with the agg that produced it). Cluster sizes are
+    * near-dup groups — bounded small by construction, no skew risk.
+    */
+  def softWeights(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nodes = Tables.documents(s, dir).select($"doc_id")
+    val (labels, _) =
+      starContraction(nodes, shinglePairsOf(shingleCodes(s, dir)))
+    val sizes = labels.groupBy($"label".as("cluster"))
+      .agg(count(lit(1)).as("n_members"))
+    labels.select($"doc_id", $"label".as("cluster"))
+      .join(sizes, Seq("cluster"))
+      .select($"doc_id", $"cluster", $"n_members",
+        floor(lit(1000L) / $"n_members").cast("long").as("weight_permille"))
+      .orderBy($"doc_id")
+  }
+
+  val softWeightsSql: String =
+    shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ") + shingleBandsCte + {
+      """,
+        |edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+        |reach(node, m) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.a, r.m FROM edges e JOIN reach r ON e.b = r.node),
+        |lab AS (SELECT node AS doc_id, min(m)::BIGINT AS cluster
+        |        FROM reach GROUP BY node),
+        |sz AS (SELECT cluster, count(*)::BIGINT AS n_members
+        |       FROM lab GROUP BY cluster)
+        |SELECT doc_id, cluster, n_members,
+        |  (1000 // n_members)::BIGINT AS weight_permille
+        |FROM lab JOIN sz USING (cluster) ORDER BY doc_id""".stripMargin
+    }
+
   /** The END-TO-END curation verdict — one frame answering "does this
     * document go into the training set?", composing the three gates every
     * production pipeline runs in sequence: quality (the Gopher rule
@@ -2548,7 +2596,12 @@ object TextOps {
     * dedup. The chunk frame is materialized once for its two consumers
     * (occurrence count + scoring join).
     */
-  def cdcChunks(s: SparkSession, dir: String): DataFrame = {
+  /** Shared CDC chunk frame: (doc_id, st, chunk), st = 1-based start of the
+    * chunk inside its doc — consumed by [[cdcChunks]] (occurrence scoring)
+    * and [[chunkPrune]] (first-owner pruning, which needs st to order
+    * occurrences and to reconstruct the cleaned doc).
+    */
+  private def cdcChunkFrame(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, dir).select($"doc_id", $"text")
@@ -2565,13 +2618,18 @@ object TextOps {
       .select($"doc_id", $"i".as("b"))
       .unionByName(docs.select($"doc_id", length($"text").as("b")))
       .distinct()
-    val chunks = bounds
+    bounds
       .withColumn("st",
         coalesce(lag($"b", 1).over(
           Window.partitionBy($"doc_id").orderBy($"b")), lit(0)) + 1)
       .join(docs, "doc_id")
-      .select($"doc_id", $"text".substr($"st", $"b" - $"st" + 1).as("chunk"))
-      .localCheckpoint(true)
+      .select($"doc_id", $"st",
+        $"text".substr($"st", $"b" - $"st" + 1).as("chunk"))
+  }
+
+  def cdcChunks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val chunks = cdcChunkFrame(s, dir).localCheckpoint(true)
     val occ = chunks.groupBy($"chunk")
       .agg(countDistinct($"doc_id").as("ndocs"))
     chunks.join(occ, "chunk")
@@ -2583,7 +2641,10 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
-  val cdcChunksSql: String = {
+  /** CTE prefix ending in `ch(doc_id, st, chunk)` — the SQL mirror of
+    * [[cdcChunkFrame]], shared by the cdc-chunks and chunk-prune oracles.
+    */
+  private val cdcChunkCte: String = {
     val h = (0 to 7).map(j =>
       s"ascii(substr(text, i + ${j - 7}, 1))::BIGINT * ${P31(7 - j)}")
       .mkString(" + ")
@@ -2596,17 +2657,73 @@ object TextOps {
        |         coalesce(lag(b) OVER (PARTITION BY doc_id ORDER BY b), 0) + 1
        |           AS st
        |       FROM b0),
-       |ch AS (SELECT bl.doc_id, substr(d.text, st, b - st + 1) AS chunk
-       |       FROM bl JOIN d USING (doc_id)),
-       |occ AS (SELECT chunk, count(DISTINCT doc_id)::BIGINT AS ndocs
-       |        FROM ch GROUP BY chunk)
-       |SELECT doc_id, count(*)::BIGINT AS n_chunks,
-       |  sum(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END)::BIGINT AS dup_chunks,
-       |  ((sum(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) * 1000) // count(*))
-       |    ::BIGINT AS dup_permille
-       |FROM ch JOIN occ USING (chunk)
-       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+       |ch AS (SELECT bl.doc_id, bl.st, substr(d.text, st, b - st + 1) AS chunk
+       |       FROM bl JOIN d USING (doc_id))
+       |""".stripMargin
   }
+
+  val cdcChunksSql: String = cdcChunkCte +
+    """, occ AS (SELECT chunk, count(DISTINCT doc_id)::BIGINT AS ndocs
+      |        FROM ch GROUP BY chunk)
+      |SELECT doc_id, count(*)::BIGINT AS n_chunks,
+      |  sum(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END)::BIGINT AS dup_chunks,
+      |  ((sum(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) * 1000) // count(*))
+      |    ::BIGINT AS dup_permille
+      |FROM ch JOIN occ USING (chunk)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Sub-document dedup ACTION: prune every repeated CDC chunk except its
+    * global first occurrence (ordered by doc_id, then start offset) and
+    * report what each reconstructed document retains — the chunk-level
+    * analogue of CCNet's discard-duplicated-paragraphs pass, applied at
+    * CDC granularity so shifted copies still collapse. [[cdcChunks]] only
+    * SCORES sub-document duplication; this executes the prune: a real
+    * pipeline materializes the kept (doc_id, st) set and rebuilds each doc
+    * by concatenating its surviving chunks in offset order (clean_chars is
+    * exactly that reconstruction's length).
+    *
+    * Scale: first-owner per chunk content is ONE mergeable agg — the
+    * (doc_id, st) pair packed into a single long (st < 2^20 ≤ any doc
+    * length here; the pack preserves lexicographic order), so the min stays
+    * a codegen'd HashAggregate (a struct-typed min falls back to
+    * SortAggregate) — and deliberately NOT a row_number window over a
+    * chunk-content partition, which would sort the full occurrence list
+    * of every hot boilerplate chunk on one partition (corpus-sized for a
+    * universal header). The keep test is then a chunk-keyed join against
+    * the 1-row-per-chunk owner frame, and the per-doc rollup shuffles on
+    * doc_id. Same chunk frame as [[cdcChunks]], materialized once.
+    */
+  def chunkPrune(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val chunks = cdcChunkFrame(s, dir).localCheckpoint(true)
+    val first = chunks.groupBy($"chunk")
+      .agg(min($"doc_id" * 1048576L + $"st").as("f"))
+    chunks.join(first, Seq("chunk"))
+      .withColumn("kept",
+        ($"doc_id" * 1048576L + $"st" === $"f").cast("long"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum($"kept").as("kept_chunks"),
+        sum($"kept" * length($"chunk")).cast("long").as("clean_chars"))
+      .withColumn("drop_permille",
+        floor(($"n_chunks" - $"kept_chunks") * 1000L / $"n_chunks")
+          .cast("long"))
+      .orderBy($"doc_id")
+  }
+
+  /** Same packed-long first-owner min as the Spark side. */
+  val chunkPruneSql: String = cdcChunkCte +
+    """, f1 AS (SELECT chunk, min(doc_id * 1048576 + st) AS f
+      |       FROM ch GROUP BY chunk),
+      |k AS (SELECT c.doc_id, length(c.chunk) AS clen,
+      |        CASE WHEN c.doc_id * 1048576 + c.st = f1.f
+      |             THEN 1 ELSE 0 END AS kept
+      |      FROM ch c JOIN f1 ON c.chunk = f1.chunk)
+      |SELECT doc_id, count(*)::BIGINT AS n_chunks,
+      |  sum(kept)::BIGINT AS kept_chunks,
+      |  sum(kept * clen)::BIGINT AS clean_chars,
+      |  (((count(*) - sum(kept)) * 1000) // count(*))::BIGINT AS drop_permille
+      |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> textStats _,
@@ -2645,6 +2762,8 @@ object TextOps {
     "dedup_simhash_wide_pairs" -> simhashWidePairs _,
     "dedup_clusters" -> dedupClusters _,
     "dedup_keep_best" -> keepBest _,
+    "dedup_soft_weights" -> softWeights _,
+    "dedup_chunk_prune" -> chunkPrune _,
     "dedup_containment_pairs" -> containmentPairs _,
     "dedup_threshold_curve" -> thresholdCurve _,
     "dedup_incremental" -> incrementalDedup _,
@@ -2687,6 +2806,8 @@ object TextOps {
     "dedup_simhash_wide_pairs" -> simhashWidePairsSql,
     "dedup_clusters" -> dedupClustersSql,
     "dedup_keep_best" -> keepBestSql,
+    "dedup_soft_weights" -> softWeightsSql,
+    "dedup_chunk_prune" -> chunkPruneSql,
     "dedup_containment_pairs" -> containmentPairsSql,
     "dedup_threshold_curve" -> thresholdCurveSql,
     "dedup_incremental" -> incrementalDedupSql,
