@@ -2725,6 +2725,146 @@ object TextOps {
       |  (((count(*) - sum(kept)) * 1000) // count(*))::BIGINT AS drop_permille
       |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---- token-budget curation selection ----
+
+  /** Budget-constrained corpus selection — "fill a token budget with the
+    * highest-quality documents": rank docs by type-token ratio (the
+    * lexical-diversity quality axis Gopher's repetition rules approximate)
+    * and keep the best quality BUCKETS whose cumulative token mass fits a
+    * budget of total/10 tokens. This is the assembly step after scoring —
+    * the decision a 100 TB curation run materializes as its training
+    * manifest when the target is "N tokens of the best data", not a fixed
+    * quality cutoff.
+    *
+    * Scale: deliberately NOT a global quality-ordered running sum over the
+    * corpus (a no-partition window = one executor sorting 100 TB). Quality
+    * is bucketed to permille resolution first, so the cumulative scan runs
+    * over a ≤1001-row bucket frame (bounded at ANY corpus size — the only
+    * unpartitioned window in the plan is over that frame), and the per-doc
+    * keep decision is a broadcast threshold probe. Docs inside the
+    * marginal bucket are all-or-nothing (the bucket that would overflow
+    * the budget is excluded) — at permille resolution the quantization
+    * error is ≤ one bucket's mass, the price of staying scan-shaped.
+    */
+  def tokenBudget(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val stream = Tables.documents(s, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("w"))
+    val sc = stream.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct($"w").as("n_distinct"))
+      .withColumn("ttr",
+        floor($"n_distinct" * 1000L / $"n_tokens").cast("long"))
+      .localCheckpoint(true) // read by budget agg, bucket agg, final probe
+    val bud = sc.agg(floor(sum($"n_tokens") / 10L).cast("long").as("budget"))
+    val cm = sc.groupBy($"ttr").agg(sum($"n_tokens").as("btok"))
+      // bounded frame: ≤ 1001 permille buckets regardless of corpus size
+      .withColumn("cum", sum($"btok").over(Window.orderBy($"ttr".desc)))
+    val th = cm.crossJoin(broadcast(bud)).filter($"cum" <= $"budget")
+      .agg(min($"ttr").as("thr"))
+    sc.crossJoin(broadcast(th))
+      .select($"doc_id", $"n_tokens", $"ttr".as("ttr_permille"),
+        when($"ttr" >= $"thr", 1L).otherwise(0L).as("keep"))
+      .orderBy($"doc_id")
+  }
+
+  val tokenBudgetSql: String =
+    """WITH ts AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |sc AS (
+      |  SELECT doc_id, count(*)::BIGINT AS n_tokens,
+      |    (count(DISTINCT w) * 1000 // count(*))::BIGINT AS ttr
+      |  FROM ts GROUP BY doc_id),
+      |bud AS (SELECT (sum(n_tokens) // 10)::BIGINT AS budget FROM sc),
+      |cm AS (SELECT ttr, sum(btok) OVER (ORDER BY ttr DESC) AS cum
+      |       FROM (SELECT ttr, sum(n_tokens)::BIGINT AS btok
+      |             FROM sc GROUP BY ttr)),
+      |th AS (SELECT min(ttr) AS thr FROM cm CROSS JOIN bud
+      |       WHERE cum <= budget)
+      |SELECT doc_id, n_tokens, ttr AS ttr_permille,
+      |  (CASE WHEN ttr >= thr THEN 1 ELSE 0 END)::BIGINT AS keep
+      |FROM sc CROSS JOIN th ORDER BY doc_id""".stripMargin
+
+  // ---- BM25 retrieval ----
+
+  /** BM25 top-10 retrieval (Robertson–Spärck Jones; k1 = 1.2, b = 0.75)
+    * for a fixed conjunctive term set — the ranking function behind every
+    * lexical search / nearest-text service a curation stack runs next to
+    * its inverted index ([[invertedIndex]] is the index contract; this is
+    * the query-time scorer).
+    *
+    * Cross-engine exactness: idf is integer-bits (bitlength(⌊N/df⌋), the
+    * [[textSurprisal]] idiom), and the tf saturation term is cleared of
+    * floats entirely — with k1 = 6/5, b = 3/4 and avgdl = T/N:
+    *   tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    *     = 22·tf·T / (10·tf·T + 3·T + 9·dl·N)
+    * so each term's contribution is one exact int64 floor-division
+    * (`div`, not double division — the numerator overflows float64's 2^53
+    * at corpus scale), summed in millis. Bit-identical in both engines.
+    *
+    * Scale: the term set rides a broadcast; tf is one mergeable agg over
+    * the matching token stream (non-matching tokens are filtered before
+    * the shuffle); dl/N/T are corpus constants computed once (1-row
+    * broadcast); top-10 is sort+limit = TakeOrdered (k×partitions, no
+    * global sort). The only per-doc state is its matched-term rows (≤ 3).
+    */
+  def bm25TopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val terms = Seq("spark", "query", "window")
+    val stream = Tables.documents(s, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("w"))
+      .localCheckpoint(true) // read by dl, totals, and the tf filter
+    val dl = stream.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
+    val nt = stream.agg(countDistinct($"doc_id").as("n_docs"),
+      count(lit(1)).as("t_tokens"))
+    val tf = stream.filter($"w".isin(terms: _*))
+      .groupBy($"doc_id", $"w").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"w").agg(countDistinct($"doc_id").as("df"))
+    val scored = tf.join(broadcast(df), Seq("w"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(nt))
+      .withColumn("idf_bits",
+        length(bin(floor($"n_docs" / $"df").cast("long"))).cast("long"))
+      .withColumn("contrib", expr(
+        "(idf_bits * 22 * tf * t_tokens * 1000) div " +
+          "(10 * tf * t_tokens + 3 * t_tokens + 9 * dl * n_docs)"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_hit_terms"),
+        sum($"contrib").as("score_millis"))
+      .orderBy($"score_millis".desc, $"doc_id")
+      .limit(10)
+    scored.withColumn("rnk", row_number().over(
+        Window.orderBy($"score_millis".desc, $"doc_id"))) // 10-row frame
+      .orderBy($"rnk")
+  }
+
+  val bm25TopKSql: String =
+    """WITH ts AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM ts GROUP BY doc_id),
+      |nt AS (SELECT count(DISTINCT doc_id)::BIGINT AS n_docs,
+      |              count(*)::BIGINT AS t_tokens FROM ts),
+      |tf AS (SELECT doc_id, w, count(*)::BIGINT AS tf FROM ts
+      |       WHERE w IN ('spark', 'query', 'window') GROUP BY doc_id, w),
+      |df AS (SELECT w, count(DISTINCT doc_id)::BIGINT AS df FROM tf GROUP BY w),
+      |sc AS (
+      |  SELECT tf.doc_id,
+      |    (length(bin(n_docs // df))::BIGINT * 22 * tf * t_tokens * 1000)
+      |      // (10 * tf * t_tokens + 3 * t_tokens + 9 * dl * n_docs)
+      |      AS contrib
+      |  FROM tf JOIN df USING (w) JOIN dl ON tf.doc_id = dl.doc_id
+      |  CROSS JOIN nt),
+      |top AS (
+      |  SELECT doc_id, count(*)::BIGINT AS n_hit_terms,
+      |    sum(contrib)::BIGINT AS score_millis
+      |  FROM sc GROUP BY doc_id
+      |  ORDER BY score_millis DESC, doc_id LIMIT 10)
+      |SELECT doc_id, n_hit_terms, score_millis,
+      |  row_number() OVER (ORDER BY score_millis DESC, doc_id) AS rnk
+      |FROM top ORDER BY rnk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> textStats _,
     "text_surprisal" -> textSurprisal _,
@@ -2764,6 +2904,8 @@ object TextOps {
     "dedup_keep_best" -> keepBest _,
     "dedup_soft_weights" -> softWeights _,
     "dedup_chunk_prune" -> chunkPrune _,
+    "sample_token_budget" -> tokenBudget _,
+    "text_bm25_topk" -> bm25TopK _,
     "dedup_containment_pairs" -> containmentPairs _,
     "dedup_threshold_curve" -> thresholdCurve _,
     "dedup_incremental" -> incrementalDedup _,
@@ -2808,6 +2950,8 @@ object TextOps {
     "dedup_keep_best" -> keepBestSql,
     "dedup_soft_weights" -> softWeightsSql,
     "dedup_chunk_prune" -> chunkPruneSql,
+    "sample_token_budget" -> tokenBudgetSql,
+    "text_bm25_topk" -> bm25TopKSql,
     "dedup_containment_pairs" -> containmentPairsSql,
     "dedup_threshold_curve" -> thresholdCurveSql,
     "dedup_incremental" -> incrementalDedupSql,
