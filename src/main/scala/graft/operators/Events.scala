@@ -340,7 +340,97 @@ object Events {
       |FROM d JOIN st USING (event_type)
       |ORDER BY d.event_type, d.day""".stripMargin
 
+  /** Event-type transition matrix (first-order Markov counts) over each
+    * user's timeline — the generalization of [[funnel]] from one fixed
+    * path to ALL observed paths: P(next event | current event), the frame
+    * behind behavioral flow charts, next-action prediction features, and
+    * bot detection (impossible transitions). Probabilities are integer
+    * permille of each row's outgoing mass (exact cross-engine; the float
+    * refinement is a client-side divide).
+    *
+    * Scale: one user-keyed window (lag) forms transitions map-side after a
+    * single user-partitioned shuffle — the same partitioning sessions/
+    * funnel/retention already use — then one mergeable count over the
+    * (from, to) pairs: |types|² output rows regardless of corpus size. The
+    * row-normalizer joins on `from_type` against a |types|-row broadcast.
+    */
+  def transitions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val tr = Tables.events(s, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("from_type", lag($"event_type", 1).over(w))
+      .filter($"from_type".isNotNull)
+      .groupBy($"from_type", $"event_type".as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val outMass = tr.groupBy($"from_type").agg(sum($"n").as("row_n"))
+    tr.join(broadcast(outMass), Seq("from_type"))
+      .select($"from_type", $"to_type", $"n",
+        floor($"n" * 1000L / $"row_n").cast("long").as("p_permille"))
+      .orderBy($"from_type", $"to_type")
+  }
+
+  val transitionsSql: String =
+    """WITH tr AS (
+      |  SELECT lag(event_type) OVER (PARTITION BY user_id
+      |           ORDER BY ts, event_id) AS from_type,
+      |         event_type AS to_type
+      |  FROM events),
+      |c AS (SELECT from_type, to_type, count(*)::BIGINT AS n
+      |      FROM tr WHERE from_type IS NOT NULL GROUP BY 1, 2),
+      |m AS (SELECT from_type, sum(n)::BIGINT AS row_n FROM c GROUP BY 1)
+      |SELECT c.from_type, c.to_type, c.n,
+      |  (c.n * 1000 // m.row_n)::BIGINT AS p_permille
+      |FROM c JOIN m USING (from_type)
+      |ORDER BY c.from_type, c.to_type""".stripMargin
+
+  /** Inter-arrival gap distribution per event type — the arrival-process
+    * diagnostic that sizes streaming capacity (trigger intervals, state
+    * store pressure, watermark slack): per user, the gap between
+    * consecutive events; per type of the later event, a fixed gap
+    * histogram plus the exact max. Integer milliseconds end to end.
+    *
+    * Scale: same single user-keyed window as [[transitions]]; the
+    * histogram is one mergeable count into |types|×4 cells.
+    */
+  def interArrival(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(s, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("gap_ms",
+        unix_millis($"ts") - lag(unix_millis($"ts"), 1).over(w))
+      .filter($"gap_ms".isNotNull)
+      .withColumn("bucket",
+        when($"gap_ms" < 60000L, "a_lt1m")
+          .when($"gap_ms" < 300000L, "b_1to5m")
+          .when($"gap_ms" < 3600000L, "c_5mto1h")
+          .otherwise("d_ge1h"))
+      .groupBy($"event_type", $"bucket")
+      .agg(count(lit(1)).as("n"), max($"gap_ms").as("max_gap_ms"))
+      .orderBy($"event_type", $"bucket")
+  }
+
+  val interArrivalSql: String =
+    """WITH g AS (
+      |  SELECT event_type,
+      |    epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS gap_ms
+      |  FROM events)
+      |SELECT event_type,
+      |  CASE WHEN gap_ms < 60000 THEN 'a_lt1m'
+      |       WHEN gap_ms < 300000 THEN 'b_1to5m'
+      |       WHEN gap_ms < 3600000 THEN 'c_5mto1h'
+      |       ELSE 'd_ge1h' END AS bucket,
+      |  count(*)::BIGINT AS n, max(gap_ms)::BIGINT AS max_gap_ms
+      |FROM g WHERE gap_ms IS NOT NULL
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_transitions" -> transitions _,
+    "ev_inter_arrival" -> interArrival _,
     "ev_anomaly" -> anomalies _,
     "ev_tumbling" -> tumbling _,
     "ev_attribution" -> attribution _,
@@ -354,6 +444,8 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "ev_transitions" -> transitionsSql,
+    "ev_inter_arrival" -> interArrivalSql,
     "ev_anomaly" -> anomaliesSql,
     "ev_tumbling" -> tumblingSql,
     "ev_attribution" -> attributionSql,

@@ -90,6 +90,68 @@ object Similarity {
       |    ORDER BY cos DESC, vec_id) AS rn FROM scored) t
       |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
 
+  /** Hard-negative mining for contrastive training: per query vector, the
+    * top-3 highest-cosine candidates whose LABEL DIFFERS from the query's —
+    * the "close but wrong" examples a contrastive/metric-learning recipe
+    * pairs against its positives (and the retrieval-eval frame for "which
+    * wrong class is nearest"). Same exact fixed-point arithmetic as
+    * [[cosineTopK]]; the label-mismatch predicate rides inside the
+    * broadcast join, so wrong-label filtering costs nothing extra.
+    *
+    * Scale: identical shape to the brute-force top-k baseline — queries
+    * broadcast, corpus streamed once, per-query top-3 over the bounded
+    * window. With an index, the same mining runs over [[ivfTopK]]'s
+    * candidates instead; this is the exact contract it must match.
+    */
+  def hardNegatives(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(s, dir)
+      .select($"vec_id", $"label", qvec($"embedding").as("q"))
+      .withColumn("n2", norm2($"q"))
+    val queries = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"label".as("qlabel"),
+        $"q".as("qq"), $"n2".as("qn2"))
+    emb.crossJoin(broadcast(queries))
+      .filter($"label" =!= $"qlabel")
+      .withColumn("cos",
+        round(dot($"q", $"qq").cast("double")
+          / (sqrt($"n2".cast("double")) * sqrt($"qn2".cast("double"))), 4))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"qid").orderBy($"cos".desc, $"vec_id")))
+      .filter($"rn" <= 3)
+      .select($"qid", $"vec_id", $"label".cast("long").as("neg_label"),
+        $"cos", $"rn")
+      .orderBy($"qid", $"rn")
+  }
+
+  val hardNegativesSql: String =
+    """WITH qv AS (
+      |  SELECT vec_id, label,
+      |    [floor(x::DOUBLE * 10000)::BIGINT FOR x IN embedding] AS q
+      |  FROM embeddings),
+      |nrm AS (
+      |  SELECT vec_id, sum(e * e)::BIGINT AS n2
+      |  FROM (SELECT vec_id, unnest(q) AS e FROM qv) GROUP BY vec_id),
+      |dots AS (
+      |  SELECT qid, vec_id, sum(x * y) AS d FROM (
+      |    SELECT q.vec_id AS qid, e.vec_id,
+      |           unnest(q.q) AS x, unnest(e.q) AS y
+      |    FROM (SELECT vec_id, label, q FROM qv WHERE vec_id < 10) q
+      |    JOIN qv e ON e.label <> q.label) z
+      |  GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT qid, d.vec_id,
+      |    round(d / (sqrt(nq.n2) * sqrt(ne.n2)), 4) AS cos
+      |  FROM dots d JOIN nrm nq ON d.qid = nq.vec_id
+      |              JOIN nrm ne ON d.vec_id = ne.vec_id)
+      |SELECT t.qid, t.vec_id, qv.label::BIGINT AS neg_label, t.cos, t.rn
+      |FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY qid
+      |    ORDER BY cos DESC, vec_id) AS rn FROM scored) t
+      |JOIN qv ON t.vec_id = qv.vec_id
+      |WHERE t.rn <= 3 ORDER BY t.qid, t.rn""".stripMargin
+
   /** Near-duplicate pairs: all pairs with cosine ≥ 0.45 (calibrated to this
     * corpus's max pairwise cosine of 0.51), computed EXACTLY.
     *
@@ -1519,6 +1581,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_cosine_topk" -> cosineTopK _,
+    "sim_hard_negatives" -> hardNegatives _,
     "sim_quantize_err" -> quantizeErr _,
     "sim_lsh_recall" -> lshRecall _,
     "sim_label_centroids" -> labelCentroids _,
@@ -1542,6 +1605,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "sim_cosine_topk" -> cosineTopKSql,
+    "sim_hard_negatives" -> hardNegativesSql,
     "sim_quantize_err" -> quantizeErrSql,
     "sim_lsh_recall" -> lshRecallSql,
     "sim_label_centroids" -> labelCentroidsSql,
