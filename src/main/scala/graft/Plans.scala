@@ -107,24 +107,65 @@ object Plans {
       |
       || query | 1× sec | 1× rows | 10× sec | 10× rows | slope | note |
       ||---|---|---|---|---|---|---|
-      || dedup_jaccard_pairs | 3.50 | 190,925 | 2.95 | 1,909,250 | **≤×1 for ×10 rows** | deletion-neighborhood join |
-      || dedup_clusters | 2.13 | 5,000 | 2.88 | 50,000 | ×1.35 | star contraction: rounds O(log n) |
-      || sim_ivf_topk | 1.56 | 30 | 2.06 | 30 | ×1.3 | fit+assign linear; probe constant |
-      || aria_reference_scenario | 4.40 | 7 | 6.40 | 10 | ×1.45 | ×10 keys/txns and MORE epochs; r9 shared live-ops |
-      || scan_pruned_zorder | 0.12 | 1 | 0.15 | 1 | ~flat | see below (incl. a 100× point) |
-      || dedup_simhash_wide_pairs | 3.04 | 162,673 | 6.62 | 2,358,264 | ×2.2 for ×14.5 pairs | 62-bit avalanched, Hamming ≤ 3, 4 bands |
-      || dedup_minhash_pairs | 0.67 | 4.36M | 11.7 | 48.2M | ×17.4 for ×11.1 pairs | distinct-free; cost IS the 48M-row emission |
-      || dedup_simhash_pairs | 0.92 | 533,215 | 3.88 | 37.8M | ×4.2 for ×71 pairs | 16-bit DIAGNOSTIC saturation case |
+      || dedup_jaccard_pairs | 2.72 | 190,925 | 2.81 | 1,909,250 | **≤×1.05 for ×10 rows** | deletion-neighborhood join |
+      || dedup_ngram_overlap | 1.99 | 38,937 | 5.44 | 389,370 | ×2.7 for exactly ×10 rows | df-capped exact 4-gram window join |
+      || dedup_clusters | 2.15 | 5,000 | 2.24 | 50,000 | ~flat | star contraction: rounds O(log n) |
+      || dedup_cdc_chunks | 1.71 | 5,000 | 4.95 | 50,000 | ×2.9 | post-O(L) rewrite (see note below) |
+      || sim_knn_graph | 0.58 | 5,661 | 1.98 | 59,976 | ×3.4 for ×10.6 rows | 8-bit-bucket self-join + rerank |
+      || dedup_semantic | 3.17 | 2,000 | 5.97 | 20,000 | **×1.9 at nCells≈√N** | 45 → 140 cells (the prescribed config) |
+      || sim_ivf_topk | 1.33 | 30 | 2.41 | 30 | ×1.8 | fit+assign linear; probe constant |
+      || aria_reference_scenario | 3.40 | 7 | 6.15 | 10 | ×1.8 | ×10 keys/txns and MORE epochs; shared live-ops |
+      || scan_pruned_zorder | 0.07 | 1 | 0.10 | 1 | ~flat | see below (incl. a 100× point) |
+      || dedup_simhash_wide_pairs | 2.33 | 162,673 | 7.58 | 2,358,264 | ×3.2 for ×14.5 pairs | 62-bit avalanched, Hamming ≤ 3, 4 bands |
+      || dedup_minhash_pairs | 0.71 | 4.36M | 9.20 | 48.2M | ×13.0 for ×11.1 pairs | distinct-free; cost IS the 48M-row emission |
+      || dedup_simhash_pairs | 0.81 | 533,215 | 4.44 | 37.8M | ×5.5 for ×71 pairs | 16-bit DIAGNOSTIC saturation case |
+      |
+      |Table re-measured late round 9 on corpusGen **v3** (same document
+      |construction as v2; single-query absolute times carry ordinary run
+      |noise — compare SLOPES across rounds, not absolute seconds). A
+      |round-9 forensic note on FULL-BENCH totals: every full Bench run early
+      |in round 9 silently lost 104 of 140 queries — the original doc-level
+      |graph_triangles filled the disk at sf0.1 and killed the SparkContext,
+      |after which every alphabetically-later query recorded its
+      |time-to-throw (~0.005 s) as its "time", which read as a spectacular
+      |across-the-board speedup (canary at 0.01 s vs its true ~0.2 s floor).
+      |The ScalingBench numbers in this table are unaffected (separate
+      |process, every point's row count verified real). Triangles is now
+      |group-contracted (see its scaladoc), Bench prints the first failure's
+      |cause, and a canary far BELOW floor is as alarming as one above it.
+      |v3 changes the scaled EMBEDDINGS: each shard now
+      |applies a deterministic diagonal ±1 sign transform (intra-shard dot
+      |products and norms are preserved exactly — the signs cancel — while any
+      |two distinct shards disagree on ~half the dims, scrambling cross-shard
+      |cosines to ≈0). Plain replication had made every replica pair an exact
+      |near-dup, so a ×10 corpus carried ×100 true pairs — a denser problem,
+      |not a scaled one; v3 makes embedding-side pair volume scale by exactly
+      |×10, the honest denominator for the three embedding rows above.
+      |
+      |Round-9 plan fix measured in this table: **dedup_cdc_chunks** boundary
+      |detection originally evaluated `substr(text, i, 1)` per position; UTF8
+      |character-position lookup is O(i), making the scan O(L²) per document —
+      |12.2s at sf0.1. Rewritten as one posexplode of the character codes plus
+      |eight O(1) `lag`s over a per-doc window (the same trailing-8 polynomial,
+      |hash-identical output): 1.6s at 1× and ×2.9 at ×10 chars. The defect
+      |class is worth naming: any per-position string indexing in a hot loop
+      |is quadratic in Spark (and invisible at spec scale).
+      |
+      |**dedup_semantic** is measured in its DEPLOYMENT configuration
+      |(nCells ≈ √N per scale, the operator's scaladoc prescription): per-cell
+      |compare volume stays ~N and the slope reads ×1.9 for ×10 vectors.
+      |Running the 10× point at the 1× cell count would measure ×mult²
+      |compares by construction — a misconfiguration, not a scaling property.
       |
       |Round-9 re-measurement note: the round-8 table was taken BEFORE commit
       |2240b3a (first-matching-band emission) landed; this table describes the
       |shipped distinct-free emitters. The change is decisive at scale:
-      |dedup_minhash_pairs' 10× point fell 75.4s → 11.7s (and 1× 4.07 → 0.67)
+      |dedup_minhash_pairs' 10× point fell 75.4s → 9.2s (and 1× 4.07 → 0.71)
       |with identical output — the old cost was the 48M-row pair distinct's
       |hash table spilling in one JVM; with first-matching-band there is
-      |nothing left to dedup, so the residual ×17.4-vs-×11.1 gap is just
+      |nothing left to dedup, so the residual ×13.0-vs-×11.1 gap is just
       |emitting 48M counted rows through 32 threads. 16-bit simhash likewise
-      |34.3s → 3.9s, confirming r8's "saturation, not plan" diagnosis —
+      |34.3s → 4.4s, confirming r8's "saturation, not plan" diagnosis —
       |it stays DIAGNOSTIC (SparkEntry.diagnostic): ×71 pairs for ×10 docs is
       |birthday-collision output, unusable beyond ~50k docs regardless of
       |speed. Output volume is ≈ linear in data for minhash (×11.1) and wide
@@ -141,6 +182,22 @@ object Plans {
       ||---|---|---|---|---|
       || dedup_jaccard_pairs | 4.54 | 52.8 | **×11.6 for ×100 rows** | 19.1M pairs emitted |
       || dedup_clusters | 2.93 | 19.2 | **×6.6 for ×100 rows** | 500k docs, rounds still O(log n) |
+      || dedup_ngram_overlap | 2.76 | 29.6 | **×10.7 for ×100 rows** | 3.89M pairs — EXACTLY ×100 output |
+      || dedup_cdc_chunks | 2.14 | 25.8 | **×12.1 for ×100 rows** | post-O(L) rewrite; 500k docs, ~150M char rows through the lag window (v3 corpus) |
+      |
+      |The ngram-overlap 100× point is itself a round-9 catch: the first cut
+      |keyed 4-gram windows on the prefix-packed token code folded mod 2^31,
+      |and 100 shards emitted ×715 pairs instead of ×100 — the third instance
+      |of the sketch-input defect class (tokenCode packs first-3-chars +
+      |length + LAST char, so the suffixes "s12"/"s22"/… collide
+      |systematically and shard vocabularies collapse at the code level;
+      |invisible at ≤10 shards whose suffixes are single distinct digits).
+      |Fixed by keying windows on TWO independent full-character polynomial
+      |word hashes folded into the pair (g1, g2) — every character
+      |participates, so no packing artifact can equate distinct words, and
+      |the ~2^61 key space pushes birthday collisions out past 10^9 distinct
+      |windows per df-cap bucket. Output is now exactly linear at both
+      |decades (389,370 = ×10, 3,893,700 = ×100).
       |
       |Wall-clock grows an order of magnitude SLOWER than data across two
       |decades on a fixed 32-thread box — the per-row cost falls as fixed
@@ -167,6 +224,74 @@ object Plans {
       |already provides it: compact(sortBy) range-clusters and a point probe
       |opens exactly 1 file of 4+ (VersionedTableSpec "sorted compaction
       |tightens zone maps").
+      |
+      |## Round-10 scaling additions (same harness & corpus construction)
+      |
+      |**Embedding-side 100× points** (v3 sign-transformed shards; deployment
+      |configs: dedup_semantic nCells ≈ 0.63·√N → 450 cells, sim_knn_graph
+      |planes = 8 + ⌈log₂ mult⌉ = 15 → 32,768 buckets). Both 1× points are
+      |re-measured inside the same JVM/run as their 100× pair (post-corpus-
+      |build pressure differs from the r9 table's absolute seconds — compare
+      |the within-run pair, not absolutes across tables):
+      |
+      || query | 1× sec | 1× rows | 100× sec | 100× rows | slope |
+      ||---|---|---|---|---|---|
+      || dedup_semantic | 8.41 | 2,000 | 35.0 | 200,000 | **×4.2 for ×100 vectors** |
+      || sim_knn_graph | 0.67 | 5,661 | 104.7 | 596,383 | ×156 for ×105 output rows |
+      |
+      |dedup_semantic's second decade confirms the √N-cell law the 10× point
+      |suggested: with per-cell population held at ≈√N, compare volume tracks
+      |N and the wall ratio stays an order of magnitude under the data ratio.
+      |sim_knn_graph's output is near-exactly linear (×105 rows — the honest
+      |denominator after the v3 sign transform), while per-pair cost degrades
+      |×1.49 across two decades: the rerank window pays for every bucket
+      |candidate, and residual cluster structure inside the 2^15-bucket space
+      |grows candidates slightly faster than output. On a cluster the same
+      |plan spreads by bucket count (the shuffle key), so the fixed-box
+      |degradation is pressure, not shape; the next lever if it mattered is
+      |bucket-local pre-truncation before the per-node window (composes with
+      |the GroupedTopK rewrite).
+      |
+      |**pipeline_keep_manifest 10×** — the composed end-to-end verdict
+      |(quality ∧ cluster-keeper ∧ decontaminated) measured as ONE dag in a
+      |dedicated run: 4.40 s (1×) → 8.55 s (10×) = **×1.9 for ×10 docs**. The
+      |composition inherits its stages' ≈linear slopes — the doc_id-keyed
+      |composition joins add no new corpus pass.
+      |
+      |**PQ geometry sweep** (1× corpus, k=8 per subspace, flat-ADC top-3
+      |probe including the subspace fits):
+      |
+      || M | bytes/vec | sec |
+      ||---|---|---|
+      || 2 | 0.75 | 2.05 |
+      || 4 | 1.50 | 1.62 |
+      || 8 | 3.00 | 1.46 |
+      |
+      |Probe+fit time is flat-to-falling in M at this scale (smaller
+      |per-subspace fits; the M-term LUT-sum is sub-measurement), so the
+      |geometry choice is governed by the serving-state axis — bytes/vector
+      |×4 from M=2 to M=8 — exactly the trade a 100 TB deployment tunes
+      |(recall rises with M; sim_pq_recall gates it at the pinned geometry).
+      |
+      |**BPE rounds slope** (per-round corpus `replace` ⇒ O(rounds·corpus)):
+      |
+      || point | sec |
+      ||---|---|
+      || 1×, rounds=3 | 2.17 |
+      || 1×, rounds=8 | 3.99 |
+      || 1×, rounds=16 | 8.46 |
+      || 10×, rounds=3 | 2.34 |
+      |
+      |Both factors of the product measured: ~0.48 s/round at 1× (linear in
+      |rounds, as the per-round full-corpus replace predicts — NOT
+      |super-linear) and ≈flat for ×10 corpus at fixed rounds (the corpus
+      |term amortizes across 32 threads at this size). A production tokenizer
+      |(tens of thousands of merges) replaces the rounds× full-corpus pass
+      |with the pair-cache incremental merge — only documents containing the
+      |winning pair are touched per round — turning the corpus factor into
+      |the match-set size; the linear rounds slope certifies that switch is a
+      |constant-factor choice, not a correctness cliff.
+      |
       |""".stripMargin
 
   def main(args: Array[String]): Unit = {
