@@ -602,6 +602,57 @@ object Similarity {
       |    ORDER BY cos DESC, vec_id) AS rn FROM scored) t
       |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
 
+  /** Embedding DRIFT monitor: split the corpus into two deterministic
+    * snapshots (vec_id parity — standing in for "last week's embeddings
+    * vs this week's" or "model v1 vs v2") and report, per label, the
+    * squared L2 distance between the snapshots' class centroids. This is
+    * the re-embedding regression check a production vector store runs
+    * before swapping an index: a label whose centroid moved far needs its
+    * cluster thresholds (SemDeDup radii, ANN probe settings) revalidated.
+    * Fully integer: quantized sums, floored means, exact squared diffs —
+    * the drift number is bit-reproducible across engines and runs.
+    *
+    * Scale: same posexplode + (label, snap, dim)-keyed mergeable agg as
+    * [[labelCentroids]] (bounded state: labels × 2 × dims), then a
+    * labels×dims-sized join — nothing downstream of the one corpus pass
+    * grows with data.
+    */
+  def drift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cent = Tables.embeddings(s, dir)
+      .select($"label", ($"vec_id" % 2).as("snap"),
+        posexplode(qvec($"embedding")).as(Seq("d", "e")))
+      .groupBy($"label", $"snap", $"d")
+      .agg(count(lit(1)).as("n"), sum($"e").as("se"))
+      .withColumn("m", floor($"se".cast("double") / $"n").cast("long"))
+    val a = cent.filter($"snap" === 0)
+      .select($"label", $"d", $"m".as("ma"), $"n".as("na"))
+    val b = cent.filter($"snap" === 1)
+      .select($"label", $"d", $"m".as("mb"), $"n".as("nb"))
+    a.join(b, Seq("label", "d"))
+      .groupBy($"label".cast("long").as("label"))
+      .agg(max($"na").as("n_a"), max($"nb").as("n_b"),
+        sum(($"ma" - $"mb") * ($"ma" - $"mb")).as("drift_l2sq"))
+      .orderBy($"label")
+  }
+
+  val driftSql: String =
+    """WITH qv AS (
+      |  SELECT label, vec_id % 2 AS snap,
+      |    [floor(x::DOUBLE * 10000)::BIGINT FOR x IN embedding] AS q
+      |  FROM embeddings),
+      |ex AS (SELECT label, snap, unnest(q) AS e,
+      |              generate_subscripts(q, 1) - 1 AS d FROM qv),
+      |c AS (SELECT label, snap, d, count(*)::BIGINT AS n,
+      |        floor(sum(e)::DOUBLE / count(*))::BIGINT AS m
+      |      FROM ex GROUP BY 1, 2, 3)
+      |SELECT a.label::BIGINT AS label,
+      |  max(a.n)::BIGINT AS n_a, max(b.n)::BIGINT AS n_b,
+      |  sum((a.m - b.m) * (a.m - b.m))::BIGINT AS drift_l2sq
+      |FROM c a JOIN c b ON a.label = b.label AND a.d = b.d
+      |  AND a.snap = 0 AND b.snap = 1
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Per-label centroids of the embedding column, one row per (label,
     * dimension) — the class-prototype aggregation of embedding-space
     * analysis (cluster quality, label drift, nearest-class-mean
@@ -1582,6 +1633,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_cosine_topk" -> cosineTopK _,
     "sim_hard_negatives" -> hardNegatives _,
+    "sim_drift" -> drift _,
     "sim_quantize_err" -> quantizeErr _,
     "sim_lsh_recall" -> lshRecall _,
     "sim_label_centroids" -> labelCentroids _,
@@ -1606,6 +1658,7 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "sim_cosine_topk" -> cosineTopKSql,
     "sim_hard_negatives" -> hardNegativesSql,
+    "sim_drift" -> driftSql,
     "sim_quantize_err" -> quantizeErrSql,
     "sim_lsh_recall" -> lshRecallSql,
     "sim_label_centroids" -> labelCentroidsSql,

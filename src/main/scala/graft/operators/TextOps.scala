@@ -1734,18 +1734,20 @@ object TextOps {
     * unique lowest-(degree,id) vertex), so the oracle is an exact hash
     * gate.
     */
-  def triangles(s: SparkSession, dir: String): DataFrame = {
+  /** Group-contracted near-dup graph: edges (a, b), a < b, between
+    * identical-signature GROUPS, not documents. The doc-level near-dup
+    * graph is clique-structured by construction (every member of an
+    * identical-signature group pairs with every other) and graph
+    * algorithms over cliques are degenerate AND super-linear: measured at
+    * sf0.1 the doc-level wedge join emitted ~4·10⁹ rows, filled the disk
+    * and killed the SparkContext after 400 s. Groups collapse each clique
+    * to one node (sf0.1: 5000 docs → 1048 groups, 4.36M doc pairs → 12k
+    * group edges, max degree 83), leaving the informative structure at a
+    * size that scales with content diversity instead of duplication
+    * volume. Shared by [[triangles]] and [[commonNeighbors]].
+    */
+  private def groupPairsOf(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // NODE = identical-signature GROUP, not document. The doc-level
-    // near-dup graph is clique-structured by construction (every member
-    // of an identical-signature group pairs with every other), and
-    // triangle counting over cliques is degenerate AND cubic: measured at
-    // sf0.1 the doc-level wedge join emitted ~4·10⁹ rows, filled the disk
-    // and killed the SparkContext after 400 s. Groups collapse each
-    // clique to one node (sf0.1: 5000 docs → 1048 groups, 4.36M doc pairs
-    // → 12k group edges, max degree 83), leaving the informative
-    // structure — triadic closure BETWEEN near-dup groups — at a size
-    // that scales with content diversity instead of duplication volume.
     val bs = minhashOf(s, dir).select($"doc_id",
       bandSig((0 until 4).map(i => col(s"mh$i"))).as("s0"),
       bandSig((4 until 8).map(i => col(s"mh$i"))).as("s1"))
@@ -1755,7 +1757,12 @@ object TextOps {
       g.select(col(c).as("k"), $"gid".as("a"))
         .join(g.select(col(c).as("k"), $"gid".as("b")), Seq("k"))
         .filter($"a" < $"b").select($"a", $"b")
-    val pairs = bandEdges("s0").unionByName(bandEdges("s1")).distinct()
+    bandEdges("s0").unionByName(bandEdges("s1")).distinct()
+  }
+
+  def triangles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = groupPairsOf(s, dir)
       .localCheckpoint(true) // degree agg + both orientation joins
     val nodes = pairs.select($"a".as("v")).unionByName(pairs.select($"b".as("v")))
     val deg = nodes.groupBy($"v").agg(count(lit(1)).as("d"))
@@ -1824,7 +1831,10 @@ object TextOps {
       |  max(deg)::BIGINT AS max_deg
       |FROM alldeg GROUP BY 1 ORDER BY bucket""".stripMargin
 
-  val trianglesSql: String = tokCte + {
+  /** CTE prefix ending in `gp(a, b)` — the group-contracted graph, shared
+    * by the triangles and common-neighbors oracles.
+    */
+  private val groupGraphCte: String = tokCte + {
     val cols = A.indices.map(j =>
       s"min((${A(j)} * code + ${B(j)}) % 2147483647) AS mh$j").mkString(", ")
     def sig(i: Int) =
@@ -1836,8 +1846,12 @@ object TextOps {
        |gp AS (
        |  SELECT DISTINCT l.gid AS a, r.gid AS b
        |  FROM g l JOIN g r ON (l.s0 = r.s0 OR l.s1 = r.s1)
-       |    AND l.gid < r.gid),
-       |nd AS (SELECT a AS v FROM gp UNION ALL SELECT b FROM gp),
+       |    AND l.gid < r.gid)
+       |""".stripMargin
+  }
+
+  val trianglesSql: String = groupGraphCte + {
+    s""", nd AS (SELECT a AS v FROM gp UNION ALL SELECT b FROM gp),
        |dg AS (SELECT v, count(*)::BIGINT AS d FROM nd GROUP BY v),
        |o AS (SELECT
        |    CASE WHEN da.d < db.d OR (da.d = db.d AND p.a < p.b)
@@ -1858,6 +1872,54 @@ object TextOps {
        |SELECT gid AS group_id, count(*)::BIGINT AS tri_cnt
        |FROM mem GROUP BY gid ORDER BY group_id""".stripMargin
   }
+
+  /** Link prediction over the group-contracted near-dup graph: the top-20
+    * NON-adjacent group pairs by common-neighbor count — the classic
+    * triadic-closure predictor ("these two template families share many
+    * near-dup neighbors but never collided in a band; check them") that a
+    * dedup pipeline uses to audit LSH recall: a high-common-neighbor
+    * non-edge is exactly where banding most likely missed a true pair.
+    *
+    * Scale: wedges enumerate each center's neighbor pairs (Σ C(d,2) —
+    * bounded on the CONTRACTED graph, whose max degree scales with
+    * content diversity, not duplication volume; [[degreeHist]] is the
+    * pre-flight check), count per candidate pair with one mergeable agg,
+    * anti-join the existing edges out, then TakeOrdered for the top-20.
+    * No all-pairs step anywhere.
+    */
+  def commonNeighbors(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val pairs = groupPairsOf(s, dir)
+      .localCheckpoint(true) // symmetrization + the non-edge anti-join
+    val sym = pairs.select($"a".as("c"), $"b".as("x"))
+      .unionByName(pairs.select($"b".as("c"), $"a".as("x")))
+      .localCheckpoint(true) // both wedge sides
+    val cand = sym.as("l")
+      .join(sym.as("r"), $"l.c" === $"r.c" && $"l.x" < $"r.x")
+      .select($"l.x".as("a"), $"r.x".as("b"))
+      .groupBy($"a", $"b").agg(count(lit(1)).as("common"))
+    val top = cand.join(pairs, Seq("a", "b"), "left_anti")
+      .orderBy($"common".desc, $"a", $"b").limit(20)
+    top.withColumn("rnk", row_number().over(
+        Window.orderBy($"common".desc, $"a", $"b"))) // 20-row frame
+      .orderBy($"rnk")
+  }
+
+  val commonNeighborsSql: String = groupGraphCte +
+    """, sym AS (SELECT a AS c, b AS x FROM gp
+      |         UNION ALL SELECT b, a FROM gp),
+      |cand AS (
+      |  SELECT l.x AS a, r.x AS b, count(*)::BIGINT AS common
+      |  FROM sym l JOIN sym r ON l.c = r.c AND l.x < r.x
+      |  GROUP BY 1, 2),
+      |ne AS (SELECT c.a, c.b, c.common FROM cand c
+      |       LEFT JOIN gp ON gp.a = c.a AND gp.b = c.b
+      |       WHERE gp.a IS NULL),
+      |top AS (SELECT * FROM ne ORDER BY common DESC, a, b LIMIT 20)
+      |SELECT a, b, common,
+      |  row_number() OVER (ORDER BY common DESC, a, b) AS rnk
+      |FROM top ORDER BY rnk""".stripMargin
 
   /** Inverted-index build: per term, document frequency and the first 20
     * postings (sorted doc_ids, rendered as a canonical comma string so the
@@ -2786,6 +2848,58 @@ object TextOps {
       |  (CASE WHEN ttr >= thr THEN 1 ELSE 0 END)::BIGINT AS keep
       |FROM sc CROSS JOIN th ORDER BY doc_id""".stripMargin
 
+  // ---- RAG chunking ----
+
+  /** Overlapping sliding-window chunking (window 32 tokens, stride 24 — a
+    * 25% overlap): the retrieval-side document preparation every
+    * RAG/embedding pipeline runs before vectorizing — overlap so no
+    * sentence straddles a hard boundary, fixed token windows so chunk
+    * embeddings see uniform context length. Emits the chunk MANIFEST
+    * (offsets, token/char counts, boundary words), which is what the
+    * embedding stage consumes; the chunk text itself is re-sliceable from
+    * the offsets without materializing it corpus-wide.
+    *
+    * Scale: pure per-row Generate work — one `sequence` of chunk starts
+    * posexploded per doc, array slicing per chunk, no shuffle at all
+    * until the presentation sort. Chunk count per doc is ⌈n/stride⌉,
+    * linear in tokens; the operator is scan-shaped at any corpus size.
+    */
+  def chunkStride(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val arr0 = split($"text", " ")
+    Tables.documents(s, dir)
+      .select($"doc_id", arr0.as("arr"), size(arr0).as("n"))
+      .select($"doc_id", $"arr", $"n",
+        posexplode(sequence(lit(1), $"n", lit(24))).as(Seq("chunk_idx", "st")))
+      .withColumn("n_tokens", least(lit(32), $"n" - $"st" + 1))
+      .select($"doc_id", $"chunk_idx".cast("long").as("chunk_idx"),
+        $"st".cast("long").as("st_token"), $"n_tokens".cast("long").as("n_tokens"),
+        element_at($"arr", $"st").as("head_w"),
+        element_at($"arr", $"st" + $"n_tokens" - 1).as("tail_w"),
+        length(array_join(slice($"arr", $"st", lit(32)), " "))
+          .cast("long").as("chunk_chars"))
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
+  val chunkStrideSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS arr,
+      |         len(string_split(text, ' ')) AS n
+      |  FROM documents),
+      |st AS (
+      |  SELECT doc_id, arr, n, unnest(range(1, n + 1, 24)) AS st FROM d),
+      |ck AS (
+      |  SELECT doc_id, ((st - 1) // 24)::BIGINT AS chunk_idx,
+      |    st::BIGINT AS st_token,
+      |    least(32, n - st + 1)::BIGINT AS n_tokens, arr, st
+      |  FROM st)
+      |SELECT doc_id, chunk_idx, st_token, n_tokens,
+      |  arr[st] AS head_w,
+      |  arr[(st + n_tokens - 1)::INT] AS tail_w,
+      |  length(array_to_string(arr[st:(st + n_tokens - 1)::INT], ' '))::BIGINT
+      |    AS chunk_chars
+      |FROM ck ORDER BY doc_id, chunk_idx""".stripMargin
+
   // ---- BM25 retrieval ----
 
   /** BM25 top-10 retrieval (Robertson–Spärck Jones; k1 = 1.2, b = 0.75)
@@ -2906,6 +3020,8 @@ object TextOps {
     "dedup_chunk_prune" -> chunkPrune _,
     "sample_token_budget" -> tokenBudget _,
     "text_bm25_topk" -> bm25TopK _,
+    "text_chunk_stride" -> chunkStride _,
+    "graph_common_neighbors" -> commonNeighbors _,
     "dedup_containment_pairs" -> containmentPairs _,
     "dedup_threshold_curve" -> thresholdCurve _,
     "dedup_incremental" -> incrementalDedup _,
@@ -2952,6 +3068,8 @@ object TextOps {
     "dedup_chunk_prune" -> chunkPruneSql,
     "sample_token_budget" -> tokenBudgetSql,
     "text_bm25_topk" -> bm25TopKSql,
+    "text_chunk_stride" -> chunkStrideSql,
+    "graph_common_neighbors" -> commonNeighborsSql,
     "dedup_containment_pairs" -> containmentPairsSql,
     "dedup_threshold_curve" -> thresholdCurveSql,
     "dedup_incremental" -> incrementalDedupSql,
