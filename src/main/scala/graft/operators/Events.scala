@@ -428,7 +428,55 @@ object Events {
       |FROM g WHERE gap_ms IS NOT NULL
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Per-user activity streaks — the gaps-and-islands window idiom: an
+    * island of consecutive active days is identified by `day − row_number`
+    * (constant within a run of consecutive dates, distinct across gaps),
+    * so the whole computation is one distinct, one user-keyed window, and
+    * two mergeable aggs. Engagement/cadence features like these feed both
+    * product analytics and per-user data-curation heuristics (e.g. bot
+    * detection: a 1000-day streak is a scraper).
+    *
+    * Scale: the only shuffle is the user_id hash (window + both groupBys
+    * share it); no join, no self-comparison — the classic alternative
+    * (self-join day = day−1 chains) is quadratic in streak length and
+    * never needed.
+    */
+  def streaks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val days = Tables.events(s, dir)
+      .select($"user_id", date_trunc("day", $"ts").cast("date").as("day"))
+      .distinct()
+    val grp = days
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"user_id").orderBy($"day")))
+      .select($"user_id", expr("date_sub(day, rn)").as("island"))
+    grp.groupBy($"user_id", $"island")
+      .agg(count(lit(1)).as("len"))
+      .groupBy($"user_id")
+      .agg(sum($"len").as("n_days"), max($"len").as("best_streak"),
+        count(lit(1)).as("n_streaks"))
+      .orderBy($"user_id")
+  }
+
+  val streaksSql: String =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id, date_trunc('day', ts)::DATE AS day
+      |  FROM events),
+      |isl AS (
+      |  SELECT user_id,
+      |    day - row_number() OVER (PARTITION BY user_id ORDER BY day)::INTEGER
+      |      AS island
+      |  FROM days),
+      |runs AS (
+      |  SELECT user_id, island, count(*)::BIGINT AS len
+      |  FROM isl GROUP BY 1, 2)
+      |SELECT user_id, sum(len)::BIGINT AS n_days,
+      |  max(len)::BIGINT AS best_streak, count(*)::BIGINT AS n_streaks
+      |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_streaks" -> streaks _,
     "ev_transitions" -> transitions _,
     "ev_inter_arrival" -> interArrival _,
     "ev_anomaly" -> anomalies _,
@@ -444,6 +492,7 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "ev_streaks" -> streaksSql,
     "ev_transitions" -> transitionsSql,
     "ev_inter_arrival" -> interArrivalSql,
     "ev_anomaly" -> anomaliesSql,

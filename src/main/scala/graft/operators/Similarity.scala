@@ -1630,7 +1630,150 @@ object Similarity {
     sb.toString
   }
 
+  /** SQ8 scalar quantization: per-vector symmetric int8 codes on the
+    * fixed-point grid. scale = ceil(amax/127) (integer form
+    * `floor((amax+126)/127)`, clamped ≥ 1 — same contract as
+    * [[quantizeErr]]), code_i = floor(q_i/scale) ∈ [-128, 127]. The
+    * serving layout a flat SQ8 index stores per vector is exactly these
+    * three columns: codes (1 byte/dim — 8× smaller than the int64 grid,
+    * 4× smaller than float32), one scale, one norm.
+    */
+  private def sq8(emb: DataFrame): DataFrame =
+    emb
+      .withColumn("amax", array_max(transform(col("q"), e => abs(e))))
+      .withColumn("qs",
+        greatest(lit(1L), floor((col("amax") + lit(126L)) / lit(127)).cast("long")))
+      .withColumn("c",
+        transform(col("q"), e => floor(e.cast("double") / col("qs")).cast("long")))
+      .drop("amax")
+
+  /** Shared SQ8 scoring frame: (qid, vec_id, cos_sq) for the broadcast
+    * 10-query set against the whole corpus, scored on CODES ONLY:
+    * dot(q,d) ≈ scale_q·scale_d·dot(c_q,c_d), normalized by the stored
+    * true norms. Integer numerator (scales ~10², code dot ≤ 64·127² —
+    * well inside int64), one double division → bit-identical across
+    * engines, so the gate hashes scores, not just ranks.
+    */
+  private def sqScored(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = sq8(qEmb(s, dir))
+    val queries = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"c".as("qc"), $"qs".as("qqs"), $"n2".as("qn2"))
+    emb.crossJoin(broadcast(queries))
+      .filter($"vec_id" =!= $"qid")
+      .withColumn("cos_sq",
+        round(($"qqs" * $"qs" * dot($"c", $"qc")).cast("double")
+          / (sqrt($"n2".cast("double")) * sqrt($"qn2".cast("double"))), 4))
+      .select($"qid", $"vec_id", $"cos_sq")
+  }
+
+  /** SQ8 cosine top-3 per query — the flat scalar-quantized ANN probe
+    * (FAISS `SQ8` family): the 100 TB trade where PQ's 4 bytes/vec is too
+    * lossy but float32 doesn't fit. Scale: identical shape to
+    * [[cosineTopK]] — broadcast query set, one narrow corpus pass over the
+    * code column (no raw-vector read), per-query top-k; on a cluster the
+    * scan side is the only big input and it's 8× smaller than the grid.
+    */
+  def sqTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    sqScored(s, dir)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"qid").orderBy($"cos_sq".desc, $"vec_id")))
+      .filter($"rn" <= 3)
+      .select($"qid", $"vec_id", $"cos_sq", $"rn")
+      .orderBy($"qid", $"rn")
+  }
+
+  private val sqCtes: String =
+    """, sqv AS (
+      |  SELECT vec_id,
+      |    greatest(1, floor((list_max([abs(e) FOR e IN q]) + 126) / 127)::BIGINT)
+      |      AS qs,
+      |    q
+      |  FROM qv),
+      |sqc AS (
+      |  SELECT vec_id, qs,
+      |    [floor(e::DOUBLE / qs)::BIGINT FOR e IN q] AS c
+      |  FROM sqv),
+      |cdots AS (
+      |  SELECT qid, vec_id, qqs, dqs, sum(x * y)::BIGINT AS cd FROM (
+      |    SELECT q.vec_id AS qid, e.vec_id, q.qs AS qqs, e.qs AS dqs,
+      |           unnest(q.c) AS x, unnest(e.c) AS y
+      |    FROM (SELECT * FROM sqc WHERE vec_id < 10) q
+      |    JOIN sqc e ON e.vec_id <> q.vec_id) z
+      |  GROUP BY 1, 2, 3, 4),
+      |sqscored AS (
+      |  SELECT qid, cdots.vec_id,
+      |    round(qqs * dqs * cd / (sqrt(ne.n2) * sqrt(nq.n2)), 4) AS cos_sq
+      |  FROM cdots JOIN nrm nq ON cdots.qid = nq.vec_id
+      |             JOIN nrm ne ON cdots.vec_id = ne.vec_id)
+      |""".stripMargin
+
+  val sqTopKSql: String = qvecCte + sqCtes +
+    """SELECT qid, vec_id, cos_sq, rn FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY qid
+      |    ORDER BY cos_sq DESC, vec_id) AS rn FROM sqscored) t
+      |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
+
+  /** SQ8 recall@3 against the exact-cosine top-3 — the acceptance gate a
+    * deployment runs before swapping the float store for codes (same
+    * contract as [[pqRecall]]/[[lshRecall]]: n_exact / n_hit per query,
+    * integer columns, no float compare).
+    */
+  def sqRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val emb = qEmb(s, dir)
+    val queries = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"q".as("qq"), $"n2".as("qn2"))
+    val exact = emb.crossJoin(broadcast(queries))
+      .filter($"vec_id" =!= $"qid")
+      .withColumn("cos",
+        round(dot($"q", $"qq").cast("double")
+          / (sqrt($"n2".cast("double")) * sqrt($"qn2".cast("double"))), 4))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"qid").orderBy($"cos".desc, $"vec_id")))
+      .filter($"rn" <= 3)
+      .select($"qid", $"vec_id")
+    val approx = sqScored(s, dir)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"qid").orderBy($"cos_sq".desc, $"vec_id")))
+      .filter($"rn" <= 3)
+      .select($"qid".as("aqid"), $"vec_id".as("avid"))
+    exact.join(approx, $"qid" === $"aqid" && $"vec_id" === $"avid", "left")
+      .groupBy($"qid")
+      .agg(count(lit(1)).as("n_exact"), count($"avid").as("n_hit"))
+      .orderBy($"qid")
+  }
+
+  val sqRecallSql: String = qvecCte + sqCtes +
+    """, atop AS (
+      |  SELECT qid, vec_id FROM (
+      |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+      |      ORDER BY cos_sq DESC, vec_id) AS rn FROM sqscored) t
+      |  WHERE rn <= 3),
+      |edots AS (
+      |  SELECT qid, vec_id, sum(x * y)::BIGINT AS d FROM (
+      |    SELECT q.vec_id AS qid, e.vec_id, unnest(q.q) AS x, unnest(e.q) AS y
+      |    FROM (SELECT vec_id, q FROM qv WHERE vec_id < 10) q
+      |    JOIN qv e ON e.vec_id <> q.vec_id) z
+      |  GROUP BY 1, 2),
+      |exact3 AS (
+      |  SELECT qid, vec_id FROM (
+      |    SELECT d.qid, d.vec_id, row_number() OVER (PARTITION BY d.qid
+      |      ORDER BY round(d.d / (sqrt(ne.n2) * sqrt(nq.n2)), 4) DESC,
+      |               d.vec_id) AS rn
+      |    FROM edots d JOIN nrm nq ON d.qid = nq.vec_id
+      |                 JOIN nrm ne ON d.vec_id = ne.vec_id) t
+      |  WHERE rn <= 3)
+      |SELECT e.qid, count(*)::BIGINT AS n_exact, count(a.vec_id)::BIGINT AS n_hit
+      |FROM exact3 e LEFT JOIN atop a ON e.qid = a.qid AND e.vec_id = a.vec_id
+      |GROUP BY e.qid ORDER BY e.qid""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_sq_topk" -> sqTopK _,
+    "sim_sq_recall" -> sqRecall _,
     "sim_cosine_topk" -> cosineTopK _,
     "sim_hard_negatives" -> hardNegatives _,
     "sim_drift" -> drift _,
@@ -1656,6 +1799,8 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "sim_sq_topk" -> sqTopKSql,
+    "sim_sq_recall" -> sqRecallSql,
     "sim_cosine_topk" -> cosineTopKSql,
     "sim_hard_negatives" -> hardNegativesSql,
     "sim_drift" -> driftSql,

@@ -814,7 +814,45 @@ object Sketches {
        |GROUP BY 1, 2, 3, 4, 5, 6
        |ORDER BY q.lang""".stripMargin
 
+  /** Per-domain document cap — the crawl-curation rule (C4/RefinedWeb
+    * style) that stops any single domain from dominating the corpus: each
+    * source keeps at most `cap` documents, best-first (longest text, then
+    * doc_id — a deterministic quality proxy on the synthetic corpus; a
+    * production run swaps in the [[graft.operators.TextOps]] quality
+    * score, the ordering machinery is identical). Emits the full per-doc
+    * manifest (rank within source + kept flag), not just survivors, so
+    * downstream audits can see WHY a document dropped.
+    *
+    * Scale: one source-keyed shuffle; the per-source row_number ≤ cap is
+    * exactly the [[graft.plans.GroupedTopKRewrite]] bounded-heap shape, so
+    * a 10M-page domain never sorts its full posting — and the rank
+    * column doubles as the cap-utilization histogram input.
+    */
+  def domainCap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    Tables.documents(s, dir)
+      .select($"doc_id", $"source", $"n_chars")
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy($"source").orderBy($"n_chars".desc, $"doc_id")))
+      .withColumn("kept", when($"rnk" <= 10, 1L).otherwise(0L))
+      .select($"doc_id", $"source", $"n_chars", $"rnk".cast("long").as("rnk"),
+        $"kept")
+      .orderBy($"doc_id")
+  }
+
+  val domainCapSql: String =
+    """WITH ranked AS (
+      |  SELECT doc_id, source, n_chars,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY n_chars DESC, doc_id)::BIGINT AS rnk
+      |  FROM documents)
+      |SELECT doc_id, source, n_chars, rnk,
+      |  (CASE WHEN rnk <= 10 THEN 1 ELSE 0 END)::BIGINT AS kept
+      |FROM ranked ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_domain_cap" -> domainCap _,
     "sample_alpha" -> alphaSample _,
     "sample_stratified" -> stratifiedSample _,
     "sample_mixture" -> mixtureSample _,
@@ -829,6 +867,7 @@ object Sketches {
   )
 
   val oracles: Map[String, String] = Map(
+    "sample_domain_cap" -> domainCapSql,
     "sample_alpha" -> alphaSampleSql,
     "sample_stratified" -> stratifiedSampleSql,
     "sample_mixture" -> mixtureSampleSql,

@@ -1746,7 +1746,7 @@ object TextOps {
     * size that scales with content diversity instead of duplication
     * volume. Shared by [[triangles]] and [[commonNeighbors]].
     */
-  private def groupPairsOf(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def groupPairsOf(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val bs = minhashOf(s, dir).select($"doc_id",
       bandSig((0 until 4).map(i => col(s"mh$i"))).as("s0"),
@@ -1919,6 +1919,145 @@ object TextOps {
       |top AS (SELECT * FROM ne ORDER BY common DESC, a, b LIMIT 20)
       |SELECT a, b, common,
       |  row_number() OVER (ORDER BY common DESC, a, b) AS rnk
+      |FROM top ORDER BY rnk""".stripMargin
+
+  /** Multi-source BFS over the group-contracted near-dup graph: minimum
+    * hop distance (≤ 3) from the seed set (every 17th group id) — the
+    * "contamination blast radius" question: if these seed documents are
+    * tainted (benchmark leakage, spam cluster, licensing), which template
+    * families are within k near-dup hops and should be quarantined too?
+    *
+    * Scale: the canonical BSP frontier shape (same layout as
+    * [[pageRank]]): per round ONE join of the current distance frame
+    * against the symmetrized edge list and ONE min-agg, checkpointed so
+    * the 3-round lineage stays flat. d_{i+1} = min(d_i ∪ expand(d_i)) —
+    * re-expanding the full reached set instead of the delta frontier costs
+    * one extra scan of an already-small frame and keeps the operator a
+    * pure dataflow (no driver-side frontier bookkeeping); a cluster run
+    * with large k switches to delta frontiers, same DAG per round.
+    */
+  def bfsReach(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = groupPairsOf(s, dir)
+      .localCheckpoint(true) // node set + both edge orientations
+    val sym = pairs.select($"a".as("u"), $"b".as("v"))
+      .unionByName(pairs.select($"b".as("u"), $"a".as("v")))
+      .localCheckpoint(true) // re-joined every round
+    var dist = sym.select($"u".as("v")).distinct()
+      .filter($"v" % 17 === 0)
+      .select($"v", lit(0L).as("dist"))
+      .localCheckpoint(true)
+    for (h <- 1 to 3) {
+      dist = dist.unionByName(
+          dist.join(sym, dist("v") === sym("u"))
+            .select(sym("v").as("v"), lit(h.toLong).as("dist")))
+        .groupBy($"v").agg(min($"dist").as("dist"))
+        .localCheckpoint(true)
+    }
+    dist.select($"v".as("group_id"), $"dist").orderBy($"group_id")
+  }
+
+  val bfsReachSql: String = groupGraphCte + {
+    val rounds = (1 to 3).map { i =>
+      s"""d$i AS MATERIALIZED (
+         |  SELECT v, min(dist)::BIGINT AS dist FROM (
+         |    SELECT v, dist FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT s.v, d.dist + 1
+         |    FROM d${i - 1} d JOIN sym s ON d.v = s.u) z
+         |  GROUP BY v)""".stripMargin
+    }.mkString(",\n")
+    s""", sym AS (SELECT a AS u, b AS v FROM gp
+       |         UNION ALL SELECT b, a FROM gp),
+       |d0 AS MATERIALIZED (
+       |  SELECT DISTINCT u AS v, 0::BIGINT AS dist FROM sym
+       |  WHERE u % 17 = 0),
+       |$rounds
+       |SELECT v AS group_id, dist FROM d3 ORDER BY group_id""".stripMargin
+  }
+
+  /** Collocation mining: token pairs co-occurring within a forward window
+    * of 3 positions, ranked by LIFT = P(ab)/(P(a)·P(b)) — the
+    * phrase/multi-word-expression detector a tokenizer-training or
+    * corpus-analysis pass runs (the word2vec co-occurrence matrix's
+    * strongest off-diagonal entries). Lift, not PMI: identical ranking
+    * (log is monotone) with NO transcendental call, so the score is one
+    * exact-integer ratio — n_ab·N² / (T·n_a·n_b) on int64 — and the
+    * rounded double is bit-identical across engines.
+    *
+    * Scale: pair emission is O(window · tokens) via per-doc `lead`s (the
+    * shingle idiom — never a positional self-join, which is O(L²) per
+    * doc); everything after is mergeable counting on (a,b) / (w) keys.
+    * The min-support filter (n_ab ≥ 5) lands before the unigram joins,
+    * so the long tail of hapax pairs never reaches a shuffle. The int64
+    * numerator bounds the corpus at N² · n_ab < 2⁶³ (N ≲ 3·10⁷ tokens
+    * per exact-arithmetic shard); beyond that a deployment shards the
+    * count tables and lifts to floats — ranking, not the gate contract,
+    * is what survives the switch.
+    */
+  def cooccurLift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val dw = Window.partitionBy($"doc_id").orderBy($"pos")
+    val toks = Tables.documents(s, dir)
+      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "w")))
+      .localCheckpoint(true) // pair emit + unigram counts + total
+    val prs = toks
+      .withColumn("w1", lead($"w", 1).over(dw))
+      .withColumn("w2", lead($"w", 2).over(dw))
+      .withColumn("w3", lead($"w", 3).over(dw))
+      .select($"w", explode(array($"w1", $"w2", $"w3")).as("x"))
+      .filter($"x".isNotNull)
+      .select(least($"w", $"x").as("a"), greatest($"w", $"x").as("b"))
+      .localCheckpoint(true) // pair counts + total
+    val nab = prs.groupBy($"a", $"b").agg(count(lit(1)).as("n_ab"))
+      .filter($"n_ab" >= 5)
+    val uni = toks.groupBy($"w").agg(count(lit(1)).as("n_w"))
+    val nTok = toks.agg(count(lit(1)).as("n_tok"))
+    val nPair = prs.agg(count(lit(1)).as("n_pair"))
+    val scored = nab
+      .join(uni.select($"w".as("a"), $"n_w".as("n_a")), "a")
+      .join(uni.select($"w".as("b"), $"n_w".as("n_b")), "b")
+      .crossJoin(broadcast(nTok)).crossJoin(broadcast(nPair))
+      .withColumn("lift",
+        round(($"n_ab" * $"n_tok" * $"n_tok").cast("double")
+          / ($"n_pair" * $"n_a" * $"n_b").cast("double"), 4))
+    val top = scored.orderBy($"lift".desc, $"a", $"b").limit(20)
+    top.select($"a", $"b", $"n_ab", $"lift",
+        row_number().over(Window.orderBy($"lift".desc, $"a", $"b"))
+          .as("rnk")) // 20-row frame
+      .orderBy($"rnk")
+  }
+
+  val cooccurLiftSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
+      |         unnest(string_split(text, ' ')) AS w
+      |  FROM documents),
+      |ld AS (
+      |  SELECT w, lead(w, 1) OVER dw AS w1, lead(w, 2) OVER dw AS w2,
+      |         lead(w, 3) OVER dw AS w3
+      |  FROM toks WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)),
+      |prs AS (
+      |  SELECT least(w, x) AS a, greatest(w, x) AS b FROM (
+      |    SELECT w, unnest([w1, w2, w3]) AS x FROM ld) z
+      |  WHERE x IS NOT NULL),
+      |nab AS (
+      |  SELECT a, b, count(*)::BIGINT AS n_ab FROM prs GROUP BY 1, 2
+      |  HAVING count(*) >= 5),
+      |uni AS (SELECT w, count(*)::BIGINT AS n_w FROM toks GROUP BY 1),
+      |tt AS (SELECT count(*)::BIGINT AS n_tok FROM toks),
+      |tp AS (SELECT count(*)::BIGINT AS n_pair FROM prs),
+      |scored AS (
+      |  SELECT a, b, n_ab,
+      |    round((n_ab * n_tok * n_tok)::DOUBLE
+      |      / (n_pair * ua.n_w * ub.n_w)::DOUBLE, 4) AS lift
+      |  FROM nab JOIN uni ua ON nab.a = ua.w
+      |           JOIN uni ub ON nab.b = ub.w
+      |  CROSS JOIN tt CROSS JOIN tp),
+      |top AS (SELECT * FROM scored ORDER BY lift DESC, a, b LIMIT 20)
+      |SELECT a, b, n_ab, lift,
+      |  row_number() OVER (ORDER BY lift DESC, a, b) AS rnk
       |FROM top ORDER BY rnk""".stripMargin
 
   /** Inverted-index build: per term, document frequency and the first 20
@@ -3021,7 +3160,9 @@ object TextOps {
     "sample_token_budget" -> tokenBudget _,
     "text_bm25_topk" -> bm25TopK _,
     "text_chunk_stride" -> chunkStride _,
+    "text_cooccur_lift" -> cooccurLift _,
     "graph_common_neighbors" -> commonNeighbors _,
+    "graph_bfs_reach" -> bfsReach _,
     "dedup_containment_pairs" -> containmentPairs _,
     "dedup_threshold_curve" -> thresholdCurve _,
     "dedup_incremental" -> incrementalDedup _,
@@ -3069,7 +3210,9 @@ object TextOps {
     "sample_token_budget" -> tokenBudgetSql,
     "text_bm25_topk" -> bm25TopKSql,
     "text_chunk_stride" -> chunkStrideSql,
+    "text_cooccur_lift" -> cooccurLiftSql,
     "graph_common_neighbors" -> commonNeighborsSql,
+    "graph_bfs_reach" -> bfsReachSql,
     "dedup_containment_pairs" -> containmentPairsSql,
     "dedup_threshold_curve" -> thresholdCurveSql,
     "dedup_incremental" -> incrementalDedupSql,

@@ -51,7 +51,23 @@ class PlanGuardSpec extends SparkSpec {
     // one per merge round: the 1-row winner frame × the 1-row post-merge
     // token-count frame building that round's report row (corpus-side
     // cross joins are materialized away by the per-round checkpoint)
-    "text_bpe_train" -> 3)
+    "text_bpe_train" -> 3,
+    // 1-row broadcast corpus-stats frame (N, avgdl) + the 3-row broadcast
+    // query-term frame scored against each doc's postings
+    "text_bm25_topk" -> 1,
+    // fixed 10-row broadcast query-vector set (label-mismatch probe)
+    "sim_hard_negatives" -> 1,
+    // 1-row broadcast corpus-total frame × the 1-row budget-threshold
+    // frame (the kept-tokens-vs-budget comparison)
+    "sample_token_budget" -> 2,
+    // fixed 10-row broadcast query set scored on SQ8 codes
+    "sim_sq_topk" -> 1,
+    // SQ8 probe + the exact-cosine baseline, each against the 10-row
+    // broadcast query set
+    "sim_sq_recall" -> 2,
+    // two 1-row broadcast total frames (token count, pair count) feeding
+    // the lift normalizer
+    "text_cooccur_lift" -> 2)
 
   test("no query plans an accidental nested-loop or cartesian join") {
     def crossCount(plan: String): Int =
