@@ -140,6 +140,10 @@ object ScalingBench {
     val corpusQs = Seq("dedup_clusters", "sim_ivf_topk",
       "dedup_cdc_chunks",
       "pipeline_keep_manifest",
+      // round-10 additions: SQ8 probe (scan-linear claim), windowed
+      // collocation mining (O(window·tokens) emit claim), contracted-graph
+      // BFS (per-round join over ×mult edges; rounds fixed at 3)
+      "sim_sq_topk", "text_cooccur_lift", "graph_bfs_reach",
       "dedup_ngram_overlap", "dedup_jaccard_pairs",
       "dedup_simhash_wide_pairs",
       "dedup_simhash_pairs", "dedup_minhash_pairs")

@@ -509,6 +509,39 @@ object Similarity {
        |SELECT vec_id, cid AS centroid
        |FROM a$kmeansIters ORDER BY vec_id""".stripMargin
 
+  /** IVF cell-balance diagnostic — the pre-flight an ANN deployment reads
+    * before setting nprobe/nCells (the [[graft.operators.TextOps.degreeHist]]
+    * of the index world): per-cell population and permille share of the
+    * corpus. A hot cell means probes touching it pay a near-linear scan
+    * and the k-means fit should re-run with more cells or better init;
+    * balanced cells (share ≈ 1000/nCells) certify the Σcell² compare-
+    * volume math that SemDeDup and the IVF probes rely on.
+    *
+    * Scale: rides the existing fit + assignment; the diagnostic itself is
+    * one mergeable count on the cell key plus a window over the nCells-row
+    * aggregate (no corpus-sized second pass, no cross join).
+    */
+  def ivfBalance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    ivfAssignRaw(s, dir)
+      .groupBy($"centroid")
+      .agg(count(lit(1)).as("n_vec"))
+      .withColumn("nv", sum($"n_vec").over(Window.partitionBy()))
+      .select($"centroid", $"n_vec",
+        floor($"n_vec" * lit(1000L) / $"nv").cast("long").as("share_pm"))
+      .orderBy($"centroid")
+  }
+
+  val ivfBalanceSql: String = qvecCte + kmeansCtes +
+    s"""
+       |, cells AS (
+       |  SELECT cid AS centroid, count(*)::BIGINT AS n_vec
+       |  FROM a$kmeansIters GROUP BY cid)
+       |SELECT centroid, n_vec,
+       |  floor(n_vec * 1000 / (sum(n_vec) OVER ()))::BIGINT AS share_pm
+       |FROM cells ORDER BY centroid""".stripMargin
+
   /** IVF top-3: brute-force cosine restricted to the query's cell. */
   def ivfTopK(s: SparkSession, dir: String): DataFrame =
     ivfProbe(qEmb(s, dir).join(ivfAssignRaw(s, dir), Seq("vec_id")))
@@ -1785,6 +1818,7 @@ object Similarity {
     "sim_lsh_buckets" -> lshBuckets _,
     "sim_lsh_topk" -> lshTopK _,
     "sim_ivf_assign" -> ivfAssign _,
+    "sim_ivf_balance" -> ivfBalance _,
     "sim_ivf_topk" -> ivfTopK _,
     "sim_ivf_recall" -> ivfRecall _,
     "sim_pq_topk" -> pqTopK _,
@@ -1812,6 +1846,7 @@ object Similarity {
     "sim_lsh_buckets" -> lshBucketsSql,
     "sim_lsh_topk" -> lshTopKSql,
     "sim_ivf_assign" -> ivfAssignSql,
+    "sim_ivf_balance" -> ivfBalanceSql,
     "sim_ivf_topk" -> ivfTopKSql,
     "sim_ivf_recall" -> ivfRecallSql,
     "sim_pq_topk" -> pqTopKSql,

@@ -1376,6 +1376,63 @@ object TextOps {
         |FROM lab JOIN sz USING (cluster) ORDER BY doc_id""".stripMargin
     }
 
+  /** Effective dataset size under soft dedup — the composition of
+    * [[softWeights]] with per-doc token counts: per language, raw token
+    * mass vs the EFFECTIVE mass after 1/cluster-size reweighting (in exact
+    * integer milli-tokens — permille weight × tokens), plus the permille
+    * discount. This is the number a data-mixing recipe actually consumes:
+    * "how many tokens is this language worth once duplication is
+    * discounted" (the soft analogue of counting only keep-manifest
+    * survivors), feeding straight into [[graft.operators.Sketches]]'
+    * mixture/α-rebalance quotas.
+    *
+    * Scale: token counts are a length-arithmetic map (size(split) — no
+    * explode, no shuffle); the weight join is doc_id-keyed; one final
+    * per-language mergeable agg. The expensive part (cluster labels) is
+    * the already-certified star contraction, computed once and shared.
+    */
+  def softTokens(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = softWeights(s, dir)
+      .select($"doc_id", $"weight_permille")
+    Tables.documents(s, dir)
+      .select($"doc_id", $"lang",
+        size(split($"text", " ")).cast("long").as("n_tokens"))
+      .join(w, "doc_id")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tokens").as("raw_tokens"),
+        sum($"n_tokens" * $"weight_permille").as("eff_tokens_milli"))
+      .withColumn("discount_pm",
+        floor($"eff_tokens_milli" / $"raw_tokens").cast("long"))
+      .orderBy($"lang")
+  }
+
+  val softTokensSql: String =
+    shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ") + shingleBandsCte + {
+      """,
+        |edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+        |reach(node, m) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.a, r.m FROM edges e JOIN reach r ON e.b = r.node),
+        |lab AS (SELECT node AS doc_id, min(m)::BIGINT AS cluster
+        |        FROM reach GROUP BY node),
+        |sz AS (SELECT cluster, count(*)::BIGINT AS n_members
+        |       FROM lab GROUP BY cluster),
+        |wt AS (SELECT doc_id, (1000 // n_members)::BIGINT AS w
+        |       FROM lab JOIN sz USING (cluster)),
+        |tk AS (SELECT doc_id, lang,
+        |         len(string_split(text, ' '))::BIGINT AS n_tokens
+        |       FROM documents)
+        |SELECT lang, count(*)::BIGINT AS n_docs,
+        |  sum(n_tokens)::BIGINT AS raw_tokens,
+        |  sum(n_tokens * w)::BIGINT AS eff_tokens_milli,
+        |  floor(sum(n_tokens * w) / sum(n_tokens))::BIGINT AS discount_pm
+        |FROM tk JOIN wt USING (doc_id)
+        |GROUP BY lang ORDER BY lang""".stripMargin
+    }
+
   /** The END-TO-END curation verdict — one frame answering "does this
     * document go into the training set?", composing the three gates every
     * production pipeline runs in sequence: quality (the Gopher rule
@@ -3156,6 +3213,7 @@ object TextOps {
     "dedup_clusters" -> dedupClusters _,
     "dedup_keep_best" -> keepBest _,
     "dedup_soft_weights" -> softWeights _,
+    "pipeline_soft_tokens" -> softTokens _,
     "dedup_chunk_prune" -> chunkPrune _,
     "sample_token_budget" -> tokenBudget _,
     "text_bm25_topk" -> bm25TopK _,
@@ -3206,6 +3264,7 @@ object TextOps {
     "dedup_clusters" -> dedupClustersSql,
     "dedup_keep_best" -> keepBestSql,
     "dedup_soft_weights" -> softWeightsSql,
+    "pipeline_soft_tokens" -> softTokensSql,
     "dedup_chunk_prune" -> chunkPruneSql,
     "sample_token_budget" -> tokenBudgetSql,
     "text_bm25_topk" -> bm25TopKSql,

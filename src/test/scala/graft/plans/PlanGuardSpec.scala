@@ -24,6 +24,7 @@ class PlanGuardSpec extends SparkSpec {
     */
   private val intentionalCross = Map(
     "sim_ivf_assign" -> 1, // 8-row broadcast centroid table
+    "sim_ivf_balance" -> 1, // same assignment pass, aggregated per cell
     "sim_ivf_topk" -> 2, // centroid table in assign + probe branches
     "sim_cosine_topk" -> 1, // fixed broadcast query-vector set
     "sim_lsh_recall" -> 2, // composes cosine_topk + lsh_topk, inherits theirs
