@@ -1480,7 +1480,11 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
-  val keepManifestSql: String =
+  /** Shared CTE chain ending in `man(doc_id, quality_keep, is_keeper,
+    * contaminated, keep)` — the manifest frame, factored so the funnel
+    * oracle composes the identical stage definitions.
+    */
+  private val keepManifestCtes: String =
     shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ") + shingleBandsCte + {
       val stopList = Seq("the", "be", "to", "of", "and", "that", "have", "with")
         .map(w => s"'$w'").mkString(", ")
@@ -1535,17 +1539,102 @@ object TextOps {
          |  SELECT c.doc_id, count(*)::BIGINT AS n_shared
          |  FROM codes c JOIN train t ON c.doc_id = t.doc_id
          |  JOIN ec ON c.code = ec.code
-         |  GROUP BY c.doc_id)
-         |SELECT t.doc_id, gq.quality_keep, kp.is_keeper,
-         |  (CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END)::INT AS contaminated,
-         |  (gq.quality_keep * kp.is_keeper
-         |   * (1 - CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END))::INT AS keep
-         |FROM train t
-         |JOIN gq ON t.doc_id = gq.doc_id
-         |JOIN kp ON t.doc_id = kp.doc_id
-         |LEFT JOIN hits h ON t.doc_id = h.doc_id
-         |ORDER BY t.doc_id""".stripMargin
+         |  GROUP BY c.doc_id),
+         |man AS (
+         |  SELECT t.doc_id, gq.quality_keep, kp.is_keeper,
+         |    (CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END)::INT
+         |      AS contaminated,
+         |    (gq.quality_keep * kp.is_keeper
+         |     * (1 - CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END))::INT
+         |      AS keep
+         |  FROM train t
+         |  JOIN gq ON t.doc_id = gq.doc_id
+         |  JOIN kp ON t.doc_id = kp.doc_id
+         |  LEFT JOIN hits h ON t.doc_id = h.doc_id)
+         |""".stripMargin
     }
+
+  val keepManifestSql: String = keepManifestCtes +
+    """SELECT doc_id, quality_keep, is_keeper, contaminated, keep
+      |FROM man ORDER BY doc_id""".stripMargin
+
+  /** Stage-by-stage retention FUNNEL over the curation pipeline — the
+    * monitoring table every production run publishes next to its keep
+    * manifest: how many documents (and tokens) survive each successive
+    * gate — corpus → train split → quality → dedup-keeper →
+    * decontaminated — and how many each stage dropped. A stage suddenly
+    * eating 40% of the corpus is the first sign a threshold or an
+    * upstream regression needs attention; absolute drop counts are what
+    * alerting thresholds attach to.
+    *
+    * Composes [[keepManifest]]'s gate columns (each independently
+    * oracled) into cumulative survival: a doc is counted at every stage
+    * up to the first gate it fails, with the gate order fixed as quality
+    * → dedup → decontamination (the order production pipelines run them,
+    * cheapest-per-doc first).
+    *
+    * Scale: one manifest join + one ≤5-group agg; the stage fan-out
+    * (`explode(sequence(0, reach))`) happens on the ≤5-row aggregate,
+    * not the corpus.
+    */
+  def stageFunnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val tk = Tables.documents(s, dir)
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("n_tokens"))
+    val man = keepManifest(s, dir)
+      .select($"doc_id", $"quality_keep", $"is_keeper", $"contaminated")
+    val rch = tk.join(man, Seq("doc_id"), "left")
+      .select($"n_tokens",
+        when($"quality_keep".isNull, 0)
+          .when($"quality_keep" === 0, 1)
+          .when($"is_keeper" === 0, 2)
+          .when($"contaminated" === 1, 3)
+          .otherwise(4).as("reach"))
+    val fun = rch.groupBy($"reach")
+      .agg(count(lit(1)).as("nd"), sum($"n_tokens").as("nt"))
+      .select(explode(sequence(lit(0), $"reach")).as("sid"), $"nd", $"nt")
+      .groupBy($"sid")
+      .agg(sum($"nd").as("n_docs"), sum($"nt").as("n_tokens"))
+    fun // ≤5-row frame: the windowed lag is free
+      .withColumn("dropped", coalesce(
+        lag($"n_docs", 1).over(Window.orderBy($"sid")) - $"n_docs", lit(0L)))
+      .select($"sid".cast("long").as("stage_idx"),
+        when($"sid" === 0, "corpus").when($"sid" === 1, "train_split")
+          .when($"sid" === 2, "quality").when($"sid" === 3, "dedup")
+          .otherwise("decontaminated").as("stage"),
+        $"n_docs", $"n_tokens", $"dropped")
+      .orderBy($"stage_idx")
+  }
+
+  val stageFunnelSql: String = keepManifestCtes +
+    """, tk AS (SELECT doc_id,
+      |           len(string_split(text, ' '))::BIGINT AS n_tokens
+      |         FROM documents),
+      |rch AS (
+      |  SELECT tk.n_tokens,
+      |    CASE WHEN m.doc_id IS NULL THEN 0
+      |         WHEN m.quality_keep = 0 THEN 1
+      |         WHEN m.is_keeper = 0 THEN 2
+      |         WHEN m.contaminated = 1 THEN 3
+      |         ELSE 4 END AS reach
+      |  FROM tk LEFT JOIN man m ON tk.doc_id = m.doc_id),
+      |ragg AS (SELECT reach, count(*)::BIGINT AS nd,
+      |           sum(n_tokens)::BIGINT AS nt
+      |         FROM rch GROUP BY reach),
+      |st AS (SELECT unnest(generate_series(0, reach)) AS sid, nd, nt
+      |       FROM ragg),
+      |fun AS (SELECT sid, sum(nd)::BIGINT AS n_docs,
+      |          sum(nt)::BIGINT AS n_tokens
+      |        FROM st GROUP BY sid)
+      |SELECT sid::BIGINT AS stage_idx,
+      |  CASE sid WHEN 0 THEN 'corpus' WHEN 1 THEN 'train_split'
+      |    WHEN 2 THEN 'quality' WHEN 3 THEN 'dedup'
+      |    ELSE 'decontaminated' END AS stage,
+      |  n_docs, n_tokens,
+      |  coalesce(lag(n_docs) OVER (ORDER BY sid) - n_docs, 0)::BIGINT
+      |    AS dropped
+      |FROM fun ORDER BY stage_idx""".stripMargin
 
   /** BPE tokenizer TRAINING (Sennrich et al. 2016), k greedy merge rounds
     * over the whitespace-token corpus — the tokenizer-fitting step of an
@@ -2031,6 +2120,63 @@ object TextOps {
        |  WHERE u % 17 = 0),
        |$rounds
        |SELECT v AS group_id, dist FROM d3 ORDER BY group_id""".stripMargin
+  }
+
+  /** k-core decomposition (k=3, 4 peel rounds) of the group-contracted
+    * near-dup graph: iteratively strip nodes with degree < k until a
+    * fixpoint; what survives is the dense template-family core — the spam
+    * / boilerplate-farm detector of a curation pipeline (a node that
+    * keeps ≥3 near-dup neighbors even after its low-degree fringe is peeled
+    * sits inside a heavily templated region, exactly where aggressive
+    * dedup/downweighting pays off; the sparse fringe is organic text).
+    *
+    * Output: the 3-core membership with each survivor's degree in the
+    * final peeled edge set.
+    *
+    * Scale: each peel round is ONE mergeable degree count plus two
+    * node-keyed semi-joins of the edge list — the same per-round
+    * join+agg bound as [[pageRank]]/[[bfsReach]], checkpointed per round
+    * so the 4-round lineage stays flat. The round count is pinned (4) so
+    * the oracle replays the identical prefix; peeling monotonically
+    * shrinks the edge set, so a fixpoint reached early makes the
+    * remaining rounds no-ops over the final set (same answer, wasted
+    * passes only — a cluster run loops with a convergence counter the
+    * way [[starContraction]] does).
+    */
+  def kcore(s: SparkSession, dir: String, k: Int = 3,
+      rounds: Int = 4): DataFrame = {
+    import s.implicits._
+    var edges = groupPairsOf(s, dir).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val deg = edges.select($"a".as("v"))
+        .unionByName(edges.select($"b".as("v")))
+        .groupBy($"v").agg(count(lit(1)).as("d"))
+      val keep = deg.filter($"d" >= k).select($"v")
+      edges = edges
+        .join(keep.select($"v".as("a")), Seq("a"), "left_semi")
+        .join(keep.select($"v".as("b")), Seq("b"), "left_semi")
+        .select($"a", $"b").localCheckpoint(true)
+    }
+    edges.select($"a".as("v")).unionByName(edges.select($"b".as("v")))
+      .groupBy($"v").agg(count(lit(1)).as("core_deg"))
+      .select($"v".as("group_id"), $"core_deg")
+      .orderBy($"group_id")
+  }
+
+  val kcoreSql: String = groupGraphCte + {
+    val rounds = (1 to 4).map { r =>
+      s""", nd$r AS (SELECT a AS v FROM e${r - 1} UNION ALL
+         |           SELECT b FROM e${r - 1}),
+         |dg$r AS (SELECT v, count(*)::BIGINT AS d FROM nd$r GROUP BY v),
+         |kp$r AS (SELECT v FROM dg$r WHERE d >= 3),
+         |e$r AS MATERIALIZED (
+         |  SELECT e.a, e.b FROM e${r - 1} e
+         |  JOIN kp$r ka ON e.a = ka.v JOIN kp$r kb ON e.b = kb.v)""".stripMargin
+    }.mkString
+    s""", e0 AS MATERIALIZED (SELECT a, b FROM gp)$rounds,
+       |ndf AS (SELECT a AS v FROM e4 UNION ALL SELECT b FROM e4)
+       |SELECT v AS group_id, count(*)::BIGINT AS core_deg
+       |FROM ndf GROUP BY v ORDER BY group_id""".stripMargin
   }
 
   /** Collocation mining: token pairs co-occurring within a forward window
@@ -3175,6 +3321,163 @@ object TextOps {
       |  row_number() OVER (ORDER BY score_millis DESC, doc_id) AS rnk
       |FROM top ORDER BY rnk""".stripMargin
 
+  /** Zipf rank-frequency audit: the vocabulary ranked by corpus frequency
+    * (freq desc, token tie-break), log₂-bucketed by rank (bucket =
+    * bitlength(rank) — the same integer-log idiom as [[pplBuckets]] /
+    * [[degreeHist]]), with per-bucket token counts and frequency ranges,
+    * plus the least-squares slope of bitlength(freq) on bitlength(rank)
+    * over ALL vocabulary points as constant columns. Natural text obeys
+    * slope ≈ −1 (Zipf's law); a corpus whose slope is far off is
+    * template-heavy (flat head) or OCR-noise-heavy (fat tail of hapaxes)
+    * — the one-glance corpus-health diagnostic run before tokenizer
+    * training (vocab sizing reads exactly this curve).
+    *
+    * Everything is exact: counts and bitlengths are int64; the regression
+    * numerator/denominator n·Σxy − Σx·Σy and n·Σx² − (Σx)² are exact
+    * int64 (cross-multiplied, the [[Events]] anomaly-test idiom), and the
+    * one division is a single rounded double of identical ints.
+    *
+    * Scale: one token count (map-side combinable), one vocab-sized window
+    * for ranks (vocabulary ≪ corpus; a 100 TB corpus has ~10⁷ distinct
+    * tokens — a single-digit-GB frame), then O(vocab) arithmetic. The
+    * corpus-sized pass is only the first count.
+    */
+  def zipfCurve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val freq = Tables.documents(s, dir)
+      .select(explode(split($"text", " ")).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("f"))
+    val ranked = freq
+      .withColumn("rnk", row_number().over(Window.orderBy($"f".desc, $"w")))
+      .withColumn("x", length(bin($"rnk")).cast("long"))
+      .withColumn("y", length(bin($"f")).cast("long"))
+      .localCheckpoint(true) // bucket agg + regression agg
+    val slope = ranked.agg(
+        count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"))
+      .select(
+        ($"n" * $"sxy" - $"sx" * $"sy").as("slope_num"),
+        ($"n" * $"sxx" - $"sx" * $"sx").as("slope_den"))
+      .withColumn("slope",
+        round($"slope_num".cast("double") / $"slope_den", 3))
+    ranked.groupBy($"x".as("bucket"))
+      .agg(count(lit(1)).as("n_tokens"), max($"f").as("max_freq"),
+        min($"f").as("min_freq"), sum($"f").as("occ"))
+      .crossJoin(broadcast(slope))
+      .orderBy($"bucket")
+  }
+
+  val zipfCurveSql: String =
+    """WITH tokall AS (
+      |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      |freq AS (SELECT w, count(*)::BIGINT AS f FROM tokall GROUP BY w),
+      |ranked AS MATERIALIZED (
+      |  SELECT f, length(bin(row_number() OVER (ORDER BY f DESC, w)))::BIGINT
+      |      AS x,
+      |    length(bin(f))::BIGINT AS y
+      |  FROM freq),
+      |slope AS (
+      |  SELECT (count(*) * sum(x * y) - sum(x) * sum(y))::BIGINT AS slope_num,
+      |    (count(*) * sum(x * x) - sum(x) * sum(x))::BIGINT AS slope_den
+      |  FROM ranked)
+      |SELECT x AS bucket, count(*)::BIGINT AS n_tokens,
+      |  max(f)::BIGINT AS max_freq, min(f)::BIGINT AS min_freq,
+      |  sum(f)::BIGINT AS occ, slope_num, slope_den,
+      |  round(slope_num * 1.0 / slope_den, 3) AS slope
+      |FROM ranked CROSS JOIN slope
+      |GROUP BY x, slope_num, slope_den ORDER BY bucket""".stripMargin
+
+  /** RAKE keyphrase extraction (Rose et al. 2010): candidate phrases are
+    * the maximal token runs between delimiter words (the corpus'
+    * function words 'a'/'the' — the stopword-split that defines RAKE),
+    * words are scored degree/frequency (degree = Σ phrase length over
+    * phrases containing the word), and a phrase scores the sum of its
+    * words' scores. The division is integer millis (Σdeg·1000 div Σfreq
+    * — floor-div of positive int64s, identical in both engines), so the
+    * ranking needs no float. Phrases capped at length 2–4 (RAKE
+    * practice; length-1 "phrases" are just unigram frequency). Top-20 by
+    * score, phrase-text tie-break.
+    *
+    * Scale: segmentation is the gaps-and-islands idiom — one running
+    * delimiter count per doc-window over the posexploded token stream
+    * (O(tokens), never a positional self-join); word stats and phrase
+    * assembly are (w)- and (doc, seg)-keyed mergeable aggs. The phrase
+    * dictionary the final ranking sees is vocabulary-of-phrases-sized,
+    * not corpus-sized.
+    */
+  def rakePhrases(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val dw = Window.partitionBy($"doc_id").orderBy($"pos")
+    val toks = Tables.documents(s, dir)
+      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "w")))
+      .withColumn("is_delim",
+        ($"w" === "a" || $"w" === "the").cast("int"))
+    val pw = toks
+      .withColumn("seg", sum($"is_delim").over(dw))
+      .filter($"is_delim" === 0)
+      .select($"doc_id", $"seg", $"pos", $"w")
+      .localCheckpoint(true) // word stats + phrase lengths + assembly
+    val plen = pw.groupBy($"doc_id", $"seg").agg(count(lit(1)).as("plen"))
+    val wstat = pw.join(plen, Seq("doc_id", "seg"))
+      .groupBy($"w")
+      .agg(count(lit(1)).as("freq"), sum($"plen").as("deg"))
+    val phr = pw.join(wstat, Seq("w"))
+      .groupBy($"doc_id", $"seg")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct($"pos", $"w"))),
+          x => x.getField("w")), " ").as("phrase"),
+        sum($"deg").as("pdeg"), sum($"freq").as("pfreq"),
+        count(lit(1)).as("np"))
+      .filter($"np".between(2, 4))
+    val scored = phr.groupBy($"phrase")
+      .agg(count(lit(1)).as("n_occ"),
+        expr("max(pdeg) * 1000 div max(pfreq)").as("score_milli"))
+    scored.orderBy($"score_milli".desc, $"phrase").limit(20)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy($"score_milli".desc, $"phrase"))) // 20-row frame
+      .orderBy($"rnk")
+  }
+
+  val rakePhrasesSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+      |         generate_subscripts(string_split(text, ' '), 1) AS pos
+      |  FROM documents),
+      |marked AS (
+      |  SELECT doc_id, pos, w,
+      |    (CASE WHEN w IN ('a', 'the') THEN 1 ELSE 0 END) AS is_delim,
+      |    sum(CASE WHEN w IN ('a', 'the') THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY doc_id ORDER BY pos
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+      |  FROM tok),
+      |pw AS MATERIALIZED (
+      |  SELECT doc_id, seg, pos, w FROM marked WHERE is_delim = 0),
+      |plen AS (SELECT doc_id, seg, count(*)::BIGINT AS plen
+      |         FROM pw GROUP BY doc_id, seg),
+      |wstat AS (
+      |  SELECT pw.w, count(*)::BIGINT AS freq, sum(plen.plen)::BIGINT AS deg
+      |  FROM pw JOIN plen ON pw.doc_id = plen.doc_id AND pw.seg = plen.seg
+      |  GROUP BY pw.w),
+      |phr AS (
+      |  SELECT pw.doc_id, pw.seg,
+      |    string_agg(pw.w, ' ' ORDER BY pw.pos) AS phrase,
+      |    sum(ws.deg)::BIGINT AS pdeg, sum(ws.freq)::BIGINT AS pfreq
+      |  FROM pw JOIN wstat ws ON pw.w = ws.w
+      |  GROUP BY pw.doc_id, pw.seg
+      |  HAVING count(*) BETWEEN 2 AND 4),
+      |scored AS (
+      |  SELECT phrase, count(*)::BIGINT AS n_occ,
+      |    (max(pdeg) * 1000 // max(pfreq))::BIGINT AS score_milli
+      |  FROM phr GROUP BY phrase),
+      |top AS (SELECT * FROM scored
+      |        ORDER BY score_milli DESC, phrase LIMIT 20)
+      |SELECT phrase, n_occ, score_milli,
+      |  row_number() OVER (ORDER BY score_milli DESC, phrase) AS rnk
+      |FROM top ORDER BY rnk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> textStats _,
     "text_surprisal" -> textSurprisal _,
@@ -3183,7 +3486,11 @@ object TextOps {
     "text_langid_confusion" -> langIdConfusion _,
     "text_lang_nb" -> langNb _,
     "graph_degree_hist" -> degreeHist _,
+    "graph_kcore" -> ((s: SparkSession, dir: String) => kcore(s, dir)),
+    "text_zipf_curve" -> zipfCurve _,
+    "text_rake_phrases" -> rakePhrases _,
     "pipeline_keep_manifest" -> keepManifest _,
+    "pipeline_stage_funnel" -> stageFunnel _,
     "text_bigram_surprisal" -> bigramSurprisal _,
     "text_decontaminate" -> decontaminate _,
     "text_ngram_topk" -> ngramTopK _,
@@ -3234,7 +3541,11 @@ object TextOps {
     "text_langid_confusion" -> langIdConfusionSql,
     "text_lang_nb" -> langNbSql,
     "graph_degree_hist" -> degreeHistSql,
+    "graph_kcore" -> kcoreSql,
+    "text_zipf_curve" -> zipfCurveSql,
+    "text_rake_phrases" -> rakePhrasesSql,
     "pipeline_keep_manifest" -> keepManifestSql,
+    "pipeline_stage_funnel" -> stageFunnelSql,
     "text_bigram_surprisal" -> bigramSurprisalSql,
     "text_decontaminate" -> decontaminateSql,
     "text_ngram_topk" -> ngramTopKSql,

@@ -68,7 +68,9 @@ class PlanGuardSpec extends SparkSpec {
     "sim_sq_recall" -> 2,
     // two 1-row broadcast total frames (token count, pair count) feeding
     // the lift normalizer
-    "text_cooccur_lift" -> 2)
+    "text_cooccur_lift" -> 2,
+    // 1-row broadcast regression frame (the Zipf slope constants)
+    "text_zipf_curve" -> 1)
 
   test("no query plans an accidental nested-loop or cartesian join") {
     def crossCount(plan: String): Int =
