@@ -471,7 +471,128 @@ object Multimodal {
        |    AS is_cut
        |FROM f2 ORDER BY media_id, frame_idx""".stripMargin
 
+  /** 16-channel variant of [[stubPHash]] for the cluster operator: the
+    * 8-bit hash space is too dense to cluster over — at sf0.01 the corpus
+    * occupies 168 of 256 values and Hamming ≤ 2 percolates the whole
+    * corpus into ONE component (measured; the same saturation mechanism
+    * as the 16-bit SimHash diagnostic) — while 16 bits (478 of 65,536
+    * occupied) keep the Hamming ball sparse. A real pipeline's 64-bit
+    * pHash is sparser still; bit width is the knob.
+    */
+  def stubPHash16(payload: Array[Byte]): Long = {
+    val sums = new Array[Long](16)
+    val counts = new Array[Long](16)
+    var i = 0
+    while (i < payload.length) {
+      val b = i % 16
+      sums(b) += (payload(i) & 0xff).toLong
+      counts(b) += 1
+      i += 1
+    }
+    var totalSum = 0L
+    var totalCnt = 0L
+    var j = 0
+    while (j < 16) { totalSum += sums(j); totalCnt += counts(j); j += 1 }
+    def gtFrac(a: Long, b: Long, c: Long, d: Long): Boolean =
+      if (a < (1L << 31) && b < (1L << 31) && c < (1L << 31) && d < (1L << 31))
+        a * b > c * d
+      else BigInt(a) * BigInt(b) > BigInt(c) * BigInt(d)
+    var h = 0L
+    j = 0
+    while (j < 16) {
+      if (gtFrac(sums(j), totalCnt, totalSum, counts(j))) h |= (1L << j)
+      j += 1
+    }
+    h
+  }
+
+  /** Media near-dup CLUSTERS: connected components over the 16-bit pHash
+    * graph (edges = Hamming ≤ 2 between distinct hashes; identical
+    * hashes collapse by construction since media map onto hash NODES) —
+    * the multimodal counterpart of `dedup_clusters`: after pair
+    * generation, group transitively-linked media so one representative
+    * per visual family survives. Candidate hash pairs come from
+    * pigeonhole banding (3 bands of 6+5+5 bits: Hamming ≤ 2 ⇒ some band
+    * identical — [[mediaPHashPairs]]'s argument at 16 bits), labels from
+    * [[TextOps.starContraction]] (O(log n) rounds); the oracle replays
+    * exact all-pairs reachability as a recursive CTE, so the banding and
+    * the contraction are both proven lossless.
+    *
+    * Scale: the contraction runs on the DISTINCT-HASH graph (hash
+    * diversity, not corpus size — for a real 64-bit pHash, # distinct
+    * hashes ≪ # media); media join their hash's label in one broadcast
+    * join.
+    */
+  def phashClusters(s: SparkSession, dir: String): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(phashSchema)
+    val ph = mediaTable(s, dir)
+      .select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          Row(r.getAs[Long]("media_id"),
+            stubPHash16(r.getAs[Array[Byte]]("payload")))
+        }
+      }(enc)
+      .localCheckpoint()
+    val distinctH = ph.select(col("phash")).distinct()
+    val banded = distinctH.select(col("phash"), explode(array(
+        struct(lit(0).as("band"), (col("phash") % 64).as("key")),
+        struct(lit(1).as("band"), (shiftright(col("phash"), 6) % 32).as("key")),
+        struct(lit(2).as("band"), shiftright(col("phash"), 11).as("key"))))
+        .as("e"))
+      .select(col("phash"), col("e.band"), col("e.key"))
+    val pairs = banded.select(col("phash").as("a"), col("band"), col("key"))
+      .join(banded.select(col("phash").as("b"), col("band"), col("key")),
+        Seq("band", "key"))
+      .filter(col("a") < col("b")).select(col("a"), col("b")).distinct()
+      .filter(bit_count(col("a").bitwiseXOR(col("b"))) <= 2)
+    val (labels, _) = TextOps.starContraction(
+      distinctH.select(col("phash")), pairs)
+    ph.join(broadcast(labels), Seq("phash"))
+      .groupBy(col("label").as("cluster"))
+      .agg(count(lit(1)).as("n_media"),
+        count_distinct(col("phash")).as("n_hashes"),
+        min(col("media_id")).as("min_media"))
+      .orderBy(col("cluster"))
+  }
+
+  val phashClustersSql: String =
+    s"""$channelCte,
+      |fm AS (
+      |  SELECT doc_id, i % 16 AS b, sum(code)::BIGINT AS sm,
+      |         count(*)::BIGINT AS cnt
+      |  FROM ch GROUP BY 1, 2),
+      |tot AS (SELECT doc_id, sum(sm)::BIGINT AS ts, sum(cnt)::BIGINT AS tc
+      |        FROM fm GROUP BY 1),
+      |ph AS (
+      |  SELECT f.doc_id,
+      |    sum(CASE WHEN f.sm::HUGEINT * t.tc > t.ts::HUGEINT * f.cnt
+      |        THEN (1::BIGINT << f.b) ELSE 0 END)::BIGINT AS phash
+      |  FROM fm f JOIN tot t ON f.doc_id = t.doc_id GROUP BY f.doc_id),
+      |phall AS (
+      |  SELECT d.doc_id, coalesce(ph.phash, 0)::BIGINT AS phash
+      |  FROM documents d LEFT JOIN ph ON d.doc_id = ph.doc_id),
+      |dh AS (SELECT DISTINCT phash FROM phall),
+      |hedges AS (
+      |  SELECT x.phash AS a, y.phash AS b
+      |  FROM dh x JOIN dh y ON x.phash <> y.phash
+      |  WHERE bit_count(xor(x.phash, y.phash)) BETWEEN 1 AND 2),
+      |reach(node, m) AS (
+      |  SELECT phash, phash FROM dh
+      |  UNION
+      |  SELECT e.a, r.m FROM hedges e JOIN reach r ON e.b = r.node),
+      |lab AS (SELECT node AS phash, min(m)::BIGINT AS label
+      |        FROM reach GROUP BY node)
+      |SELECT lab.label AS cluster, count(*)::BIGINT AS n_media,
+      |  count(DISTINCT phall.phash)::BIGINT AS n_hashes,
+      |  min(phall.doc_id)::BIGINT AS min_media
+      |FROM phall JOIN lab ON phall.phash = lab.phash
+      |GROUP BY lab.label ORDER BY cluster""".stripMargin
+      .replaceFirst("WITH ", "WITH RECURSIVE ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_phash_clusters" -> phashClusters _,
     "mm_scene_cuts" -> sceneCuts _,
     "mm_media_meta" -> mediaMeta _,
     "mm_media_features" -> mediaFeatures _,
@@ -482,6 +603,7 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    "mm_phash_clusters" -> phashClustersSql,
     "mm_scene_cuts" -> sceneCutsSql,
     "mm_media_meta" -> mediaMetaSql,
     "mm_media_features" -> mediaFeaturesSql,

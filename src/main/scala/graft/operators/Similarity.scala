@@ -1804,7 +1804,129 @@ object Similarity {
       |FROM exact3 e LEFT JOIN atop a ON e.qid = a.qid AND e.vec_id = a.vec_id
       |GROUP BY e.qid ORDER BY e.qid""".stripMargin
 
+  /** MMR (Maximal Marginal Relevance, Carbonell & Goldstein 1998)
+    * diversity rerank of retrieval candidates: per query (vec_id < 5),
+    * take the top-8 candidates by exact inner product, then greedily pick
+    * 4 — each round the candidate maximizing
+    * λ·sim(c, q) − (1−λ)·max_{s∈chosen} sim(c, s) with λ = 0.7 — so the
+    * reranked list trades relevance against redundancy (the
+    * RAG-context / search-results diversification step; round 1 is pure
+    * relevance, the empty-set penalty term). All similarities are RAW
+    * integer dot products and λ is applied as 7·rel − 3·penalty, so every
+    * score is exact int64 and ranking (score desc, id) can never diverge
+    * cross-engine.
+    *
+    * Scale: the expensive part is the candidate fetch — one broadcast-
+    * query corpus pass (or any ANN probe upstream); the rerank itself
+    * touches only the pool (queries × 8 rows) — pool-sized pairwise dots
+    * once, then per-round joins on pool-sized frames. The sequential
+    * k = 4 dependence is MMR's definition (same structure as
+    * [[diversitySampleOf]]), with each round one small checkpointed DAG.
+    */
+  def mmrRerank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val emb = qEmb(s, dir)
+    val queries = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("qid"), $"q".as("qq"))
+    val pool = emb.crossJoin(broadcast(queries))
+      .filter($"vec_id" =!= $"qid")
+      .withColumn("dq", dot($"q", $"qq"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"qid").orderBy($"dq".desc, $"vec_id")))
+      .filter($"rn" <= 8)
+      .select($"qid", $"vec_id".as("cid"), $"q", $"dq")
+      .localCheckpoint(true) // pairwise dots + every greedy round
+    val ccd = pool.select($"qid", $"cid".as("c1"), $"q".as("q1"))
+      .join(pool.select($"qid", $"cid".as("c2"), $"q".as("q2")), Seq("qid"))
+      .filter($"c1" =!= $"c2")
+      .select($"qid", $"c1", $"c2", dot($"q1", $"q2").as("d"))
+      .localCheckpoint(true) // re-joined every round
+    var sel = pool
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"qid").orderBy($"dq".desc, $"cid")))
+      .filter($"rn" === 1)
+      .select($"qid", $"cid", lit(1).as("sel_order"),
+        (lit(7L) * $"dq").as("mmr_score"))
+      .localCheckpoint(true)
+    for (i <- 2 to 4) {
+      val win = pool
+        .join(sel.select($"qid", $"cid"), Seq("qid", "cid"), "left_anti")
+        .join(ccd.withColumnRenamed("c1", "cid"), Seq("qid", "cid"))
+        .join(sel.select($"qid", $"cid".as("c2")), Seq("qid", "c2"))
+        .groupBy($"qid", $"cid", $"dq").agg(max($"d").as("ms"))
+        .select($"qid", $"cid",
+          (lit(7L) * $"dq" - lit(3L) * $"ms").as("score"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"qid").orderBy($"score".desc, $"cid")))
+        .filter($"rn" === 1)
+        .select($"qid", $"cid", lit(i).as("sel_order"),
+          $"score".as("mmr_score"))
+      sel = sel.unionByName(win).localCheckpoint(true)
+    }
+    sel.select($"qid", $"sel_order", $"cid".as("vec_id"), $"mmr_score")
+      .orderBy($"qid", $"sel_order")
+  }
+
+  val mmrRerankSql: String = {
+    val sb = new StringBuilder(qvecCte)
+    sb ++=
+      """, qdots AS (
+        |  SELECT qid, vec_id, sum(x * y)::BIGINT AS dq FROM (
+        |    SELECT q.vec_id AS qid, e.vec_id,
+        |           unnest(q.q) AS x, unnest(e.q) AS y
+        |    FROM (SELECT vec_id, q FROM qv WHERE vec_id < 5) q
+        |    JOIN qv e ON e.vec_id <> q.vec_id) z
+        |  GROUP BY 1, 2),
+        |pool AS MATERIALIZED (
+        |  SELECT qid, vec_id AS cid, dq FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY qid
+        |      ORDER BY dq DESC, vec_id) AS rn
+        |    FROM qdots) t WHERE rn <= 8),
+        |ccd AS MATERIALIZED (
+        |  SELECT qid, c1, c2, sum(x * y)::BIGINT AS d FROM (
+        |    SELECT a.qid, a.cid AS c1, b.cid AS c2,
+        |           unnest(qa.q) AS x, unnest(qb.q) AS y
+        |    FROM pool a JOIN pool b ON a.qid = b.qid AND a.cid <> b.cid
+        |    JOIN qv qa ON a.cid = qa.vec_id
+        |    JOIN qv qb ON b.cid = qb.vec_id) z
+        |  GROUP BY 1, 2, 3),
+        |s1 AS MATERIALIZED (
+        |  SELECT qid, cid, 1 AS sel_order, 7 * dq AS mmr_score FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY qid
+        |      ORDER BY dq DESC, cid) AS rn
+        |    FROM pool) t WHERE rn = 1),
+        |ch1 AS (SELECT qid, cid FROM s1)""".stripMargin
+    for (i <- 2 to 4) {
+      sb ++=
+        s""",
+           |cand$i AS (
+           |  SELECT p.qid, p.cid, 7 * p.dq - 3 * max(c.d) AS score
+           |  FROM pool p
+           |  JOIN ccd c ON c.qid = p.qid AND c.c1 = p.cid
+           |  JOIN ch${i - 1} s ON s.qid = c.qid AND s.cid = c.c2
+           |  WHERE NOT EXISTS (SELECT 1 FROM ch${i - 1} w
+           |                    WHERE w.qid = p.qid AND w.cid = p.cid)
+           |  GROUP BY p.qid, p.cid, p.dq),
+           |s$i AS MATERIALIZED (
+           |  SELECT qid, cid, $i AS sel_order, score AS mmr_score FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY qid
+           |      ORDER BY score DESC, cid) AS rn
+           |    FROM cand$i) t WHERE rn = 1),
+           |ch$i AS (SELECT qid, cid FROM ch${i - 1}
+           |         UNION ALL SELECT qid, cid FROM s$i)""".stripMargin
+    }
+    sb ++=
+      """
+        |SELECT qid, sel_order, cid AS vec_id, mmr_score
+        |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+        |      UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4)
+        |ORDER BY qid, sel_order""".stripMargin
+    sb.toString
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_mmr_rerank" -> mmrRerank _,
     "sim_sq_topk" -> sqTopK _,
     "sim_sq_recall" -> sqRecall _,
     "sim_cosine_topk" -> cosineTopK _,
@@ -1833,6 +1955,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "sim_mmr_rerank" -> mmrRerankSql,
     "sim_sq_topk" -> sqTopKSql,
     "sim_sq_recall" -> sqRecallSql,
     "sim_cosine_topk" -> cosineTopKSql,

@@ -851,7 +851,56 @@ object Sketches {
       |  (CASE WHEN rnk <= 10 THEN 1 ELSE 0 END)::BIGINT AS kept
       |FROM ranked ORDER BY doc_id""".stripMargin
 
+  /** Token-balanced SHARD ASSIGNMENT — the training-data packaging step:
+    * order the corpus by a deterministic hash (a seeded global shuffle,
+    * reproducible across reruns/engines — no RNG state), run a token
+    * prefix sum over that order, and cut shards every `target` tokens
+    * (a doc belongs to the shard its starting offset falls in). Output is
+    * the per-shard manifest (doc/token counts, id range) a dataloader
+    * fleet consumes — near-equal token shards mean near-equal step times
+    * across data-parallel workers.
+    *
+    * Scale: the prefix sum is ONE global running-total window here; at
+    * 100 TB the same assignment runs as the standard two-pass form —
+    * per-partition token sums, a partitions-sized offset table broadcast
+    * back, per-partition local cumsum + offset (identical output; the
+    * hash-order `repartitionByRange` gives the sorted partitioning).
+    * Everything is exact int64, so shard boundaries are bit-stable.
+    */
+  def shardAssign(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val target = 2000L
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("toks"))
+      .withColumn("hh", h($"doc_id", 52361L, 12007L))
+    val assigned = docs
+      .withColumn("cum", sum($"toks").over(Window.orderBy($"hh", $"doc_id")))
+      .withColumn("shard_id", expr(s"(cum - toks) div $target"))
+    assigned.groupBy($"shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum($"toks").as("shard_tokens"),
+        min($"doc_id").as("min_doc"), max($"doc_id").as("max_doc"))
+      .orderBy($"shard_id")
+  }
+
+  val shardAssignSql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS toks,
+      |    (52361 * doc_id + 12007) % 2147483647 AS hh
+      |  FROM documents),
+      |assigned AS (
+      |  SELECT doc_id, toks,
+      |    ((sum(toks) OVER (ORDER BY hh, doc_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - toks)
+      |     // 2000)::BIGINT AS shard_id
+      |  FROM docs)
+      |SELECT shard_id, count(*)::BIGINT AS n_docs,
+      |  sum(toks)::BIGINT AS shard_tokens,
+      |  min(doc_id)::BIGINT AS min_doc, max(doc_id)::BIGINT AS max_doc
+      |FROM assigned GROUP BY shard_id ORDER BY shard_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_shard_assign" -> shardAssign _,
     "sample_domain_cap" -> domainCap _,
     "sample_alpha" -> alphaSample _,
     "sample_stratified" -> stratifiedSample _,
@@ -867,6 +916,7 @@ object Sketches {
   )
 
   val oracles: Map[String, String] = Map(
+    "sample_shard_assign" -> shardAssignSql,
     "sample_domain_cap" -> domainCapSql,
     "sample_alpha" -> alphaSampleSql,
     "sample_stratified" -> stratifiedSampleSql,

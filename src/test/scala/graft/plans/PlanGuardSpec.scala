@@ -70,7 +70,9 @@ class PlanGuardSpec extends SparkSpec {
     // the lift normalizer
     "text_cooccur_lift" -> 2,
     // 1-row broadcast regression frame (the Zipf slope constants)
-    "text_zipf_curve" -> 1)
+    "text_zipf_curve" -> 1,
+    // fixed 5-row broadcast query-vector set (the candidate fetch)
+    "sim_mmr_rerank" -> 1)
 
   test("no query plans an accidental nested-loop or cartesian join") {
     def crossCount(plan: String): Int =
