@@ -307,6 +307,22 @@ object Plans {
       |against the (bucketable) edge list plus one min-agg, the same
       |shape/bounds as `graph_pagerank` whose slope IS measured above.
       |
+      |**Round-10 session-2 additions** (same harness and protocol):
+      |
+      || query | 1× sec | 1× rows | 10× sec | 10× rows | reading |
+      ||---|---|---|---|---|---|
+      || text_zipf_curve | 0.64 | 5 | 0.85 | 9 | ×1.3 for ×10 tokens — the corpus term is one map-side-combinable count; the rank window runs over the VOCABULARY (×10 under sharding: 9 rank buckets vs 5), which is the frame that grows |
+      || sample_shard_assign | 0.38 | 136 | 0.50 | 1354 | ×1.3 wall for ×10 docs, shard count exactly ×10 (1354/136 ≈ 10) — the prefix sum is linear; the global sort is absorbed at this size, and the documented two-pass offset form replaces it verbatim at cluster scale |
+      || graph_kcore | 2.08 | 915 | 2.65 | 7429 | flat-to-noise like graph_bfs_reach: 4 peel rounds of (degree agg + two semi-joins) on the contracted graph — per-round fixed cost dominates until the edge list outgrows the setup; core membership ×8.1 confirms per-shard replication |
+      || sim_mmr_rerank | 2.00 | 20 | 1.71 | 20 | flat (within noise): the corpus term is the one broadcast-query candidate-fetch scan; the greedy runs on the queries×8 pool, constant in data |
+      |
+      |`text_rake_phrases` and `pipeline_stage_funnel` are deliberately absent:
+      |the shard-suffixed 10× vocabulary removes RAKE's 'a'/'the' delimiters
+      |(the measurement would exercise a degenerate segmentation), and the
+      |funnel is pipeline_keep_manifest (×1.9 at ×10, above) plus a ≤5-row
+      |aggregate. RAKE's corpus pass is the same gaps-and-islands window +
+      |token-keyed agg shape as text_cooccur_lift, whose slope is measured.
+      |
       |""".stripMargin
 
   def main(args: Array[String]): Unit = {

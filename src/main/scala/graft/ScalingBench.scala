@@ -144,6 +144,17 @@ object ScalingBench {
       // collocation mining (O(window·tokens) emit claim), contracted-graph
       // BFS (per-round join over ×mult edges; rounds fixed at 3)
       "sim_sq_topk", "text_cooccur_lift", "graph_bfs_reach",
+      // round-10 session additions: vocab-window Zipf audit (corpus pass +
+      // vocab-sized rank window), token-balanced sharding (the global-sort
+      // scale question), contracted-graph k-core (per-round join+agg,
+      // rounds fixed at 4), MMR rerank (corpus candidate fetch + bounded
+      // pool greedy). text_rake_phrases is NOT here: the shard-suffixed
+      // vocabulary removes its 'a'/'the' delimiters, so the 10× corpus
+      // degenerates to one unsegmentable run per doc — its scale shape
+      // (one gaps-and-islands window + token-keyed aggs) is the measured
+      // text_cooccur_lift shape
+      "text_zipf_curve", "sample_shard_assign", "graph_kcore",
+      "sim_mmr_rerank",
       "dedup_ngram_overlap", "dedup_jaccard_pairs",
       "dedup_simhash_wide_pairs",
       "dedup_simhash_pairs", "dedup_minhash_pairs")
