@@ -899,7 +899,120 @@ object Sketches {
       |  min(doc_id)::BIGINT AS min_doc, max(doc_id)::BIGINT AS max_doc
       |FROM assigned GROUP BY shard_id ORDER BY shard_id""".stripMargin
 
+  /** Windowed HLL: distinct users per DAY via the same deterministic
+    * 64-register HyperLogLog as [[hllDistinct]] — the "sketches meet
+    * windows" operator a monitoring pipeline materializes: per-window
+    * register blocks are MERGEABLE (max per register), so daily blocks
+    * roll up to weekly/monthly distincts without rescanning events, and
+    * a streaming job maintains them incrementally (max is order- and
+    * dedup-insensitive). Estimate + zero-register count + exact distinct
+    * ride together, same contract as the global sketch.
+    *
+    * Scale: one map-side-combinable agg keyed (day, register) — state is
+    * days × 64 rows regardless of event volume.
+    */
+  def hllDaily(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select(date_format($"ts", "yyyy-MM-dd").as("day"), $"user_id")
+    val regs = ev
+      .select($"day", hllHash($"user_id").as("hv"))
+      .select($"day", ($"hv" % 64L).as("j"),
+        floor($"hv" / 64L).cast("long").as("w"))
+      .withColumn("rho",
+        when($"w" === 0L, lit(26)).otherwise(lit(26) - length(bin($"w"))))
+      .groupBy($"day", $"j").agg(max($"rho").as("mx"))
+    val full = regs.select($"day").distinct()
+      .select($"day", explode(sequence(lit(0), lit(63))).as("j"))
+      .join(regs, Seq("day", "j"), "left")
+      .withColumn("mx", coalesce($"mx", lit(0)))
+    val est = full.groupBy($"day")
+      .agg(sum(when($"mx" === 0, 1L).otherwise(0L)).as("n_zero"),
+        sum(pow(lit(2.0), -$"mx")).as("ssum"))
+      .select($"day", $"n_zero",
+        floor(lit(0.709) * lit(4096.0) / $"ssum").cast("long").as("est_hll"))
+    val exact = ev.groupBy($"day")
+      .agg(countDistinct($"user_id").as("exact_distinct"))
+    est.join(exact, Seq("day")).orderBy($"day")
+  }
+
+  val hllDailySql: String =
+    s"""WITH ev AS (
+       |  SELECT strftime(ts, '%Y-%m-%d') AS day, user_id FROM events),
+       |h1 AS (
+       |  SELECT day, user_id,
+       |    xor((2654435761 * user_id + 12007) % $M,
+       |        ((2654435761 * user_id + 12007) % $M) >> 15) AS y1
+       |  FROM ev),
+       |hs AS (
+       |  SELECT day,
+       |    xor((1779033703 * y1 + 514229) % $M,
+       |        ((1779033703 * y1 + 514229) % $M) >> 13) AS hv
+       |  FROM h1),
+       |rj AS (
+       |  SELECT day, hv % 64 AS j,
+       |    CASE WHEN hv // 64 = 0 THEN 26
+       |         ELSE 26 - length(bin(hv // 64)) END AS rho
+       |  FROM hs),
+       |regs AS (SELECT day, j, max(rho) AS mx FROM rj GROUP BY day, j),
+       |filled AS (
+       |  SELECT g.day, u.j, coalesce(regs.mx, 0) AS mx
+       |  FROM (SELECT DISTINCT day FROM hs) g
+       |  CROSS JOIN (SELECT unnest(range(0, 64)) AS j) u
+       |  LEFT JOIN regs ON regs.day = g.day AND regs.j = u.j),
+       |est AS (
+       |  SELECT day,
+       |    sum(CASE WHEN mx = 0 THEN 1 ELSE 0 END)::BIGINT AS n_zero,
+       |    floor(0.709::DOUBLE * 4096::DOUBLE
+       |          / sum(pow(2.0::DOUBLE, -mx)))::BIGINT AS est_hll
+       |  FROM filled GROUP BY day)
+       |SELECT est.day, n_zero, est_hll, x.exact_distinct
+       |FROM est JOIN (
+       |  SELECT day, count(DISTINCT user_id)::BIGINT AS exact_distinct
+       |  FROM ev GROUP BY day) x ON est.day = x.day
+       |ORDER BY est.day""".stripMargin
+
+  /** Deterministic fixed-size per-group sample — the reservoir-sampling
+    * equivalent with no RNG state: keep the k = 20 documents with the
+    * SMALLEST hash per language. Bottom-k-by-hash over a uniform hash IS
+    * a uniform k-subset (any k-subset is equally likely over the hash
+    * randomness), and unlike a sequential reservoir it is MERGEABLE
+    * (bottom-k of a union = bottom-k of the two bottom-ks) and stable
+    * across reruns, partitionings, and engines — the property that makes
+    * eval-set draws reproducible. The window's `row_number() <= k` shape
+    * is exactly what the engine's TopKRewrite turns into the bounded-heap
+    * GroupedTopK physical operator (no full sort, O(k) state per group) —
+    * the rank column is deliberately NOT projected, which is the rewrite's
+    * applicability condition (the heap doesn't materialize ranks; the
+    * (hh, doc_id) sort key already orders the members).
+    */
+  def reservoirSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    Tables.documents(s, dir)
+      .select($"doc_id", $"lang", h($"doc_id", 84631L, 24001L).as("hh"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"lang").orderBy($"hh", $"doc_id")))
+      .filter($"rk" <= 20)
+      .select($"lang", $"doc_id", $"hh")
+      .orderBy($"lang", $"hh", $"doc_id")
+  }
+
+  val reservoirSampleSql: String =
+    """WITH hashed AS (
+      |  SELECT doc_id, lang,
+      |    (84631 * doc_id + 24001) % 2147483647 AS hh
+      |  FROM documents),
+      |ranked AS (
+      |  SELECT lang, doc_id, hh,
+      |    row_number() OVER (PARTITION BY lang ORDER BY hh, doc_id) AS rk
+      |  FROM hashed)
+      |SELECT lang, doc_id, hh FROM ranked
+      |WHERE rk <= 20 ORDER BY lang, hh, doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_hll_daily" -> hllDaily _,
+    "sample_reservoir" -> reservoirSample _,
     "sample_shard_assign" -> shardAssign _,
     "sample_domain_cap" -> domainCap _,
     "sample_alpha" -> alphaSample _,
@@ -916,6 +1029,8 @@ object Sketches {
   )
 
   val oracles: Map[String, String] = Map(
+    "ev_hll_daily" -> hllDailySql,
+    "sample_reservoir" -> reservoirSampleSql,
     "sample_shard_assign" -> shardAssignSql,
     "sample_domain_cap" -> domainCapSql,
     "sample_alpha" -> alphaSampleSql,

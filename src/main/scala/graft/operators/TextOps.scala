@@ -3478,7 +3478,49 @@ object TextOps {
       |  row_number() OVER (ORDER BY score_milli DESC, phrase) AS rnk
       |FROM top ORDER BY rnk""".stripMargin
 
+  /** Edit-distance VERIFICATION of near-dup candidates: exact Levenshtein
+    * over the leading 120 characters of each LSH candidate pair, keeping
+    * pairs within distance 72 — the "character-level rerank" a dedup
+    * pipeline runs after banding when token-set similarity is not enough
+    * (templated spam with word substitutions passes Jaccard but fails
+    * edit distance; OCR variants fail Jaccard but pass edit distance).
+    * Spark's `levenshtein` and DuckDB's are the same classic DP, so the
+    * distances are integer-exact cross-engine.
+    *
+    * Scale: candidates come from the banded join ([[minhashCandidates]] —
+    * bounded bucket sizes, never all-pairs), and the per-pair DP cost is
+    * CAPPED by the 120-char prefix (O(P²) per pair, P fixed): the
+    * canonical trade — full-document edit distance is inherently
+    * quadratic in doc length, so production verifies on a bounded prefix
+    * / fingerprint and only escalates survivors. The texts join the pair
+    * frame by doc_id (two co-partitioned hash joins), prefix-truncated
+    * BEFORE the join so the shuffle carries 120 bytes, not documents.
+    */
+  def editPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val prefix = Tables.documents(s, dir)
+      .select($"doc_id", substring($"text", 1, 120).as("t"))
+    val pairs = minhashCandidates(s, dir)
+    pairs
+      .join(prefix.select($"doc_id".as("a"), $"t".as("ta")), Seq("a"))
+      .join(prefix.select($"doc_id".as("b"), $"t".as("tb")), Seq("b"))
+      .select($"a", $"b", levenshtein($"ta", $"tb").cast("long").as("edit_dist"))
+      .filter($"edit_dist" <= 72)
+      .orderBy($"a", $"b")
+  }
+
+  val editPairsSql: String = minhashPairsCte +
+    """,
+      |pref AS (SELECT doc_id, substr(text, 1, 120) AS t FROM documents),
+      |lev AS (
+      |  SELECT p.a, p.b, levenshtein(pa.t, pb.t)::BIGINT AS edit_dist
+      |  FROM pairs p JOIN pref pa ON p.a = pa.doc_id
+      |               JOIN pref pb ON p.b = pb.doc_id)
+      |SELECT a, b, edit_dist FROM lev
+      |WHERE edit_dist <= 72 ORDER BY a, b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_edit_pairs" -> editPairs _,
     "text_stats" -> textStats _,
     "text_surprisal" -> textSurprisal _,
     "text_dsir_weights" -> dsirWeights _,
@@ -3534,6 +3576,7 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "dedup_edit_pairs" -> editPairsSql,
     "text_stats" -> textStatsSql,
     "text_surprisal" -> textSurprisalSql,
     "text_dsir_weights" -> dsirWeightsSql,

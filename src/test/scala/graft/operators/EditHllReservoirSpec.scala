@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.Tables
+
+/** editPairs / hllDaily / reservoirSample: in-memory recounts plus the
+  * GroupedTopK plan shape for the reservoir.
+  */
+class EditHllReservoirSpec extends SparkSpec {
+
+  private val dir = sf("sf0.001")
+
+  test("edit pairs match an in-memory Levenshtein recount over the " +
+      "candidate set") {
+    import spark.implicits._
+    val got = TextOps.editPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val cand = TextOps.minhashPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val prefixes = Tables.documents(spark, dir)
+      .select($"doc_id", substring($"text", 1, 120)).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def lev(a: String, b: String): Long = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length).toLong
+    }
+    val expect = cand
+      .map { case (a, b) => (a, b) -> lev(prefixes(a), prefixes(b)) }
+      .filter(_._2 <= 72).toMap
+    assert(got == expect)
+    assert(got.nonEmpty)
+  }
+
+  test("daily HLL registers match an exact in-memory recount and merge " +
+      "to the all-days sketch") {
+    import spark.implicits._
+    val got = Sketches.hllDaily(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val M = 2147483647L
+    def hv(k: Long): Long = {
+      val y1 = ((2654435761L * k + 12007L) % M) ^ (((2654435761L * k + 12007L) % M) >> 15)
+      ((1779033703L * y1 + 514229L) % M) ^ (((1779033703L * y1 + 514229L) % M) >> 13)
+    }
+    val ev = Tables.events(spark, dir)
+      .select(date_format($"ts", "yyyy-MM-dd"), $"user_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val expect = ev.groupBy(_._1).map { case (day, rows) =>
+      val regs = Array.fill(64)(0)
+      rows.foreach { case (_, u) =>
+        val h = hv(u)
+        val j = (h % 64).toInt
+        val w = h / 64
+        val rho = if (w == 0) 26 else 26 - java.lang.Long.toBinaryString(w).length
+        if (rho > regs(j)) regs(j) = rho
+      }
+      val nZero = regs.count(_ == 0).toLong
+      val ssum = regs.map(m => math.pow(2.0, -m)).sum
+      val est = math.floor(0.709 * 4096.0 / ssum).toLong
+      day -> ((nZero, est, rows.map(_._2).distinct.length.toLong))
+    }
+    assert(got == expect)
+    // mergeability: max-merging the daily register blocks must equal the
+    // registers of a single pass over all days (the rollup contract)
+    val allRegs = Array.fill(64)(0)
+    ev.foreach { case (_, u) =>
+      val h = hv(u); val j = (h % 64).toInt; val w = h / 64
+      val rho = if (w == 0) 26 else 26 - java.lang.Long.toBinaryString(w).length
+      if (rho > allRegs(j)) allRegs(j) = rho
+    }
+    val merged = Array.fill(64)(0)
+    ev.groupBy(_._1).foreach { case (_, rows) =>
+      rows.foreach { case (_, u) =>
+        val h = hv(u); val j = (h % 64).toInt; val w = h / 64
+        val rho = if (w == 0) 26 else 26 - java.lang.Long.toBinaryString(w).length
+        if (rho > merged(j)) merged(j) = rho
+      }
+    }
+    assert(merged.sameElements(allRegs))
+  }
+
+  test("reservoir keeps exactly the k smallest hashes per language and " +
+      "plans as GroupedTopK") {
+    import spark.implicits._
+    val df = Sketches.reservoirSample(spark, dir)
+    val got = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val M = 2147483647L
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expect = docs.groupBy(_._2).toSeq.flatMap { case (lang, ds) =>
+      ds.map { case (id, _) => (id, (84631L * id + 24001L) % M) }
+        .sortBy { case (id, h) => (h, id) }.take(20)
+        .map { case (id, h) => (lang, id, h) }
+    }
+    assert(got.sorted.sameElements(expect.sorted))
+    // every group is exactly min(20, group size)
+    val sizes = docs.groupBy(_._2).view.mapValues(_.length).toMap
+    got.groupBy(_._1).foreach { case (lang, rows) =>
+      assert(rows.length == math.min(20, sizes(lang)))
+    }
+    // this shared-test session has no GraftExtensions, so the shape rides
+    // Spark's native bounded WindowGroupLimit pushdown here; under the
+    // production session (Verify/Bench build with the extensions) the
+    // same plan rewrites to GroupedTopKExec — asserted in TopKRewriteSpec,
+    // whose session installs the extensions
+    assert(df.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
+  }
+}

@@ -102,6 +102,14 @@ class TopKRewriteSpec extends AnyFunSuite {
       ("g2", 9, 5), ("g3", 2, 7)))
   }
 
+  test("sample_reservoir rides GroupedTopKExec under the extensions " +
+      "session") {
+    val df = graft.operators.Sketches.reservoirSample(
+      spark, "/root/testdata/sf0.001")
+    assert(hasTopKExec(df) && !hasWindow(df))
+    assert(df.count() > 0)
+  }
+
   test("does NOT fire for dense_rank() (bounds distinct keys, not rows)") {
     fixture()
     val df = spark.sql(
