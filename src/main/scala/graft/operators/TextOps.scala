@@ -3479,45 +3479,48 @@ object TextOps {
       |FROM top ORDER BY rnk""".stripMargin
 
   /** Edit-distance VERIFICATION of near-dup candidates: exact Levenshtein
-    * over the leading 120 characters of each LSH candidate pair, keeping
-    * pairs within distance 72 — the "character-level rerank" a dedup
-    * pipeline runs after banding when token-set similarity is not enough
-    * (templated spam with word substitutions passes Jaccard but fails
-    * edit distance; OCR variants fail Jaccard but pass edit distance).
-    * Spark's `levenshtein` and DuckDB's are the same classic DP, so the
-    * distances are integer-exact cross-engine.
+    * over the leading 120 characters of each GROUP-representative
+    * candidate pair ([[groupPairsOf]]), keeping pairs within distance 78
+    * — the "character-level rerank" a dedup pipeline runs after banding
+    * when token-set similarity is not enough (templated spam with word
+    * substitutions passes Jaccard but fails edit distance; OCR variants
+    * fail Jaccard but pass edit distance). Spark's `levenshtein` and
+    * DuckDB's are the same classic DP, so distances are integer-exact
+    * cross-engine.
     *
-    * Scale: candidates come from the banded join ([[minhashCandidates]] —
-    * bounded bucket sizes, never all-pairs), and the per-pair DP cost is
-    * CAPPED by the 120-char prefix (O(P²) per pair, P fixed): the
-    * canonical trade — full-document edit distance is inherently
-    * quadratic in doc length, so production verifies on a bounded prefix
-    * / fingerprint and only escalates survivors. The texts join the pair
-    * frame by doc_id (two co-partitioned hash joins), prefix-truncated
-    * BEFORE the join so the shuffle carries 120 bytes, not documents.
+    * Scale — BOTH blow-up axes are bounded: pairs come from the
+    * signature-group CONTRACTED graph (the round-9 triangles lesson: the
+    * doc-level candidate set is clique-structured — 4.36M pairs at sf0.1
+    * vs 12k group edges — and each clique needs ONE representative
+    * verification, not C(n,2)); the per-pair DP cost is capped by the
+    * 120-char prefix (O(P²), P fixed — full-document edit distance is
+    * inherently quadratic in doc length, so production verifies a
+    * bounded prefix / fingerprint and only escalates survivors). Prefixes
+    * are truncated BEFORE the join, so the shuffle carries 120 bytes per
+    * side, not documents.
     */
   def editPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val prefix = Tables.documents(s, dir)
       .select($"doc_id", substring($"text", 1, 120).as("t"))
-    val pairs = minhashCandidates(s, dir)
+    val pairs = groupPairsOf(s, dir)
     pairs
       .join(prefix.select($"doc_id".as("a"), $"t".as("ta")), Seq("a"))
       .join(prefix.select($"doc_id".as("b"), $"t".as("tb")), Seq("b"))
       .select($"a", $"b", levenshtein($"ta", $"tb").cast("long").as("edit_dist"))
-      .filter($"edit_dist" <= 72)
+      .filter($"edit_dist" <= 78)
       .orderBy($"a", $"b")
   }
 
-  val editPairsSql: String = minhashPairsCte +
+  val editPairsSql: String = groupGraphCte +
     """,
       |pref AS (SELECT doc_id, substr(text, 1, 120) AS t FROM documents),
       |lev AS (
       |  SELECT p.a, p.b, levenshtein(pa.t, pb.t)::BIGINT AS edit_dist
-      |  FROM pairs p JOIN pref pa ON p.a = pa.doc_id
-      |               JOIN pref pb ON p.b = pb.doc_id)
+      |  FROM gp p JOIN pref pa ON p.a = pa.doc_id
+      |            JOIN pref pb ON p.b = pb.doc_id)
       |SELECT a, b, edit_dist FROM lev
-      |WHERE edit_dist <= 72 ORDER BY a, b""".stripMargin
+      |WHERE edit_dist <= 78 ORDER BY a, b""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_edit_pairs" -> editPairs _,

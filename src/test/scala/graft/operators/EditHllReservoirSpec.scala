@@ -17,7 +17,7 @@ class EditHllReservoirSpec extends SparkSpec {
     import spark.implicits._
     val got = TextOps.editPairs(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
-    val cand = TextOps.minhashPairs(spark, dir).collect()
+    val cand = TextOps.groupPairsOf(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     val prefixes = Tables.documents(spark, dir)
       .select($"doc_id", substring($"text", 1, 120)).collect()
@@ -33,7 +33,7 @@ class EditHllReservoirSpec extends SparkSpec {
     }
     val expect = cand
       .map { case (a, b) => (a, b) -> lev(prefixes(a), prefixes(b)) }
-      .filter(_._2 <= 72).toMap
+      .filter(_._2 <= 78).toMap
     assert(got == expect)
     assert(got.nonEmpty)
   }
