@@ -1925,7 +1925,111 @@ object Similarity {
     sb.toString
   }
 
+  /** Nearest-class-mean classification: every vector assigned the label of
+    * its closest per-label centroid (exact integer squared-L2 over the
+    * fixed-point grid, floor-mean centroids — the same prototype frame as
+    * [[labelCentroids]]), reported as the true×predicted CONFUSION matrix.
+    * This is the standard embedding-space sanity probe (Rocchio / nearest
+    * class mean): if labels aren't recoverable from their own prototypes,
+    * no downstream classifier on these embeddings will do better.
+    *
+    * Scale: the centroid frame is labels×dims rows (KB at any corpus
+    * size) and broadcasts; the corpus is touched twice (one mergeable
+    * centroid agg, one scoring pass), and the scoring join fans each
+    * exploded (vec, dim) row out only |labels| ways with bounded
+    * (vec × label) aggregation state. Ties break on the smaller label via
+    * a lexicographic struct-min, so the argmin is deterministic
+    * cross-engine.
+    */
+  def nearestCentroid(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ex = Tables.embeddings(s, dir)
+      .select($"vec_id", $"label",
+        posexplode(qvec($"embedding")).as(Seq("d", "e")))
+    val cent = ex.groupBy($"label".as("clabel"), $"d")
+      .agg(floor(sum($"e").cast("double") / count(lit(1)))
+        .cast("long").as("m"))
+    ex.join(broadcast(cent), Seq("d"))
+      .groupBy($"vec_id", $"label", $"clabel")
+      .agg(sum(($"e" - $"m") * ($"e" - $"m")).as("dist"))
+      .groupBy($"vec_id", $"label")
+      .agg(min(struct($"dist", $"clabel")).as("best"))
+      .select($"label".cast("long").as("true_label"),
+        $"best.clabel".cast("long").as("pred_label"))
+      .groupBy($"true_label", $"pred_label")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"true_label", $"pred_label")
+  }
+
+  val nearestCentroidSql: String =
+    """WITH qv AS (
+      |  SELECT vec_id, label,
+      |    [floor(x::DOUBLE * 10000)::BIGINT FOR x IN embedding] AS q
+      |  FROM embeddings),
+      |ex AS (SELECT vec_id, label, unnest(q) AS e,
+      |              generate_subscripts(q, 1) - 1 AS d FROM qv),
+      |cent AS (SELECT label AS clabel, d,
+      |    floor(sum(e)::DOUBLE / count(*))::BIGINT AS m
+      |  FROM ex GROUP BY 1, 2),
+      |dist AS (
+      |  SELECT vec_id, label, clabel,
+      |    sum((e - m) * (e - m))::BIGINT AS dist
+      |  FROM ex JOIN cent USING (d) GROUP BY 1, 2, 3),
+      |pred AS (
+      |  SELECT vec_id, label, clabel AS pred_label FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY dist, clabel) AS rn FROM dist) t
+      |  WHERE rn = 1)
+      |SELECT label::BIGINT AS true_label, pred_label::BIGINT AS pred_label,
+      |  count(*)::BIGINT AS n
+      |FROM pred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Radius (range) search: every corpus vector within exact cosine ≥ 0.30
+    * of each probe vector (vec_id < 10) — FAISS's `range_search` contract,
+    * the retrieval mode where the RESULT SIZE is data-defined (near-dup
+    * audits, "everything this similar" pulls) rather than truncated at k.
+    * Same fixed-point arithmetic as [[cosineTopK]]; hit counts per query
+    * are deliberately variable — that variability is the signal.
+    *
+    * Scale: probe set broadcasts, corpus streams through one narrow
+    * codegen stage, no shuffle until the (small) result sort. At
+    * production radii the result is bounded by the true neighborhood
+    * size; a radius so loose it returns the corpus is a caller error, and
+    * the per-query counts in the output make it visible immediately.
+    */
+  def rangeSearch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = qEmb(s, dir)
+    val queries = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"q".as("qq"), $"n2".as("qn2"))
+    emb.crossJoin(broadcast(queries))
+      .filter($"vec_id" =!= $"qid")
+      .withColumn("cos",
+        round(dot($"q", $"qq").cast("double")
+          / (sqrt($"n2".cast("double")) * sqrt($"qn2".cast("double"))), 4))
+      .filter($"cos" >= 0.30)
+      .select($"qid", $"vec_id", $"cos")
+      .orderBy($"qid", $"vec_id")
+  }
+
+  val rangeSearchSql: String = qvecCte +
+    """, dots AS (
+      |  SELECT qid, vec_id, sum(x * y) AS d FROM (
+      |    SELECT q.vec_id AS qid, e.vec_id,
+      |           unnest(q.q) AS x, unnest(e.q) AS y
+      |    FROM (SELECT vec_id, q FROM qv WHERE vec_id < 10) q
+      |    JOIN qv e ON e.vec_id <> q.vec_id) z
+      |  GROUP BY 1, 2)
+      |SELECT qid, d.vec_id,
+      |  round(d / (sqrt(nq.n2) * sqrt(ne.n2)), 4) AS cos
+      |FROM dots d JOIN nrm nq ON d.qid = nq.vec_id
+      |            JOIN nrm ne ON d.vec_id = ne.vec_id
+      |WHERE round(d / (sqrt(nq.n2) * sqrt(ne.n2)), 4) >= 0.30
+      |ORDER BY qid, d.vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_nearest_centroid" -> nearestCentroid _,
+    "sim_range_search" -> rangeSearch _,
     "sim_mmr_rerank" -> mmrRerank _,
     "sim_sq_topk" -> sqTopK _,
     "sim_sq_recall" -> sqRecall _,
@@ -1955,6 +2059,8 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "sim_nearest_centroid" -> nearestCentroidSql,
+    "sim_range_search" -> rangeSearchSql,
     "sim_mmr_rerank" -> mmrRerankSql,
     "sim_sq_topk" -> sqTopKSql,
     "sim_sq_recall" -> sqRecallSql,

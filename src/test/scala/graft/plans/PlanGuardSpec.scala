@@ -72,7 +72,9 @@ class PlanGuardSpec extends SparkSpec {
     // 1-row broadcast regression frame (the Zipf slope constants)
     "text_zipf_curve" -> 1,
     // fixed 5-row broadcast query-vector set (the candidate fetch)
-    "sim_mmr_rerank" -> 1)
+    "sim_mmr_rerank" -> 1,
+    // fixed 10-row broadcast probe set (radius search scan)
+    "sim_range_search" -> 1)
 
   test("no query plans an accidental nested-loop or cartesian join") {
     def crossCount(plan: String): Int =
