@@ -475,7 +475,103 @@ object Events {
       |  max(len)::BIGINT AS best_streak, count(*)::BIGINT AS n_streaks
       |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** DAU + rolling 7-day active users per day — the standard engagement
+    * surface (DAU/WAU). The rolling DISTINCT is exact, and the sliding
+    * range is computed WITHOUT a range join: each (day, user) contribution
+    * is replicated to the ≤7 window-end days it can count toward
+    * (`sequence(day, day+6)`), turning the interval containment into a
+    * plain equi-aggregation — the bounded-window-replication trick that
+    * keeps this shape shuffle-only at any scale (a range join here would
+    * be a nested loop; a global `collect_set` window would be a
+    * single-partition sort). Window-end days with no events of their own
+    * are dropped (they are artifacts of the replication, not calendar
+    * days the corpus observed).
+    *
+    * Scale: the heavy operation is the (day, user) distinct — one
+    * map-side-combinable shuffle on the events table; everything after
+    * runs on frames bounded by days × users.
+    */
+  def dauRolling(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val du = Tables.events(s, dir)
+      .select(to_date($"ts").as("day"), $"user_id").distinct()
+    val dau = du.groupBy($"day").agg(count(lit(1)).as("dau"))
+    val roll = du
+      .select(explode(sequence($"day", date_add($"day", 6))).as("wday"),
+        $"user_id")
+      .distinct()
+      .join(dau.select($"day".as("wday")), Seq("wday"), "left_semi")
+      .groupBy($"wday").agg(count(lit(1)).as("wau7"))
+    dau.join(roll, $"day" === $"wday")
+      .select(date_format($"day", "yyyy-MM-dd").as("day"), $"dau", $"wau7")
+      .orderBy($"day")
+  }
+
+  val dauRollingSql: String =
+    """WITH du AS (SELECT DISTINCT ts::DATE AS day, user_id FROM events),
+      |dau AS (SELECT day, count(*)::BIGINT AS dau FROM du GROUP BY 1),
+      |contrib AS (
+      |  SELECT DISTINCT day + o.off AS wday, user_id
+      |  FROM du CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6)) o(off)),
+      |roll AS (
+      |  SELECT wday, count(*)::BIGINT AS wau7 FROM contrib
+      |  WHERE wday IN (SELECT day FROM dau) GROUP BY 1)
+      |SELECT strftime(d.day, '%Y-%m-%d') AS day, d.dau, r.wau7
+      |FROM dau d JOIN roll r ON d.day = r.wday ORDER BY day""".stripMargin
+
+  /** RFM segmentation: per-user Recency (days since last event, anchored
+    * on the corpus max day), Frequency (event count), Monetary (exact
+    * integer cents — `value` carries two decimals, so `round(value*100)`
+    * is the same int64 on identical IEEE doubles in both engines), each
+    * quintile-ranked (`ntile(5)` with user_id tie-break so the bucketing
+    * is deterministic cross-engine). The classic marketing/curation
+    * user-value decomposition.
+    *
+    * Scale: one user-keyed mergeable aggregation over events; the anchor
+    * is a 1-row broadcast aggregate; the ntile windows run over the USER
+    * dimension (already reduced — users ≪ events), not the event stream.
+    */
+  def rfm(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+      .select(to_date($"ts").as("day"), $"user_id",
+        round($"value" * 100).cast("long").as("cents"))
+    val anchor = ev.agg(max($"day").as("anchor"))
+    val peruser = ev.groupBy($"user_id")
+      .agg(max($"day").as("last_day"), count(lit(1)).as("f"),
+        sum($"cents").as("m_cents"))
+      .crossJoin(broadcast(anchor))
+      .select($"user_id", datediff($"anchor", $"last_day").cast("long")
+        .as("r_days"), $"f", $"m_cents")
+    peruser
+      .withColumn("r_q", ntile(5).over(
+        Window.orderBy($"r_days", $"user_id")).cast("long"))
+      .withColumn("f_q", ntile(5).over(
+        Window.orderBy($"f".desc, $"user_id")).cast("long"))
+      .withColumn("m_q", ntile(5).over(
+        Window.orderBy($"m_cents".desc, $"user_id")).cast("long"))
+      .orderBy($"user_id")
+  }
+
+  val rfmSql: String =
+    """WITH ev AS (
+      |  SELECT ts::DATE AS day, user_id,
+      |    round(value * 100)::BIGINT AS cents FROM events),
+      |anchor AS (SELECT max(day) AS a FROM ev),
+      |peruser AS (
+      |  SELECT user_id, date_diff('day', max(day), (SELECT a FROM anchor))::BIGINT AS r_days,
+      |    count(*)::BIGINT AS f, sum(cents)::BIGINT AS m_cents
+      |  FROM ev GROUP BY user_id)
+      |SELECT user_id, r_days, f, m_cents,
+      |  ntile(5) OVER (ORDER BY r_days, user_id)::BIGINT AS r_q,
+      |  ntile(5) OVER (ORDER BY f DESC, user_id)::BIGINT AS f_q,
+      |  ntile(5) OVER (ORDER BY m_cents DESC, user_id)::BIGINT AS m_q
+      |FROM peruser ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_dau_rolling" -> dauRolling _,
+    "ev_rfm" -> rfm _,
     "ev_streaks" -> streaks _,
     "ev_transitions" -> transitions _,
     "ev_inter_arrival" -> interArrival _,
@@ -492,6 +588,8 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "ev_dau_rolling" -> dauRollingSql,
+    "ev_rfm" -> rfmSql,
     "ev_streaks" -> streaksSql,
     "ev_transitions" -> transitionsSql,
     "ev_inter_arrival" -> interArrivalSql,

@@ -74,7 +74,9 @@ class PlanGuardSpec extends SparkSpec {
     // fixed 5-row broadcast query-vector set (the candidate fetch)
     "sim_mmr_rerank" -> 1,
     // fixed 10-row broadcast probe set (radius search scan)
-    "sim_range_search" -> 1)
+    "sim_range_search" -> 1,
+    // 1-row broadcast anchor-day aggregate (the recency reference)
+    "ev_rfm" -> 1)
 
   test("no query plans an accidental nested-loop or cartesian join") {
     def crossCount(plan: String): Int =
