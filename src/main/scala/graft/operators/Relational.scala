@@ -1099,8 +1099,189 @@ object Relational {
       |WHERE rn = 1
       |ORDER BY l_orderkey""".stripMargin
 
+  /** Q41 — TPC-H Q7 (volume shipping) shape: bilateral trade volume
+    * between two nations by ship year — supplier in one, customer in the
+    * other, both directions, over a two-year ship window.
+    *
+    * Scale: the two fact joins (lineitem→orders→customer,
+    * lineitem→supplier) shuffle on their keys; the nation pair filter
+    * lives in two BROADCAST nation joins, so the selective predicate
+    * prunes fact rows at the earliest join, and the shipdate range is
+    * pushed into the parquet scan.
+    */
+  def q41VolumeShipping(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+      .filter($"l_shipdate".between("1995-01-01", "1996-12-31"))
+      .select($"l_orderkey", $"l_suppkey", year($"l_shipdate").as("l_year"),
+        ($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("volume"))
+    val nat = Tables.nation(s, dir)
+      .filter($"n_name".isin("NATION_1", "NATION_2"))
+      .select($"n_nationkey", $"n_name")
+    val sup = Tables.supplier(s, dir)
+      .join(broadcast(nat), $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"n_name".as("supp_nation"))
+    val cust = Tables.customer(s, dir)
+      .join(broadcast(nat), $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"n_name".as("cust_nation"))
+    val ord = Tables.orders(s, dir).select($"o_orderkey", $"o_custkey")
+    li.join(sup, $"l_suppkey" === $"s_suppkey")
+      .join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(cust, $"o_custkey" === $"c_custkey")
+      .filter($"supp_nation" =!= $"cust_nation")
+      .groupBy($"supp_nation", $"cust_nation", $"l_year")
+      .agg(round(sum($"volume"), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .select($"supp_nation", $"cust_nation", $"l_year".cast("long"),
+        $"revenue", $"n_items")
+      .orderBy($"supp_nation", $"cust_nation", $"l_year")
+  }
+
+  val q41Sql: String =
+    """SELECT supp_nation, cust_nation, l_year,
+      |  round(sum(volume), 2) AS revenue, count(*) AS n_items
+      |FROM (
+      |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |    year(l_shipdate)::BIGINT AS l_year,
+      |    l_extendedprice * (1.0 - l_discount) AS volume
+      |  FROM lineitem
+      |  JOIN supplier ON s_suppkey = l_suppkey
+      |  JOIN orders   ON o_orderkey = l_orderkey
+      |  JOIN customer ON c_custkey = o_custkey
+      |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |  WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+      |    AND n2.n_name IN ('NATION_1', 'NATION_2')
+      |    AND n1.n_name <> n2.n_name
+      |    AND l_shipdate BETWEEN '1995-01-01' AND '1996-12-31') t
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  /** Q42 — TPC-H Q8 (national market share) shape: of the revenue ASIA
+    * customers spent on PROMO parts, the share supplied by NATION_3, per
+    * order year. Revenue is quantized to EXACT integer cents row-wise
+    * (round(volume·100) on identical IEEE doubles is the same int64 in
+    * both engines), so the sums and the permille share are bit-exact —
+    * no float aggregation order can diverge.
+    *
+    * Scale: part/nation/region dims broadcast; the facts shuffle once on
+    * their join keys; the share is one conditional-sum aggregation (no
+    * self-join of the revenue frame against its total).
+    */
+  def q42MarketShare(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val promo = Tables.part(s, dir).filter($"p_type" === "PROMO")
+      .select($"p_partkey")
+    val asiaNat = Tables.nation(s, dir)
+      .join(broadcast(Tables.region(s, dir)
+        .filter($"r_name" === "ASIA").select($"r_regionkey")),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"n_nationkey")
+    val cust = Tables.customer(s, dir)
+      .join(broadcast(asiaNat), $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey")
+    val supp = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)
+        .filter($"n_name" === "NATION_3").select($"n_nationkey")),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey".as("target_supp"))
+    val ord = Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_custkey", year($"o_orderdate").as("o_year"))
+    Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_partkey", $"l_suppkey",
+        round($"l_extendedprice" * (lit(1.0) - $"l_discount") * 100)
+          .cast("long").as("cents"))
+      .join(broadcast(promo), $"l_partkey" === $"p_partkey")
+      .join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(cust, $"o_custkey" === $"c_custkey")
+      .join(broadcast(supp), $"l_suppkey" === $"target_supp", "left")
+      .groupBy($"o_year")
+      .agg(sum($"cents").as("total_cents"),
+        sum(when($"target_supp".isNotNull, $"cents").otherwise(0L))
+          .as("nation_cents"))
+      .select($"o_year".cast("long"), $"total_cents", $"nation_cents",
+        floor(lit(1000L) * $"nation_cents" / $"total_cents")
+          .cast("long").as("share_pm"))
+      .orderBy($"o_year")
+  }
+
+  val q42Sql: String =
+    """WITH li AS (
+      |  SELECT year(o_orderdate)::BIGINT AS o_year,
+      |    round(l_extendedprice * (1.0 - l_discount) * 100)::BIGINT AS cents,
+      |    (s_nationkey = (SELECT n_nationkey FROM nation
+      |                    WHERE n_name = 'NATION_3')) AS is_target
+      |  FROM lineitem
+      |  JOIN part     ON p_partkey = l_partkey AND p_type = 'PROMO'
+      |  JOIN orders   ON o_orderkey = l_orderkey
+      |  JOIN customer ON c_custkey = o_custkey
+      |  JOIN nation n ON c_nationkey = n.n_nationkey
+      |  JOIN region   ON n.n_regionkey = r_regionkey AND r_name = 'ASIA'
+      |  JOIN supplier ON s_suppkey = l_suppkey)
+      |SELECT o_year, sum(cents)::BIGINT AS total_cents,
+      |  sum(CASE WHEN is_target THEN cents ELSE 0 END)::BIGINT AS nation_cents,
+      |  ((1000 * sum(CASE WHEN is_target THEN cents ELSE 0 END))
+      |    // sum(cents))::BIGINT AS share_pm
+      |FROM li GROUP BY o_year ORDER BY o_year""".stripMargin
+
+  /** Q43 — TPC-H Q9 (product-type profit) shape: per supplier nation and
+    * order year, profit on parts named like '%widget%'. The reference
+    * schema here has no partsupp/supplycost, so cost is the documented
+    * proxy `p_retailprice · l_quantity / 10`; profit stays EXACT integer
+    * cents (row-wise rounding of identical doubles, then int64 sums).
+    *
+    * Scale: the part-name filter broadcasts (selective dim); lineitem
+    * shuffles once per fact join; one mergeable agg on
+    * (nation, year) — the canonical star-join profit rollup.
+    */
+  def q43ProductProfit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val widget = Tables.part(s, dir)
+      .filter($"p_name".contains("widget"))
+      .select($"p_partkey", $"p_retailprice")
+    val sup = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)
+        .select($"n_nationkey", $"n_name")),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"n_name".as("nation"))
+    val ord = Tables.orders(s, dir)
+      .select($"o_orderkey", year($"o_orderdate").as("o_year"))
+    Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_partkey", $"l_suppkey",
+        $"l_extendedprice", $"l_discount", $"l_quantity")
+      .join(broadcast(widget), $"l_partkey" === $"p_partkey")
+      .select($"l_orderkey", $"l_suppkey",
+        round(($"l_extendedprice" * (lit(1.0) - $"l_discount")
+          - $"p_retailprice" * $"l_quantity" / 10) * 100)
+          .cast("long").as("profit_cents"))
+      .join(sup, $"l_suppkey" === $"s_suppkey")
+      .join(ord, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"nation", $"o_year")
+      .agg(sum($"profit_cents").as("profit_cents"),
+        count(lit(1)).as("n_items"))
+      .select($"nation", $"o_year".cast("long"), $"profit_cents", $"n_items")
+      .orderBy($"nation", $"o_year")
+  }
+
+  val q43Sql: String =
+    """SELECT nation, o_year, sum(pc)::BIGINT AS profit_cents,
+      |  count(*) AS n_items
+      |FROM (
+      |  SELECT n_name AS nation, year(o_orderdate)::BIGINT AS o_year,
+      |    round((l_extendedprice * (1.0 - l_discount)
+      |           - p_retailprice * l_quantity / 10) * 100)::BIGINT AS pc
+      |  FROM lineitem
+      |  JOIN part     ON p_partkey = l_partkey
+      |    AND p_name LIKE '%widget%'
+      |  JOIN supplier ON s_suppkey = l_suppkey
+      |  JOIN nation   ON n_nationkey = s_nationkey
+      |  JOIN orders   ON o_orderkey = l_orderkey) t
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** All relational queries + oracles, consumed by SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q41_volume_shipping" -> q41VolumeShipping _,
+    "q42_market_share" -> q42MarketShare _,
+    "q43_product_profit" -> q43ProductProfit _,
     "q1_pricing_summary" -> q1PricingSummary _,
     "q2_filter_project" -> q2FilterProject _,
     "q3_revenue_by_nation" -> q3RevenueByNation _,
@@ -1142,6 +1323,9 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q41_volume_shipping" -> q41Sql,
+    "q42_market_share" -> q42Sql,
+    "q43_product_profit" -> q43Sql,
     "q1_pricing_summary" -> q1Sql,
     "q2_filter_project" -> q2Sql,
     "q3_revenue_by_nation" -> q3Sql,
