@@ -1010,7 +1010,63 @@ object Sketches {
       |SELECT lang, doc_id, hh FROM ranked
       |WHERE rk <= 20 ORDER BY lang, hh, doc_id""".stripMargin
 
+  /** Epoch-mix planning under data constraint (Muennighoff et al. 2023,
+    * "Scaling Data-Constrained Language Models": repeating data up to ~4
+    * epochs retains most of its value, beyond that returns decay): given
+    * a token budget of 2× the corpus and a UNIFORM per-source mixing
+    * target, compute each source's repeat factor — epochs =
+    * ⌈target/avail⌉ capped at 4 — and the effective tokens it can
+    * actually contribute (min(target, 4·avail)), with the unfillable
+    * deficit made explicit. This is the planning table a data-constrained
+    * pretraining run reads to decide which sources repeat and where the
+    * mixture falls short; all arithmetic is exact integer (ceil division
+    * as (t + a − 1) / a).
+    *
+    * Scale: one mergeable token-count aggregation over documents, then
+    * everything runs on the |sources|-row frame against a 1-row broadcast
+    * totals aggregate.
+    */
+  def epochMix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val per = Tables.documents(s, dir)
+      .select($"source", size(split($"text", " ")).cast("long").as("t"))
+      .groupBy($"source").agg(sum($"t").as("avail_tokens"))
+    val tot = per.agg(sum($"avail_tokens").as("total"),
+      count(lit(1)).as("n_sources"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("target_tokens",
+        floor(lit(2L) * $"total" / $"n_sources").cast("long"))
+      .withColumn("epochs",
+        least(lit(4L), floor(($"target_tokens" + $"avail_tokens" - 1L)
+          / $"avail_tokens").cast("long")))
+      .withColumn("effective_tokens",
+        least($"target_tokens", lit(4L) * $"avail_tokens"))
+      .withColumn("deficit", $"target_tokens" - $"effective_tokens")
+      .select($"source", $"avail_tokens", $"target_tokens", $"epochs",
+        $"effective_tokens", $"deficit")
+      .orderBy($"source")
+  }
+
+  val epochMixSql: String =
+    """WITH per AS (
+      |  SELECT source,
+      |    sum(len(string_split(text, ' ')))::BIGINT AS avail_tokens
+      |  FROM documents GROUP BY source),
+      |tot AS (SELECT sum(avail_tokens)::BIGINT AS total,
+      |               count(*)::BIGINT AS n_sources FROM per)
+      |SELECT source, avail_tokens,
+      |  (2 * total // n_sources)::BIGINT AS target_tokens,
+      |  least(4, (2 * total // n_sources + avail_tokens - 1)
+      |    // avail_tokens)::BIGINT AS epochs,
+      |  least((2 * total // n_sources)::BIGINT,
+      |        4 * avail_tokens)::BIGINT AS effective_tokens,
+      |  ((2 * total // n_sources)
+      |    - least((2 * total // n_sources)::BIGINT,
+      |            4 * avail_tokens))::BIGINT AS deficit
+      |FROM per CROSS JOIN tot ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_epoch_mix" -> epochMix _,
     "ev_hll_daily" -> hllDaily _,
     "sample_reservoir" -> reservoirSample _,
     "sample_shard_assign" -> shardAssign _,
@@ -1029,6 +1085,7 @@ object Sketches {
   )
 
   val oracles: Map[String, String] = Map(
+    "sample_epoch_mix" -> epochMixSql,
     "ev_hll_daily" -> hllDailySql,
     "sample_reservoir" -> reservoirSampleSql,
     "sample_shard_assign" -> shardAssignSql,

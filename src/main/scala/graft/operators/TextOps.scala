@@ -993,6 +993,102 @@ object TextOps {
        |GROUP BY 1, 2 ORDER BY a, b""".stripMargin
   }
 
+  /** Per-doc 4-gram NOVELTY: the fraction of a document's 4-word windows
+    * whose GLOBAL first occurrence (min (doc_id, pos) over the corpus in
+    * doc order) is that very window — i.e. text never seen in any earlier
+    * document or earlier position. The memorization/novelty curve of the
+    * exact-substring dedup family (Lee et al. 2022): a crawl snapshot
+    * whose per-doc novelty collapses is re-crawling itself, and documents
+    * with near-zero novelty are pure recombinations of earlier text.
+    * Windows are keyed on the same dual full-char fingerprint as
+    * [[ngramOverlapPairs]] (collision-safe at corpus scale); permille is
+    * exact integer.
+    *
+    * Scale: one content-keyed mergeable min-aggregation (the same shuffle
+    * shape as exact dedup) + one content-keyed join back — NO pair
+    * emission at all, so unlike the overlap miner this needs no df-cap;
+    * cost is linear in corpus tokens regardless of duplication structure.
+    */
+  def ngramNovelty(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    def wordHash(w: Column, init: Long, mult: Long, mod: Long): Column =
+      aggregate(split(w, ""), lit(init),
+        (acc, c) => (acc * mult + ascii(c)) % mod)
+    def gramFold(cs: Seq[Column]): Column =
+      cs.reduceLeft((acc, c) => (acc % M * 131071L + c) % M)
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    val grams = Tables.documents(s, dir)
+      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "w")))
+      .select($"doc_id", $"pos",
+        wordHash($"w", 7L, 31L, 1000000007L).as("c0"),
+        wordHash($"w", 13L, 131L, 998244353L).as("d0"))
+      .withColumn("c1", lead($"c0", 1).over(w))
+      .withColumn("c2", lead($"c0", 2).over(w))
+      .withColumn("c3", lead($"c0", 3).over(w))
+      .withColumn("d1", lead($"d0", 1).over(w))
+      .withColumn("d2", lead($"d0", 2).over(w))
+      .withColumn("d3", lead($"d0", 3).over(w))
+      .filter($"c3".isNotNull)
+      .select($"doc_id", $"pos",
+        gramFold(Seq($"c0", $"c1", $"c2", $"c3")).as("g1"),
+        gramFold(Seq($"d0", $"d1", $"d2", $"d3")).as("g2"))
+      .localCheckpoint(true) // owner agg + the join back
+    val owner = grams.groupBy($"g1", $"g2")
+      .agg(min(struct($"doc_id", $"pos")).as("first"))
+    grams.join(owner, Seq("g1", "g2"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when($"first.doc_id" === $"doc_id" && $"first.pos" === $"pos",
+          1L).otherwise(0L)).as("n_novel"))
+      .select($"doc_id", $"n_windows", $"n_novel",
+        floor(lit(1000L) * $"n_novel" / $"n_windows").cast("long")
+          .as("novelty_pm"))
+      .orderBy($"doc_id")
+  }
+
+  val ngramNoveltySql: String = {
+    def wh(init: Long, mult: Long, mod: Long): String =
+      s"""list_reduce(list_prepend($init::BIGINT,
+         |      [ascii(c)::BIGINT FOR c IN string_split(w, '')]),
+         |    (a, b) -> (a * $mult + b) % $mod)""".stripMargin
+    def fold(cs: Seq[String]): String =
+      cs.reduceLeft((acc, c) => s"(($acc) % $M * 131071 + $c) % $M")
+    s"""WITH toks AS (
+       |  SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
+       |         unnest(string_split(text, ' ')) AS w
+       |  FROM documents),
+       |wcodes AS (
+       |  SELECT doc_id, pos,
+       |    ${wh(7L, 31L, 1000000007L)} AS c0,
+       |    ${wh(13L, 131L, 998244353L)} AS d0
+       |  FROM toks),
+       |scodes AS (
+       |  SELECT doc_id, pos, c0, d0,
+       |    lead(c0, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS c1,
+       |    lead(c0, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS c2,
+       |    lead(c0, 3) OVER (PARTITION BY doc_id ORDER BY pos) AS c3,
+       |    lead(d0, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS d1,
+       |    lead(d0, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS d2,
+       |    lead(d0, 3) OVER (PARTITION BY doc_id ORDER BY pos) AS d3
+       |  FROM wcodes),
+       |grams AS (
+       |  SELECT doc_id, pos,
+       |    ${fold(Seq("c0", "c1", "c2", "c3"))} AS g1,
+       |    ${fold(Seq("d0", "d1", "d2", "d3"))} AS g2
+       |  FROM scodes WHERE c3 IS NOT NULL),
+       |owner AS (
+       |  SELECT g1, g2, min(doc_id * 4294967296 + pos) AS fk
+       |  FROM grams GROUP BY g1, g2)
+       |SELECT doc_id, count(*)::BIGINT AS n_windows,
+       |  sum(CASE WHEN doc_id * 4294967296 + pos = fk THEN 1 ELSE 0 END)
+       |    ::BIGINT AS n_novel,
+       |  ((1000 * sum(CASE WHEN doc_id * 4294967296 + pos = fk
+       |               THEN 1 ELSE 0 END)) // count(*))::BIGINT AS novelty_pm
+       |FROM grams JOIN owner USING (g1, g2)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   /** Shingle-LSH candidate pairs (2 bands × 4 rows over the shingle
     * signatures) — the bucket-join stage of the shingle pipeline.
     */
@@ -1906,10 +2002,14 @@ object TextOps {
     bandEdges("s0").unionByName(bandEdges("s1")).distinct()
   }
 
-  def triangles(s: SparkSession, dir: String): DataFrame = {
+  /** Degree frame + per-node triangle membership over a checkpointed
+    * (a, b) edge frame — the MPS degree-oriented machinery shared by
+    * [[triangles]] and [[clusteringCoeff]]. Returns (deg(v, d),
+    * triCnt(group_id, tri_cnt)); triCnt covers only nodes in ≥1 triangle.
+    */
+  private def degAndTriCounts(pairs: DataFrame): (DataFrame, DataFrame) = {
+    val s = pairs.sparkSession
     import s.implicits._
-    val pairs = groupPairsOf(s, dir)
-      .localCheckpoint(true) // degree agg + both orientation joins
     val nodes = pairs.select($"a".as("v")).unionByName(pairs.select($"b".as("v")))
     val deg = nodes.groupBy($"v").agg(count(lit(1)).as("d"))
     // orient each edge low-(deg,id) → high-(deg,id), carrying the dst's
@@ -1932,10 +2032,46 @@ object TextOps {
       .join(oriented.as("z"), $"u" === $"z.src" && $"w" === $"z.dst")
       .select($"v", $"u", $"w")
       .localCheckpoint(true) // three member-explode consumers below
-    tri.select($"v".as("group_id"))
+    val triCnt = tri.select($"v".as("group_id"))
       .unionByName(tri.select($"u".as("group_id")))
       .unionByName(tri.select($"w".as("group_id")))
       .groupBy($"group_id").agg(count(lit(1)).as("tri_cnt"))
+    (deg, triCnt)
+  }
+
+  def triangles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = groupPairsOf(s, dir)
+      .localCheckpoint(true) // degree agg + both orientation joins
+    degAndTriCounts(pairs)._2.orderBy($"group_id")
+  }
+
+  /** Local clustering coefficient per node of the group-contracted
+    * near-dup graph: cc = 2·T(v) / (d(v)·(d(v)−1)) in exact integer
+    * permille — the template-family cohesion score (cc ≈ 1: the node's
+    * neighborhood is one template clique even after contraction; cc ≈ 0:
+    * a hub stitching unrelated families, usually an LSH-band artifact
+    * worth auditing). Complements [[kcore]] (which finds dense REGIONS)
+    * with a per-node density that needs no iteration.
+    *
+    * Scale: triangle membership via the same degree-oriented MPS wedge
+    * close as [[triangles]] (wedge volume O(m^1.5) on the contracted
+    * graph), one degree agg, one |nodes|-row left join — no new shuffle
+    * shape beyond what triangles already pays.
+    */
+  def clusteringCoeff(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = groupPairsOf(s, dir)
+      .localCheckpoint(true) // degree agg + both orientation joins
+    val (deg, triCnt) = degAndTriCounts(pairs)
+    deg.join(triCnt, $"v" === $"group_id", "left")
+      .select($"v".as("group_id"), $"d".as("deg"),
+        coalesce($"tri_cnt", lit(0L)).as("tri_cnt"))
+      .withColumn("cc_pm",
+        when($"deg" >= 2L,
+          floor(lit(2000L) * $"tri_cnt" / ($"deg" * ($"deg" - 1L)))
+            .cast("long"))
+          .otherwise(0L))
       .orderBy($"group_id")
   }
 
@@ -2017,6 +2153,34 @@ object TextOps {
        |        UNION ALL SELECT ww FROM tri)
        |SELECT gid AS group_id, count(*)::BIGINT AS tri_cnt
        |FROM mem GROUP BY gid ORDER BY group_id""".stripMargin
+  }
+
+  val clusteringCoeffSql: String = groupGraphCte + {
+    s""", nd AS (SELECT a AS v FROM gp UNION ALL SELECT b FROM gp),
+       |dg AS (SELECT v, count(*)::BIGINT AS d FROM nd GROUP BY v),
+       |o AS (SELECT
+       |    CASE WHEN da.d < db.d OR (da.d = db.d AND p.a < p.b)
+       |         THEN p.a ELSE p.b END AS src,
+       |    CASE WHEN da.d < db.d OR (da.d = db.d AND p.a < p.b)
+       |         THEN p.b ELSE p.a END AS dst
+       |  FROM gp p JOIN dg da ON p.a = da.v JOIN dg db ON p.b = db.v),
+       |od AS (SELECT o.src, o.dst, dg.d AS dd FROM o JOIN dg ON o.dst = dg.v),
+       |tri AS (
+       |  SELECT x.src AS v, x.dst AS u, y.dst AS ww
+       |  FROM od x JOIN od y ON x.src = y.src
+       |    AND (x.dd < y.dd OR (x.dd = y.dd AND x.dst < y.dst))
+       |  WHERE EXISTS (SELECT 1 FROM od z
+       |                WHERE z.src = x.dst AND z.dst = y.dst)),
+       |mem AS (SELECT v AS gid FROM tri
+       |        UNION ALL SELECT u FROM tri
+       |        UNION ALL SELECT ww FROM tri),
+       |tc AS (SELECT gid, count(*)::BIGINT AS tri_cnt FROM mem GROUP BY gid)
+       |SELECT dg.v AS group_id, dg.d AS deg,
+       |  coalesce(tc.tri_cnt, 0)::BIGINT AS tri_cnt,
+       |  (CASE WHEN dg.d >= 2
+       |        THEN (2000 * coalesce(tc.tri_cnt, 0)) // (dg.d * (dg.d - 1))
+       |        ELSE 0 END)::BIGINT AS cc_pm
+       |FROM dg LEFT JOIN tc ON dg.v = tc.gid ORDER BY group_id""".stripMargin
   }
 
   /** Link prediction over the group-contracted near-dup graph: the top-20
@@ -3551,6 +3715,8 @@ object TextOps {
     "graph_pagerank" -> ((s: SparkSession, dir: String) => pageRank(s, dir)),
     "text_inverted_index" -> invertedIndex _,
     "graph_triangles" -> triangles _,
+    "graph_clustering_coeff" -> clusteringCoeff _,
+    "text_ngram_novelty" -> ngramNovelty _,
     "dedup_exact" -> dedupExact _,
     "dedup_cdc_chunks" -> cdcChunks _,
     "dedup_minhash" -> minhash _,
@@ -3607,6 +3773,8 @@ object TextOps {
     "graph_pagerank" -> pageRankSql,
     "text_inverted_index" -> invertedIndexSql,
     "graph_triangles" -> trianglesSql,
+    "graph_clustering_coeff" -> clusteringCoeffSql,
+    "text_ngram_novelty" -> ngramNoveltySql,
     "dedup_exact" -> dedupExactSql,
     "dedup_cdc_chunks" -> cdcChunksSql,
     "dedup_minhash" -> minhashSql,

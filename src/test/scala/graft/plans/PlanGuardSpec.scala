@@ -76,7 +76,9 @@ class PlanGuardSpec extends SparkSpec {
     // fixed 10-row broadcast probe set (radius search scan)
     "sim_range_search" -> 1,
     // 1-row broadcast anchor-day aggregate (the recency reference)
-    "ev_rfm" -> 1)
+    "ev_rfm" -> 1,
+    // 1-row broadcast corpus-totals frame (budget + source count)
+    "sample_epoch_mix" -> 1)
 
   test("no query plans an accidental nested-loop or cartesian join") {
     def crossCount(plan: String): Int =
