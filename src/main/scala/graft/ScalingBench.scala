@@ -155,6 +155,11 @@ object ScalingBench {
       // text_cooccur_lift shape
       "text_zipf_curve", "sample_shard_assign", "graph_kcore",
       "sim_mmr_rerank",
+      // round-10 session-3 additions: first-occurrence novelty (content-
+      // keyed min-agg + join back — the exact-dedup shuffle shape, no pair
+      // emission), per-node clustering coefficient (MPS wedge close over
+      // the contracted graph)
+      "text_ngram_novelty", "graph_clustering_coeff",
       "dedup_ngram_overlap", "dedup_jaccard_pairs",
       "dedup_simhash_wide_pairs",
       "dedup_simhash_pairs", "dedup_minhash_pairs")

@@ -569,7 +569,66 @@ object Events {
       |  ntile(5) OVER (ORDER BY m_cents DESC, user_id)::BIGINT AS m_q
       |FROM peruser ORDER BY user_id""".stripMargin
 
+  /** View→purchase conversion latency histogram: per user, the lag from
+    * their FIRST view to the first purchase at-or-after it, in whole
+    * minutes (exact integer: epoch-microsecond difference floor-divided —
+    * no engine's calendar `date_diff` boundary semantics involved),
+    * bucketed by bitlength(minutes + 1). Users who viewed but never
+    * purchased afterwards land in bucket −1 — the non-conversion mass a
+    * funnel readout must not silently drop.
+    *
+    * Scale: two user-keyed mergeable min-aggregations (first view, first
+    * qualifying purchase) joined on user — the purchase side is filtered
+    * by the view frame co-partitioned on user_id, then one |buckets|-row
+    * agg. No windows over the raw stream, no range join.
+    */
+  def conversionLag(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
+    val firstView = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"us").as("vus"))
+    val firstBuy = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"us")
+      .join(firstView, Seq("user_id"))
+      .filter($"us" >= $"vus")
+      .groupBy($"user_id").agg(min($"us").as("pus"))
+    firstView.join(firstBuy, Seq("user_id"), "left")
+      .select($"user_id", $"vus",
+        floor(($"pus" - $"vus") / 60000000L).cast("long").as("lag_min"))
+      .withColumn("bucket",
+        when($"lag_min".isNull, -1L)
+          .otherwise(length(bin($"lag_min" + 1L)).cast("long")))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_users"),
+        min($"lag_min").as("min_lag"), max($"lag_min").as("max_lag"))
+      .orderBy($"bucket")
+  }
+
+  val conversionLagSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      |fv AS (
+      |  SELECT user_id, min(us) AS vus FROM ev
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |fb AS (
+      |  SELECT e.user_id, min(e.us) AS pus
+      |  FROM ev e JOIN fv ON e.user_id = fv.user_id
+      |  WHERE e.event_type = 'purchase' AND e.us >= fv.vus
+      |  GROUP BY e.user_id),
+      |lags AS (
+      |  SELECT fv.user_id,
+      |    CASE WHEN fb.pus IS NULL THEN NULL
+      |         ELSE (fb.pus - fv.vus) // 60000000 END AS lag_min
+      |  FROM fv LEFT JOIN fb ON fv.user_id = fb.user_id)
+      |SELECT (CASE WHEN lag_min IS NULL THEN -1
+      |             ELSE length(bin(lag_min + 1)) END)::BIGINT AS bucket,
+      |  count(*)::BIGINT AS n_users,
+      |  min(lag_min)::BIGINT AS min_lag, max(lag_min)::BIGINT AS max_lag
+      |FROM lags GROUP BY 1 ORDER BY bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_conversion_lag" -> conversionLag _,
     "ev_dau_rolling" -> dauRolling _,
     "ev_rfm" -> rfm _,
     "ev_streaks" -> streaks _,
@@ -588,6 +647,7 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "ev_conversion_lag" -> conversionLagSql,
     "ev_dau_rolling" -> dauRollingSql,
     "ev_rfm" -> rfmSql,
     "ev_streaks" -> streaksSql,

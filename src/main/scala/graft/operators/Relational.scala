@@ -1277,8 +1277,139 @@ object Relational {
       |  JOIN orders   ON o_orderkey = l_orderkey) t
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Q44 — navigation-function battery: first/last/nth order per priority
+    * partition in date order (explicit ROWS frames, orderkey tie-break so
+    * every function is deterministic). Completes the window surface next
+    * to q33's ranking battery: first_value / last_value / nth_value are
+    * the remaining SQL-standard navigation functions.
+    *
+    * Scale: one window shuffle on the partition key; ROWS frames keep the
+    * running evaluation O(1) per row (no re-scan per frame).
+    */
+  def q44WindowBattery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_orderdate", $"o_orderkey")
+    val upToHere = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fromHere = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_orderpriority", $"o_orderdate")
+      .withColumn("first_k", first($"o_orderkey").over(upToHere))
+      .withColumn("last_k", last($"o_orderkey").over(fromHere))
+      .withColumn("third_k", nth_value($"o_orderkey", 3).over(upToHere))
+      .select($"o_orderkey", $"o_orderpriority",
+        date_format($"o_orderdate", "yyyy-MM-dd").as("od"),
+        $"first_k", $"last_k", $"third_k")
+      .orderBy($"o_orderkey")
+  }
+
+  val q44Sql: String =
+    """SELECT o_orderkey, o_orderpriority,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS od,
+      |  first_value(o_orderkey) OVER w_up AS first_k,
+      |  last_value(o_orderkey) OVER w_down AS last_k,
+      |  nth_value(o_orderkey, 3) OVER w_up AS third_k
+      |FROM orders
+      |WINDOW w_up AS (PARTITION BY o_orderpriority
+      |    ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |  w_down AS (PARTITION BY o_orderpriority
+      |    ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Q45 — TPC-H Q17 (small-quantity-order revenue) shape: total revenue
+    * of lineitems whose quantity is below HALF the average quantity for
+    * their part — the correlated scalar-subquery pattern, decorrelated to
+    * one per-part aggregate joined back. The threshold compare is
+    * cross-multiplied into exact integers (2·n·qty < Σqty), so no float
+    * average crosses engines.
+    *
+    * Scale: two passes over lineitem (one mergeable per-part agg, one
+    * join against the |parts|-row aggregate — co-partitioned on
+    * l_partkey), ONE row out.
+    */
+  def q45AvgQtyFilter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+      .select($"l_partkey",
+        round($"l_quantity" * 100).cast("long").as("qc"),
+        round($"l_extendedprice" * 100).cast("long").as("pc"))
+    val perPart = li.groupBy($"l_partkey")
+      .agg(sum($"qc").as("sum_qc"), count(lit(1)).as("n"))
+    li.join(perPart, Seq("l_partkey"))
+      .filter($"qc" * $"n" * 2L < $"sum_qc")
+      .agg(count(lit(1)).as("n_lines"), sum($"pc").as("total_cents"))
+  }
+
+  val q45Sql: String =
+    """WITH li AS (
+      |  SELECT l_partkey, round(l_quantity * 100)::BIGINT AS qc,
+      |    round(l_extendedprice * 100)::BIGINT AS pc
+      |  FROM lineitem),
+      |pp AS (
+      |  SELECT l_partkey, sum(qc)::BIGINT AS sum_qc,
+      |    count(*)::BIGINT AS n
+      |  FROM li GROUP BY l_partkey)
+      |SELECT count(*)::BIGINT AS n_lines, sum(pc)::BIGINT AS total_cents
+      |FROM li JOIN pp USING (l_partkey)
+      |WHERE qc * n * 2 < sum_qc""".stripMargin
+
+  /** Q46 — TPC-H Q10 (returned-item reporting) shape: top-20 customers by
+    * revenue on returned lineitems shipped in 1996, with nation context.
+    * Revenue in exact integer cents.
+    *
+    * Scale: returnflag + shipdate predicates push into the lineitem scan;
+    * nation broadcasts; the ranking is a TakeOrdered (top-20 per
+    * partition → 20 rows to the driver), never a global sort.
+    */
+  def q46TopCustomers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.lineitem(s, dir)
+      .filter($"l_returnflag" === "R" &&
+        $"l_shipdate".between("1996-01-01", "1996-12-31"))
+      .select($"l_orderkey",
+        round($"l_extendedprice" * (lit(1.0) - $"l_discount") * 100)
+          .cast("long").as("cents"))
+    val ord = Tables.orders(s, dir).select($"o_orderkey", $"o_custkey")
+    val cust = Tables.customer(s, dir)
+      .select($"c_custkey", $"c_name", $"c_nationkey")
+    val nat = Tables.nation(s, dir).select($"n_nationkey", $"n_name")
+    val top = li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(cust, $"o_custkey" === $"c_custkey")
+      .join(broadcast(nat), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"c_custkey", $"c_name", $"n_name")
+      .agg(sum($"cents").as("rev_cents"), count(lit(1)).as("n_items"))
+      .orderBy($"rev_cents".desc, $"c_custkey").limit(20)
+    top.withColumn("rnk", row_number().over(
+        Window.orderBy($"rev_cents".desc, $"c_custkey"))) // 20-row frame
+      .orderBy($"rnk")
+  }
+
+  val q46Sql: String =
+    """SELECT c_custkey, c_name, n_name, rev_cents, n_items,
+      |  row_number() OVER (ORDER BY rev_cents DESC, c_custkey) AS rnk
+      |FROM (
+      |  SELECT c_custkey, c_name, n_name,
+      |    sum(round(l_extendedprice * (1.0 - l_discount) * 100)::BIGINT)
+      |      ::BIGINT AS rev_cents,
+      |    count(*)::BIGINT AS n_items
+      |  FROM lineitem
+      |  JOIN orders   ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation   ON c_nationkey = n_nationkey
+      |  WHERE l_returnflag = 'R'
+      |    AND l_shipdate BETWEEN '1996-01-01' AND '1996-12-31'
+      |  GROUP BY 1, 2, 3) t
+      |ORDER BY rev_cents DESC, c_custkey LIMIT 20""".stripMargin
+
   /** All relational queries + oracles, consumed by SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q44_window_battery" -> q44WindowBattery _,
+    "q45_avg_qty_filter" -> q45AvgQtyFilter _,
+    "q46_top_customers" -> q46TopCustomers _,
     "q41_volume_shipping" -> q41VolumeShipping _,
     "q42_market_share" -> q42MarketShare _,
     "q43_product_profit" -> q43ProductProfit _,
@@ -1323,6 +1454,9 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q44_window_battery" -> q44Sql,
+    "q45_avg_qty_filter" -> q45Sql,
+    "q46_top_customers" -> q46Sql,
     "q41_volume_shipping" -> q41Sql,
     "q42_market_share" -> q42Sql,
     "q43_product_profit" -> q43Sql,

@@ -2027,7 +2027,57 @@ object Similarity {
       |WHERE round(d / (sqrt(nq.n2) * sqrt(ne.n2)), 4) >= 0.30
       |ORDER BY qid, d.vec_id""".stripMargin
 
+  /** Label-outlier mining: the 20 vectors FARTHEST (exact integer squared
+    * L2) from their OWN label centroid — the "probably mislabeled or
+    * out-of-distribution" review queue of embedding-space data cleaning
+    * (the complement of [[nearestCentroid]]: that asks "which class is
+    * nearest", this asks "how badly does the own class fit"). Same
+    * floor-mean prototype frame; ranking and distances are exact int64,
+    * so the top-20 is bit-deterministic (vec_id tie-break).
+    *
+    * Scale: centroid frame broadcasts; one corpus scoring pass joined on
+    * the OWN label only (no |labels|× fan-out); TakeOrdered bounds the
+    * result at 20 rows — nothing driver-side scales with the corpus.
+    */
+  def labelOutliers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ex = Tables.embeddings(s, dir)
+      .select($"vec_id", $"label",
+        posexplode(qvec($"embedding")).as(Seq("d", "e")))
+    val cent = ex.groupBy($"label", $"d")
+      .agg(floor(sum($"e").cast("double") / count(lit(1)))
+        .cast("long").as("m"))
+    val top = ex.join(broadcast(cent), Seq("label", "d"))
+      .groupBy($"vec_id", $"label")
+      .agg(sum(($"e" - $"m") * ($"e" - $"m")).as("dist"))
+      .orderBy($"dist".desc, $"vec_id").limit(20)
+    top.withColumn("rnk", row_number().over(
+        Window.orderBy($"dist".desc, $"vec_id")).cast("long")) // 20-row frame
+      .select($"rnk", $"vec_id", $"label".cast("long").as("label"), $"dist")
+      .orderBy($"rnk")
+  }
+
+  val labelOutliersSql: String =
+    """WITH qv AS (
+      |  SELECT vec_id, label,
+      |    [floor(x::DOUBLE * 10000)::BIGINT FOR x IN embedding] AS q
+      |  FROM embeddings),
+      |ex AS (SELECT vec_id, label, unnest(q) AS e,
+      |              generate_subscripts(q, 1) - 1 AS d FROM qv),
+      |cent AS (SELECT label, d,
+      |    floor(sum(e)::DOUBLE / count(*))::BIGINT AS m
+      |  FROM ex GROUP BY 1, 2),
+      |dist AS (
+      |  SELECT vec_id, any_value(label) AS label,
+      |    sum((e - m) * (e - m))::BIGINT AS dist
+      |  FROM ex JOIN cent USING (label, d) GROUP BY vec_id)
+      |SELECT row_number() OVER (ORDER BY dist DESC, vec_id) AS rnk,
+      |  vec_id, label::BIGINT AS label, dist
+      |FROM dist ORDER BY dist DESC, vec_id LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_outliers" -> labelOutliers _,
     "sim_nearest_centroid" -> nearestCentroid _,
     "sim_range_search" -> rangeSearch _,
     "sim_mmr_rerank" -> mmrRerank _,
@@ -2059,6 +2109,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "sim_outliers" -> labelOutliersSql,
     "sim_nearest_centroid" -> nearestCentroidSql,
     "sim_range_search" -> rangeSearchSql,
     "sim_mmr_rerank" -> mmrRerankSql,

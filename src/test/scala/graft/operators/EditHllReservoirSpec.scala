@@ -107,11 +107,14 @@ class EditHllReservoirSpec extends SparkSpec {
     got.groupBy(_._1).foreach { case (lang, rows) =>
       assert(rows.length == math.min(20, sizes(lang)))
     }
-    // this shared-test session has no GraftExtensions, so the shape rides
-    // Spark's native bounded WindowGroupLimit pushdown here; under the
-    // production session (Verify/Bench build with the extensions) the
-    // same plan rewrites to GroupedTopKExec — asserted in TopKRewriteSpec,
-    // whose session installs the extensions
-    assert(df.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
+    // bounded-state shape, whichever session this suite inherited: without
+    // GraftExtensions the plan rides Spark's native WindowGroupLimit
+    // pushdown; when another suite (TopKRewriteSpec/GraftExtensionsSpec)
+    // initialized the shared JVM session WITH the extensions first, the
+    // same query rewrites to GroupedTopKExec instead — both are the
+    // per-group bounded-heap plan this test exists to pin (suite ORDER is
+    // not deterministic across runs, so the assert must accept both)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit") || plan.contains("GroupedTopK"))
   }
 }
