@@ -1405,8 +1405,80 @@ object Relational {
       |  GROUP BY 1, 2, 3) t
       |ORDER BY rev_cents DESC, c_custkey LIMIT 20""".stripMargin
 
+  /** Q47 — TPC-H Q13 (customer order-count distribution) shape: how many
+    * customers placed exactly k orders, INCLUDING the zero-order
+    * customers a plain join would silently drop (the left join + count of
+    * the nullable key is the load-bearing idiom).
+    *
+    * Scale: one c_custkey-keyed left join + count, then a second
+    * aggregation over the |distinct counts|-row frame — the classic
+    * double aggregation, both levels map-side combinable.
+    */
+  def q47OrderCountDist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perCust = Tables.customer(s, dir).select($"c_custkey")
+      .join(Tables.orders(s, dir).select($"o_orderkey", $"o_custkey"),
+        $"c_custkey" === $"o_custkey", "left")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("c_count"))
+    perCust.groupBy($"c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy($"custdist".desc, $"c_count".desc)
+  }
+
+  val q47Sql: String =
+    """SELECT c_count, count(*) AS custdist FROM (
+      |  SELECT c_custkey, count(o_orderkey)::BIGINT AS c_count
+      |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |  GROUP BY c_custkey) t
+      |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** Q48 — TPC-H Q14 (promotion effect) shape: per 1996 ship month, the
+    * permille of revenue attributable to PROMO parts. Revenue in exact
+    * integer cents (row-wise rounding of identical doubles), so the
+    * share needs no float division.
+    *
+    * Scale: the part dim broadcasts; the shipdate year filter pushes into
+    * the lineitem scan; one conditional-sum aggregation on the month key.
+    */
+  def q48PromoRevenue(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pt = Tables.part(s, dir).select($"p_partkey", $"p_type")
+    Tables.lineitem(s, dir)
+      .filter($"l_shipdate".between("1996-01-01", "1996-12-31"))
+      .select($"l_partkey", month($"l_shipdate").as("m"),
+        round($"l_extendedprice" * (lit(1.0) - $"l_discount") * 100)
+          .cast("long").as("cents"))
+      .join(broadcast(pt), $"l_partkey" === $"p_partkey")
+      .groupBy($"m")
+      .agg(sum($"cents").as("total_cents"),
+        sum(when($"p_type" === "PROMO", $"cents").otherwise(0L))
+          .as("promo_cents"))
+      .select($"m".cast("long"), $"total_cents", $"promo_cents",
+        floor(lit(1000L) * $"promo_cents" / $"total_cents").cast("long")
+          .as("promo_pm"))
+      .orderBy($"m")
+  }
+
+  val q48Sql: String =
+    """SELECT month(l_shipdate)::BIGINT AS m,
+      |  sum(cents)::BIGINT AS total_cents,
+      |  sum(CASE WHEN p_type = 'PROMO' THEN cents ELSE 0 END)::BIGINT
+      |    AS promo_cents,
+      |  ((1000 * sum(CASE WHEN p_type = 'PROMO' THEN cents ELSE 0 END))
+      |    // sum(cents))::BIGINT AS promo_pm
+      |FROM (
+      |  SELECT l_partkey, l_shipdate,
+      |    round(l_extendedprice * (1.0 - l_discount) * 100)::BIGINT AS cents
+      |  FROM lineitem
+      |  WHERE l_shipdate BETWEEN '1996-01-01' AND '1996-12-31') li
+      |JOIN part ON p_partkey = l_partkey
+      |GROUP BY 1 ORDER BY m""".stripMargin
+
   /** All relational queries + oracles, consumed by SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q47_order_count_dist" -> q47OrderCountDist _,
+    "q48_promo_revenue" -> q48PromoRevenue _,
     "q44_window_battery" -> q44WindowBattery _,
     "q45_avg_qty_filter" -> q45AvgQtyFilter _,
     "q46_top_customers" -> q46TopCustomers _,
@@ -1454,6 +1526,8 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q47_order_count_dist" -> q47Sql,
+    "q48_promo_revenue" -> q48Sql,
     "q44_window_battery" -> q44Sql,
     "q45_avg_qty_filter" -> q45Sql,
     "q46_top_customers" -> q46Sql,

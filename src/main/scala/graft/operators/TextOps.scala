@@ -1988,19 +1988,72 @@ object TextOps {
     * size that scales with content diversity instead of duplication
     * volume. Shared by [[triangles]] and [[commonNeighbors]].
     */
-  private[operators] def groupPairsOf(s: SparkSession, dir: String): DataFrame = {
+  /** Signature-group node frame (s0, s1, gid), checkpointed — the
+    * contracted graph's vertex set (one node per identical-signature
+    * group, gid = min member doc_id), shared by [[groupPairsOf]] and
+    * [[componentSizes]].
+    */
+  private[operators] def groupFrame(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val bs = minhashOf(s, dir).select($"doc_id",
       bandSig((0 until 4).map(i => col(s"mh$i"))).as("s0"),
       bandSig((4 until 8).map(i => col(s"mh$i"))).as("s1"))
-    val g = bs.groupBy($"s0", $"s1").agg(min($"doc_id").as("gid"))
+    bs.groupBy($"s0", $"s1").agg(min($"doc_id").as("gid"))
       .localCheckpoint(true) // both sides of both band joins
+  }
+
+  /** Edges of the contracted graph from an already-built group frame. */
+  private def groupPairsFromG(g: DataFrame): DataFrame = {
+    val s = g.sparkSession
+    import s.implicits._
     def bandEdges(c: String): DataFrame =
       g.select(col(c).as("k"), $"gid".as("a"))
         .join(g.select(col(c).as("k"), $"gid".as("b")), Seq("k"))
         .filter($"a" < $"b").select($"a", $"b")
     bandEdges("s0").unionByName(bandEdges("s1")).distinct()
   }
+
+  private[operators] def groupPairsOf(s: SparkSession, dir: String): DataFrame =
+    groupPairsFromG(groupFrame(s, dir))
+
+  /** Component-size histogram of the contracted near-dup graph: how many
+    * connected components have exactly k signature groups — the
+    * macro-structure readout (is duplication a sea of small families or
+    * one giant percolated blob?) a pipeline checks BEFORE trusting
+    * cluster-level dedup actions; a giant component here is the signal
+    * that banding parameters percolated (the 16-bit simhash failure mode,
+    * measured in PLANS.md) and cluster-keeper logic would nuke unrelated
+    * content. Singleton groups (no edges) are size-1 components — the
+    * histogram conserves the vertex set.
+    *
+    * Scale: components via the same large-star/small-star contraction as
+    * [[dedupClusters]] (O(log n) rounds on the contracted graph), then
+    * two |nodes|-bounded aggs. Oracle: reachability as a recursive CTE.
+    */
+  def componentSizes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val g = groupFrame(s, dir)
+    val (labels, _) = starContraction(
+      g.select($"gid"), groupPairsFromG(g))
+    labels.groupBy($"label").agg(count(lit(1)).as("size"))
+      .groupBy($"size").agg(count(lit(1)).as("n_components"))
+      .orderBy($"size")
+  }
+
+  // lazy: groupGraphCte is declared further down the object and plain-val
+  // initialization order would read it as null here
+  lazy val componentSizesSql: String =
+    groupGraphCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """, edges AS (SELECT a, b FROM gp UNION ALL SELECT b, a FROM gp),
+        |reach(node, m) AS (
+        |  SELECT gid, gid FROM g
+        |  UNION
+        |  SELECT e.a, r.m FROM edges e JOIN reach r ON e.b = r.node),
+        |lab AS (SELECT node, min(m) AS label FROM reach GROUP BY node),
+        |sz AS (SELECT label, count(*)::BIGINT AS size FROM lab
+        |       GROUP BY label)
+        |SELECT size, count(*)::BIGINT AS n_components
+        |FROM sz GROUP BY size ORDER BY size""".stripMargin
 
   /** Degree frame + per-node triangle membership over a checkpointed
     * (a, b) edge frame — the MPS degree-oriented machinery shared by
@@ -3716,6 +3769,7 @@ object TextOps {
     "text_inverted_index" -> invertedIndex _,
     "graph_triangles" -> triangles _,
     "graph_clustering_coeff" -> clusteringCoeff _,
+    "graph_component_sizes" -> componentSizes _,
     "text_ngram_novelty" -> ngramNovelty _,
     "dedup_exact" -> dedupExact _,
     "dedup_cdc_chunks" -> cdcChunks _,
@@ -3774,6 +3828,7 @@ object TextOps {
     "text_inverted_index" -> invertedIndexSql,
     "graph_triangles" -> trianglesSql,
     "graph_clustering_coeff" -> clusteringCoeffSql,
+    "graph_component_sizes" -> componentSizesSql,
     "text_ngram_novelty" -> ngramNoveltySql,
     "dedup_exact" -> dedupExactSql,
     "dedup_cdc_chunks" -> cdcChunksSql,
