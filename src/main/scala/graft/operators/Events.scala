@@ -627,7 +627,65 @@ object Events {
       |  min(lag_min)::BIGINT AS min_lag, max(lag_min)::BIGINT AS max_lag
       |FROM lags GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  /** Growth accounting (the new/retained/resurrected/churned decomposition
+    * every DAU chart hides): per day, active users classified by their
+    * PREVIOUS active day — never seen before → new; active the calendar
+    * day before → retained; a gap ≥ 2 days → resurrected; plus churned =
+    * yesterday's actives who went silent today (dau(d−1) − retained(d),
+    * an identity — no second scan needed). new + retained + resurrected
+    * = dau, so the decomposition is self-auditing.
+    *
+    * Scale: one (day, user) distinct, one per-user lag window (state
+    * bounded by a user's active-day count), one day-keyed agg, and a
+    * 1-day self-join of the |days|-row daily frame. The raw event stream
+    * is touched once.
+    */
+  def userLifecycle(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val du = Tables.events(s, dir)
+      .select(to_date($"ts").as("day"), $"user_id").distinct()
+    val w = Window.partitionBy($"user_id").orderBy($"day")
+    val classified = du
+      .withColumn("prev", lag($"day", 1).over(w))
+      .groupBy($"day")
+      .agg(sum(when($"prev".isNull, 1L).otherwise(0L)).as("n_new"),
+        sum(when(datediff($"day", $"prev") === 1, 1L).otherwise(0L))
+          .as("n_retained"),
+        sum(when(datediff($"day", $"prev") >= 2, 1L).otherwise(0L))
+          .as("n_resurrected"),
+        count(lit(1)).as("dau"))
+    val prevDau = classified
+      .select(date_add($"day", 1).as("day"), $"dau".as("dau_prev"))
+    classified.join(prevDau, Seq("day"), "left")
+      .select(date_format($"day", "yyyy-MM-dd").as("day"),
+        $"dau", $"n_new", $"n_retained", $"n_resurrected",
+        (coalesce($"dau_prev", lit(0L)) - $"n_retained").as("n_churned"))
+      .orderBy($"day")
+  }
+
+  val userLifecycleSql: String =
+    """WITH du AS (SELECT DISTINCT ts::DATE AS day, user_id FROM events),
+      |cls AS (
+      |  SELECT day,
+      |    sum(CASE WHEN prev IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_new,
+      |    sum(CASE WHEN day - prev = 1 THEN 1 ELSE 0 END)::BIGINT
+      |      AS n_retained,
+      |    sum(CASE WHEN day - prev >= 2 THEN 1 ELSE 0 END)::BIGINT
+      |      AS n_resurrected,
+      |    count(*)::BIGINT AS dau
+      |  FROM (SELECT day, user_id,
+      |          lag(day) OVER (PARTITION BY user_id ORDER BY day) AS prev
+      |        FROM du) t
+      |  GROUP BY day)
+      |SELECT strftime(c.day, '%Y-%m-%d') AS day, c.dau, c.n_new,
+      |  c.n_retained, c.n_resurrected,
+      |  (coalesce(p.dau, 0) - c.n_retained)::BIGINT AS n_churned
+      |FROM cls c LEFT JOIN cls p ON c.day = p.day + 1
+      |ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_user_lifecycle" -> userLifecycle _,
     "ev_conversion_lag" -> conversionLag _,
     "ev_dau_rolling" -> dauRolling _,
     "ev_rfm" -> rfm _,
@@ -647,6 +705,7 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "ev_user_lifecycle" -> userLifecycleSql,
     "ev_conversion_lag" -> conversionLagSql,
     "ev_dau_rolling" -> dauRollingSql,
     "ev_rfm" -> rfmSql,

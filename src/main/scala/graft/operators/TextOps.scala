@@ -1361,6 +1361,62 @@ object TextOps {
          |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
     }
 
+  /** LEAKAGE-SAFE train/eval split: assign documents to splits by a
+    * deterministic hash of their near-dup CLUSTER label, never of the
+    * doc_id — so a near-duplicate family can never straddle the split
+    * boundary (hashing doc_ids leaks eval content into training through
+    * its near-dups, the contamination [[decontaminate]] later has to
+    * mop up; splitting by cluster prevents it by construction). ~80% of
+    * clusters → train. Reports per split: docs, whitespace tokens, and
+    * cluster counts; the cluster-disjointness is the contract the spec
+    * asserts and the per-split cluster counts make auditable (they must
+    * sum to the corpus total).
+    *
+    * Scale: cluster labels via [[starContraction]] (O(log n) rounds);
+    * the split decision is a pure expression on the label; one
+    * doc_id-keyed join to attach labels and one 2-row agg. This is the
+    * split recipe of the dedup-aware pipelines (e.g. the eval-
+    * decontamination discipline of GPT-3 appendix C onward), expressed
+    * as a first-class operator.
+    */
+  def leakageSafeSplit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nodes = Tables.documents(s, dir).select($"doc_id")
+    val (labels, _) =
+      starContraction(nodes, shinglePairsOf(shingleCodes(s, dir)))
+    val assigned = labels.select($"doc_id",
+      when(($"label" * 52361L + 24001L) % M % 10L < 8L, "train")
+        .otherwise("eval").as("split"), $"label")
+    Tables.documents(s, dir)
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("t"))
+      .join(assigned, Seq("doc_id"))
+      .groupBy($"split")
+      .agg(count(lit(1)).as("n_docs"), sum($"t").as("n_tokens"),
+        count_distinct($"label").as("n_clusters"))
+      .orderBy($"split")
+  }
+
+  lazy val leakageSafeSplitSql: String =
+    shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ") + shingleBandsCte + {
+      s""",
+         |edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+         |reach(node, m) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.a, r.m FROM edges e JOIN reach r ON e.b = r.node),
+         |lab AS (SELECT node AS doc_id, min(m) AS label FROM reach
+         |        GROUP BY node),
+         |sp AS (
+         |  SELECT d.doc_id,
+         |    CASE WHEN (lab.label * 52361 + 24001) % $M % 10 < 8
+         |         THEN 'train' ELSE 'eval' END AS split,
+         |    lab.label, len(string_split(d.text, ' '))::BIGINT AS t
+         |  FROM documents d JOIN lab ON d.doc_id = lab.doc_id)
+         |SELECT split, count(*)::BIGINT AS n_docs, sum(t)::BIGINT AS n_tokens,
+         |  count(DISTINCT label)::BIGINT AS n_clusters
+         |FROM sp GROUP BY split ORDER BY split""".stripMargin
+    }
+
   /** Canonical-document SELECTION — the dedup *action* that follows
     * clustering: per near-dup cluster, keep the highest-quality member
     * (most words; doc_id breaks ties deterministically) and report the
@@ -3770,6 +3826,7 @@ object TextOps {
     "graph_triangles" -> triangles _,
     "graph_clustering_coeff" -> clusteringCoeff _,
     "graph_component_sizes" -> componentSizes _,
+    "sample_leakage_split" -> leakageSafeSplit _,
     "text_ngram_novelty" -> ngramNovelty _,
     "dedup_exact" -> dedupExact _,
     "dedup_cdc_chunks" -> cdcChunks _,
@@ -3829,6 +3886,7 @@ object TextOps {
     "graph_triangles" -> trianglesSql,
     "graph_clustering_coeff" -> clusteringCoeffSql,
     "graph_component_sizes" -> componentSizesSql,
+    "sample_leakage_split" -> leakageSafeSplitSql,
     "text_ngram_novelty" -> ngramNoveltySql,
     "dedup_exact" -> dedupExactSql,
     "dedup_cdc_chunks" -> cdcChunksSql,
