@@ -1263,6 +1263,106 @@ object TextOps {
       |  (SELECT count(*) FROM jac WHERE jac >= threshold)::BIGINT AS n_pairs
       |FROM t ORDER BY threshold""".stripMargin
 
+  /** LSH BANDING calibration (the (b, r) knob of the Broder/MMDS S-curve
+    * P(candidate) = 1 − (1 − J^r)^b): the same 8 shingle-minhash perms
+    * banded three ways — (2 bands × 4 rows, the shipped config), (4 × 2),
+    * (8 × 1) — each measured for candidate volume, exact-Jaccard ≥ 0.5
+    * true pairs among them, and precision in exact permille. More bands ×
+    * shorter rows slides the S-curve left: recall (n_true) rises and
+    * precision falls monotonically down the table — THE trade a pipeline
+    * reads before fixing its banding at a new corpus, here as one query
+    * instead of three ad-hoc reruns.
+    *
+    * Scale: signatures computed ONCE (checkpointed); each config is one
+    * banded equi-join (bucketed candidates, never all-pairs) plus the
+    * candidate-bounded intersection join of [[thresholdCurve]]; the three
+    * 1-row stat frames union at the end. The b = 8, r = 1 config is the
+    * deliberate stress end: single-perm buckets are the coarsest banding
+    * whose bucket sizes still track true duplication, and its measured
+    * precision documents why the shipped config bands wider.
+    */
+  def lshTuning(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val codes = shingleCodes(s, dir).localCheckpoint(true)
+    val sigs = shingleMinhashOf(codes).localCheckpoint(true)
+    val sizes = shingleSizes(codes)
+    val frames = Seq((2, 4), (4, 2), (8, 1)).map { case (b, r) =>
+      val bands = (0 until b).map(i =>
+        sigs.select($"doc_id", lit(i).as("band"),
+          bandSig((i * r until (i + 1) * r).map(j => col(s"mh$j")))
+            .as("sig")))
+        .reduce(_ unionByName _)
+      val cand = bands.select($"band", $"sig", $"doc_id".as("a"))
+        .join(bands.select($"band", $"sig", $"doc_id".as("b")),
+          Seq("band", "sig"))
+        .filter($"a" < $"b").select($"a", $"b").distinct()
+        .localCheckpoint(true) // candidate count + the intersection join
+      val inter = cand
+        .join(codes.select($"doc_id".as("a"), $"code"), Seq("a"))
+        .join(codes.select($"doc_id".as("b"), $"code"), Seq("b", "code"))
+        .groupBy($"a", $"b").agg(count(lit(1)).as("c"))
+      cand.join(inter, Seq("a", "b"), "left")
+        .select($"a", $"b", coalesce($"c", lit(0L)).as("c"))
+        .join(sizes.select($"doc_id".as("a"), $"n".as("na")), Seq("a"))
+        .join(sizes.select($"doc_id".as("b"), $"n".as("nb")), Seq("b"))
+        .select(round($"c" * 1.0 / ($"na" + $"nb" - $"c"), 4).as("jac"))
+        .agg(count(lit(1)).as("n_candidates"),
+          count(when($"jac" >= 0.5, lit(1))).as("n_true"))
+        .select(lit(b.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),
+          $"n_candidates", $"n_true",
+          floor(lit(1000L) * $"n_true" / greatest($"n_candidates", lit(1L)))
+            .cast("long").as("precision_pm"))
+    }
+    frames.reduce(_ unionByName _).orderBy($"bands")
+  }
+
+  lazy val lshTuningSql: String = {
+    def sig(i: Int, r: Int): String =
+      (1 until r).foldLeft(s"mh${i * r}")((acc, j) =>
+        s"(($acc) % $M * 131071 + mh${i * r + j}) % $M")
+    val cols = A.indices.map(j =>
+      s"min((${A(j)} * code + ${B(j)}) % 2147483647) AS mh$j").mkString(", ")
+    val perConfig = Seq((2, 4), (4, 2), (8, 1)).map { case (b, r) =>
+      val bandRows = (0 until b).map(i =>
+        s"SELECT doc_id, $i AS band, ${sig(i, r)} AS sig FROM sigs")
+        .mkString("\n  UNION ALL ")
+      s""",
+         |bands$b AS (
+         |  $bandRows),
+         |cand$b AS (
+         |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         |  FROM bands$b l JOIN bands$b r
+         |    ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id),
+         |inter$b AS (
+         |  SELECT c.a, c.b, coalesce(i.c, 0)::BIGINT AS c
+         |  FROM cand$b c LEFT JOIN (
+         |    SELECT p.a, p.b, count(*)::BIGINT AS c
+         |    FROM cand$b p
+         |    JOIN codes ca ON ca.doc_id = p.a
+         |    JOIN codes cb ON cb.doc_id = p.b AND cb.code = ca.code
+         |    GROUP BY 1, 2) i ON c.a = i.a AND c.b = i.b),
+         |stat$b AS (
+         |  SELECT $b::BIGINT AS bands, $r::BIGINT AS rows_per_band,
+         |    count(*)::BIGINT AS n_candidates,
+         |    count(CASE WHEN round(i.c * 1.0 / (sa.n + sb.n - i.c), 4) >= 0.5
+         |          THEN 1 END)::BIGINT AS n_true
+         |  FROM inter$b i
+         |  JOIN sz sa ON i.a = sa.doc_id JOIN sz sb ON i.b = sb.doc_id)""".stripMargin
+    }.mkString
+    shingleCte +
+      s""", sigs AS (SELECT doc_id, $cols FROM codes GROUP BY doc_id),
+         |sz AS (SELECT doc_id, count(*)::BIGINT AS n FROM codes
+         |       GROUP BY doc_id)""".stripMargin +
+      perConfig +
+      """
+        |SELECT bands, rows_per_band, n_candidates, n_true,
+        |  (1000 * n_true // greatest(n_candidates, 1))::BIGINT
+        |    AS precision_pm
+        |FROM (SELECT * FROM stat2 UNION ALL SELECT * FROM stat4
+        |      UNION ALL SELECT * FROM stat8) t
+        |ORDER BY bands""".stripMargin
+  }
+
   /** Connected components by alternating large-star / small-star edge
     * contraction (Kiveris et al., "Connected Components in MapReduce and
     * Beyond", SoCC'14): each round relinks every node toward the minimum
@@ -3827,6 +3927,7 @@ object TextOps {
     "graph_clustering_coeff" -> clusteringCoeff _,
     "graph_component_sizes" -> componentSizes _,
     "sample_leakage_split" -> leakageSafeSplit _,
+    "dedup_lsh_tuning" -> lshTuning _,
     "text_ngram_novelty" -> ngramNovelty _,
     "dedup_exact" -> dedupExact _,
     "dedup_cdc_chunks" -> cdcChunks _,
@@ -3887,6 +3988,7 @@ object TextOps {
     "graph_clustering_coeff" -> clusteringCoeffSql,
     "graph_component_sizes" -> componentSizesSql,
     "sample_leakage_split" -> leakageSafeSplitSql,
+    "dedup_lsh_tuning" -> lshTuningSql,
     "text_ngram_novelty" -> ngramNoveltySql,
     "dedup_exact" -> dedupExactSql,
     "dedup_cdc_chunks" -> cdcChunksSql,
