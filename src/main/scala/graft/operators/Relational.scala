@@ -1475,8 +1475,108 @@ object Relational {
       |JOIN part ON p_partkey = l_partkey
       |GROUP BY 1 ORDER BY m""".stripMargin
 
+  /** Q49 — TPC-H Q3 (shipping priority) shape: the top-10 orders by
+    * revenue among those ordered before a date but (partly) shipped after
+    * it — the "billed but unshipped backlog" ranking. Revenue in exact
+    * integer cents; TakeOrdered top-10.
+    *
+    * Scale: both date predicates push into their scans and prune BEFORE
+    * the join; the ranking is per-partition top-10 → 10 rows, no global
+    * sort.
+    */
+  def q49UnshippedOrders(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val cutoff = "1998-06-01"
+    val ord = Tables.orders(s, dir)
+      .filter($"o_orderdate" < cutoff)
+      .select($"o_orderkey", date_format($"o_orderdate", "yyyy-MM-dd")
+        .as("od"), $"o_orderpriority")
+    val li = Tables.lineitem(s, dir)
+      .filter($"l_shipdate" > cutoff)
+      .select($"l_orderkey",
+        round($"l_extendedprice" * (lit(1.0) - $"l_discount") * 100)
+          .cast("long").as("cents"))
+    val top = li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderkey", $"od", $"o_orderpriority")
+      .agg(sum($"cents").as("rev_cents"))
+      .orderBy($"rev_cents".desc, $"o_orderkey").limit(10)
+    top.withColumn("rnk", row_number().over(
+        Window.orderBy($"rev_cents".desc, $"o_orderkey")).cast("long"))
+      .orderBy($"rnk")
+  }
+
+  val q49Sql: String =
+    """SELECT o_orderkey, od, o_orderpriority, rev_cents,
+      |  row_number() OVER (ORDER BY rev_cents DESC, o_orderkey) AS rnk
+      |FROM (
+      |  SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS od,
+      |    o_orderpriority,
+      |    sum(round(l_extendedprice * (1.0 - l_discount) * 100)::BIGINT)
+      |      ::BIGINT AS rev_cents
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE o_orderdate < '1998-06-01' AND l_shipdate > '1998-06-01'
+      |  GROUP BY 1, 2, 3) t
+      |ORDER BY rev_cents DESC, o_orderkey LIMIT 10""".stripMargin
+
+  /** Q50 — TPC-H Q5 (local supplier volume) shape: revenue per nation in
+    * the ASIA region for 1997 orders where the CUSTOMER and the SUPPLIER
+    * sit in the SAME nation — the classic snowflake join whose selective
+    * equality (c_nationkey = s_nationkey) lives in the join condition,
+    * not a post-filter. Exact integer cents.
+    *
+    * Scale: region/nation broadcast; the order-year filter pushes into
+    * the orders scan; the same-nation predicate rides the
+    * customer⋈supplier join so mismatched rows never reach the
+    * aggregation.
+    */
+  def q50LocalSupplierVolume(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val asiaNat = Tables.nation(s, dir)
+      .join(broadcast(Tables.region(s, dir)
+        .filter($"r_name" === "ASIA").select($"r_regionkey")),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"n_nationkey", $"n_name")
+    val ord = Tables.orders(s, dir)
+      .filter($"o_orderdate".between("1997-01-01", "1997-12-31"))
+      .select($"o_orderkey", $"o_custkey")
+    val cust = Tables.customer(s, dir)
+      .join(broadcast(asiaNat), $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"c_nationkey", $"n_name")
+    val sup = Tables.supplier(s, dir).select($"s_suppkey", $"s_nationkey")
+    Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_suppkey",
+        round($"l_extendedprice" * (lit(1.0) - $"l_discount") * 100)
+          .cast("long").as("cents"))
+      .join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(cust, $"o_custkey" === $"c_custkey")
+      .join(sup, $"l_suppkey" === $"s_suppkey" &&
+        $"c_nationkey" === $"s_nationkey")
+      .groupBy($"n_name")
+      .agg(sum($"cents").as("rev_cents"), count(lit(1)).as("n_items"))
+      .orderBy($"rev_cents".desc, $"n_name")
+  }
+
+  val q50Sql: String =
+    """SELECT n_name,
+      |  sum(round(l_extendedprice * (1.0 - l_discount) * 100)::BIGINT)
+      |    ::BIGINT AS rev_cents,
+      |  count(*)::BIGINT AS n_items
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |  AND c_nationkey = s_nationkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate BETWEEN '1997-01-01' AND '1997-12-31'
+      |GROUP BY n_name ORDER BY rev_cents DESC, n_name""".stripMargin
+
   /** All relational queries + oracles, consumed by SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q49_unshipped_orders" -> q49UnshippedOrders _,
+    "q50_local_supplier_volume" -> q50LocalSupplierVolume _,
     "q47_order_count_dist" -> q47OrderCountDist _,
     "q48_promo_revenue" -> q48PromoRevenue _,
     "q44_window_battery" -> q44WindowBattery _,
@@ -1526,6 +1626,8 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q49_unshipped_orders" -> q49Sql,
+    "q50_local_supplier_volume" -> q50Sql,
     "q47_order_count_dist" -> q47Sql,
     "q48_promo_revenue" -> q48Sql,
     "q44_window_battery" -> q44Sql,

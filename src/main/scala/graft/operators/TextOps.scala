@@ -1363,6 +1363,69 @@ object TextOps {
         |ORDER BY bands""".stripMargin
   }
 
+  /** Corpus PROFILE — the dataset-card row: doc/token/vocabulary counts,
+    * doc-length distribution (min/median/max whitespace tokens; median is
+    * the exact interpolated percentile, floored so an integer crosses
+    * engines), language & source cardinalities, and the language
+    * Herfindahl concentration in permille (Σ share_pm² / 1000 — the
+    * integer surrogate for "how monolingual is this corpus", 1000 = one
+    * language, → 0 = uniform over many). The one-row summary every
+    * curation decision starts from.
+    *
+    * Scale: one pass over per-doc token counts (mergeable aggs + one
+    * exact percentile on the |docs|-sized numeric column), one distinct
+    * over tokens for the vocabulary, one |langs|-row aggregate for the
+    * HHI; the three 1-row frames cross-join at the end (bounded
+    * broadcasts).
+    */
+  def corpusProfile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perDoc = Tables.documents(s, dir)
+      .select($"doc_id", $"lang", $"source",
+        size(split($"text", " ")).cast("long").as("t"))
+    val base = perDoc.agg(
+      count(lit(1)).as("n_docs"), sum($"t").as("n_tokens"),
+      min($"t").as("min_doc_tokens"),
+      floor(percentile($"t", lit(0.5))).cast("long").as("med_doc_tokens"),
+      max($"t").as("max_doc_tokens"),
+      count_distinct($"lang").as("n_langs"),
+      count_distinct($"source").as("n_sources"))
+    val vocab = Tables.documents(s, dir)
+      .select(explode(split($"text", " ")).as("w"))
+      .agg(count_distinct($"w").as("n_terms"))
+    val hhi = perDoc.groupBy($"lang").agg(count(lit(1)).as("nl"))
+      .crossJoin(broadcast(perDoc.agg(count(lit(1)).as("nd"))))
+      .select(floor($"nl" * 1000L / $"nd").cast("long").as("share_pm"))
+      .agg(floor(sum($"share_pm" * $"share_pm") / 1000L).cast("long")
+        .as("lang_hhi_pm"))
+    base.crossJoin(broadcast(vocab)).crossJoin(broadcast(hhi))
+  }
+
+  val corpusProfileSql: String =
+    """WITH perdoc AS (
+      |  SELECT doc_id, lang, source,
+      |    len(string_split(text, ' '))::BIGINT AS t
+      |  FROM documents),
+      |base AS (
+      |  SELECT count(*)::BIGINT AS n_docs, sum(t)::BIGINT AS n_tokens,
+      |    min(t)::BIGINT AS min_doc_tokens,
+      |    floor(quantile_cont(t, 0.5))::BIGINT AS med_doc_tokens,
+      |    max(t)::BIGINT AS max_doc_tokens,
+      |    count(DISTINCT lang)::BIGINT AS n_langs,
+      |    count(DISTINCT source)::BIGINT AS n_sources
+      |  FROM perdoc),
+      |vocab AS (
+      |  SELECT count(DISTINCT w)::BIGINT AS n_terms
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) z),
+      |hhi AS (
+      |  SELECT floor(sum(share_pm * share_pm) / 1000)::BIGINT
+      |    AS lang_hhi_pm
+      |  FROM (
+      |    SELECT (count(*) * 1000 // (SELECT count(*) FROM perdoc))::BIGINT
+      |      AS share_pm
+      |    FROM perdoc GROUP BY lang) sh)
+      |SELECT * FROM base CROSS JOIN vocab CROSS JOIN hhi""".stripMargin
+
   /** Connected components by alternating large-star / small-star edge
     * contraction (Kiveris et al., "Connected Components in MapReduce and
     * Beyond", SoCC'14): each round relinks every node toward the minimum
@@ -3928,6 +3991,7 @@ object TextOps {
     "graph_component_sizes" -> componentSizes _,
     "sample_leakage_split" -> leakageSafeSplit _,
     "dedup_lsh_tuning" -> lshTuning _,
+    "text_corpus_profile" -> corpusProfile _,
     "text_ngram_novelty" -> ngramNovelty _,
     "dedup_exact" -> dedupExact _,
     "dedup_cdc_chunks" -> cdcChunks _,
@@ -3989,6 +4053,7 @@ object TextOps {
     "graph_component_sizes" -> componentSizesSql,
     "sample_leakage_split" -> leakageSafeSplitSql,
     "dedup_lsh_tuning" -> lshTuningSql,
+    "text_corpus_profile" -> corpusProfileSql,
     "text_ngram_novelty" -> ngramNoveltySql,
     "dedup_exact" -> dedupExactSql,
     "dedup_cdc_chunks" -> cdcChunksSql,

@@ -78,7 +78,10 @@ class PlanGuardSpec extends SparkSpec {
     // 1-row broadcast anchor-day aggregate (the recency reference)
     "ev_rfm" -> 1,
     // 1-row broadcast corpus-totals frame (budget + source count)
-    "sample_epoch_mix" -> 1)
+    "sample_epoch_mix" -> 1,
+    // three bounded 1-row summary frames composed into the card row
+    // (+ the |langs|-row HHI's 1-row total)
+    "text_corpus_profile" -> 3)
 
   test("no query plans an accidental nested-loop or cartesian join") {
     def crossCount(plan: String): Int =
