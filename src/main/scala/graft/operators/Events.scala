@@ -684,7 +684,62 @@ object Events {
       |FROM cls c LEFT JOIN cls p ON c.day = p.day + 1
       |ORDER BY day""".stripMargin
 
+  /** Revenue concentration ("whale curve"): users ranked by monetary
+    * value (exact cents), cut into deciles (ntile(10), user_id
+    * tie-break), each decile's share and CUMULATIVE share of total
+    * revenue in floor permille — how top-heavy the revenue base is (the
+    * Pareto/80-20 readout). All integer arithmetic; the cumulative sum
+    * runs over the 10-row decile frame.
+    *
+    * Scale: one user-keyed mergeable agg over events; the ntile window
+    * runs on the reduced user dimension; the share math on 10 rows.
+    */
+  def whaleCurve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val perUser = Tables.events(s, dir)
+      .select($"user_id", round($"value" * 100).cast("long").as("cents"))
+      .groupBy($"user_id").agg(sum($"cents").as("m"))
+    val deciles = perUser
+      .withColumn("decile", ntile(10).over(
+        Window.orderBy($"m".desc, $"user_id")).cast("long"))
+      .groupBy($"decile")
+      .agg(count(lit(1)).as("n_users"), sum($"m").as("decile_cents"))
+    val tot = deciles.agg(sum($"decile_cents").as("t"))
+    deciles.crossJoin(broadcast(tot))
+      .withColumn("cum_cents", sum($"decile_cents").over(
+        Window.orderBy($"decile")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select($"decile", $"n_users", $"decile_cents",
+        floor(lit(1000L) * $"decile_cents" / $"t").cast("long")
+          .as("share_pm"),
+        floor(lit(1000L) * $"cum_cents" / $"t").cast("long")
+          .as("cum_share_pm"))
+      .orderBy($"decile")
+  }
+
+  val whaleCurveSql: String =
+    """WITH pu AS (
+      |  SELECT user_id, sum(round(value * 100)::BIGINT)::BIGINT AS m
+      |  FROM events GROUP BY user_id),
+      |dec AS (
+      |  SELECT ntile(10) OVER (ORDER BY m DESC, user_id)::BIGINT AS decile,
+      |    m
+      |  FROM pu),
+      |agg AS (
+      |  SELECT decile, count(*)::BIGINT AS n_users,
+      |    sum(m)::BIGINT AS decile_cents
+      |  FROM dec GROUP BY decile),
+      |tot AS (SELECT sum(decile_cents)::BIGINT AS t FROM agg)
+      |SELECT decile, n_users, decile_cents,
+      |  (1000 * decile_cents // t)::BIGINT AS share_pm,
+      |  (1000 * sum(decile_cents) OVER (ORDER BY decile
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) // t)::BIGINT
+      |    AS cum_share_pm
+      |FROM agg CROSS JOIN tot ORDER BY decile""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_whale_curve" -> whaleCurve _,
     "ev_user_lifecycle" -> userLifecycle _,
     "ev_conversion_lag" -> conversionLag _,
     "ev_dau_rolling" -> dauRolling _,
@@ -705,6 +760,7 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "ev_whale_curve" -> whaleCurveSql,
     "ev_user_lifecycle" -> userLifecycleSql,
     "ev_conversion_lag" -> conversionLagSql,
     "ev_dau_rolling" -> dauRollingSql,

@@ -2076,7 +2076,60 @@ object Similarity {
       |  vec_id, label::BIGINT AS label, dist
       |FROM dist ORDER BY dist DESC, vec_id LIMIT 20""".stripMargin
 
+  /** Recall@k CURVE for the hyperplane-LSH index: recall at k = 1, 2, 3
+    * in one query — [[lshRecall]] gives the k = 3 point; the curve shows
+    * whether the index degrades gracefully as the caller tightens k (an
+    * index can look fine at k = 3 while its rank-1 neighbor is usually
+    * wrong — exactly what k = 1 exposes). Both sides truncated to the
+    * SAME k per point; counts exact-integer, recall in floor permille.
+    *
+    * Scale: exact and approx top-3 lists computed once each (the same
+    * bounded frames the recall query builds), one (qid, vec_id) join,
+    * then three conditional counts in ONE aggregation — the
+    * [[graft.operators.TextOps.thresholdCurve]] trick: k points cost one
+    * pass, not k.
+    */
+  def recallCurve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val exact = cosineTopK(s, dir).filter($"rn" <= 3)
+      .select($"qid", $"vec_id", $"rn".as("re"))
+    val approx = lshTopK(s, dir)
+      .select($"qid".as("aq"), $"vec_id".as("av"), $"rn".as("ra"))
+    val joined = exact.join(approx,
+        $"qid" === $"aq" && $"vec_id" === $"av", "left")
+      .select($"re", $"ra")
+    val ks = Seq(1, 2, 3)
+    val aggs = ks.flatMap(k => Seq(
+      count(when($"re" <= k, lit(1))).as(s"e$k"),
+      count(when($"re" <= k && $"ra" <= k, lit(1))).as(s"h$k")))
+    joined.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(ks.map(k => struct(lit(k.toLong).as("k"),
+        col(s"e$k").as("n_exact"), col(s"h$k").as("n_hit"))): _*)).as("e"))
+      .select($"e.k".as("k"), $"e.n_exact".as("n_exact"),
+        $"e.n_hit".as("n_hit"),
+        floor(lit(1000L) * $"e.n_hit" / greatest($"e.n_exact", lit(1L)))
+          .cast("long").as("recall_pm"))
+      .orderBy($"k")
+  }
+
+  lazy val recallCurveSql: String =
+    s"""WITH e0 AS ($cosineTopKSql),
+       |e AS (SELECT qid, vec_id, rn AS re FROM e0 WHERE rn <= 3),
+       |a AS ($lshTopKSql),
+       |j AS (
+       |  SELECT e.re, a.rn AS ra
+       |  FROM e LEFT JOIN a ON e.qid = a.qid AND e.vec_id = a.vec_id),
+       |k AS (SELECT unnest([1, 2, 3]) AS k)
+       |SELECT k::BIGINT AS k,
+       |  (SELECT count(*) FROM j WHERE re <= k)::BIGINT AS n_exact,
+       |  (SELECT count(*) FROM j WHERE re <= k AND ra <= k)::BIGINT AS n_hit,
+       |  ((1000 * (SELECT count(*) FROM j WHERE re <= k AND ra <= k))
+       |    // greatest((SELECT count(*) FROM j WHERE re <= k), 1))::BIGINT
+       |    AS recall_pm
+       |FROM k ORDER BY k""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_recall_curve" -> recallCurve _,
     "sim_outliers" -> labelOutliers _,
     "sim_nearest_centroid" -> nearestCentroid _,
     "sim_range_search" -> rangeSearch _,
@@ -2109,6 +2162,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "sim_recall_curve" -> recallCurveSql,
     "sim_outliers" -> labelOutliersSql,
     "sim_nearest_centroid" -> nearestCentroidSql,
     "sim_range_search" -> rangeSearchSql,

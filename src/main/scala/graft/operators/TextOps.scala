@@ -219,9 +219,11 @@ object TextOps {
             element_at($"cs", i + 2)))).as("gram"))
   }
 
-  def langNb(s: SparkSession, dir: String): DataFrame = {
+  /** The (doc_id, cand, score) NB scoring frame shared by [[langNb]]
+    * (argmin) and [[langIdMargin]] (top-2 margin).
+    */
+  private def nbScores(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
     // NOT checkpointed: both consumers re-run the O(L) trigram generator
     // off the parquet scan — regenerating 3-char rows is cheaper than
     // materializing the full gram stream (measured: dropping the eager
@@ -265,11 +267,16 @@ object TextOps {
       .join(deltas, Seq("doc_id", "cand"), "left")
       .select($"doc_id", $"cand",
         ($"ng" * $"bits0" + coalesce($"dl", lit(0L))).as("score"))
+    scored
+  }
+
+  def langNb(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     // argmin with deterministic tie-break = lexicographic min over the
     // (score, cand) struct — a MERGEABLE aggregate (map-side combinable),
     // not a per-doc window sort; at scale the per-partition partial mins
     // shrink the exchange to one row per (partition, doc)
-    val pred = scored
+    val pred = nbScores(s, dir)
       .groupBy($"doc_id")
       .agg(min(struct($"score", $"cand")).as("b"))
       .select($"doc_id", $"b.cand".as("pred_lang"), $"b.score".as("score"))
@@ -308,6 +315,45 @@ object TextOps {
       |  CASE WHEN d.lang = p.pred_lang THEN 1 ELSE 0 END AS correct
       |FROM documents d JOIN pr p ON d.doc_id = p.doc_id AND p.rn = 1
       |ORDER BY d.doc_id""".stripMargin
+
+  /** Classifier CONFIDENCE margin: per doc, the NB score gap (integer
+    * bits) between the best and second-best language — the number a
+    * routing pipeline thresholds on ("margin < τ → route to the heavier
+    * classifier / drop the doc"), and the quantity reliability plots bin
+    * by. Margin 0 = the classifier genuinely can't tell (tie).
+    *
+    * Scale: the same [[nbScores]] frame as [[langNb]] (shared shape, no
+    * extra corpus pass beyond the scoring join); top-2 per doc via a
+    * rank window bounded at 2 — the GroupedTopK rewrite picks this up
+    * under the production session, so per-doc state is two rows, not a
+    * |langs|-row sort buffer.
+    */
+  def langIdMargin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val top2 = nbScores(s, dir)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"doc_id").orderBy($"score", $"cand")))
+      .filter($"rn" <= 2)
+    top2.groupBy($"doc_id")
+      .agg(min(when($"rn" === 1, struct($"score", $"cand"))).as("b1"),
+        min(when($"rn" === 2, $"score")).as("s2"))
+      .select($"doc_id", $"b1.cand".as("pred_lang"),
+        ($"s2" - $"b1.score").as("margin_bits"))
+      .orderBy($"doc_id")
+  }
+
+  lazy val langIdMarginSql: String = {
+    // same CTE chain as langNbSql up to the ranked per-doc scores
+    val base = langNbSql.substring(0, langNbSql.indexOf("SELECT d.doc_id"))
+    base +
+      """,m1 AS (SELECT doc_id, pred_lang, score FROM pr WHERE rn = 1),
+        |m2 AS (SELECT doc_id, score FROM pr WHERE rn = 2)
+        |SELECT m1.doc_id, m1.pred_lang,
+        |  (m2.score - m1.score)::BIGINT AS margin_bits
+        |FROM m1 JOIN m2 ON m1.doc_id = m2.doc_id
+        |ORDER BY m1.doc_id""".stripMargin
+  }
 
   /** Document fingerprint: polynomial rolling hash over all chars,
     * (acc*31 + ascii(c)) mod 1e9+7, init 7 — a real content fingerprint
@@ -3992,6 +4038,7 @@ object TextOps {
     "sample_leakage_split" -> leakageSafeSplit _,
     "dedup_lsh_tuning" -> lshTuning _,
     "text_corpus_profile" -> corpusProfile _,
+    "text_langid_margin" -> langIdMargin _,
     "text_ngram_novelty" -> ngramNovelty _,
     "dedup_exact" -> dedupExact _,
     "dedup_cdc_chunks" -> cdcChunks _,
@@ -4054,6 +4101,7 @@ object TextOps {
     "sample_leakage_split" -> leakageSafeSplitSql,
     "dedup_lsh_tuning" -> lshTuningSql,
     "text_corpus_profile" -> corpusProfileSql,
+    "text_langid_margin" -> langIdMarginSql,
     "text_ngram_novelty" -> ngramNoveltySql,
     "dedup_exact" -> dedupExactSql,
     "dedup_cdc_chunks" -> cdcChunksSql,

@@ -81,7 +81,14 @@ class PlanGuardSpec extends SparkSpec {
     "sample_epoch_mix" -> 1,
     // three bounded 1-row summary frames composed into the card row
     // (+ the |langs|-row HHI's 1-row total)
-    "text_corpus_profile" -> 3)
+    "text_corpus_profile" -> 3,
+    // composes cosine_topk + lsh_topk, inherits their broadcast probes
+    "sim_recall_curve" -> 2,
+    // same nbScores subtree as text_lang_nb, inherits its two bounded
+    // broadcast frames (|langs| candidates + the 1-row vocab)
+    "text_langid_margin" -> 2,
+    // 1-row broadcast revenue-total frame under the 10-row decile window
+    "ev_whale_curve" -> 1)
 
   test("no query plans an accidental nested-loop or cartesian join") {
     def crossCount(plan: String): Int =
