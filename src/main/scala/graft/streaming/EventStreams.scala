@@ -190,6 +190,58 @@ object EventStreams {
       }
   }
 
+  /** SKETCH-VALUED streaming state: per-day HyperLogLog registers kept in
+    * mapGroupsWithState, max-merged on every micro-batch — the streaming
+    * twin of [[graft.operators.Sketches.hllDaily]] (same 64-register
+    * layout, same avalanched hash, so the converged registers are
+    * BIT-IDENTICAL to the batch operator's — asserted in
+    * EventStreamsSpec). This is the production shape for "distinct users
+    * per window" on an unbounded stream: state per key is a FIXED 64
+    * bytes regardless of cardinality (a distinct-set would grow with
+    * users), and max-merge is commutative + idempotent, so arrival order
+    * and micro-batch boundaries cannot change the answer — replays and
+    * out-of-order batches are safe by algebra, not by bookkeeping.
+    *
+    * At scale: keys (days) are bounded and old days stop receiving
+    * events; a GroupStateTimeout would evict them after the retention
+    * horizon. Emission is the estimate row (not the registers), so
+    * downstream consumers see the same schema as the batch query.
+    */
+  case class HllState(regs: Array[Int])
+  case class HllDay(day: String, n_zero: Long, est_hll: Long)
+
+  def dailyHllState(events: DataFrame)
+      : org.apache.spark.sql.Dataset[HllDay] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val M = 2147483647L
+    events.select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("user_id"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[HllState, HllDay](GroupStateTimeout.NoTimeout) {
+        (day, it, state) =>
+          val regs = state.getOption.map(_.regs.clone())
+            .getOrElse(Array.fill(64)(0))
+          it.foreach { case (_, u) =>
+            val y1raw = (2654435761L * u + 12007L) % M
+            val y1 = y1raw ^ (y1raw >> 15)
+            val hraw = (1779033703L * y1 + 514229L) % M
+            val h = hraw ^ (hraw >> 13)
+            val j = (h % 64L).toInt
+            val w = h / 64L
+            val rho =
+              if (w == 0L) 26
+              else 26 - java.lang.Long.toBinaryString(w).length
+            if (rho > regs(j)) regs(j) = rho
+          }
+          state.update(HllState(regs))
+          val nZero = regs.count(_ == 0).toLong
+          val ssum = regs.map(m => math.pow(2.0, -m)).sum
+          HllDay(day, nZero, math.floor(0.709 * 4096.0 / ssum).toLong)
+      }
+  }
+
   /** flatMapGroupsWithState variant: emits zero-or-more rows per group per
     * micro-batch — here, one row per NEW high-value purchase ("alert"
     * shape: state tracks the running per-user max; only increases emit).

@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
-import graft.operators.Events
+import graft.operators.{Events, Sketches}
 import graft.sources.Tables
 
 /** Streaming ≡ batch: the incremental windowed aggregations must converge to
@@ -418,5 +418,25 @@ class EventStreamsSpec extends SparkSpec {
     assert(VersionedTable.versions(spark, path) == Seq(2, 3))
     assert(VersionedTable.read(spark, path)
       .collect().map(r => r.getDouble(1)).toSeq == Seq(3.0))
+  }
+  test("streaming per-day HLL state converges bit-identically to the " +
+      "batch sketch") {
+    val schema = spark.read.parquet(stagingDir).schema
+    val stream = EventStreams.readEvents(spark, stagingDir, schema)
+    val q = EventStreams.dailyHllState(stream)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("hll_out").start()
+    q.processAllAvailable(); q.stop()
+    // registers only grow under max-merge, so per day the CONVERGED
+    // emission is (min n_zero, max est) — order-agnostic over however
+    // the memory sink interleaved the micro-batch emissions
+    val emitted = spark.table("hll_out").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val got = emitted.groupBy(_._1).map { case (d, rows) =>
+      d -> ((rows.map(_._2).min, rows.map(_._3).max))
+    }
+    val want = Sketches.hllDaily(spark, sf("sf0.001")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == want)
   }
 }
