@@ -591,7 +591,49 @@ object Multimodal {
       |GROUP BY lab.label ORDER BY cluster""".stripMargin
       .replaceFirst("WITH ", "WITH RECURSIVE ")
 
+  /** CROSS-MODAL duplicate audit: for every TEXT near-dup candidate pair
+    * (the shingle-LSH banding), the perceptual-hash Hamming distance of
+    * the two docs' media payloads, with the agreement flag (`xmodal` = 1
+    * when both modalities call it a duplicate, Hamming ≤ 2). The
+    * precision move of multimodal curation: text-only dedup nukes
+    * image-different re-posts of the same boilerplate, media-only dedup
+    * merges captioned variants — requiring BOTH is the conservative
+    * action, and the disagreeing pairs are the human-review queue.
+    *
+    * Scale: the pair frame is the bounded LSH candidate set (never
+    * all-pairs); the two phash attachments are co-keyed hash joins; the
+    * Hamming flag is one codegen'd expression. media_id == doc_id by
+    * corpus construction — at scale this is the same join keyed by the
+    * pipeline's media↔doc link table.
+    */
+  def crossmodalDups(s: SparkSession, dir: String): DataFrame = {
+    val ph = phFrame(s, dir)
+    graft.operators.TextOps.shinglePairs(s, dir)
+      .join(ph.select(col("media_id").as("a"), col("phash").as("pa")),
+        Seq("a"))
+      .join(ph.select(col("media_id").as("b"), col("phash").as("pb")),
+        Seq("b"))
+      .select(col("a"), col("b"),
+        bit_count(col("pa").bitwiseXOR(col("pb"))).cast("long")
+          .as("hamming"))
+      .withColumn("xmodal",
+        when(col("hamming") <= 2, 1L).otherwise(0L))
+      .orderBy(col("a"), col("b"))
+  }
+
+  lazy val crossmodalDupsSql: String =
+    s"""WITH tp AS (SELECT a, b FROM (${graft.operators.TextOps.shinglePairsSql}) t),
+       |pha AS (SELECT media_id, phash FROM ($mediaPHashSql) p)
+       |SELECT tp.a, tp.b,
+       |  bit_count(xor(pa.phash, pb.phash))::BIGINT AS hamming,
+       |  (CASE WHEN bit_count(xor(pa.phash, pb.phash)) <= 2
+       |        THEN 1 ELSE 0 END)::BIGINT AS xmodal
+       |FROM tp JOIN pha pa ON tp.a = pa.media_id
+       |        JOIN pha pb ON tp.b = pb.media_id
+       |ORDER BY tp.a, tp.b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_crossmodal_dups" -> crossmodalDups _,
     "mm_phash_clusters" -> phashClusters _,
     "mm_scene_cuts" -> sceneCuts _,
     "mm_media_meta" -> mediaMeta _,
@@ -603,6 +645,7 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    "mm_crossmodal_dups" -> crossmodalDupsSql,
     "mm_phash_clusters" -> phashClustersSql,
     "mm_scene_cuts" -> sceneCutsSql,
     "mm_media_meta" -> mediaMetaSql,
