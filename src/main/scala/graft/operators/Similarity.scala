@@ -1059,6 +1059,45 @@ object Similarity {
       .orderBy($"qid", $"rn")
   }
 
+  /** PQ DISTORTION audit: per subspace, the total and mean quantization
+    * error (exact int64 squared L2 between each subvector and its
+    * assigned centroid) — the number that says whether the codebook is
+    * adequate BEFORE recall is measured (a subspace with outsized
+    * distortion is where M/nbits tuning pays; [[pqRecall]] then confirms
+    * the retrieval effect). Assigned error is min-over-centroids by
+    * definition, so this reads straight off the assignment join.
+    *
+    * Scale: the same one broadcast-codebook join as the encoder — the
+    * corpus is touched once; output is M rows.
+    */
+  def pqDistortion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sub = pqSub(qEmb(s, dir)).localCheckpoint(true)
+    val withN = broadcast(pqCodebook(sub).withColumn("cn2", norm2($"cq")))
+    sub.join(withN, Seq("m"))
+      .withColumn("d2", $"sn2" - lit(2L) * dot($"sq", $"cq") + $"cn2")
+      .groupBy($"vec_id", $"m").agg(min($"d2").as("d2"))
+      .groupBy($"m")
+      .agg(count(lit(1)).as("n_vecs"), sum($"d2").as("total_d2"))
+      .select($"m".cast("long").as("m"), $"n_vecs", $"total_d2",
+        floor($"total_d2" / $"n_vecs").cast("long").as("mean_d2"))
+      .orderBy($"m")
+  }
+
+  lazy val pqDistortionSql: String = qvecCte + pqCtes +
+    s""",
+       |pdist AS (
+       |  SELECT cd.vec_id, cd.m,
+       |    min(sn.sn2 - 2 * cd.d + cn.cn2)::BIGINT AS d2
+       |  FROM pcd$kmeansIters cd
+       |  JOIN psubn sn ON cd.vec_id = sn.vec_id AND cd.m = sn.m
+       |  JOIN pcn$kmeansIters cn ON cd.m = cn.m AND cd.cid = cn.cid
+       |  GROUP BY 1, 2)
+       |SELECT m::BIGINT AS m, count(*)::BIGINT AS n_vecs,
+       |  sum(d2)::BIGINT AS total_d2,
+       |  (sum(d2) // count(*))::BIGINT AS mean_d2
+       |FROM pdist GROUP BY m ORDER BY m""".stripMargin
+
   /** SQL mirror of the PQ fit + encode: subvector slices, the keyed
     * (m, cid) k-means (pcn/pcd/pa per iteration, ps/pk/pcent mean
     * requantization), ending in codes pa`kmeansIters` with psubn and the
@@ -2130,6 +2169,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_recall_curve" -> recallCurve _,
+    "sim_pq_distortion" -> pqDistortion _,
     "sim_outliers" -> labelOutliers _,
     "sim_nearest_centroid" -> nearestCentroid _,
     "sim_range_search" -> rangeSearch _,
@@ -2163,6 +2203,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "sim_recall_curve" -> recallCurveSql,
+    "sim_pq_distortion" -> pqDistortionSql,
     "sim_outliers" -> labelOutliersSql,
     "sim_nearest_centroid" -> nearestCentroidSql,
     "sim_range_search" -> rangeSearchSql,

@@ -1570,6 +1570,66 @@ object TextOps {
          |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
     }
 
+  /** Cluster PURITY audit: over the multi-member near-dup clusters, how
+    * often the members agree on language — the cheap ground-truth proxy
+    * for "is the banding merging unrelated documents" (true near-dups
+    * share a language essentially always, so impure clusters localize
+    * LSH false merges; the same audit runs against any trusted label).
+    * One summary row: multi-member cluster count, fully-pure count,
+    * member mass, and the member-weighted majority-label share in exact
+    * permille.
+    *
+    * Scale: rides the [[starContraction]] labels; purity is two
+    * mergeable aggregations on the cluster-keyed shuffle; singletons are
+    * excluded (trivially pure — they would only dilute the signal).
+    */
+  def clusterPurity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nodes = Tables.documents(s, dir).select($"doc_id")
+    val (labels, _) =
+      starContraction(nodes, shinglePairsOf(shingleCodes(s, dir)))
+    val perCl = labels
+      .join(Tables.documents(s, dir).select($"doc_id", $"lang"),
+        Seq("doc_id"))
+      .groupBy($"label", $"lang").agg(count(lit(1)).as("cnt"))
+      .groupBy($"label")
+      .agg(sum($"cnt").as("size"), max($"cnt").as("maxcnt"))
+      .filter($"size" >= 2L)
+    perCl.agg(count(lit(1)).as("n_multi_clusters"),
+      sum(when($"maxcnt" === $"size", 1L).otherwise(0L))
+        .as("n_pure_clusters"),
+      sum($"size").as("docs_in_multi"),
+      floor(lit(1000L) * sum($"maxcnt") / sum($"size")).cast("long")
+        .as("weighted_purity_pm"))
+  }
+
+  lazy val clusterPuritySql: String =
+    shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ") + shingleBandsCte + {
+      s""",
+         |edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+         |reach(node, m) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.a, r.m FROM edges e JOIN reach r ON e.b = r.node),
+         |lab AS (SELECT node AS doc_id, min(m) AS label FROM reach
+         |        GROUP BY node),
+         |cl AS (
+         |  SELECT lab.label, d.lang, count(*)::BIGINT AS cnt
+         |  FROM lab JOIN documents d ON lab.doc_id = d.doc_id
+         |  GROUP BY 1, 2),
+         |pc AS (
+         |  SELECT label, sum(cnt)::BIGINT AS size,
+         |    max(cnt)::BIGINT AS maxcnt
+         |  FROM cl GROUP BY label HAVING sum(cnt) >= 2)
+         |SELECT count(*)::BIGINT AS n_multi_clusters,
+         |  sum(CASE WHEN maxcnt = size THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_pure_clusters,
+         |  sum(size)::BIGINT AS docs_in_multi,
+         |  (1000 * sum(maxcnt) // sum(size))::BIGINT
+         |    AS weighted_purity_pm
+         |FROM pc""".stripMargin
+    }
+
   /** LEAKAGE-SAFE train/eval split: assign documents to splits by a
     * deterministic hash of their near-dup CLUSTER label, never of the
     * doc_id — so a near-duplicate family can never straddle the split
@@ -4110,6 +4170,7 @@ object TextOps {
     "graph_diameter_probe" -> diameterProbe _,
     "sample_leakage_split" -> leakageSafeSplit _,
     "dedup_lsh_tuning" -> lshTuning _,
+    "dedup_cluster_purity" -> clusterPurity _,
     "text_corpus_profile" -> corpusProfile _,
     "text_langid_margin" -> langIdMargin _,
     "text_ngram_novelty" -> ngramNovelty _,
@@ -4174,6 +4235,7 @@ object TextOps {
     "graph_diameter_probe" -> diameterProbeSql,
     "sample_leakage_split" -> leakageSafeSplitSql,
     "dedup_lsh_tuning" -> lshTuningSql,
+    "dedup_cluster_purity" -> clusterPuritySql,
     "text_corpus_profile" -> corpusProfileSql,
     "text_langid_margin" -> langIdMarginSql,
     "text_ngram_novelty" -> ngramNoveltySql,
