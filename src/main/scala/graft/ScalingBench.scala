@@ -160,6 +160,13 @@ object ScalingBench {
       // emission), per-node clustering coefficient (MPS wedge close over
       // the contracted graph)
       "text_ngram_novelty", "graph_clustering_coeff",
+      // session-3 wave 2: banding calibration (3 banded joins + candidate-
+      // bounded intersections over one signature pass), cluster-hash split
+      // (star-contraction + one agg), text-LSH × media-phash agreement
+      // (bounded pair frame + two co-keyed hash joins), nearest-class-mean
+      // probe (embedding side: broadcast centroids, |labels|× exploded fan)
+      "dedup_lsh_tuning", "sample_leakage_split", "mm_crossmodal_dups",
+      "sim_nearest_centroid",
       "dedup_ngram_overlap", "dedup_jaccard_pairs",
       "dedup_simhash_wide_pairs",
       "dedup_simhash_pairs", "dedup_minhash_pairs")
