@@ -738,7 +738,72 @@ object Events {
       |    AS cum_share_pm
       |FROM agg CROSS JOIN tot ORDER BY decile""".stripMargin
 
+  /** Cohort LTV curve: per weekly signup cohort (= the user's first
+    * active week, [[retention]]'s convention) and week offset, purchase
+    * revenue in exact cents plus the CUMULATIVE revenue-to-date — the
+    * lifetime-value curve a growth model fits. Cohort size rides along
+    * so readers can normalize per-user; offsets with zero purchases are
+    * absent by construction (the cumulative column stays correct —
+    * revenue only accrues on present rows).
+    *
+    * Scale: one window-min pass for cohorts (single user_id shuffle, no
+    * join-back), one (cohort, offset) mergeable agg over purchases, and
+    * the cumulative window over the small cohort × offset frame.
+    */
+  def cohortLtv(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+      .select($"user_id", $"event_type", date_trunc("week", $"ts").as("wk"),
+        round($"value" * 100).cast("long").as("cents"))
+      .withColumn("cohort0",
+        min($"wk").over(Window.partitionBy($"user_id")))
+    val sizes = ev.select($"user_id",
+        date_format($"cohort0", "yyyy-MM-dd").as("cohort")).distinct()
+      .groupBy($"cohort").agg(count(lit(1)).as("n_users"))
+    val rev = ev.filter($"event_type" === "purchase")
+      .select(date_format($"cohort0", "yyyy-MM-dd").as("cohort"),
+        floor(datediff($"wk", $"cohort0") / 7.0).cast("long")
+          .as("week_offset"),
+        $"cents")
+      .groupBy($"cohort", $"week_offset")
+      .agg(sum($"cents").as("rev_cents"))
+    rev.join(broadcast(sizes), Seq("cohort"))
+      .withColumn("cum_rev_cents", sum($"rev_cents").over(
+        Window.partitionBy($"cohort").orderBy($"week_offset")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select($"cohort", $"week_offset", $"n_users", $"rev_cents",
+        $"cum_rev_cents")
+      .orderBy($"cohort", $"week_offset")
+  }
+
+  val cohortLtvSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, date_trunc('week', ts) AS wk,
+      |    round(value * 100)::BIGINT AS cents
+      |  FROM events),
+      |fw AS (SELECT user_id, min(wk) AS cohort0 FROM ev GROUP BY user_id),
+      |sizes AS (
+      |  SELECT strftime(cohort0, '%Y-%m-%d') AS cohort,
+      |    count(*)::BIGINT AS n_users
+      |  FROM fw GROUP BY 1),
+      |rev AS (
+      |  SELECT strftime(fw.cohort0, '%Y-%m-%d') AS cohort,
+      |    floor(date_diff('day', fw.cohort0, ev.wk) / 7.0)::BIGINT
+      |      AS week_offset,
+      |    sum(ev.cents)::BIGINT AS rev_cents
+      |  FROM ev JOIN fw ON ev.user_id = fw.user_id
+      |  WHERE ev.event_type = 'purchase'
+      |  GROUP BY 1, 2)
+      |SELECT r.cohort, r.week_offset, s.n_users, r.rev_cents,
+      |  sum(r.rev_cents) OVER (PARTITION BY r.cohort ORDER BY r.week_offset
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+      |    AS cum_rev_cents
+      |FROM rev r JOIN sizes s ON r.cohort = s.cohort
+      |ORDER BY r.cohort, r.week_offset""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_cohort_ltv" -> cohortLtv _,
     "ev_whale_curve" -> whaleCurve _,
     "ev_user_lifecycle" -> userLifecycle _,
     "ev_conversion_lag" -> conversionLag _,
@@ -760,6 +825,7 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "ev_cohort_ltv" -> cohortLtvSql,
     "ev_whale_curve" -> whaleCurveSql,
     "ev_user_lifecycle" -> userLifecycleSql,
     "ev_conversion_lag" -> conversionLagSql,

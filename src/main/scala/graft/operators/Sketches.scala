@@ -1065,7 +1065,59 @@ object Sketches {
       |            4 * avail_tokens))::BIGINT AS deficit
       |FROM per CROSS JOIN tot ORDER BY source""".stripMargin
 
+  /** Mixing-temperature SWEEP: the per-language target shares at α = 1
+    * (natural), α = ½ (the [[alphaSample]] deployment value) and α = ¼
+    * (aggressive rebalancing), all in one query — the table a
+    * multilingual recipe reads to CHOOSE its temperature, not just apply
+    * one. Exact-integer weights at every temperature: n, ⌊√n⌋, and
+    * ⌊⁴√n⌋ = ⌊√⌊√n⌋⌋ (the nested-isqrt identity), with the same ≥1‰
+    * clamp as the shipped sampler so no language's share floors to zero.
+    *
+    * Scale: one mergeable language count, then everything runs on the
+    * 3·|langs|-row frame (the [[graft.operators.TextOps.thresholdCurve]]
+    * / lshTuning one-pass-many-configs discipline).
+    */
+  def temperatureSweep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.documents(s, dir)
+      .groupBy($"lang").agg(count(lit(1)).as("n_docs"))
+    val isqrt = floor(sqrt($"n_docs".cast("double"))).cast("long")
+    val i4rt = floor(sqrt(floor(sqrt($"n_docs".cast("double"))))).cast("long")
+    counts.select($"lang", $"n_docs", explode(array(
+        struct(lit(1000L).as("alpha_pm"), $"n_docs".as("w")),
+        struct(lit(500L).as("alpha_pm"), isqrt.as("w")),
+        struct(lit(250L).as("alpha_pm"), i4rt.as("w")))).as("e"))
+      .select($"lang", $"n_docs", $"e.alpha_pm".as("alpha_pm"),
+        $"e.w".as("weight"))
+      .withColumn("target_pm",
+        greatest(floor($"weight" * 1000L
+          / sum($"weight").over(Window.partitionBy($"alpha_pm")))
+          .cast("long"), lit(1L)))
+      .orderBy($"alpha_pm", $"lang")
+  }
+
+  val temperatureSweepSql: String =
+    """WITH c AS (
+      |  SELECT lang, count(*)::BIGINT AS n_docs FROM documents
+      |  GROUP BY lang),
+      |w AS (
+      |  SELECT lang, n_docs, 1000::BIGINT AS alpha_pm, n_docs AS weight
+      |  FROM c
+      |  UNION ALL
+      |  SELECT lang, n_docs, 500, floor(sqrt(n_docs::DOUBLE))::BIGINT
+      |  FROM c
+      |  UNION ALL
+      |  SELECT lang, n_docs, 250,
+      |    floor(sqrt(floor(sqrt(n_docs::DOUBLE))))::BIGINT
+      |  FROM c)
+      |SELECT lang, n_docs, alpha_pm, weight,
+      |  greatest((weight * 1000 // sum(weight)
+      |    OVER (PARTITION BY alpha_pm))::BIGINT, 1) AS target_pm
+      |FROM w ORDER BY alpha_pm, lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_temperature_sweep" -> temperatureSweep _,
     "sample_epoch_mix" -> epochMix _,
     "ev_hll_daily" -> hllDaily _,
     "sample_reservoir" -> reservoirSample _,
@@ -1085,6 +1137,7 @@ object Sketches {
   )
 
   val oracles: Map[String, String] = Map(
+    "sample_temperature_sweep" -> temperatureSweepSql,
     "sample_epoch_mix" -> epochMixSql,
     "ev_hll_daily" -> hllDailySql,
     "sample_reservoir" -> reservoirSampleSql,

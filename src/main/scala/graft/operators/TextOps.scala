@@ -2736,6 +2736,56 @@ object TextOps {
        |FROM p1 CROSS JOIN p2""".stripMargin
   }
 
+  /** Degree ASSORTATIVITY (Newman's r) of the contracted near-dup graph:
+    * the Pearson correlation of endpoint degrees over the directed edge
+    * list. Because the edge list is symmetrized, the two marginals are
+    * identical and r = (m·Σxy − (Σx)²) / (m·Σx² − (Σx)²) EXACTLY — no
+    * square root, so the permille result is pure integer arithmetic.
+    * Disassortative (r < 0) is the organic-web signature; strongly
+    * assortative near-dup graphs indicate template families linking to
+    * each other — another banding-health probe next to
+    * [[componentSizes]] and [[clusteringCoeff]].
+    *
+    * Scale: two degree joins + one mergeable 4-sum aggregation over the
+    * edge list; int64 headroom holds while m·maxdeg² < 2^63 (≈10¹²
+    * edges at hub degree 10³ — beyond any contracted graph here; beyond
+    * it, the sums move to DECIMAL(38)).
+    */
+  def assortativity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = groupPairsOf(s, dir)
+      .localCheckpoint(true)
+    val sym = pairs.select($"a".as("u"), $"b".as("v"))
+      .unionByName(pairs.select($"b".as("u"), $"a".as("v")))
+    val deg = sym.groupBy($"u").agg(count(lit(1)).as("d"))
+      .localCheckpoint(true) // joined at both endpoints
+    val st = sym
+      .join(deg.select($"u", $"d".as("x")), Seq("u"))
+      .join(deg.select($"u".as("v"), $"d".as("y")), Seq("v"))
+      .agg(count(lit(1)).as("m"), sum($"x").as("sx"),
+        sum($"x" * $"x").as("sxx"), sum($"x" * $"y").as("sxy"))
+    st.select($"m".as("m_edges"),
+        ($"m" * $"sxy" - $"sx" * $"sx").as("num"),
+        ($"m" * $"sxx" - $"sx" * $"sx").as("den"))
+      .withColumn("r_pm",
+        floor(lit(1000L) * $"num" / $"den").cast("long"))
+  }
+
+  val assortativitySql: String = groupGraphCte +
+    """, sym AS (SELECT a AS u, b AS v FROM gp
+      |         UNION ALL SELECT b, a FROM gp),
+      |dg AS (SELECT u, count(*)::BIGINT AS d FROM sym GROUP BY u),
+      |st AS (
+      |  SELECT count(*)::BIGINT AS m, sum(dx.d)::BIGINT AS sx,
+      |    sum(dx.d * dx.d)::BIGINT AS sxx,
+      |    sum(dx.d * dy.d)::BIGINT AS sxy
+      |  FROM sym JOIN dg dx ON sym.u = dx.u JOIN dg dy ON sym.v = dy.u)
+      |SELECT m AS m_edges, (m * sxy - sx * sx)::BIGINT AS num,
+      |  (m * sxx - sx * sx)::BIGINT AS den,
+      |  floor(1000.0 * (m * sxy - sx * sx)
+      |        / (m * sxx - sx * sx))::BIGINT AS r_pm
+      |FROM st""".stripMargin
+
   /** k-core decomposition (k=3, 4 peel rounds) of the group-contracted
     * near-dup graph: iteratively strip nodes with degree < k until a
     * fixpoint; what survives is the dense template-family core — the spam
@@ -4168,6 +4218,7 @@ object TextOps {
     "graph_clustering_coeff" -> clusteringCoeff _,
     "graph_component_sizes" -> componentSizes _,
     "graph_diameter_probe" -> diameterProbe _,
+    "graph_assortativity" -> assortativity _,
     "sample_leakage_split" -> leakageSafeSplit _,
     "dedup_lsh_tuning" -> lshTuning _,
     "dedup_cluster_purity" -> clusterPurity _,
@@ -4233,6 +4284,7 @@ object TextOps {
     "graph_clustering_coeff" -> clusteringCoeffSql,
     "graph_component_sizes" -> componentSizesSql,
     "graph_diameter_probe" -> diameterProbeSql,
+    "graph_assortativity" -> assortativitySql,
     "sample_leakage_split" -> leakageSafeSplitSql,
     "dedup_lsh_tuning" -> lshTuningSql,
     "dedup_cluster_purity" -> clusterPuritySql,
