@@ -1573,8 +1573,39 @@ object Relational {
       |  AND o_orderdate BETWEEN '1997-01-01' AND '1997-12-31'
       |GROUP BY n_name ORDER BY rev_cents DESC, n_name""".stripMargin
 
+  /** Q51 — TPC-H Q6 (forecasting revenue change) shape: one table, three
+    * pushable predicates, one sum — the canonical predicate-pushdown /
+    * scan-efficiency microbenchmark. Revenue effect in exact integer
+    * cents (row-wise rounding of identical doubles).
+    *
+    * Scale: the whole query is a single scan stage; every predicate
+    * reaches the parquet reader (`PushedFilters`), and with zone-mapped /
+    * partitioned layouts the shipdate range prunes files before any row
+    * is read.
+    */
+  def q51RevenueChange(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .filter($"l_shipdate".between("1996-01-01", "1996-12-31") &&
+        $"l_discount".between(0.05, 0.07) && $"l_quantity" < 24)
+      .select(round($"l_extendedprice" * $"l_discount" * 100)
+        .cast("long").as("cents"))
+      .agg(sum($"cents").as("revenue_effect_cents"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  val q51Sql: String =
+    """SELECT sum(round(l_extendedprice * l_discount * 100)::BIGINT)
+      |    ::BIGINT AS revenue_effect_cents,
+      |  count(*)::BIGINT AS n_lines
+      |FROM lineitem
+      |WHERE l_shipdate BETWEEN '1996-01-01' AND '1996-12-31'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24""".stripMargin
+
   /** All relational queries + oracles, consumed by SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q51_revenue_change" -> q51RevenueChange _,
     "q49_unshipped_orders" -> q49UnshippedOrders _,
     "q50_local_supplier_volume" -> q50LocalSupplierVolume _,
     "q47_order_count_dist" -> q47OrderCountDist _,
@@ -1626,6 +1657,7 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q51_revenue_change" -> q51Sql,
     "q49_unshipped_orders" -> q49Sql,
     "q50_local_supplier_volume" -> q50Sql,
     "q47_order_count_dist" -> q47Sql,
