@@ -802,7 +802,41 @@ object Events {
       |FROM rev r JOIN sizes s ON r.cohort = s.cohort
       |ORDER BY r.cohort, r.week_offset""".stripMargin
 
+  /** Traffic seasonality matrix: event counts per (day-of-week,
+    * hour-of-day) cell with permille share of the whole corpus — the
+    * capacity-planning / anomaly-baseline heatmap (ev_anomaly's 2σ test
+    * compares against daily volume; this is the finer within-week
+    * structure it normalizes away). ISO day numbering (1 = Monday) on
+    * both engines.
+    *
+    * Scale: one mergeable aggregation over the event stream into a fixed
+    * 7×24-cell frame; the share normalizer is a window over those ≤168
+    * rows.
+    */
+  def seasonality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    Tables.events(s, dir)
+      .select(dayofweek($"ts").as("dow_raw"), hour($"ts").as("hod"))
+      // Spark dayofweek: 1 = Sunday; re-index to ISO 1 = Monday
+      .select(((($"dow_raw" + 5) % 7) + 1).cast("long").as("iso_dow"),
+        $"hod".cast("long").as("hod"))
+      .groupBy($"iso_dow", $"hod")
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("share_pm",
+        floor($"n_events" * 1000L
+          / sum($"n_events").over(Window.partitionBy())).cast("long"))
+      .orderBy($"iso_dow", $"hod")
+  }
+
+  val seasonalitySql: String =
+    """SELECT isodow(ts)::BIGINT AS iso_dow, hour(ts)::BIGINT AS hod,
+      |  count(*)::BIGINT AS n_events,
+      |  (count(*) * 1000 // sum(count(*)) OVER ())::BIGINT AS share_pm
+      |FROM events GROUP BY 1, 2 ORDER BY iso_dow, hod""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_seasonality" -> seasonality _,
     "ev_cohort_ltv" -> cohortLtv _,
     "ev_whale_curve" -> whaleCurve _,
     "ev_user_lifecycle" -> userLifecycle _,
@@ -825,6 +859,7 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "ev_seasonality" -> seasonalitySql,
     "ev_cohort_ltv" -> cohortLtvSql,
     "ev_whale_curve" -> whaleCurveSql,
     "ev_user_lifecycle" -> userLifecycleSql,

@@ -39,6 +39,28 @@ class EngagementSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("seasonality conserves events and stays within the 7x24 grid") {
+    import spark.implicits._
+    val total = Tables.events(spark, dir).count()
+    val rows = Events.seasonality(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._3).sum == total)
+    rows.foreach { case (dow, hod, n, pm) =>
+      assert(dow >= 1L && dow <= 7L)
+      assert(hod >= 0L && hod <= 23L)
+      assert(pm == n * 1000L / total)
+    }
+    // an in-memory recount of one arbitrary cell
+    val ev = Tables.events(spark, dir)
+      .select($"ts".cast("string")).as[String].collect()
+      .map(t => java.time.LocalDateTime.parse(t.replace(" ", "T")))
+    val cell = rows.head
+    val expect = ev.count(t =>
+      t.getDayOfWeek.getValue.toLong == cell._1 &&
+        t.getHour.toLong == cell._2).toLong
+    assert(cell._3 == expect)
+  }
+
   test("rfm matches an exact recount and quintiles are balanced") {
     import spark.implicits._
     val ev = Tables.events(spark, dir)
