@@ -850,7 +850,7 @@ object TextOps {
     * Shingle codes fold the three word codes with the modular polynomial;
     * positions come from posexplode + lead(), identical in SQL.
     */
-  private def shingleCodes(s: SparkSession, dir: String): DataFrame =
+  private[operators] def shingleCodes(s: SparkSession, dir: String): DataFrame =
     shingleCodesOf(Tables.documents(s, dir))
 
   /** Shingle codes of an arbitrary document frame — lets callers shingle a
@@ -1146,7 +1146,7 @@ object TextOps {
   /** Candidate pairs from an already-built (doc_id, code) frame (unordered
     * — the public query adds the deterministic sort).
     */
-  private def shinglePairsOf(codes: DataFrame): DataFrame = {
+  private[operators] def shinglePairsOf(codes: DataFrame): DataFrame = {
     val s = codes.sparkSession
     import s.implicits._
     // materialized for the same reason as minhashPairs' signatures: band
