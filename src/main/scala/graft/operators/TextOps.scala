@@ -3854,6 +3854,89 @@ object TextOps {
       |  (CASE WHEN ttr >= thr THEN 1 ELSE 0 END)::BIGINT AS keep
       |FROM sc CROSS JOIN th ORDER BY doc_id""".stripMargin
 
+  /** Token budgeting on EFFECTIVE tokens — [[tokenBudget]]'s quality
+    * threshold recomputed with every document's mass discounted by its
+    * soft-dedup weight ([[softWeights]]: 1/cluster-size in permille), in
+    * exact integer MILLI-tokens. The honest form of the budget cut: a
+    * corpus full of near-dup families has much less effective data than
+    * raw token counts claim, so the raw-budget threshold over-prunes
+    * unique text while duplicated text sails through on volume. The
+    * threshold found here fits the SAME 10% budget measured in effective
+    * mass; the divergence between the two thresholds is itself the
+    * duplication signal.
+    *
+    * Scale: the weight attach is one doc_id-keyed join on the
+    * contraction labels; everything else is the tokenBudget shape (one
+    * corpus pass, ≤1001-bucket cumulative frame, 1-row threshold).
+    */
+  def softBudget(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val nodes = Tables.documents(s, dir).select($"doc_id")
+    val (labels, _) =
+      starContraction(nodes, shinglePairsOf(shingleCodes(s, dir)))
+    val weights = labels.groupBy($"label").agg(count(lit(1)).as("nm"))
+      .join(labels, Seq("label"))
+      .select($"doc_id", floor(lit(1000L) / $"nm").cast("long").as("wpm"))
+    val stream = Tables.documents(s, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("w"))
+    val sc = stream.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct($"w").as("n_distinct"))
+      .withColumn("ttr",
+        floor($"n_distinct" * 1000L / $"n_tokens").cast("long"))
+      .join(weights, Seq("doc_id"))
+      .withColumn("eff_mtok", $"n_tokens" * $"wpm")
+      .localCheckpoint(true) // budget agg, bucket agg, final probe
+    val bud = sc.agg(floor(sum($"eff_mtok") / 10L).cast("long").as("budget"))
+    val cm = sc.groupBy($"ttr").agg(sum($"eff_mtok").as("btok"))
+      .withColumn("cum", sum($"btok").over(Window.orderBy($"ttr".desc)))
+    val th = cm.crossJoin(broadcast(bud)).filter($"cum" <= $"budget")
+      .agg(min($"ttr").as("thr"))
+    sc.crossJoin(broadcast(th))
+      .select($"doc_id", $"n_tokens", $"wpm".as("weight_permille"),
+        $"eff_mtok", $"ttr".as("ttr_permille"),
+        when($"ttr" >= $"thr", 1L).otherwise(0L).as("keep"))
+      .orderBy($"doc_id")
+  }
+
+  lazy val softBudgetSql: String =
+    shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ") + shingleBandsCte + {
+      """,
+        |edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+        |reach(node, m) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.a, r.m FROM edges e JOIN reach r ON e.b = r.node),
+        |lab AS (SELECT node AS doc_id, min(m)::BIGINT AS cluster
+        |        FROM reach GROUP BY node),
+        |szc AS (SELECT cluster, count(*)::BIGINT AS nm FROM lab
+        |        GROUP BY cluster),
+        |wts AS (
+        |  SELECT lab.doc_id, (1000 // szc.nm)::BIGINT AS wpm
+        |  FROM lab JOIN szc ON lab.cluster = szc.cluster),
+        |ts AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |sc AS (
+        |  SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+        |    (count(DISTINCT t.w) * 1000 // count(*))::BIGINT AS ttr,
+        |    min(w2.wpm)::BIGINT AS wpm,
+        |    (count(*) * min(w2.wpm))::BIGINT AS eff_mtok
+        |  FROM ts t JOIN wts w2 ON t.doc_id = w2.doc_id
+        |  GROUP BY t.doc_id),
+        |bud AS (SELECT (sum(eff_mtok) // 10)::BIGINT AS budget FROM sc),
+        |cm AS (SELECT ttr, sum(btok) OVER (ORDER BY ttr DESC) AS cum
+        |       FROM (SELECT ttr, sum(eff_mtok)::BIGINT AS btok
+        |             FROM sc GROUP BY ttr) z),
+        |th AS (SELECT min(ttr) AS thr FROM cm CROSS JOIN bud
+        |       WHERE cum <= budget)
+        |SELECT doc_id, n_tokens, wpm AS weight_permille, eff_mtok,
+        |  ttr AS ttr_permille,
+        |  (CASE WHEN ttr >= thr THEN 1 ELSE 0 END)::BIGINT AS keep
+        |FROM sc CROSS JOIN th ORDER BY doc_id""".stripMargin
+    }
+
   // ---- RAG chunking ----
 
   /** Overlapping sliding-window chunking (window 32 tokens, stride 24 — a
@@ -4222,6 +4305,7 @@ object TextOps {
     "sample_leakage_split" -> leakageSafeSplit _,
     "dedup_lsh_tuning" -> lshTuning _,
     "dedup_cluster_purity" -> clusterPurity _,
+    "sample_soft_budget" -> softBudget _,
     "text_corpus_profile" -> corpusProfile _,
     "text_langid_margin" -> langIdMargin _,
     "text_ngram_novelty" -> ngramNovelty _,
@@ -4288,6 +4372,7 @@ object TextOps {
     "sample_leakage_split" -> leakageSafeSplitSql,
     "dedup_lsh_tuning" -> lshTuningSql,
     "dedup_cluster_purity" -> clusterPuritySql,
+    "sample_soft_budget" -> softBudgetSql,
     "text_corpus_profile" -> corpusProfileSql,
     "text_langid_margin" -> langIdMarginSql,
     "text_ngram_novelty" -> ngramNoveltySql,

@@ -90,7 +90,10 @@ class PlanGuardSpec extends SparkSpec {
     // 1-row broadcast revenue-total frame under the 10-row decile window
     "ev_whale_curve" -> 1,
     // the two 1-row sweep-result frames composed into the probe row
-    "graph_diameter_probe" -> 1)
+    "graph_diameter_probe" -> 1,
+    // 1-row broadcast effective-budget frame × the 1-row threshold frame
+    // (same shape as sample_token_budget's whitelist entry)
+    "sample_soft_budget" -> 2)
 
   test("no query plans an accidental nested-loop or cartesian join") {
     def crossCount(plan: String): Int =
