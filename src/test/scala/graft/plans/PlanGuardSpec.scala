@@ -93,7 +93,9 @@ class PlanGuardSpec extends SparkSpec {
     "graph_diameter_probe" -> 1,
     // 1-row broadcast effective-budget frame × the 1-row threshold frame
     // (same shape as sample_token_budget's whitelist entry)
-    "sample_soft_budget" -> 2)
+    "sample_soft_budget" -> 2,
+    // 1-row broadcast exact-count frame joined to the 3-row sweep
+    "sketch_hll_sweep" -> 1)
 
   test("no query plans an accidental nested-loop or cartesian join") {
     def crossCount(plan: String): Int =
