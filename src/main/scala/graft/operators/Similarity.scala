@@ -2167,7 +2167,83 @@ object Similarity {
        |    AS recall_pm
        |FROM k ORDER BY k""".stripMargin
 
+  /** SQ8 ranking quality as SPEARMAN's ρ: per probe query, the rank
+    * correlation between the code-only ranking and the exact-cosine
+    * ranking over the WHOLE corpus — the eval that catches what recall@k
+    * can't (an index can nail the top-3 while garbling the rest of the
+    * ordering; reranking and calibration layers care about the rest).
+    * Both rankings totally ordered (score desc, vec_id), so d² is
+    * deterministic; ρ = 1 − 6Σd²/(n(n²−1)) is computed CROSS-MULTIPLIED
+    * into exact integers — no float ever crosses engines.
+    *
+    * Scale: two broadcast-probe corpus scans (exact + codes — the second
+    * reads the 8×-smaller code column), two bounded rank windows keyed
+    * by qid, one (qid, vec_id) join, one mergeable Σd² agg.
+    */
+  def sqSpearman(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val emb = qEmb(s, dir)
+    val queries = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"q".as("qq"), $"n2".as("qn2"))
+    val exact = emb.crossJoin(broadcast(queries))
+      .filter($"vec_id" =!= $"qid")
+      .withColumn("cos",
+        round(dot($"q", $"qq").cast("double")
+          / (sqrt($"n2".cast("double")) * sqrt($"qn2".cast("double"))), 4))
+      .withColumn("re", row_number().over(
+        Window.partitionBy($"qid").orderBy($"cos".desc, $"vec_id"))
+        .cast("long"))
+      .select($"qid", $"vec_id", $"re")
+    val approx = sqScored(s, dir)
+      .withColumn("ra", row_number().over(
+        Window.partitionBy($"qid").orderBy($"cos_sq".desc, $"vec_id"))
+        .cast("long"))
+      .select($"qid", $"vec_id", $"ra")
+    exact.join(approx, Seq("qid", "vec_id"))
+      .groupBy($"qid")
+      .agg(count(lit(1)).as("n"),
+        sum(($"re" - $"ra") * ($"re" - $"ra")).as("sum_d2"))
+      .select($"qid", $"n", $"sum_d2",
+        floor((lit(1000L) * ($"n" * ($"n" * $"n" - 1L))
+          - lit(6000L) * $"sum_d2")
+          / ($"n" * ($"n" * $"n" - 1L))).cast("long").as("rho_pm"))
+      .orderBy($"qid")
+  }
+
+  lazy val sqSpearmanSql: String = qvecCte + sqCtes +
+    """, edots AS (
+      |  SELECT qid, vec_id, sum(x * y) AS d FROM (
+      |    SELECT q.vec_id AS qid, e.vec_id,
+      |           unnest(q.q) AS x, unnest(e.q) AS y
+      |    FROM (SELECT vec_id, q FROM qv WHERE vec_id < 10) q
+      |    JOIN qv e ON e.vec_id <> q.vec_id) z
+      |  GROUP BY 1, 2),
+      |erank AS (
+      |  SELECT edots.qid, edots.vec_id,
+      |    row_number() OVER (PARTITION BY edots.qid ORDER BY
+      |      round(d / (sqrt(nq.n2) * sqrt(ne.n2)), 4) DESC, edots.vec_id)
+      |      ::BIGINT AS re
+      |  FROM edots JOIN nrm nq ON edots.qid = nq.vec_id
+      |             JOIN nrm ne ON edots.vec_id = ne.vec_id),
+      |arank AS (
+      |  SELECT qid, vec_id,
+      |    row_number() OVER (PARTITION BY qid
+      |      ORDER BY cos_sq DESC, vec_id)::BIGINT AS ra
+      |  FROM sqscored),
+      |dd AS (
+      |  SELECT e.qid, count(*)::BIGINT AS n,
+      |    sum((e.re - a.ra) * (e.re - a.ra))::BIGINT AS sum_d2
+      |  FROM erank e JOIN arank a
+      |    ON e.qid = a.qid AND e.vec_id = a.vec_id
+      |  GROUP BY e.qid)
+      |SELECT qid, n, sum_d2,
+      |  ((1000 * (n * (n * n - 1)) - 6000 * sum_d2)
+      |    // (n * (n * n - 1)))::BIGINT AS rho_pm
+      |FROM dd ORDER BY qid""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_sq_spearman" -> sqSpearman _,
     "sim_recall_curve" -> recallCurve _,
     "sim_pq_distortion" -> pqDistortion _,
     "sim_outliers" -> labelOutliers _,
@@ -2202,6 +2278,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "sim_sq_spearman" -> sqSpearmanSql,
     "sim_recall_curve" -> recallCurveSql,
     "sim_pq_distortion" -> pqDistortionSql,
     "sim_outliers" -> labelOutliersSql,

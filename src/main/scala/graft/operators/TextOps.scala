@@ -1309,6 +1309,65 @@ object TextOps {
       |  (SELECT count(*) FROM jac WHERE jac >= threshold)::BIGINT AS n_pairs
       |FROM t ORDER BY threshold""".stripMargin
 
+  /** b-BIT minwise hashing (Li & König 2010, b = 1): for every shingle-LSH
+    * candidate pair, the count of 1-bit minhash agreements across the 8
+    * permutations, the debiased resemblance estimate Ĵ = 2·(c/8) − 1
+    * (a 1-bit collision happens at rate J + (1 − J)/2, so the raw rate
+    * must be unskewed — the whole point of the paper), and the EXACT
+    * Jaccard alongside as the error surface. This is the storage
+    * trade the sketch family ends on: 1 bit per permutation is 32×
+    * smaller than the 4-byte minhash, paid for in estimator variance —
+    * visible here as est_pm's 125-permille quantization against the
+    * smooth exact column.
+    *
+    * Scale: signatures and the candidate-bounded intersection are the
+    * measured [[thresholdCurve]] shapes; the bit comparisons are one
+    * codegen'd expression over the joined signature rows.
+    */
+  def bbitPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val codes = shingleCodes(s, dir).localCheckpoint(true)
+    val sigs = shingleMinhashOf(codes)
+    val sizes = shingleSizes(codes)
+    def side(tag: String): DataFrame =
+      sigs.select(col("doc_id").as(tag) +:
+        A.indices.map(j => (col(s"mh$j") % 2L).as(s"$tag$j")): _*)
+    val cand = shinglePairsOf(codes)
+    val collide = A.indices
+      .map(j => when(col(s"a$j") === col(s"b$j"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val jac = shingleInterCounts(codes)
+      .join(sizes.select($"doc_id".as("a"), $"n".as("na")), Seq("a"))
+      .join(sizes.select($"doc_id".as("b"), $"n".as("nb")), Seq("b"))
+      .select($"a", $"b",
+        round($"c" * 1.0 / ($"na" + $"nb" - $"c"), 4).as("jaccard"))
+    cand.join(side("a"), Seq("a")).join(side("b"), Seq("b"))
+      .select($"a", $"b", collide.as("n_collide"))
+      .withColumn("est_pm",
+        greatest((lit(2L) * $"n_collide" - 8L) * 125L, lit(0L)))
+      .join(jac, Seq("a", "b"))
+      .orderBy($"a", $"b")
+  }
+
+  lazy val bbitPairsSql: String = shingleCte + shingleBandsCte +
+    shingleInterCte + {
+      val collide = A.indices
+        .map(j => s"CASE WHEN sa.mh$j % 2 = sb.mh$j % 2 THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s""",
+         |bb AS (
+         |  SELECT p.a, p.b, ($collide)::BIGINT AS n_collide
+         |  FROM pairs p JOIN sigs sa ON p.a = sa.doc_id
+         |               JOIN sigs sb ON p.b = sb.doc_id)
+         |SELECT bb.a, bb.b, bb.n_collide,
+         |  greatest((2 * bb.n_collide - 8) * 125, 0)::BIGINT AS est_pm,
+         |  round(i.c * 1.0 / (sza.n + szb.n - i.c), 4) AS jaccard
+         |FROM bb JOIN inter i ON bb.a = i.a AND bb.b = i.b
+         |JOIN sz sza ON bb.a = sza.doc_id
+         |JOIN sz szb ON bb.b = szb.doc_id
+         |ORDER BY bb.a, bb.b""".stripMargin
+    }
+
   /** LSH BANDING calibration (the (b, r) knob of the Broder/MMDS S-curve
     * P(candidate) = 1 − (1 − J^r)^b): the same 8 shingle-minhash perms
     * banded three ways — (2 bands × 4 rows, the shipped config), (4 × 2),
@@ -4306,6 +4365,7 @@ object TextOps {
     "dedup_lsh_tuning" -> lshTuning _,
     "dedup_cluster_purity" -> clusterPurity _,
     "sample_soft_budget" -> softBudget _,
+    "dedup_bbit_pairs" -> bbitPairs _,
     "text_corpus_profile" -> corpusProfile _,
     "text_langid_margin" -> langIdMargin _,
     "text_ngram_novelty" -> ngramNovelty _,
@@ -4373,6 +4433,7 @@ object TextOps {
     "dedup_lsh_tuning" -> lshTuningSql,
     "dedup_cluster_purity" -> clusterPuritySql,
     "sample_soft_budget" -> softBudgetSql,
+    "dedup_bbit_pairs" -> bbitPairsSql,
     "text_corpus_profile" -> corpusProfileSql,
     "text_langid_margin" -> langIdMarginSql,
     "text_ngram_novelty" -> ngramNoveltySql,

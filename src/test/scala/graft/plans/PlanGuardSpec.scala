@@ -95,7 +95,10 @@ class PlanGuardSpec extends SparkSpec {
     // (same shape as sample_token_budget's whitelist entry)
     "sample_soft_budget" -> 2,
     // 1-row broadcast exact-count frame joined to the 3-row sweep
-    "sketch_hll_sweep" -> 1)
+    "sketch_hll_sweep" -> 1,
+    // exact-cosine + SQ8-code scans, each against the 10-row broadcast
+    // probe set
+    "sim_sq_spearman" -> 2)
 
   test("no query plans an accidental nested-loop or cartesian join") {
     def crossCount(plan: String): Int =
