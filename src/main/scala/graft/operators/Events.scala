@@ -528,29 +528,39 @@ object Events {
     * user-value decomposition.
     *
     * Scale: one user-keyed mergeable aggregation over events; the anchor
-    * is a 1-row broadcast aggregate; the ntile windows run over the USER
-    * dimension (already reduced — users ≪ events), not the event stream.
+    * is a 1-row broadcast aggregate; the three quintile assignments run
+    * as two-pass global ranks ([[GlobalOrder.rank]] — range partition,
+    * local rank, broadcast offsets) + the closed-form ntile bucket
+    * arithmetic ([[GlobalOrder.ntileFromRank]]). No unpartitioned ntile
+    * window over the user dimension — the user dimension is reduced but
+    * UNBOUNDED at scale, so it gets the same two-pass treatment as the
+    * corpus itself.
     */
   def rfm(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
     val ev = Tables.events(s, dir)
       .select(to_date($"ts").as("day"), $"user_id",
         round($"value" * 100).cast("long").as("cents"))
-    val anchor = ev.agg(max($"day").as("anchor"))
+    // 1-row bounded aggregate → driver literal (same regime as the
+    // GlobalOrder offset table): keeps the anchor out of the plan as a
+    // cross join, whose printout would otherwise replicate through the
+    // three ranked frames' cached lineages
+    val anchorDay = ev.agg(max($"day")).head().getDate(0)
     val peruser = ev.groupBy($"user_id")
       .agg(max($"day").as("last_day"), count(lit(1)).as("f"),
         sum($"cents").as("m_cents"))
-      .crossJoin(broadcast(anchor))
-      .select($"user_id", datediff($"anchor", $"last_day").cast("long")
+      .select($"user_id", datediff(lit(anchorDay), $"last_day").cast("long")
         .as("r_days"), $"f", $"m_cents")
-    peruser
-      .withColumn("r_q", ntile(5).over(
-        Window.orderBy($"r_days", $"user_id")).cast("long"))
-      .withColumn("f_q", ntile(5).over(
-        Window.orderBy($"f".desc, $"user_id")).cast("long"))
-      .withColumn("m_q", ntile(5).over(
-        Window.orderBy($"m_cents".desc, $"user_id")).cast("long"))
+    val (r1, n) =
+      GlobalOrder.rank(peruser, Seq($"r_days", $"user_id"), "r_rnk")
+    val (r2, _) =
+      GlobalOrder.rank(r1, Seq($"f".desc, $"user_id"), "f_rnk")
+    val (r3, _) =
+      GlobalOrder.rank(r2, Seq($"m_cents".desc, $"user_id"), "m_rnk")
+    r3.select($"user_id", $"r_days", $"f", $"m_cents",
+        GlobalOrder.ntileFromRank($"r_rnk", n, 5).cast("long").as("r_q"),
+        GlobalOrder.ntileFromRank($"f_rnk", n, 5).cast("long").as("f_q"),
+        GlobalOrder.ntileFromRank($"m_rnk", n, 5).cast("long").as("m_q"))
       .orderBy($"user_id")
   }
 
@@ -691,8 +701,11 @@ object Events {
     * Pareto/80-20 readout). All integer arithmetic; the cumulative sum
     * runs over the 10-row decile frame.
     *
-    * Scale: one user-keyed mergeable agg over events; the ntile window
-    * runs on the reduced user dimension; the share math on 10 rows.
+    * Scale: one user-keyed mergeable agg over events; the decile
+    * assignment is a two-pass global rank ([[GlobalOrder.rank]]) + the
+    * closed-form ntile arithmetic — no unpartitioned window over the
+    * (unbounded-at-scale) user dimension; the cumulative-share window
+    * runs on the bounded 10-row decile frame.
     */
   def whaleCurve(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -700,9 +713,11 @@ object Events {
     val perUser = Tables.events(s, dir)
       .select($"user_id", round($"value" * 100).cast("long").as("cents"))
       .groupBy($"user_id").agg(sum($"cents").as("m"))
-    val deciles = perUser
-      .withColumn("decile", ntile(10).over(
-        Window.orderBy($"m".desc, $"user_id")).cast("long"))
+    val (rankedUsers, nUsers) =
+      GlobalOrder.rank(perUser, Seq($"m".desc, $"user_id"), "rnk")
+    val deciles = rankedUsers
+      .withColumn("decile",
+        GlobalOrder.ntileFromRank($"rnk", nUsers, 10).cast("long"))
       .groupBy($"decile")
       .agg(count(lit(1)).as("n_users"), sum($"m").as("decile_cents"))
     val tot = deciles.agg(sum($"decile_cents").as("t"))

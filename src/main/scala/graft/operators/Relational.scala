@@ -529,20 +529,32 @@ object Relational {
       |FROM cust FULL OUTER JOIN big ON c_custkey = o_custkey
       |ORDER BY k""".stripMargin
 
-  /** Q22 — rank-statistics windows: ntile, percent_rank, cume_dist over a
-    * unique ordering (ties impossible → cross-engine identical).
+  /** Q22 — rank-statistics battery: ntile, percent_rank, cume_dist over a
+    * unique ordering (ties impossible → cross-engine identical). All
+    * three are pure functions of the global rank r and the row count N —
+    * ntile via the closed-form bucket arithmetic, percent_rank =
+    * (r−1)/(N−1), cume_dist = r/N (ties impossible, so the peer group is
+    * the row itself) — so the battery rides ONE two-pass global rank
+    * ([[graft.operators.GlobalOrder.rank]]) instead of three
+    * single-reducer global windows over the (unbounded-at-scale)
+    * customer dimension. The doubles are IEEE divisions of identical
+    * exact integers in both engines, hence bit-identical.
     */
   def q22WindowStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.customer(s, dir)
+    val base = Tables.customer(s, dir)
       .filter($"c_custkey" % 10 === 0)
       .select($"c_custkey", round($"c_acctbal", 2).as("bal"))
-      .withColumn("quartile", ntile(4).over(
-        Window.orderBy($"bal".desc, $"c_custkey")))
-      .withColumn("pr", round(percent_rank().over(
-        Window.orderBy($"bal".desc, $"c_custkey")), 4))
-      .withColumn("cd", round(cume_dist().over(
-        Window.orderBy($"bal".desc, $"c_custkey")), 4))
+    val (ranked, n) = graft.operators.GlobalOrder.rank(
+      base, Seq($"bal".desc, $"c_custkey"), "rnk")
+    val den = math.max(n - 1, 1L)
+    ranked
+      .withColumn("quartile",
+        graft.operators.GlobalOrder.ntileFromRank($"rnk", n, 4).cast("int"))
+      .withColumn("pr",
+        round(($"rnk" - 1).cast("double") / lit(den.toDouble), 4))
+      .withColumn("cd", round($"rnk".cast("double") / lit(n.toDouble), 4))
+      .select($"c_custkey", $"bal", $"quartile", $"pr", $"cd")
       .orderBy($"c_custkey")
   }
 

@@ -860,22 +860,23 @@ object Sketches {
     * fleet consumes — near-equal token shards mean near-equal step times
     * across data-parallel workers.
     *
-    * Scale: the prefix sum is ONE global running-total window here; at
-    * 100 TB the same assignment runs as the standard two-pass form —
+    * Scale: the prefix sum runs as the standard two-pass form
+    * ([[GlobalOrder.cumsum]]) — hash-order `repartitionByRange`,
     * per-partition token sums, a partitions-sized offset table broadcast
-    * back, per-partition local cumsum + offset (identical output; the
-    * hash-order `repartitionByRange` gives the sorted partitioning).
-    * Everything is exact int64, so shard boundaries are bit-stable.
+    * back, per-partition local cumsum + offset. No unpartitioned window
+    * anywhere; identical output to the single-window form by
+    * construction. Everything is exact int64, so shard boundaries are
+    * bit-stable.
     */
   def shardAssign(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
     val target = 2000L
     val docs = Tables.documents(s, dir)
       .select($"doc_id", size(split($"text", " ")).cast("long").as("toks"))
       .withColumn("hh", h($"doc_id", 52361L, 12007L))
-    val assigned = docs
-      .withColumn("cum", sum($"toks").over(Window.orderBy($"hh", $"doc_id")))
+    val (withCum, _) =
+      GlobalOrder.cumsum(docs, Seq($"hh", $"doc_id"), $"toks", "cum")
+    val assigned = withCum
       .withColumn("shard_id", expr(s"(cum - toks) div $target"))
     assigned.groupBy($"shard_id")
       .agg(count(lit(1)).as("n_docs"), sum($"toks").as("shard_tokens"),

@@ -4143,19 +4143,21 @@ object TextOps {
     * int64 (cross-multiplied, the [[Events]] anomaly-test idiom), and the
     * one division is a single rounded double of identical ints.
     *
-    * Scale: one token count (map-side combinable), one vocab-sized window
-    * for ranks (vocabulary ≪ corpus; a 100 TB corpus has ~10⁷ distinct
-    * tokens — a single-digit-GB frame), then O(vocab) arithmetic. The
-    * corpus-sized pass is only the first count.
+    * Scale: one token count (map-side combinable); vocabulary ranks come
+    * from the two-pass [[GlobalOrder.rank]] (range-partitioned local
+    * ranks + broadcast offsets — the vocabulary is ≪ corpus but still
+    * ~10⁷–10⁸ distinct tokens at 100 TB, too wide for a single-reducer
+    * global window); then O(vocab) arithmetic. The corpus-sized pass is
+    * only the first count.
     */
   def zipfCurve(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
     val freq = Tables.documents(s, dir)
       .select(explode(split($"text", " ")).as("w"))
       .groupBy($"w").agg(count(lit(1)).as("f"))
-    val ranked = freq
-      .withColumn("rnk", row_number().over(Window.orderBy($"f".desc, $"w")))
+    val (rankedRaw, _) =
+      GlobalOrder.rank(freq, Seq($"f".desc, $"w"), "rnk")
+    val ranked = rankedRaw
       .withColumn("x", length(bin($"rnk")).cast("long"))
       .withColumn("y", length(bin($"f")).cast("long"))
       .localCheckpoint(true) // bucket agg + regression agg

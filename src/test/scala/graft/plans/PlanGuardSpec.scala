@@ -75,8 +75,6 @@ class PlanGuardSpec extends SparkSpec {
     "sim_mmr_rerank" -> 1,
     // fixed 10-row broadcast probe set (radius search scan)
     "sim_range_search" -> 1,
-    // 1-row broadcast anchor-day aggregate (the recency reference)
-    "ev_rfm" -> 1,
     // 1-row broadcast corpus-totals frame (budget + source count)
     "sample_epoch_mix" -> 1,
     // three bounded 1-row summary frames composed into the card row
@@ -99,6 +97,54 @@ class PlanGuardSpec extends SparkSpec {
     // exact-cosine + SQ8-code scans, each against the 10-row broadcast
     // probe set
     "sim_sq_spearman" -> 2)
+
+  /** Queries whose plans legitimately contain a Window with EMPTY
+    * partitionSpec — Spark executes such a window on a SINGLE task
+    * (global sort into one reducer), so each entry must justify why its
+    * windowed frame is BOUNDED (constant-or-configuration-sized, never
+    * corpus/user/doc-dimension). Unbounded global orderings must use the
+    * two-pass [[graft.operators.GlobalOrder]] primitive instead — the
+    * round-10 verdict found three queries shipping the single-reducer
+    * form, which this sweep now makes unshippable.
+    *
+    * Known blind spot: an eager `localCheckpoint` truncates the logical
+    * plan, so a window UPSTREAM of one is invisible here (that is why
+    * `text_zipf_curve` was migrated to GlobalOrder rather than relying on
+    * this sweep) — new checkpointing queries need a manual plan read.
+    */
+  private val boundedGlobalWindows: Map[String, Int] = Map(
+    "ev_seasonality" -> 1, // 168-row (7 dow × 24 hod) share frame
+    "ev_whale_curve" -> 1, // 10-row decile cumulative-share frame
+    "graph_common_neighbors" -> 1, // 20-row post-limit top-pairs frame
+    "pipeline_stage_funnel" -> 1, // ≤5-row stage-funnel lag frame
+    "q46_top_customers" -> 1, // 20-row post-limit top-k frame
+    "q49_unshipped_orders" -> 1, // 10-row post-limit top-revenue frame
+    "sample_alpha" -> 2, // |langs|-row target-share + achievable-total
+    "sample_mixture" -> 1, // |domains|-row achievable-total frame
+    "sample_soft_budget" -> 1, // ≤1001-bucket ttr cumsum frame
+    "sample_token_budget" -> 1, // ≤1001-bucket ttr cumsum frame
+    "sim_ivf_balance" -> 1, // |cells|-row share frame (cells = config knob)
+    "sim_outliers" -> 1, // 20-row post-limit outlier-queue frame
+    "text_bm25_topk" -> 1, // 10-row post-limit top-score frame
+    "text_cooccur_lift" -> 1, // 20-row post-limit top-lift frame
+    "text_rake_phrases" -> 1) // 20-row post-limit top-phrase frame
+
+  test("no query plans a Window over an unpartitioned unbounded frame") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val n =
+          try fn(spark, sf("sf0.001")).queryExecution.optimizedPlan.collect {
+            case w: LWindow if w.partitionSpec.isEmpty => w
+          }.length
+          catch { case _: Throwable => -1 } // planning failures caught above
+        if (n > boundedGlobalWindows.getOrElse(name, 0) && n >= 0)
+          Some(name -> n)
+        else None
+    }
+    assert(offenders.isEmpty, "unpartitioned windows: " + offenders
+      .map { case (n, c) => s"$n=$c" }.mkString(", "))
+  }
 
   test("no query plans an accidental nested-loop or cartesian join") {
     def crossCount(plan: String): Int =
