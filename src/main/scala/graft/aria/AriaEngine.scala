@@ -48,21 +48,34 @@ object AriaEngine {
     * Reference semantics: every op reads its key; update ops additionally
     * write it (RMW — `TrancM_func.cuh:50-58`: update ⇒ read-set AND
     * write-set).
+    *
+    * MULTI-TABLE: the reference's database is a 2-D table registry
+    * (`src/database/common/database.h:10-22` — `tables[table_id][slot]`,
+    * all tables carrying the same YCSB row type). The Spark shape is ONE
+    * registry frame with a `table_id` column and ops addressing the
+    * composite key — every phase below takes `keyCols` (default
+    * `Seq("k")`, the single-table engine; `Seq("table_id", "k")` for the
+    * registry). Reservation/conflict semantics are unchanged: two ops
+    * conflict iff they touch the same (table, key) cell, so the same
+    * numeric key in DIFFERENT tables never conflicts. With the default,
+    * every plan is identical to the pre-generalization engine.
     */
 
   /** Execute-phase key filter: O14 skips ops whose key is absent from the
     * snapshot (`TrancM_func.cuh:32-34` `continue`). Left-semi join = exactly
     * "keep ops that found their key".
     */
-  def liveOps(ops: DataFrame, table: DataFrame, keyCol: String = "k"): DataFrame =
-    ops.join(table.select(col(keyCol).as("k")), Seq("k"), "left_semi")
+  def liveOps(ops: DataFrame, table: DataFrame,
+      keyCols: Seq[String] = Seq("k")): DataFrame =
+    ops.join(table.select(keyCols.map(col): _*), keyCols, "left_semi")
 
   /** O15 Reserve: per-key min-Tid read/write reservations.
     * rts = min Tid among readers (all ops read); wts = min Tid among writers.
     * Null wts/rts = "unreserved" (the reference's 0 sentinel).
     */
-  def reservations(ops: DataFrame): DataFrame =
-    ops.groupBy(col("k")).agg(
+  def reservations(ops: DataFrame,
+      keyCols: Seq[String] = Seq("k")): DataFrame =
+    ops.groupBy(keyCols.map(col): _*).agg(
       min(col("tid")).as("rts"),
       min(when(col("isUpdate"), col("tid"))).as("wts"))
 
@@ -74,8 +87,9 @@ object AriaEngine {
     * (rts ≤ tid always holds for own keys since every op reads, so
     * `rts < tid` ⟺ a strictly smaller reader exists; ditto wts.)
     */
-  def conflicts(ops: DataFrame, res: DataFrame): DataFrame =
-    ops.join(res, Seq("k"))
+  def conflicts(ops: DataFrame, res: DataFrame,
+      keyCols: Seq[String] = Seq("k")): DataFrame =
+    ops.join(res, keyCols)
       .groupBy(col("tid"))
       .agg(
         max(coalesce(col("wts") < col("tid"), lit(false))).as("raw"),
@@ -94,8 +108,9 @@ object AriaEngine {
     else !col("waw") && !col("raw")
 
   /** Conflict table with both install policies' verdicts. */
-  def decisions(ops: DataFrame, res: DataFrame): DataFrame =
-    conflicts(ops, res)
+  def decisions(ops: DataFrame, res: DataFrame,
+      keyCols: Seq[String] = Seq("k")): DataFrame =
+    conflicts(ops, res, keyCols)
       .withColumn("committed_noreorder", commitFlag(reorder = false))
       .withColumn("committed_reorder", commitFlag(reorder = true))
 
@@ -107,11 +122,12 @@ object AriaEngine {
     * (`TrancM_func.cuh:52-57`); we use a documented deterministic scheme
     * instead (SURVEY.md §7.4 seed semantics).
     */
-  def winners(ops: DataFrame, decided: DataFrame, reorder: Boolean): DataFrame = {
+  def winners(ops: DataFrame, decided: DataFrame, reorder: Boolean,
+      keyCols: Seq[String] = Seq("k")): DataFrame = {
     val flag = if (reorder) "committed_reorder" else "committed_noreorder"
     ops.filter(col("isUpdate"))
       .join(decided.filter(col(flag)).select("tid"), Seq("tid"))
-      .groupBy(col("k"))
+      .groupBy(keyCols.map(col): _*)
       .agg(min(col("tid")).as("writer_tid"))
   }
 
@@ -124,9 +140,9 @@ object AriaEngine {
     */
   def install(table: DataFrame, win: DataFrame, valueCols: Seq[String],
       newValue: (Column, Column) => Column,
-      keyCol: String = "k"): DataFrame = {
-    val w = broadcast(win.withColumnRenamed("k", keyCol))
-    val merged = table.join(w, Seq(keyCol), "left")
+      keyCols: Seq[String] = Seq("k")): DataFrame = {
+    val w = broadcast(win)
+    val merged = table.join(w, keyCols, "left")
     val out = table.columns.map { c =>
       if (valueCols.contains(c))
         when(col("writer_tid").isNotNull,
@@ -162,13 +178,14 @@ object AriaEngine {
     */
   def runEpoch(table: DataFrame, ops: DataFrame, reorder: Boolean,
       valueCols: Seq[String], newValue: (Column, Column) => Column,
-      epoch: Int, keyCol: String = "k"): (DataFrame, DataFrame, DataFrame) = {
-    val live = liveOps(ops, table, keyCol)
-    val res = reservations(live)
-    val decided = decisions(live, res)
-    val win = winners(live, decided, reorder)
+      epoch: Int,
+      keyCols: Seq[String] = Seq("k")): (DataFrame, DataFrame, DataFrame) = {
+    val live = liveOps(ops, table, keyCols)
+    val res = reservations(live, keyCols)
+    val decided = decisions(live, res, keyCols)
+    val win = winners(live, decided, reorder, keyCols)
       .withColumn("win_epoch", lit(epoch))
-    val next = install(table, win, valueCols, newValue, keyCol)
+    val next = install(table, win, valueCols, newValue, keyCols)
     val flag = if (reorder) "committed_reorder" else "committed_noreorder"
     val aborted = decided.filter(!col(flag)).select("tid")
     (next, decided, aborted)
@@ -212,14 +229,16 @@ object AriaEngine {
   def run(spark: SparkSession, table0: DataFrame, ops0: DataFrame,
       reorder: Boolean, valueCols: Seq[String],
       newValue: (Column, Column) => Column,
-      maxEpochs: Int = 100): (DataFrame, Seq[(Int, Long, Long)]) =
+      maxEpochs: Int = 100,
+      keyCols: Seq[String] = Seq("k")): (DataFrame, Seq[(Int, Long, Long)]) =
     // key set is epoch-invariant: filter dead ops ONCE (one key-column
     // pass over the table), not once per epoch/winner branch. Accounting
     // still counts txns from the RAW batch: a txn whose ops all miss
     // commits trivially in epoch 1 (it can never conflict or abort).
-    runLive(spark, table0, liveOps(ops0, table0).localCheckpoint(true),
+    runLive(spark, table0,
+      liveOps(ops0, table0, keyCols).localCheckpoint(true),
       ops0.select("tid").distinct().count(), reorder, valueCols, newValue,
-      maxEpochs)
+      maxEpochs, keyCols)
 
   /** [[run]] with the live-filtered op batch and raw-batch txn count
     * supplied by the caller. Lets a caller running the SAME (table, ops)
@@ -235,7 +254,8 @@ object AriaEngine {
   def runLive(spark: SparkSession, table: DataFrame, live: DataFrame,
       nTids: Long, reorder: Boolean, valueCols: Seq[String],
       newValue: (Column, Column) => Column,
-      maxEpochs: Int = 100): (DataFrame, Seq[(Int, Long, Long)]) = {
+      maxEpochs: Int = 100,
+      keyCols: Seq[String] = Seq("k")): (DataFrame, Seq[(Int, Long, Long)]) = {
     var ops = live
     var epoch = 1
     val history = Seq.newBuilder[(Int, Long, Long)]
@@ -244,7 +264,7 @@ object AriaEngine {
     var remaining = nTids
     val flag = if (reorder) "committed_reorder" else "committed_noreorder"
     while (remaining > 0 && epoch <= maxEpochs) {
-      val decided = decisions(ops, reservations(ops))
+      val decided = decisions(ops, reservations(ops, keyCols), keyCols)
       // the epoch's ONE action: materialize the per-txn abort verdicts
       // (decided is groupBy(tid), so this is one row per aborted txn)
       val aborted = decided.filter(!col(flag)).select("tid")
@@ -268,19 +288,20 @@ object AriaEngine {
       opsE // already live-filtered
         .filter(col("isUpdate"))
         .join(broadcast(abortedE), Seq("tid"), "left_anti")
-        .groupBy(col("k"))
+        .groupBy(keyCols.map(col): _*)
         .agg(min(col("tid")).as("writer_tid"))
         .withColumn("win_epoch", lit(e))
     }.reduceOption(_ unionByName _)
     val finalTable = winnersAll match {
       case None => table
       case Some(w) =>
-        val lastWin = w.groupBy(col("k"))
+        val lastWin = w.groupBy(keyCols.map(col): _*)
           .agg(max_by(struct(col("writer_tid"), col("win_epoch")),
             col("win_epoch")).as("lw"))
-          .select(col("k"), col("lw.writer_tid").as("writer_tid"),
-            col("lw.win_epoch").as("win_epoch"))
-        install(table, lastWin, valueCols, newValue)
+          .select(keyCols.map(col) ++ Seq(
+            col("lw.writer_tid").as("writer_tid"),
+            col("lw.win_epoch").as("win_epoch")): _*)
+        install(table, lastWin, valueCols, newValue, keyCols)
     }
     (finalTable, history.result())
   }

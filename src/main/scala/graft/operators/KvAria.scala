@@ -311,6 +311,124 @@ object KvAria {
       |  ('reorder', 3, 1, 0)
       |) t(mode, epoch, committed, aborted) ORDER BY mode, epoch""".stripMargin
 
+  /** Multi-table Aria (reference `src/database/common/database.h:10-22` —
+    * the 2-D `tables[table_id][slot]` registry; all tables carry the same
+    * row type, so the Spark shape is ONE registry frame keyed
+    * (table_id, k)). The batch interleaves ops on table 0 (= part) and
+    * table 1 (= customer) within the same txns; conflicts key on the
+    * COMPOSITE key, so the same numeric k in different tables never
+    * conflicts, while a txn's flags aggregate across all tables it
+    * touches. `n_tables` surfaces how many registry tables each txn
+    * actually hit (≥2 rows prove genuinely cross-table txns).
+    *
+    * Scale: identical to the single-table engine — every phase shuffles
+    * on (table_id, k) or tid; the composite key only widens the shuffle
+    * key by one int.
+    */
+  private def twoTableOps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .filter($"l_orderkey" % 101 === 0)
+      .select(
+        $"l_orderkey".as("tid"),
+        $"l_linenumber".as("opidx"),
+        ($"l_partkey" % 2).as("table_id"),
+        ($"l_partkey" % 1000 + 1).as("k"),
+        ($"l_linenumber" % 5 < 2).as("isUpdate"))
+  }
+
+  private def twoTableRegistry(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.part(s, dir)
+      .select(lit(0L).as("table_id"), $"p_partkey".as("k"), $"p_name".as("f0"))
+      .unionByName(Tables.customer(s, dir)
+        .select(lit(1L).as("table_id"), $"c_custkey".as("k"),
+          $"c_name".as("f0")))
+  }
+
+  private val twoTableKey = Seq("table_id", "k")
+
+  private val twoTableCte =
+    """WITH ops AS (
+      |  SELECT l_orderkey AS tid, l_linenumber AS opidx,
+      |         l_partkey % 2 AS table_id,
+      |         l_partkey % 1000 + 1 AS k,
+      |         (l_linenumber % 5) < 2 AS isupdate
+      |  FROM lineitem WHERE l_orderkey % 101 = 0),
+      |reg AS (
+      |  SELECT 0 AS table_id, p_partkey AS k, p_name AS f0 FROM part
+      |  UNION ALL
+      |  SELECT 1 AS table_id, c_custkey AS k, c_name AS f0 FROM customer),
+      |live AS (
+      |  SELECT o.* FROM ops o
+      |  WHERE EXISTS (SELECT 1 FROM reg r
+      |                WHERE r.table_id = o.table_id AND r.k = o.k)),
+      |res AS (SELECT table_id, k, min(tid) AS rts,
+      |               min(CASE WHEN isupdate THEN tid END) AS wts
+      |        FROM live GROUP BY table_id, k),
+      |conf AS (
+      |  SELECT tid,
+      |    max(CASE WHEN wts < tid THEN 1 ELSE 0 END) AS raw,
+      |    max(CASE WHEN isupdate AND rts < tid THEN 1 ELSE 0 END) AS war,
+      |    max(CASE WHEN isupdate AND wts < tid THEN 1 ELSE 0 END) AS waw
+      |  FROM live JOIN res USING (table_id, k) GROUP BY tid)
+      |""".stripMargin
+
+  /** Per-txn verdicts over the two-table registry + tables-touched count. */
+  def ariaTwoTables(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val live = AriaEngine.liveOps(
+      twoTableOps(s, dir), twoTableRegistry(s, dir), twoTableKey)
+    val dec = AriaEngine.decisions(
+      live, AriaEngine.reservations(live, twoTableKey), twoTableKey)
+    val touched = live.groupBy($"tid")
+      .agg(countDistinct($"table_id").as("n_tables"))
+    dec.join(touched, Seq("tid"))
+      .select($"tid", $"n_tables",
+        $"raw".cast("int").as("raw"),
+        $"war".cast("int").as("war"),
+        $"waw".cast("int").as("waw"),
+        $"committed_noreorder".cast("int").as("committed_noreorder"),
+        $"committed_reorder".cast("int").as("committed_reorder"))
+      .orderBy($"tid")
+  }
+
+  val ariaTwoTablesSql: String = twoTableCte +
+    """, touched AS (
+      |  SELECT tid, count(DISTINCT table_id)::BIGINT AS n_tables
+      |  FROM live GROUP BY tid)
+      |SELECT tid, n_tables, raw, war, waw,
+      |  CASE WHEN waw=0 AND raw=0 THEN 1 ELSE 0 END AS committed_noreorder,
+      |  CASE WHEN waw=0 AND (raw=0 OR war=0) THEN 1 ELSE 0 END AS committed_reorder
+      |FROM conf JOIN touched USING (tid) ORDER BY tid""".stripMargin
+
+  /** Epoch-1 install over the registry (reorder policy), touched range of
+    * BOTH tables — the write-back path exercised through the composite
+    * key: each table's cells get exactly its own winners.
+    */
+  def ariaTwoTablesInstall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (next, _, _) = AriaEngine.runEpoch(
+      twoTableRegistry(s, dir), twoTableOps(s, dir), reorder = true,
+      valueCols = Seq("f0"),
+      newValue = (tid, ep) =>
+        concat(lit("v"), tid.cast("string"), lit("e"), ep.cast("string")),
+      epoch = 1, keyCols = twoTableKey)
+    next.filter($"k" <= 300).orderBy($"table_id", $"k")
+  }
+
+  val ariaTwoTablesInstallSql: String = twoTableCte +
+    """, win AS (
+      |  SELECT table_id, k, min(tid) AS writer_tid
+      |  FROM live JOIN conf USING (tid)
+      |  WHERE isupdate AND waw = 0 AND (raw = 0 OR war = 0)
+      |  GROUP BY table_id, k)
+      |SELECT r.table_id, r.k,
+      |  CASE WHEN writer_tid IS NOT NULL
+      |       THEN 'v' || writer_tid || 'e1' ELSE r.f0 END AS f0
+      |FROM reg r LEFT JOIN win w ON r.table_id = w.table_id AND r.k = w.k
+      |WHERE r.k <= 300 ORDER BY r.table_id, r.k""".stripMargin
+
   // ---- KV queries ----
 
   /** O1/O2: point lookup with pushed-down key predicate. */
@@ -411,6 +529,8 @@ object KvAria {
     "aria_key_op_chain" -> ariaKeyOpChain _,
     "aria_epochs" -> ariaEpochs _,
     "aria_reference_scenario" -> ariaReferenceScenario _,
+    "aria_two_tables" -> ariaTwoTables _,
+    "aria_two_tables_install" -> ariaTwoTablesInstall _,
     "kv_point_lookup" -> kvPointLookup _,
     "kv_batch_lookup" -> kvBatchLookup _,
     "kv_upsert" -> kvUpsert _,
@@ -426,6 +546,8 @@ object KvAria {
     "aria_key_op_chain" -> ariaKeyOpChainSql,
     "aria_epochs" -> ariaEpochsSql,
     "aria_reference_scenario" -> ariaReferenceScenarioSql,
+    "aria_two_tables" -> ariaTwoTablesSql,
+    "aria_two_tables_install" -> ariaTwoTablesInstallSql,
     "kv_point_lookup" -> kvPointLookupSql,
     "kv_batch_lookup" -> kvBatchLookupSql,
     "kv_upsert" -> kvUpsertSql,
