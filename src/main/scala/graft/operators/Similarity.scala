@@ -197,7 +197,7 @@ object Similarity {
   }
 
   /** Quantized embeddings frame shared by the pair queries: (vec_id, q, n2). */
-  private def qEmb(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def qEmb(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.embeddings(s, dir)
       .select($"vec_id", qvec($"embedding").as("q"))
@@ -458,9 +458,16 @@ object Similarity {
     * iteration plus (s, k, cent) mean-requantization blocks; the final
     * a`kmeansIters` is the assignment. Shared by both IVF oracles.
     */
-  private def kmeansCtes: String = {
+  private def kmeansCtes: String = kmeansCtesOver("qv")
+
+  /** [[kmeansCtes]] with the fit corpus parameterized (`src` must be a
+    * CTE with the qv shape) — the refresh oracle fits on the BASE subset
+    * only. `nrm` stays corpus-wide (it is keyed by vec_id, so base rows
+    * join their own norms).
+    */
+  private def kmeansCtesOver(src: String): String = {
     val sb = new StringBuilder
-    sb ++= ", cent0 AS (SELECT vec_id AS cid, q AS cq FROM qv WHERE vec_id < 8)"
+    sb ++= s", cent0 AS (SELECT vec_id AS cid, q AS cq FROM $src WHERE vec_id < 8)"
     for (t <- 0 to kmeansIters) {
       sb ++=
         s""",
@@ -470,7 +477,7 @@ object Similarity {
            |cd$t AS (
            |  SELECT vec_id, cid, sum(x * y)::BIGINT AS d FROM (
            |    SELECT e.vec_id, c.cid, unnest(e.q) AS x, unnest(c.cq) AS y
-           |    FROM qv e CROSS JOIN cent$t c) z
+           |    FROM $src e CROSS JOIN cent$t c) z
            |  GROUP BY 1, 2),
            |a$t AS (
            |  SELECT cd.vec_id,
@@ -485,7 +492,7 @@ object Similarity {
              |  SELECT a.cid, u.i, sum(u.e)::BIGINT AS s, count(*)::BIGINT AS m
              |  FROM a$t a JOIN (
              |    SELECT vec_id, unnest(q) AS e,
-             |           generate_subscripts(q, 1) - 1 AS i FROM qv) u
+             |           generate_subscripts(q, 1) - 1 AS i FROM $src) u
              |    ON a.vec_id = u.vec_id
              |  GROUP BY 1, 2),
              |k${t + 1} AS (
@@ -579,10 +586,17 @@ object Similarity {
     * corpus (defaults match the gate queries' 8/2 pin).
     */
   def saveIvfIndex(s: SparkSession, dir: String, path: String,
-      nCells: Int = 8, iters: Int = kmeansIters): Unit = {
+      nCells: Int = 8, iters: Int = kmeansIters): Unit =
+    saveIvfIndexOf(s, qEmb(s, dir), path, nCells, iters)
+
+  /** [[saveIvfIndex]] over a caller-supplied quantized frame — lets the
+    * refresh lifecycle spec fit an index on a base SUBSET and fold the
+    * rest in as an append batch.
+    */
+  private[operators] def saveIvfIndexOf(s: SparkSession, emb: DataFrame,
+      path: String, nCells: Int = 8, iters: Int = kmeansIters): Unit = {
     import s.implicits._
     import graft.sources.VersionedTable
-    val emb = qEmb(s, dir)
     // ONE fit feeds both snapshots (the fit is the expensive corpus pass;
     // ivfCentroids checkpoints its nCells rows, so the assignment below
     // reuses the materialized result instead of refitting)
@@ -609,6 +623,145 @@ object Similarity {
     val assign = graft.sources.VersionedTable
       .read(s, s"$path/assign", version)
     ivfProbe(qEmb(s, dir).join(assign, Seq("vec_id")))
+  }
+
+  /** Mini-batch IVF refresh cells (Sculley, "Web-scale k-means
+    * clustering", WWW 2010 — the fold-in update between full refits):
+    * assign an APPEND batch to the EXISTING cells, then move each touched
+    * centroid to the exact weighted mean of the stored cell mass (count ×
+    * stored centroid — the index's own summary; the base corpus is never
+    * rescanned) and the appended vectors:
+    *
+    *   c_new = floor((m_old·c_old + Σ_new e) / (m_old + n_new))
+    *
+    * per component, exact int64 arithmetic (products ≤ |q|·N ≪ 2^53, and
+    * the one division is the repo's standard exact-double floor). Cells
+    * the batch misses keep their centroid BIT-FOR-BIT; refresh never
+    * creates cells — cell birth/retirement is a refit
+    * ([[saveIvfIndexOf]]).
+    *
+    * Scale: the only corpus-sized work is the append assignment (one
+    * broadcast-centroid pass over the batch) and one (cell, dim)-keyed
+    * mergeable agg over the batch; everything downstream is
+    * cells × dims.
+    *
+    * Output: one row per (cid, pos) with c_old, c_new, m_old, n_new.
+    */
+  private[operators] def ivfRefreshCells(cents: DataFrame, mOld: DataFrame,
+      appends: DataFrame, nCells: Int = 8): DataFrame = {
+    import cents.sparkSession.implicits._
+    val aAssign = ivfAssignOf(appends, cents, nCells)
+    val newSums = aAssign.join(appends, Seq("vec_id"))
+      .select($"centroid".as("cid"), posexplode($"q").as(Seq("pos", "e")))
+      .groupBy($"cid", $"pos")
+      .agg(sum($"e").as("sn"), count(lit(1)).as("nn"))
+    cents.select($"cid", posexplode($"cq").as(Seq("pos", "c_old")))
+      .join(mOld, Seq("cid"), "left")
+      .join(newSums, Seq("cid", "pos"), "left")
+      .withColumn("m_old", coalesce($"m_old", lit(0L)))
+      .withColumn("n_new", coalesce($"nn", lit(0L)))
+      .withColumn("c_new", when($"n_new" > 0,
+          floor(($"m_old" * $"c_old" + $"sn").cast("double")
+            / ($"m_old" + $"n_new")).cast("long"))
+        .otherwise($"c_old"))
+      .select($"cid", $"pos", $"c_old", $"c_new", $"m_old", $"n_new")
+  }
+
+  /** Gate query for the refresh op: base = vec_id % 4 ≠ 3 (the index as
+    * fitted), appends = vec_id % 4 = 3 (the batch that arrived since).
+    * Per cell: stored mass, appended mass, and how far the mini-batch
+    * update moved the centroid (exact squared L2) — the refresh audit a
+    * deployment reads before deciding whether drift warrants a refit.
+    */
+  def ivfRefresh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val all = qEmb(s, dir)
+    val base = all.filter($"vec_id" % 4 =!= 3)
+    val appends = all.filter($"vec_id" % 4 === 3)
+    val cents = ivfCentroids(s, base)
+    val mOld = ivfAssignOf(base, cents).groupBy($"centroid".as("cid"))
+      .agg(count(lit(1)).as("m_old"))
+    ivfRefreshCells(cents, mOld, appends)
+      .groupBy($"cid")
+      .agg(max($"m_old").as("m_old"), max($"n_new").as("n_new"),
+        sum(($"c_new" - $"c_old") * ($"c_new" - $"c_old"))
+          .as("refresh_l2sq"))
+      .orderBy($"cid")
+  }
+
+  val ivfRefreshSql: String = qvecCte +
+    ", qb AS (SELECT * FROM qv WHERE vec_id % 4 <> 3)" +
+    ", qa AS (SELECT * FROM qv WHERE vec_id % 4 = 3)" +
+    kmeansCtesOver("qb") +
+    s""",
+       |mold AS (SELECT cid, count(*)::BIGINT AS m_old
+       |         FROM a$kmeansIters GROUP BY cid),
+       |cnr AS (SELECT cid, sum(y * y)::BIGINT AS cn2
+       |        FROM (SELECT cid, unnest(cq) AS y FROM cent$kmeansIters)
+       |        GROUP BY cid),
+       |cdr AS (
+       |  SELECT vec_id, cid, sum(x * y)::BIGINT AS d FROM (
+       |    SELECT e.vec_id, c.cid, unnest(e.q) AS x, unnest(c.cq) AS y
+       |    FROM qa e CROSS JOIN cent$kmeansIters c) z
+       |  GROUP BY 1, 2),
+       |ar AS (
+       |  SELECT cd.vec_id,
+       |    (min((ne.n2 - 2 * cd.d + cn.cn2) * 8 + cd.cid) % 8)::BIGINT AS cid
+       |  FROM cdr cd JOIN nrm ne ON cd.vec_id = ne.vec_id
+       |              JOIN cnr cn ON cd.cid = cn.cid
+       |  GROUP BY cd.vec_id),
+       |ns AS (
+       |  SELECT a.cid, u.i, sum(u.e)::BIGINT AS sn, count(*)::BIGINT AS nn
+       |  FROM ar a JOIN (
+       |    SELECT vec_id, unnest(q) AS e,
+       |           generate_subscripts(q, 1) - 1 AS i FROM qa) u
+       |    ON a.vec_id = u.vec_id
+       |  GROUP BY 1, 2),
+       |ex AS (SELECT cid, unnest(cq) AS c_old,
+       |              generate_subscripts(cq, 1) - 1 AS i
+       |       FROM cent$kmeansIters),
+       |upd AS (
+       |  SELECT x.cid, x.i, x.c_old,
+       |    CASE WHEN ns.nn IS NOT NULL
+       |         THEN floor((coalesce(m.m_old, 0) * x.c_old + ns.sn)::DOUBLE
+       |                    / (coalesce(m.m_old, 0) + ns.nn))::BIGINT
+       |         ELSE x.c_old END AS c_new,
+       |    coalesce(m.m_old, 0) AS m_old, coalesce(ns.nn, 0) AS nn
+       |  FROM ex x LEFT JOIN mold m ON x.cid = m.cid
+       |            LEFT JOIN ns ON x.cid = ns.cid AND x.i = ns.i)
+       |SELECT cid, max(m_old)::BIGINT AS m_old, max(nn)::BIGINT AS n_new,
+       |  sum((c_new - c_old) * (c_new - c_old))::BIGINT AS refresh_l2sq
+       |FROM upd GROUP BY cid ORDER BY cid""".stripMargin
+
+  /** Fold an append batch into the PERSISTED index ([[saveIvfIndex]]'s
+    * layout): assign appends against the saved centroids, mini-batch
+    * update the touched cells ([[ivfRefreshCells]]), and commit the
+    * refreshed centroids + the widened assignment as the NEXT
+    * [[graft.sources.VersionedTable]] versions — probe fleets keep
+    * pinning the old version while the refresh commits, completing the
+    * save → drift-monitor ([[drift]]) → refresh lifecycle. A full refit
+    * (which can also create/retire cells) commits via [[saveIvfIndex]].
+    */
+  def refreshIvfIndex(s: SparkSession, path: String, appends: DataFrame,
+      nCells: Int = 8): Unit = {
+    import s.implicits._
+    import graft.sources.VersionedTable
+    val cents = VersionedTable.read(s, s"$path/centroids")
+    val assign = VersionedTable.read(s, s"$path/assign")
+    val mOld = assign.groupBy($"centroid".as("cid"))
+      .agg(count(lit(1)).as("m_old"))
+    val cells = ivfRefreshCells(cents, mOld, appends, nCells)
+      .localCheckpoint(true) // cells × dims rows; feeds two commits
+    val newCents = cells.groupBy($"cid")
+      .agg(transform(array_sort(collect_list(struct($"pos", $"c_new"))),
+        x => x.getField("c_new")).as("cq"))
+    val newAssign = assign
+      .unionByName(ivfAssignOf(appends, cents, nCells))
+    VersionedTable.replace(s, s"$path/centroids", newCents)
+    VersionedTable.replace(s, s"$path/assign",
+      newAssign.repartitionByRange(4, $"centroid"),
+      statsCols = Seq("centroid"))
+    ()
   }
 
   val ivfTopKSql: String = qvecCte + kmeansCtes +
@@ -2255,6 +2408,7 @@ object Similarity {
     "sim_cosine_topk" -> cosineTopK _,
     "sim_hard_negatives" -> hardNegatives _,
     "sim_drift" -> drift _,
+    "sim_ivf_refresh" -> ivfRefresh _,
     "sim_quantize_err" -> quantizeErr _,
     "sim_lsh_recall" -> lshRecall _,
     "sim_label_centroids" -> labelCentroids _,
@@ -2290,6 +2444,7 @@ object Similarity {
     "sim_cosine_topk" -> cosineTopKSql,
     "sim_hard_negatives" -> hardNegativesSql,
     "sim_drift" -> driftSql,
+    "sim_ivf_refresh" -> ivfRefreshSql,
     "sim_quantize_err" -> quantizeErrSql,
     "sim_lsh_recall" -> lshRecallSql,
     "sim_label_centroids" -> labelCentroidsSql,
