@@ -266,6 +266,30 @@ object ScalingBench {
       report += line
     }
 
+    // BPE trainer scaling (opt-in via a filter naming "bpe_train"): the
+    // replace-form chain is O(rounds × corpus) by construction; the
+    // pair-cache incremental form pays one up-front corpus shuffle and
+    // then per-round work ∝ docs containing the merged pair. The
+    // 128-round replace point is deliberately absent — that is exactly
+    // the configuration the cache exists to make feasible.
+    if (onlyQs.exists(_.contains("bpe_train"))) {
+      import graft.operators.TextOps
+      for ((tag, dir) <- Seq("1x" -> base, s"${mult}x" -> out);
+           rounds <- Seq(8, 32, 128);
+           (form, run) <- Seq(
+             "replace" ->
+               (() => TextOps.bpeTrain(spark, dir, rounds)),
+             "paircache" ->
+               (() => TextOps.bpeTrainIncremental(spark, dir, rounds)))
+           if !(form == "replace" && rounds > 32)) {
+        val (secs, rows) = time(iters)(run())
+        val line = s"""{"query":"bpe_train_$form","scale":"$tag",""" +
+          s""""rounds":$rounds,"sec":${f3(secs)},"rows":$rows}"""
+        println(line)
+        report += line
+      }
+    }
+
     for (q <- corpusQs; (tag, dir) <- Seq("1x" -> base, s"${mult}x" -> out)) {
       val (secs, rows) = time(iters)(SparkEntry.queries(q)(spark, dir))
       val line = s"""{"query":"$q","scale":"$tag","sec":${f3(secs)},"rows":$rows}"""

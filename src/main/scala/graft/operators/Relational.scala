@@ -1615,9 +1615,274 @@ object Relational {
       |  AND l_discount BETWEEN 0.05 AND 0.07
       |  AND l_quantity < 24""".stripMargin
 
+  /** Q52 — TPC-H Q11 shape (important stock identification): per-group
+    * value vs a GLOBAL-total scalar threshold (the HAVING-with-scalar-
+    * subquery pattern, decorrelated to one aggregate + a 1-row broadcast).
+    * Adapted to this catalog: per-supplier lineitem revenue, keep
+    * suppliers above 1/400 of total revenue. All money exact cents; the
+    * threshold comparison is cross-multiplied (value·400 > total) so no
+    * division crosses engines.
+    *
+    * Scale: one suppkey-keyed mergeable agg over lineitem + a 1-row
+    * broadcast total + a broadcast supplier-dim join. The Q11 scalar
+    * subquery never re-scans the fact table.
+    */
+  def q52SupplierValueShare(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val per = Tables.lineitem(s, dir)
+      .select($"l_suppkey",
+        round($"l_extendedprice" * (lit(1.0) - $"l_discount") * 100)
+          .cast("long").as("cents"))
+      .groupBy($"l_suppkey").agg(sum($"cents").as("value_cents"))
+    val tot = per.agg(sum($"value_cents").as("t"))
+    per.crossJoin(broadcast(tot))
+      .filter($"value_cents" * 400 > $"t")
+      .join(broadcast(Tables.supplier(s, dir)
+        .select($"s_suppkey", $"s_name")), $"l_suppkey" === $"s_suppkey")
+      .select($"s_suppkey", $"s_name", $"value_cents",
+        floor($"value_cents" * 1000 / $"t").cast("long").as("share_pm"))
+      .orderBy($"value_cents".desc, $"s_suppkey")
+  }
+
+  val q52Sql: String =
+    """WITH per AS (
+      |  SELECT l_suppkey,
+      |    sum(round(l_extendedprice * (1.0 - l_discount) * 100)::BIGINT)
+      |      ::BIGINT AS value_cents
+      |  FROM lineitem GROUP BY l_suppkey),
+      |tot AS (SELECT sum(value_cents)::BIGINT AS t FROM per)
+      |SELECT s_suppkey, s_name, value_cents,
+      |  (value_cents * 1000 // t)::BIGINT AS share_pm
+      |FROM per CROSS JOIN tot
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE value_cents * 400 > t
+      |ORDER BY value_cents DESC, s_suppkey""".stripMargin
+
+  /** Q53 — TPC-H Q15 shape (top supplier): revenue per supplier over a
+    * three-month ship window, then the supplier(s) achieving the MAXIMUM
+    * (max-of-aggregate joined back — the view + scalar-subquery
+    * decorrelation; ties all surface, custkey order).
+    *
+    * Scale: window-filtered suppkey agg (filter pushed to the scan) + a
+    * 1-row broadcast max + broadcast dim join.
+    */
+  def q53TopSupplier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rev = Tables.lineitem(s, dir)
+      .filter($"l_shipdate" >= lit("1997-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1997-04-01").cast("timestamp"))
+      .select($"l_suppkey",
+        round($"l_extendedprice" * (lit(1.0) - $"l_discount") * 100)
+          .cast("long").as("cents"))
+      .groupBy($"l_suppkey").agg(sum($"cents").as("total_rev"))
+    val mx = rev.agg(max($"total_rev").as("mx"))
+    rev.crossJoin(broadcast(mx))
+      .filter($"total_rev" === $"mx")
+      .join(broadcast(Tables.supplier(s, dir)
+        .select($"s_suppkey", $"s_name")), $"l_suppkey" === $"s_suppkey")
+      .select($"s_suppkey", $"s_name", $"total_rev")
+      .orderBy($"s_suppkey")
+  }
+
+  val q53Sql: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |    sum(round(l_extendedprice * (1.0 - l_discount) * 100)::BIGINT)
+      |      ::BIGINT AS total_rev
+      |  FROM lineitem
+      |  WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1997-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_rev
+      |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE total_rev = (SELECT max(total_rev) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** Q54 — TPC-H Q18 shape (large-volume customers): orders whose total
+    * line quantity exceeds a threshold — the IN-(groupBy-HAVING) subquery
+    * realized as an aggregate joined back to the fact rows. Quantities
+    * are exact integers in this corpus, so the sum is exact.
+    *
+    * Scale: one orderkey-keyed mergeable agg (map-side partials make the
+    * HAVING filter cheap) + equi-joins back to orders/customer on their
+    * natural keys — no row explosion: the big-orders frame is a filtered
+    * subset of order keys.
+    */
+  def q54LargeOrders(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val big = Tables.lineitem(s, dir)
+      .groupBy($"l_orderkey")
+      .agg(sum($"l_quantity").cast("long").as("sum_qty"))
+      .filter($"sum_qty" > 150)
+    Tables.orders(s, dir)
+      .join(big, $"o_orderkey" === $"l_orderkey")
+      .join(broadcast(Tables.customer(s, dir)
+        .select($"c_custkey", $"c_name")), $"o_custkey" === $"c_custkey")
+      .select($"c_custkey", $"c_name", $"o_orderkey",
+        date_format($"o_orderdate", "yyyy-MM-dd").as("od"),
+        round($"o_totalprice" * 100).cast("long").as("total_cents"),
+        $"sum_qty")
+      .orderBy($"total_cents".desc, $"o_orderkey")
+  }
+
+  val q54Sql: String =
+    """WITH big AS (
+      |  SELECT l_orderkey, sum(l_quantity)::BIGINT AS sum_qty
+      |  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150)
+      |SELECT c_custkey, c_name, o_orderkey,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS od,
+      |  round(o_totalprice * 100)::BIGINT AS total_cents, sum_qty
+      |FROM big JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY total_cents DESC, o_orderkey""".stripMargin
+
+  /** Q55 — TPC-H Q19 shape (discounted revenue, disjunctive predicates):
+    * a join whose condition is an OR of three brand/size/quantity
+    * conjunct groups — the disjunction-pushdown stress test. Catalyst
+    * extracts the common `l_partkey = p_partkey` equi-key so the join
+    * stays a hash join and the disjunction evaluates post-probe; the
+    * per-branch part filters union into a pre-join part reduction.
+    *
+    * Scale: broadcast part dim; one lineitem scan; the OR never forces a
+    * nested loop because the equi-key is common to all branches.
+    */
+  def q55DisjunctionRevenue(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+      .select($"l_partkey", $"l_quantity",
+        round($"l_extendedprice" * (lit(1.0) - $"l_discount") * 100)
+          .cast("long").as("cents"))
+    val p = Tables.part(s, dir).select($"p_partkey", $"p_brand", $"p_size")
+    li.join(broadcast(p), $"l_partkey" === $"p_partkey" && (
+        ($"p_brand" === "Brand#11" && $"p_size".between(1, 10) &&
+          $"l_quantity".between(1, 20)) ||
+        ($"p_brand" === "Brand#22" && $"p_size".between(1, 20) &&
+          $"l_quantity".between(5, 30)) ||
+        ($"p_brand" === "Brand#33" && $"p_size".between(1, 30) &&
+          $"l_quantity".between(10, 40))))
+      .agg(sum($"cents").as("rev_cents"), count(lit(1)).as("n_lines"))
+  }
+
+  val q55Sql: String =
+    """SELECT
+      |  sum(round(l_extendedprice * (1.0 - l_discount) * 100)::BIGINT)
+      |    ::BIGINT AS rev_cents,
+      |  count(*)::BIGINT AS n_lines
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 10
+      |       AND l_quantity BETWEEN 1 AND 20)
+      |   OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 20
+      |       AND l_quantity BETWEEN 5 AND 30)
+      |   OR (p_brand = 'Brand#33' AND p_size BETWEEN 1 AND 30
+      |       AND l_quantity BETWEEN 10 AND 40)""".stripMargin
+
+  /** Q56 — TPC-H Q21 shape (suppliers who kept orders waiting): per
+    * supplier, the count of multi-supplier orders on which it was the
+    * ONLY late supplier — one semi-join (another supplier participated)
+    * and one anti-join (no OTHER supplier was late) against the same
+    * fact table. "Late" = shipped more than 60 days after the order date
+    * (this catalog has no commit/receipt dates). Distinct (supplier,
+    * order) pairs, so a supplier's multiple late lines on one order
+    * count once.
+    *
+    * Scale: all three legs shuffle on l_orderkey (co-partitioned
+    * self-joins); the supplier-inequality predicates evaluate post-probe
+    * on matched buckets. No inequality drives a join.
+    */
+  def q56WaitingSuppliers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lines = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir).select($"o_orderkey", $"o_orderdate"),
+        $"l_orderkey" === $"o_orderkey")
+      .select($"l_orderkey", $"l_suppkey",
+        ($"l_shipdate" > date_add($"o_orderdate", 60)).as("late"))
+    val l1 = lines.filter($"late")
+      .select($"l_orderkey", $"l_suppkey").distinct()
+    val others = lines.select($"l_orderkey".as("o2"), $"l_suppkey".as("s2"))
+      .distinct()
+    val lateOthers = l1.select($"l_orderkey".as("o3"), $"l_suppkey".as("s3"))
+    l1.join(others, $"l_orderkey" === $"o2" && $"l_suppkey" =!= $"s2",
+        "left_semi")
+      .join(lateOthers, $"l_orderkey" === $"o3" && $"l_suppkey" =!= $"s3",
+        "left_anti")
+      .groupBy($"l_suppkey")
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(Tables.supplier(s, dir)
+        .select($"s_suppkey", $"s_name")), $"l_suppkey" === $"s_suppkey")
+      .select($"s_suppkey", $"s_name", $"numwait")
+      .orderBy($"numwait".desc, $"s_suppkey")
+  }
+
+  val q56Sql: String =
+    """WITH lines AS (
+      |  SELECT l_orderkey, l_suppkey,
+      |    (l_shipdate > o_orderdate + INTERVAL 60 DAY) AS late
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |l1 AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lines WHERE late),
+      |waiting AS (
+      |  SELECT * FROM l1 a
+      |  WHERE EXISTS (SELECT 1 FROM lines b
+      |                WHERE b.l_orderkey = a.l_orderkey
+      |                  AND b.l_suppkey <> a.l_suppkey)
+      |    AND NOT EXISTS (SELECT 1 FROM l1 c
+      |                    WHERE c.l_orderkey = a.l_orderkey
+      |                      AND c.l_suppkey <> a.l_suppkey))
+      |SELECT s_suppkey, s_name, count(*)::BIGINT AS numwait
+      |FROM waiting JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY s_suppkey, s_name
+      |ORDER BY numwait DESC, s_suppkey""".stripMargin
+
+  /** Q57 — TPC-H Q22 shape (global-customer-relationship analysis):
+    * customers with above-average balance (average over
+    * positive-balance customers — a scalar subquery, here a 1-row
+    * broadcast) and NO recent orders (anti-join), aggregated per nation.
+    * The average comparison is cross-multiplied to exact integers
+    * (cents·n > sum), so no float division crosses engines.
+    *
+    * Scale: 1-row broadcast aggregate + custkey anti-join against the
+    * date-filtered orders (filter pushed) + a nations-sized final agg.
+    */
+  def q57DormantRich(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = Tables.customer(s, dir)
+      .select($"c_custkey", $"c_nationkey",
+        round($"c_acctbal" * 100).cast("long").as("bal_cents"))
+    val avgPos = cust.filter($"bal_cents" > 0)
+      .agg(sum($"bal_cents").as("sbal"), count(lit(1)).as("nbal"))
+    val recent = Tables.orders(s, dir)
+      .filter($"o_orderdate" >= lit("2000-01-01").cast("timestamp"))
+      .select($"o_custkey")
+    cust.crossJoin(broadcast(avgPos))
+      .filter($"bal_cents" * $"nbal" > $"sbal")
+      .join(recent, $"c_custkey" === $"o_custkey", "left_anti")
+      .groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("numcust"), sum($"bal_cents").as("total_cents"))
+      .orderBy($"c_nationkey")
+  }
+
+  val q57Sql: String =
+    """WITH cust AS (
+      |  SELECT c_custkey, c_nationkey,
+      |    round(c_acctbal * 100)::BIGINT AS bal_cents FROM customer),
+      |avgpos AS (
+      |  SELECT sum(bal_cents)::BIGINT AS sbal, count(*)::BIGINT AS nbal
+      |  FROM cust WHERE bal_cents > 0)
+      |SELECT c_nationkey, count(*)::BIGINT AS numcust,
+      |  sum(bal_cents)::BIGINT AS total_cents
+      |FROM cust CROSS JOIN avgpos
+      |WHERE bal_cents * nbal > sbal
+      |  AND c_custkey NOT IN (SELECT o_custkey FROM orders
+      |                        WHERE o_orderdate >= '2000-01-01')
+      |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
   /** All relational queries + oracles, consumed by SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q51_revenue_change" -> q51RevenueChange _,
+    "q52_supplier_value_share" -> q52SupplierValueShare _,
+    "q53_top_supplier" -> q53TopSupplier _,
+    "q54_large_orders" -> q54LargeOrders _,
+    "q55_disjunction_revenue" -> q55DisjunctionRevenue _,
+    "q56_waiting_suppliers" -> q56WaitingSuppliers _,
+    "q57_dormant_rich" -> q57DormantRich _,
     "q49_unshipped_orders" -> q49UnshippedOrders _,
     "q50_local_supplier_volume" -> q50LocalSupplierVolume _,
     "q47_order_count_dist" -> q47OrderCountDist _,
@@ -1670,6 +1935,12 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "q51_revenue_change" -> q51Sql,
+    "q52_supplier_value_share" -> q52Sql,
+    "q53_top_supplier" -> q53Sql,
+    "q54_large_orders" -> q54Sql,
+    "q55_disjunction_revenue" -> q55Sql,
+    "q56_waiting_suppliers" -> q56Sql,
+    "q57_dormant_rich" -> q57Sql,
     "q49_unshipped_orders" -> q49Sql,
     "q50_local_supplier_volume" -> q50Sql,
     "q47_order_count_dist" -> q47Sql,

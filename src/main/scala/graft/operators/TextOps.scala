@@ -2192,6 +2192,148 @@ object TextOps {
     (txt, out.get)
   }
 
+  /** PAIR-CACHE incremental BPE training — the scale form of [[bpeTrain]]
+    * for realistic merge counts. The replace-form chain pays, per round,
+    * a FULL corpus pair-count shuffle + a full corpus rewrite +
+    * checkpoint: O(rounds × corpus), fine at rounds=3, unusable at 32k
+    * merges. This form maintains state across rounds so each round costs
+    * O(pairs adjacent to the merged pair), the classic fast-BPE cache
+    * (cf. the pair-count caches in Sennrich's learn_bpe and
+    * SentencePiece):
+    *
+    *  - a PAIR-COUNT table (a, b, freq) — built by ONE corpus shuffle up
+    *    front, then updated only with per-round DELTAS: merging (a, b)
+    *    changes only pairs overlapping an occurrence (−(x,a) −(a,b)
+    *    −(b,y), +(x,a@b) +(a@b,y)), all derivable from the affected docs
+    *    alone. The winner is a TakeOrdered(1) over this table — no
+    *    corpus pass.
+    *  - the corpus as BASE + OVERLAY: the immutable token arrays
+    *    checkpointed once, plus a mods frame holding the CURRENT arrays
+    *    of ever-rewritten docs. A round rewrites only docs containing
+    *    the winner pair (left-greedy fold, exactly `replace`'s
+    *    non-overlapping left-to-right semantics, including the
+    *    fresh-merge rule for runs like "a a a"), so the per-round
+    *    checkpoint is the touched-doc set, not the corpus.
+    *  - token accounting incrementally: n_tokens decreases by exactly
+    *    the number of non-overlapping replacements (Σ old−new lengths
+    *    over affected docs).
+    *
+    * Output schema and values are IDENTICAL to [[bpeTrain]] (same winner
+    * tie-break, same raw — overlap-inclusive — freq, same post-merge
+    * n_tokens); BpeTrainSpec asserts the equivalence. The per-round
+    * winner is a 1-row driver collect (it is the report row), the same
+    * bounded-collect regime as the GlobalOrder offset table.
+    */
+  def bpeTrainIncremental(s: SparkSession, dir: String,
+      rounds: Int = 3): DataFrame = {
+    import s.implicits._
+    def adjPairs(toks: Column): Column = arrays_zip(
+      slice(toks, lit(1), size(toks) - 1).as("pa"),
+      slice(toks, lit(2), size(toks) - 1).as("pb"))
+    def pairCounts(toks: Column, sign: Long)(df: DataFrame): DataFrame = df
+      .select(explode(adjPairs(toks)).as("p"))
+      .select($"p.pa".as("a"), $"p.pb".as("b"))
+      .groupBy($"a", $"b").agg((count(lit(1)) * sign).as("freq"))
+    // Iterative-state discipline, settled by measurement (traces in
+    // PLANS.md round 11): EVERY stateful frame is truncated with an
+    // eager checkpoint each round, and the overlay upsert is
+    // union + anti-join. Three rejected variants: (a) persist-only
+    // chains where a frame references itself twice per round double the
+    // PLAN each round — plan-string construction alone OOMed by round
+    // 10; (b) persist with flatten-every-16 keeps plans linear but
+    // cache eviction re-derives evicted rounds through the whole chain
+    // (32 rounds: 324 s vs 22 s); (c) a full_outer+coalesce upsert —
+    // despite constant data (~3.5k rows / 1 MB) its checkpoint job
+    // DOUBLED per round (0.2 s → 69 s by round 24) while the
+    // union+anti form stays flat at ~0.2 s/round on identical inputs.
+    def pin(df: DataFrame, r: Int): DataFrame = {
+      val _ = r
+      df.localCheckpoint(true)
+    }
+    val base = Tables.documents(s, dir)
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .localCheckpoint(true)
+    var pc = pairCounts($"toks", 1L)(base).localCheckpoint(true)
+    var mods = base.limit(0) // (doc_id, toks) overlay, initially empty
+    var nTokens = base.agg(sum(size($"toks"))).head().getLong(0)
+    val report = Seq.newBuilder[(Long, String, String, Long, Long)]
+    for (r <- 1 to rounds) {
+      val roundT0 = System.nanoTime()
+      val win = pc.orderBy($"freq".desc, $"a", $"b").limit(1).collect()
+      if (win.nonEmpty) {
+        val (a, b, freq) =
+          (win(0).getString(0), win(0).getString(1), win(0).getLong(2))
+        val ab = a + "@" + b
+        val tWin = System.nanoTime()
+        val cur = base.join(mods.select($"doc_id", $"toks".as("mt")),
+            Seq("doc_id"), "left")
+          .select($"doc_id", coalesce($"mt", $"toks").as("toks"))
+        // left-greedy non-overlapping merge: a token merges into the top
+        // of the output only if the top is a raw `a` (not itself freshly
+        // merged this round) — exactly `replace`'s scan-continues-after-
+        // the-replacement semantics. ONE checkpointed frame carries the
+        // old AND new arrays of the affected docs: it feeds both delta
+        // signs, the overlay update, and the replacement count.
+        val aff = cur.filter(exists(adjPairs($"toks"),
+            p => p.getField("pa") === a && p.getField("pb") === b))
+          .select($"doc_id", $"toks", aggregate(
+            $"toks",
+            struct(array().cast("array<string>").as("out"),
+              lit(false).as("fresh")),
+            (acc, t) => {
+              val out = acc.getField("out")
+              val merge = !acc.getField("fresh") && size(out) > 0 &&
+                element_at(out, -1) === a && t === b
+              struct(
+                when(merge, concat(slice(out, lit(1), size(out) - 1),
+                    array(lit(ab))))
+                  .otherwise(concat(out, array(t))).as("out"),
+                merge.as("fresh"))
+            },
+            acc => acc.getField("out")).as("ntoks"))
+          .localCheckpoint(true)
+        val tAff = System.nanoTime()
+        val nRepl = aff.agg(sum(size($"toks") - size($"ntoks")))
+          .head().getLong(0)
+        val tRepl = System.nanoTime()
+        nTokens -= nRepl
+        val prevPc = pc
+        val prevMods = mods
+        pc = pin(pc.unionByName(pairCounts($"toks", -1L)(aff))
+          .unionByName(pairCounts($"ntoks", 1L)(aff))
+          .groupBy($"a", $"b").agg(sum($"freq").as("freq"))
+          .filter($"freq" > 0), r)
+        val tPc = System.nanoTime()
+        // overlay upsert: rewritten docs replace their previous entry
+        mods = pin(aff.select($"doc_id", $"ntoks".as("toks"))
+          .unionByName(mods.join(aff.select($"doc_id"), Seq("doc_id"),
+            "left_anti")), r)
+        // the eager checkpoints above already materialized the new state
+        val _ = (prevPc, prevMods)
+        if (sys.env.contains("GRAFT_BPE_TRACE")) {
+          val stats = mods.agg(count(lit(1)), sum(size($"toks")),
+            sum(aggregate($"toks", lit(0L), (z, t) => z + length(t))))
+            .head()
+          println(s"[bpe] round=$r freq=$freq nRepl=$nRepl " +
+            s"ms=${(System.nanoTime() - roundT0) / 1000000} " +
+            s"winMs=${(tWin - roundT0) / 1000000} " +
+            s"affMs=${(tAff - tWin) / 1000000} " +
+            s"replMs=${(tRepl - tAff) / 1000000} " +
+            s"pcMs=${(tPc - tRepl) / 1000000} " +
+            s"modsMs=${(System.nanoTime() - tPc) / 1000000} " +
+            s"modsRows=${stats.getLong(0)} modsToks=${stats.getLong(1)} " +
+            s"modsChars=${stats.getLong(2)} " +
+            s"modsParts=${mods.rdd.getNumPartitions} " +
+            s"pcParts=${pc.rdd.getNumPartitions}")
+        }
+        report += ((r.toLong, a, b, freq, nTokens))
+      }
+    }
+    report.result()
+      .toDF("round", "merge_a", "merge_b", "freq", "n_tokens")
+      .orderBy($"round")
+  }
+
   /** BPE tokenizer APPLICATION: encode every document with the 3 merges
     * [[bpeTrain]] learns and report the per-doc token accounting —
     * whitespace tokens in, BPE tokens out, merges applied. This is the

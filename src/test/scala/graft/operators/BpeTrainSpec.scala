@@ -49,6 +49,19 @@ class BpeTrainSpec extends SparkSpec {
     }
   }
 
+  test("pair-cache incremental trainer == replace-form chain, rounds 3 and 8") {
+    for (rounds <- Seq(3, 8)) {
+      val replaceForm = TextOps.bpeTrain(spark, dir, rounds).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getLong(3), r.getLong(4))).toSeq
+      val cacheForm = TextOps.bpeTrainIncremental(spark, dir, rounds)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getLong(3), r.getLong(4))).toSeq
+      assert(cacheForm === replaceForm, s"divergence at rounds=$rounds")
+    }
+  }
+
   test("rounds parameter: an 8-round run extends the 3-round run as an " +
       "exact prefix and every extra round keeps shrinking the corpus") {
     val r3 = TextOps.bpeTrain(spark, dir, rounds = 3).collect()

@@ -94,6 +94,13 @@ class PlanGuardSpec extends SparkSpec {
     "sample_soft_budget" -> 2,
     // 1-row broadcast exact-count frame joined to the 3-row sweep
     "sketch_hll_sweep" -> 1,
+    // 1-row broadcast revenue total (the Q11 HAVING scalar)
+    "q52_supplier_value_share" -> 1,
+    // 1-row broadcast positive-balance average (the Q22 scalar subquery)
+    "q57_dormant_rich" -> 1,
+    // 8-row broadcast centroid table crossed in the base-mass and
+    // append-assignment branches (the sim_ivf_assign shape, twice)
+    "sim_ivf_refresh" -> 2,
     // exact-cosine + SQ8-code scans, each against the 10-row broadcast
     // probe set
     "sim_sq_spearman" -> 2)
