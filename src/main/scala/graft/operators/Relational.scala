@@ -1874,6 +1874,48 @@ object Relational {
       |                        WHERE o_orderdate >= '2000-01-01')
       |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
 
+  /** EXACT global percentiles, scale-safe: the value at rank
+    * ⌈p·N/1000⌉ for p ∈ {250, 500, 750, 900, 990}‰ of the line-item
+    * price distribution, computed via the two-pass
+    * [[graft.operators.GlobalOrder.rank]] (range partition → local rank
+    * → broadcast offsets) + a 5-row broadcast position probe. This is
+    * the form that survives 100 TB: Spark's own `percentile` aggregate
+    * is exact but buffers EVERY value in one aggregation buffer (the
+    * q29 shape is fine per-group, fatal corpus-wide), and a global
+    * sort-take is a single-reducer stall. Here no task ever holds more
+    * than its range partition, and the only global state is the
+    * partitions-sized offset table.
+    */
+  def statExactPercentiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vals = Tables.lineitem(s, dir)
+      .select(round($"l_extendedprice" * 100).cast("long").as("v"),
+        $"l_orderkey", $"l_linenumber")
+    val (ranked, n) = graft.operators.GlobalOrder.rank(
+      vals, Seq($"v", $"l_orderkey", $"l_linenumber"), "rnk")
+    val ps = Seq(250L, 500L, 750L, 900L, 990L)
+    val posDf = broadcast(
+      ps.map(p => (p, math.max(1L, (p * n + 999) / 1000)))
+        .toDF("permille", "pos"))
+    ranked.join(posDf, $"rnk" === $"pos")
+      .select($"permille", $"v".as("pct_cents"))
+      .orderBy($"permille")
+  }
+
+  val statExactPercentilesSql: String =
+    """WITH vals AS (
+      |  SELECT round(l_extendedprice * 100)::BIGINT AS v,
+      |    row_number() OVER (ORDER BY round(l_extendedprice * 100)::BIGINT,
+      |      l_orderkey, l_linenumber) AS rnk
+      |  FROM lineitem),
+      |n AS (SELECT count(*)::BIGINT AS n FROM lineitem),
+      |ps AS (SELECT * FROM (VALUES (250), (500), (750), (900), (990))
+      |       t(permille))
+      |SELECT permille::BIGINT AS permille, v AS pct_cents
+      |FROM ps CROSS JOIN n
+      |JOIN vals ON rnk = greatest(1, (permille * n + 999) // 1000)
+      |ORDER BY permille""".stripMargin
+
   /** All relational queries + oracles, consumed by SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q51_revenue_change" -> q51RevenueChange _,
@@ -1883,6 +1925,7 @@ object Relational {
     "q55_disjunction_revenue" -> q55DisjunctionRevenue _,
     "q56_waiting_suppliers" -> q56WaitingSuppliers _,
     "q57_dormant_rich" -> q57DormantRich _,
+    "stat_exact_percentiles" -> statExactPercentiles _,
     "q49_unshipped_orders" -> q49UnshippedOrders _,
     "q50_local_supplier_volume" -> q50LocalSupplierVolume _,
     "q47_order_count_dist" -> q47OrderCountDist _,
@@ -1941,6 +1984,7 @@ object Relational {
     "q55_disjunction_revenue" -> q55Sql,
     "q56_waiting_suppliers" -> q56Sql,
     "q57_dormant_rich" -> q57Sql,
+    "stat_exact_percentiles" -> statExactPercentilesSql,
     "q49_unshipped_orders" -> q49Sql,
     "q50_local_supplier_volume" -> q50Sql,
     "q47_order_count_dist" -> q47Sql,

@@ -81,6 +81,21 @@ class GlobalOrderSpec extends SparkSpec {
     assert(bad.isEmpty, "two-pass form must not plan a global window")
   }
 
+  test("stat_exact_percentiles == in-memory sorted-rank recount") {
+    import spark.implicits._
+    val dir = sf("sf0.001")
+    val sorted = graft.sources.Tables.lineitem(spark, dir)
+      .select(round($"l_extendedprice" * 100).cast("long").as("v"))
+      .collect().map(_.getLong(0)).sorted
+    val n = sorted.length.toLong
+    val want = Seq(250L, 500L, 750L, 900L, 990L).map { p =>
+      p -> sorted((math.max(1L, (p * n + 999) / 1000) - 1).toInt)
+    }
+    val got = Relational.statExactPercentiles(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    assert(got === want)
+  }
+
   test("rank is stable across repeated evaluation (pinned partitioning)") {
     import spark.implicits._
     val df = sampleDf(300, parts = 5)
