@@ -1795,8 +1795,11 @@ object Relational {
         $"l_orderkey" === $"o_orderkey")
       .select($"l_orderkey", $"l_suppkey",
         ($"l_shipdate" > date_add($"o_orderdate", 60)).as("late"))
+    // the reduced late-pair frame feeds the probe side AND the anti
+    // side — materialize once instead of paying a third fact-scan
     val l1 = lines.filter($"late")
       .select($"l_orderkey", $"l_suppkey").distinct()
+      .localCheckpoint(true)
     val others = lines.select($"l_orderkey".as("o2"), $"l_suppkey".as("s2"))
       .distinct()
     val lateOthers = l1.select($"l_orderkey".as("o3"), $"l_suppkey".as("s3"))
