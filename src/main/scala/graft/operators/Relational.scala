@@ -821,8 +821,13 @@ object Relational {
     * and cume_dist are exact rationals of row counts, so the doubles are
     * bit-identical cross-engine (IEEE division of equal integers).
     * Scale: one hash exchange on the partition key + per-partition sort —
-    * rank functions add nothing over the sort. Skewed segments would salt
-    * the same way skew_salted_agg does.
+    * rank functions add nothing over the sort. The segment dimension is
+    * BOUNDED (5 market segments), so per-segment volume scales with the
+    * corpus: if a single segment ever outgrows one task, the battery
+    * migrates to a per-segment [[graft.operators.GlobalOrder.rank]]
+    * (the q22 form, which derives all three statistics from the
+    * two-pass rank + counts) rather than salting — rank semantics
+    * cannot split across salt cells.
     */
   def q33RankBattery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
