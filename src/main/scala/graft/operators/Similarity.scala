@@ -667,6 +667,90 @@ object Similarity {
       .select($"cid", $"pos", $"c_old", $"c_new", $"m_old", $"n_new")
   }
 
+  /** Inverse fold: FORGET a delete-set from the fitted index — the
+    * right-to-be-forgotten path of the index lifecycle (vectors must
+    * leave not just the assignment table but the centroid statistics
+    * their mass shaped). Exact inverse of [[ivfRefreshCells]]'s update:
+    *
+    *   c_new = floor((m_old·c_old − Σ_del e) / (m_old − n_del))
+    *
+    * per component, using only the index's own summary (count × stored
+    * centroid) + the deleted vectors — no rescan of the surviving
+    * corpus. Cells with no deletions keep their centroid BIT-FOR-BIT; a
+    * cell whose members are ALL deleted keeps its last centroid (cell
+    * retirement is a refit decision, same rule as cell birth in
+    * refresh).
+    */
+  private[operators] def ivfForgetCells(cents: DataFrame, mOld: DataFrame,
+      delSums: DataFrame): DataFrame = {
+    import cents.sparkSession.implicits._
+    cents.select($"cid", posexplode($"cq").as(Seq("pos", "c_old")))
+      .join(mOld, Seq("cid"), "left")
+      .join(delSums, Seq("cid", "pos"), "left")
+      .withColumn("m_old", coalesce($"m_old", lit(0L)))
+      .withColumn("n_del", coalesce($"nd", lit(0L)))
+      .withColumn("c_new", when($"n_del" > 0 && $"m_old" > $"n_del",
+          floor(($"m_old" * $"c_old" - $"sd").cast("double")
+            / ($"m_old" - $"n_del")).cast("long"))
+        .otherwise($"c_old"))
+      .select($"cid", $"pos", $"c_old", $"c_new", $"m_old", $"n_del")
+  }
+
+  /** Gate query for the forget op: the index fit on the full corpus,
+    * then vec_id % 10 = 7 deleted. ONE assignment pass feeds both the
+    * per-cell mass table and the deletion sums (the delete-set's cells
+    * are already in the fit's own assignment). Per cell: stored mass,
+    * deleted mass, and how far the inverse fold moved the centroid.
+    */
+  def ivfForget(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val all = qEmb(s, dir)
+    val cents = ivfCentroids(s, all)
+    val assign = ivfAssignOf(all, cents)
+      .localCheckpoint(true) // feeds the mass agg AND the delete sums
+    val mOld = assign.groupBy($"centroid".as("cid"))
+      .agg(count(lit(1)).as("m_old"))
+    val delSums = assign.filter($"vec_id" % 10 === 7)
+      .join(all, Seq("vec_id"))
+      .select($"centroid".as("cid"), posexplode($"q").as(Seq("pos", "e")))
+      .groupBy($"cid", $"pos")
+      .agg(sum($"e").as("sd"), count(lit(1)).as("nd"))
+    ivfForgetCells(cents, mOld, delSums)
+      .groupBy($"cid")
+      .agg(max($"m_old").as("m_old"), max($"n_del").as("n_del"),
+        sum(($"c_new" - $"c_old") * ($"c_new" - $"c_old"))
+          .as("forget_l2sq"))
+      .orderBy($"cid")
+  }
+
+  val ivfForgetSql: String = qvecCte + kmeansCtes +
+    s""",
+       |mold AS (SELECT cid, count(*)::BIGINT AS m_old
+       |         FROM a$kmeansIters GROUP BY cid),
+       |ds AS (
+       |  SELECT a.cid, u.i, sum(u.e)::BIGINT AS sd, count(*)::BIGINT AS nd
+       |  FROM a$kmeansIters a JOIN (
+       |    SELECT vec_id, unnest(q) AS e,
+       |           generate_subscripts(q, 1) - 1 AS i
+       |    FROM qv WHERE vec_id % 10 = 7) u
+       |    ON a.vec_id = u.vec_id
+       |  GROUP BY 1, 2),
+       |ex AS (SELECT cid, unnest(cq) AS c_old,
+       |              generate_subscripts(cq, 1) - 1 AS i
+       |       FROM cent$kmeansIters),
+       |upd AS (
+       |  SELECT x.cid, x.i, x.c_old,
+       |    CASE WHEN ds.nd IS NOT NULL AND coalesce(m.m_old, 0) > ds.nd
+       |         THEN floor((coalesce(m.m_old, 0) * x.c_old - ds.sd)::DOUBLE
+       |                    / (coalesce(m.m_old, 0) - ds.nd))::BIGINT
+       |         ELSE x.c_old END AS c_new,
+       |    coalesce(m.m_old, 0) AS m_old, coalesce(ds.nd, 0) AS nd
+       |  FROM ex x LEFT JOIN mold m ON x.cid = m.cid
+       |            LEFT JOIN ds ON x.cid = ds.cid AND x.i = ds.i)
+       |SELECT cid, max(m_old)::BIGINT AS m_old, max(nd)::BIGINT AS n_del,
+       |  sum((c_new - c_old) * (c_new - c_old))::BIGINT AS forget_l2sq
+       |FROM upd GROUP BY cid ORDER BY cid""".stripMargin
+
   /** Gate query for the refresh op: base = vec_id % 4 ≠ 3 (the index as
     * fitted), appends = vec_id % 4 = 3 (the batch that arrived since).
     * Per cell: stored mass, appended mass, and how far the mini-batch
@@ -2409,6 +2493,7 @@ object Similarity {
     "sim_hard_negatives" -> hardNegatives _,
     "sim_drift" -> drift _,
     "sim_ivf_refresh" -> ivfRefresh _,
+    "sim_ivf_forget" -> ivfForget _,
     "sim_quantize_err" -> quantizeErr _,
     "sim_lsh_recall" -> lshRecall _,
     "sim_label_centroids" -> labelCentroids _,
@@ -2445,6 +2530,7 @@ object Similarity {
     "sim_hard_negatives" -> hardNegativesSql,
     "sim_drift" -> driftSql,
     "sim_ivf_refresh" -> ivfRefreshSql,
+    "sim_ivf_forget" -> ivfForgetSql,
     "sim_quantize_err" -> quantizeErrSql,
     "sim_lsh_recall" -> lshRecallSql,
     "sim_label_centroids" -> labelCentroidsSql,

@@ -63,6 +63,37 @@ class IvfRefreshSpec extends SparkSpec {
       s"refresh did not approach the refit: $dRefreshed >= $dStale")
   }
 
+  test("forget conserves mass and touches only cells with deletions") {
+    val all = Similarity.qEmb(spark, dir)
+    val nAll = all.count()
+    val nDel = all.filter($"vec_id" % 10 === 7).count()
+    val report = graft.SparkEntry.queries("sim_ivf_forget")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(report.map(_._2).sum === nAll)
+    assert(report.map(_._3).sum === nDel)
+    assert(report.exists(_._3 > 0), "no cell had any deletions")
+    // cells without deletions must not move
+    report.filter(_._3 == 0).foreach { case (cid, _, _, l2) =>
+      assert(l2 === 0L, s"untouched cell $cid moved")
+    }
+  }
+
+  test("forgetting the empty set is the identity on every centroid") {
+    import org.apache.spark.sql.functions.{coalesce => _, _}
+    val all = Similarity.qEmb(spark, dir)
+    val cents = Similarity.ivfCentroids(spark, all)
+    val mOld = Similarity.ivfAssignOf(all, cents)
+      .groupBy($"centroid".as("cid")).agg(count(lit(1)).as("m_old"))
+    val emptySums = cents.sparkSession.emptyDataFrame
+      .withColumn("cid", lit(0L)).withColumn("pos", lit(0))
+      .withColumn("sd", lit(0L)).withColumn("nd", lit(0L))
+      .limit(0)
+    val cells = Similarity.ivfForgetCells(cents, mOld, emptySums)
+    assert(cells.filter($"c_new" =!= $"c_old").count() === 0L)
+    assert(cells.filter($"n_del" =!= 0L).count() === 0L)
+  }
+
   test("persisted lifecycle: save on base, refresh folds appends as the next version") {
     val (base, appends) = split()
     val path = java.nio.file.Files.createTempDirectory("graft-ivf-refresh")
