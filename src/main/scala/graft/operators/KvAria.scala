@@ -429,6 +429,64 @@ object KvAria {
       |FROM reg r LEFT JOIN win w ON r.table_id = w.table_id AND r.k = w.k
       |WHERE r.k <= 300 ORDER BY r.table_id, r.k""".stripMargin
 
+  /** Multi-table epoch loop run to empty (reorder policy) — the O20/O21
+    * fixpoint over the two-table registry, oracled by the same
+    * recursive-CTE re-derivation as [[ariaEpochs]] with reservations
+    * keyed on the COMPOSITE (table_id, k). Gates the generalized
+    * [[AriaEngine.run]] loop itself, not just the single-epoch phases.
+    */
+  def ariaTwoTablesEpochs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (_, history) = AriaEngine.run(
+      s, twoTableRegistry(s, dir), twoTableOps(s, dir), reorder = true,
+      valueCols = Seq("f0"),
+      newValue = (tid, ep) =>
+        concat(lit("v"), tid.cast("string"), lit("e"), ep.cast("string")),
+      keyCols = twoTableKey)
+    history.toDF("epoch", "committed", "aborted").orderBy($"epoch")
+  }
+
+  val ariaTwoTablesEpochsSql: String =
+    """WITH RECURSIVE
+      |ops AS (
+      |  SELECT l_orderkey AS tid, l_linenumber AS opidx,
+      |         l_partkey % 2 AS table_id,
+      |         l_partkey % 1000 + 1 AS k,
+      |         (l_linenumber % 5) < 2 AS isupdate
+      |  FROM lineitem WHERE l_orderkey % 101 = 0),
+      |reg AS (
+      |  SELECT 0 AS table_id, p_partkey AS k FROM part
+      |  UNION ALL
+      |  SELECT 1 AS table_id, c_custkey AS k FROM customer),
+      |live AS (
+      |  SELECT o.* FROM ops o
+      |  WHERE EXISTS (SELECT 1 FROM reg r
+      |                WHERE r.table_id = o.table_id AND r.k = o.k)),
+      |surv(epoch, tid) AS (
+      |  SELECT 1, tid FROM (SELECT DISTINCT tid FROM live) t
+      |  UNION ALL
+      |  SELECT epoch + 1, tid FROM (
+      |    SELECT epoch, tid,
+      |      max(CASE WHEN wts < tid THEN 1 ELSE 0 END) AS raw,
+      |      max(CASE WHEN isupdate AND rts < tid THEN 1 ELSE 0 END) AS war,
+      |      max(CASE WHEN isupdate AND wts < tid THEN 1 ELSE 0 END) AS waw
+      |    FROM (
+      |      SELECT s.epoch, l.tid, l.table_id, l.k, l.isupdate,
+      |        min(l.tid) OVER (PARTITION BY l.table_id, l.k) AS rts,
+      |        min(CASE WHEN l.isupdate THEN l.tid END)
+      |          OVER (PARTITION BY l.table_id, l.k) AS wts
+      |      FROM live l JOIN surv s USING (tid)) z
+      |    GROUP BY epoch, tid) c
+      |  WHERE NOT (waw = 0 AND (raw = 0 OR war = 0))),
+      |counts AS (SELECT epoch, count(*)::BIGINT AS n FROM surv GROUP BY epoch),
+      |total AS (SELECT count(DISTINCT tid)::BIGINT AS n0 FROM ops)
+      |SELECT c.epoch,
+      |  (CASE WHEN c.epoch = 1 THEN (SELECT n0 FROM total) ELSE c.n END
+      |   - coalesce(nx.n, 0))::BIGINT AS committed,
+      |  coalesce(nx.n, 0)::BIGINT AS aborted
+      |FROM counts c LEFT JOIN counts nx ON nx.epoch = c.epoch + 1
+      |ORDER BY c.epoch""".stripMargin
+
   // ---- KV queries ----
 
   /** O1/O2: point lookup with pushed-down key predicate. */
@@ -531,6 +589,7 @@ object KvAria {
     "aria_reference_scenario" -> ariaReferenceScenario _,
     "aria_two_tables" -> ariaTwoTables _,
     "aria_two_tables_install" -> ariaTwoTablesInstall _,
+    "aria_two_tables_epochs" -> ariaTwoTablesEpochs _,
     "kv_point_lookup" -> kvPointLookup _,
     "kv_batch_lookup" -> kvBatchLookup _,
     "kv_upsert" -> kvUpsert _,
@@ -548,6 +607,7 @@ object KvAria {
     "aria_reference_scenario" -> ariaReferenceScenarioSql,
     "aria_two_tables" -> ariaTwoTablesSql,
     "aria_two_tables_install" -> ariaTwoTablesInstallSql,
+    "aria_two_tables_epochs" -> ariaTwoTablesEpochsSql,
     "kv_point_lookup" -> kvPointLookupSql,
     "kv_batch_lookup" -> kvBatchLookupSql,
     "kv_upsert" -> kvUpsertSql,
