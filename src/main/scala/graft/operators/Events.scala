@@ -545,7 +545,11 @@ object Events {
     // GlobalOrder offset table): keeps the anchor out of the plan as a
     // cross join, whose printout would otherwise replicate through the
     // three ranked frames' cached lineages
-    val anchorDay = ev.agg(max($"day")).head().getDate(0)
+    // max(day) is NULL on an empty events table — peruser is then empty
+    // too, so any placeholder anchor yields the same (empty) result with
+    // the right schema instead of an NPE at construction time
+    val anchorDay = Option(ev.agg(max($"day")).head().getDate(0))
+      .getOrElse(java.sql.Date.valueOf("1970-01-01"))
     val peruser = ev.groupBy($"user_id")
       .agg(max($"day").as("last_day"), count(lit(1)).as("f"),
         sum($"cents").as("m_cents"))

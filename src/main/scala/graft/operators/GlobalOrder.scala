@@ -3,7 +3,6 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Scale-safe GLOBAL ORDERING primitives — the two-pass replacement for
   * `Window.orderBy(...)` with an empty partitionSpec (which Spark executes
@@ -32,10 +31,15 @@ import org.apache.spark.storage.StorageLevel
   * range boundaries with a seed derived from the physical RDD id, so two
   * separate materializations of the same logical frame may cut DIFFERENT
   * boundaries. The offset table and the final frame must therefore read
-  * the SAME materialization — the ranged frame is persisted
-  * (MEMORY_AND_DISK) before the totals pass, and the returned frame
-  * re-reads that cache. At cluster scale the same pinning is a
-  * checkpoint / shuffle-reuse; the collect is ≤ one row per partition.
+  * the SAME materialization — the ranged frame is eagerly
+  * `localCheckpoint`ed before the totals pass, and the returned frame
+  * re-reads those blocks. Checkpoint, not persist: a persisted frame
+  * whose blocks are evicted/lost silently RECOMPUTES with a new RDD-id
+  * seed (the already-collected offsets would no longer match the data's
+  * partitioning), and a persist with no unpersist leaks a cached frame
+  * per call for the session lifetime; a checkpointed frame is pinned —
+  * block loss fails loudly — and its blocks are GC-reclaimed with the
+  * frame. The collect is ≤ one row per partition.
   */
 object GlobalOrder {
 
@@ -56,7 +60,7 @@ object GlobalOrder {
       .repartitionByRange(parts, order: _*)
       .withColumn(PID, spark_partition_id())
       .withColumn(VAL, value.cast("long"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val w = Window.partitionBy(col(PID)).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = ranged.withColumn(LOC, sum(col(VAL)).over(w))

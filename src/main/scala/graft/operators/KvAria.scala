@@ -333,7 +333,11 @@ object KvAria {
         $"l_orderkey".as("tid"),
         $"l_linenumber".as("opidx"),
         ($"l_partkey" % 2).as("table_id"),
-        ($"l_partkey" % 1000 + 1).as("k"),
+        // odd modulus: with an even one (1000) table_id and k are
+        // parity-correlated — table 0 only ever sees odd k, table 1 only
+        // even — so no numeric k occurs in BOTH tables and the gate data
+        // cannot distinguish composite-key conflicts from k-only keying
+        ($"l_partkey" % 999 + 1).as("k"),
         ($"l_linenumber" % 5 < 2).as("isUpdate"))
   }
 
@@ -352,7 +356,7 @@ object KvAria {
     """WITH ops AS (
       |  SELECT l_orderkey AS tid, l_linenumber AS opidx,
       |         l_partkey % 2 AS table_id,
-      |         l_partkey % 1000 + 1 AS k,
+      |         l_partkey % 999 + 1 AS k,
       |         (l_linenumber % 5) < 2 AS isupdate
       |  FROM lineitem WHERE l_orderkey % 101 = 0),
       |reg AS (
@@ -451,7 +455,7 @@ object KvAria {
       |ops AS (
       |  SELECT l_orderkey AS tid, l_linenumber AS opidx,
       |         l_partkey % 2 AS table_id,
-      |         l_partkey % 1000 + 1 AS k,
+      |         l_partkey % 999 + 1 AS k,
       |         (l_linenumber % 5) < 2 AS isupdate
       |  FROM lineitem WHERE l_orderkey % 101 = 0),
       |reg AS (

@@ -1645,7 +1645,11 @@ object Relational {
       .join(broadcast(Tables.supplier(s, dir)
         .select($"s_suppkey", $"s_name")), $"l_suppkey" === $"s_suppkey")
       .select($"s_suppkey", $"s_name", $"value_cents",
-        floor($"value_cents" * 1000 / $"t").cast("long").as("share_pm"))
+        // exact int64 integral division (Spark's `div` operator ==
+        // DuckDB's `//` for non-negative bigints) — NOT Column./, which
+        // is double division whose floor can diverge from exact integer
+        // division once value_cents*1000 approaches 2^53
+        expr("value_cents * 1000 div t").cast("long").as("share_pm"))
       .orderBy($"value_cents".desc, $"s_suppkey")
   }
 
