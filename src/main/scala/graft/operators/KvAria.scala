@@ -583,6 +583,39 @@ object KvAria {
       |  (SELECT count(DISTINCT o_custkey) FROM orders) AS orders_custkeys,
       |  (SELECT count(*) FROM customer) AS customer_rows""".stripMargin
 
+  /** SHUFFLE bench canary — a fixed two-table join + aggregation whose
+    * cost is dominated by a real exchange (the lineitem-sized hash
+    * aggregate on `l_orderkey`), feeding a join with orders and a final
+    * ≤5-row rollup. Exists because the pure-scan canary
+    * ([[kvScanCount]]) is blind to shuffle-side co-tenancy: round 11's
+    * graded window inflated shuffle-heavy queries 1.2–1.8× while the
+    * scan canary sat at its clean floor. Like the scan canary, this
+    * query's min only moves with machine conditions, never with query
+    * code — a reading ≥2× its recorded floor voids the window's deltas
+    * (`tools/bench_compare.py` refuses to compare).
+    */
+  def kvShuffleCanary(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val per = Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_quantity".cast("long").as("qty"))
+      .groupBy($"l_orderkey").agg(sum($"qty").as("qty"))
+    per.join(Tables.orders(s, dir)
+        .select($"o_orderkey", $"o_orderpriority"),
+        $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum($"qty").as("sum_qty"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val kvShuffleCanarySql: String =
+    """WITH per AS (
+      |  SELECT l_orderkey, sum(l_quantity::BIGINT)::BIGINT AS qty
+      |  FROM lineitem GROUP BY l_orderkey)
+      |SELECT o_orderpriority, count(*)::BIGINT AS n,
+      |  sum(qty)::BIGINT AS sum_qty
+      |FROM per JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "aria_reservations" -> ariaReservations _,
     "aria_conflicts" -> ariaConflicts _,
@@ -599,6 +632,7 @@ object KvAria {
     "kv_upsert" -> kvUpsert _,
     "kv_delete" -> kvDelete _,
     "kv_scan_count" -> kvScanCount _,
+    "kv_shuffle_canary" -> kvShuffleCanary _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -617,5 +651,6 @@ object KvAria {
     "kv_upsert" -> kvUpsertSql,
     "kv_delete" -> kvDeleteSql,
     "kv_scan_count" -> kvScanCountSql,
+    "kv_shuffle_canary" -> kvShuffleCanarySql,
   )
 }

@@ -17,10 +17,15 @@ artifacts preserve. A delta is reported only when BOTH gates trip:
 |new-old| > --abs seconds AND max/min ratio > --rel. This box's measured
 same-code noise is ~1.3x per query (VERDICT r8), hence the defaults.
 
-Canary: kv_scan_count is a pure-count scan whose min only moves with
-co-tenant load, never query code. Clean floor ~0.25s at sf0.1; a side
-reading >= 2x that is flagged CONTAMINATED and every delta on that side is
-suspect.
+Canaries: TWO fixed queries whose mins only move with machine conditions,
+never query code. kv_scan_count is a pure-count scan (CPU / page-cache
+co-tenancy; clean floor ~0.25s at sf0.1); kv_shuffle_canary is a fixed
+join+agg through a real exchange (shuffle-side contention — round 11's
+graded window inflated shuffle-heavy queries 1.2-1.8x while the scan
+canary sat at its floor; clean floor ~0.45s at sf0.1). A side reading
+EITHER canary >= 2x its floor is CONTAMINATED and the tool REFUSES to
+print a delta table — cross-window deltas off such a side are
+manufactured noise, not measurements.
 
 A side whose artifact records failed queries (failed_n > 0 / a "failed"
 list) or an aborted run ("aborted":true — the SparkContext died mid-run)
@@ -29,20 +34,26 @@ no delta table. A below-floor canary is treated the same way (it is the
 failure signature round 9 taught us), not merely flagged.
 
 Exit codes: 0 clean, 1 regressions found, 2 canary contaminated (trumps
-1), 3 refused (failed/aborted/poisoned side — nothing was compared).
+1; no delta table printed), 3 refused (failed/aborted/poisoned side —
+nothing was compared).
 """
 import json
 import re
 import sys
 
-CANARY = "kv_scan_count"
-CANARY_CLEAN_FLOOR = 0.30  # seconds at sf0.1; >=2x this => contaminated
+# (query name, compact-line key, clean floor sec at sf0.1) — >=2x floor
+# => contaminated. Floors recorded in PLANS.md (bench canary doctrine).
+CANARIES = [
+    ("kv_scan_count", "canary_kv_scan_count", 0.30),
+    ("kv_shuffle_canary", "canary_kv_shuffle", 0.55),
+]
 CANARY_POISON_CEILING = 0.05  # below this = queries threw, not ran (r9)
 
 SPREAD_RE = re.compile(r'"([A-Za-z0-9_]+)":\[([0-9.]+),([0-9.]+),([0-9.]+)\]')
 COMPACT_RE = re.compile(r'"([A-Za-z0-9_]+)":([0-9.]+)')
-NON_QUERY_KEYS = {"value", "qsum", "canary_" + CANARY, "failed_n", "n",
-                  "rc", "cpus", "sf", "iters", "nq"}
+NON_QUERY_KEYS = ({"value", "qsum", "failed_n", "n",
+                   "rc", "cpus", "sf", "iters", "nq"} |
+                  {key for _q, key, _f in CANARIES})
 
 
 def load_text(path):
@@ -58,9 +69,10 @@ def load_text(path):
 
 
 def parse_side(path):
-    """-> (mins: {query: min_sec}, total: float|None, canary: float|None,
-           n_spread: int, bad: str|None) for one artifact; `bad` is a
-    human-readable reason the side is not a measurement set."""
+    """-> (mins: {query: min_sec}, total: float|None,
+           canaries: {query: min_sec}, n_spread: int, bad: str|None) for
+    one artifact; `bad` is a human-readable reason the side is not a
+    measurement set."""
     text = load_text(path)
     bad = None
     if re.search(r'"aborted":true', text):
@@ -74,13 +86,16 @@ def parse_side(path):
     mins = {}
     # compact line first (complete, but only the slowest queries fit)
     m = re.search(r'\{"metric":"total",.*\}', text)
-    total = canary = None
+    total = None
+    canaries = {}
     if m:
         compact = m.group(0)
         tm = re.search(r'"value":([0-9.]+)', compact)
         total = float(tm.group(1)) if tm else None
-        cm = re.search(r'"canary_' + CANARY + r'":([0-9.]+)', compact)
-        canary = float(cm.group(1)) if cm else None
+        for qname, key, _floor in CANARIES:
+            cm = re.search(r'"' + key + r'":([0-9.]+)', compact)
+            if cm:
+                canaries[qname] = float(cm.group(1))
         qm = re.search(r'"queries":\{(.*)\}\}', compact)
         if qm:
             for name, v in COMPACT_RE.findall(qm.group(1)):
@@ -91,12 +106,15 @@ def parse_side(path):
     for name, lo, _med, _hi in SPREAD_RE.findall(text):
         mins[name] = float(lo)
         n_spread += 1
-    if canary is None and CANARY in mins:
-        canary = mins[CANARY]
-    if bad is None and canary is not None and canary <= CANARY_POISON_CEILING:
-        bad = (f"canary {canary:.3f}s <= {CANARY_POISON_CEILING:.2f}s — "
-               "implausibly fast, the run likely died mid-way")
-    return mins, total, canary, n_spread, bad
+    for qname, _key, _floor in CANARIES:
+        if qname not in canaries and qname in mins:
+            canaries[qname] = mins[qname]
+    for qname, c in canaries.items():
+        if bad is None and c <= CANARY_POISON_CEILING:
+            bad = (f"canary {qname} {c:.3f}s <= "
+                   f"{CANARY_POISON_CEILING:.2f}s — implausibly fast, "
+                   "the run likely died mid-way")
+    return mins, total, canaries, n_spread, bad
 
 
 def main(argv):
@@ -117,8 +135,8 @@ def main(argv):
     abs_floor = float(opts.get("abs", 0.15))
     rel_floor = float(opts.get("rel", 1.3))
     old_path, new_path = flat
-    old, old_total, old_canary, old_ns, old_bad = parse_side(old_path)
-    new, new_total, new_canary, new_ns, new_bad = parse_side(new_path)
+    old, old_total, old_canaries, old_ns, old_bad = parse_side(old_path)
+    new, new_total, new_canaries, new_ns, new_bad = parse_side(new_path)
 
     # a failed/aborted/poisoned side holds non-measurements: comparing it
     # would manufacture deltas out of time-to-throw readings — refuse
@@ -133,26 +151,40 @@ def main(argv):
         return 3
 
     contaminated = False
-    for tag, c in (("OLD", old_canary), ("NEW", new_canary)):
-        if c is None:
-            print(f"[canary] {tag}: {CANARY} not present — cannot vouch for the run")
-        elif c >= 2 * CANARY_CLEAN_FLOOR:
-            print(f"[canary] {tag}: {CANARY} min {c:.3f}s >= "
-                  f"{2 * CANARY_CLEAN_FLOOR:.2f}s — RUN CONTAMINATED, "
-                  "deltas on this side are not trustworthy")
-            contaminated = True
-        elif c <= CANARY_POISON_CEILING:
-            # round 9: a mid-run SparkContext death made every later query
-            # record its time-to-throw (~0.005s) — the canary reading FAR
-            # BELOW floor is the failure signature, and the run's "times"
-            # are not measurements at all
-            print(f"[canary] {tag}: {CANARY} min {c:.3f}s <= "
-                  f"{CANARY_POISON_CEILING:.2f}s — implausibly fast: the "
-                  "run likely died mid-way (check failed_n / stderr); "
-                  "times on this side are time-to-throw, not measurements")
-            contaminated = True
-        else:
-            print(f"[canary] {tag}: {CANARY} min {c:.3f}s — clean")
+    for tag, cs in (("OLD", old_canaries), ("NEW", new_canaries)):
+        for qname, _key, floor in CANARIES:
+            c = cs.get(qname)
+            if c is None:
+                print(f"[canary] {tag}: {qname} not present — cannot "
+                      "vouch for this side's run")
+            elif c >= 2 * floor:
+                print(f"[canary] {tag}: {qname} min {c:.3f}s >= "
+                      f"{2 * floor:.2f}s — RUN CONTAMINATED, deltas on "
+                      "this side are not trustworthy")
+                contaminated = True
+            elif c <= CANARY_POISON_CEILING:
+                # round 9: a mid-run SparkContext death made every later
+                # query record its time-to-throw (~0.005s) — a canary FAR
+                # BELOW floor is the failure signature, and the run's
+                # "times" are not measurements at all
+                print(f"[canary] {tag}: {qname} min {c:.3f}s <= "
+                      f"{CANARY_POISON_CEILING:.2f}s — implausibly fast: "
+                      "the run likely died mid-way (check failed_n / "
+                      "stderr); times on this side are time-to-throw, "
+                      "not measurements")
+                contaminated = True
+            else:
+                print(f"[canary] {tag}: {qname} min {c:.3f}s — clean "
+                      f"(floor {floor:.2f}s)")
+    if contaminated:
+        # a hot canary means the window itself is invalid: per-query
+        # deltas off it are co-tenancy noise wearing a query's name
+        # (round 11: the scan canary alone certified a window whose
+        # shuffle-heavy queries ran 1.2-1.8x hot) — refuse the table
+        print("[REFUSED] canary contamination — no delta table; re-run "
+              "the bench on a quiet window instead of reading deltas "
+              "off this one")
+        return 2
 
     if old_total is not None and new_total is not None:
         print(f"[total] {old_total:.1f}s -> {new_total:.1f}s "
@@ -182,7 +214,7 @@ def main(argv):
     if not regressions and not improvements:
         print(f"-- no per-query delta beyond the noise floor "
               f"(|delta| > {abs_floor}s and ratio > {rel_floor}x)")
-    return 2 if contaminated else (1 if regressions else 0)
+    return 1 if regressions else 0
 
 
 if __name__ == "__main__":

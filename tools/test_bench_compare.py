@@ -1,0 +1,113 @@
+#!/usr/bin/env python3
+"""Tests for tools/bench_compare.py — specifically the two-canary refusal
+logic the round-11 verdict asked for: a window whose SHUFFLE canary is hot
+must be refused (no delta table) even when the scan canary reads clean,
+because that is exactly the contamination shape that corrupted BENCH_r11's
+shuffle-heavy tail while the scan canary certified the window.
+
+Run: python3 tools/test_bench_compare.py
+"""
+import contextlib
+import io
+import importlib.util
+import os
+import sys
+import tempfile
+import unittest
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+spec = importlib.util.spec_from_file_location(
+    "bench_compare", os.path.join(HERE, "bench_compare.py"))
+bc = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(bc)
+
+
+def artifact(scan=0.25, shuffle=0.45, q1=1.0, q2=2.0, extra=""):
+    """Raw Bench stdout: a spread line + the compact line."""
+    full = ('{"metric":"total_full","value":%.3f,"unit":"sec","queries":{'
+            '"kv_scan_count":[%.3f,%.3f,%.3f],'
+            '"kv_shuffle_canary":[%.3f,%.3f,%.3f],'
+            '"q_alpha":[%.3f,%.3f,%.3f],"q_beta":[%.3f,%.3f,%.3f]},'
+            '"sf":"sf0.1","iters":3%s}'
+            % (scan + shuffle + q1 + q2, scan, scan, scan,
+               shuffle, shuffle, shuffle,
+               q1, q1, q1, q2, q2, q2, extra))
+    compact = ('{"metric":"total","value":%.3f,"unit":"sec","sf":"sf0.1",'
+               '"iters":3,"nq":4,"qsum":%.3f,'
+               '"canary_kv_scan_count":%.3f,"canary_kv_shuffle":%.3f%s,'
+               '"queries":{"q_beta":%.3f,"q_alpha":%.3f}}'
+               % (scan + shuffle + q1 + q2, scan + shuffle + q1 + q2,
+                  scan, shuffle, extra, q2, q1))
+    return full + "\n" + compact + "\n"
+
+
+def run_compare(old_text, new_text, *flags):
+    """-> (exit_code, stdout) of bench_compare.main on two raw artifacts."""
+    with tempfile.TemporaryDirectory() as d:
+        po, pn = os.path.join(d, "old.out"), os.path.join(d, "new.out")
+        open(po, "w").write(old_text)
+        open(pn, "w").write(new_text)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            rc = bc.main([po, pn, *flags])
+    return rc, buf.getvalue()
+
+
+class CanaryRefusal(unittest.TestCase):
+
+    def test_clean_sides_no_deltas(self):
+        rc, out = run_compare(artifact(), artifact())
+        self.assertEqual(rc, 0)
+        self.assertIn("clean", out)
+        self.assertIn("no per-query delta", out)
+
+    def test_real_regression_still_reported_when_clean(self):
+        rc, out = run_compare(artifact(q2=2.0), artifact(q2=3.5))
+        self.assertEqual(rc, 1)
+        self.assertIn("REGRESSIONS", out)
+        self.assertIn("q_beta", out)
+
+    def test_hot_shuffle_canary_refuses_even_with_clean_scan(self):
+        # the BENCH_r11 failure shape: scan canary at floor, shuffle-side
+        # contention inflating heavy queries — deltas must NOT be printed
+        rc, out = run_compare(artifact(),
+                              artifact(shuffle=1.30, q2=3.5))
+        self.assertEqual(rc, 2)
+        self.assertIn("CONTAMINATED", out)
+        self.assertIn("[REFUSED] canary contamination", out)
+        self.assertNotIn("REGRESSIONS", out)
+
+    def test_hot_scan_canary_refuses(self):
+        rc, out = run_compare(artifact(scan=0.80), artifact())
+        self.assertEqual(rc, 2)
+        self.assertIn("CONTAMINATED", out)
+        self.assertNotIn("REGRESSIONS", out)
+
+    def test_missing_shuffle_canary_warns_but_compares(self):
+        # pre-round-12 artifacts lack the shuffle canary: still comparable
+        # (the scan canary vouches as before), with an explicit caveat
+        old = artifact().replace(',"canary_kv_shuffle":0.450', "") \
+            .replace('"kv_shuffle_canary":[0.450,0.450,0.450],', "")
+        rc, out = run_compare(old, artifact())
+        self.assertEqual(rc, 0)
+        self.assertIn("kv_shuffle_canary not present", out)
+
+    def test_failed_queries_refuse_exit_3(self):
+        rc, out = run_compare(artifact(), artifact(extra=',"failed_n":2'))
+        self.assertEqual(rc, 3)
+        self.assertIn("[REFUSED]", out)
+        self.assertNotIn("REGRESSIONS", out)
+
+    def test_poisoned_canary_refuses_exit_3(self):
+        # round 9 signature: mid-run death -> time-to-throw readings
+        rc, out = run_compare(artifact(), artifact(shuffle=0.004))
+        self.assertEqual(rc, 3)
+        self.assertIn("implausibly fast", out)
+
+    def test_aborted_run_refuses_exit_3(self):
+        rc, _ = run_compare(artifact(), artifact(extra=',"aborted":true'))
+        self.assertEqual(rc, 3)
+
+
+if __name__ == "__main__":
+    unittest.main(verbosity=2)
