@@ -4497,6 +4497,10 @@ object TextOps {
     "text_repetition" -> repetition _,
     "text_gopher_rules" -> gopherRules _,
     "text_bpe_train" -> ((s: SparkSession, dir: String) => bpeTrain(s, dir)),
+    // the pair-cache production-regime trainer, gated against the SAME
+    // oracle as the replace-form chain (identical output contract)
+    "text_bpe_train_incremental" ->
+      ((s: SparkSession, dir: String) => bpeTrainIncremental(s, dir)),
     "text_bpe_encode" -> bpeEncode _,
     "graph_pagerank" -> ((s: SparkSession, dir: String) => pageRank(s, dir)),
     "text_inverted_index" -> invertedIndex _,
@@ -4565,6 +4569,7 @@ object TextOps {
     "text_repetition" -> repetitionSql,
     "text_gopher_rules" -> gopherRulesSql,
     "text_bpe_train" -> bpeTrainSql,
+    "text_bpe_train_incremental" -> bpeTrainSql,
     "text_bpe_encode" -> bpeEncodeSql,
     "graph_pagerank" -> pageRankSql,
     "text_inverted_index" -> invertedIndexSql,
