@@ -848,6 +848,342 @@ object Similarity {
     ()
   }
 
+  /** 2-means split refinement iterations — mirrored exactly by the
+    * [[ivfSplitSql]] oracle CTEs (same role as [[kmeansIters]]).
+    */
+  private val splitIters = 2
+
+  /** Per-cell deterministic farthest member from `anchor` (cid, aq):
+    * maximize exact squared L2, tie-break smallest vec_id. Returns
+    * (cid, `out` = that member's vector).
+    */
+  private def farthestFrom(mem: DataFrame, anchor: DataFrame,
+      out: String): DataFrame = {
+    import mem.sparkSession.implicits._
+    mem.join(broadcast(anchor), Seq("cid"))
+      .withColumn("d2",
+        $"n2" - lit(2L) * dot($"q", $"aq") + norm2($"aq"))
+      .groupBy($"cid")
+      .agg(min_by($"q", struct((-$"d2").as("nd"), $"vec_id")).as(out))
+  }
+
+  /** Cell-local 2-means SPLIT — the index-side analogue of the
+    * reference's load-triggered hash resize (`src/cuda/hashTable.cuh:
+    * 120-154`, grow at 80% occupancy): a cell whose mass makes probes
+    * near-linear is split into two children using ONLY that cell's
+    * members (cell-local work — never a corpus pass).
+    *
+    * Seeding is the deterministic farthest-pair rule: child A seeds at
+    * the member farthest from the parent centroid, child B at the member
+    * farthest from A (ties to the smallest vec_id). `iters` Lloyd
+    * rounds then refine (assignment: exact int64 squared L2, ties to
+    * child A; update: per-component floor mean, the repo's standard
+    * exact requantization; an empty child keeps its previous centroid —
+    * the same rules as [[ivfCentroids]]).
+    *
+    * Input `members`: (cid, vec_id, q, n2) of the cells to split;
+    * `cents`: (cid, cq) their parent centroids. Returns
+    * (cells: one row per (cid, child 0|1) with final centroid `ccq` and
+    * mass `m`; membership: (cid, vec_id, child) — the final
+    * assignment, which [[splitIvfIndex]] uses to re-point the
+    * assignment table).
+    *
+    * Scale: every stage is keyed by cid (or (cid, child, pos)) — the
+    * split of one hot cell never shuffles another cell's members, and
+    * the per-round state frames are ≤ 2·|cells| rows.
+    */
+  private[operators] def ivfSplit2Means(members: DataFrame,
+      cents: DataFrame, iters: Int = splitIters)
+      : (DataFrame, DataFrame) = {
+    import members.sparkSession.implicits._
+    val mem = members.localCheckpoint(true) // re-read every round
+    var ca = farthestFrom(mem, cents.select($"cid", $"cq".as("aq")), "sq")
+      .select($"cid", $"sq".as("aq")).localCheckpoint(true)
+    var cb = farthestFrom(mem, ca.select($"cid", $"aq"), "sq")
+      .select($"cid", $"sq".as("bq")).localCheckpoint(true)
+    // re-evaluated against the CURRENT (ca, cb) — the last evaluation
+    // after the loop is the final assignment
+    def assigned = mem
+      .join(broadcast(ca), Seq("cid")).join(broadcast(cb), Seq("cid"))
+      .withColumn("d2a", $"n2" - lit(2L) * dot($"q", $"aq") + norm2($"aq"))
+      .withColumn("d2b", $"n2" - lit(2L) * dot($"q", $"bq") + norm2($"bq"))
+      .withColumn("child",
+        when($"d2a" <= $"d2b", lit(0L)).otherwise(lit(1L)))
+    for (_ <- 1 to iters) {
+      val next = assigned
+        .select($"cid", $"child", posexplode($"q"))
+        .groupBy($"cid", $"child", $"pos")
+        .agg(sum($"col").as("sv"), count(lit(1)).as("m"))
+        .withColumn("c", floor($"sv".cast("double") / $"m").cast("long"))
+        .groupBy($"cid", $"child")
+        .agg(transform(array_sort(collect_list(struct($"pos", $"c"))),
+          x => x.getField("c")).as("cq2"))
+        .localCheckpoint(true) // ≤ 2·|cells| rows; feeds both children
+      ca = ca.join(next.filter($"child" === 0L).select($"cid", $"cq2"),
+          Seq("cid"), "left")
+        .select($"cid", coalesce($"cq2", $"aq").as("aq"))
+        .localCheckpoint(true)
+      cb = cb.join(next.filter($"child" === 1L).select($"cid", $"cq2"),
+          Seq("cid"), "left")
+        .select($"cid", coalesce($"cq2", $"bq").as("bq"))
+        .localCheckpoint(true)
+    }
+    val membership = assigned.select($"cid", $"vec_id", $"child")
+      .localCheckpoint(true) // masses here + re-pointing in the commit
+    val masses = membership.groupBy($"cid", $"child")
+      .agg(count(lit(1)).as("m"))
+    val cells = ca.select($"cid", lit(0L).as("child"), $"aq".as("ccq"))
+      .unionByName(cb.select($"cid", lit(1L).as("child"), $"bq".as("ccq")))
+      .join(masses, Seq("cid", "child"), "left")
+      .select($"cid", $"child", $"ccq", coalesce($"m", lit(0L)).as("m"))
+    (cells, membership)
+  }
+
+  /** Gate query for the split op: the index fit on the full corpus, then
+    * every ABOVE-AVERAGE cell (m·nCells > N — the cells
+    * [[ivfBalance]] flags as hot) split by cell-local 2-means. Per split
+    * cell: parent mass, both child masses, how far each child moved from
+    * the parent centroid, and the separation between the children — the
+    * audit a deployment reads to confirm the split actually relieved
+    * the hot cell (m_a + m_b = m_before; sep_l2sq ≫ move_l2sq).
+    */
+  def ivfSplit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val all = qEmb(s, dir)
+    val cents = ivfCentroids(s, all)
+    val assign = ivfAssignOf(all, cents)
+      .localCheckpoint(true) // masses + the member fetch
+    val hot = assign.groupBy($"centroid".as("cid"))
+      .agg(count(lit(1)).as("m_before"))
+      .withColumn("nv", sum($"m_before").over(Window.partitionBy()))
+      .filter($"m_before" * 8L > $"nv")
+      .select($"cid", $"m_before")
+      .localCheckpoint(true) // ≤ nCells rows; member filter + report
+    val mem = assign.join(broadcast(hot.select($"cid")),
+        $"centroid" === $"cid")
+      .join(all, Seq("vec_id"))
+      .select($"cid", $"vec_id", $"q", $"n2")
+    val hotCents = cents.join(broadcast(hot.select($"cid")), Seq("cid"))
+    val (cells, _) = ivfSplit2Means(mem, hotCents)
+    val pex = hotCents
+      .select($"cid", posexplode($"cq").as(Seq("pos", "c_par")))
+    val cex = cells
+      .select($"cid", $"child", posexplode($"ccq").as(Seq("pos", "c_ch")))
+    val aex = cex.filter($"child" === 0L)
+      .select($"cid", $"pos", $"c_ch".as("c_a"))
+    val bex = cex.filter($"child" === 1L)
+      .select($"cid", $"pos", $"c_ch".as("c_b"))
+    val mv = pex.join(aex, Seq("cid", "pos")).join(bex, Seq("cid", "pos"))
+      .groupBy($"cid")
+      .agg(sum(($"c_a" - $"c_par") * ($"c_a" - $"c_par"))
+          .as("move_a_l2sq"),
+        sum(($"c_b" - $"c_par") * ($"c_b" - $"c_par"))
+          .as("move_b_l2sq"),
+        sum(($"c_a" - $"c_b") * ($"c_a" - $"c_b")).as("sep_l2sq"))
+    val fm = cells.groupBy($"cid").agg(
+      max(when($"child" === 0L, $"m")).as("m_a"),
+      max(when($"child" === 1L, $"m")).as("m_b"))
+    hot.join(fm, Seq("cid")).join(mv, Seq("cid"))
+      .select($"cid", $"m_before", $"m_a", $"m_b",
+        $"move_a_l2sq", $"move_b_l2sq", $"sep_l2sq")
+      .orderBy($"cid")
+  }
+
+  /** SQL mirror of the split: seeds (farthest-from-parent, then
+    * farthest-from-A), `splitIters` Lloyd rounds, final assignment —
+    * the same CTE-per-iteration scheme as [[kmeansCtesOver]].
+    */
+  val ivfSplitSql: String = {
+    val sb = new StringBuilder
+    sb ++= qvecCte + kmeansCtes
+    sb ++=
+      s""",
+         |mass AS MATERIALIZED (SELECT cid, count(*)::BIGINT AS m
+         |         FROM a$kmeansIters GROUP BY cid),
+         |hot AS MATERIALIZED (SELECT cid, m AS m_before FROM mass
+         |        WHERE m * 8 > (SELECT sum(m) FROM mass)),
+         |mem AS MATERIALIZED (SELECT a.cid, a.vec_id, qv.q, n.n2
+         |        FROM a$kmeansIters a JOIN qv USING (vec_id)
+         |             JOIN nrm n USING (vec_id)
+         |        WHERE a.cid IN (SELECT cid FROM hot)),
+         |hc AS MATERIALIZED (SELECT cid, cq FROM cent$kmeansIters
+         |       WHERE cid IN (SELECT cid FROM hot)),
+         |pn AS MATERIALIZED (SELECT cid, sum(y * y)::BIGINT AS pn2
+         |       FROM (SELECT cid, unnest(cq) AS y FROM hc) GROUP BY cid),
+         |pd AS MATERIALIZED (SELECT cid, vec_id, sum(x * y)::BIGINT AS d FROM (
+         |    SELECT m.cid, m.vec_id, unnest(m.q) AS x, unnest(c.cq) AS y
+         |    FROM mem m JOIN hc c USING (cid)) z GROUP BY 1, 2),
+         |sa AS MATERIALIZED (SELECT cid, vec_id FROM (
+         |    SELECT pd.cid, pd.vec_id, row_number() OVER (
+         |        PARTITION BY pd.cid
+         |        ORDER BY (n.n2 - 2 * pd.d + pn.pn2) DESC, pd.vec_id)
+         |      AS rn
+         |    FROM pd JOIN nrm n ON pd.vec_id = n.vec_id
+         |            JOIN pn USING (cid)) t WHERE rn = 1),
+         |ca0 AS MATERIALIZED (SELECT sa.cid, qv.q AS aq
+         |        FROM sa JOIN qv ON sa.vec_id = qv.vec_id),
+         |sn0 AS MATERIALIZED (SELECT cid, sum(y * y)::BIGINT AS an2
+         |        FROM (SELECT cid, unnest(aq) AS y FROM ca0) GROUP BY cid),
+         |sd0 AS MATERIALIZED (SELECT cid, vec_id, sum(x * y)::BIGINT AS d FROM (
+         |    SELECT m.cid, m.vec_id, unnest(m.q) AS x, unnest(c.aq) AS y
+         |    FROM mem m JOIN ca0 c USING (cid)) z GROUP BY 1, 2),
+         |sb_ AS MATERIALIZED (SELECT cid, vec_id FROM (
+         |    SELECT sd0.cid, sd0.vec_id, row_number() OVER (
+         |        PARTITION BY sd0.cid
+         |        ORDER BY (n.n2 - 2 * sd0.d + s.an2) DESC, sd0.vec_id)
+         |      AS rn
+         |    FROM sd0 JOIN nrm n ON sd0.vec_id = n.vec_id
+         |             JOIN sn0 s USING (cid)) t WHERE rn = 1),
+         |cb0 AS MATERIALIZED (SELECT sb_.cid, qv.q AS bq
+         |        FROM sb_ JOIN qv ON sb_.vec_id = qv.vec_id)""".stripMargin
+    for (t <- 0 to splitIters) {
+      sb ++=
+        s""",
+           |an$t AS MATERIALIZED (SELECT cid, sum(y * y)::BIGINT AS an2
+           |  FROM (SELECT cid, unnest(aq) AS y FROM ca$t) GROUP BY cid),
+           |bn$t AS MATERIALIZED (SELECT cid, sum(y * y)::BIGINT AS bn2
+           |  FROM (SELECT cid, unnest(bq) AS y FROM cb$t) GROUP BY cid),
+           |ad$t AS MATERIALIZED (SELECT cid, vec_id, sum(x * y)::BIGINT AS d FROM (
+           |    SELECT m.cid, m.vec_id, unnest(m.q) AS x, unnest(c.aq) AS y
+           |    FROM mem m JOIN ca$t c USING (cid)) z GROUP BY 1, 2),
+           |bd$t AS MATERIALIZED (SELECT cid, vec_id, sum(x * y)::BIGINT AS d FROM (
+           |    SELECT m.cid, m.vec_id, unnest(m.q) AS x, unnest(c.bq) AS y
+           |    FROM mem m JOIN cb$t c USING (cid)) z GROUP BY 1, 2),
+           |asg$t AS MATERIALIZED (
+           |  SELECT m.cid, m.vec_id,
+           |    CASE WHEN (n.n2 - 2 * ad.d + an.an2)
+           |              <= (n.n2 - 2 * bd.d + bn.bn2)
+           |         THEN 0 ELSE 1 END AS child
+           |  FROM mem m JOIN nrm n ON m.vec_id = n.vec_id
+           |    JOIN ad$t ad ON m.cid = ad.cid AND m.vec_id = ad.vec_id
+           |    JOIN bd$t bd ON m.cid = bd.cid AND m.vec_id = bd.vec_id
+           |    JOIN an$t an ON m.cid = an.cid
+           |    JOIN bn$t bn ON m.cid = bn.cid)""".stripMargin
+      if (t < splitIters) {
+        sb ++=
+          s""",
+             |cs${t + 1} AS MATERIALIZED (
+             |  SELECT a.cid, a.child, u.i, sum(u.e)::BIGINT AS s,
+             |         count(*)::BIGINT AS m
+             |  FROM asg$t a JOIN (
+             |    SELECT vec_id, unnest(q) AS e,
+             |           generate_subscripts(q, 1) - 1 AS i FROM qv) u
+             |    ON a.vec_id = u.vec_id
+             |  GROUP BY 1, 2, 3),
+             |ck${t + 1} AS MATERIALIZED (
+             |  SELECT cid, child,
+             |         list(floor(s::DOUBLE / m)::BIGINT ORDER BY i) AS cq
+             |  FROM cs${t + 1} GROUP BY cid, child),
+             |ca${t + 1} AS MATERIALIZED (SELECT p.cid, coalesce(c.cq, p.aq) AS aq
+             |  FROM ca$t p LEFT JOIN (SELECT * FROM ck${t + 1}
+             |                         WHERE child = 0) c USING (cid)),
+             |cb${t + 1} AS MATERIALIZED (SELECT p.cid, coalesce(c.cq, p.bq) AS bq
+             |  FROM cb$t p LEFT JOIN (SELECT * FROM ck${t + 1}
+             |                         WHERE child = 1) c USING (cid))""".stripMargin
+      }
+    }
+    sb ++=
+      s""",
+         |fm AS MATERIALIZED (SELECT cid, child, count(*)::BIGINT AS m
+         |       FROM asg$splitIters GROUP BY 1, 2),
+         |pex AS MATERIALIZED (SELECT cid, unnest(cq) AS c_par,
+         |               generate_subscripts(cq, 1) - 1 AS i FROM hc),
+         |aex AS MATERIALIZED (SELECT cid, unnest(aq) AS c_a,
+         |               generate_subscripts(aq, 1) - 1 AS i
+         |        FROM ca$splitIters),
+         |bex AS MATERIALIZED (SELECT cid, unnest(bq) AS c_b,
+         |               generate_subscripts(bq, 1) - 1 AS i
+         |        FROM cb$splitIters),
+         |mv AS MATERIALIZED (SELECT p.cid,
+         |    sum((a.c_a - p.c_par) * (a.c_a - p.c_par))::BIGINT
+         |      AS move_a_l2sq,
+         |    sum((b.c_b - p.c_par) * (b.c_b - p.c_par))::BIGINT
+         |      AS move_b_l2sq,
+         |    sum((a.c_a - b.c_b) * (a.c_a - b.c_b))::BIGINT AS sep_l2sq
+         |  FROM pex p JOIN aex a ON p.cid = a.cid AND p.i = a.i
+         |             JOIN bex b ON p.cid = b.cid AND p.i = b.i
+         |  GROUP BY p.cid)
+         |SELECT h.cid, h.m_before::BIGINT AS m_before,
+         |  coalesce(f0.m, 0)::BIGINT AS m_a,
+         |  coalesce(f1.m, 0)::BIGINT AS m_b,
+         |  mv.move_a_l2sq, mv.move_b_l2sq, mv.sep_l2sq
+         |FROM hot h
+         |LEFT JOIN (SELECT * FROM fm WHERE child = 0) f0 USING (cid)
+         |LEFT JOIN (SELECT * FROM fm WHERE child = 1) f1 USING (cid)
+         |JOIN mv USING (cid)
+         |ORDER BY cid""".stripMargin
+    sb.toString
+  }
+
+  /** Split every hot cell of the PERSISTED index ([[saveIvfIndex]]'s
+    * layout) and RETIRE empty cells, committing the result as the next
+    * [[graft.sources.VersionedTable]] versions — the load-factor
+    * lifecycle event between refits (the reference's store resizes at
+    * 80% occupancy, `src/cuda/hashTable.cuh:120-154`; an IVF index's
+    * equivalent pressure is a cell whose mass makes probing it
+    * near-linear, and its equivalent of freed slots is a cell whose
+    * members have all been forgotten).
+    *
+    * Hot rule: mass · |cells| > N (above-average — the cells
+    * [[ivfBalance]] flags). Child A keeps the parent cid; child B gets
+    * `max(cid) + rank` (deterministic, collision-free). Cells with ZERO
+    * assignment rows (all members deleted since the fit) are dropped
+    * from the committed centroid table. Untouched cells commit their
+    * centroid row BIT-FOR-BIT (IvfSplitSpec law). `emb` supplies the
+    * member vectors (the index stores assignments, not vectors) — only
+    * hot-cell members are ever fetched from it.
+    */
+  def splitIvfIndex(s: SparkSession, path: String,
+      emb: DataFrame): Unit = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import graft.sources.VersionedTable
+    val cents = VersionedTable.read(s, s"$path/centroids")
+      .localCheckpoint(true)
+    val assign = VersionedTable.read(s, s"$path/assign")
+      .localCheckpoint(true)
+    val masses = assign.groupBy($"centroid".as("cid"))
+      .agg(count(lit(1)).as("m"))
+      .localCheckpoint(true) // ≤ |cells| rows; hot filter + retire filter
+    val nCells = cents.count()
+    val hot = masses
+      .withColumn("nv", sum($"m").over(Window.partitionBy()))
+      .filter($"m" * lit(nCells) > $"nv")
+      .select($"cid").localCheckpoint(true)
+    val mem = assign.join(broadcast(hot), $"centroid" === $"cid")
+      .join(emb, Seq("vec_id"))
+      .select($"cid", $"vec_id", $"q", $"n2")
+    val hotCents = cents.join(broadcast(hot), Seq("cid"))
+    val (cells, membership) = ivfSplit2Means(mem, hotCents)
+    val maxCid = cents.agg(max($"cid")).head().getLong(0)
+    // bounded |cells|-row window: deterministic fresh ids for child B
+    val newIds = hot
+      .withColumn("bcid", lit(maxCid) + row_number().over(
+        Window.orderBy($"cid")))
+      .localCheckpoint(true)
+    val childCents = cells.join(broadcast(newIds), Seq("cid"))
+      .select(when($"child" === 0L, $"cid").otherwise($"bcid").as("cid"),
+        $"ccq".as("cq"))
+    // survivors: populated, un-split cells keep their row bit-for-bit;
+    // empty cells (m = 0 ⇔ absent from the mass table) retire here
+    val keep = cents
+      .join(broadcast(masses.filter($"m" > 0).select($"cid")), Seq("cid"))
+      .join(broadcast(hot), Seq("cid"), "left_anti")
+    val rePointed = assign.join(
+        membership.join(broadcast(newIds), Seq("cid"))
+          .select($"vec_id",
+            when($"child" === 0L, $"cid").otherwise($"bcid").as("nc")),
+        Seq("vec_id"), "left")
+      .select($"vec_id", coalesce($"nc", $"centroid").as("centroid"))
+    VersionedTable.replace(s, s"$path/centroids",
+      keep.unionByName(childCents))
+    VersionedTable.replace(s, s"$path/assign",
+      rePointed.repartitionByRange(4, $"centroid"),
+      statsCols = Seq("centroid"))
+    ()
+  }
+
   val ivfTopKSql: String = qvecCte + kmeansCtes +
     s""",
        |assign AS (SELECT vec_id, cid AS centroid FROM a$kmeansIters),
@@ -2493,6 +2829,7 @@ object Similarity {
     "sim_hard_negatives" -> hardNegatives _,
     "sim_drift" -> drift _,
     "sim_ivf_refresh" -> ivfRefresh _,
+    "sim_ivf_split" -> ivfSplit _,
     "sim_ivf_forget" -> ivfForget _,
     "sim_quantize_err" -> quantizeErr _,
     "sim_lsh_recall" -> lshRecall _,
@@ -2530,6 +2867,7 @@ object Similarity {
     "sim_hard_negatives" -> hardNegativesSql,
     "sim_drift" -> driftSql,
     "sim_ivf_refresh" -> ivfRefreshSql,
+    "sim_ivf_split" -> ivfSplitSql,
     "sim_ivf_forget" -> ivfForgetSql,
     "sim_quantize_err" -> quantizeErrSql,
     "sim_lsh_recall" -> lshRecallSql,

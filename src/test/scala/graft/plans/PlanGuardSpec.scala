@@ -103,7 +103,10 @@ class PlanGuardSpec extends SparkSpec {
     "sim_ivf_refresh" -> 2,
     // exact-cosine + SQ8-code scans, each against the 10-row broadcast
     // probe set
-    "sim_sq_spearman" -> 2)
+    "sim_sq_spearman" -> 2,
+    // 8-row broadcast centroid table crossed in the assignment pass
+    // (the sim_ivf_assign shape; the split itself is all cid-keyed)
+    "sim_ivf_split" -> 1)
 
   /** Queries whose plans legitimately contain a Window with EMPTY
     * partitionSpec — Spark executes such a window on a SINGLE task
@@ -131,6 +134,7 @@ class PlanGuardSpec extends SparkSpec {
     "sample_soft_budget" -> 1, // ≤1001-bucket ttr cumsum frame
     "sample_token_budget" -> 1, // ≤1001-bucket ttr cumsum frame
     "sim_ivf_balance" -> 1, // |cells|-row share frame (cells = config knob)
+    "sim_ivf_split" -> 1, // |cells|-row hot-cell mass frame (same shape)
     "sim_outliers" -> 1, // 20-row post-limit outlier-queue frame
     "text_bm25_topk" -> 1, // 10-row post-limit top-score frame
     "text_cooccur_lift" -> 1, // 20-row post-limit top-lift frame
