@@ -14,6 +14,41 @@ object PlanDump {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
+    // --full-sweep: rebuild EVERY query with AUDITED pins
+    // (graft.Pin.audited — each checkpoint reports its pre-truncation
+    // segment) and print per-query total unpartitioned-window and
+    // cross-join counts across final frame + all audited segments as
+    // CSV — the calibration companion to PlanGuardSpec's full-plan
+    // sweep. MUST count exactly like that sweep.
+    if (args.contains("--full-sweep")) {
+      import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+      def wCount(df: org.apache.spark.sql.DataFrame): Int =
+        df.queryExecution.optimizedPlan.collect {
+          case x: LWindow if x.partitionSpec.isEmpty => x }.length
+      def cCount(df: org.apache.spark.sql.DataFrame): Int =
+        "BroadcastNestedLoopJoin|CartesianProduct".r
+          .findAllMatchIn(df.queryExecution.executedPlan.toString).length
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        var w = 0
+        var c = 0
+        var pins = 0
+        val line = try {
+          Pin.audited { seg =>
+            pins += 1; w += wCount(seg); c += cCount(seg) } {
+            val df = fn(s, "/root/testdata/sf0.001")
+            w += wCount(df); c += cCount(df)
+          }
+          s"SWEEP,$name,$w,$c,$pins"
+        } catch {
+          case e: Throwable =>
+            s"SWEEP,$name,ERR,ERR,${e.getClass.getSimpleName}: " +
+              String.valueOf(e.getMessage).take(120).replace("\n", " ")
+        }
+        println(line)
+      }
+      s.stop()
+      return
+    }
     for (name <- args) {
       val df = SparkEntry.queries(name)(s, "/root/testdata/sf0.001")
       val p = df.queryExecution.executedPlan.toString

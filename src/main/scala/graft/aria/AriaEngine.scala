@@ -2,6 +2,7 @@ package graft.aria
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Pin.PinOps
 
 /** Aria-style deterministic, epoch-based batch transaction engine — the
   * flagship semantics of the reference (SURVEY.md §2 O14–O21, §3 E3).
@@ -140,14 +141,32 @@ object AriaEngine {
     */
   def install(table: DataFrame, win: DataFrame, valueCols: Seq[String],
       newValue: (Column, Column) => Column,
+      keyCols: Seq[String] = Seq("k")): DataFrame =
+    installValues(table, win,
+      valueCols.map(c => c -> newValue).toMap, keyCols)
+
+  /** [[install]] with PER-COLUMN payload builders — the heterogeneous-
+    * schema registry form. The reference's registry holds differently-
+    * typed tables (`src/database/common/database.h:10-22`: per-table
+    * `ITable` subclasses); a Spark caller models that as one typed frame
+    * per table and installs each with its own column→value map (e.g. a
+    * string name AND an integer balance written by the same winner),
+    * while conflict analysis runs once over the composite-key union of
+    * the tables' KEY SETS (payloads never feed conflict analysis).
+    * `install` delegates here with a uniform map, so the single-schema
+    * path is byte-identical.
+    */
+  def installValues(table: DataFrame, win: DataFrame,
+      values: Map[String, (Column, Column) => Column],
       keyCols: Seq[String] = Seq("k")): DataFrame = {
-    val w = broadcast(win)
-    val merged = table.join(w, keyCols, "left")
+    val merged = table.join(broadcast(win), keyCols, "left")
     val out = table.columns.map { c =>
-      if (valueCols.contains(c))
-        when(col("writer_tid").isNotNull,
-          newValue(col("writer_tid"), col("win_epoch"))).otherwise(col(c)).as(c)
-      else col(c)
+      values.get(c) match {
+        case Some(f) =>
+          when(col("writer_tid").isNotNull,
+            f(col("writer_tid"), col("win_epoch"))).otherwise(col(c)).as(c)
+        case None => col(c)
+      }
     }
     merged.select(out.toIndexedSeq: _*)
   }
@@ -236,7 +255,7 @@ object AriaEngine {
     // still counts txns from the RAW batch: a txn whose ops all miss
     // commits trivially in epoch 1 (it can never conflict or abort).
     runLive(spark, table0,
-      liveOps(ops0, table0, keyCols).localCheckpoint(true),
+      liveOps(ops0, table0, keyCols).pin(true),
       ops0.select("tid").distinct().count(), reorder, valueCols, newValue,
       maxEpochs, keyCols)
 
@@ -268,7 +287,7 @@ object AriaEngine {
       // the epoch's ONE action: materialize the per-txn abort verdicts
       // (decided is groupBy(tid), so this is one row per aborted txn)
       val aborted = decided.filter(!col(flag)).select("tid")
-        .localCheckpoint(true)
+        .pin(true)
       val nAborted = aborted.count() // over the tiny materialized frame
       history += ((epoch, remaining - nAborted, nAborted))
       opsByEpoch += ((epoch, ops, aborted))
@@ -276,7 +295,7 @@ object AriaEngine {
       // the retry batch stays lazy (a broadcast probe of the checkpointed
       // verdicts); only a pathological maxEpochs-long abort chain would
       // stack enough semi-joins to bloat the plan — flatten periodically
-      if (epoch % 8 == 0) ops = ops.localCheckpoint(true)
+      if (epoch % 8 == 0) ops = ops.pin(true)
       remaining = nAborted
       epoch += 1
     }

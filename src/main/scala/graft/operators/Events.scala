@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
+import graft.Pin.PinOps
 
 /** Event-stream operators over the `events` table (SURVEY.md §2.2
   * "streaming": absent in the reference — its epoch loop O21 is the
@@ -185,8 +186,8 @@ object Events {
     // v feeds its own count branch AND the c join (likewise c): checkpoint
     // the tiny per-user stage frames so the events scan + agg run once per
     // stage, not once per downstream consumer
-    val v = stage("view", None).localCheckpoint()
-    val c = stage("click", Some(v)).localCheckpoint()
+    val v = stage("view", None).pin()
+    val c = stage("click", Some(v)).pin()
     val p = stage("purchase", Some(c))
     Seq(("1_view", v), ("2_click", c), ("3_purchase", p))
       .map { case (nm, df) =>

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Pin.PinOps
 
 /** Scale-safe GLOBAL ORDERING primitives — the two-pass replacement for
   * `Window.orderBy(...)` with an empty partitionSpec (which Spark executes
@@ -60,7 +61,7 @@ object GlobalOrder {
       .repartitionByRange(parts, order: _*)
       .withColumn(PID, spark_partition_id())
       .withColumn(VAL, value.cast("long"))
-      .localCheckpoint(true)
+      .pin(true)
     val w = Window.partitionBy(col(PID)).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = ranged.withColumn(LOC, sum(col(VAL)).over(w))

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.aria.AriaEngine
 import graft.kv.KvOps
 import graft.sources.Tables
+import graft.Pin.PinOps
 
 /** Oracle-checkable surface for the KV core (SURVEY.md §2 O1–O11) and the
   * Aria epoch engine (O14–O21), exercised over the driver's Parquet corpus.
@@ -271,8 +272,8 @@ object KvAria {
     // payloads from scratch
     val table = graft.aria.TxnGen.bulkLoad(s, 200000)
       .select($"k", $"fields"(0).as("f0"))
-      .localCheckpoint(true)
-    val ops = graft.aria.TxnGen.ops(s, 150).localCheckpoint(true)
+      .pin(true)
+    val ops = graft.aria.TxnGen.ops(s, 150).pin(true)
     val newValue = (tid: org.apache.spark.sql.Column,
         ep: org.apache.spark.sql.Column) =>
       concat(lit("v"), tid.cast("string"), lit("e"), ep.cast("string"))
@@ -280,7 +281,7 @@ object KvAria {
     // materialize them ONCE and share across both runs (runLive) instead
     // of paying a second batch-sized live-filter materialization + full
     // distinct-count for the second policy.
-    val live = AriaEngine.liveOps(ops, table).localCheckpoint(true)
+    val live = AriaEngine.liveOps(ops, table).pin(true)
     val nTids = ops.select($"tid").distinct().count()
     val runs = Seq(true, false).map { reorder =>
       val (_, history) = AriaEngine.runLive(
@@ -491,6 +492,88 @@ object KvAria {
       |FROM counts c LEFT JOIN counts nx ON nx.epoch = c.epoch + 1
       |ORDER BY c.epoch""".stripMargin
 
+  /** Multi-table Aria over HETEROGENEOUS value schemas — the reference
+    * registry's tables are differently-typed `ITable` subclasses
+    * (`src/database/common/database.h:10-22`), which the f0-coerced
+    * two-table queries above flatten away. Here each table keeps its own
+    * typed frame — table 0 = part (name: string, size: long), table 1 =
+    * customer (name: string, balance: long cents, segment: string) —
+    * conflict analysis runs ONCE on the composite-key union of the KEY
+    * sets (payloads never feed conflict analysis), and each table
+    * installs its winners with its OWN column→value map
+    * ([[AriaEngine.installValues]]): table 0 rewrites the name; table 1
+    * rewrites the name AND the integer balance (a typed, non-string
+    * write the coerced form cannot express). The readout renders each
+    * table's full typed row to one string so both schemas hash in one
+    * gate frame.
+    *
+    * Scale: the conflict phases are the same (table_id, k)/tid keyed
+    * shuffles as the homogeneous registry; each install is one
+    * broadcast-winners merge over its own table — adding a table adds
+    * one broadcast join, never a second corpus shuffle.
+    */
+  def ariaTwoTablesHetero(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val part = Tables.part(s, dir).select($"p_partkey".as("k"),
+      $"p_name".as("f_name"), $"p_size".cast("long").as("f_size"))
+    val cust = Tables.customer(s, dir).select($"c_custkey".as("k"),
+      $"c_name".as("f_name"),
+      round($"c_acctbal" * 100).cast("long").as("f_bal_cents"),
+      $"c_mktsegment".as("f_seg"))
+    val keys = part.select(lit(0L).as("table_id"), $"k")
+      .unionByName(cust.select(lit(1L).as("table_id"), $"k"))
+    val live = AriaEngine.liveOps(twoTableOps(s, dir), keys, twoTableKey)
+    val dec = AriaEngine.decisions(
+      live, AriaEngine.reservations(live, twoTableKey), twoTableKey)
+    val win = AriaEngine.winners(live, dec, reorder = true, twoTableKey)
+      .withColumn("win_epoch", lit(1))
+      .pin(true) // bounded by the batch; probed by both installs
+    val t0 = AriaEngine.installValues(part,
+      win.filter($"table_id" === 0L).drop("table_id"),
+      Map("f_name" -> ((tid, ep) => concat(lit("v"), tid.cast("string"),
+        lit("e"), ep.cast("string")))))
+    val t1 = AriaEngine.installValues(cust,
+      win.filter($"table_id" === 1L).drop("table_id"),
+      Map(
+        "f_name" -> ((tid, ep) => concat(lit("w"), tid.cast("string"),
+          lit("e"), ep.cast("string"))),
+        "f_bal_cents" -> ((tid, ep) => tid * lit(100L) + ep)))
+    t0.select(lit(0L).as("table_id"), $"k",
+        concat($"f_name", lit("#"), $"f_size".cast("string")).as("payload"))
+      .unionByName(t1.select(lit(1L).as("table_id"), $"k",
+        concat($"f_name", lit("#"), $"f_bal_cents".cast("string"),
+          lit("#"), $"f_seg").as("payload")))
+      .filter($"k" <= 300)
+      .orderBy($"table_id", $"k")
+  }
+
+  val ariaTwoTablesHeteroSql: String = twoTableCte +
+    """, win AS (
+      |  SELECT table_id, k, min(tid) AS writer_tid
+      |  FROM live JOIN conf USING (tid)
+      |  WHERE isupdate AND waw = 0 AND (raw = 0 OR war = 0)
+      |  GROUP BY table_id, k)
+      |SELECT * FROM (
+      |  SELECT 0 AS table_id, p_partkey AS k,
+      |    (CASE WHEN w.writer_tid IS NOT NULL
+      |          THEN 'v' || w.writer_tid || 'e1' ELSE p_name END)
+      |      || '#' || p_size AS payload
+      |  FROM part LEFT JOIN (SELECT * FROM win WHERE table_id = 0) w
+      |    ON p_partkey = w.k
+      |  WHERE p_partkey <= 300
+      |  UNION ALL
+      |  SELECT 1 AS table_id, c_custkey AS k,
+      |    (CASE WHEN w.writer_tid IS NOT NULL
+      |          THEN 'w' || w.writer_tid || 'e1' ELSE c_name END)
+      |      || '#' ||
+      |    (CASE WHEN w.writer_tid IS NOT NULL THEN w.writer_tid * 100 + 1
+      |          ELSE round(c_acctbal * 100)::BIGINT END)
+      |      || '#' || c_mktsegment AS payload
+      |  FROM customer LEFT JOIN (SELECT * FROM win WHERE table_id = 1) w
+      |    ON c_custkey = w.k
+      |  WHERE c_custkey <= 300) u
+      |ORDER BY table_id, k""".stripMargin
+
   // ---- KV queries ----
 
   /** O1/O2: point lookup with pushed-down key predicate. */
@@ -627,6 +710,7 @@ object KvAria {
     "aria_two_tables" -> ariaTwoTables _,
     "aria_two_tables_install" -> ariaTwoTablesInstall _,
     "aria_two_tables_epochs" -> ariaTwoTablesEpochs _,
+    "aria_two_tables_hetero" -> ariaTwoTablesHetero _,
     "kv_point_lookup" -> kvPointLookup _,
     "kv_batch_lookup" -> kvBatchLookup _,
     "kv_upsert" -> kvUpsert _,
@@ -646,6 +730,7 @@ object KvAria {
     "aria_two_tables" -> ariaTwoTablesSql,
     "aria_two_tables_install" -> ariaTwoTablesInstallSql,
     "aria_two_tables_epochs" -> ariaTwoTablesEpochsSql,
+    "aria_two_tables_hetero" -> ariaTwoTablesHeteroSql,
     "kv_point_lookup" -> kvPointLookupSql,
     "kv_batch_lookup" -> kvBatchLookupSql,
     "kv_upsert" -> kvUpsertSql,

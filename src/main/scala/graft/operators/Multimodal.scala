@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.sources.Tables
+import graft.Pin.PinOps
 
 /** Multimodal-column plumbing (builder prompt): treat media as opaque
   * `binary` columns with typed metadata, and run decode / feature-extract
@@ -301,7 +302,7 @@ object Multimodal {
             stubPHash(r.getAs[Array[Byte]]("payload")))
         }
       }(enc)
-      .localCheckpoint()
+      .pin()
   }
 
   /** Media near-duplicate grouping by perceptual hash: each media's phash
@@ -534,7 +535,7 @@ object Multimodal {
             stubPHash16(r.getAs[Array[Byte]]("payload")))
         }
       }(enc)
-      .localCheckpoint()
+      .pin()
     val distinctH = ph.select(col("phash")).distinct()
     val banded = distinctH.select(col("phash"), explode(array(
         struct(lit(0).as("band"), (col("phash") % 64).as("key")),

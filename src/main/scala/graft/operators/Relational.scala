@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.sources.Tables
+import graft.Pin.PinOps
 
 /** Relational analytics surface (SURVEY.md §2.2 — scans, filters, joins,
   * aggregations, windows, sorts, set ops — all absent in the reference and
@@ -1808,7 +1809,7 @@ object Relational {
     // side — materialize once instead of paying a third fact-scan
     val l1 = lines.filter($"late")
       .select($"l_orderkey", $"l_suppkey").distinct()
-      .localCheckpoint(true)
+      .pin(true)
     val others = lines.select($"l_orderkey".as("o2"), $"l_suppkey".as("s2"))
       .distinct()
     val lateOthers = l1.select($"l_orderkey".as("o3"), $"l_suppkey".as("s3"))

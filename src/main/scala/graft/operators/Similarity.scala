@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.ArrayOps
 import graft.sources.Tables
+import graft.Pin.PinOps
 
 /** Similarity search over the `embeddings` table (builder prompt: ANN as a
   * first-class pipeline operator; SURVEY.md §7.2 M5).
@@ -423,7 +424,7 @@ object Similarity {
     // materialize the nCells-row centroid table: downstream queries
     // reference the assignment from several plan branches, and without
     // truncation each branch would re-run the whole iterative fit
-    cents.localCheckpoint(true)
+    cents.pin(true)
   }
 
   /** Cell assignment against the fitted centroids: smallest exact integer
@@ -707,7 +708,7 @@ object Similarity {
     val all = qEmb(s, dir)
     val cents = ivfCentroids(s, all)
     val assign = ivfAssignOf(all, cents)
-      .localCheckpoint(true) // feeds the mass agg AND the delete sums
+      .pin(true) // feeds the mass agg AND the delete sums
     val mOld = assign.groupBy($"centroid".as("cid"))
       .agg(count(lit(1)).as("m_old"))
     val delSums = assign.filter($"vec_id" % 10 === 7)
@@ -835,7 +836,7 @@ object Similarity {
     val mOld = assign.groupBy($"centroid".as("cid"))
       .agg(count(lit(1)).as("m_old"))
     val cells = ivfRefreshCells(cents, mOld, appends, nCells)
-      .localCheckpoint(true) // cells × dims rows; feeds two commits
+      .pin(true) // cells × dims rows; feeds two commits
     val newCents = cells.groupBy($"cid")
       .agg(transform(array_sort(collect_list(struct($"pos", $"c_new"))),
         x => x.getField("c_new")).as("cq"))
@@ -896,11 +897,11 @@ object Similarity {
       cents: DataFrame, iters: Int = splitIters)
       : (DataFrame, DataFrame) = {
     import members.sparkSession.implicits._
-    val mem = members.localCheckpoint(true) // re-read every round
+    val mem = members.pin(true) // re-read every round
     var ca = farthestFrom(mem, cents.select($"cid", $"cq".as("aq")), "sq")
-      .select($"cid", $"sq".as("aq")).localCheckpoint(true)
+      .select($"cid", $"sq".as("aq")).pin(true)
     var cb = farthestFrom(mem, ca.select($"cid", $"aq"), "sq")
-      .select($"cid", $"sq".as("bq")).localCheckpoint(true)
+      .select($"cid", $"sq".as("bq")).pin(true)
     // re-evaluated against the CURRENT (ca, cb) — the last evaluation
     // after the loop is the final assignment
     def assigned = mem
@@ -918,18 +919,18 @@ object Similarity {
         .groupBy($"cid", $"child")
         .agg(transform(array_sort(collect_list(struct($"pos", $"c"))),
           x => x.getField("c")).as("cq2"))
-        .localCheckpoint(true) // ≤ 2·|cells| rows; feeds both children
+        .pin(true) // ≤ 2·|cells| rows; feeds both children
       ca = ca.join(next.filter($"child" === 0L).select($"cid", $"cq2"),
           Seq("cid"), "left")
         .select($"cid", coalesce($"cq2", $"aq").as("aq"))
-        .localCheckpoint(true)
+        .pin(true)
       cb = cb.join(next.filter($"child" === 1L).select($"cid", $"cq2"),
           Seq("cid"), "left")
         .select($"cid", coalesce($"cq2", $"bq").as("bq"))
-        .localCheckpoint(true)
+        .pin(true)
     }
     val membership = assigned.select($"cid", $"vec_id", $"child")
-      .localCheckpoint(true) // masses here + re-pointing in the commit
+      .pin(true) // masses here + re-pointing in the commit
     val masses = membership.groupBy($"cid", $"child")
       .agg(count(lit(1)).as("m"))
     val cells = ca.select($"cid", lit(0L).as("child"), $"aq".as("ccq"))
@@ -953,13 +954,13 @@ object Similarity {
     val all = qEmb(s, dir)
     val cents = ivfCentroids(s, all)
     val assign = ivfAssignOf(all, cents)
-      .localCheckpoint(true) // masses + the member fetch
+      .pin(true) // masses + the member fetch
     val hot = assign.groupBy($"centroid".as("cid"))
       .agg(count(lit(1)).as("m_before"))
       .withColumn("nv", sum($"m_before").over(Window.partitionBy()))
       .filter($"m_before" * 8L > $"nv")
       .select($"cid", $"m_before")
-      .localCheckpoint(true) // ≤ nCells rows; member filter + report
+      .pin(true) // ≤ nCells rows; member filter + report
     val mem = assign.join(broadcast(hot.select($"cid")),
         $"centroid" === $"cid")
       .join(all, Seq("vec_id"))
@@ -1140,17 +1141,17 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     import graft.sources.VersionedTable
     val cents = VersionedTable.read(s, s"$path/centroids")
-      .localCheckpoint(true)
+      .pin(true)
     val assign = VersionedTable.read(s, s"$path/assign")
-      .localCheckpoint(true)
+      .pin(true)
     val masses = assign.groupBy($"centroid".as("cid"))
       .agg(count(lit(1)).as("m"))
-      .localCheckpoint(true) // ≤ |cells| rows; hot filter + retire filter
+      .pin(true) // ≤ |cells| rows; hot filter + retire filter
     val nCells = cents.count()
     val hot = masses
       .withColumn("nv", sum($"m").over(Window.partitionBy()))
       .filter($"m" * lit(nCells) > $"nv")
-      .select($"cid").localCheckpoint(true)
+      .select($"cid").pin(true)
     val mem = assign.join(broadcast(hot), $"centroid" === $"cid")
       .join(emb, Seq("vec_id"))
       .select($"cid", $"vec_id", $"q", $"n2")
@@ -1161,7 +1162,7 @@ object Similarity {
     val newIds = hot
       .withColumn("bcid", lit(maxCid) + row_number().over(
         Window.orderBy($"cid")))
-      .localCheckpoint(true)
+      .pin(true)
     val childCents = cells.join(broadcast(newIds), Seq("cid"))
       .select(when($"child" === 0L, $"cid").otherwise($"bcid").as("cid"),
         $"ccq".as("cq"))
@@ -1309,7 +1310,7 @@ object Similarity {
     val approx = lshTopK(s, dir)
       // one pass: the approx subtree feeds both the hits join and the
       // returned-count aggregate below
-      .localCheckpoint()
+      .pin()
       .select($"qid".as("aqid"), $"vec_id".as("avid"))
     val hits = exact.join(approx,
         $"qid" === $"aqid" && $"vec_id" === $"avid", "left")
@@ -1358,7 +1359,7 @@ object Similarity {
     // corpus side: one assignment pass, materialized — both nprobe probes
     // (and nothing else) read it
     val withCell = emb.join(ivfAssignOf(emb, cents), Seq("vec_id"))
-      .localCheckpoint(true)
+      .pin(true)
     // per query: ALL centroids ranked by exact integer distance; each
     // nprobe setting keeps a prefix of the same ranking
     val withN = broadcast(cents.withColumn("cn2", norm2($"cq")))
@@ -1369,9 +1370,9 @@ object Similarity {
         Window.partitionBy($"vec_id").orderBy($"d2", $"cid")))
       .select($"vec_id".as("qid"), $"q".as("qq"), $"n2".as("qn2"),
         $"cid".as("qc"), $"cell_rank")
-      .localCheckpoint(true)
+      .pin(true)
     val exact = cosineTopK(s, dir).filter($"rn" <= 3)
-      .select($"qid", $"vec_id").localCheckpoint(true)
+      .select($"qid", $"vec_id").pin(true)
     val perNprobe = Seq(1, 2).map { np =>
       val approx = withCell.join(
           broadcast(qcells.filter($"cell_rank" <= np)),
@@ -1384,7 +1385,7 @@ object Similarity {
         .filter($"rn" <= 3)
         // one pass: feeds both the hits join and the returned-count agg
         .select($"qid".as("aqid"), $"vec_id".as("avid"))
-        .localCheckpoint()
+        .pin()
       val hits = exact.join(approx,
           $"qid" === $"aqid" && $"vec_id" === $"avid", "left")
         .groupBy($"qid")
@@ -1575,7 +1576,7 @@ object Similarity {
       cents = cents.join(next, Seq("m", "cid"), "left")
         .select($"m", $"cid", coalesce($"cq2", $"cq").as("cq"))
     }
-    cents.localCheckpoint(true)
+    cents.pin(true)
   }
 
   /** The ADC (asymmetric distance computation) top-3: corpus vectors are
@@ -1611,7 +1612,7 @@ object Similarity {
   private[graft] def pqCodesAndLut(s: SparkSession, dir: String,
       mSub: Int = pqM, kCents: Int = pqK): (DataFrame, DataFrame) = {
     import s.implicits._
-    val sub = pqSub(qEmb(s, dir), mSub).localCheckpoint(true)
+    val sub = pqSub(qEmb(s, dir), mSub).pin(true)
     val book = pqCodebook(sub, kCents)
     val withN = broadcast(book.withColumn("cn2", norm2($"cq")))
     val d2 = $"sn2" - lit(2L) * dot($"sq", $"cq") + $"cn2"
@@ -1645,7 +1646,7 @@ object Similarity {
     */
   def pqDistortion(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sub = pqSub(qEmb(s, dir)).localCheckpoint(true)
+    val sub = pqSub(qEmb(s, dir)).pin(true)
     val withN = broadcast(pqCodebook(sub).withColumn("cn2", norm2($"cq")))
     sub.join(withN, Seq("m"))
       .withColumn("d2", $"sn2" - lit(2L) * dot($"sq", $"cq") + $"cn2")
@@ -1825,7 +1826,7 @@ object Similarity {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val emb = qEmb(s, dir)
-    val assign = ivfAssignOf(emb, ivfCentroids(s, emb)).localCheckpoint(true)
+    val assign = ivfAssignOf(emb, ivfCentroids(s, emb)).pin(true)
     val (codes, lut) = pqCodesAndLut(s, dir)
     val cellCodes = codes.join(assign, Seq("vec_id"))
     val cellLut = lut.join(
@@ -1900,7 +1901,7 @@ object Similarity {
     // centroid cross join per plan branch
     val withCell = emb
       .join(ivfAssignOf(emb, cents, nCells), Seq("vec_id"))
-      .localCheckpoint(true)
+      .pin(true)
     // distance to the OWN cell centroid — the keep-rule score
     val selfD2 = withCell
       .join(broadcast(cents.withColumn("cn2", norm2($"cq"))),
@@ -2111,7 +2112,7 @@ object Similarity {
         .filter($"rn" <= 3)
         .select($"qid", $"vec_id")
     }
-    val emb = qEmb(s, dir).localCheckpoint(true) // full + prefix passes
+    val emb = qEmb(s, dir).pin(true) // full + prefix passes
     val full = top3(emb)
     val prefix = top3(emb.select($"vec_id", slice($"q", 1, 16).as("q"))
       .withColumn("n2", norm2($"q")))
@@ -2202,11 +2203,11 @@ object Similarity {
   private[operators] def diversitySampleOf(embQ: DataFrame, k: Int): DataFrame = {
     val s = embQ.sparkSession
     import s.implicits._
-    val emb = embQ.localCheckpoint(true) // re-scanned every round
+    val emb = embQ.pin(true) // re-scanned every round
     var chosen = emb.filter($"vec_id" === 0)
       .select($"vec_id".as("cid"), $"q".as("cq"), $"n2".as("cn2"),
         lit(0).as("sel_order"), lit(0L).as("sel_d2"))
-      .localCheckpoint(true)
+      .pin(true)
     for (i <- 1 until k) {
       // already-chosen ids leave the candidate frame (broadcast ≤k-row
       // anti-join): without this, once the covering radius hits 0 (every
@@ -2229,7 +2230,7 @@ object Similarity {
         .join(emb, Seq("vec_id"))
         .select($"vec_id".as("cid"), $"q".as("cq"), $"n2".as("cn2"),
           lit(i).as("sel_order"), $"md2".as("sel_d2"))
-      chosen = chosen.unionByName(winner).localCheckpoint(true)
+      chosen = chosen.unionByName(winner).pin(true)
     }
     chosen.select($"sel_order", $"cid".as("vec_id"), $"sel_d2")
       .orderBy($"sel_order")
@@ -2448,19 +2449,19 @@ object Similarity {
         Window.partitionBy($"qid").orderBy($"dq".desc, $"vec_id")))
       .filter($"rn" <= 8)
       .select($"qid", $"vec_id".as("cid"), $"q", $"dq")
-      .localCheckpoint(true) // pairwise dots + every greedy round
+      .pin(true) // pairwise dots + every greedy round
     val ccd = pool.select($"qid", $"cid".as("c1"), $"q".as("q1"))
       .join(pool.select($"qid", $"cid".as("c2"), $"q".as("q2")), Seq("qid"))
       .filter($"c1" =!= $"c2")
       .select($"qid", $"c1", $"c2", dot($"q1", $"q2").as("d"))
-      .localCheckpoint(true) // re-joined every round
+      .pin(true) // re-joined every round
     var sel = pool
       .withColumn("rn", row_number().over(
         Window.partitionBy($"qid").orderBy($"dq".desc, $"cid")))
       .filter($"rn" === 1)
       .select($"qid", $"cid", lit(1).as("sel_order"),
         (lit(7L) * $"dq").as("mmr_score"))
-      .localCheckpoint(true)
+      .pin(true)
     for (i <- 2 to 4) {
       val win = pool
         .join(sel.select($"qid", $"cid"), Seq("qid", "cid"), "left_anti")
@@ -2474,7 +2475,7 @@ object Similarity {
         .filter($"rn" === 1)
         .select($"qid", $"cid", lit(i).as("sel_order"),
           $"score".as("mmr_score"))
-      sel = sel.unionByName(win).localCheckpoint(true)
+      sel = sel.unionByName(win).pin(true)
     }
     sel.select($"qid", $"sel_order", $"cid".as("vec_id"), $"mmr_score")
       .orderBy($"qid", $"sel_order")

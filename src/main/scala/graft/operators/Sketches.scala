@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
+import graft.Pin.PinOps
 
 /** Deterministic sketch operators (builder prompt: "a novel sketch" as
   * custom-operator material; SURVEY.md §2.2 extended surface).
@@ -288,7 +289,7 @@ object Sketches {
       .groupBy($"o_orderpriority".as("priority"))
       .agg(count(lit(1)).as("exact_n"))
       .withColumn("key", ascii(substring($"priority", 1, 1)).cast("long"))
-      .localCheckpoint(true)
+      .pin(true)
     val probes = rows.map { case (j, a, b) =>
       keys.withColumn("j", lit(j))
         .withColumn("bucket", h($"key", a, b) % w)
@@ -626,13 +627,13 @@ object Sketches {
     val kept = graft.plans.GroupedTopK(hashes,
         groupCols = Seq("grp"), orderCols = Seq("hneg", "hv"), k = 64)
       .select($"grp", $"hv")
-      .localCheckpoint(true) // ≤ 64·|flags| rows; five consumers below
+      .pin(true) // ≤ 64·|flags| rows; five consumers below
     // unordered flag pairs — a |flags|² cross product of two ≤3-row
     // frames, checkpointed so the tiny nested loop never re-plans
     val pairs = kept.select($"grp".as("g1")).distinct()
       .crossJoin(kept.select($"grp".as("g2")).distinct())
       .filter($"g1" < $"g2")
-      .localCheckpoint(true)
+      .pin(true)
     val u = pairs.join(kept.select($"grp".as("g1"), $"hv"), Seq("g1"))
       .select($"g1", $"g2", $"hv")
       .unionByName(pairs.join(kept.select($"grp".as("g2"), $"hv"), Seq("g2"))
@@ -641,7 +642,7 @@ object Sketches {
     val topu = u.withColumn("rn", row_number().over(
         Window.partitionBy($"g1", $"g2").orderBy($"hv")))
       .filter($"rn" <= 64)
-      .localCheckpoint(true) // consumed by the merged agg AND the ρ join
+      .pin(true) // consumed by the merged agg AND the ρ join
     val merged = topu.groupBy($"g1", $"g2")
       .agg(max($"hv").as("kth_hash"), count(lit(1)).as("n_kept"))
     val both = kept.select($"grp".as("g1"), $"hv")
@@ -652,7 +653,7 @@ object Sketches {
     // exact error surface: per-flag distinct sizes + pairwise overlap
     val fp = Tables.lineitem(s, dir)
       .select($"l_returnflag".as("g"), $"l_partkey".as("pk")).distinct()
-      .localCheckpoint(true)
+      .pin(true)
     val cnt = fp.groupBy($"g").agg(count(lit(1)).as("c"))
     val xInter = fp.select($"g".as("g1"), $"pk")
       .join(fp.select($"g".as("g2"), $"pk"), Seq("pk"))
@@ -1142,7 +1143,7 @@ object Sketches {
     val hv = Tables.events(s, dir)
       .select($"user_id").distinct()
       .select($"user_id", hllHash($"user_id").as("hv"))
-      .localCheckpoint(true) // register fan-out + the exact count
+      .pin(true) // register fan-out + the exact count
     val exact = hv.agg(count(lit(1)).as("exact_distinct"))
     val ms = Seq(16, 64, 256)
     val regs = hv.select(explode(array(ms.map(m =>

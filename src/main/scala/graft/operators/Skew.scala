@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
+import graft.Pin.PinOps
 
 /** Skew mitigation operators (builder prompt: "skewed keys → salting or AQE
   * skew-join").
@@ -75,7 +76,7 @@ object Skew {
     val salts = 16
     val tok = Tables.documents(s, dir)
       .select($"doc_id", explode(split($"text", " ")).as("w"))
-      .localCheckpoint(true) // big side + the dim derivation
+      .pin(true) // big side + the dim derivation
     val dim = tok.groupBy($"w")
       .agg(count_distinct($"doc_id").as("df"))
     val saltedBig = tok.select($"w", $"doc_id",

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
+import graft.Pin.PinOps
 
 /** Text-analysis + deduplication operators over `documents` — the
   * LLM-training-data-pipeline surface (builder prompt; SURVEY.md §7.2 M5).
@@ -231,11 +232,11 @@ object TextOps {
     // 4.7 s → well under 2 s at sf0.1)
     val grams = charTrigrams(s, dir)
     val lm = grams.groupBy($"lang", $"gram").agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(true) // totals, vocab, and the scoring join
+      .pin(true) // totals, vocab, and the scoring join
     val vocabF = lm.select($"gram").distinct().agg(count(lit(1)).as("v"))
     val totals = lm.groupBy($"lang").agg(sum($"cnt").as("nl"))
       .crossJoin(broadcast(vocabF))
-      .localCheckpoint(true) // |langs| rows; feeds lgs + lmBits
+      .pin(true) // |langs| rows; feeds lgs + lmBits
     val langs = totals.select($"lang".as("cand"),
       length(bin($"nl" + $"v")).cast("long").as("bits0"))
     // score_l(doc) = n_grams·bits0_l + Σ_{(l,g) seen} (bits_l(g) − bits0_l):
@@ -646,7 +647,7 @@ object TextOps {
     // set needs NO distinct — at 10× scale that distinct was a 48M-row
     // exchange+dedup and the emitters' dominant cost; the filter rides
     // the join itself.
-    val sig = minhashOf(s, dir).localCheckpoint(true)
+    val sig = minhashOf(s, dir).pin(true)
     val bands = bandedOf(sig)
     val l = bands.select($"doc_id".as("a"), $"sig0".as("s0a"), $"band", $"sig")
     val r = bands.select($"doc_id".as("b"), $"sig0".as("s0b"), $"band", $"sig")
@@ -729,7 +730,7 @@ object TextOps {
     */
   def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sig = minhashOf(s, dir).localCheckpoint(true)
+    val sig = minhashOf(s, dir).pin(true)
     val isNew = $"doc_id" % 5 === 4
     incrementalPairsOf(sig.filter(!isNew), sig.filter(isNew))
       .orderBy($"new_id", $"match_id")
@@ -803,11 +804,11 @@ object TextOps {
     // re-runs per reference (the defect the minhash/shingle paths had)
     val tok = tokens(s, dir)
       .select($"doc_id", $"w", ((lit(A(0)) * tokenCode($"w") + B(0)) % P).as("hw"))
-      .localCheckpoint(true)
+      .pin(true)
     val perDoc = tok.groupBy($"doc_id")
       .agg(sort_array(collect_list($"w")).as("arr"),
         count(lit(1)).as("n"), sum($"hw").as("h"))
-      .localCheckpoint(true)
+      .pin(true)
     val full = perDoc.select($"doc_id", $"h".as("sig"))
     val dels = tok.join(perDoc.select($"doc_id", $"h"), Seq("doc_id"))
       .select($"doc_id", ($"h" - $"hw").as("sig"))
@@ -990,7 +991,7 @@ object TextOps {
           .filter($"df" <= 32L),
         Seq("g1", "g2"))
       .select($"doc_id", $"g1", $"g2")
-      .localCheckpoint(true)
+      .pin(true)
     kept.select($"doc_id".as("a"), $"g1", $"g2")
       .join(kept.select($"doc_id".as("b"), $"g1", $"g2"), Seq("g1", "g2"))
       .filter($"a" < $"b")
@@ -1079,7 +1080,7 @@ object TextOps {
       .select($"doc_id", $"pos",
         gramFold(Seq($"c0", $"c1", $"c2", $"c3")).as("g1"),
         gramFold(Seq($"d0", $"d1", $"d2", $"d3")).as("g2"))
-      .localCheckpoint(true) // owner agg + the join back
+      .pin(true) // owner agg + the join back
     val owner = grams.groupBy($"g1", $"g2")
       .agg(min(struct($"doc_id", $"pos")).as("first"))
     grams.join(owner, Seq("g1", "g2"))
@@ -1153,7 +1154,7 @@ object TextOps {
     // union × self-join would otherwise re-run the shingling agg 4×;
     // first-matching-band emission (see minhashPairs) replaces the
     // pair distinct with a filter riding the join
-    val sig = shingleMinhashOf(codes).localCheckpoint(true)
+    val sig = shingleMinhashOf(codes).pin(true)
     val bands = sig.select($"doc_id",
         bandSig((0 until 4).map(i => col(s"mh$i"))).as("sig0"),
         bandSig((4 until 8).map(i => col(s"mh$i"))).as("sig1"))
@@ -1216,7 +1217,7 @@ object TextOps {
     */
   private def shingleInterCounts(codes: DataFrame): DataFrame = {
     import codes.sparkSession.implicits._
-    val pairs = shinglePairsOf(codes).localCheckpoint(true)
+    val pairs = shinglePairsOf(codes).pin(true)
     val inter = pairs
       .join(codes.select($"doc_id".as("a"), $"code"), Seq("a"))
       .join(codes.select($"doc_id".as("b"), $"code"), Seq("b", "code"))
@@ -1245,7 +1246,7 @@ object TextOps {
     import s.implicits._
     // one shingling pass, checkpointed: candidates, sizes, and the
     // intersection join all fan out from this frame
-    val codes = shingleCodes(s, dir).localCheckpoint(true)
+    val codes = shingleCodes(s, dir).pin(true)
     val sizes = shingleSizes(codes)
     shingleInterCounts(codes)
       .join(sizes.select($"doc_id".as("a"), $"n".as("na")), Seq("a"))
@@ -1279,7 +1280,7 @@ object TextOps {
     */
   def thresholdCurve(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val codes = shingleCodes(s, dir).localCheckpoint(true)
+    val codes = shingleCodes(s, dir).pin(true)
     val sizes = shingleSizes(codes)
     val jac = shingleInterCounts(codes)
       .join(sizes.select($"doc_id".as("a"), $"n".as("na")), Seq("a"))
@@ -1326,7 +1327,7 @@ object TextOps {
     */
   def bbitPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val codes = shingleCodes(s, dir).localCheckpoint(true)
+    val codes = shingleCodes(s, dir).pin(true)
     val sigs = shingleMinhashOf(codes)
     val sizes = shingleSizes(codes)
     def side(tag: String): DataFrame =
@@ -1388,8 +1389,8 @@ object TextOps {
     */
   def lshTuning(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val codes = shingleCodes(s, dir).localCheckpoint(true)
-    val sigs = shingleMinhashOf(codes).localCheckpoint(true)
+    val codes = shingleCodes(s, dir).pin(true)
+    val sigs = shingleMinhashOf(codes).pin(true)
     val sizes = shingleSizes(codes)
     val frames = Seq((2, 4), (4, 2), (8, 1)).map { case (b, r) =>
       val bands = (0 until b).map(i =>
@@ -1401,7 +1402,7 @@ object TextOps {
         .join(bands.select($"band", $"sig", $"doc_id".as("b")),
           Seq("band", "sig"))
         .filter($"a" < $"b").select($"a", $"b").distinct()
-        .localCheckpoint(true) // candidate count + the intersection join
+        .pin(true) // candidate count + the intersection join
       val inter = cand
         .join(codes.select($"doc_id".as("a"), $"code"), Seq("a"))
         .join(codes.select($"doc_id".as("b"), $"code"), Seq("b", "code"))
@@ -1560,7 +1561,7 @@ object TextOps {
     import s.implicits._
     var edges = pairs.filter($"a" =!= $"b")
       .select(greatest($"a", $"b").as("hi"), least($"a", $"b").as("lo"))
-      .distinct().localCheckpoint(true)
+      .distinct().pin(true)
     var round = 0
     var converged = edges.isEmpty
     while (!converged && round < maxRounds) {
@@ -1580,7 +1581,7 @@ object TextOps {
         .select($"lo".as("hi"), $"m".as("lo"))
         .filter($"hi" =!= $"lo")
         .unionByName(smins.select($"hi", $"m".as("lo")))
-        .distinct().localCheckpoint(true)
+        .distinct().pin(true)
       converged = next.count() == edges.count() &&
         next.exceptAll(edges).isEmpty
       edges = next
@@ -2161,7 +2162,7 @@ object TextOps {
     var txt = Tables.documents(s, dir)
       .select($"doc_id",
         concat(bar, regexp_replace($"text", lit(" "), lit("||")), bar).as("t"))
-      .localCheckpoint(true)
+      .pin(true)
     var out: Option[DataFrame] = None
     for (r <- 1 to rounds) {
       val arr = split(expr("substring(t, 2, length(t) - 2)"), "\\|\\|")
@@ -2174,13 +2175,13 @@ object TextOps {
         .agg(count(lit(1)).as("freq"))
         .orderBy($"freq".desc, $"a", $"b")
         .limit(1)
-        .localCheckpoint(true) // 1 row; reused by the merge AND the report
+        .pin(true) // 1 row; reused by the merge AND the report
       txt = txt.crossJoin(broadcast(winner))
         .select($"doc_id",
           replace($"t",
             concat(bar, $"a", lit("||"), $"b", bar),
             concat(bar, $"a", lit("@"), $"b", bar)).as("t"))
-        .localCheckpoint(true)
+        .pin(true)
       val nTokens = txt.agg(
         (sum(length($"t") - length(replace($"t", bar, lit("")))) / 2L)
           .cast("long").as("n_tokens"))
@@ -2248,12 +2249,12 @@ object TextOps {
     // union+anti form stays flat at ~0.2 s/round on identical inputs.
     def pin(df: DataFrame, r: Int): DataFrame = {
       val _ = r
-      df.localCheckpoint(true)
+      df.pin(true)
     }
     val base = Tables.documents(s, dir)
       .select($"doc_id", split($"text", " ").as("toks"))
-      .localCheckpoint(true)
-    var pc = pairCounts($"toks", 1L)(base).localCheckpoint(true)
+      .pin(true)
+    var pc = pairCounts($"toks", 1L)(base).pin(true)
     var mods = base.limit(0) // (doc_id, toks) overlay, initially empty
     var nTokens = base.agg(sum(size($"toks"))).head().getLong(0)
     val report = Seq.newBuilder[(Long, String, String, Long, Long)]
@@ -2291,7 +2292,7 @@ object TextOps {
                 merge.as("fresh"))
             },
             acc => acc.getField("out")).as("ntoks"))
-          .localCheckpoint(true)
+          .pin(true)
         val tAff = System.nanoTime()
         val nRepl = aff.agg(sum(size($"toks") - size($"ntoks")))
           .head().getLong(0)
@@ -2437,8 +2438,8 @@ object TextOps {
   def pageRank(s: SparkSession, dir: String, iters: Int = 3): DataFrame = {
     import s.implicits._
     val nodes = Tables.documents(s, dir).select($"doc_id")
-      .localCheckpoint(true) // re-read every round (the rank left-join base)
-    val pairs = minhashCandidates(s, dir).localCheckpoint(true) // union reads it twice
+      .pin(true) // re-read every round (the rank left-join base)
+    val pairs = minhashCandidates(s, dir).pin(true) // union reads it twice
     val edges = pairs.select($"a".as("src"), $"b".as("dst"))
       .unionByName(pairs.select($"b".as("src"), $"a".as("dst")))
     // fold the out-degree INTO the edge list once (an adjacency list with
@@ -2447,7 +2448,7 @@ object TextOps {
     val deg = edges.groupBy($"src").agg(count(lit(1)).as("d"))
     val edgesD = edges.join(deg, "src")
       .select($"src", $"dst", $"d")
-      .localCheckpoint(true) // re-joined every round
+      .pin(true) // re-joined every round
     var r = nodes.select($"doc_id", lit(1000000L).as("r"))
     for (_ <- 1 to iters) {
       val contrib = edgesD
@@ -2525,7 +2526,7 @@ object TextOps {
       bandSig((0 until 4).map(i => col(s"mh$i"))).as("s0"),
       bandSig((4 until 8).map(i => col(s"mh$i"))).as("s1"))
     bs.groupBy($"s0", $"s1").agg(min($"doc_id").as("gid"))
-      .localCheckpoint(true) // both sides of both band joins
+      .pin(true) // both sides of both band joins
   }
 
   /** Edges of the contracted graph from an already-built group frame. */
@@ -2602,7 +2603,7 @@ object TextOps {
           .otherwise(struct($"b".as("src"), $"a".as("dst"), $"da".as("dd")))
           .as("e"))
       .select($"e.src", $"e.dst", $"e.dd")
-      .localCheckpoint(true) // consumed three times: both wedge sides + close
+      .pin(true) // consumed three times: both wedge sides + close
     val wedges = oriented.as("x")
       .join(oriented.as("y"), $"x.src" === $"y.src" &&
         ($"x.dd" < $"y.dd" || ($"x.dd" === $"y.dd" && $"x.dst" < $"y.dst")))
@@ -2610,7 +2611,7 @@ object TextOps {
     val tri = wedges
       .join(oriented.as("z"), $"u" === $"z.src" && $"w" === $"z.dst")
       .select($"v", $"u", $"w")
-      .localCheckpoint(true) // three member-explode consumers below
+      .pin(true) // three member-explode consumers below
     val triCnt = tri.select($"v".as("group_id"))
       .unionByName(tri.select($"u".as("group_id")))
       .unionByName(tri.select($"w".as("group_id")))
@@ -2621,7 +2622,7 @@ object TextOps {
   def triangles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val pairs = groupPairsOf(s, dir)
-      .localCheckpoint(true) // degree agg + both orientation joins
+      .pin(true) // degree agg + both orientation joins
     degAndTriCounts(pairs)._2.orderBy($"group_id")
   }
 
@@ -2641,7 +2642,7 @@ object TextOps {
   def clusteringCoeff(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val pairs = groupPairsOf(s, dir)
-      .localCheckpoint(true) // degree agg + both orientation joins
+      .pin(true) // degree agg + both orientation joins
     val (deg, triCnt) = degAndTriCounts(pairs)
     deg.join(triCnt, $"v" === $"group_id", "left")
       .select($"v".as("group_id"), $"d".as("deg"),
@@ -2780,10 +2781,10 @@ object TextOps {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val pairs = groupPairsOf(s, dir)
-      .localCheckpoint(true) // symmetrization + the non-edge anti-join
+      .pin(true) // symmetrization + the non-edge anti-join
     val sym = pairs.select($"a".as("c"), $"b".as("x"))
       .unionByName(pairs.select($"b".as("c"), $"a".as("x")))
-      .localCheckpoint(true) // both wedge sides
+      .pin(true) // both wedge sides
     val cand = sym.as("l")
       .join(sym.as("r"), $"l.c" === $"r.c" && $"l.x" < $"r.x")
       .select($"l.x".as("a"), $"r.x".as("b"))
@@ -2828,20 +2829,20 @@ object TextOps {
   def bfsReach(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val pairs = groupPairsOf(s, dir)
-      .localCheckpoint(true) // node set + both edge orientations
+      .pin(true) // node set + both edge orientations
     val sym = pairs.select($"a".as("u"), $"b".as("v"))
       .unionByName(pairs.select($"b".as("u"), $"a".as("v")))
-      .localCheckpoint(true) // re-joined every round
+      .pin(true) // re-joined every round
     var dist = sym.select($"u".as("v")).distinct()
       .filter($"v" % 17 === 0)
       .select($"v", lit(0L).as("dist"))
-      .localCheckpoint(true)
+      .pin(true)
     for (h <- 1 to 3) {
       dist = dist.unionByName(
           dist.join(sym, dist("v") === sym("u"))
             .select(sym("v").as("v"), lit(h.toLong).as("dist")))
         .groupBy($"v").agg(min($"dist").as("dist"))
-        .localCheckpoint(true)
+        .pin(true)
     }
     dist.select($"v".as("group_id"), $"dist").orderBy($"group_id")
   }
@@ -2886,18 +2887,18 @@ object TextOps {
   def diameterProbe(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val pairs = groupPairsOf(s, dir)
-      .localCheckpoint(true)
+      .pin(true)
     val sym = pairs.select($"a".as("u"), $"b".as("v"))
       .unionByName(pairs.select($"b".as("u"), $"a".as("v")))
-      .localCheckpoint(true)
+      .pin(true)
     def bfs(seed: DataFrame): DataFrame = {
-      var dist = seed.localCheckpoint(true)
+      var dist = seed.pin(true)
       for (h <- 1 to 6) {
         dist = dist.unionByName(
             dist.join(sym, dist("v") === sym("u"))
               .select(sym("v").as("v"), lit(h.toLong).as("dist")))
           .groupBy($"v").agg(min($"dist").as("dist"))
-          .localCheckpoint(true)
+          .pin(true)
       }
       dist
     }
@@ -2905,7 +2906,7 @@ object TextOps {
       dist.orderBy($"dist".desc, $"v").limit(1)
     val start = sym.select($"u".as("v")).agg(min($"v").as("v"))
       .select($"v", lit(0L).as("dist"))
-    val f1 = far(bfs(start)).localCheckpoint(true)
+    val f1 = far(bfs(start)).pin(true)
     val f2 = far(bfs(f1.select($"v", lit(0L).as("dist"))))
     f1.select($"v".as("sweep1_far"), $"dist".as("sweep1_ecc"))
       .crossJoin(f2.select($"v".as("sweep2_far"),
@@ -2955,11 +2956,11 @@ object TextOps {
   def assortativity(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val pairs = groupPairsOf(s, dir)
-      .localCheckpoint(true)
+      .pin(true)
     val sym = pairs.select($"a".as("u"), $"b".as("v"))
       .unionByName(pairs.select($"b".as("u"), $"a".as("v")))
     val deg = sym.groupBy($"u").agg(count(lit(1)).as("d"))
-      .localCheckpoint(true) // joined at both endpoints
+      .pin(true) // joined at both endpoints
     val st = sym
       .join(deg.select($"u", $"d".as("x")), Seq("u"))
       .join(deg.select($"u".as("v"), $"d".as("y")), Seq("v"))
@@ -3011,7 +3012,7 @@ object TextOps {
   def kcore(s: SparkSession, dir: String, k: Int = 3,
       rounds: Int = 4): DataFrame = {
     import s.implicits._
-    var edges = groupPairsOf(s, dir).localCheckpoint(true)
+    var edges = groupPairsOf(s, dir).pin(true)
     for (_ <- 1 to rounds) {
       val deg = edges.select($"a".as("v"))
         .unionByName(edges.select($"b".as("v")))
@@ -3020,7 +3021,7 @@ object TextOps {
       edges = edges
         .join(keep.select($"v".as("a")), Seq("a"), "left_semi")
         .join(keep.select($"v".as("b")), Seq("b"), "left_semi")
-        .select($"a", $"b").localCheckpoint(true)
+        .select($"a", $"b").pin(true)
     }
     edges.select($"a".as("v")).unionByName(edges.select($"b".as("v")))
       .groupBy($"v").agg(count(lit(1)).as("core_deg"))
@@ -3069,7 +3070,7 @@ object TextOps {
     val dw = Window.partitionBy($"doc_id").orderBy($"pos")
     val toks = Tables.documents(s, dir)
       .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "w")))
-      .localCheckpoint(true) // pair emit + unigram counts + total
+      .pin(true) // pair emit + unigram counts + total
     val prs = toks
       .withColumn("w1", lead($"w", 1).over(dw))
       .withColumn("w2", lead($"w", 2).over(dw))
@@ -3077,7 +3078,7 @@ object TextOps {
       .select($"w", explode(array($"w1", $"w2", $"w3")).as("x"))
       .filter($"x".isNotNull)
       .select(least($"w", $"x").as("a"), greatest($"w", $"x").as("b"))
-      .localCheckpoint(true) // pair counts + total
+      .pin(true) // pair counts + total
     val nab = prs.groupBy($"a", $"b").agg(count(lit(1)).as("n_ab"))
       .filter($"n_ab" >= 5)
     val uni = toks.groupBy($"w").agg(count(lit(1)).as("n_w"))
@@ -3241,7 +3242,7 @@ object TextOps {
     // as extra columns: the signatures are already carried for the
     // Hamming check, and widening the shuffled rows was measured to cost
     // more than the distinct it replaced on the wide variant.
-    val banded = simhashRaw(s, dir).localCheckpoint(true)
+    val banded = simhashRaw(s, dir).pin(true)
       .select($"doc_id", $"simhash", explode(array(
         struct(lit(0).as("band"), ($"simhash" % 256L).as("key")),
         struct(lit(1).as("band"), shiftright($"simhash", 8).as("key"))))
@@ -3323,7 +3324,7 @@ object TextOps {
     // longs per banded row was measured to cost MORE at 10× (14.8s) than
     // the distinct it replaced (8.9s); deriving them from the already-
     // carried signatures keeps the shuffled rows at their original width.
-    val banded = simhashWideRaw(s, dir).localCheckpoint(true)
+    val banded = simhashWideRaw(s, dir).pin(true)
       .select($"doc_id", $"simhash", explode(array(
           struct(lit(0).as("band"),
             $"simhash".bitwiseAND(65535L).as("key")),
@@ -3440,7 +3441,7 @@ object TextOps {
     // tf feeds BOTH the df aggregate and the ranking join — materialize it
     // so the corpus explode+agg runs once, not once per reference
     val tf = terms.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true)
+      .pin(true)
     val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy($"doc_id")
       .orderBy($"tf".desc, $"df".asc, $"term".asc)
@@ -3653,7 +3654,7 @@ object TextOps {
         slice(arr, lit(1), size(arr) - 1).as("a"),
         slice(arr, lit(2), size(arr) - 1).as("b"))).as("p"))
       .select($"doc_id", tokenCode($"p.a").as("c1"), tokenCode($"p.b").as("c2"))
-      .localCheckpoint(true)
+      .pin(true)
     val lm2 = bg.groupBy($"c1", $"c2").agg(count(lit(1)).as("cnt2"))
     val lm1 = bg.groupBy($"c1").agg(count(lit(1)).as("cnt1"))
     val scored = bg.join(lm2, Seq("c1", "c2")).join(lm1, Seq("c1"))
@@ -3789,14 +3790,14 @@ object TextOps {
     val stream = Tables.documents(s, dir)
       .select($"doc_id", $"lang", explode(split($"text", " ")).as("w"))
       .select($"doc_id", $"lang", tokenCode($"w").as("code"))
-      .localCheckpoint(true) // three consumers: raw LM, target LM, scoring
+      .pin(true) // three consumers: raw LM, target LM, scoring
     val rawLm = stream.groupBy($"code").agg(count(lit(1)).as("cnt_r"))
     val tgtLm = stream.filter($"lang" === "en")
       .groupBy($"code").agg(count(lit(1)).as("cnt_t"))
     val lm = rawLm.join(tgtLm, Seq("code"), "left")
       .select($"code", $"cnt_r",
         (coalesce($"cnt_t", lit(0L)) + 1L).as("cnt_t1"))
-      .localCheckpoint(true) // consumed by the normalizer agg + the scoring join
+      .pin(true) // consumed by the normalizer agg + the scoring join
     val tot = lm.agg(sum($"cnt_r").as("n_r"), sum($"cnt_t1").as("n_t1"))
     stream.join(lm, Seq("code")).crossJoin(broadcast(tot))
       .withColumn("wbits",
@@ -3874,7 +3875,7 @@ object TextOps {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, dir).select($"doc_id", $"text")
-      .localCheckpoint(true) // read by positions, the sentinel union, and chunk assembly
+      .pin(true) // read by positions, the sentinel union, and chunk assembly
     val codes = docs
       .select($"doc_id", posexplode(split($"text", "")))
       .select($"doc_id", ($"pos" + 1).as("i"), ascii($"col").cast("long").as("c"))
@@ -3898,7 +3899,7 @@ object TextOps {
 
   def cdcChunks(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val chunks = cdcChunkFrame(s, dir).localCheckpoint(true)
+    val chunks = cdcChunkFrame(s, dir).pin(true)
     val occ = chunks.groupBy($"chunk")
       .agg(countDistinct($"doc_id").as("ndocs"))
     chunks.join(occ, "chunk")
@@ -3964,7 +3965,7 @@ object TextOps {
     */
   def chunkPrune(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val chunks = cdcChunkFrame(s, dir).localCheckpoint(true)
+    val chunks = cdcChunkFrame(s, dir).pin(true)
     val first = chunks.groupBy($"chunk")
       .agg(min($"doc_id" * 1048576L + $"st").as("f"))
     chunks.join(first, Seq("chunk"))
@@ -4025,7 +4026,7 @@ object TextOps {
         countDistinct($"w").as("n_distinct"))
       .withColumn("ttr",
         floor($"n_distinct" * 1000L / $"n_tokens").cast("long"))
-      .localCheckpoint(true) // read by budget agg, bucket agg, final probe
+      .pin(true) // read by budget agg, bucket agg, final probe
     val bud = sc.agg(floor(sum($"n_tokens") / 10L).cast("long").as("budget"))
     val cm = sc.groupBy($"ttr").agg(sum($"n_tokens").as("btok"))
       // bounded frame: ≤ 1001 permille buckets regardless of corpus size
@@ -4088,7 +4089,7 @@ object TextOps {
         floor($"n_distinct" * 1000L / $"n_tokens").cast("long"))
       .join(weights, Seq("doc_id"))
       .withColumn("eff_mtok", $"n_tokens" * $"wpm")
-      .localCheckpoint(true) // budget agg, bucket agg, final probe
+      .pin(true) // budget agg, bucket agg, final probe
     val bud = sc.agg(floor(sum($"eff_mtok") / 10L).cast("long").as("budget"))
     val cm = sc.groupBy($"ttr").agg(sum($"eff_mtok").as("btok"))
       .withColumn("cum", sum($"btok").over(Window.orderBy($"ttr".desc)))
@@ -4219,7 +4220,7 @@ object TextOps {
     val terms = Seq("spark", "query", "window")
     val stream = Tables.documents(s, dir)
       .select($"doc_id", explode(split($"text", " ")).as("w"))
-      .localCheckpoint(true) // read by dl, totals, and the tf filter
+      .pin(true) // read by dl, totals, and the tf filter
     val dl = stream.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
     val nt = stream.agg(countDistinct($"doc_id").as("n_docs"),
       count(lit(1)).as("t_tokens"))
@@ -4302,7 +4303,7 @@ object TextOps {
     val ranked = rankedRaw
       .withColumn("x", length(bin($"rnk")).cast("long"))
       .withColumn("y", length(bin($"f")).cast("long"))
-      .localCheckpoint(true) // bucket agg + regression agg
+      .pin(true) // bucket agg + regression agg
     val slope = ranked.agg(
         count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
         sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"))
@@ -4368,7 +4369,7 @@ object TextOps {
       .withColumn("seg", sum($"is_delim").over(dw))
       .filter($"is_delim" === 0)
       .select($"doc_id", $"seg", $"pos", $"w")
-      .localCheckpoint(true) // word stats + phrase lengths + assembly
+      .pin(true) // word stats + phrase lengths + assembly
     val plen = pw.groupBy($"doc_id", $"seg").agg(count(lit(1)).as("plen"))
     val wstat = pw.join(plen, Seq("doc_id", "seg"))
       .groupBy($"w")

@@ -90,6 +90,33 @@ class MultiTableAriaSpec extends SparkSpec {
     assert(m === s)
   }
 
+  test("install == installValues with a uniform map, bit for bit") {
+    import spark.implicits._
+    val reg = regDf(Seq((0L, 1L), (0L, 2L)))
+    val win = Seq((0L, 1L, 5L, 1)).toDF("table_id", "k", "writer_tid",
+      "win_epoch")
+    val a = AriaEngine.install(reg, win, Seq("f0"), newValue, kc)
+      .orderBy($"k").collect().toSeq
+    val b = AriaEngine.installValues(reg, win, Map("f0" -> newValue), kc)
+      .orderBy($"k").collect().toSeq
+    assert(a === b)
+  }
+
+  test("heterogeneous install writes each table's own typed columns") {
+    import spark.implicits._
+    // table frame with a string and a numeric payload column
+    val t = Seq((1L, "orig", 10L), (2L, "keep", 20L))
+      .toDF("k", "name", "bal")
+    val win = Seq((1L, 7L, 2)).toDF("k", "writer_tid", "win_epoch")
+    val out = AriaEngine.installValues(t, win, Map(
+        "name" -> ((tid, ep) => concat(lit("w"), tid.cast("string"),
+          lit("e"), ep.cast("string"))),
+        "bal" -> ((tid, ep) => tid * lit(100L) + ep)))
+      .orderBy($"k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(out === Seq((1L, "w7e2", 702L), (2L, "keep", 20L)))
+  }
+
   test("multi-epoch drain over two tables installs the last-epoch winner per cell") {
     import spark.implicits._
     // table 0 cell 1 is contested by tids 1..3 (all writers, forced
