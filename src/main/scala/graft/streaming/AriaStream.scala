@@ -43,7 +43,12 @@ class AriaStream(
     reorder: Boolean,
     valueCols: Seq[String],
     newValue: (Column, Column) => Column,
-    stateDir: Option[String] = None) extends Serializable {
+    stateDir: Option[String] = None,
+    // `Seq("table_id", "k")` runs the sink over the MULTI-TABLE registry
+    // (reference `src/database/common/database.h:10-22`): ops address the
+    // composite cell, conflicts/installs key on it, and the snapshot/
+    // resume path is unchanged (the registry is one frame either way).
+    keyCols: Seq[String] = Seq("k")) extends Serializable {
 
   @volatile var table: DataFrame = null
   @volatile var pending: Option[DataFrame] = None
@@ -136,7 +141,7 @@ class AriaStream(
     val nTxns = ops.select("tid").distinct().count()
     if (nTxns > 0) {
       val (next, _, aborted) = AriaEngine.runEpoch(
-        table, ops, reorder, valueCols, newValue, epoch)
+        table, ops, reorder, valueCols, newValue, epoch, keyCols)
       val nextT = next.localCheckpoint(true)
       val opsNext = ops.join(broadcast(aborted), Seq("tid"), "left_semi")
         .localCheckpoint(true)

@@ -80,6 +80,55 @@ class AriaStreamSpec extends SparkSpec {
       "disk snapshot matches memory after the retried commit")
   }
 
+  test("multi-table sink: composite keys isolate tables; batch-split invariance") {
+    import spark.implicits._
+    val kc = Seq("table_id", "k")
+    // payload carries the tid only (NOT the epoch): consecutive-split
+    // invariance is over WHAT committed, while epoch numbering is
+    // legitimately batching-dependent
+    val tidValue: (org.apache.spark.sql.Column,
+      org.apache.spark.sql.Column) => org.apache.spark.sql.Column =
+      (tid, _) => concat(lit("v"), tid.cast("string"))
+    val reg = (for (t <- 0L to 1L; k <- 1L to 10L)
+      yield (t, k, s"orig${t}_$k")).toDF("table_id", "k", "f0")
+    // interleaved two-table batch: tid t writes cell (t % 2, t % 10 + 1)
+    // AND reads the same numeric k in the OTHER table — contested within
+    // a table, never across tables
+    val ops = (1L to 24L).flatMap { t =>
+      Seq((t, 0, t % 2, t % 10 + 1, true),
+        (t, 1, 1L - t % 2, t % 10 + 1, false))
+    }.toDF("tid", "opidx", "table_id", "k", "isUpdate")
+    def run(splits: Seq[(Long, Long)]): (Long, Set[(Long, Long, String)]) = {
+      val e = new AriaStream(reg, reorder = true, Seq("f0"), tidValue,
+        keyCols = kc)
+      splits.zipWithIndex.foreach { case ((lo, hi), i) =>
+        e.processBatch(ops.filter($"tid".between(lo, hi)), i.toLong)
+      }
+      e.drain()
+      (e.history.map(_._2).sum,
+        e.table.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet)
+    }
+    val (n1, t1) = run(Seq((1L, 24L)))
+    val (n2, t2) = run(Seq((1L, 8L), (9L, 16L), (17L, 24L)))
+    assert(n1 === 24L, "every txn commits exactly once in the single batch")
+    assert(n2 === 24L, "every txn commits exactly once under the split")
+    assert(t1 === t2, "consecutive batch splits converge to the same table")
+    // per contested cell the ascending-tid drain leaves the LARGEST
+    // writer; the same numeric k in the other table is untouched by it
+    val byCell = t1.groupBy(c => (c._1, c._2)).map { case (c, vs) =>
+      c -> vs.head._3 }
+    (1L to 10L).foreach { k =>
+      val writers = (1L to 24L).filter(t => t % 10 + 1 == k)
+      Seq(0L, 1L).foreach { tbl =>
+        val own = writers.filter(_ % 2 == tbl)
+        val expect = if (own.nonEmpty) s"v${own.max}" else s"orig${tbl}_$k"
+        assert(byCell((tbl, k)) === expect,
+          s"cell ($tbl, $k): ${byCell((tbl, k))} != $expect")
+      }
+    }
+  }
+
   test("file-source wiring: every txn commits exactly once and drain empties") {
     val dir = Files.createTempDirectory("graft-aria-stream").toFile.getAbsolutePath
     // arrival contract: partition by tid so each txn's ops land in ONE file
