@@ -117,10 +117,11 @@ class PlanGuardSpec extends SparkSpec {
     * round-10 verdict found three queries shipping the single-reducer
     * form, which this sweep now makes unshippable.
     *
-    * Known blind spot: an eager `localCheckpoint` truncates the logical
-    * plan, so a window UPSTREAM of one is invisible here (that is why
-    * `text_zipf_curve` was migrated to GlobalOrder rather than relying on
-    * this sweep) — new checkpointing queries need a manual plan read.
+    * The old blind spot — an eager `localCheckpoint` truncates the
+    * logical plan, hiding any window UPSTREAM of it — is closed since
+    * round 12: the audited sweep below ([[audits]], via
+    * [[graft.Pin.audited]]) re-runs both counters on every
+    * checkpoint-hidden segment, and its totals are gated too.
     */
   private val boundedGlobalWindows: Map[String, Int] = Map(
     "ev_seasonality" -> 1, // 168-row (7 dow × 24 hod) share frame
@@ -140,40 +141,142 @@ class PlanGuardSpec extends SparkSpec {
     "text_cooccur_lift" -> 1, // 20-row post-limit top-lift frame
     "text_rake_phrases" -> 1) // 20-row post-limit top-phrase frame
 
-  test("no query plans a Window over an unpartitioned unbounded frame") {
+  /** TOTAL cross-join budget per query over the WHOLE plan — final frame
+    * PLUS every checkpoint-hidden segment the audited build reports
+    * ([[graft.Pin.audited]]). This closes [[boundedGlobalWindows]]'s old
+    * blind spot from the cross side: the extra counts beyond
+    * [[intentionalCross]] are the same bounded-broadcast shapes, now
+    * visible where they are built instead of truncated away —
+    * dominated by the k-means fit's per-iteration 8-row centroid cross
+    * (every `sim_ivf_*`/`dedup_semantic`/`sim_diversity_sample` entry),
+    * the per-merge-round 1-row winner/total crosses of the BPE chain,
+    * and the per-segment re-appearance of the already-justified 1-row
+    * summary-frame crosses. Calibrated by
+    * `sbt "runMain graft.PlanDump --full-sweep"` (tmp/full_sweep_r12b).
+    * The window sweep needs NO separate full-plan whitelist: the audited
+    * totals match [[boundedGlobalWindows]] exactly — no unpartitioned
+    * window was hiding behind a checkpoint.
+    */
+  private val fullPlanCross = Map(
+    "dedup_semantic" -> 4,
+    "ev_whale_curve" -> 1,
+    "graph_diameter_probe" -> 1,
+    "kv_scan_count" -> 2,
+    "q25_range_join" -> 1,
+    "q52_supplier_value_share" -> 1,
+    "q57_dormant_rich" -> 1,
+    "sample_epoch_mix" -> 1,
+    "sample_soft_budget" -> 2,
+    "sample_token_budget" -> 2,
+    "sim_cosine_topk" -> 1,
+    "sim_diversity_sample" -> 9,
+    "sim_hard_negatives" -> 1,
+    "sim_ivf_assign" -> 4,
+    "sim_ivf_balance" -> 4,
+    "sim_ivf_forget" -> 4,
+    "sim_ivf_recall" -> 6,
+    "sim_ivf_refresh" -> 5,
+    "sim_ivf_split" -> 4,
+    "sim_ivf_topk" -> 5,
+    "sim_ivfpq_topk" -> 4,
+    "sim_lsh_recall" -> 1,
+    "sim_matryoshka_recall" -> 2,
+    "sim_mips_topk" -> 1,
+    "sim_mmr_rerank" -> 1,
+    "sim_pq_recall" -> 1,
+    "sim_range_search" -> 1,
+    "sim_recall_curve" -> 1,
+    "sim_sq_recall" -> 2,
+    "sim_sq_spearman" -> 2,
+    "sim_sq_topk" -> 1,
+    "sketch_bloom_filter" -> 1,
+    "sketch_hll_sweep" -> 1,
+    "sketch_kmv_setops" -> 1,
+    "text_bm25_topk" -> 1,
+    "text_bpe_encode" -> 3,
+    "text_bpe_train" -> 6,
+    "text_cooccur_lift" -> 2,
+    "text_corpus_profile" -> 3,
+    "text_dsir_weights" -> 1,
+    "text_lang_nb" -> 2,
+    "text_langid_margin" -> 2,
+    "text_ppl_buckets" -> 1,
+    "text_surprisal" -> 1,
+    "text_zipf_curve" -> 1)
+
+  private case class Audit(wFinal: Int, cFinal: Int, wTotal: Int,
+      cTotal: Int, err: Option[String])
+
+  /** ONE audited build per query, shared by all three sweeps: the final
+    * frame's counts (the pre-round-12 sweeps) plus the totals across
+    * every checkpoint-hidden segment. `Pin.audited` keeps the
+    * checkpoints (an un-pinned rebuild recreates the plan-doubling
+    * anti-patterns the pins prevent and breaks checkpoint-dependent
+    * self-joins) — each segment is swept exactly where it was built.
+    */
+  private lazy val audits: Map[String, Audit] = {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, fn) =>
-        val n =
-          try fn(spark, sf("sf0.001")).queryExecution.optimizedPlan.collect {
-            case w: LWindow if w.partitionSpec.isEmpty => w
-          }.length
-          catch { case _: Throwable => -1 } // planning failures caught above
-        if (n > boundedGlobalWindows.getOrElse(name, 0) && n >= 0)
-          Some(name -> n)
-        else None
+    def wCount(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }.length
+    def cCount(df: org.apache.spark.sql.DataFrame): Int =
+      "BroadcastNestedLoopJoin|CartesianProduct".r
+        .findAllMatchIn(df.queryExecution.executedPlan.toString).length
+    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      var wSeg = 0
+      var cSeg = 0
+      try {
+        val df = graft.Pin.audited { seg =>
+          wSeg += wCount(seg); cSeg += cCount(seg)
+        } { fn(spark, sf("sf0.001")) }
+        val (wf, cf) = (wCount(df), cCount(df))
+        name -> Audit(wf, cf, wf + wSeg, cf + cSeg, None)
+      } catch {
+        case e: Throwable => name -> Audit(-1, -1, -1, -1,
+          Some(s"${e.getClass.getSimpleName}: " +
+            String.valueOf(e.getMessage).take(200)))
+      }
+    }.toMap
+  }
+
+  test("every query builds under the audited sweep") {
+    val failed = audits.collect { case (n, a) if a.err.isDefined =>
+      s"$n: ${a.err.get}" }
+    assert(failed.isEmpty, failed.mkString("\n"))
+  }
+
+  test("no query plans a Window over an unpartitioned unbounded frame") {
+    val offenders = audits.toSeq.sortBy(_._1).collect {
+      case (name, a)
+          if a.wFinal > boundedGlobalWindows.getOrElse(name, 0) =>
+        s"$name=${a.wFinal}"
     }
-    assert(offenders.isEmpty, "unpartitioned windows: " + offenders
-      .map { case (n, c) => s"$n=$c" }.mkString(", "))
+    assert(offenders.isEmpty,
+      "unpartitioned windows: " + offenders.mkString(", "))
   }
 
   test("no query plans an accidental nested-loop or cartesian join") {
-    def crossCount(plan: String): Int =
-      "BroadcastNestedLoopJoin|CartesianProduct".r
-        .findAllMatchIn(plan).length
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, fn) =>
-        val plan =
-          try fn(spark, sf("sf0.001")).queryExecution.executedPlan.toString
-          catch { case e: Throwable => s"PLANNING FAILED: ${e.getMessage}" }
-        val n = crossCount(plan)
-        val bad = n > intentionalCross.getOrElse(name, 0)
-        val failed = plan.startsWith("PLANNING FAILED")
-        if (bad || failed)
-          Some(name -> s"cross-joins=$n ${plan.take(300)}")
-        else None
+    val offenders = audits.toSeq.sortBy(_._1).collect {
+      case (name, a) if a.cFinal > intentionalCross.getOrElse(name, 0) =>
+        s"$name=${a.cFinal}"
     }
-    assert(offenders.isEmpty,
-      offenders.map { case (n, p) => s"\n$n: $p" }.mkString)
+    assert(offenders.isEmpty, "cross-joins: " + offenders.mkString(", "))
+  }
+
+  test("the sweeps hold over checkpoint-hidden segments too (audited pins)") {
+    val wOff = audits.toSeq.sortBy(_._1).collect {
+      case (name, a)
+          if a.wTotal > boundedGlobalWindows.getOrElse(name, 0) =>
+        s"$name=${a.wTotal}"
+    }
+    val cOff = audits.toSeq.sortBy(_._1).collect {
+      case (name, a) if a.cTotal > fullPlanCross
+            .getOrElse(name, intentionalCross.getOrElse(name, 0)) =>
+        s"$name=${a.cTotal}"
+    }
+    assert(wOff.isEmpty && cOff.isEmpty,
+      s"full-plan windows: ${wOff.mkString(", ")}; " +
+        s"full-plan crosses: ${cOff.mkString(", ")}")
   }
 }
