@@ -290,6 +290,21 @@ object ScalingBench {
       }
     }
 
+    // Degree-capped wedge close (opt-in via "graph_clustering_capped"):
+    // the Σod² mitigation for the one measured corpus-volume term in the
+    // graph battery, timed against the exact close in the same window
+    // (pass "graph_clustering_coeff,graph_clustering_capped").
+    if (onlyQs.exists(_.contains("graph_clustering_capped")))
+      for ((tag, dir) <- Seq("1x" -> base, s"${mult}x" -> out);
+           cap <- Seq(32, 128)) {
+        val (secs, rows) = time(iters)(
+          graft.operators.TextOps.clusteringCoeffCapped(spark, dir, cap))
+        val line = s"""{"query":"graph_clustering_capped","scale":"$tag",""" +
+          s""""cap":$cap,"sec":${f3(secs)},"rows":$rows}"""
+        println(line)
+        report += line
+      }
+
     for (q <- corpusQs; (tag, dir) <- Seq("1x" -> base, s"${mult}x" -> out)) {
       val (secs, rows) = time(iters)(SparkEntry.queries(q)(spark, dir))
       val line = s"""{"query":"$q","scale":"$tag","sec":${f3(secs)},"rows":$rows}"""

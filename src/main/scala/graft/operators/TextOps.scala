@@ -2655,6 +2655,75 @@ object TextOps {
       .orderBy($"group_id")
   }
 
+  /** Degree-CAPPED variant of [[clusteringCoeff]] — the wedge-volume
+    * mitigation for the 100×+ regime. The exact MPS close's cost is the
+    * wedge volume Σ od(v)² over oriented out-degrees; it is the first
+    * corpus-volume term to surface in the graph battery (×12.7 wall at
+    * ×100, PLANS.md round 11) because a few high-out-degree sources
+    * dominate the sum. Here each source emits wedges only among its
+    * `cap` FIRST out-neighbors in the (dd, dst) wedge order — a
+    * deterministic prefix, not a sample — bounding wedge volume by
+    * cap·m while the closing join is unchanged.
+    *
+    * Exactness contract: every node whose oriented out-degree is ≤ cap
+    * emits ALL its wedges, so any triangle whose minimum-degree vertex
+    * is below the cap is counted exactly; triangles are only ever
+    * UNDER-counted (cc_pm is a lower bound), and with cap ≥ max
+    * out-degree the output is bit-identical to [[clusteringCoeff]]
+    * (CappedWedgeSpec). The per-source neighbor rank is a window
+    * PARTITIONED by src — never a global window.
+    *
+    * Not oracle-gated: the exact form remains the gate; this is the
+    * measured scale path (ScalingBench `graph_clustering_capped`).
+    */
+  def clusteringCoeffCapped(s: SparkSession, dir: String,
+      cap: Int): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val pairs = groupPairsOf(s, dir)
+      .pin(true) // degree agg + both orientation joins
+    val nodes = pairs.select($"a".as("v")).unionByName(pairs.select($"b".as("v")))
+    val deg = nodes.groupBy($"v").agg(count(lit(1)).as("d"))
+    val oriented = pairs
+      .join(deg.select($"v".as("a"), $"d".as("da")), "a")
+      .join(deg.select($"v".as("b"), $"d".as("db")), "b")
+      .select(
+        when($"da" < $"db" || ($"da" === $"db" && $"a" < $"b"),
+          struct($"a".as("src"), $"b".as("dst"), $"db".as("dd")))
+          .otherwise(struct($"b".as("src"), $"a".as("dst"), $"da".as("dd")))
+          .as("e"))
+      .select($"e.src", $"e.dst", $"e.dd")
+      .pin(true) // rank pass + wedge sides + close
+    // deterministic per-source prefix in the wedge order (dd, dst)
+    val ranked = oriented
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"src").orderBy($"dd", $"dst")))
+      .filter($"rn" <= cap)
+      .drop("rn")
+      .pin(true) // both wedge sides
+    val wedges = ranked.as("x")
+      .join(ranked.as("y"), $"x.src" === $"y.src" &&
+        ($"x.dd" < $"y.dd" || ($"x.dd" === $"y.dd" && $"x.dst" < $"y.dst")))
+      .select($"x.src".as("v"), $"x.dst".as("u"), $"y.dst".as("w"))
+    val tri = wedges
+      .join(oriented.as("z"), $"u" === $"z.src" && $"w" === $"z.dst")
+      .select($"v", $"u", $"w")
+      .pin(true)
+    val triCnt = tri.select($"v".as("group_id"))
+      .unionByName(tri.select($"u".as("group_id")))
+      .unionByName(tri.select($"w".as("group_id")))
+      .groupBy($"group_id").agg(count(lit(1)).as("tri_cnt"))
+    deg.join(triCnt, $"v" === $"group_id", "left")
+      .select($"v".as("group_id"), $"d".as("deg"),
+        coalesce($"tri_cnt", lit(0L)).as("tri_cnt"))
+      .withColumn("cc_pm",
+        when($"deg" >= 2L,
+          floor(lit(2000L) * $"tri_cnt" / ($"deg" * ($"deg" - 1L)))
+            .cast("long"))
+          .otherwise(0L))
+      .orderBy($"group_id")
+  }
+
   /** Degree HISTOGRAM of the near-dup candidate graph in log2 buckets
     * (bucket = bitlength(degree), isolated docs in bucket 0): the
     * graph-shape diagnostic a pipeline reads BEFORE running contraction /
