@@ -2587,6 +2587,25 @@ object TextOps {
     * [[triangles]] and [[clusteringCoeff]]. Returns (deg(v, d),
     * triCnt(group_id, tri_cnt)); triCnt covers only nodes in ≥1 triangle.
     */
+  /** Oriented out-degree frame (src, od) of the contracted graph — the
+    * quantity whose square-sum is the wedge volume; the diagnostic read
+    * before choosing the exact vs degree-capped close
+    * (`PlanDump --wedge-stats`).
+    */
+  def orientedOutDegrees(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = groupPairsOf(s, dir).pin(true)
+    val nodes = pairs.select($"a".as("v")).unionByName(pairs.select($"b".as("v")))
+    val deg = nodes.groupBy($"v").agg(count(lit(1)).as("d"))
+    pairs
+      .join(deg.select($"v".as("a"), $"d".as("da")), "a")
+      .join(deg.select($"v".as("b"), $"d".as("db")), "b")
+      .select(
+        when($"da" < $"db" || ($"da" === $"db" && $"a" < $"b"), $"a")
+          .otherwise($"b").as("src"))
+      .groupBy($"src").agg(count(lit(1)).as("od"))
+  }
+
   private def degAndTriCounts(pairs: DataFrame): (DataFrame, DataFrame) = {
     val s = pairs.sparkSession
     import s.implicits._
