@@ -1216,7 +1216,57 @@ object Sketches {
        |    // ex.exact_distinct)::BIGINT AS err_pm
        |FROM est CROSS JOIN ex ORDER BY m""".stripMargin
 
+  // ---- Exact heavy hitters via a Misra–Gries candidate pass ----
+
+  /** Exact φ-heavy hitters (φ = 1/(k+1), k = 64) over the corpus token
+    * stream, computed WITHOUT an unbounded exact GROUP BY: pass 1 is one
+    * [[graft.functions.MisraGries]] aggregation — O(k) state per task,
+    * map-side combinable, candidate set provably ⊇ every token with
+    * frequency > N/(k+1) under any partitioning (Agarwal et al., PODS
+    * 2012) — and pass 2 recounts ONLY the ≤ k candidates (a broadcast
+    * join against the token stream) and applies the exact threshold
+    * `cnt·(k+1) > N` in integer arithmetic. The output is therefore
+    * bit-identical to the full exact GROUP BY the oracle runs, while the
+    * engine never materializes more than k counters per task plus one
+    * ≤ k-row broadcast — the standard two-pass shape for "top tokens /
+    * domains / URLs" over a 100 TB corpus whose key cardinality (billions
+    * of distinct n-grams) makes the exact one-pass GROUP BY the
+    * bottleneck shuffle.
+    *
+    * N and the sketch ride ONE aggregation (single scan), so no scalar
+    * cross-join is needed: the 1-row (n, mg) frame explodes into the
+    * candidate frame that both carries the threshold and keys the
+    * recount join.
+    */
+  def heavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = 64
+    val toks = Tables.documents(s, dir)
+      .select(explode(split($"text", " ")).as("w"))
+    val cand = toks
+      .agg(count(lit(1)).as("n"),
+        graft.functions.MisraGries.misraGries($"w", k).as("mg"))
+      .select($"n", explode(map_keys($"mg")).as("w"))
+    toks.join(broadcast(cand), Seq("w"))
+      .groupBy($"w")
+      .agg(count(lit(1)).as("cnt"), min($"n").as("n"))
+      .filter($"cnt" * (k + 1) > $"n")
+      .select($"w", $"cnt")
+      .orderBy($"cnt".desc, $"w")
+  }
+
+  val heavyHittersSql: String =
+    """WITH toks AS (
+      |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      |tot AS (SELECT count(*) AS n FROM toks)
+      |SELECT w, count(*)::BIGINT AS cnt
+      |FROM toks, tot
+      |GROUP BY w, n
+      |HAVING count(*) * 65 > n
+      |ORDER BY cnt DESC, w""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "freq_heavy_hitters" -> heavyHitters _,
     "sketch_hll_sweep" -> hllSweep _,
     "sample_temperature_sweep" -> temperatureSweep _,
     "sample_epoch_mix" -> epochMix _,
@@ -1238,6 +1288,7 @@ object Sketches {
   )
 
   val oracles: Map[String, String] = Map(
+    "freq_heavy_hitters" -> heavyHittersSql,
     "sketch_hll_sweep" -> hllSweepSql,
     "sample_temperature_sweep" -> temperatureSweepSql,
     "sample_epoch_mix" -> epochMixSql,
