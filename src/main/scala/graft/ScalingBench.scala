@@ -206,6 +206,63 @@ object ScalingBench {
       report += line
     }
 
+    // incremental view maintenance: refresh-vs-recompute economics. The
+    // claim (Materialized.scala): refreshing a count/sum rollup from a
+    // pre-materialized view costs O(|delta| + |view|) while recompute
+    // costs O(|base|) — so under a CONSTANT-size delta (shard 0's CDC
+    // day) recompute's wall must grow with the base and refresh's must
+    // stay flat. Orders are small enough to scale inline (no parquet
+    // cache): x1/x10/x100 via disjoint key shards, checkpointed so both
+    // paths read equally-materialized inputs; the view build is NOT
+    // timed (a deployment reads it back from storage).
+    if (onlyQs.forall(_.contains("mv_incremental_agg"))) {
+      import graft.operators.Materialized
+      val ordersBase = spark.read.parquet(s"$base/orders.parquet")
+      val nOrd = ordersBase.agg(max("o_orderkey")).head().getLong(0) + 1
+      val nCust = ordersBase.agg(max("o_custkey")).head().getLong(0) + 1
+      val splitTs = lit("1999-07-01").cast("timestamp")
+      for (m <- Seq(1, 10, 100)) {
+        val scaled = ordersBase
+          .withColumn("shard", explode(sequence(lit(0), lit(m - 1))))
+          .select((col("o_orderkey") + col("shard") * nOrd).as("rid"),
+            (col("o_custkey") + col("shard") * nCust).as("key"),
+            round(col("o_totalprice") * 100).cast("long").as("x"),
+            col("o_orderdate"), col("o_orderstatus"))
+        val baseRows = scaled.filter(col("o_orderdate") < splitTs)
+          .select("key", "rid", "x").repartition(32).localCheckpoint(true)
+        // constant-size delta across scales: shard 0's rows only
+        val ins = scaled.filter(col("o_orderdate") >= splitTs
+            && col("rid") < nOrd)
+          .select("key", "rid", "x").localCheckpoint(true)
+        val del = scaled.filter(col("o_orderdate") < splitTs
+            && col("o_orderstatus") === "F" && col("rid") % 7 === 0
+            && col("rid") < nOrd)
+          .select("key", "rid", "x").localCheckpoint(true)
+        val view = baseRows.groupBy(col("key"))
+          .agg(count(lit(1)).as("n"), sum("x").as("s"))
+          .localCheckpoint(true)
+        val (rSec, rRows) = time(iters) {
+          Materialized.refreshCountSum(view, ins.select("key", "x"),
+            del.select("key", "x"), "key")
+        }
+        val (cSec, cRows) = time(iters) {
+          baseRows.join(del.select("rid"), Seq("rid"), "left_anti")
+            .unionByName(ins)
+            .groupBy(col("key"))
+            .agg(count(lit(1)).as("n"), sum("x").as("s"))
+        }
+        require(rRows == cRows,
+          s"refresh/recompute row mismatch at x$m: $rRows vs $cRows")
+        for ((q, sec, rows) <- Seq(("mv_refresh", rSec, rRows),
+            ("mv_recompute", cSec, cRows))) {
+          val line =
+            s"""{"query":"$q","scale":"${m}x","sec":${f3(sec)},"rows":$rows}"""
+          println(line)
+          report += line
+        }
+      }
+    }
+
     // zone-map + z-order composition: a point probe on a z-ordered,
     // zone-mapped VersionedTable must open ~O(1) files while the table
     // (and its file count) grows ×mult — the claim LayoutSpec proves at
