@@ -2816,7 +2816,69 @@ object Similarity {
       |    // (n * (n * n - 1)))::BIGINT AS rho_pm
       |FROM dd ORDER BY qid""".stripMargin
 
+  // ---- exact covariance / Gram matrix over the embedding corpus ----
+
+  /** Exact integer covariance matrix of the embedding corpus — the
+    * primitive under PCA, whitening, and covariance-shift drift tests.
+    * Dims are quantized with the repo's standard exact embedding
+    * quantization (floor(x·10⁴), Similarity.scala:31) and the UNnormalized
+    * covariance numerator `n·Σqᵢqⱼ − Σqᵢ·Σqⱼ` is emitted per upper-
+    * triangle pair (i ≤ j) in exact int64 (max |term| ≈ 7·10¹² at gate
+    * scale, far under 2⁵³ — both engines exact, hash-gateable; divide by
+    * n² off-engine for the float covariance).
+    *
+    * Scale shape — the reason this is NOT the naive dim-pair self-join:
+    * each vector emits its d(d+1)/2 upper-triangle products via a
+    * generated struct array, and the very next operator is a
+    * partial-aggregating groupBy(i,j): every task folds its vectors into
+    * ≤ 2,080 accumulator rows BEFORE the exchange, so the shuffle carries
+    * parts·d² rows regardless of corpus size — a mergeable Gram-matrix
+    * accumulation (one corpus scan, O(d²) state), where the equivalent
+    * `q JOIN q ON vec_id` plan the oracle runs would shuffle corpus·d²/2
+    * rows. Per-dim sums and n ride one 64-row broadcast.
+    */
+  def covarianceMatrix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = 64
+    val q = Tables.embeddings(s, dir)
+      .select($"vec_id",
+        transform($"embedding",
+          x => floor(x.cast("double") * 10000d).cast("long")).as("q"))
+    val tri = flatten(transform(sequence(lit(0), lit(d - 1)), i =>
+      transform(sequence(i, lit(d - 1)), j =>
+        struct(i.as("i"), j.as("j"),
+          (element_at($"q", i + 1) * element_at($"q", j + 1)).as("v")))))
+    val prods = q.select(explode(tri).as("e"))
+      .select($"e.i".as("i"), $"e.j".as("j"), $"e.v".as("v"))
+      .groupBy($"i", $"j")
+      .agg(sum($"v").as("sxy"))
+    val dims = q.select(posexplode($"q").as(Seq("i", "v")))
+      .groupBy($"i")
+      .agg(sum($"v").as("sx"), count(lit(1)).as("n"))
+    prods
+      .join(broadcast(dims.select($"i", $"sx".as("sx_i"), $"n")), Seq("i"))
+      .join(broadcast(dims.select($"i".as("j"), $"sx".as("sx_j"))), Seq("j"))
+      .select($"i".cast("long"), $"j".cast("long"),
+        ($"n" * $"sxy" - $"sx_i" * $"sx_j").as("cov_num"))
+      .orderBy($"i", $"j")
+  }
+
+  val covarianceMatrixSql: String =
+    """WITH q AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+      |    floor(unnest(embedding)::DOUBLE * 10000)::BIGINT AS v
+      |  FROM embeddings),
+      |dims AS (SELECT i, sum(v) AS sx, count(*) AS n FROM q GROUP BY i),
+      |p AS (SELECT a.i AS i, b.i AS j, sum(a.v * b.v) AS sxy
+      |      FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+      |      GROUP BY 1, 2)
+      |SELECT p.i, p.j,
+      |  (di.n * p.sxy - di.sx * dj.sx)::BIGINT AS cov_num
+      |FROM p JOIN dims di ON di.i = p.i JOIN dims dj ON dj.i = p.j
+      |ORDER BY p.i, p.j""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_covariance" -> covarianceMatrix _,
     "sim_sq_spearman" -> sqSpearman _,
     "sim_recall_curve" -> recallCurve _,
     "sim_pq_distortion" -> pqDistortion _,
@@ -2855,6 +2917,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "emb_covariance" -> covarianceMatrixSql,
     "sim_sq_spearman" -> sqSpearmanSql,
     "sim_recall_curve" -> recallCurveSql,
     "sim_pq_distortion" -> pqDistortionSql,
