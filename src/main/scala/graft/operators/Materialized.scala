@@ -30,6 +30,9 @@ import graft.sources.Tables
   *    scale a partition-pruned read, never a corpus scan — and
   *    delta-merges everything else: cost O(|Δ| + |view| + dirty-group
   *    rows). Both shapes are oracle-gated.
+  *  - count(distinct) needs AUXILIARY STATE — [[refreshDistinct]]
+  *    maintains the per-(key, value) multiplicity table and moves the
+  *    view by value births − deaths, touching only delta-touched pairs.
   *
   * The gate scenario is deterministic over the `orders` table: rows
   * before SPLIT are the materialized base, rows at-or-after SPLIT are
@@ -91,6 +94,49 @@ object Materialized {
       .agg(max("m").as("m"))
       .join(broadcast(dirty), Seq(key), "left_anti")
     clean.unionByName(effectiveDirty)
+  }
+
+  /** Auxiliary-state refresh of a count-distinct view — the third IVM
+    * class: count(distinct v) is neither distributive nor dirty-group
+    * recomputable from the view alone, but is EXACTLY maintainable with
+    * the standard auxiliary table `aux(key, v) → n` (per-value
+    * multiplicity). A value is born in a key when its multiplicity
+    * crosses 0→positive and dies on positive→0; the distinct count
+    * moves by births − deaths. Only delta-TOUCHED (key, v) pairs are
+    * consulted (a broadcast semi-join against the aux table — at scale
+    * a key-partition-pruned point read), so the refresh never rescans
+    * the base OR the full aux table: O(|Δ| + |view|).
+    *
+    * @param aux  (key, v, n) — per-(key, value) multiplicities
+    * @param view (key, c)    — distinct-value count per key
+    * @param ins  (key, v)    — inserted rows
+    * @param del  (key, v)    — deleted rows (must have been live)
+    * @return (key, c), keys dropped at c = 0
+    */
+  def refreshDistinct(view: DataFrame, aux: DataFrame, ins: DataFrame,
+      del: DataFrame, key: String): DataFrame = {
+    val touched = ins.select(col(key), col("v"))
+      .unionByName(del.select(col(key), col("v"))).distinct().pin(true)
+    val old = aux.join(broadcast(touched), Seq(key, "v"), "left_semi")
+    val newN = old.select(col(key), col("v"), col("n"))
+      .unionByName(ins.select(col(key), col("v"), lit(1L).as("n")))
+      .unionByName(del.select(col(key), col("v"), lit(-1L).as("n")))
+      .groupBy(col(key), col("v"))
+      .agg(sum("n").as("n"))
+    val moves = newN
+      .join(old.select(col(key), col("v"), col("n").as("old_n")),
+        Seq(key, "v"), "left")
+      .select(col(key),
+        (when(coalesce(col("old_n"), lit(0L)) === 0L && col("n") > 0L, 1L)
+          .when(coalesce(col("old_n"), lit(0L)) > 0L && col("n") === 0L, -1L)
+          .otherwise(0L)).as("c"))
+      .groupBy(col(key))
+      .agg(sum("c").as("c"))
+      .filter(col("c") =!= 0L)
+    view.unionByName(moves)
+      .groupBy(col(key))
+      .agg(sum("c").as("c"))
+      .filter(col("c") > 0L)
   }
 
   // ---- the gate scenario over `orders` ----
@@ -159,13 +205,46 @@ object Materialized {
        |  AND o_orderstatus = 'F' AND o_orderkey % 7 = 0)
        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
 
+  /** Distinct order priorities per customer under the CDC day — the
+    * auxiliary-state IVM class gated end-to-end (see [[refreshDistinct]]).
+    */
+  def incrementalDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val all = Tables.orders(s, dir).select(
+      $"o_custkey".as("key"), $"o_orderkey".as("rid"), $"o_orderstatus",
+      $"o_orderdate", $"o_orderpriority".as("v"))
+    val splitTs = lit(split).cast("timestamp")
+    val base = all.filter($"o_orderdate" < splitTs).select($"key", $"v")
+    val ins = all.filter($"o_orderdate" >= splitTs).select($"key", $"v")
+    val del = all.filter($"o_orderdate" < splitTs
+        && $"o_orderstatus" === "F" && $"rid" % 7 === 0)
+      .select($"key", $"v")
+    val aux = base.groupBy($"key", $"v")
+      .agg(count(lit(1)).as("n")).pin(true)
+    val view = aux.groupBy($"key")
+      .agg(count(lit(1)).as("c")).pin(true)
+    refreshDistinct(view, aux, ins, del, "key")
+      .select($"key".as("o_custkey"), $"c".as("distinct_priorities"))
+      .orderBy($"o_custkey")
+  }
+
+  val incrementalDistinctSql: String =
+    s"""SELECT o_custkey,
+       |  count(DISTINCT o_orderpriority)::BIGINT AS distinct_priorities
+       |FROM orders
+       |WHERE NOT (o_orderdate < TIMESTAMP '$split 00:00:00'
+       |  AND o_orderstatus = 'F' AND o_orderkey % 7 = 0)
+       |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mv_incremental_agg" -> incrementalAgg _,
     "mv_incremental_max" -> incrementalMax _,
+    "mv_incremental_distinct" -> incrementalDistinct _,
   )
 
   val oracles: Map[String, String] = Map(
     "mv_incremental_agg" -> incrementalAggSql,
     "mv_incremental_max" -> incrementalMaxSql,
+    "mv_incremental_distinct" -> incrementalDistinctSql,
   )
 }

@@ -63,6 +63,34 @@ class MaterializedSpec extends SparkSpec {
     assert(got.find(_._1 == 4L).map(_._2) === Some(99L), "k4 must be born")
   }
 
+  test("auxiliary-state distinct refresh == recompute, with value birth/death") {
+    // k1: a(r201), a(r202), b(r203); k2: c(r204)
+    // deletes: r202 (a survives via r201 — a multiplicity drop is NOT a
+    // death), r203 (b dies in k1), r204 (k2 dies entirely)
+    // inserts: k1 gains d (value birth), k3 is born with e
+    val baseV = Seq((1L, 201L, "a"), (1L, 202L, "a"), (1L, 203L, "b"),
+      (2L, 204L, "c")).toDF("key", "rid", "v")
+    val insV = Seq((1L, "d"), (3L, "e")).toDF("key", "v")
+    val delRids = Seq(202L, 203L, 204L).toDF("rid")
+    val delV = baseV.join(delRids, Seq("rid"), "left_semi")
+      .select($"key", $"v")
+    val aux = baseV.groupBy($"key", $"v").agg(count(lit(1)).as("n"))
+    val view = aux.groupBy($"key").agg(count(lit(1)).as("c"))
+    val got = Materialized
+      .refreshDistinct(view, aux, insV, delV, "key")
+      .orderBy($"key").as[(Long, Long)].collect().toSeq
+    val want = baseV.join(delRids, Seq("rid"), "left_anti")
+      .select($"key", $"v")
+      .unionByName(insV)
+      .groupBy($"key").agg(count_distinct($"v").as("c"))
+      .orderBy($"key").as[(Long, Long)].collect().toSeq
+    assert(got === want)
+    // k1: a survives (multiplicity 2->1, NOT a death), b dies, d born -> 2
+    assert(got.find(_._1 == 1L).map(_._2) === Some(2L))
+    assert(!got.exists(_._1 == 2L), "k2 must die with its last value")
+    assert(got.find(_._1 == 3L).map(_._2) === Some(1L), "k3 must be born")
+  }
+
   test("empty delta is the identity refresh") {
     val view = base.groupBy($"key")
       .agg(count(lit(1)).as("n"), sum($"x").as("s"))
