@@ -58,6 +58,18 @@ object Materialized {
     * @return (key, n, s), groups with n = 0 dropped (group death)
     */
   def refreshCountSum(view: DataFrame, ins: DataFrame, del: DataFrame,
+      key: String): DataFrame =
+    foldCountSum(view, ins, del, key).filter(col("n") > 0L)
+
+  /** The unfiltered counting-rule fold — refreshCountSum WITHOUT the
+    * group-death (n = 0) filter. The streaming sink
+    * ([[graft.streaming.MvStream]]) folds out-of-order CDC batches where
+    * a delete can precede its insert: the intermediate state must carry
+    * the transient zero/negative count forward (filtering mid-fold would
+    * discard the carry and break batch-split invariance), with the death
+    * filter applied once at read time.
+    */
+  def foldCountSum(view: DataFrame, ins: DataFrame, del: DataFrame,
       key: String): DataFrame = {
     val delta = ins.select(col(key), lit(1L).as("n"), col("x").as("s"))
       .unionByName(
@@ -67,7 +79,6 @@ object Materialized {
     view.unionByName(delta)
       .groupBy(col(key))
       .agg(sum("n").as("n"), sum("s").as("s"))
-      .filter(col("n") > 0L)
   }
 
   /** Dirty-group refresh of a max view (min is the mirror image).
