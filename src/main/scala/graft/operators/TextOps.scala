@@ -4561,7 +4561,66 @@ object TextOps {
       |SELECT a, b, edit_dist FROM lev
       |WHERE edit_dist <= 78 ORDER BY a, b""".stripMargin
 
+  // ---- exact AUC via rank-sum (Mann–Whitney U) ----
+
+  /** Exact ROC-AUC of an integer classifier score, computed as the
+    * Mann–Whitney rank-sum WITHOUT per-row ranking: group rows by score
+    * (one map-side-combinable aggregation), then fold the SCORE
+    * DISTRIBUTION — a frame bounded by the score domain, never the
+    * corpus — with a cumulative count of negatives below each score.
+    * U counts (pos, neg) pairs where the positive outscores the negative,
+    * ties at half; everything is kept ×2 so the statistic `u2 = 2·U =
+    * Σ_s pos_s·(2·negBelow_s + neg_s)` is exact int64, and
+    * `auc_pm = ⌊1000·u2 / (2·n_pos·n_neg)⌋` is an exact permille — both
+    * engines hash-identical (the same evaluation on 10¹¹ docs shuffles
+    * only the ≤1001-row score histogram after the first aggregation).
+    *
+    * Demo scoring: label = (lang = 'en'), score = n_chars capped at 1000
+    * (the cap is what keeps the score-distribution frame ≤ 1001 rows at
+    * ANY corpus size — the same bound class as the ttr-cumsum budget
+    * queries; a production caller plugs any integer score in). AUC ≈ 0.5
+    * expected on the synthetic corpus — the gate checks the machinery,
+    * not the classifier.
+    */
+  def aucRankSum(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val byScore = Tables.documents(s, dir)
+      .select(($"lang" === "en").cast("long").as("y"),
+        least($"n_chars", lit(1000L)).as("score"))
+      .groupBy($"score")
+      .agg(sum($"y").as("pos"), (count(lit(1)) - sum($"y")).as("neg"))
+    // ≤1001-row score-distribution frame: the global window is bounded
+    // by the score domain (PlanGuardSpec whitelist, ttr-cumsum class)
+    val w = Window.orderBy($"score")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byScore
+      .withColumn("nb", coalesce(sum($"neg").over(w), lit(0L)))
+      .agg(sum($"pos").as("n_pos"), sum($"neg").as("n_neg"),
+        sum($"pos" * (lit(2L) * $"nb" + $"neg")).as("u2"))
+      .select($"n_pos", $"n_neg", $"u2",
+        expr("(1000 * u2) div (2 * n_pos * n_neg)").as("auc_pm"))
+  }
+
+  val aucRankSumSql: String =
+    """WITH s AS (
+      |  SELECT (lang = 'en')::BIGINT AS y,
+      |    least(n_chars, 1000) AS score
+      |  FROM documents),
+      |b AS (SELECT score, sum(y) AS pos, count(*) - sum(y) AS neg
+      |      FROM s GROUP BY score),
+      |c AS (SELECT score, pos, neg,
+      |        coalesce(sum(neg) OVER (ORDER BY score
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nb
+      |      FROM b)
+      |SELECT sum(pos)::BIGINT AS n_pos, sum(neg)::BIGINT AS n_neg,
+      |  sum(pos * (2 * nb + neg))::BIGINT AS u2,
+      |  ((1000 * sum(pos * (2 * nb + neg)))
+      |    // (2 * sum(pos) * sum(neg)))::BIGINT AS auc_pm
+      |FROM c""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "eval_auc_ranksum" -> aucRankSum _,
     "dedup_edit_pairs" -> editPairs _,
     "text_stats" -> textStats _,
     "text_surprisal" -> textSurprisal _,
@@ -4639,6 +4698,7 @@ object TextOps {
     "text_surprisal" -> textSurprisalSql,
     "text_dsir_weights" -> dsirWeightsSql,
     "text_ppl_buckets" -> pplBucketsSql,
+    "eval_auc_ranksum" -> aucRankSumSql,
     "text_langid_confusion" -> langIdConfusionSql,
     "text_lang_nb" -> langNbSql,
     "graph_degree_hist" -> degreeHistSql,
