@@ -4619,7 +4619,57 @@ object TextOps {
       |    // (2 * sum(pos) * sum(neg)))::BIGINT AS auc_pm
       |FROM c""".stripMargin
 
+  /** Precision/recall curve over every distinct threshold of the same
+    * capped integer score ([[aucRankSum]]'s histogram): predict positive
+    * when score ≥ t, so TP/FP at t are top-down cumulative sums over the
+    * ≤1001-row score histogram — the whole sweep costs one aggregation
+    * plus a bounded-frame fold, independent of corpus size. Permille
+    * precision/recall in exact integer floor-division.
+    */
+  def prCurve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val byScore = Tables.documents(s, dir)
+      .select(($"lang" === "en").cast("long").as("y"),
+        least($"n_chars", lit(1000L)).as("score"))
+      .groupBy($"score")
+      .agg(sum($"y").as("pos"), (count(lit(1)) - sum($"y")).as("neg"))
+    // ≤1001-row histogram, folded top-down (PlanGuard whitelist class)
+    val w = Window.orderBy($"score".desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    byScore
+      .withColumn("tp", sum($"pos").over(w))
+      .withColumn("fp", sum($"neg").over(w))
+      .withColumn("np", sum($"pos").over(
+        Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .select($"score".as("threshold"), $"tp", $"fp",
+        expr("(1000 * tp) div (tp + fp)").as("precision_pm"),
+        expr("(1000 * tp) div np").as("recall_pm"))
+      .orderBy($"threshold")
+  }
+
+  val prCurveSql: String =
+    """WITH s AS (
+      |  SELECT (lang = 'en')::BIGINT AS y,
+      |    least(n_chars, 1000) AS score
+      |  FROM documents),
+      |b AS (SELECT score, sum(y) AS pos, count(*) - sum(y) AS neg
+      |      FROM s GROUP BY score),
+      |c AS (SELECT score, pos, neg,
+      |        sum(pos) OVER (ORDER BY score DESC
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+      |        sum(neg) OVER (ORDER BY score DESC
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp,
+      |        sum(pos) OVER () AS np
+      |      FROM b)
+      |SELECT score AS threshold, tp::BIGINT AS tp, fp::BIGINT AS fp,
+      |  ((1000 * tp) // (tp + fp))::BIGINT AS precision_pm,
+      |  ((1000 * tp) // np)::BIGINT AS recall_pm
+      |FROM c ORDER BY threshold""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "eval_pr_curve" -> prCurve _,
     "eval_auc_ranksum" -> aucRankSum _,
     "dedup_edit_pairs" -> editPairs _,
     "text_stats" -> textStats _,
@@ -4698,6 +4748,7 @@ object TextOps {
     "text_surprisal" -> textSurprisalSql,
     "text_dsir_weights" -> dsirWeightsSql,
     "text_ppl_buckets" -> pplBucketsSql,
+    "eval_pr_curve" -> prCurveSql,
     "eval_auc_ranksum" -> aucRankSumSql,
     "text_langid_confusion" -> langIdConfusionSql,
     "text_lang_nb" -> langNbSql,
