@@ -90,6 +90,58 @@ class MisraGriesSpec extends SparkSpec {
     assert(heavies(13) === expected)
   }
 
+  test("guarantee holds over 50 random streams x random merge trees (class-level)") {
+    // drive update/merge directly (no Spark jobs): random Zipf-ish
+    // streams split into random partitions, merged pairwise in random
+    // order — the PODS-2012 bound must survive every tree
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.types.StringType
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 50) {
+      val k = 4 + rnd.nextInt(20)
+      val vocab = 2 + rnd.nextInt(300)
+      val n = 50 + rnd.nextInt(2000)
+      val stream = Seq.fill(n)(s"w${(math.pow(rnd.nextDouble(),
+        2.5) * vocab).toInt}")
+      val truth = stream.groupBy(identity).map { case (w, g) =>
+        (w, g.size.toLong) }
+      val agg = MisraGries(BoundReference(0, StringType, nullable = true),
+        Literal(k))
+      val nParts = 1 + rnd.nextInt(8)
+      val parts = stream.grouped(math.max(1, n / nParts)).toSeq
+      var bufs = parts.map { p =>
+        val b = agg.createAggregationBuffer()
+        p.foreach(w => agg.update(b,
+          InternalRow(UTF8String.fromString(w))))
+        b
+      }
+      while (bufs.size > 1) { // random pairwise merge tree
+        val i = rnd.nextInt(bufs.size - 1)
+        val merged = agg.merge(bufs(i), bufs(i + 1))
+        bufs = bufs.patch(i, Seq(merged), 2)
+      }
+      val got = {
+        val m = scala.collection.mutable.Map.empty[String, Long]
+        bufs.head.forEach((s, w) => { m(s) = w; () })
+        m.toMap
+      }
+      assert(got.size <= k, s"trial $trial: capacity exceeded")
+      val bound = n.toLong / (k + 1)
+      truth.foreach { case (w, f) =>
+        if (f > bound)
+          assert(got.contains(w),
+            s"trial $trial (k=$k n=$n): heavy $w (f=$f > $bound) missing")
+        got.get(w).foreach { est =>
+          assert(est <= f && est >= f - bound - 1,
+            s"trial $trial: est $est out of [${f - bound}, $f] for $w")
+        }
+      }
+      got.keys.foreach(w => assert(truth.contains(w)))
+    }
+  }
+
   test("empty input yields an empty summary") {
     val got = Seq.empty[String].toDF("w")
       .agg(misraGries(col("w"), 4).as("mg"))
