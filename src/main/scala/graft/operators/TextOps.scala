@@ -4668,7 +4668,62 @@ object TextOps {
       |  ((1000 * tp) // np)::BIGINT AS recall_pm
       |FROM c ORDER BY threshold""".stripMargin
 
+  /** Heaps'-law vocabulary-growth curve (Heaps 1978; the dual of the
+    * [[zipfCurve]] rank-frequency audit): cumulative distinct-token
+    * count vs cumulative token count at log-spaced corpus prefixes —
+    * the read that sizes a tokenizer vocabulary and detects a crawl
+    * that stopped discovering new text. Checkpoints are doc-id bit
+    * lengths (⌊log2⌋+1 — N-independent, ≤64 buckets at ANY corpus
+    * size, and monotone in doc_id so `min(bucket)` ≡ bucket of first
+    * occurrence). One content-keyed min-aggregation (the exact-dedup
+    * shuffle shape) + one per-bucket count; the cumsum folds a ≤64-row
+    * frame (PlanGuardSpec whitelist class). Rate in exact permille.
+    */
+  def heapsCurve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(s, dir)
+      .select(length(bin($"doc_id" + 1)).cast("long").as("b"),
+        explode(split($"text", " ")).as("w"))
+    val tokCounts = toks.groupBy($"b").agg(count(lit(1)).as("n_toks"))
+    val firstB = toks.groupBy($"w").agg(min($"b").as("b"))
+      .groupBy($"b").agg(count(lit(1)).as("n_new"))
+    val w = Window.orderBy($"b")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    tokCounts.join(firstB, Seq("b"), "left")
+      .withColumn("cum_tokens", sum($"n_toks").over(w))
+      .withColumn("cum_vocab", sum(coalesce($"n_new", lit(0L))).over(w))
+      .select($"b".as("bucket"), $"cum_tokens", $"cum_vocab",
+        expr("(1000 * cum_vocab) div cum_tokens").as("vocab_pm"))
+      .orderBy($"bucket")
+  }
+
+  val heapsCurveSql: String =
+    """WITH toks AS (
+      |  SELECT length(bin(doc_id + 1))::BIGINT AS b,
+      |    unnest(string_split(text, ' ')) AS w
+      |  FROM documents),
+      |tc AS (SELECT b, count(*) AS n_toks FROM toks GROUP BY b),
+      |fb AS (SELECT b, count(*) AS n_new FROM (
+      |         SELECT w, min(b) AS b FROM toks GROUP BY w) GROUP BY b),
+      |c AS (SELECT tc.b, tc.n_toks, coalesce(fb.n_new, 0) AS n_new
+      |      FROM tc LEFT JOIN fb ON tc.b = fb.b)
+      |SELECT b AS bucket,
+      |  sum(n_toks) OVER (ORDER BY b
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+      |    AS cum_tokens,
+      |  sum(n_new) OVER (ORDER BY b
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+      |    AS cum_vocab,
+      |  ((1000 * sum(n_new) OVER (ORDER BY b
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |    // sum(n_toks) OVER (ORDER BY b
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+      |    AS vocab_pm
+      |FROM c ORDER BY bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_heaps_curve" -> heapsCurve _,
     "eval_pr_curve" -> prCurve _,
     "eval_auc_ranksum" -> aucRankSum _,
     "dedup_edit_pairs" -> editPairs _,
@@ -4748,6 +4803,7 @@ object TextOps {
     "text_surprisal" -> textSurprisalSql,
     "text_dsir_weights" -> dsirWeightsSql,
     "text_ppl_buckets" -> pplBucketsSql,
+    "text_heaps_curve" -> heapsCurveSql,
     "eval_pr_curve" -> prCurveSql,
     "eval_auc_ranksum" -> aucRankSumSql,
     "text_langid_confusion" -> langIdConfusionSql,

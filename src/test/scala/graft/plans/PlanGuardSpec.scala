@@ -126,6 +126,7 @@ class PlanGuardSpec extends SparkSpec {
   private val boundedGlobalWindows: Map[String, Int] = Map(
     "eval_auc_ranksum" -> 1, // ≤1001-row capped-score histogram cumsum
     "eval_pr_curve" -> 2, // same ≤1001-row histogram: desc cumsum + total
+    "text_heaps_curve" -> 2, // ≤64-row log-bucket frame: tokens + vocab cumsums
     "ev_seasonality" -> 1, // 168-row (7 dow × 24 hod) share frame
     "ev_whale_curve" -> 1, // 10-row decile cumulative-share frame
     "graph_common_neighbors" -> 1, // 20-row post-limit top-pairs frame
