@@ -4722,7 +4722,106 @@ object TextOps {
       |    AS vocab_pm
       |FROM c ORDER BY bucket""".stripMargin
 
+  /** The four PII matcher families (ASCII `\d`/`\b` semantics are
+    * identical in java.util.regex and RE2, so the same pattern string
+    * drives Spark and the DuckDB oracle). Category patterns are
+    * mutually non-overlapping by construction: phone (3-3-4) and
+    * SSN (3-2-4) dash shapes cannot match each other's text, IPv4
+    * needs three dots, email needs `@`.
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}",
+    "phone" -> "\\b\\d{3}-\\d{3}-\\d{4}\\b",
+    "ip" -> "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b",
+    "ssn" -> "\\b\\d{3}-\\d{2}-\\d{4}\\b")
+
+  /** Redact all four PII families from a text column, in a fixed
+    * category order. Pure per-row codegen'd `regexp_replace` chain —
+    * no shuffle, no UDF; the form that runs at any corpus size.
+    */
+  def piiRedact(c: Column): Column =
+    piiPatterns.foldLeft(c) { case (acc, (cat, pat)) =>
+      regexp_replace(acc, pat, s"<${cat.toUpperCase}>")
+    }
+
+  /** PII detection + redaction audit (the scrub every training-data
+    * pipeline runs before tokenization; matcher families follow the
+    * public presidio/CommonCrawl-style regex approach): per-document
+    * counts for email / US-phone / IPv4 / SSN shapes plus the length
+    * and md5 of the redacted text. The synthetic corpus carries no
+    * PII, so the gate derives deterministic contact strings from
+    * doc_id (interleaved modulos, so docs carry 0–4 categories) —
+    * this exercises real matcher/masker parity on both engines; the
+    * detection and idempotence laws on adversarial text live in
+    * PiiScrubSpec. Embarrassingly parallel (per-row regex, one
+    * presentation-only sort).
+    */
+  def piiScrub(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val aug = Tables.documents(s, dir).select($"doc_id", concat(
+      $"text",
+      when($"doc_id" % 2 === 0,
+        concat(lit(" u"), $"doc_id", lit("@ex"), $"doc_id" % 10,
+          lit(".com"))).otherwise(lit("")),
+      when($"doc_id" % 3 === 0,
+        concat(lit(" 415-"), lit(100) + $"doc_id" % 900, lit("-"),
+          lit(1000) + $"doc_id" % 9000)).otherwise(lit("")),
+      when($"doc_id" % 5 === 0,
+        concat(lit(" 10."), $"doc_id" % 256, lit("."),
+          ($"doc_id" * 3) % 256, lit("."),
+          ($"doc_id" * 7) % 256)).otherwise(lit("")),
+      when($"doc_id" % 7 === 0,
+        concat(lit(" "), lit(100) + ($"doc_id" * 3) % 900, lit("-"),
+          lit(10) + $"doc_id" % 90, lit("-"),
+          lit(1000) + ($"doc_id" * 7) % 9000)).otherwise(lit("")))
+      .as("aug"))
+    val counted = piiPatterns.foldLeft(aug) { case (df, (cat, pat)) =>
+      df.withColumn(s"n_$cat",
+        size(regexp_extract_all(col("aug"), lit(pat), lit(0)))
+          .cast("long"))
+    }
+    counted
+      .withColumn("red", piiRedact($"aug"))
+      .select($"doc_id", $"n_email", $"n_phone", $"n_ip", $"n_ssn",
+        ($"n_email" + $"n_phone" + $"n_ip" + $"n_ssn").as("pii_total"),
+        length($"red").cast("long").as("red_len"),
+        md5($"red").as("red_md5"))
+      .orderBy($"doc_id")
+  }
+
+  val piiScrubSql: String = {
+    val Seq(email, phone, ip, ssn) = piiPatterns.map(_._2)
+    s"""WITH aug AS (
+      |  SELECT doc_id, text
+      |    || CASE WHEN doc_id % 2 = 0 THEN ' u' || doc_id || '@ex'
+      |         || doc_id % 10 || '.com' ELSE '' END
+      |    || CASE WHEN doc_id % 3 = 0 THEN ' 415-' || (100 + doc_id % 900)
+      |         || '-' || (1000 + doc_id % 9000) ELSE '' END
+      |    || CASE WHEN doc_id % 5 = 0 THEN ' 10.' || doc_id % 256 || '.'
+      |         || (doc_id * 3) % 256 || '.' || (doc_id * 7) % 256
+      |         ELSE '' END
+      |    || CASE WHEN doc_id % 7 = 0 THEN ' ' || (100 + (doc_id * 3) % 900)
+      |         || '-' || (10 + doc_id % 90) || '-'
+      |         || (1000 + (doc_id * 7) % 9000) ELSE '' END AS aug
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id,
+      |    len(regexp_extract_all(aug, '$email'))::BIGINT AS n_email,
+      |    len(regexp_extract_all(aug, '$phone'))::BIGINT AS n_phone,
+      |    len(regexp_extract_all(aug, '$ip'))::BIGINT AS n_ip,
+      |    len(regexp_extract_all(aug, '$ssn'))::BIGINT AS n_ssn,
+      |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |      aug, '$email', '<EMAIL>', 'g'), '$phone', '<PHONE>', 'g'),
+      |      '$ip', '<IP>', 'g'), '$ssn', '<SSN>', 'g') AS red
+      |  FROM aug)
+      |SELECT doc_id, n_email, n_phone, n_ip, n_ssn,
+      |  (n_email + n_phone + n_ip + n_ssn)::BIGINT AS pii_total,
+      |  len(red)::BIGINT AS red_len, md5(red) AS red_md5
+      |FROM c ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_pii_scrub" -> piiScrub _,
     "text_heaps_curve" -> heapsCurve _,
     "eval_pr_curve" -> prCurve _,
     "eval_auc_ranksum" -> aucRankSum _,
@@ -4804,6 +4903,7 @@ object TextOps {
     "text_dsir_weights" -> dsirWeightsSql,
     "text_ppl_buckets" -> pplBucketsSql,
     "text_heaps_curve" -> heapsCurveSql,
+    "text_pii_scrub" -> piiScrubSql,
     "eval_pr_curve" -> prCurveSql,
     "eval_auc_ranksum" -> aucRankSumSql,
     "text_langid_confusion" -> langIdConfusionSql,
