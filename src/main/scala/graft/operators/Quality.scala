@@ -1,0 +1,252 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Data-quality audit + column profiler — the Deequ-style (Schelter et
+  * al., VLDB 2018, "Automating Large-Scale Data Quality Verification")
+  * front gate every 100 TB ingestion pipeline runs before a corpus
+  * version is allowed to exist.
+  *
+  * Scale shape, by construction:
+  *  - every same-table check family is folded into ONE wide aggregate
+  *    per table (a single scan with partial map-side aggregation — no
+  *    per-check rescans), then unpivoted to the long report form;
+  *  - referential-integrity checks are keyed anti-joins (the child side
+  *    shuffles on the FK once; parent key sets that fit broadcast);
+  *  - the profiler's distinct/top-value pass is a melt (explode to
+  *    (column, value) pairs) followed by two keyed aggregations — the
+  *    one-scan alternative to per-column `count(distinct)` expands.
+  *
+  * Both the Spark plan and the DuckDB oracle SQL are GENERATED from the
+  * same spec lists below, so engine parity is structural, not manual.
+  */
+object Quality {
+
+  // ---------------------------------------------------------------- profile
+
+  /** Column spec: Spark render + DuckDB render of a value's canonical
+    * string form (injective on each column's type, so distinct counts
+    * over renders equal distinct counts over values).
+    */
+  private case class Prof(tbl: String, col: String,
+      s: Column => Column, d: String => String)
+
+  private def ident(c: Column): Column = c.cast("string")
+  private def tsRender(c: Column): Column =
+    date_format(c, "yyyy-MM-dd HH:mm:ss")
+  private def dIdent(e: String): String = s"CAST($e AS VARCHAR)"
+  private def dTs(e: String): String = s"strftime($e, '%Y-%m-%d %H:%M:%S')"
+
+  private val profCols: Seq[Prof] = Seq(
+    Prof("customer", "c_custkey", ident, dIdent),
+    Prof("customer", "c_mktsegment", ident, dIdent),
+    Prof("customer", "c_nationkey", ident, dIdent),
+    Prof("lineitem", "l_linenumber", ident, dIdent),
+    Prof("lineitem", "l_linestatus", ident, dIdent),
+    Prof("lineitem", "l_orderkey", ident, dIdent),
+    Prof("lineitem", "l_returnflag", ident, dIdent),
+    Prof("lineitem", "l_shipdate", tsRender, dTs),
+    Prof("orders", "o_orderdate", tsRender, dTs),
+    Prof("orders", "o_orderkey", ident, dIdent),
+    Prof("orders", "o_orderpriority", ident, dIdent),
+    Prof("orders", "o_orderstatus", ident, dIdent))
+
+  /** One profile row per (table, column): row/null/distinct counts, typed
+    * min/max in canonical render, and the modal value with its count
+    * (ties broken by value ascending). Two scans per table total.
+    */
+  def profile(s: SparkSession, dir: String): DataFrame = {
+    val frames = profCols.groupBy(_.tbl).toSeq.sortBy(_._1).map {
+      case (tbl, specs) =>
+        val df = Tables.table(s, dir, tbl)
+        // scan 1: one wide agg -> n_rows + per-column null count and
+        // typed min/max (rendered after the typed aggregate)
+        val aggExprs = count(lit(1)).as("n_rows") +:
+          specs.flatMap { p =>
+            Seq(count(col(p.col)).as(s"nn_${p.col}"),
+              p.s(min(col(p.col))).as(s"mn_${p.col}"),
+              p.s(max(col(p.col))).as(s"mx_${p.col}"))
+          }
+        val wide = df.agg(aggExprs.head, aggExprs.tail: _*)
+        val basic = wide.select(explode(array(specs.map { p =>
+          struct(lit(p.col).as("col"), col("n_rows"),
+            (col("n_rows") - col(s"nn_${p.col}")).as("n_null"),
+            col(s"mn_${p.col}").as("min_s"),
+            col(s"mx_${p.col}").as("max_s"))
+        }: _*)).as("e")).select("e.*")
+        // scan 2: melt -> (col, value) -> value histogram -> per-column
+        // distinct count + modal value (min over (-count, value) = top
+        // count, ties to the smallest value)
+        val melted = df.select(explode(array(specs.map { p =>
+          struct(lit(p.col).as("col"), p.s(col(p.col)).as("v"))
+        }: _*)).as("e")).select("e.*").where(col("v").isNotNull)
+        val dist = melted.groupBy("col", "v")
+          .agg(count(lit(1)).as("c"))
+          .groupBy("col")
+          .agg(count(lit(1)).as("n_distinct"),
+            min(struct((-col("c")).as("nc"), col("v"))).as("t"))
+          .select(col("col"), col("n_distinct"),
+            col("t.v").as("top_val"), (-col("t.nc")).as("top_n"))
+        basic.join(dist, "col").select(lit(tbl).as("tbl"), col("col"),
+          col("n_rows"), col("n_null"), col("n_distinct"),
+          col("min_s"), col("max_s"), col("top_val"), col("top_n"))
+    }
+    frames.reduce(_.unionByName(_)).orderBy("tbl", "col")
+  }
+
+  val profileSql: String = profCols.map { p =>
+    val r = p.d(p.col)
+    s"""SELECT '${p.tbl}' AS tbl, '${p.col}' AS col,
+      |  count(*)::BIGINT AS n_rows,
+      |  (count(*) - count(${p.col}))::BIGINT AS n_null,
+      |  count(DISTINCT $r)::BIGINT AS n_distinct,
+      |  ${p.d(s"min(${p.col})")} AS min_s,
+      |  ${p.d(s"max(${p.col})")} AS max_s,
+      |  (SELECT v FROM (SELECT $r AS v, count(*) AS c FROM ${p.tbl}
+      |     WHERE ${p.col} IS NOT NULL GROUP BY 1
+      |     ORDER BY c DESC, v ASC LIMIT 1)) AS top_val,
+      |  (SELECT c::BIGINT FROM (SELECT $r AS v, count(*) AS c
+      |     FROM ${p.tbl} WHERE ${p.col} IS NOT NULL GROUP BY 1
+      |     ORDER BY c DESC, v ASC LIMIT 1)) AS top_n
+      |FROM ${p.tbl}""".stripMargin
+  }.mkString("", "\nUNION ALL\n", "\nORDER BY tbl, col")
+
+  // ------------------------------------------------------------ constraints
+
+  /** In-scan check: violation predicate as a Spark Column and as DuckDB
+    * SQL over the same table (count(*) - count(distinct ...) checks get
+    * a dedicated distinct form).
+    */
+  private case class Chk(id: String, tbl: String,
+      bad: DataFrame => Column, dBad: String)
+
+  private val scanChecks: Seq[Chk] = Seq(
+    Chk("complete_c_name", "customer",
+      _ => count(lit(1)) - count(col("c_name")),
+      "count(*) - count(c_name)"),
+    Chk("complete_l_quantity", "lineitem",
+      _ => count(lit(1)) - count(col("l_quantity")),
+      "count(*) - count(l_quantity)"),
+    Chk("domain_o_orderstatus", "orders",
+      _ => sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L)
+        .otherwise(0L)),
+      "sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END)"),
+    Chk("implies_return_final", "lineitem",
+      _ => sum(when(col("l_returnflag").isin("R", "A") &&
+        col("l_linestatus") =!= "F", 1L).otherwise(0L)),
+      "sum(CASE WHEN l_returnflag IN ('R','A') AND l_linestatus <> 'F' " +
+        "THEN 1 ELSE 0 END)"),
+    Chk("range_l_discount", "lineitem",
+      _ => sum(when(col("l_discount") < 0.0 || col("l_discount") > 0.1, 1L)
+        .otherwise(0L)),
+      "sum(CASE WHEN l_discount < 0.0 OR l_discount > 0.1 THEN 1 ELSE 0 END)"),
+    Chk("range_l_quantity", "lineitem",
+      _ => sum(when(col("l_quantity") < 1.0 || col("l_quantity") > 50.0, 1L)
+        .otherwise(0L)),
+      "sum(CASE WHEN l_quantity < 1.0 OR l_quantity > 50.0 THEN 1 ELSE 0 END)"),
+    Chk("unique_c_custkey", "customer",
+      _ => count(lit(1)) - countDistinct(col("c_custkey")),
+      "count(*) - count(DISTINCT c_custkey)"),
+    Chk("unique_l_pk", "lineitem",
+      _ => count(lit(1)) -
+        countDistinct(col("l_orderkey"), col("l_linenumber")),
+      "count(*) - count(DISTINCT (l_orderkey, l_linenumber))"),
+    Chk("unique_o_orderkey", "orders",
+      _ => count(lit(1)) - countDistinct(col("o_orderkey")),
+      "count(*) - count(DISTINCT o_orderkey)"))
+
+  /** Referential-integrity spec: child FK column must be contained in the
+    * parent key column. Violations = orphaned child rows (keyed
+    * anti-join; at scale the parent key set broadcasts for dimensions
+    * and shuffles on the FK for fact-fact containment).
+    */
+  private case class Ri(id: String, child: String, fk: String,
+      parent: String, pk: String)
+
+  private val riChecks: Seq[Ri] = Seq(
+    Ri("ri_customer_nation", "customer", "c_nationkey",
+      "nation", "n_nationkey"),
+    Ri("ri_lineitem_orders", "lineitem", "l_orderkey",
+      "orders", "o_orderkey"),
+    Ri("ri_orders_customer", "orders", "o_custkey",
+      "customer", "c_custkey"))
+
+  /** Constraint audit: one row per check — rows examined, violation
+    * count, pass/fail. Same-table checks share one scan per table;
+    * cross-table checks are anti-joins plus one ordering join
+    * (ship-before-order, a real temporal consistency rule).
+    */
+  def constraints(s: SparkSession, dir: String): DataFrame = {
+    val scans = scanChecks.groupBy(_.tbl).toSeq.sortBy(_._1).map {
+      case (tbl, checks) =>
+        val df = Tables.table(s, dir, tbl)
+        val aggExprs = count(lit(1)).as("n_rows") +:
+          checks.map(c => c.bad(df).cast("long").as(s"bad_${c.id}"))
+        df.agg(aggExprs.head, aggExprs.tail: _*)
+          .select(explode(array(checks.map { c =>
+            struct(lit(c.id).as("check_id"), lit(tbl).as("tbl"),
+              col("n_rows"), col(s"bad_${c.id}").as("n_bad"))
+          }: _*)).as("e")).select("e.*")
+    }
+    val ris = riChecks.map { r =>
+      val child = Tables.table(s, dir, r.child).select(col(r.fk))
+      val parent = Tables.table(s, dir, r.parent)
+        .select(col(r.pk)).distinct()
+      // ONE left join carries both counts: every child row survives, an
+      // orphan is a null parent key (no second scan, no cross join)
+      child.join(parent, child(r.fk) === parent(r.pk), "left")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col(r.pk).isNull, 1L).otherwise(0L)).as("n_bad"))
+        .select(lit(r.id).as("check_id"), lit(r.child).as("tbl"),
+          col("n_rows"), col("n_bad"))
+    }
+    // temporal rule: a line cannot ship before its order was placed
+    val li = Tables.lineitem(s, dir)
+    val ord = Tables.orders(s, dir)
+    val shipped = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("l_shipdate") < col("o_orderdate"), 1L)
+          .otherwise(0L)).as("n_bad"))
+      .select(lit("order_before_ship").as("check_id"),
+        lit("lineitem").as("tbl"), col("n_rows"), col("n_bad"))
+    (scans ++ ris :+ shipped).reduce(_.unionByName(_))
+      .withColumn("status",
+        when(col("n_bad") === 0L, "pass").otherwise("fail"))
+      .orderBy("check_id")
+  }
+
+  val constraintsSql: String = {
+    val scans = scanChecks.map { c =>
+      s"""SELECT '${c.id}' AS check_id, '${c.tbl}' AS tbl,
+        |  count(*)::BIGINT AS n_rows, (${c.dBad})::BIGINT AS n_bad
+        |FROM ${c.tbl}""".stripMargin
+    }
+    val ris = riChecks.map { r =>
+      s"""SELECT '${r.id}' AS check_id, '${r.child}' AS tbl,
+        |  (SELECT count(*) FROM ${r.child})::BIGINT AS n_rows,
+        |  (SELECT count(*) FROM ${r.child} c LEFT JOIN ${r.parent} p
+        |     ON c.${r.fk} = p.${r.pk}
+        |   WHERE p.${r.pk} IS NULL)::BIGINT AS n_bad""".stripMargin
+    }
+    val shipped =
+      """SELECT 'order_before_ship' AS check_id, 'lineitem' AS tbl,
+        |  count(*)::BIGINT AS n_rows,
+        |  sum(CASE WHEN l_shipdate < o_orderdate THEN 1 ELSE 0
+        |      END)::BIGINT AS n_bad
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin
+    (scans ++ ris :+ shipped).mkString("SELECT check_id, tbl, n_rows, " +
+      "n_bad,\n  CASE WHEN n_bad = 0 THEN 'pass' ELSE 'fail' END AS " +
+      "status\nFROM (\n", "\nUNION ALL\n", "\n)\nORDER BY check_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_profile" -> profile _,
+    "dq_constraints" -> constraints _)
+
+  val oracles: Map[String, String] = Map(
+    "dq_profile" -> profileSql,
+    "dq_constraints" -> constraintsSql)
+}

@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.Tables
+
+/** Laws of the data-quality audit (Quality.profile / Quality.constraints)
+  * at sf0.001: internal consistency of the profile counts (pigeonhole,
+  * null accounting, modal-count bounds), independent recounts of
+  * representative checks from each constraint family (in-scan aggregate,
+  * uniqueness, referential anti-join, cross-table temporal), and the
+  * status-column rule.
+  */
+class QualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val dir = sf("sf0.001")
+  private lazy val prof = Quality.profile(spark, dir).collect()
+  private lazy val cons = Quality.constraints(spark, dir).collect()
+
+  private def check(id: String): Row =
+    cons.find(_.getString(0) == id).get
+
+  test("profile covers every spec'd (table, column) exactly once") {
+    val keys = prof.map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(keys.distinct.size === keys.size)
+    assert(keys.size === 12)
+    assert(keys.count(_._1 == "lineitem") === 5)
+  }
+
+  test("profile count accounting: nulls, distinct, modal bounds") {
+    prof.foreach { r =>
+      val (n, nNull, nDist, topN) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(8))
+      val nonNull = n - nNull
+      assert(nNull >= 0 && nonNull > 0, r)
+      // pigeonhole both ways: the modal count is at least the mean
+      // bucket size and at most everything non-null
+      assert(nDist >= 1 && nDist <= nonNull, r)
+      assert(topN <= nonNull, r)
+      assert(topN * nDist >= nonNull, r)
+    }
+  }
+
+  test("profile distinct + modal value recount (l_returnflag)") {
+    val li = Tables.lineitem(spark, dir)
+    val hist = li.groupBy($"l_returnflag").count()
+      .as[(String, Long)].collect().sortBy(t => (-t._2, t._1))
+    val r = prof.find(r => r.getString(0) == "lineitem" &&
+      r.getString(1) == "l_returnflag").get
+    assert(r.getLong(4) === hist.size.toLong)
+    assert(r.getString(7) === hist.head._1)
+    assert(r.getLong(8) === hist.head._2)
+    assert(r.getString(5) === hist.map(_._1).min)
+    assert(r.getString(6) === hist.map(_._1).max)
+  }
+
+  test("timestamp render is the typed min/max, canonically formatted") {
+    val li = Tables.lineitem(spark, dir)
+    val Row(mn: String, mx: String) = li.agg(
+      date_format(min($"l_shipdate"), "yyyy-MM-dd HH:mm:ss"),
+      date_format(max($"l_shipdate"), "yyyy-MM-dd HH:mm:ss")).head()
+    val r = prof.find(r => r.getString(0) == "lineitem" &&
+      r.getString(1) == "l_shipdate").get
+    assert(r.getString(5) === mn && r.getString(6) === mx)
+  }
+
+  test("constraint battery: one row per check, status mirrors n_bad") {
+    assert(cons.length === 13)
+    assert(cons.map(_.getString(0)).distinct.length === 13)
+    cons.foreach { r =>
+      assert(r.getLong(2) > 0, r)
+      assert(r.getLong(3) >= 0 && r.getLong(3) <= r.getLong(2), r)
+      assert(r.getString(4) === (if (r.getLong(3) == 0L) "pass" else "fail"), r)
+    }
+  }
+
+  test("uniqueness check recount: unique_o_orderkey") {
+    val ord = Tables.orders(spark, dir)
+    val dup = ord.groupBy($"o_orderkey").count()
+      .filter($"count" > 1)
+      .agg(coalesce(sum($"count" - 1L), lit(0L))).as[Long].head()
+    assert(check("unique_o_orderkey").getLong(3) === dup)
+    assert(check("unique_o_orderkey").getLong(2) === ord.count())
+  }
+
+  test("in-scan range check recount: range_l_quantity") {
+    val li = Tables.lineitem(spark, dir)
+    val bad = li.filter($"l_quantity" < 1.0 || $"l_quantity" > 50.0).count()
+    assert(check("range_l_quantity").getLong(3) === bad)
+  }
+
+  test("referential check is a true orphan count: ri_orders_customer") {
+    val ord = Tables.orders(spark, dir)
+    val cust = Tables.customer(spark, dir)
+    val orphans = ord.join(cust,
+        ord("o_custkey") === cust("c_custkey"), "left_anti").count()
+    val r = check("ri_orders_customer")
+    assert(r.getLong(3) === orphans)
+    assert(r.getLong(2) === ord.count())
+  }
+
+  test("referential check CATCHES injected orphans (not vacuous)") {
+    // same left-join+null-count shape as Quality.constraints, on a frame
+    // with known orphans: 2 of 5 children reference missing parents
+    val child = Seq(1, 2, 3, 99, 98).toDF("fk")
+    val parent = Seq(1, 2, 3, 4).toDF("pk")
+    val Row(n: Long, bad: Long) = child.join(
+        parent, $"fk" === $"pk", "left")
+      .agg(count(lit(1)), sum(when($"pk".isNull, 1L).otherwise(0L)))
+      .head()
+    assert((n, bad) === ((5L, 2L)))
+  }
+
+  test("temporal rule recount: order_before_ship over the natural join") {
+    val li = Tables.lineitem(spark, dir)
+    val ord = Tables.orders(spark, dir)
+    val j = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+    val bad = j.filter($"l_shipdate" < $"o_orderdate").count()
+    val r = check("order_before_ship")
+    assert(r.getLong(3) === bad)
+    assert(r.getLong(2) === j.count())
+  }
+}
