@@ -855,7 +855,60 @@ object Events {
       |  (count(*) * 1000 // sum(count(*)) OVER ())::BIGINT AS share_pm
       |FROM events GROUP BY 1, 2 ORDER BY iso_dow, hod""".stripMargin
 
+  /** SCD Type-2 dimension build: compress each user's event stream into
+    * attribute VERSIONS — one row per run of equal `event_type` values in
+    * (ts, event_id) order — with half-open validity `[valid_from,
+    * valid_to)`, a per-user version number, and the current-row flag
+    * (the Kimball slowly-changing-dimension table a warehouse derives
+    * from any CDC/change log before point-in-time joins are possible).
+    *
+    * Scale: every window is PARTITIONED BY user_id — change detection
+    * (lag), validity close-out (lead) and version numbering all ride one
+    * user-keyed shuffle; no global ordering anywhere. The tie-break on
+    * event_id makes the build deterministic under equal timestamps.
+    */
+  def scd2Build(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(s, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type".as("state"))
+      .withColumn("changed",
+        lag($"state", 1).over(byUser).isNull ||
+          lag($"state", 1).over(byUser) =!= $"state")
+      .filter($"changed")
+      .withColumn("version_no",
+        row_number().over(Window.partitionBy($"user_id")
+          .orderBy($"ts", $"event_id")).cast("long"))
+      .withColumn("valid_to",
+        lead($"ts", 1).over(Window.partitionBy($"user_id")
+          .orderBy($"ts", $"event_id")))
+      .select($"user_id", $"version_no", $"state",
+        $"ts".as("valid_from"), $"valid_to",
+        $"valid_to".isNull.as("is_current"))
+      .orderBy($"user_id", $"version_no")
+  }
+
+  val scd2BuildSql: String =
+    """WITH marked AS (
+      |  SELECT user_id, ts, event_id, event_type AS state,
+      |    lag(event_type) OVER w IS DISTINCT FROM event_type AS changed
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), runs AS (
+      |  SELECT user_id, ts, event_id, state FROM marked WHERE changed
+      |)
+      |SELECT user_id,
+      |  row_number() OVER w::BIGINT AS version_no,
+      |  state, ts AS valid_from,
+      |  lead(ts) OVER w AS valid_to,
+      |  (lead(ts) OVER w IS NULL) AS is_current
+      |FROM runs
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, version_no""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_scd2_build" -> scd2Build _,
     "ev_seasonality" -> seasonality _,
     "ev_cohort_ltv" -> cohortLtv _,
     "ev_whale_curve" -> whaleCurve _,
@@ -879,6 +932,7 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "ev_scd2_build" -> scd2BuildSql,
     "ev_seasonality" -> seasonalitySql,
     "ev_cohort_ltv" -> cohortLtvSql,
     "ev_whale_curve" -> whaleCurveSql,

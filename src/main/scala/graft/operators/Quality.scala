@@ -242,11 +242,76 @@ object Quality {
       "status\nFROM (\n", "\nUNION ALL\n", "\n)\nORDER BY check_id")
   }
 
+  // ------------------------------------------------- functional dependencies
+
+  /** Candidate functional dependency LHS → RHS within one table. The
+    * battery deliberately mixes key-implied FDs (must hold) with
+    * plausible-but-false ones (must be reported violated) so a
+    * trivially-green audit cannot pass the spec.
+    */
+  private case class Fd(id: String, tbl: String, lhs: Seq[String],
+      rhs: String)
+
+  private val fdChecks: Seq[Fd] = Seq(
+    Fd("fd_custkey_nation", "customer", Seq("c_custkey"), "c_nationkey"),
+    Fd("fd_nation_segment", "customer", Seq("c_nationkey"), "c_mktsegment"),
+    Fd("fd_orderkey_date", "orders", Seq("o_orderkey"), "o_orderdate"),
+    Fd("fd_cust_priority", "orders", Seq("o_custkey"), "o_orderpriority"),
+    Fd("fd_order_flag", "lineitem", Seq("l_orderkey"), "l_returnflag"),
+    Fd("fd_partsupp_price", "lineitem", Seq("l_partkey", "l_suppkey"),
+      "l_extendedprice"))
+
+  /** Functional-dependency audit (the discovery side of Deequ /
+    * Metanome's FD checking): per candidate FD, the number of LHS
+    * groups, how many of them take >1 RHS value, and the total excess
+    * RHS cardinality. Shape per FD: distinct (LHS, RHS) projection
+    * (one keyed shuffle with map-side partials) → per-LHS value count
+    * (second keyed shuffle) → one ≤1-row fold — no all-pairs, no
+    * window, identical at any table size.
+    */
+  def fdCheck(s: SparkSession, dir: String): DataFrame = {
+    val rows = fdChecks.map { f =>
+      val cols = (f.lhs :+ f.rhs).map(col)
+      val nd = Tables.table(s, dir, f.tbl)
+        .select(cols: _*).distinct()
+        .groupBy(f.lhs.map(col): _*)
+        .agg(count(lit(1)).as("nd"))
+      nd.agg(count(lit(1)).as("n_groups"),
+          sum(when(col("nd") > 1L, 1L).otherwise(0L)).as("n_viol_groups"),
+          sum(col("nd") - 1L).as("n_extra_values"))
+        .select(lit(f.id).as("check_id"), lit(f.tbl).as("tbl"),
+          lit(f.lhs.mkString(",")).as("lhs"), lit(f.rhs).as("rhs"),
+          col("n_groups"), col("n_viol_groups"), col("n_extra_values"))
+    }
+    rows.reduce(_.unionByName(_))
+      .withColumn("status",
+        when(col("n_viol_groups") === 0L, "pass").otherwise("fail"))
+      .orderBy("check_id")
+  }
+
+  val fdCheckSql: String = fdChecks.map { f =>
+    val lhs = f.lhs.mkString(", ")
+    s"""SELECT 'id_' AS check_id, '${f.tbl}' AS tbl,
+      |  '${f.lhs.mkString(",")}' AS lhs, '${f.rhs}' AS rhs,
+      |  count(*)::BIGINT AS n_groups,
+      |  sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)::BIGINT AS n_viol_groups,
+      |  sum(nd - 1)::BIGINT AS n_extra_values
+      |FROM (SELECT $lhs, count(*) AS nd
+      |      FROM (SELECT DISTINCT $lhs, ${f.rhs} FROM ${f.tbl})
+      |      GROUP BY $lhs)""".stripMargin
+      .replace("'id_'", s"'${f.id}'")
+  }.mkString("SELECT check_id, tbl, lhs, rhs, n_groups, n_viol_groups, " +
+    "n_extra_values,\n  CASE WHEN n_viol_groups = 0 THEN 'pass' ELSE " +
+    "'fail' END AS status\nFROM (\n", "\nUNION ALL\n",
+    "\n)\nORDER BY check_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_profile" -> profile _,
-    "dq_constraints" -> constraints _)
+    "dq_constraints" -> constraints _,
+    "dq_fd_check" -> fdCheck _)
 
   val oracles: Map[String, String] = Map(
     "dq_profile" -> profileSql,
-    "dq_constraints" -> constraintsSql)
+    "dq_constraints" -> constraintsSql,
+    "dq_fd_check" -> fdCheckSql)
 }

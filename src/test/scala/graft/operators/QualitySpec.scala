@@ -114,6 +114,33 @@ class QualitySpec extends SparkSpec {
     assert((n, bad) === ((5L, 2L)))
   }
 
+  private lazy val fds = Quality.fdCheck(spark, dir).collect()
+
+  test("key-implied FDs hold; the battery is not vacuously green") {
+    val byId = fds.map(r => r.getString(0) -> r).toMap
+    for (id <- Seq("fd_custkey_nation", "fd_orderkey_date")) {
+      assert(byId(id).getString(7) === "pass", id)
+      assert(byId(id).getLong(5) === 0L && byId(id).getLong(6) === 0L, id)
+    }
+    // at least one candidate must actually be violated in the corpus,
+    // otherwise the audit could pass without checking anything
+    assert(fds.exists(_.getString(7) == "fail"))
+    fds.foreach { r =>
+      assert(r.getLong(6) >= r.getLong(5), r) // extra values >= viol groups
+      assert(r.getLong(5) <= r.getLong(4), r)
+    }
+  }
+
+  test("FD violation recount: fd_nation_segment") {
+    val cust = Tables.customer(spark, dir)
+    val nd = cust.select($"c_nationkey", $"c_mktsegment").distinct()
+      .groupBy($"c_nationkey").count().as[(Long, Long)].collect()
+    val r = fds.find(_.getString(0) == "fd_nation_segment").get
+    assert(r.getLong(4) === nd.length.toLong)
+    assert(r.getLong(5) === nd.count(_._2 > 1).toLong)
+    assert(r.getLong(6) === nd.map(_._2 - 1).sum)
+  }
+
   test("temporal rule recount: order_before_ship over the natural join") {
     val li = Tables.lineitem(spark, dir)
     val ord = Tables.orders(spark, dir)
