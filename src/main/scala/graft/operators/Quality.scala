@@ -305,13 +305,78 @@ object Quality {
     "'fail' END AS status\nFROM (\n", "\nUNION ALL\n",
     "\n)\nORDER BY check_id")
 
+  // ------------------------------------------------------- categorical drift
+
+  /** Drift spec: a categorical column plus the key whose parity splits
+    * the table into the two compared cohorts (the deterministic stand-in
+    * for "yesterday's corpus version vs today's").
+    */
+  private case class Dr(tbl: String, col: String, key: String)
+
+  private val driftCols: Seq[Dr] = Seq(
+    Dr("customer", "c_mktsegment", "c_custkey"),
+    Dr("documents", "lang", "doc_id"),
+    Dr("documents", "source", "doc_id"),
+    Dr("events", "event_type", "event_id"),
+    Dr("orders", "o_orderpriority", "o_orderkey"))
+
+  /** Categorical distribution drift between two corpus cohorts — the
+    * PSI-style release gate, but EXACT: total-variation distance
+    * ½·Σ|p₁−p₂| in integer permille via cross-multiplied counts
+    * (|c₁·N₂ − c₂·N₁| — no logs, no floats; exact while c·N < 2⁶³,
+    * i.e. either side under ~3·10⁹ rows — beyond that pre-bucket counts
+    * to permille first). Shape per column: one conditional-sum value
+    * histogram (value-keyed shuffle with map-side partials, result =
+    * value cardinality), 1-row totals broadcast back over it, one fold.
+    */
+  def categoryDrift(s: SparkSession, dir: String): DataFrame = {
+    val rows = driftCols.map { d =>
+      val hist = Tables.table(s, dir, d.tbl)
+        .where(col(d.col).isNotNull)
+        .select(col(d.col).cast("string").as("v"),
+          (col(d.key) % 2 === 0).as("a"))
+        .groupBy(col("v"))
+        .agg(sum(when(col("a"), 1L).otherwise(0L)).as("c1"),
+          sum(when(!col("a"), 1L).otherwise(0L)).as("c2"))
+      val totals = broadcast(
+        hist.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2")))
+      hist.crossJoin(totals)
+        .agg(first(col("n1")).as("n1"), first(col("n2")).as("n2"),
+          count(lit(1)).as("n_values"),
+          sum(abs(col("c1") * col("n2") - col("c2") * col("n1")))
+            .as("l1x"))
+        .select(lit(d.tbl).as("tbl"), lit(d.col).as("col"),
+          col("n1"), col("n2"), col("n_values"),
+          expr("(1000 * l1x) div (2 * n1 * n2)").as("tv_pm"))
+    }
+    rows.reduce(_.unionByName(_)).orderBy("tbl", "col")
+  }
+
+  val categoryDriftSql: String = driftCols.map { d =>
+    s"""SELECT '${d.tbl}' AS tbl, '${d.col}' AS col, n1, n2, n_values, tv_pm
+      |FROM (
+      |  SELECT first(n1)::BIGINT AS n1, first(n2)::BIGINT AS n2,
+      |    count(*)::BIGINT AS n_values,
+      |    ((1000 * sum(abs(c1 * n2 - c2 * n1))) //
+      |     (2 * first(n1) * first(n2)))::BIGINT AS tv_pm
+      |  FROM (
+      |    SELECT v, c1, c2, sum(c1) OVER () AS n1, sum(c2) OVER () AS n2
+      |    FROM (
+      |      SELECT CAST(${d.col} AS VARCHAR) AS v,
+      |        sum(CASE WHEN ${d.key} % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS c1,
+      |        sum(CASE WHEN ${d.key} % 2 = 0 THEN 0 ELSE 1 END)::BIGINT AS c2
+      |      FROM ${d.tbl} WHERE ${d.col} IS NOT NULL GROUP BY 1)))""".stripMargin
+  }.mkString("", "\nUNION ALL\n", "\nORDER BY tbl, col")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_profile" -> profile _,
     "dq_constraints" -> constraints _,
-    "dq_fd_check" -> fdCheck _)
+    "dq_fd_check" -> fdCheck _,
+    "dq_category_drift" -> categoryDrift _)
 
   val oracles: Map[String, String] = Map(
     "dq_profile" -> profileSql,
     "dq_constraints" -> constraintsSql,
-    "dq_fd_check" -> fdCheckSql)
+    "dq_fd_check" -> fdCheckSql,
+    "dq_category_drift" -> categoryDriftSql)
 }

@@ -141,6 +141,52 @@ class QualitySpec extends SparkSpec {
     assert(r.getLong(6) === nd.map(_._2 - 1).sum)
   }
 
+  private lazy val drift = Quality.categoryDrift(spark, dir).collect()
+
+  test("drift rows: cohort conservation and TV bounds") {
+    assert(drift.length === 5)
+    drift.foreach { r =>
+      val (n1, n2, nv, tv) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(n1 > 0 && n2 > 0 && nv >= 1, r)
+      assert(tv >= 0L && tv <= 1000L, r)
+    }
+    val ev = Tables.events(spark, dir)
+    val r = drift.find(r => r.getString(0) == "events").get
+    assert(r.getLong(2) + r.getLong(3) === ev.count())
+  }
+
+  test("drift TV recount: events.event_type from raw counts") {
+    val raw = Tables.events(spark, dir)
+      .select($"event_type", ($"event_id" % 2 === 0).as("a"))
+      .as[(String, Boolean)].collect()
+    val n1 = raw.count(_._2).toLong
+    val n2 = raw.count(!_._2).toLong
+    val hist = raw.groupBy(_._1).map { case (_, xs) =>
+      (xs.count(_._2).toLong, xs.count(!_._2).toLong)
+    }
+    val l1x = hist.map { case (c1, c2) => (c1 * n2 - c2 * n1).abs }.sum
+    val expected = (1000L * l1x) / (2L * n1 * n2)
+    val r = drift.find(r => r.getString(0) == "events").get
+    assert(r.getLong(5) === expected)
+    assert(r.getLong(4) === hist.size.toLong)
+  }
+
+  test("TV arithmetic: identical cohorts -> 0, disjoint supports -> 1000") {
+    def tv(rows: Seq[(String, Boolean)]): Long = {
+      val n1 = rows.count(_._2).toLong
+      val n2 = rows.count(!_._2).toLong
+      val l1x = rows.groupBy(_._1).values.map { xs =>
+        (xs.count(_._2).toLong * n2 - xs.count(!_._2).toLong * n1).abs
+      }.sum
+      (1000L * l1x) / (2L * n1 * n2)
+    }
+    val same = Seq("x", "y", "y").flatMap(v => Seq((v, true), (v, false)))
+    assert(tv(same) === 0L)
+    val disjoint = Seq(("x", true), ("y", true), ("z", false))
+    assert(tv(disjoint) === 1000L)
+  }
+
   test("temporal rule recount: order_before_ship over the natural join") {
     val li = Tables.lineitem(spark, dir)
     val ord = Tables.orders(spark, dir)

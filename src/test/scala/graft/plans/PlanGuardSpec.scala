@@ -106,7 +106,10 @@ class PlanGuardSpec extends SparkSpec {
     "sim_sq_spearman" -> 2,
     // 8-row broadcast centroid table crossed in the assignment pass
     // (the sim_ivf_assign shape; the split itself is all cid-keyed)
-    "sim_ivf_split" -> 1)
+    "sim_ivf_split" -> 1,
+    // five 1-row broadcast cohort-totals frames (one per drifted column)
+    // folded over the value histograms
+    "dq_category_drift" -> 5)
 
   /** Queries whose plans legitimately contain a Window with EMPTY
     * partitionSpec — Spark executes such a window on a SINGLE task
@@ -162,6 +165,7 @@ class PlanGuardSpec extends SparkSpec {
     */
   private val fullPlanCross = Map(
     "dedup_semantic" -> 4,
+    "dq_category_drift" -> 5,
     "ev_whale_curve" -> 1,
     "graph_diameter_probe" -> 1,
     "kv_scan_count" -> 2,
