@@ -368,15 +368,159 @@ object Quality {
       |      FROM ${d.tbl} WHERE ${d.col} IS NOT NULL GROUP BY 1)))""".stripMargin
   }.mkString("", "\nUNION ALL\n", "\nORDER BY tbl, col")
 
+  /** Numeric drift spec: a positive money/measure column log2-bucketed
+    * by bitlength(⌊100·x⌋ + 1) — scale-free integer bins, so the drift
+    * statistic needs no agreed-on bin edges between corpus versions.
+    */
+  private case class Nd(tbl: String, col: String, key: String)
+
+  private val numDriftCols: Seq[Nd] = Seq(
+    Nd("events", "value", "event_id"),
+    Nd("lineitem", "l_extendedprice", "l_partkey"),
+    Nd("orders", "o_totalprice", "o_orderkey"))
+
+  /** Continuous-column drift between the same two cohorts: the column is
+    * reduced to its cents' bitlength (≤64 buckets at ANY value range —
+    * the agreement-free binning), then the exact total-variation permille
+    * of [[categoryDrift]] applies unchanged. Same shape: one bounded
+    * histogram, a 1-row totals broadcast, one fold.
+    */
+  def numericDrift(s: SparkSession, dir: String): DataFrame = {
+    val rows = numDriftCols.map { d =>
+      val hist = Tables.table(s, dir, d.tbl)
+        .where(col(d.col).isNotNull)
+        .select(length(bin(floor(col(d.col) * 100).cast("long") + 1L))
+            .cast("long").as("v"),
+          (col(d.key) % 2 === 0).as("a"))
+        .groupBy(col("v"))
+        .agg(sum(when(col("a"), 1L).otherwise(0L)).as("c1"),
+          sum(when(!col("a"), 1L).otherwise(0L)).as("c2"))
+      val totals = broadcast(
+        hist.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2")))
+      hist.crossJoin(totals)
+        .agg(first(col("n1")).as("n1"), first(col("n2")).as("n2"),
+          count(lit(1)).as("n_buckets"),
+          sum(abs(col("c1") * col("n2") - col("c2") * col("n1")))
+            .as("l1x"))
+        .select(lit(d.tbl).as("tbl"), lit(d.col).as("col"),
+          col("n1"), col("n2"), col("n_buckets"),
+          expr("(1000 * l1x) div (2 * n1 * n2)").as("tv_pm"))
+    }
+    rows.reduce(_.unionByName(_)).orderBy("tbl", "col")
+  }
+
+  val numericDriftSql: String = numDriftCols.map { d =>
+    s"""SELECT '${d.tbl}' AS tbl, '${d.col}' AS col, n1, n2, n_buckets, tv_pm
+      |FROM (
+      |  SELECT first(n1)::BIGINT AS n1, first(n2)::BIGINT AS n2,
+      |    count(*)::BIGINT AS n_buckets,
+      |    ((1000 * sum(abs(c1 * n2 - c2 * n1))) //
+      |     (2 * first(n1) * first(n2)))::BIGINT AS tv_pm
+      |  FROM (
+      |    SELECT v, c1, c2, sum(c1) OVER () AS n1, sum(c2) OVER () AS n2
+      |    FROM (
+      |      SELECT length(bin(floor(${d.col} * 100)::BIGINT + 1))::BIGINT AS v,
+      |        sum(CASE WHEN ${d.key} % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS c1,
+      |        sum(CASE WHEN ${d.key} % 2 = 0 THEN 0 ELSE 1 END)::BIGINT AS c2
+      |      FROM ${d.tbl} WHERE ${d.col} IS NOT NULL GROUP BY 1)))""".stripMargin
+  }.mkString("", "\nUNION ALL\n", "\nORDER BY tbl, col")
+
+  // -------------------------------------------------------- error localizing
+
+  /** Row-level violation samples — the ACTIONABLE half of the audit
+    * (Deequ's row-level results): for every row-addressable check, up to
+    * 5 violating rows identified by their natural key, smallest keys
+    * first so the sample is deterministic. Each branch is filter →
+    * TakeOrdered(5) (Spark's distributed top-k: per-partition heads,
+    * 5-row driver merge — never a global sort), so the audit stays
+    * bounded however many rows violate at corpus scale.
+    */
+  def violationSamples(s: SparkSession, dir: String): DataFrame = {
+    def keyed(df: DataFrame, id: String, key: Column): DataFrame =
+      df.select(lit(id).as("check_id"), key.as("row_key"))
+        .orderBy(col("row_key")).limit(5)
+    val li = Tables.lineitem(s, dir)
+    val ord = Tables.orders(s, dir)
+    val cust = Tables.customer(s, dir)
+    val nat = Tables.table(s, dir, "nation")
+    def liKey: Column = concat(col("l_orderkey").cast("string"), lit(":"),
+      col("l_linenumber").cast("string"))
+    val branches = Seq(
+      keyed(ord.filter(!col("o_orderstatus").isin("O", "F", "P")),
+        "domain_o_orderstatus", col("o_orderkey").cast("string")),
+      keyed(li.filter(col("l_returnflag").isin("R", "A") &&
+          col("l_linestatus") =!= "F"),
+        "implies_return_final", liKey),
+      keyed(li.filter(col("l_discount") < 0.0 || col("l_discount") > 0.1),
+        "range_l_discount", liKey),
+      keyed(li.filter(col("l_quantity") < 1.0 || col("l_quantity") > 50.0),
+        "range_l_quantity", liKey),
+      keyed(cust.join(nat, cust("c_nationkey") === nat("n_nationkey"),
+          "left_anti"), "ri_customer_nation",
+        col("c_custkey").cast("string")),
+      keyed(li.join(ord, li("l_orderkey") === ord("o_orderkey"),
+          "left_anti"), "ri_lineitem_orders", liKey),
+      keyed(ord.join(cust, ord("o_custkey") === cust("c_custkey"),
+          "left_anti"), "ri_orders_customer",
+        col("o_orderkey").cast("string")),
+      keyed(li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+          .filter(col("l_shipdate") < col("o_orderdate")),
+        "order_before_ship", liKey))
+    branches.reduce(_.unionByName(_)).orderBy("check_id", "row_key")
+  }
+
+  val violationSamplesSql: String = {
+    val liKey = "l_orderkey::VARCHAR || ':' || l_linenumber::VARCHAR"
+    val branches = Seq(
+      "domain_o_orderstatus" ->
+        s"""SELECT o_orderkey::VARCHAR AS row_key FROM orders
+          |  WHERE o_orderstatus NOT IN ('O','F','P')""".stripMargin,
+      "implies_return_final" ->
+        s"""SELECT $liKey AS row_key FROM lineitem
+          |  WHERE l_returnflag IN ('R','A') AND l_linestatus <> 'F'"""
+          .stripMargin,
+      "range_l_discount" ->
+        s"""SELECT $liKey AS row_key FROM lineitem
+          |  WHERE l_discount < 0.0 OR l_discount > 0.1""".stripMargin,
+      "range_l_quantity" ->
+        s"""SELECT $liKey AS row_key FROM lineitem
+          |  WHERE l_quantity < 1.0 OR l_quantity > 50.0""".stripMargin,
+      "ri_customer_nation" ->
+        s"""SELECT c_custkey::VARCHAR AS row_key FROM customer
+          |  WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)"""
+          .stripMargin,
+      "ri_lineitem_orders" ->
+        s"""SELECT $liKey AS row_key FROM lineitem
+          |  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)"""
+          .stripMargin,
+      "ri_orders_customer" ->
+        s"""SELECT o_orderkey::VARCHAR AS row_key FROM orders
+          |  WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)"""
+          .stripMargin,
+      "order_before_ship" ->
+        s"""SELECT $liKey AS row_key
+          |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |  WHERE l_shipdate < o_orderdate""".stripMargin)
+    branches.map { case (id, sel) =>
+      s"""SELECT '$id' AS check_id, row_key FROM (
+        |$sel
+        |ORDER BY row_key LIMIT 5)""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY check_id, row_key")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_violation_samples" -> violationSamples _,
     "dq_profile" -> profile _,
     "dq_constraints" -> constraints _,
     "dq_fd_check" -> fdCheck _,
-    "dq_category_drift" -> categoryDrift _)
+    "dq_category_drift" -> categoryDrift _,
+    "dq_numeric_drift" -> numericDrift _)
 
   val oracles: Map[String, String] = Map(
+    "dq_violation_samples" -> violationSamplesSql,
     "dq_profile" -> profileSql,
     "dq_constraints" -> constraintsSql,
     "dq_fd_check" -> fdCheckSql,
-    "dq_category_drift" -> categoryDriftSql)
+    "dq_category_drift" -> categoryDriftSql,
+    "dq_numeric_drift" -> numericDriftSql)
 }

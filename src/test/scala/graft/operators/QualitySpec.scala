@@ -187,6 +187,77 @@ class QualitySpec extends SparkSpec {
     assert(tv(disjoint) === 1000L)
   }
 
+  private lazy val ndrift = Quality.numericDrift(spark, dir).collect()
+
+  test("numeric drift rows: cohort conservation and TV bounds") {
+    assert(ndrift.length === 3)
+    ndrift.foreach { r =>
+      val (n1, n2, nb, tv) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(n1 > 0 && n2 > 0, r)
+      // bitlength bins: >=1 bucket, and never more than 64 at ANY range
+      assert(nb >= 1 && nb <= 64L, r)
+      assert(tv >= 0L && tv <= 1000L, r)
+    }
+    val ord = Tables.orders(spark, dir)
+    val r = ndrift.find(r => r.getString(0) == "orders").get
+    assert(r.getLong(2) + r.getLong(3) === ord.count())
+  }
+
+  test("numeric drift recount: orders.o_totalprice from raw values") {
+    val raw = Tables.orders(spark, dir)
+      .select($"o_totalprice", ($"o_orderkey" % 2 === 0).as("a"))
+      .as[(Double, Boolean)].collect()
+    def bucket(v: Double): Long =
+      java.lang.Long.toBinaryString(math.floor(v * 100).toLong + 1L)
+        .length.toLong
+    val n1 = raw.count(_._2).toLong
+    val n2 = raw.count(!_._2).toLong
+    val hist = raw.groupBy(t => bucket(t._1)).map { case (_, xs) =>
+      (xs.count(_._2).toLong, xs.count(!_._2).toLong)
+    }
+    val l1x = hist.map { case (c1, c2) => (c1 * n2 - c2 * n1).abs }.sum
+    val r = ndrift.find(r => r.getString(0) == "orders").get
+    assert(r.getLong(4) === hist.size.toLong)
+    assert(r.getLong(5) === (1000L * l1x) / (2L * n1 * n2))
+  }
+
+  private lazy val samples = Quality.violationSamples(spark, dir).collect()
+
+  test("violation samples: exactly min(5, violations), smallest keys") {
+    // independent recount of the two checks the corpus actually violates
+    val li = Tables.lineitem(spark, dir)
+    val ord = Tables.orders(spark, dir)
+    def liKey = concat($"l_orderkey".cast("string"), lit(":"),
+      $"l_linenumber".cast("string"))
+    val expected = Map(
+      "implies_return_final" -> li
+        .filter($"l_returnflag".isin("R", "A") && $"l_linestatus" =!= "F")
+        .select(liKey.as("k")).as[String].collect().sorted.take(5),
+      "order_before_ship" -> li
+        .join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .filter($"l_shipdate" < $"o_orderdate")
+        .select(liKey.as("k")).as[String].collect().sorted.take(5))
+    val byId = samples.groupBy(_.getString(0))
+      .map { case (k, rs) => k -> rs.map(_.getString(1)).toSeq }
+    // every green check contributes NO rows; the violated ones exactly
+    // their 5 smallest keys, in order
+    assert(byId.keySet === expected.keySet)
+    expected.foreach { case (id, keys) =>
+      assert(byId(id) === keys.toSeq, id)
+    }
+  }
+
+  test("violation samples agree with the constraint battery's n_bad") {
+    // shared check ids must be consistent: rows sampled iff n_bad > 0
+    val consBad = cons.map(r => r.getString(0) -> r.getLong(3)).toMap
+    val sampled = samples.map(_.getString(0)).toSet
+    for (id <- Seq("range_l_quantity", "ri_orders_customer",
+        "order_before_ship") if consBad.contains(id)) {
+      assert(sampled.contains(id) === (consBad(id) > 0L), id)
+    }
+  }
+
   test("temporal rule recount: order_before_ship over the natural join") {
     val li = Tables.lineitem(spark, dir)
     val ord = Tables.orders(spark, dir)

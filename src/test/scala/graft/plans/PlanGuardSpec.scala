@@ -109,7 +109,10 @@ class PlanGuardSpec extends SparkSpec {
     "sim_ivf_split" -> 1,
     // five 1-row broadcast cohort-totals frames (one per drifted column)
     // folded over the value histograms
-    "dq_category_drift" -> 5)
+    "dq_category_drift" -> 5,
+    // three 1-row broadcast cohort-totals frames (one per numeric
+    // column), same shape over the ≤64-bucket bitlength histograms
+    "dq_numeric_drift" -> 3)
 
   /** Queries whose plans legitimately contain a Window with EMPTY
     * partitionSpec — Spark executes such a window on a SINGLE task
@@ -166,6 +169,7 @@ class PlanGuardSpec extends SparkSpec {
   private val fullPlanCross = Map(
     "dedup_semantic" -> 4,
     "dq_category_drift" -> 5,
+    "dq_numeric_drift" -> 3,
     "ev_whale_curve" -> 1,
     "graph_diameter_probe" -> 1,
     "kv_scan_count" -> 2,
