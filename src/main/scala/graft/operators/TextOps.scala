@@ -1136,6 +1136,180 @@ object TextOps {
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** Duplicated-span threshold: a position is duplicated when its
+    * [[DupN]]-word window occurs at least twice corpus-wide. The paper
+    * uses 50 BPE tokens on web crawl; 8 words is the same idea scaled to
+    * this corpus's short synthetic documents.
+    */
+  private val DupN = 8
+
+  /** Maximal duplicated spans — the REMOVAL artifact of the
+    * exact-substring dedup family (Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better", ACL 2022, the ExactSubstr
+    * pass): every duplicated position covers words [pos, pos+n-1], and
+    * overlapping-or-adjacent covered intervals merge (gaps-and-islands)
+    * into the MAXIMAL spans a removal pass would cut. Intra-document
+    * repeats count as duplication, per the paper. Returns one row per
+    * (doc_id, island) with span bounds, width, hit count and the doc's
+    * word count.
+    *
+    * Identity & scale: windows are keyed on the dual full-char
+    * polynomial fingerprint of [[ngramOverlapPairs]] (~2^61 space — no
+    * packing artifact can equate distinct words, the round-9 lesson), so
+    * the corpus-sized exchange ships two longs per position, never
+    * 8-word strings. Duplication is ONE content-keyed window count
+    * (`count(*) OVER (PARTITION BY g1, g2)`) — a single exchange, no
+    * join-back, no pair emission, hence no df-cap needed: cost is linear
+    * in corpus tokens whatever the duplication structure (a viral
+    * boilerplate line costs its occurrence count, never its square).
+    * The island merge and span fold are doc_id-keyed windows/aggs over
+    * the (small) duplicated subset. Nothing is quadratic or driver-side.
+    */
+  private[operators] def dupSpansOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    def wordHash(w: Column, init: Long, mult: Long, mod: Long): Column =
+      aggregate(split(w, ""), lit(init),
+        (acc, c) => (acc * mult + ascii(c)) % mod)
+    def gramFold(cs: Seq[Column]): Column =
+      cs.reduceLeft((acc, c) => (acc % M * 131071L + c) % M)
+    val dw = Window.partitionBy($"doc_id").orderBy($"pos")
+    val codes = docs
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("nw"),
+        posexplode(split($"text", " ")).as(Seq("pos0", "w")))
+      .select($"doc_id", $"nw", ($"pos0" + 1L).as("pos"),
+        wordHash($"w", 7L, 31L, 1000000007L).as("c0"),
+        wordHash($"w", 13L, 131L, 998244353L).as("d0"))
+    val leads = (1 until DupN).foldLeft(codes) { (df, j) =>
+      df.withColumn(s"c$j", lead(col("c0"), j).over(dw))
+        .withColumn(s"d$j", lead(col("d0"), j).over(dw))
+    }
+    val grams = leads
+      .filter(col(s"c${DupN - 1}").isNotNull)
+      .select($"doc_id", $"nw", $"pos",
+        gramFold((0 until DupN).map(j => col(s"c$j"))).as("g1"),
+        gramFold((0 until DupN).map(j => col(s"d$j"))).as("g2"))
+    val hits = grams
+      .withColumn("occ",
+        count(lit(1)).over(Window.partitionBy($"g1", $"g2")))
+      .filter($"occ" >= 2L)
+      .select($"doc_id", $"nw", $"pos")
+    val prev = Window.partitionBy($"doc_id").orderBy($"pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    hits
+      .withColumn("brk",
+        when($"pos" > coalesce(max($"pos" + lit(DupN - 1).cast("long"))
+          .over(prev), lit(-1L)) + 1L, 1L).otherwise(0L))
+      .withColumn("island", sum($"brk").over(dw))
+      .groupBy($"doc_id", $"island")
+      .agg(min($"pos").as("span_start"),
+        (max($"pos") + lit(DupN - 1).cast("long")).as("span_end"),
+        (max($"pos") + lit(DupN).cast("long") - min($"pos"))
+          .as("span_words"),
+        count(lit(1)).as("gram_hits"),
+        max($"nw").as("total_words"))
+  }
+
+  /** Per-document duplicated-mass report of [[dupSpansOf]]: span count,
+    * words covered by duplicated spans, document length and the exact
+    * integer-permille duplicated fraction — the read that decides which
+    * corpus slices need the removal pass at all. Only documents with at
+    * least one duplicated span appear.
+    */
+  def dupSpanStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    dupSpansOf(Tables.documents(s, dir))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum($"span_words").as("dup_words"),
+        max($"total_words").as("total_words"))
+      .select($"doc_id", $"n_spans", $"dup_words", $"total_words",
+        expr("(1000 * dup_words) div total_words").as("dup_pm"))
+      .orderBy($"doc_id")
+  }
+
+  /** The cut manifest itself: one row per maximal duplicated span with
+    * its word-index bounds — what a removal job consumes. Deterministic
+    * total order (doc_id, span_start); spans within a doc are disjoint
+    * and non-adjacent by construction of the island merge.
+    */
+  def dupSpanCuts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    dupSpansOf(Tables.documents(s, dir))
+      .select($"doc_id", $"span_start", $"span_end", $"span_words",
+        $"gram_hits")
+      .orderBy($"doc_id", $"span_start")
+  }
+
+  private val dupSpanCte: String = {
+    def wh(init: Long, mult: Long, mod: Long): String =
+      s"""list_reduce(list_prepend($init::BIGINT,
+         |      [ascii(c)::BIGINT FOR c IN string_split(w, '')]),
+         |    (a, b) -> (a * $mult + b) % $mod)""".stripMargin
+    def fold(cs: Seq[String]): String =
+      cs.reduceLeft((acc, c) => s"(($acc) % $M * 131071 + $c) % $M")
+    val leadCols = (1 until DupN).flatMap(j => Seq(
+      s"lead(c0, $j) OVER (PARTITION BY doc_id ORDER BY pos) AS c$j",
+      s"lead(d0, $j) OVER (PARTITION BY doc_id ORDER BY pos) AS d$j"))
+      .mkString(",\n    ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
+       |         unnest(string_split(text, ' ')) AS w,
+       |         len(string_split(text, ' '))::BIGINT AS nw
+       |  FROM documents),
+       |wcodes AS (
+       |  SELECT doc_id, pos, nw,
+       |    ${wh(7L, 31L, 1000000007L)} AS c0,
+       |    ${wh(13L, 131L, 998244353L)} AS d0
+       |  FROM toks),
+       |scodes AS (
+       |  SELECT doc_id, pos, nw, c0, d0,
+       |    $leadCols
+       |  FROM wcodes),
+       |grams AS (
+       |  SELECT doc_id, pos, nw,
+       |    ${fold((0 until DupN).map(j => s"c$j"))} AS g1,
+       |    ${fold((0 until DupN).map(j => s"d$j"))} AS g2
+       |  FROM scodes WHERE c${DupN - 1} IS NOT NULL),
+       |hits AS (
+       |  SELECT doc_id, pos, nw FROM (
+       |    SELECT doc_id, pos, nw,
+       |      count(*) OVER (PARTITION BY g1, g2) AS occ FROM grams) t
+       |  WHERE occ >= 2),
+       |brks AS (
+       |  SELECT doc_id, pos, nw,
+       |    CASE WHEN pos > coalesce(max(pos + ${DupN - 1}) OVER (
+       |        PARTITION BY doc_id ORDER BY pos
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+       |      THEN 1 ELSE 0 END AS brk
+       |  FROM hits),
+       |isl AS (
+       |  SELECT doc_id, pos, nw,
+       |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |  FROM brks),
+       |spans AS (
+       |  SELECT doc_id, island,
+       |    min(pos)::BIGINT AS span_start,
+       |    (max(pos) + ${DupN - 1})::BIGINT AS span_end,
+       |    (max(pos) + $DupN - min(pos))::BIGINT AS span_words,
+       |    count(*)::BIGINT AS gram_hits,
+       |    max(nw)::BIGINT AS total_words
+       |  FROM isl GROUP BY doc_id, island)
+       |""".stripMargin
+  }
+
+  val dupSpanStatsSql: String = dupSpanCte +
+    s"""SELECT doc_id, count(*)::BIGINT AS n_spans,
+       |  sum(span_words)::BIGINT AS dup_words,
+       |  max(total_words)::BIGINT AS total_words,
+       |  ((1000 * sum(span_words)) // max(total_words))::BIGINT AS dup_pm
+       |FROM spans GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  val dupSpanCutsSql: String = dupSpanCte +
+    """SELECT doc_id, span_start, span_end, span_words, gram_hits
+      |FROM spans ORDER BY doc_id, span_start""".stripMargin
+
   /** Shingle-LSH candidate pairs (2 bands × 4 rows over the shingle
     * signatures) — the bucket-join stage of the shingle pipeline.
     */
@@ -4876,6 +5050,8 @@ object TextOps {
     "dedup_shingle_minhash" -> shingleMinhash _,
     "dedup_shingle_pairs" -> shinglePairs _,
     "dedup_ngram_overlap" -> ngramOverlapPairs _,
+    "text_dup_spans" -> dupSpanStats _,
+    "text_dup_span_cuts" -> dupSpanCuts _,
     "dedup_jaccard_pairs" -> jaccardPairs _,
     "dedup_simhash" -> simhash _,
     "dedup_simhash_pairs" -> simhashPairs _,
@@ -4949,6 +5125,8 @@ object TextOps {
     "dedup_shingle_minhash" -> shingleMinhashSql,
     "dedup_shingle_pairs" -> shinglePairsSql,
     "dedup_ngram_overlap" -> ngramOverlapPairsSql,
+    "text_dup_spans" -> dupSpanStatsSql,
+    "text_dup_span_cuts" -> dupSpanCutsSql,
     "dedup_jaccard_pairs" -> jaccardPairsSql,
     "dedup_simhash" -> simhashSql,
     "dedup_simhash_pairs" -> simhashPairsSql,
