@@ -1165,7 +1165,11 @@ object TextOps {
     * The island merge and span fold are doc_id-keyed windows/aggs over
     * the (small) duplicated subset. Nothing is quadratic or driver-side.
     */
-  private[operators] def dupSpansOf(docs: DataFrame): DataFrame = {
+  /** Duplicated gram-start positions: (doc_id, nw, pos) for every
+    * position whose [[DupN]]-gram occurs at least twice corpus-wide.
+    * The shared front half of the span miner and the removal applier.
+    */
+  private def dupHitsOf(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -1190,11 +1194,19 @@ object TextOps {
       .select($"doc_id", $"nw", $"pos",
         gramFold((0 until DupN).map(j => col(s"c$j"))).as("g1"),
         gramFold((0 until DupN).map(j => col(s"d$j"))).as("g2"))
-    val hits = grams
+    grams
       .withColumn("occ",
         count(lit(1)).over(Window.partitionBy($"g1", $"g2")))
       .filter($"occ" >= 2L)
       .select($"doc_id", $"nw", $"pos")
+  }
+
+  private[operators] def dupSpansOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val dw = Window.partitionBy($"doc_id").orderBy($"pos")
+    val hits = dupHitsOf(docs)
     val prev = Window.partitionBy($"doc_id").orderBy($"pos")
       .rowsBetween(Window.unboundedPreceding, -1)
     hits
@@ -1242,7 +1254,41 @@ object TextOps {
       .orderBy($"doc_id", $"span_start")
   }
 
-  private val dupSpanCte: String = {
+  /** The removal APPLIED: every document rebuilt with its duplicated
+    * spans cut out — the cleaned corpus an ExactSubstr pass ships, with
+    * per-doc kept/cut word accounting. A word at position p is cut iff
+    * some duplicated gram starts in [p-n+1, p]; since word positions
+    * are dense, that is a windowed `max` over the previous n-1 ROWS of
+    * the dup-start flag — one doc_id-keyed join of the corpus against
+    * the (small) dup-start set plus doc_id-keyed window/agg, so the
+    * apply pass adds NO content-keyed exchange beyond the miner's own.
+    * Untouched documents round-trip bit-identically (spec law).
+    */
+  def dupSpanApply(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val starts = dupHitsOf(docs)
+      .select($"doc_id", $"pos", lit(1L).as("hit"))
+    val cover = Window.partitionBy($"doc_id").orderBy($"pos")
+      .rowsBetween(-(DupN - 1), 0)
+    docs
+      .select($"doc_id",
+        posexplode(split($"text", " ")).as(Seq("pos0", "w")))
+      .select($"doc_id", ($"pos0" + 1L).as("pos"), $"w")
+      .join(starts, Seq("doc_id", "pos"), "left")
+      .withColumn("cut", coalesce(max($"hit").over(cover), lit(0L)))
+      .groupBy($"doc_id")
+      .agg(
+        array_join(transform(array_sort(collect_list(
+            when($"cut" === 0L, struct($"pos", $"w")))),
+          x => x("w")), " ").as("clean_text"),
+        sum(lit(1L) - $"cut").as("kept_words"),
+        sum($"cut").as("cut_words"))
+      .orderBy($"doc_id")
+  }
+
+  private val dupHitsCte: String = {
     def wh(init: Long, mult: Long, mod: Long): String =
       s"""list_reduce(list_prepend($init::BIGINT,
          |      [ascii(c)::BIGINT FOR c IN string_split(w, '')]),
@@ -1276,7 +1322,12 @@ object TextOps {
        |  SELECT doc_id, pos, nw FROM (
        |    SELECT doc_id, pos, nw,
        |      count(*) OVER (PARTITION BY g1, g2) AS occ FROM grams) t
-       |  WHERE occ >= 2),
+       |  WHERE occ >= 2)
+       |""".stripMargin
+  }
+
+  private val dupSpanCte: String = dupHitsCte +
+    s""",
        |brks AS (
        |  SELECT doc_id, pos, nw,
        |    CASE WHEN pos > coalesce(max(pos + ${DupN - 1}) OVER (
@@ -1297,7 +1348,6 @@ object TextOps {
        |    max(nw)::BIGINT AS total_words
        |  FROM isl GROUP BY doc_id, island)
        |""".stripMargin
-  }
 
   val dupSpanStatsSql: String = dupSpanCte +
     s"""SELECT doc_id, count(*)::BIGINT AS n_spans,
@@ -1309,6 +1359,22 @@ object TextOps {
   val dupSpanCutsSql: String = dupSpanCte +
     """SELECT doc_id, span_start, span_end, span_words, gram_hits
       |FROM spans ORDER BY doc_id, span_start""".stripMargin
+
+  val dupSpanApplySql: String = dupHitsCte +
+    s""",
+       |cov AS (
+       |  SELECT t.doc_id, t.pos, t.w,
+       |    max(CASE WHEN h.pos IS NOT NULL THEN 1 ELSE 0 END) OVER (
+       |      PARTITION BY t.doc_id ORDER BY t.pos
+       |      ROWS BETWEEN ${DupN - 1} PRECEDING AND CURRENT ROW) AS cut
+       |  FROM toks t LEFT JOIN hits h
+       |    ON t.doc_id = h.doc_id AND t.pos = h.pos)
+       |SELECT doc_id,
+       |  coalesce(string_agg(w, ' ' ORDER BY pos) FILTER (WHERE cut = 0),
+       |           '') AS clean_text,
+       |  sum(CASE WHEN cut = 0 THEN 1 ELSE 0 END)::BIGINT AS kept_words,
+       |  sum(cut)::BIGINT AS cut_words
+       |FROM cov GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** Shingle-LSH candidate pairs (2 bands × 4 rows over the shingle
     * signatures) — the bucket-join stage of the shingle pipeline.
@@ -5052,6 +5118,7 @@ object TextOps {
     "dedup_ngram_overlap" -> ngramOverlapPairs _,
     "text_dup_spans" -> dupSpanStats _,
     "text_dup_span_cuts" -> dupSpanCuts _,
+    "text_dup_span_apply" -> dupSpanApply _,
     "dedup_jaccard_pairs" -> jaccardPairs _,
     "dedup_simhash" -> simhash _,
     "dedup_simhash_pairs" -> simhashPairs _,
@@ -5127,6 +5194,7 @@ object TextOps {
     "dedup_ngram_overlap" -> ngramOverlapPairsSql,
     "text_dup_spans" -> dupSpanStatsSql,
     "text_dup_span_cuts" -> dupSpanCutsSql,
+    "text_dup_span_apply" -> dupSpanApplySql,
     "dedup_jaccard_pairs" -> jaccardPairsSql,
     "dedup_simhash" -> simhashSql,
     "dedup_simhash_pairs" -> simhashPairsSql,

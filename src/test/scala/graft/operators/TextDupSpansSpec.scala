@@ -101,6 +101,33 @@ class TextDupSpansSpec extends SparkSpec {
     }
   }
 
+  private lazy val applied = TextOps.dupSpanApply(spark, dir)
+    .as[(Long, String, Long, Long)].collect().toSeq
+
+  test("apply: conservation, stats agreement, untouched round-trip") {
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .toMap
+    val dup = stats.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(applied.map(_._1).toSet === docs.keySet)
+    applied.foreach { case (doc, clean, kept, cut) =>
+      val ws = docs(doc).split(" ", -1)
+      assert(kept + cut === ws.length.toLong, doc)
+      assert(cut === dup.getOrElse(doc, 0L), doc)
+      if (cut == 0L) assert(clean === docs(doc), doc) // bit round-trip
+      else {
+        // the cleaned text is the original minus exactly the cut spans
+        val cutRanges = cuts.filter(_._1 == doc)
+        val keptWords = ws.zipWithIndex.collect {
+          case (w, i) if !cutRanges.exists(r =>
+            i + 1 >= r._2 && i + 1 <= r._3) => w
+        }
+        assert(clean === keptWords.mkString(" "), doc)
+      }
+    }
+    assert(applied.exists(_._4 > 0L)) // the removal actually removed
+  }
+
   test("span set matches an independent string-channel re-derivation") {
     // raw 8-gram STRINGS as window identity (no fingerprints), islands
     // re-implemented in plain Scala — agreement certifies both the
