@@ -169,7 +169,13 @@ object ScalingBench {
       "sim_nearest_centroid",
       "dedup_ngram_overlap", "dedup_jaccard_pairs",
       "dedup_simhash_wide_pairs",
-      "dedup_simhash_pairs", "dedup_minhash_pairs")
+      "dedup_simhash_pairs", "dedup_minhash_pairs",
+      // round-12 session-3: exact-substring removal (ONE content-keyed
+      // window count over positional grams + doc-keyed island fold — the
+      // claim is linear-in-tokens whatever the duplication structure;
+      // vocabulary sharding preserves intra-shard dup spans exactly, so
+      // span output scales by exactly mult)
+      "text_dup_spans")
       .filter(q => onlyQs.forall(_.contains(q)))
     val report = scala.collection.mutable.ArrayBuffer.empty[String]
 
