@@ -4908,6 +4908,75 @@ object TextOps {
       |  ((1000 * tp) // np)::BIGINT AS recall_pm
       |FROM c ORDER BY threshold""".stripMargin
 
+  /** Reliability diagram (calibration curve) of the same demo
+    * classifier: treating the capped score as a permille confidence,
+    * rows bucket into 10 confidence deciles and each bucket reports its
+    * exact mean stated confidence vs its empirical positive rate — the
+    * read that tells you whether a quality/toxicity filter's scores MEAN
+    * anything before you threshold them (Guo et al., "On Calibration of
+    * Modern Neural Networks", ICML 2017). One corpus aggregation to a
+    * ≤10-row bucket frame; all arithmetic exact integer permille
+    * (floor-division composition is part of the definition, identical in
+    * both engines). No window, no cross join — nothing here grows with
+    * the corpus.
+    */
+  def calibration(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(($"lang" === "en").cast("long").as("y"),
+        least($"n_chars", lit(1000L)).as("score"))
+      .select($"y", $"score",
+        least(expr("score div 100"), lit(9L)).as("bucket"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n"), sum($"score").as("sc"),
+        sum($"y").as("pos"))
+      .select($"bucket", $"n",
+        expr("sc div n").as("conf_pm"),
+        expr("(1000 * pos) div n").as("acc_pm"))
+      .withColumn("gap_pm", abs($"conf_pm" - $"acc_pm"))
+      .drop("sc", "pos")
+      .orderBy($"bucket")
+  }
+
+  private val calibrationCte: String =
+    """WITH s AS (
+      |  SELECT (lang = 'en')::BIGINT AS y,
+      |    least(n_chars, 1000)::BIGINT AS score
+      |  FROM documents),
+      |b AS (
+      |  SELECT least(score // 100, 9) AS bucket,
+      |    count(*)::BIGINT AS n, sum(score)::BIGINT AS sc,
+      |    sum(y)::BIGINT AS pos
+      |  FROM s GROUP BY 1),
+      |r AS (
+      |  SELECT bucket, n, (sc // n)::BIGINT AS conf_pm,
+      |    ((1000 * pos) // n)::BIGINT AS acc_pm
+      |  FROM b)
+      |""".stripMargin
+
+  val calibrationSql: String = calibrationCte +
+    """SELECT bucket, n, conf_pm, acc_pm,
+      |  abs(conf_pm - acc_pm)::BIGINT AS gap_pm
+      |FROM r ORDER BY bucket""".stripMargin
+
+  /** Expected calibration error: the bucket-mass-weighted mean of the
+    * [[calibration]] gaps, in exact integer permille — the one-number
+    * summary (ECE) of the reliability diagram. Folds the ≤10-row bucket
+    * frame; corpus cost identical to [[calibration]].
+    */
+  def ece(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    calibration(s, dir)
+      .agg(sum($"n").as("n"), count(lit(1)).as("n_buckets"),
+        sum($"n" * $"gap_pm").as("wgap"))
+      .select($"n", $"n_buckets", expr("wgap div n").as("ece_pm"))
+  }
+
+  val eceSql: String = calibrationCte +
+    """SELECT sum(n)::BIGINT AS n, count(*)::BIGINT AS n_buckets,
+      |  ((sum(n * abs(conf_pm - acc_pm))) // sum(n))::BIGINT AS ece_pm
+      |FROM r""".stripMargin
+
   /** Heaps'-law vocabulary-growth curve (Heaps 1978; the dual of the
     * [[zipfCurve]] rank-frequency audit): cumulative distinct-token
     * count vs cumulative token count at log-spaced corpus prefixes —
@@ -5064,6 +5133,8 @@ object TextOps {
     "text_pii_scrub" -> piiScrub _,
     "text_heaps_curve" -> heapsCurve _,
     "eval_pr_curve" -> prCurve _,
+    "eval_calibration" -> calibration _,
+    "eval_ece" -> ece _,
     "eval_auc_ranksum" -> aucRankSum _,
     "dedup_edit_pairs" -> editPairs _,
     "text_stats" -> textStats _,
@@ -5148,6 +5219,8 @@ object TextOps {
     "text_heaps_curve" -> heapsCurveSql,
     "text_pii_scrub" -> piiScrubSql,
     "eval_pr_curve" -> prCurveSql,
+    "eval_calibration" -> calibrationSql,
+    "eval_ece" -> eceSql,
     "eval_auc_ranksum" -> aucRankSumSql,
     "text_langid_confusion" -> langIdConfusionSql,
     "text_lang_nb" -> langNbSql,

@@ -77,4 +77,45 @@ class EvalOpsSpec extends SparkSpec {
     assert(got.values.map(_._1).sum ==
       Tables.documents(spark, dir).count())
   }
+
+  test("calibration buckets: conservation, bounds, exact raw recount") {
+    import spark.implicits._
+    val got = TextOps.calibration(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+    val raw = Tables.documents(spark, dir)
+      .select(($"lang" === "en").cast("long").as("y"),
+        least($"n_chars", lit(1000L)).as("score"))
+      .as[(Long, Long)].collect()
+    // independent recount of every bucket row
+    val expect = raw.groupBy(t => math.min(t._2 / 100L, 9L)).map {
+      case (b, xs) =>
+        val n = xs.length.toLong
+        val conf = xs.map(_._2).sum / n
+        val acc = 1000L * xs.map(_._1).sum / n
+        b -> ((n, conf, acc, math.abs(conf - acc)))
+    }
+    assert(got.toMap === expect)
+    assert(got.map(_._1).toSeq === got.map(_._1).toSeq.sorted)
+    got.foreach { case (b, (n, conf, acc, _)) =>
+      assert(b >= 0L && b <= 9L && n > 0L)
+      // stated confidence lies inside its own decile
+      assert(conf >= b * 100 && conf <= (if (b == 9L) 1000L else b * 100 + 99))
+      assert(acc >= 0L && acc <= 1000L)
+    }
+    assert(got.map(_._2._1).sum === raw.length.toLong)
+  }
+
+  test("ECE is the mass-weighted gap fold; perfect calibration gives 0") {
+    val cal = TextOps.calibration(spark, dir).collect()
+    val r = TextOps.ece(spark, dir).head()
+    val n = cal.map(_.getLong(1)).sum
+    assert(r.getLong(0) === n)
+    assert(r.getLong(1) === cal.length.toLong)
+    assert(r.getLong(2) ===
+      cal.map(x => x.getLong(1) * x.getLong(4)).sum / n)
+    // arithmetic sanity: a perfectly calibrated bucket set folds to 0
+    val perfect = Seq((100L, 250L, 250L), (300L, 700L, 700L))
+    assert(perfect.map { case (nb, c, a) => nb * math.abs(c - a) }.sum === 0L)
+  }
 }
