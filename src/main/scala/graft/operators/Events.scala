@@ -907,8 +907,62 @@ object Events {
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       |ORDER BY user_id, version_no""".stripMargin
 
+  /** Point-in-time enrichment — the CONSUMING side of [[scd2Build]]
+    * (Kimball's type-2 fact-to-dimension join): every event joins the
+    * dimension version valid at its timestamp (`valid_from ≤ ts <
+    * valid_to`, half-open; the open current version catches the tail),
+    * then folds to a (state-at-event-time × event_type) incidence
+    * report with user and value mass. With correct versioning the
+    * matrix is diagonal EXCEPT where a user emits two different types
+    * at one timestamp (the zero-width-version tie the half-open
+    * interval semantics resolve deterministically by event_id order).
+    *
+    * Scale: the join is user_id-EQUI with the interval predicate as a
+    * residual filter — versions per user are run counts (small), so
+    * this is one keyed shuffle with bounded per-key fan, never a blind
+    * range join; the report agg is ≤|types|² rows.
+    */
+  def scd2Pit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dim = scd2Build(s, dir)
+      .select($"user_id", $"state", $"valid_from", $"valid_to")
+    Tables.events(s, dir)
+      .select($"user_id", $"ts", $"event_type",
+        round($"value" * 100).cast("long").as("cents"))
+      .join(dim, Seq("user_id"))
+      .filter($"ts" >= $"valid_from" &&
+        ($"valid_to".isNull || $"ts" < $"valid_to"))
+      .groupBy($"state", $"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct($"user_id").as("n_users"),
+        sum($"cents").as("value_cents"))
+      .orderBy($"state", $"event_type")
+  }
+
+  val scd2PitSql: String =
+    """WITH marked AS (
+      |  SELECT user_id, ts, event_id, event_type AS state,
+      |    lag(event_type) OVER w IS DISTINCT FROM event_type AS changed
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), runs AS (
+      |  SELECT user_id, ts, event_id, state FROM marked WHERE changed
+      |), dim AS (
+      |  SELECT user_id, state, ts AS valid_from, lead(ts) OVER w AS valid_to
+      |  FROM runs
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |)
+      |SELECT d.state, e.event_type, count(*)::BIGINT AS n_events,
+      |  count(DISTINCT e.user_id)::BIGINT AS n_users,
+      |  sum(round(e.value * 100)::BIGINT)::BIGINT AS value_cents
+      |FROM events e JOIN dim d ON e.user_id = d.user_id
+      |  AND e.ts >= d.valid_from
+      |  AND (d.valid_to IS NULL OR e.ts < d.valid_to)
+      |GROUP BY 1, 2 ORDER BY state, event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_scd2_build" -> scd2Build _,
+    "ev_scd2_pit" -> scd2Pit _,
     "ev_seasonality" -> seasonality _,
     "ev_cohort_ltv" -> cohortLtv _,
     "ev_whale_curve" -> whaleCurve _,
@@ -933,6 +987,7 @@ object Events {
 
   val oracles: Map[String, String] = Map(
     "ev_scd2_build" -> scd2BuildSql,
+    "ev_scd2_pit" -> scd2PitSql,
     "ev_seasonality" -> seasonalitySql,
     "ev_cohort_ltv" -> cohortLtvSql,
     "ev_whale_curve" -> whaleCurveSql,

@@ -3848,6 +3848,79 @@ object TextOps {
       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
       |FROM binned GROUP BY source, bin ORDER BY source, bin""".stripMargin
 
+  /** Context-length sweep of [[packSequencesOf]]'s fragmentation cost:
+    * at each candidate training context length L, how many documents a
+    * concat-and-chunk packer SPLITS across sequence boundaries (a doc
+    * crosses iff its start and last token land in different L-bins) and
+    * how many extra cuts long documents absorb — the curve a pretraining
+    * team reads before fixing L, since every seam is a document whose
+    * attention window sees two unrelated texts. The per-source token
+    * cumsum is computed ONCE (the same source-keyed window as the
+    * packer — never a global order); the L axis is a 5-value explode
+    * over that frame, pure arithmetic per row, folded to one 5-row
+    * report. Exact integers throughout.
+    */
+  def packFragmentation(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val tokens = (length($"text")
+      - length(regexp_replace($"text", lit(" "), lit(""))) + 1).cast("long")
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, dir)
+      .select($"source", $"doc_id", tokens.as("n_tokens"))
+      .withColumn("start", coalesce(sum($"n_tokens").over(w), lit(0L)))
+      .withColumn("ctx_len",
+        explode(array(Seq(128L, 256L, 512L, 1024L, 2048L).map(lit): _*)))
+      .select($"ctx_len", $"source",
+        expr("start div ctx_len").as("b0"),
+        expr("(start + n_tokens - 1) div ctx_len").as("b1"))
+      .groupBy($"ctx_len", $"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"b1" > $"b0", 1L).otherwise(0L)).as("docs_split"),
+        sum($"b1" - $"b0").as("extra_cuts"),
+        (max($"b1") + 1L).as("bins"))
+      .groupBy($"ctx_len")
+      .agg(sum($"n_docs").as("n_docs"), sum($"bins").as("n_bins"),
+        sum($"docs_split").as("docs_split"),
+        sum($"extra_cuts").as("extra_cuts"))
+      .select($"ctx_len", $"n_docs", $"n_bins", $"docs_split",
+        $"extra_cuts",
+        expr("(1000 * docs_split) div n_docs").as("frag_pm"))
+      .orderBy($"ctx_len")
+  }
+
+  val packFragmentationSql: String =
+    """WITH toks AS (
+      |  SELECT source, doc_id,
+      |    (length(text) - length(replace(text, ' ', '')) + 1)::BIGINT
+      |      AS n_tokens
+      |  FROM documents),
+      |cum AS (
+      |  SELECT source, doc_id, n_tokens,
+      |    coalesce(sum(n_tokens) OVER (PARTITION BY source
+      |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+      |      AND 1 PRECEDING), 0)::BIGINT AS start
+      |  FROM toks),
+      |sw AS (
+      |  SELECT l.ctx_len, source,
+      |    (start // l.ctx_len) AS b0,
+      |    ((start + n_tokens - 1) // l.ctx_len) AS b1
+      |  FROM cum CROSS JOIN
+      |    (SELECT unnest([128, 256, 512, 1024, 2048]) AS ctx_len) l),
+      |per_src AS (
+      |  SELECT ctx_len, source, count(*)::BIGINT AS n_docs,
+      |    sum(CASE WHEN b1 > b0 THEN 1 ELSE 0 END)::BIGINT AS docs_split,
+      |    sum(b1 - b0)::BIGINT AS extra_cuts,
+      |    (max(b1) + 1)::BIGINT AS bins
+      |  FROM sw GROUP BY 1, 2)
+      |SELECT ctx_len::BIGINT AS ctx_len, sum(n_docs)::BIGINT AS n_docs,
+      |  sum(bins)::BIGINT AS n_bins,
+      |  sum(docs_split)::BIGINT AS docs_split,
+      |  sum(extra_cuts)::BIGINT AS extra_cuts,
+      |  ((1000 * sum(docs_split)) // sum(n_docs))::BIGINT AS frag_pm
+      |FROM per_src GROUP BY 1 ORDER BY ctx_len""".stripMargin
+
   /** Benchmark decontamination: flag every training document sharing at
     * least one 3-word shingle with the held-out eval set (source `src0`
     * stands in for the benchmark). Each split is shingled SEPARATELY —
@@ -5154,6 +5227,7 @@ object TextOps {
     "text_ngram_topk" -> ngramTopK _,
     "text_tfidf_terms" -> tfidfTopTerms _,
     "text_pack_sequences" -> packSequences _,
+    "text_pack_fragmentation" -> packFragmentation _,
     "text_lang_id" -> langId _,
     "text_fingerprint" -> fingerprint _,
     "text_quality" -> quality _,
@@ -5235,6 +5309,7 @@ object TextOps {
     "text_ngram_topk" -> ngramTopKSql,
     "text_tfidf_terms" -> tfidfTopTermsSql,
     "text_pack_sequences" -> packSequencesSql,
+    "text_pack_fragmentation" -> packFragmentationSql,
     "text_lang_id" -> langIdSql,
     "text_fingerprint" -> fingerprintSql,
     "text_quality" -> qualitySql,

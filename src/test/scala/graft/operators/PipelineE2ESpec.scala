@@ -69,4 +69,40 @@ class PipelineE2ESpec extends SparkSpec {
       .agg(sum($"t")).collect()(0).getLong(0)
     assert(sumTokens == directSum)
   }
+
+  test("fragmentation sweep: exact recount, monotone in context length") {
+    import spark.implicits._
+    val got = TextOps.packFragmentation(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got.map(_._1) === Seq(128L, 256L, 512L, 1024L, 2048L))
+    // independent in-memory recount from the raw docs
+    val raw = Tables.documents(spark, dir)
+      .select($"source", $"doc_id",
+        (size(split($"text", " "))).cast("long").as("t"))
+      .as[(String, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    got.foreach { case (l, nd, nb, split, cuts, pm) =>
+      var (eNd, eNb, eSplit, eCuts) = (0L, 0L, 0L, 0L)
+      raw.values.foreach { ts =>
+        var start = 0L
+        var hi = 0L
+        ts.foreach { t =>
+          val (b0, b1) = (start / l, (start + t - 1) / l)
+          eNd += 1; if (b1 > b0) eSplit += 1
+          eCuts += b1 - b0; hi = b1
+          start += t
+        }
+        eNb += hi + 1
+      }
+      assert((nd, nb, split, cuts) === ((eNd, eNb, eSplit, eCuts)), s"L=$l")
+      assert(pm === 1000L * split / nd, s"L=$l")
+    }
+    // power-of-two grid: larger-L boundaries are a subset of smaller-L
+    // boundaries, so splits/cuts/bins are all monotone nonincreasing
+    got.sliding(2).foreach { case Seq(a, b) =>
+      assert(b._3 <= a._3 && b._4 <= a._4 && b._5 <= a._5)
+    case _ => }
+    // non-vacuous at this corpus: the smallest context actually splits
+    assert(got.head._4 > 0L)
+  }
 }

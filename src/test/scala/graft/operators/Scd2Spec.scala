@@ -67,6 +67,33 @@ class Scd2Spec extends SparkSpec {
     }
   }
 
+  test("PIT enrichment: conservation and an independent cell recount") {
+    val got = Events.scd2Pit(spark, dir)
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    val events = Tables.events(spark, dir)
+      .select($"user_id", $"ts", $"event_type",
+        round($"value" * 100).cast("long"))
+      .as[(Long, LocalDateTime, String, Long)].collect()
+    // every event matches exactly one half-open version interval
+    assert(got.map(_._3).sum === events.length.toLong)
+    // cell recount: state at ts = the interval containing ts
+    def stateAt(u: Long, ts: LocalDateTime): String =
+      dim(u).filter(v => !v._4.isAfter(ts) &&
+        v._5.forall(_.isAfter(ts))).head._3
+    val expect = events.groupBy(e => (stateAt(e._1, e._2), e._3)).map {
+      case (k, es) =>
+        k -> ((es.length.toLong, es.map(_._1).distinct.length.toLong,
+          es.map(_._4).sum))
+    }
+    assert(got.map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+      === expect)
+    // with per-user-unique timestamps the incidence matrix is diagonal;
+    // off-diagonal cells may exist ONLY at same-ts ties
+    val tied = events.groupBy(e => (e._1, e._2))
+      .exists(_._2.map(_._3).distinct.length > 1)
+    if (!tied) assert(got.forall(r => r._1 == r._2))
+  }
+
   test("version count equals an independent change-count recount") {
     val raw = Tables.events(spark, dir)
       .select($"user_id", $"ts", $"event_id", $"event_type")
