@@ -2597,6 +2597,83 @@ object Similarity {
       |  count(*)::BIGINT AS n
       |FROM pred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** k-NN majority-vote classification (Cover & Hart 1967) of a FIXED
+    * 100-vector evaluation set against the rest of the corpus: each held
+    * -out vector takes the majority label of its 5 nearest neighbors by
+    * exact integer squared-L2 (d² = |a|² + |b|² − 2·a·b on the
+    * fixed-point grid — norms precomputed, the dot via the codegen
+    * [[graft.functions.ArrayOps.longDot]]), votes tie-broken by smaller
+    * label; reported as the true×predicted confusion matrix. Alongside
+    * [[nearestCentroid]] this is the other standard embedding-space
+    * probe: NCM tests global class separation, k-NN tests local
+    * structure.
+    *
+    * Scale: the EVAL SET is configuration (a benchmark's test split is
+    * fixed-size by design, like the vec_id<10 probe convention), so the
+    * broadcast side is bounded at any corpus size; the train corpus
+    * streams through one codegen scoring stage and the per-query top-5
+    * is a qid-keyed window. At 100 TB the exact scoring stage swaps for
+    * the IVF/PQ top-k (`sim_ivf_topk` — same (qid, neighbor, label)
+    * interface); the vote and matrix are unchanged.
+    */
+  def knnClassify(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(s, dir)
+      .select($"vec_id", $"label".cast("long").as("label"),
+        qvec($"embedding").as("q"))
+      .withColumn("n2", norm2($"q"))
+    val test = emb.filter($"vec_id" < 100)
+      .select($"vec_id".as("qid"), $"label".as("true_label"),
+        $"q".as("qq"), $"n2".as("qn2"))
+    val train = emb.filter($"vec_id" >= 100)
+    train.crossJoin(broadcast(test))
+      .select($"qid", $"true_label", $"vec_id", $"label",
+        ($"n2" + $"qn2" - lit(2L) * dot($"q", $"qq")).as("d2"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"qid").orderBy($"d2", $"vec_id")))
+      .filter($"rn" <= 5)
+      .groupBy($"qid", $"true_label", $"label")
+      .agg(count(lit(1)).as("v"))
+      .withColumn("vr", row_number().over(
+        Window.partitionBy($"qid").orderBy($"v".desc, $"label")))
+      .filter($"vr" === 1)
+      .groupBy($"true_label", $"label".as("pred_label"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"true_label", $"pred_label")
+  }
+
+  val knnClassifySql: String =
+    """WITH qv AS (
+      |  SELECT vec_id, label::BIGINT AS label,
+      |    [floor(x::DOUBLE * 10000)::BIGINT FOR x IN embedding] AS q
+      |  FROM embeddings),
+      |tr AS (SELECT * FROM qv WHERE vec_id >= 100),
+      |te AS (SELECT vec_id AS qid, label AS true_label, q AS qq
+      |       FROM qv WHERE vec_id < 100),
+      |d AS (
+      |  SELECT qid, true_label, vec_id, label,
+      |    sum((x - y) * (x - y))::BIGINT AS d2
+      |  FROM (SELECT te.qid, te.true_label, tr.vec_id, tr.label,
+      |          unnest(tr.q) AS x, unnest(te.qq) AS y
+      |        FROM tr, te) z
+      |  GROUP BY 1, 2, 3, 4),
+      |nn AS (
+      |  SELECT qid, true_label, label FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY qid
+      |      ORDER BY d2, vec_id) AS rn FROM d) t
+      |  WHERE rn <= 5),
+      |votes AS (
+      |  SELECT qid, true_label, label, count(*) AS v
+      |  FROM nn GROUP BY 1, 2, 3),
+      |pred AS (
+      |  SELECT qid, true_label, label AS pred_label FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY qid
+      |      ORDER BY v DESC, label) AS rn FROM votes) t
+      |  WHERE rn = 1)
+      |SELECT true_label, pred_label, count(*)::BIGINT AS n
+      |FROM pred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Radius (range) search: every corpus vector within exact cosine ≥ 0.30
     * of each probe vector (vec_id < 10) — FAISS's `range_search` contract,
     * the retrieval mode where the RESULT SIZE is data-defined (near-dup
@@ -2884,6 +2961,7 @@ object Similarity {
     "sim_pq_distortion" -> pqDistortion _,
     "sim_outliers" -> labelOutliers _,
     "sim_nearest_centroid" -> nearestCentroid _,
+    "sim_knn_classify" -> knnClassify _,
     "sim_range_search" -> rangeSearch _,
     "sim_mmr_rerank" -> mmrRerank _,
     "sim_sq_topk" -> sqTopK _,
@@ -2923,6 +3001,7 @@ object Similarity {
     "sim_pq_distortion" -> pqDistortionSql,
     "sim_outliers" -> labelOutliersSql,
     "sim_nearest_centroid" -> nearestCentroidSql,
+    "sim_knn_classify" -> knnClassifySql,
     "sim_range_search" -> rangeSearchSql,
     "sim_mmr_rerank" -> mmrRerankSql,
     "sim_sq_topk" -> sqTopKSql,

@@ -78,6 +78,29 @@ class EvalOpsSpec extends SparkSpec {
       Tables.documents(spark, dir).count())
   }
 
+  test("knnClassify matches a brute-force in-memory vote recount") {
+    import spark.implicits._
+    val got = Similarity.knnClassify(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val vecs = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"label".cast("long"), $"embedding").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[Float](2).map(x => math.floor(x.toDouble * 10000d).toLong)))
+    val train = vecs.filter(_._1 >= 100L)
+    val preds = vecs.filter(_._1 < 100L).map { case (_, tl, q) =>
+      val nn = train
+        .map { case (id, l, v) =>
+          (id, l, v.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum) }
+        .sortBy { case (id, _, d2) => (d2, id) }.take(5)
+      val pred = nn.groupBy(_._2).view.mapValues(_.size).toSeq
+        .sortBy { case (l, v) => (-v, l) }.head._1
+      (tl, pred)
+    }
+    val expect = preds.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got === expect)
+    assert(got.values.sum === 100L) // every eval vector classified once
+  }
+
   test("calibration buckets: conservation, bounds, exact raw recount") {
     import spark.implicits._
     val got = TextOps.calibration(spark, dir).collect()
