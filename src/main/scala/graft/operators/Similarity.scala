@@ -2674,6 +2674,116 @@ object Similarity {
       |SELECT true_label, pred_label, count(*)::BIGINT AS n
       |FROM pred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Hybrid retrieval with reciprocal-rank fusion (Cormack, Clarke &
+    * Buettcher, SIGIR 2009): for each probe document (the aligned
+    * vec_id = doc_id < 10 query convention) fuse its VECTOR ranking
+    * (exact cosine top-20, the [[cosineTopK]] channel) with its LEXICAL
+    * ranking (idf-weighted distinct-word overlap top-20) via
+    * RRF(d) = Σ_channels 1/(60 + rank_ch(d)), kept exact as
+    * ⌊10⁶/(60+r)⌋ with absent channels contributing 0 — the standard
+    * way a production RAG stack combines BM25-class and embedding
+    * retrieval without score normalization (ranks are scale-free).
+    *
+    * Scale: the vector channel is the bounded-broadcast probe scan; the
+    * lexical channel joins the probe docs' vocabulary against the
+    * postings (token-keyed shuffle whose fan is bounded by probe
+    * vocabulary × document frequency — a production caller df-caps
+    * stopwords exactly as [[graft.operators.TextOps.ngramOverlapPairs]]
+    * does); the fuse is a full-outer join of two ≤20-row-per-query
+    * frames. Both channels end in qid-keyed windows.
+    */
+  def hybridRrf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val byQ = Window.partitionBy($"qid")
+    val emb = Tables.embeddings(s, dir)
+      .select($"vec_id", qvec($"embedding").as("q"))
+      .withColumn("n2", norm2($"q"))
+    val probes = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"q".as("qq"), $"n2".as("qn2"))
+    val vrank = emb.crossJoin(broadcast(probes))
+      .filter($"vec_id" =!= $"qid")
+      .withColumn("cos", round(dot($"q", $"qq").cast("double")
+        / (sqrt($"n2".cast("double")) * sqrt($"qn2".cast("double"))), 4))
+      .withColumn("rv",
+        row_number().over(byQ.orderBy($"cos".desc, $"vec_id")))
+      .filter($"rv" <= 20)
+      .select($"qid", $"vec_id".as("doc_id"), $"rv")
+    val words = Tables.documents(s, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("w")).distinct()
+    val dfreq = words.groupBy($"w").agg(count(lit(1)).as("df"))
+    val lrank = words.filter($"doc_id" < 10)
+      .select($"doc_id".as("qid"), $"w")
+      .join(words, Seq("w"))
+      .filter($"doc_id" =!= $"qid")
+      .join(dfreq, Seq("w"))
+      .groupBy($"qid", $"doc_id")
+      .agg(sum(expr("1000000 div df")).as("lex"))
+      .withColumn("rl",
+        row_number().over(byQ.orderBy($"lex".desc, $"doc_id")))
+      .filter($"rl" <= 20)
+      .select($"qid", $"doc_id", $"rl")
+    vrank.join(lrank, Seq("qid", "doc_id"), "full_outer")
+      .withColumn("rrf_score",
+        coalesce(expr("1000000 div (60 + rv)"), lit(0L))
+          + coalesce(expr("1000000 div (60 + rl)"), lit(0L)))
+      .withColumn("rank",
+        row_number().over(byQ.orderBy($"rrf_score".desc, $"doc_id")))
+      .filter($"rank" <= 5)
+      .select($"qid", $"rank".cast("long").as("rank"), $"doc_id",
+        $"rrf_score", $"rv".cast("long").as("vec_rank"),
+        $"rl".cast("long").as("lex_rank"))
+      .orderBy($"qid", $"rank")
+  }
+
+  val hybridRrfSql: String = qvecCte +
+    """, dots AS (
+      |  SELECT qid, vec_id, sum(x * y) AS d FROM (
+      |    SELECT q.vec_id AS qid, e.vec_id,
+      |           unnest(q.q) AS x, unnest(e.q) AS y
+      |    FROM (SELECT vec_id, q FROM qv WHERE vec_id < 10) q
+      |    JOIN qv e ON e.vec_id <> q.vec_id) z
+      |  GROUP BY 1, 2),
+      |vrank AS (
+      |  SELECT qid, vec_id AS doc_id, rv FROM (
+      |    SELECT qid, d.vec_id,
+      |      row_number() OVER (PARTITION BY qid ORDER BY
+      |        round(d / (sqrt(nq.n2) * sqrt(ne.n2)), 4) DESC, d.vec_id)
+      |        AS rv
+      |    FROM dots d JOIN nrm nq ON d.qid = nq.vec_id
+      |                JOIN nrm ne ON d.vec_id = ne.vec_id) t
+      |  WHERE rv <= 20),
+      |words AS (
+      |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+      |  FROM documents),
+      |dfreq AS (SELECT w, count(*)::BIGINT AS df FROM words GROUP BY w),
+      |lrank AS (
+      |  SELECT qid, doc_id, rl FROM (
+      |    SELECT qid, doc_id,
+      |      row_number() OVER (PARTITION BY qid ORDER BY lex DESC, doc_id)
+      |        AS rl
+      |    FROM (
+      |      SELECT p.doc_id AS qid, c.doc_id,
+      |        sum(1000000 // df)::BIGINT AS lex
+      |      FROM words p JOIN words c ON p.w = c.w AND p.doc_id <> c.doc_id
+      |      JOIN dfreq f ON f.w = p.w
+      |      WHERE p.doc_id < 10
+      |      GROUP BY 1, 2) s) t
+      |  WHERE rl <= 20),
+      |fused AS (
+      |  SELECT coalesce(v.qid, l.qid) AS qid,
+      |    coalesce(v.doc_id, l.doc_id) AS doc_id,
+      |    (coalesce(1000000 // (60 + v.rv), 0)
+      |      + coalesce(1000000 // (60 + l.rl), 0))::BIGINT AS rrf_score,
+      |    v.rv::BIGINT AS vec_rank, l.rl::BIGINT AS lex_rank
+      |  FROM vrank v FULL OUTER JOIN lrank l
+      |    ON v.qid = l.qid AND v.doc_id = l.doc_id)
+      |SELECT qid, rank, doc_id, rrf_score, vec_rank, lex_rank FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY qid
+      |    ORDER BY rrf_score DESC, doc_id)::BIGINT AS rank
+      |  FROM fused) t
+      |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
   /** Radius (range) search: every corpus vector within exact cosine ≥ 0.30
     * of each probe vector (vec_id < 10) — FAISS's `range_search` contract,
     * the retrieval mode where the RESULT SIZE is data-defined (near-dup
@@ -2962,6 +3072,7 @@ object Similarity {
     "sim_outliers" -> labelOutliers _,
     "sim_nearest_centroid" -> nearestCentroid _,
     "sim_knn_classify" -> knnClassify _,
+    "sim_hybrid_rrf" -> hybridRrf _,
     "sim_range_search" -> rangeSearch _,
     "sim_mmr_rerank" -> mmrRerank _,
     "sim_sq_topk" -> sqTopK _,
@@ -3002,6 +3113,7 @@ object Similarity {
     "sim_outliers" -> labelOutliersSql,
     "sim_nearest_centroid" -> nearestCentroidSql,
     "sim_knn_classify" -> knnClassifySql,
+    "sim_hybrid_rrf" -> hybridRrfSql,
     "sim_range_search" -> rangeSearchSql,
     "sim_mmr_rerank" -> mmrRerankSql,
     "sim_sq_topk" -> sqTopKSql,
