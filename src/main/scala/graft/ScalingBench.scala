@@ -175,7 +175,13 @@ object ScalingBench {
       // claim is linear-in-tokens whatever the duplication structure;
       // vocabulary sharding preserves intra-shard dup spans exactly, so
       // span output scales by exactly mult)
-      "text_dup_spans")
+      "text_dup_spans",
+      // hybrid RRF: vector channel corpus-linear (bounded probe
+      // broadcast), lexical channel bounded by probe vocab × df — df is
+      // shard-constant under vocabulary sharding, so lexical should read
+      // FLAT while the vector scan scales; knn classify: fixed 100-vector
+      // eval broadcast against a ×mult train corpus (pure scan term)
+      "sim_hybrid_rrf", "sim_knn_classify")
       .filter(q => onlyQs.forall(_.contains(q)))
     val report = scala.collection.mutable.ArrayBuffer.empty[String]
 
