@@ -2083,6 +2083,89 @@ object Similarity {
       |    ORDER BY cos DESC, nbr) AS rn FROM scored) t
       |WHERE rn <= 3 ORDER BY vec_id, rn""".stripMargin
 
+  /** Semi-supervised label propagation over the k-NN graph (Zhu &
+    * Ghahramani 2002, CMU-CALD-02-107): the 100-vector eval set starts
+    * UNLABELED, the rest of the corpus is clamped to its true label, and
+    * for 3 synchronous rounds every unlabeled vector takes the majority
+    * label of its 3 nearest neighbors' current labels (labeled-neighbor
+    * votes only; ties to the smaller label; no labeled neighbor → keep).
+    * Reported as the true×predicted confusion of the eval set, -1 =
+    * still unlabeled — the graph-side transductive complement to
+    * [[knnClassify]]'s direct vote (propagation reaches through chains
+    * of unlabeled vectors that a one-hop vote cannot).
+    *
+    * Scale: the graph build is [[knnGraph]]'s bucketed form (never
+    * all-pairs); each round is one edge-keyed join + one vec-keyed
+    * majority window over a ≤3|V|-row vote frame, with the label state
+    * checkpointed per round (the iterative-state law — reference the
+    * predecessor once, keep lineage flat). Rounds are a fixed constant:
+    * diffusion depth is configuration, not data.
+    */
+  def labelProp(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val edges = knnGraph(s, dir).select($"vec_id", $"nbr").pin(true)
+    var lab = Tables.embeddings(s, dir)
+      .select($"vec_id", $"label".cast("long").as("true_label"),
+        when($"vec_id" >= 100, $"label".cast("long")).as("cur"))
+      .pin(true)
+    for (_ <- 1 to 3) {
+      val maj = edges
+        .join(lab.select($"vec_id".as("nbr"), $"cur".as("nl")), Seq("nbr"))
+        .filter($"nl".isNotNull)
+        .groupBy($"vec_id", $"nl").agg(count(lit(1)).as("v"))
+        .withColumn("r", row_number().over(
+          Window.partitionBy($"vec_id").orderBy($"v".desc, $"nl")))
+        .filter($"r" === 1)
+        .select($"vec_id", $"nl")
+      lab = lab.join(maj, Seq("vec_id"), "left")
+        .select($"vec_id", $"true_label",
+          when($"vec_id" >= 100, $"cur")
+            .otherwise(coalesce($"nl", $"cur")).as("cur"))
+        .pin(true)
+    }
+    lab.filter($"vec_id" < 100)
+      .groupBy($"true_label", coalesce($"cur", lit(-1L)).as("pred_label"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"true_label", $"pred_label")
+  }
+
+  val labelPropSql: String = {
+    val rounds = (1 to 3).map { i =>
+      s"""votes$i AS (
+         |  SELECT e.vec_id, l.cur AS nl, count(*) AS v
+         |  FROM edges e JOIN lab${i - 1} l ON e.nbr = l.vec_id
+         |  WHERE l.cur IS NOT NULL GROUP BY 1, 2),
+         |maj$i AS (
+         |  SELECT vec_id, nl FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY v DESC, nl) AS rn FROM votes$i) t
+         |  WHERE rn = 1),
+         |lab$i AS (
+         |  SELECT l.vec_id, l.true_label,
+         |    CASE WHEN l.vec_id >= 100 THEN l.cur
+         |         ELSE coalesce(m.nl, l.cur) END AS cur
+         |  FROM lab${i - 1} l LEFT JOIN maj$i m USING (vec_id))"""
+        .stripMargin
+    }.mkString(",\n")
+    knnGraphSql
+      .replace("SELECT vid AS vec_id, nbr, cos, rn FROM (",
+        ", knn AS (SELECT vid AS vec_id, nbr, cos, rn FROM (")
+      .replace("WHERE rn <= 3 ORDER BY vec_id, rn",
+        "WHERE rn <= 3)") +
+      s""",
+         |edges AS (SELECT vec_id, nbr FROM knn),
+         |lab0 AS (
+         |  SELECT vec_id, label::BIGINT AS true_label,
+         |    CASE WHEN vec_id >= 100 THEN label::BIGINT END AS cur
+         |  FROM embeddings),
+         |$rounds
+         |SELECT true_label, coalesce(cur, -1)::BIGINT AS pred_label,
+         |  count(*)::BIGINT AS n
+         |FROM lab3 WHERE vec_id < 100
+         |GROUP BY 1, 2 ORDER BY true_label, pred_label""".stripMargin
+  }
+
   /** Matryoshka-style truncation evaluation (Kusupati et al. 2022,
     * arXiv:2205.13147): recall@3 of exact cosine retrieval using only the
     * FIRST 16 of 64 dimensions against the full-width exact top-3. This
@@ -3073,6 +3156,7 @@ object Similarity {
     "sim_nearest_centroid" -> nearestCentroid _,
     "sim_knn_classify" -> knnClassify _,
     "sim_hybrid_rrf" -> hybridRrf _,
+    "sim_label_prop" -> labelProp _,
     "sim_range_search" -> rangeSearch _,
     "sim_mmr_rerank" -> mmrRerank _,
     "sim_sq_topk" -> sqTopK _,
@@ -3114,6 +3198,7 @@ object Similarity {
     "sim_nearest_centroid" -> nearestCentroidSql,
     "sim_knn_classify" -> knnClassifySql,
     "sim_hybrid_rrf" -> hybridRrfSql,
+    "sim_label_prop" -> labelPropSql,
     "sim_range_search" -> rangeSearchSql,
     "sim_mmr_rerank" -> mmrRerankSql,
     "sim_sq_topk" -> sqTopKSql,
