@@ -1929,8 +1929,65 @@ object Relational {
       |JOIN vals ON rnk = greatest(1, (permille * n + 999) // 1000)
       |ORDER BY permille""".stripMargin
 
+  /** Robust outlier count via the median/MAD Hampel rule (Hampel 1974;
+    * Leys et al. 2013): flag x when |x − median| > 3·1.4826·MAD — the
+    * robust replacement for the mean/σ z-score (`ev_anomaly`), immune to
+    * the outliers it hunts because median and MAD have 50% breakdown.
+    * Both location and scale are EXACT order statistics computed by two
+    * sequential [[GlobalOrder.rank]] passes (range partition → 32-way
+    * local rank → 1-row probe — never a single-reducer window, never the
+    * value-buffering percentile aggregate), and the 1.4826 consistency
+    * constant is applied as exact integer cross-multiplication
+    * (10000·|x−m| > 44478·MAD), so the count is bit-reproducible.
+    * Returns one row: n, median_cents, mad_cents, n_outliers.
+    */
+  def statMadOutliers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vals = Tables.orders(s, dir)
+      .select(round($"o_totalprice" * 100).cast("long").as("v"),
+        $"o_orderkey")
+    val (r1, n) = graft.operators.GlobalOrder.rank(
+      vals, Seq($"v", $"o_orderkey"), "rnk")
+    if (n == 0L)
+      return s.emptyDataFrame
+        .select(lit(0L).as("n"), lit(0L).as("median_cents"),
+          lit(0L).as("mad_cents"), lit(0L).as("n_outliers"))
+        .limit(0)
+    val mpos = math.max(1L, (500L * n + 999L) / 1000L)
+    val m = r1.filter($"rnk" === mpos).select($"v").head().getLong(0)
+    val devs = vals.select(abs($"v" - m).as("d"), $"o_orderkey")
+    val (r2, _) = graft.operators.GlobalOrder.rank(
+      devs, Seq($"d", $"o_orderkey"), "rnk")
+    val mad = r2.filter($"rnk" === mpos).select($"d").head().getLong(0)
+    vals.agg(count(lit(1)).as("n"),
+        sum(when(abs($"v" - m) * 10000L > lit(mad) * 44478L, 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .select($"n", lit(m).as("median_cents"), lit(mad).as("mad_cents"),
+        $"n_outliers")
+  }
+
+  val statMadOutliersSql: String =
+    """WITH vals AS (
+      |  SELECT round(o_totalprice * 100)::BIGINT AS v, o_orderkey
+      |  FROM orders),
+      |nn AS (SELECT count(*)::BIGINT AS n FROM vals),
+      |r1 AS (SELECT v, row_number() OVER (ORDER BY v, o_orderkey) AS rnk
+      |       FROM vals),
+      |med AS (SELECT v AS m FROM r1 CROSS JOIN nn
+      |        WHERE rnk = greatest(1, (500 * n + 999) // 1000)),
+      |r2 AS (SELECT abs(v - m)::BIGINT AS d,
+      |         row_number() OVER (ORDER BY abs(v - m), o_orderkey) AS rnk
+      |       FROM vals CROSS JOIN med),
+      |mad AS (SELECT d AS md FROM r2 CROSS JOIN nn
+      |        WHERE rnk = greatest(1, (500 * n + 999) // 1000))
+      |SELECT n, m AS median_cents, md AS mad_cents,
+      |  (SELECT count(*)::BIGINT FROM vals, med, mad
+      |   WHERE 10000 * abs(v - m) > 44478 * md) AS n_outliers
+      |FROM nn CROSS JOIN med CROSS JOIN mad""".stripMargin
+
   /** All relational queries + oracles, consumed by SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stat_mad_outliers" -> statMadOutliers _,
     "q51_revenue_change" -> q51RevenueChange _,
     "q52_supplier_value_share" -> q52SupplierValueShare _,
     "q53_top_supplier" -> q53TopSupplier _,
@@ -1998,6 +2055,7 @@ object Relational {
     "q56_waiting_suppliers" -> q56Sql,
     "q57_dormant_rich" -> q57Sql,
     "stat_exact_percentiles" -> statExactPercentilesSql,
+    "stat_mad_outliers" -> statMadOutliersSql,
     "q49_unshipped_orders" -> q49Sql,
     "q50_local_supplier_volume" -> q50Sql,
     "q47_order_count_dist" -> q47Sql,

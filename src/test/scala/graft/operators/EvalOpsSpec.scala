@@ -78,6 +78,26 @@ class EvalOpsSpec extends SparkSpec {
       Tables.documents(spark, dir).count())
   }
 
+  test("MAD outliers: exact order-statistic recount of the Hampel rule") {
+    import spark.implicits._
+    val r = Relational.statMadOutliers(spark, dir).head()
+    val cents = Tables.orders(spark, dir)
+      .select(round($"o_totalprice" * 100).cast("long")).as[Long]
+      .collect().sorted
+    val n = cents.length.toLong
+    val pos = (math.max(1L, (500L * n + 999L) / 1000L) - 1L).toInt
+    val m = cents(pos)
+    val mad = cents.map(v => math.abs(v - m)).sorted.apply(pos)
+    val out = cents.count(v => math.abs(v - m) * 10000L > 44478L * mad)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      === ((n, m, mad, out.toLong)))
+    // robustness sanity: median/MAD are unmoved by corrupting the top
+    // value to 100x (the mean/sigma rule's failure case)
+    val corrupt = (cents.dropRight(1) :+ cents.last * 100L).sorted
+    assert(corrupt(pos) === m)
+    assert(corrupt.map(v => math.abs(v - m)).sorted.apply(pos) === mad)
+  }
+
   test("knnClassify matches a brute-force in-memory vote recount") {
     import spark.implicits._
     val got = Similarity.knnClassify(spark, dir).collect()
