@@ -37,7 +37,7 @@ object Sketches {
 
   private val M = 2147483647L // 2^31 − 1, the hash modulus
 
-  private def h(x: Column, a: Long, b: Long): Column =
+  private[graft] def h(x: Column, a: Long, b: Long): Column =
     (lit(a) * x + lit(b)) % M
 
   // ---- KMV distinct-count estimator ----
