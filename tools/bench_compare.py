@@ -4,6 +4,7 @@ noise floor, plus canary contamination flags.
 
 Usage:
   python3 tools/bench_compare.py OLD NEW [--abs 0.15] [--rel 1.3]
+      [--history clean1.out,clean2.out,...]
 
 OLD/NEW each accept either
   - a driver artifact (BENCH_r{N}.json: {"tail": ..., "parsed": ...} — the
@@ -32,6 +33,19 @@ list) or an aborted run ("aborted":true — the SparkContext died mid-run)
 is NOT a set of measurements, and the tool REFUSES to compare: exit 3,
 no delta table. A below-floor canary is treated the same way (it is the
 failure signature round 9 taught us), not merely flagged.
+
+--history: the per-QUERY reconciliation pass (VERDICT r12 #2). The
+window-level canaries certify the WINDOW; a query-long co-tenancy burst
+inside an otherwise-clean window still corrupts that one query's reading
+(round 12: graph_triangles 4.09s graded vs 0.96-1.21s across three clean
+windows, canaries clean). Pass the persisted clean-window artifacts
+(tmp/bench_clean_*.out); the tool takes each query's minimum across them
+and flags any NEW reading >= 2x its own clean-history min as
+"SUSPECT — re-read before treating as a regression", independent of
+canary state. Suspect readings are advisory (exit code unchanged): the
+right response is a re-run, not a code hunt. History sides that are
+themselves bad (aborted/failed/hot-canary) are skipped with a warning —
+a contaminated window must not define a query's clean floor.
 
 Exit codes: 0 clean, 1 regressions found, 2 canary contaminated (trumps
 1; no delta table printed), 3 refused (failed/aborted/poisoned side —
@@ -125,7 +139,7 @@ def main(argv):
     flat = []
     it = iter(argv)
     for a in it:
-        if a in ("--abs", "--rel"):
+        if a in ("--abs", "--rel", "--history"):
             opts[a.lstrip("-")] = next(it, None)
         elif not a.startswith("--"):
             flat.append(a)
@@ -186,6 +200,42 @@ def main(argv):
               "off this one")
         return 2
 
+    # per-query clean-history floors (VERDICT r12 #2): minimum across the
+    # persisted clean windows, used to flag single-query co-tenancy bursts
+    # that the window-level canaries cannot see
+    hist = {}
+    hist_n = 0
+    hval = opts.get("history")
+    if hval and hval is not True:
+        import glob as _glob
+        paths = []
+        for frag in str(hval).split(","):
+            frag = frag.strip()
+            if frag:
+                paths.extend(sorted(_glob.glob(frag)) or [frag])
+        for p in paths:
+            try:
+                mins, _t, cans, _n, bad = parse_side(p)
+            except OSError as e:
+                print(f"[history] {p}: skipped (unreadable: {e})")
+                continue
+            hot = [q for q, _k, fl in CANARIES
+                   if cans.get(q, 0) >= 2 * fl]
+            if bad or hot:
+                why = bad or f"hot canary {', '.join(hot)}"
+                print(f"[history] {p}: skipped ({why}) — a contaminated "
+                      "window must not define a clean floor")
+                continue
+            hist_n += 1
+            for q, v in mins.items():
+                hist[q] = min(hist.get(q, v), v)
+        print(f"[history] {len(hist)} per-query clean floors from "
+              f"{hist_n} clean window(s)")
+
+    suspects = {q: (hist[q], new[q]) for q in new
+                if q in hist and hist[q] > CANARY_POISON_CEILING
+                and new[q] >= 2 * hist[q]}
+
     if old_total is not None and new_total is not None:
         print(f"[total] {old_total:.1f}s -> {new_total:.1f}s "
               f"({new_total - old_total:+.1f}s)")
@@ -210,10 +260,19 @@ def main(argv):
         if rows:
             print(f"-- {title} (|delta| > {abs_floor}s and ratio > {rel_floor}x)")
             for d, q, a, b in rows:
-                print(f"  {q}: {a:.3f}s -> {b:.3f}s ({d:+.3f}s, x{b / a:.2f})")
+                tag = " [SUSPECT — see below]" if q in suspects else ""
+                print(f"  {q}: {a:.3f}s -> {b:.3f}s ({d:+.3f}s, x{b / a:.2f}){tag}")
     if not regressions and not improvements:
         print(f"-- no per-query delta beyond the noise floor "
               f"(|delta| > {abs_floor}s and ratio > {rel_floor}x)")
+    if suspects:
+        print("-- SUSPECT readings (NEW >= 2x its clean-history min, "
+              "canaries notwithstanding)")
+        for q in sorted(suspects, key=lambda q: -suspects[q][1] / suspects[q][0]):
+            h, b = suspects[q]
+            print(f"  {q}: {b:.3f}s vs clean min {h:.3f}s (x{b / h:.2f}) "
+                  "— single-query co-tenancy burst shape; re-read before "
+                  "treating as a regression")
     return 1 if regressions else 0
 
 

@@ -41,15 +41,24 @@ def artifact(scan=0.25, shuffle=0.45, q1=1.0, q2=2.0, extra=""):
     return full + "\n" + compact + "\n"
 
 
-def run_compare(old_text, new_text, *flags):
-    """-> (exit_code, stdout) of bench_compare.main on two raw artifacts."""
+def run_compare(old_text, new_text, *flags, history=None):
+    """-> (exit_code, stdout) of bench_compare.main on two raw artifacts.
+    `history`: optional list of raw artifact texts passed via --history."""
     with tempfile.TemporaryDirectory() as d:
         po, pn = os.path.join(d, "old.out"), os.path.join(d, "new.out")
         open(po, "w").write(old_text)
         open(pn, "w").write(new_text)
+        args = [po, pn, *flags]
+        if history is not None:
+            hp = []
+            for i, text in enumerate(history):
+                p = os.path.join(d, "clean%d.out" % i)
+                open(p, "w").write(text)
+                hp.append(p)
+            args += ["--history", ",".join(hp)]
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
-            rc = bc.main([po, pn, *flags])
+            rc = bc.main(args)
     return rc, buf.getvalue()
 
 
@@ -107,6 +116,73 @@ class CanaryRefusal(unittest.TestCase):
     def test_aborted_run_refuses_exit_3(self):
         rc, _ = run_compare(artifact(), artifact(extra=',"aborted":true'))
         self.assertEqual(rc, 3)
+
+
+class HistoryReconciliation(unittest.TestCase):
+    """The per-query clean-history pass (VERDICT r12 #2): a single-query
+    burst inside a canary-clean window must be flagged SUSPECT."""
+
+    def test_suspect_flagged_without_changing_exit_code(self):
+        # q_beta reads 5.0s in the canary-clean NEW window, but both
+        # clean history windows put its floor at 2.0s -> SUSPECT; OLD has
+        # the same 5.0s reading so there is no delta, and exit stays 0
+        rc, out = run_compare(artifact(q2=5.0), artifact(q2=5.0),
+                              history=[artifact(q2=2.0),
+                                       artifact(q2=2.2)])
+        self.assertEqual(rc, 0)
+        self.assertIn("SUSPECT", out)
+        self.assertIn("q_beta: 5.000s vs clean min 2.000s", out)
+        self.assertIn("re-read before treating as a regression", out)
+
+    def test_regression_annotated_when_also_suspect(self):
+        # the round-12 graph_triangles shape: a x4 graded reading that IS
+        # a delta vs OLD but sits far above its own clean history —
+        # reported as a regression AND cross-marked suspect
+        rc, out = run_compare(artifact(q2=1.0), artifact(q2=4.0),
+                              history=[artifact(q2=1.0)])
+        self.assertEqual(rc, 1)
+        self.assertIn("[SUSPECT — see below]", out)
+
+    def test_below_2x_history_not_suspect(self):
+        rc, out = run_compare(artifact(q2=2.0), artifact(q2=2.0),
+                              history=[artifact(q2=1.2)])
+        self.assertEqual(rc, 0)
+        self.assertNotIn("SUSPECT", out)
+
+    def test_contaminated_history_window_skipped(self):
+        # a hot-canary window must not define a clean floor: with only a
+        # contaminated "clean" window offered, no floors exist and the
+        # burst goes unflagged (with the skip printed), rather than being
+        # compared against a corrupted baseline
+        rc, out = run_compare(artifact(q2=5.0), artifact(q2=5.0),
+                              history=[artifact(q2=2.0, shuffle=1.5)])
+        self.assertEqual(rc, 0)
+        self.assertIn("skipped", out)
+        self.assertIn("0 per-query clean floors", out)
+        self.assertNotIn("SUSPECT", out)
+
+    def test_replays_round12_graph_triangles(self):
+        # the motivating case, replayed against the REAL r12 driver
+        # artifact: graph_triangles read 4.09s in a canary-clean graded
+        # window vs 0.96-1.21s across three clean windows — the flag must
+        # fire on the genuine artifact, not only on synthetic fixtures
+        r12 = os.path.join(HERE, "..", "BENCH_r12.json")
+        if not os.path.exists(r12):
+            self.skipTest("BENCH_r12.json not present")
+        clean = ('{"metric":"total_full","value":3.0,"unit":"sec",'
+                 '"queries":{"kv_scan_count":[0.250,0.250,0.250],'
+                 '"kv_shuffle_canary":[0.450,0.450,0.450],'
+                 '"graph_triangles":[0.960,1.050,1.210]},'
+                 '"sf":"sf0.1","iters":3}\n')
+        with tempfile.TemporaryDirectory() as d:
+            hp = os.path.join(d, "clean.out")
+            open(hp, "w").write(clean)
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                rc = bc.main([r12, r12, "--history", hp])
+            out = buf.getvalue()
+        self.assertIn("SUSPECT", out)
+        self.assertIn("graph_triangles: 4.090s vs clean min 0.960s", out)
 
 
 if __name__ == "__main__":
