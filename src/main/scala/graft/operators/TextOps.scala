@@ -1139,7 +1139,13 @@ object TextOps {
   /** Duplicated-span threshold: a position is duplicated when its
     * [[DupN]]-word window occurs at least twice corpus-wide. The paper
     * uses 50 BPE tokens on web crawl; 8 words is the same idea scaled to
-    * this corpus's short synthetic documents.
+    * this corpus's short synthetic documents. The GRAIN is a parameter of
+    * every miner below (VERDICT r12 item 7) — the gate queries pin n=8,
+    * ScalingBench's `dup_grain` sweep measures span sensitivity at
+    * 8/16/32, and the choice is documented in PLANS.md: wider grains
+    * only ever shrink coverage (an n-dup position is also covered at any
+    * smaller grain), so n trades recall of short boilerplate against
+    * false hits on formulaic-but-legitimate runs.
     */
   private val DupN = 8
 
@@ -1169,7 +1175,8 @@ object TextOps {
     * position whose [[DupN]]-gram occurs at least twice corpus-wide.
     * The shared front half of the span miner and the removal applier.
     */
-  private def dupHitsOf(docs: DataFrame): DataFrame = {
+  private[operators] def dupHitsOf(docs: DataFrame,
+      n: Int = DupN): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -1185,15 +1192,15 @@ object TextOps {
       .select($"doc_id", $"nw", ($"pos0" + 1L).as("pos"),
         wordHash($"w", 7L, 31L, 1000000007L).as("c0"),
         wordHash($"w", 13L, 131L, 998244353L).as("d0"))
-    val leads = (1 until DupN).foldLeft(codes) { (df, j) =>
+    val leads = (1 until n).foldLeft(codes) { (df, j) =>
       df.withColumn(s"c$j", lead(col("c0"), j).over(dw))
         .withColumn(s"d$j", lead(col("d0"), j).over(dw))
     }
     val grams = leads
-      .filter(col(s"c${DupN - 1}").isNotNull)
+      .filter(col(s"c${n - 1}").isNotNull)
       .select($"doc_id", $"nw", $"pos",
-        gramFold((0 until DupN).map(j => col(s"c$j"))).as("g1"),
-        gramFold((0 until DupN).map(j => col(s"d$j"))).as("g2"))
+        gramFold((0 until n).map(j => col(s"c$j"))).as("g1"),
+        gramFold((0 until n).map(j => col(s"d$j"))).as("g2"))
     grams
       .withColumn("occ",
         count(lit(1)).over(Window.partitionBy($"g1", $"g2")))
@@ -1201,23 +1208,24 @@ object TextOps {
       .select($"doc_id", $"nw", $"pos")
   }
 
-  private[operators] def dupSpansOf(docs: DataFrame): DataFrame = {
+  private[operators] def dupSpansOf(docs: DataFrame,
+      n: Int = DupN): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val dw = Window.partitionBy($"doc_id").orderBy($"pos")
-    val hits = dupHitsOf(docs)
+    val hits = dupHitsOf(docs, n)
     val prev = Window.partitionBy($"doc_id").orderBy($"pos")
       .rowsBetween(Window.unboundedPreceding, -1)
     hits
       .withColumn("brk",
-        when($"pos" > coalesce(max($"pos" + lit(DupN - 1).cast("long"))
+        when($"pos" > coalesce(max($"pos" + lit(n - 1).cast("long"))
           .over(prev), lit(-1L)) + 1L, 1L).otherwise(0L))
       .withColumn("island", sum($"brk").over(dw))
       .groupBy($"doc_id", $"island")
       .agg(min($"pos").as("span_start"),
-        (max($"pos") + lit(DupN - 1).cast("long")).as("span_end"),
-        (max($"pos") + lit(DupN).cast("long") - min($"pos"))
+        (max($"pos") + lit(n - 1).cast("long")).as("span_end"),
+        (max($"pos") + lit(n).cast("long") - min($"pos"))
           .as("span_words"),
         count(lit(1)).as("gram_hits"),
         max($"nw").as("total_words"))
@@ -1229,9 +1237,15 @@ object TextOps {
     * corpus slices need the removal pass at all. Only documents with at
     * least one duplicated span appear.
     */
-  def dupSpanStats(s: SparkSession, dir: String): DataFrame = {
+  def dupSpanStats(s: SparkSession, dir: String): DataFrame =
+    dupSpanStatsAt(s, dir, DupN)
+
+  /** [[dupSpanStats]] at an explicit grain `n` — the sensitivity knob
+    * ScalingBench's `dup_grain` sweep turns (the gate stays at n=8).
+    */
+  def dupSpanStatsAt(s: SparkSession, dir: String, n: Int): DataFrame = {
     import s.implicits._
-    dupSpansOf(Tables.documents(s, dir))
+    dupSpansOf(Tables.documents(s, dir), n)
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_spans"),
         sum($"span_words").as("dup_words"),
@@ -2902,6 +2916,17 @@ object TextOps {
     import s.implicits._
     val pairs = groupPairsOf(s, dir)
       .pin(true) // degree agg + both orientation joins
+    ccExactOnEdges(pairs)
+  }
+
+  /** The exact close of [[clusteringCoeff]] parameterized by an edge
+    * list (`a`,`b` undirected pairs, already pinned) — shared by the
+    * corpus-derived gate query and ScalingBench's synthetic heavy-tail
+    * decade measurement.
+    */
+  private[graft] def ccExactOnEdges(pairs: DataFrame): DataFrame = {
+    val s = pairs.sparkSession
+    import s.implicits._
     val (deg, triCnt) = degAndTriCounts(pairs)
     deg.join(triCnt, $"v" === $"group_id", "left")
       .select($"v".as("group_id"), $"d".as("deg"),
@@ -2937,10 +2962,18 @@ object TextOps {
     */
   def clusteringCoeffCapped(s: SparkSession, dir: String,
       cap: Int): DataFrame = {
-    import s.implicits._
-    import org.apache.spark.sql.expressions.Window
     val pairs = groupPairsOf(s, dir)
       .pin(true) // degree agg + both orientation joins
+    ccCappedOnEdges(pairs, cap)
+  }
+
+  /** The capped close of [[clusteringCoeffCapped]] parameterized by an
+    * edge list, for the same two callers as [[ccExactOnEdges]]. */
+  private[graft] def ccCappedOnEdges(pairs: DataFrame,
+      cap: Int): DataFrame = {
+    val s = pairs.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
     val nodes = pairs.select($"a".as("v")).unionByName(pairs.select($"b".as("v")))
     val deg = nodes.groupBy($"v").agg(count(lit(1)).as("d"))
     val oriented = pairs

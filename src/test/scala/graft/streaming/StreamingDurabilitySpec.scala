@@ -103,4 +103,88 @@ class StreamingDurabilitySpec extends SparkSpec {
       df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(snap(s2.table) == snap(sA.table))
   }
+
+  test("multi-table AriaStream crash-resume converges to the no-crash run") {
+    import spark.implicits._
+    val kc = Seq("table_id", "k")
+    val tidValue: (org.apache.spark.sql.Column,
+      org.apache.spark.sql.Column) => org.apache.spark.sql.Column =
+      (tid, _) => concat(lit("v"), tid.cast("string"))
+    def reg = (for (t <- 0L to 1L; k <- 1L to 10L)
+      yield (t, k, s"orig${t}_$k")).toDF("table_id", "k", "f0")
+    // contested within each table: tid t writes cell (t%2, t%10+1) and
+    // reads the same k in the other table (the AriaStreamSpec workload)
+    val ops = (1L to 24L).flatMap { t =>
+      Seq((t, 0, t % 2, t % 10 + 1, true),
+        (t, 1, 1L - t % 2, t % 10 + 1, false))
+    }.toDF("tid", "opidx", "table_id", "k", "isUpdate")
+    val b1 = ops.filter($"tid" <= 12L)
+    val b2 = ops.filter($"tid" > 12L)
+
+    def snap(e: AriaStream) = e.table.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+
+    // reference run: no crash
+    val sA = new AriaStream(reg, reorder = true, Seq("f0"), tidValue,
+      Some(tmp("graft-mt-stateA")), keyCols = kc)
+    sA.processBatch(b1, 0); sA.processBatch(b2, 1); sA.drain()
+
+    // crashed run: batch 0 commits (possibly with carried aborts mid-
+    // drain state), driver dies, a fresh engine resumes the composite-key
+    // registry snapshot, the engine replays batch 0 (skipped), continues
+    val stateB = tmp("graft-mt-stateB")
+    val s1 = new AriaStream(reg, reorder = true, Seq("f0"), tidValue,
+      Some(stateB), keyCols = kc)
+    s1.processBatch(b1, 0)
+    val h1 = s1.history
+    val s2 = new AriaStream(reg.limit(0), reorder = true, Seq("f0"),
+      tidValue, Some(stateB), keyCols = kc)
+    assert(s2.history == h1, "resume must restore multi-table history")
+    s2.processBatch(b1, 0) // post-crash replay
+    assert(s2.history == h1, "replayed batch must be skipped")
+    s2.processBatch(b2, 1)
+    s2.drain()
+
+    assert(s2.history == sA.history)
+    assert(snap(s2) == snap(sA),
+      "resumed multi-table registry must converge to the no-crash table")
+    assert(s2.history.map(_._2).sum == 24L, "every txn commits exactly once")
+  }
+
+  test("MvSink crash-resume mid-stream folds each CDC batch exactly once") {
+    import spark.implicits._
+    // out-of-order CDC: key 5's delete arrives a batch before its insert
+    // (transient negative carry must survive the crash-restore)
+    val b1 = Seq((1L, 10L, 1), (1L, 20L, 1), (5L, 7L, -1)).toDF("key", "x", "op")
+    val b2 = Seq((1L, 10L, -1), (5L, 7L, 1), (5L, 7L, 1), (9L, 3L, 1))
+      .toDF("key", "x", "op")
+
+    def viewOf(s: MvStream.MvSink): Map[Long, (Long, Long)] =
+      s.view.map(_.collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap)
+        .getOrElse(Map.empty)
+
+    // reference: no crash
+    val a = new MvStream.MvSink("key", Some(tmp("graft-mv-stateA")))
+    a.merge(b1, 0); a.merge(b2, 1)
+
+    // crash after batch 0; a fresh sink resumes the committed view (incl.
+    // the negative carry), skips the replayed batch 0, folds batch 1
+    val stateB = tmp("graft-mv-stateB")
+    val s1 = new MvStream.MvSink("key", Some(stateB))
+    s1.merge(b1, 0)
+    val s2 = new MvStream.MvSink("key", Some(stateB))
+    assert(viewOf(s2) == viewOf(s1), "resume must restore the view")
+    s2.merge(b1, 0) // post-crash replay: must be skipped
+    assert(viewOf(s2) == viewOf(s1), "replayed batch must not double-fold")
+    s2.merge(b2, 1)
+
+    assert(viewOf(s2) == viewOf(a),
+      "crash-resume view must equal the no-crash view")
+    // exactly-once numbers: key 1 inserts 10+20 then deletes 10 ->
+    // n=1 s=20; key 5 nets to n=1 s=7 (the early delete cancelled one
+    // insert); key 9 n=1 s=3. A double-fold of either batch breaks one.
+    assert(viewOf(s2) == Map(1L -> ((1L, 20L)), 5L -> ((1L, 7L)),
+      9L -> ((1L, 3L))))
+  }
 }
