@@ -3306,6 +3306,109 @@ object TextOps {
        |FROM p1 CROSS JOIN p2""".stripMargin
   }
 
+  /** Approximate Neighborhood Function via HyperBall (Palmer/Gibbons/
+    * Faloutsos ANF, KDD 2002; Boldi/Vigna "In-Core Computation of
+    * Geometric Centralities with HyperBall", 2013 — the algorithm behind
+    * the Facebook four-degrees measurement): per node of the contracted
+    * near-dup graph, the ESTIMATED size of its radius-t ball for
+    * t = 0..3, maintained as a 64-register HyperLogLog per node whose
+    * per-round update is register-wise max over neighbors —
+    * B_{t+1}(v) = B_t(v) ⊔ ⊔_{u~v} B_t(u). The per-node ball-growth
+    * profile is the blast-radius/centrality read the exact per-source
+    * BFS cannot deliver at scale (all-sources BFS is |V|·BFS; HyperBall
+    * is |V|·64 longs per round whatever |V| is).
+    *
+    * Determinism & parity: registers use the [[Sketches.avalanche]]d
+    * 31-bit hash and the exact dyadic estimator of
+    * [[Sketches.hllDistinct]] (no linear-counting ln()), so register
+    * contents — and the estimates — hash-match DuckDB bit-for-bit. The
+    * raw estimator's small-n bias (visible at t=0, where every true ball
+    * is 1) ships as part of the result surface, exactly as in
+    * `sketch_hll_distinct`; `n_zero` accompanies each estimate for
+    * callers that apply their own correction.
+    *
+    * Scale: per round ONE edge join + one (v, register)-keyed mergeable
+    * max — the BSP register-merge shape, linear in |E| with constant 64;
+    * the estimate read-off is a nodes×64 fold. Nothing is per-source.
+    */
+  def anfHyperball(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = groupPairsOf(s, dir)
+      .pin(true)
+    val sym = pairs.select($"a".as("u"), $"b".as("v"))
+      .unionByName(pairs.select($"b".as("u"), $"a".as("v")))
+      .pin(true)
+    val nodes = sym.select($"u".as("v")).distinct().pin(true)
+    val hv = Sketches.avalanche(
+      Sketches.h($"v", 2654435761L, 12007L), 1779033703L, 514229L)
+    var regs = nodes
+      .select($"v", (hv % 64L).as("j"), floor(hv / 64L).cast("long").as("w"))
+      .withColumn("mx",
+        when($"w" === 0L, lit(26)).otherwise(lit(26) - length(bin($"w"))))
+      .select($"v", $"j", $"mx")
+      .pin(true)
+    val perRound = (0 to 3).map { t =>
+      if (t > 0) {
+        regs = regs.unionByName(
+            regs.as("r").join(sym.as("s"), $"r.v" === $"s.u")
+              .select($"s.v".as("v"), $"r.j".as("j"), $"r.mx".as("mx")))
+          .groupBy($"v", $"j").agg(max($"mx").as("mx"))
+          .pin(true)
+      }
+      nodes.select($"v", explode(sequence(lit(0), lit(63))).as("j"))
+        .join(regs, Seq("v", "j"), "left")
+        .withColumn("mx", coalesce($"mx", lit(0)))
+        .groupBy($"v")
+        .agg(sum(when($"mx" === 0, 1L).otherwise(0L)).as("n_zero"),
+          sum(pow(lit(2.0), -$"mx")).as("ssum"))
+        .select($"v".as("group_id"), lit(t.toLong).as("t"), $"n_zero",
+          floor(lit(0.709) * lit(4096.0) / $"ssum").cast("long")
+            .as("est_ball"))
+    }
+    perRound.reduce(_ unionByName _).orderBy($"group_id", $"t")
+  }
+
+  val anfHyperballSql: String = groupGraphCte + {
+    val rounds = (1 to 3).map { i =>
+      s"""r$i AS MATERIALIZED (
+         |  SELECT v, j, max(mx) AS mx FROM (
+         |    SELECT v, j, mx FROM r${i - 1}
+         |    UNION ALL
+         |    SELECT s.v, r.j, r.mx FROM r${i - 1} r JOIN sym s ON r.v = s.u) z
+         |  GROUP BY v, j)""".stripMargin
+    }.mkString(",\n")
+    val ests = (0 to 3).map { t =>
+      s"""SELECT f.v AS group_id, $t::BIGINT AS t,
+         |  sum(CASE WHEN f.mx = 0 THEN 1 ELSE 0 END)::BIGINT AS n_zero,
+         |  floor(0.709::DOUBLE * 4096::DOUBLE
+         |        / sum(pow(2.0::DOUBLE, -f.mx)))::BIGINT AS est_ball
+         |FROM (SELECT nodes.v, u.j, coalesce(r$t.mx, 0) AS mx
+         |      FROM nodes CROSS JOIN (SELECT unnest(range(0, 64)) AS j) u
+         |      LEFT JOIN r$t ON r$t.v = nodes.v AND r$t.j = u.j) f
+         |GROUP BY f.v""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s""", sym AS (SELECT a AS u, b AS v FROM gp
+       |         UNION ALL SELECT b, a FROM gp),
+       |nodes AS (SELECT DISTINCT u AS v FROM sym),
+       |h1 AS (SELECT v,
+       |  xor((2654435761 * v + 12007) % 2147483647,
+       |      ((2654435761 * v + 12007) % 2147483647) >> 15) AS y1
+       |  FROM nodes),
+       |hs AS (SELECT v,
+       |  xor((1779033703 * y1 + 514229) % 2147483647,
+       |      ((1779033703 * y1 + 514229) % 2147483647) >> 13) AS hv
+       |  FROM h1),
+       |r0 AS MATERIALIZED (
+       |  SELECT v, hv % 64 AS j,
+       |    CASE WHEN hv // 64 = 0 THEN 26
+       |         ELSE 26 - length(bin(hv // 64)) END AS mx
+       |  FROM hs),
+       |$rounds
+       |SELECT group_id, t, n_zero, est_ball FROM (
+       |$ests
+       |) ORDER BY group_id, t""".stripMargin
+  }
+
   /** Degree ASSORTATIVITY (Newman's r) of the contracted near-dup graph:
     * the Pearson correlation of endpoint degrees over the directed edge
     * list. Because the edge list is symmetrized, the two marginals are
@@ -5456,6 +5559,7 @@ object TextOps {
     "text_chunk_stride" -> chunkStride _,
     "text_cooccur_lift" -> cooccurLift _,
     "graph_common_neighbors" -> commonNeighbors _,
+    "graph_anf" -> anfHyperball _,
     "graph_bfs_reach" -> bfsReach _,
     "dedup_containment_pairs" -> containmentPairs _,
     "dedup_threshold_curve" -> thresholdCurve _,
@@ -5536,6 +5640,7 @@ object TextOps {
     "text_chunk_stride" -> chunkStrideSql,
     "text_cooccur_lift" -> cooccurLiftSql,
     "graph_common_neighbors" -> commonNeighborsSql,
+    "graph_anf" -> anfHyperballSql,
     "graph_bfs_reach" -> bfsReachSql,
     "dedup_containment_pairs" -> containmentPairsSql,
     "dedup_threshold_curve" -> thresholdCurveSql,
