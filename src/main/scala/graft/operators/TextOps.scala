@@ -795,6 +795,104 @@ object TextOps {
     * (For thresholds where |AΔB| is unbounded, prefix filtering is the
     * standard fallback; MinHash-LSH above is the approximate path.)
     */
+  /** Sorted-neighborhood blocking (Hernández & Stolfo's merge/purge,
+    * SIGMOD 1995) — the OTHER classic candidate-generation family next
+    * to LSH banding: sort the corpus by a cheap blocking key, slide a
+    * fixed window of `SnmWindow` positions over the sorted order, and
+    * verify only pairs that fall inside some window. Two passes with
+    * complementary keys (the published multi-pass form): the document's
+    * first 4 words and its last 4 words — a near-dup that edits one end
+    * of the template still sorts adjacent under the other key. Verified
+    * pairs carry exact DISTINCT-word Jaccard ≥ 0.9.
+    *
+    * vs LSH: banding's candidate volume tracks signature collision
+    * probability (tunable but data-dependent — a hot band is a skewed
+    * key); SNM's is EXACTLY (w−1)·N by construction, whatever the data,
+    * and the blocking key needs no hashing theory. The price is recall
+    * only within sort locality — which is why production stacks run both
+    * and union candidates (this operator + `dedup_minhash_pairs`).
+    *
+    * Scale: each pass is one range-partitioned sort + [[GlobalOrder]]
+    * exact rank (no single-reducer window; the offset table is one row
+    * per partition), then a rank-keyed equi-join pairing rank r with
+    * r+1..r+w−1 — keyed shuffles only, candidate fan bounded by w·N.
+    * Verification touches candidates only.
+    */
+  def sortedNeighborhood(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val words = docs
+      .select($"doc_id", explode(split($"text", " ")).as("w")).distinct()
+      .pin(true) // verification joins (both sides)
+    val perDoc = words.groupBy($"doc_id")
+      .agg(sort_array(collect_set($"w")).as("arr"),
+        count(lit(1)).as("n"))
+      .pin(true)
+    def pass(key: Column): DataFrame = {
+      val keyed = docs.select($"doc_id", key.as("bkey"))
+      val (ranked, _) = GlobalOrder.rank(keyed,
+        Seq(col("bkey"), col("doc_id")), "rnk")
+      ranked.select($"doc_id".as("x"), $"rnk")
+        .withColumn("d", explode(sequence(lit(1), lit(SnmWindow - 1))))
+        .withColumn("rnk2", $"rnk" + $"d")
+        .join(ranked.select($"doc_id".as("y"), $"rnk".as("rnk2")),
+          Seq("rnk2"))
+        .select(least($"x", $"y").as("a"), greatest($"x", $"y").as("b"))
+    }
+    val sp = split($"text", " ")
+    // tail key via positive indices (greatest(1, n-3), length 4) so short
+    // documents resolve identically here and in DuckDB's list_slice
+    val cand = pass(array_join(slice(sp, 1, 4), " "))
+      .unionByName(pass(array_join(
+        slice(sp, greatest(lit(1), size(sp) - 3), lit(4)), " ")))
+      .distinct()
+    cand
+      .join(perDoc.select($"doc_id".as("a"), $"arr".as("aa"), $"n".as("na")),
+        Seq("a"))
+      .join(perDoc.select($"doc_id".as("b"), $"arr".as("ab"), $"n".as("nb")),
+        Seq("b"))
+      .withColumn("c", size(array_intersect($"aa", $"ab")).cast("long"))
+      .withColumn("jaccard",
+        round($"c".cast("double") / ($"na" + $"nb" - $"c"), 4))
+      .filter($"c".cast("double") / ($"na" + $"nb" - $"c") >= 0.9)
+      .select($"a", $"b", $"jaccard")
+      .orderBy($"a", $"b")
+  }
+
+  /** Window width of [[sortedNeighborhood]] (positions, not pairs). */
+  private val SnmWindow = 8
+
+  val sortedNeighborhoodSql: String = {
+    def passSql(tag: String, keyExpr: String): String =
+      s"""rk$tag AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY $keyExpr, doc_id)
+         |    AS rnk
+         |  FROM documents),
+         |cd$tag AS (
+         |  SELECT least(x.doc_id, y.doc_id) AS a,
+         |         greatest(x.doc_id, y.doc_id) AS b
+         |  FROM rk$tag x JOIN rk$tag y
+         |    ON y.rnk > x.rnk AND y.rnk <= x.rnk + ${SnmWindow - 1})"""
+        .stripMargin
+    s"""WITH words AS (
+       |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+       |  FROM documents),
+       |sz AS (SELECT doc_id, count(*) AS n FROM words GROUP BY doc_id),
+       |${passSql("h", "array_to_string(list_slice(string_split(text, ' '), 1, 4), ' ')")},
+       |${passSql("t", "array_to_string(list_slice(string_split(text, ' '), greatest(1, len(string_split(text, ' ')) - 3), len(string_split(text, ' '))), ' ')")},
+       |cand AS (SELECT a, b FROM cdh UNION SELECT a, b FROM cdt),
+       |inter AS (
+       |  SELECT c.a, c.b, count(*) AS c
+       |  FROM cand c
+       |  JOIN words x ON x.doc_id = c.a
+       |  JOIN words y ON y.doc_id = c.b AND y.w = x.w
+       |  GROUP BY 1, 2)
+       |SELECT a, b, round(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
+       |FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+       |WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.9
+       |ORDER BY a, b""".stripMargin
+  }
+
   def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // ONE tokenize pass over the corpus: tok feeds the per-doc aggregate
@@ -5546,6 +5644,7 @@ object TextOps {
     "text_dup_span_cuts" -> dupSpanCuts _,
     "text_dup_span_apply" -> dupSpanApply _,
     "dedup_jaccard_pairs" -> jaccardPairs _,
+    "dedup_sorted_neighborhood" -> sortedNeighborhood _,
     "dedup_simhash" -> simhash _,
     "dedup_simhash_pairs" -> simhashPairs _,
     "dedup_simhash_wide_pairs" -> simhashWidePairs _,
@@ -5627,6 +5726,7 @@ object TextOps {
     "text_dup_span_cuts" -> dupSpanCutsSql,
     "text_dup_span_apply" -> dupSpanApplySql,
     "dedup_jaccard_pairs" -> jaccardPairsSql,
+    "dedup_sorted_neighborhood" -> sortedNeighborhoodSql,
     "dedup_simhash" -> simhashSql,
     "dedup_simhash_pairs" -> simhashPairsSql,
     "dedup_simhash_wide_pairs" -> simhashWidePairsSql,
