@@ -855,6 +855,65 @@ object Events {
       |  (count(*) * 1000 // sum(count(*)) OVER ())::BIGINT AS share_pm
       |FROM events GROUP BY 1, 2 ORDER BY iso_dow, hod""".stripMargin
 
+  /** Regular-grid RESAMPLE with last-observation-carried-forward: each
+    * user's irregular event stream becomes one row per calendar DAY from
+    * their first to their last active day — the day's last observed
+    * `value` (by ts, event_id — deterministic under equal timestamps)
+    * where the user was active, the carried-forward previous value on
+    * gap days, with a `filled` flag. The feature-store primitive behind
+    * every as-of daily snapshot / training-matrix build: models consume
+    * regular grids, event logs are not regular.
+    *
+    * Scale: the day's-last pick is one user+day-keyed max over a
+    * (ts, event_id, value)-struct (argmax without a window); the grid is
+    * a per-user `sequence()` explode (output-sized, never corpus²); the
+    * carry is `last(ignoreNulls)` over a window PARTITIONED BY user — one
+    * user-keyed shuffle end to end, no global ordering. Grid width is
+    * bounded by each user's own activity span, so a 100 TB log resamples
+    * to |users|·span rows, the size the training matrix needs anyway.
+    */
+  def resampleLocf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, dir)
+      .select($"user_id", to_date($"ts").as("d"),
+        struct($"ts", $"event_id", $"value").as("pick"))
+      .groupBy($"user_id", $"d")
+      .agg(max($"pick").getField("value").as("obs"))
+    val grid = daily.groupBy($"user_id")
+      .agg(min($"d").as("d0"), max($"d").as("d1"))
+      .select($"user_id",
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("d"))
+    val byUser = Window.partitionBy($"user_id").orderBy($"d")
+    grid.join(daily, Seq("user_id", "d"), "left")
+      .withColumn("value", last($"obs", ignoreNulls = true).over(byUser))
+      .select($"user_id", date_format($"d", "yyyy-MM-dd").as("day"),
+        $"value", when($"obs".isNull, 1L).otherwise(0L).as("filled"))
+      .orderBy($"user_id", $"day")
+  }
+
+  val resampleLocfSql: String =
+    """WITH drank AS (
+      |  SELECT user_id, date_trunc('day', ts) AS d, value,
+      |    row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+      |      ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events),
+      |daily AS (SELECT user_id, d, value AS obs FROM drank WHERE rn = 1),
+      |grid AS (
+      |  SELECT user_id,
+      |    unnest(generate_series(min(d), max(d), INTERVAL 1 DAY)) AS d
+      |  FROM daily GROUP BY user_id),
+      |joined AS (
+      |  SELECT g.user_id, g.d, daily.obs
+      |  FROM grid g LEFT JOIN daily
+      |    ON daily.user_id = g.user_id AND daily.d = g.d)
+      |SELECT user_id, strftime(d, '%Y-%m-%d') AS day,
+      |  last_value(obs IGNORE NULLS) OVER (
+      |    PARTITION BY user_id ORDER BY d
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+      |  (CASE WHEN obs IS NULL THEN 1 ELSE 0 END)::BIGINT AS filled
+      |FROM joined ORDER BY user_id, day""".stripMargin
+
   /** SCD Type-2 dimension build: compress each user's event stream into
     * attribute VERSIONS — one row per run of equal `event_type` values in
     * (ts, event_id) order — with half-open validity `[valid_from,
@@ -961,6 +1020,7 @@ object Events {
       |GROUP BY 1, 2 ORDER BY state, event_type""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_resample_locf" -> resampleLocf _,
     "ev_scd2_build" -> scd2Build _,
     "ev_scd2_pit" -> scd2Pit _,
     "ev_seasonality" -> seasonality _,
@@ -986,6 +1046,7 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "ev_resample_locf" -> resampleLocfSql,
     "ev_scd2_build" -> scd2BuildSql,
     "ev_scd2_pit" -> scd2PitSql,
     "ev_seasonality" -> seasonalitySql,
