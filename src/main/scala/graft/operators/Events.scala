@@ -855,6 +855,69 @@ object Events {
       |  (count(*) * 1000 // sum(count(*)) OVER ())::BIGINT AS share_pm
       |FROM events GROUP BY 1, 2 ORDER BY iso_dow, hod""".stripMargin
 
+  /** CUSUM changepoint probe per event type (Page 1954, the classic
+    * mean-shift detector): over each type's DAILY count series x_t, the
+    * cumulative deviation S_t = Σ_{i≤t}(x_i − x̄) peaks exactly where the
+    * series' level shifts — the day that splits the series into maximally
+    * different before/after means. To stay bit-exact the fractional mean
+    * is cleared by cross-multiplication: D_t = d·Σx_i − t·Σx (d = day
+    * count, all int64), argmax |D_t| with day tie-break. The ops read
+    * behind drift alarms on ingest volume — "WHEN did this stream
+    * change", where [[seasonality]]/[[anomalies]] ask "is this point
+    * odd".
+    *
+    * Scale: one day-keyed count, one type-keyed window cumsum, one
+    * max-struct argmax per type — every stage keyed by event_type (or
+    * type+day), series length bounded by the calendar, never by events.
+    */
+  def changepoint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, dir)
+      .groupBy($"event_type", to_date($"ts").as("d"))
+      .agg(count(lit(1)).as("x"))
+    val byType = Window.partitionBy($"event_type")
+    val cum = Window.partitionBy($"event_type").orderBy($"d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("days", count(lit(1)).over(byType))
+      .withColumn("total", sum($"x").over(byType))
+      .withColumn("t", count(lit(1)).over(cum))
+      .withColumn("dev", $"days" * sum($"x").over(cum) - $"t" * $"total")
+      .withColumn("adev", abs($"dev"))
+      .groupBy($"event_type")
+      .agg(max(struct($"adev", $"dev",
+          date_format($"d", "yyyy-MM-dd").as("day"))).as("pk"),
+        max($"days").as("n_days"), max($"total").as("total_events"))
+      .select($"event_type", $"pk.day".as("cp_day"),
+        $"pk.adev".as("cusum_scaled"), $"n_days", $"total_events")
+      .orderBy($"event_type")
+  }
+
+  val changepointSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, date_trunc('day', ts) AS d,
+      |    count(*)::BIGINT AS x
+      |  FROM events GROUP BY 1, 2),
+      |dev AS (
+      |  SELECT event_type, strftime(d, '%Y-%m-%d') AS day,
+      |    count(*) OVER (PARTITION BY event_type) *
+      |      sum(x) OVER (PARTITION BY event_type ORDER BY d
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    - (row_number() OVER (PARTITION BY event_type ORDER BY d)) *
+      |      (sum(x) OVER (PARTITION BY event_type)) AS dv,
+      |    count(*) OVER (PARTITION BY event_type)::BIGINT AS n_days,
+      |    sum(x) OVER (PARTITION BY event_type)::BIGINT AS total_events
+      |  FROM daily),
+      |pick AS (
+      |  SELECT event_type, day, abs(dv)::BIGINT AS cusum_scaled, n_days,
+      |    total_events,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY abs(dv) DESC, dv DESC, day DESC) AS rn
+      |  FROM dev)
+      |SELECT event_type, day AS cp_day, cusum_scaled, n_days, total_events
+      |FROM pick WHERE rn = 1 ORDER BY event_type""".stripMargin
+
   /** Regular-grid RESAMPLE with last-observation-carried-forward: each
     * user's irregular event stream becomes one row per calendar DAY from
     * their first to their last active day — the day's last observed
@@ -1020,6 +1083,7 @@ object Events {
       |GROUP BY 1, 2 ORDER BY state, event_type""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_changepoint" -> changepoint _,
     "ev_resample_locf" -> resampleLocf _,
     "ev_scd2_build" -> scd2Build _,
     "ev_scd2_pit" -> scd2Pit _,
@@ -1046,6 +1110,7 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "ev_changepoint" -> changepointSql,
     "ev_resample_locf" -> resampleLocfSql,
     "ev_scd2_build" -> scd2BuildSql,
     "ev_scd2_pit" -> scd2PitSql,

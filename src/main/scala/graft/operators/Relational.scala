@@ -1899,6 +1899,93 @@ object Relational {
     * than its range partition, and the only global state is the
     * partitions-sized offset table.
     */
+  /** Winsorized mean per order priority: every o_totalprice is CLIPPED
+    * into the exact global [P5, P95] before averaging — the standard
+    * robust location estimate when you must keep every row (unlike
+    * trimming) but cap tail influence; the preprocessing step feature
+    * pipelines apply before z-scoring anything heavy-tailed. Bounds are
+    * EXACT order statistics (same [[GlobalOrder.rank]] two-probe shape
+    * as [[statMadOutliers]] — range partition, never a single-reducer
+    * window), clipping is a codegen'd least/greatest, and means are
+    * floor-divided cents so the output is bit-reproducible. Raw mean
+    * ships next to the winsorized one — the delta IS the tail mass.
+    */
+  def statWinsorize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vals = Tables.orders(s, dir)
+      .select($"o_orderpriority",
+        round($"o_totalprice" * 100).cast("long").as("v"), $"o_orderkey")
+    val (ranked, n) = graft.operators.GlobalOrder.rank(
+      vals, Seq($"v", $"o_orderkey"), "rnk")
+    val pinned = ranked.pin(true) // two 1-row probes + the group pass
+    def at(permille: Long): Long = pinned
+      .filter($"rnk" === math.max(1L, (permille * n + 999L) / 1000L))
+      .select($"v").head().getLong(0)
+    val (lo, hi) = (at(50L), at(950L))
+    pinned
+      .withColumn("w", least(greatest($"v", lit(lo)), lit(hi)))
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum($"v").as("sv"), sum($"w").as("sw"))
+      .select($"o_orderpriority", $"n",
+        lit(lo).as("lo_cents"), lit(hi).as("hi_cents"),
+        expr("sv div n").as("raw_mean_cents"),
+        expr("sw div n").as("wins_mean_cents"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val statWinsorizeSql: String =
+    """WITH vals AS (
+      |  SELECT o_orderpriority, round(o_totalprice * 100)::BIGINT AS v,
+      |    row_number() OVER (ORDER BY round(o_totalprice * 100)::BIGINT,
+      |      o_orderkey) AS rnk
+      |  FROM orders),
+      |n AS (SELECT count(*)::BIGINT AS n FROM orders),
+      |lo AS (SELECT v FROM vals, n WHERE rnk = greatest(1, (50 * n.n + 999) // 1000)),
+      |hi AS (SELECT v FROM vals, n WHERE rnk = greatest(1, (950 * n.n + 999) // 1000))
+      |SELECT o_orderpriority, count(*)::BIGINT AS n,
+      |  (SELECT v FROM lo)::BIGINT AS lo_cents,
+      |  (SELECT v FROM hi)::BIGINT AS hi_cents,
+      |  (sum(v) // count(*))::BIGINT AS raw_mean_cents,
+      |  (sum(least(greatest(v, (SELECT v FROM lo)), (SELECT v FROM hi)))
+      |     // count(*))::BIGINT AS wins_mean_cents
+      |FROM vals GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+      .stripMargin
+
+  /** Equi-depth (equal-frequency) histogram of l_extendedprice in 16
+    * buckets — the optimizer-statistics artifact (DB2/Oracle/Spark CBO
+    * all keep one): per bucket its row count and exact value bounds.
+    * Equal-WIDTH histograms lie under skew; equal-depth bounds are the
+    * selectivity table a planner actually probes. Built from ONE
+    * [[GlobalOrder.rank]] pass + [[GlobalOrder.ntileFromRank]] arithmetic
+    * (the ANSI ntile semantics as pure math on the rank — no
+    * unpartitioned ntile window anywhere), then a 16-group fold.
+    */
+  def statEquidepthHist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vals = Tables.lineitem(s, dir)
+      .select(round($"l_extendedprice" * 100).cast("long").as("v"),
+        $"l_orderkey", $"l_linenumber")
+    val (ranked, n) = graft.operators.GlobalOrder.rank(
+      vals, Seq($"v", $"l_orderkey", $"l_linenumber"), "rnk")
+    ranked
+      .withColumn("bucket",
+        graft.operators.GlobalOrder.ntileFromRank($"rnk", n, 16))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_rows"), min($"v").as("lo_cents"),
+        max($"v").as("hi_cents"))
+      .orderBy($"bucket")
+  }
+
+  val statEquidepthHistSql: String =
+    """WITH vals AS (
+      |  SELECT round(l_extendedprice * 100)::BIGINT AS v,
+      |    ntile(16) OVER (ORDER BY round(l_extendedprice * 100)::BIGINT,
+      |      l_orderkey, l_linenumber) AS bucket
+      |  FROM lineitem)
+      |SELECT bucket::BIGINT AS bucket, count(*)::BIGINT AS n_rows,
+      |  min(v) AS lo_cents, max(v) AS hi_cents
+      |FROM vals GROUP BY bucket ORDER BY bucket""".stripMargin
+
   def statExactPercentiles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val vals = Tables.lineitem(s, dir)
@@ -1996,6 +2083,8 @@ object Relational {
     "q56_waiting_suppliers" -> q56WaitingSuppliers _,
     "q57_dormant_rich" -> q57DormantRich _,
     "stat_exact_percentiles" -> statExactPercentiles _,
+    "stat_winsorize" -> statWinsorize _,
+    "stat_equidepth_hist" -> statEquidepthHist _,
     "q49_unshipped_orders" -> q49UnshippedOrders _,
     "q50_local_supplier_volume" -> q50LocalSupplierVolume _,
     "q47_order_count_dist" -> q47OrderCountDist _,
@@ -2055,6 +2144,8 @@ object Relational {
     "q56_waiting_suppliers" -> q56Sql,
     "q57_dormant_rich" -> q57Sql,
     "stat_exact_percentiles" -> statExactPercentilesSql,
+    "stat_winsorize" -> statWinsorizeSql,
+    "stat_equidepth_hist" -> statEquidepthHistSql,
     "stat_mad_outliers" -> statMadOutliersSql,
     "q49_unshipped_orders" -> q49Sql,
     "q50_local_supplier_volume" -> q50Sql,
