@@ -3507,6 +3507,130 @@ object TextOps {
        |) ORDER BY group_id, t""".stripMargin
   }
 
+  /** Harmonic centrality (lower bound, radius ≤ 3) from the HyperBall
+    * register rounds — the read HyperBall was BUILT for (Boldi & Vigna
+    * 2013 compute exactly this on web-scale graphs): H(v) =
+    * Σ_{t≥1} (|B_t(v)| − |B_{t−1}(v)|)/t, i.e. each newly reached node
+    * weighted by 1/distance, with ball sizes from [[anfHyperball]]'s
+    * estimates. Kept exact-integer as Σ ⌊1000/t⌋·(est_t − est_{t−1})
+    * (weights 1000/500/333) so the ranking is bit-deterministic; the
+    * truncation at t=3 makes it a lower bound, which is how the
+    * centrality is consumed on graphs whose diameter exceeds the budget.
+    * Estimator noise can make est_t locally dip; deltas clamp at 0
+    * (a ball never shrinks — the clamp applies the known monotonicity).
+    *
+    * Scale: [[anfHyperball]]'s register rounds (one edge join + keyed
+    * max per round) plus a per-node 4-row pivot — nothing new shuffles.
+    */
+  def harmonicCentrality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val anf = anfHyperball(s, dir)
+    anf.groupBy($"group_id")
+      .agg(
+        sum(when($"t" === 0L, $"est_ball").otherwise(0L)).as("e0"),
+        sum(when($"t" === 1L, $"est_ball").otherwise(0L)).as("e1"),
+        sum(when($"t" === 2L, $"est_ball").otherwise(0L)).as("e2"),
+        sum(when($"t" === 3L, $"est_ball").otherwise(0L)).as("e3"))
+      .select($"group_id",
+        (lit(1000L) * greatest($"e1" - $"e0", lit(0L))
+          + lit(500L) * greatest($"e2" - $"e1", lit(0L))
+          + lit(333L) * greatest($"e3" - $"e2", lit(0L)))
+          .as("harmonic_x1000"))
+      .orderBy($"harmonic_x1000".desc, $"group_id")
+  }
+
+  val harmonicCentralitySql: String = {
+    val inner = anfHyperballSql
+    s"""WITH anf AS ($inner)
+       |SELECT group_id,
+       |  (1000 * greatest(e1 - e0, 0) + 500 * greatest(e2 - e1, 0)
+       |    + 333 * greatest(e3 - e2, 0))::BIGINT AS harmonic_x1000
+       |FROM (
+       |  SELECT group_id,
+       |    sum(CASE WHEN t = 0 THEN est_ball ELSE 0 END) AS e0,
+       |    sum(CASE WHEN t = 1 THEN est_ball ELSE 0 END) AS e1,
+       |    sum(CASE WHEN t = 2 THEN est_ball ELSE 0 END) AS e2,
+       |    sum(CASE WHEN t = 3 THEN est_ball ELSE 0 END) AS e3
+       |  FROM anf GROUP BY group_id)
+       |ORDER BY harmonic_x1000 DESC, group_id""".stripMargin
+  }
+
+  /** Poisson(1) CDF thresholds scaled to the 31-bit hash range
+    * (⌊P(X≤k)·(2³¹−1)⌋ for k = 0..7): a hash-uniform u lands in bucket
+    * k = #{thresholds ≤ u}, giving each (doc, replica) a deterministic
+    * Poisson(1) weight — the inverse-CDF transform both engines replay
+    * bit-identically. Tail truncated at 8 (P ≈ 1 − 1e-5).
+    */
+  private val PoissonThresholds: Seq[Long] = Seq(790015083L, 1580030167L,
+    1975037709L, 2106706890L, 2139624185L, 2146207644L, 2147304887L,
+    2147461637L)
+
+  /** Poisson bootstrap of a corpus statistic (Chamandy et al., "Estimating
+    * uncertainty for massive data streams", Google 2012; Kleiner et al.'s
+    * BLB is the heavier cousin): instead of resampling n rows WITH
+    * replacement (which needs global coordination), each (row, replica)
+    * draws an independent Poisson(1) weight — for large n the replica
+    * weight vector is indistinguishable from a true bootstrap resample,
+    * and the statistic's spread across replicas IS its sampling
+    * uncertainty. Here: 8 replicas of the mean document length
+    * (integer-floored chars), weights from a deterministic hash →
+    * inverse-CDF transform, so the "randomness" is replayable and the
+    * oracle agrees bit-for-bit. The ONE distributed-bootstrap form that
+    * needs no shuffle beyond an 8-group fold: the 100 TB way to put an
+    * error bar on any scan statistic.
+    *
+    * Scale: corpus scan × 8 replica weights (a projection, not a join),
+    * one 8-group mergeable aggregation. Nothing resamples, nothing
+    * coordinates.
+    */
+  def poissonBootstrap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // AVALANCHED hash of the combined (doc, replica) key: an additive
+    // rep term would shift u by ~1e5 of 2^31 — every replica would draw
+    // nearly the SAME weights (the affine-lattice trap the HLL scaladoc
+    // documents); the inverse-CDF reads u's magnitude, so it needs the
+    // nonlinear rounds exactly as HLL does
+    val u = Sketches.avalanche(
+      Sketches.h($"doc_id" * 8L + $"rep", 2654435761L, 12007L),
+      1779033703L, 514229L)
+    val k = PoissonThresholds.foldLeft(lit(0L)) { (acc, t) =>
+      acc + when(u >= t, 1L).otherwise(0L)
+    }
+    Tables.documents(s, dir)
+      .select($"doc_id", $"n_chars".cast("long").as("nc"))
+      .withColumn("rep", explode(sequence(lit(0L), lit(7L))))
+      .withColumn("k", k)
+      .groupBy($"rep")
+      .agg(sum($"k").as("n_eff"),
+        sum($"k" * $"nc").as("chars_eff"))
+      .select($"rep".as("replica"), $"n_eff",
+        expr("chars_eff div n_eff").as("mean_chars"))
+      .orderBy($"replica")
+  }
+
+  /** The 31-bit hash modulus shared with the sketch family. */
+  private val M31 = 2147483647L
+
+  val poissonBootstrapSql: String = {
+    val cases = PoissonThresholds
+      .map(t => s"(CASE WHEN u >= $t THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH reps AS (
+       |  SELECT doc_id, n_chars::BIGINT AS nc, r.rep,
+       |    (2654435761 * (doc_id * 8 + r.rep) + 12007) % 2147483647 AS h1
+       |  FROM documents
+       |  CROSS JOIN (SELECT unnest(range(0, 8)) AS rep) r),
+       |av AS (
+       |  SELECT rep, nc,
+       |    (1779033703 * xor(h1, h1 >> 15) + 514229) % 2147483647 AS h2
+       |  FROM reps),
+       |hu AS (SELECT rep, nc, xor(h2, h2 >> 13) AS u FROM av),
+       |wt AS (SELECT rep, nc, ($cases)::BIGINT AS k FROM hu)
+       |SELECT rep AS replica, sum(k)::BIGINT AS n_eff,
+       |  (sum(k * nc) // sum(k))::BIGINT AS mean_chars
+       |FROM wt GROUP BY rep ORDER BY replica""".stripMargin
+  }
+
   /** Degree ASSORTATIVITY (Newman's r) of the contracted near-dup graph:
     * the Pearson correlation of endpoint degrees over the directed edge
     * list. Because the edge list is symmetrized, the two marginals are
@@ -5588,6 +5712,7 @@ object TextOps {
     "eval_calibration" -> calibration _,
     "eval_ece" -> ece _,
     "eval_auc_ranksum" -> aucRankSum _,
+    "eval_poisson_bootstrap" -> poissonBootstrap _,
     "dedup_edit_pairs" -> editPairs _,
     "text_stats" -> textStats _,
     "text_surprisal" -> textSurprisal _,
@@ -5659,6 +5784,7 @@ object TextOps {
     "text_cooccur_lift" -> cooccurLift _,
     "graph_common_neighbors" -> commonNeighbors _,
     "graph_anf" -> anfHyperball _,
+    "graph_harmonic" -> harmonicCentrality _,
     "graph_bfs_reach" -> bfsReach _,
     "dedup_containment_pairs" -> containmentPairs _,
     "dedup_threshold_curve" -> thresholdCurve _,
@@ -5678,6 +5804,7 @@ object TextOps {
     "eval_calibration" -> calibrationSql,
     "eval_ece" -> eceSql,
     "eval_auc_ranksum" -> aucRankSumSql,
+    "eval_poisson_bootstrap" -> poissonBootstrapSql,
     "text_langid_confusion" -> langIdConfusionSql,
     "text_lang_nb" -> langNbSql,
     "graph_degree_hist" -> degreeHistSql,
@@ -5741,6 +5868,7 @@ object TextOps {
     "text_cooccur_lift" -> cooccurLiftSql,
     "graph_common_neighbors" -> commonNeighborsSql,
     "graph_anf" -> anfHyperballSql,
+    "graph_harmonic" -> harmonicCentralitySql,
     "graph_bfs_reach" -> bfsReachSql,
     "dedup_containment_pairs" -> containmentPairsSql,
     "dedup_threshold_curve" -> thresholdCurveSql,

@@ -53,6 +53,26 @@ class AnfSpec extends SparkSpec {
     }
   }
 
+  test("harmonic centrality recounts from the simulated exact-ball estimates") {
+    val dir = sf("sf0.001")
+    val pairs = TextOps.groupPairsOf(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (pairs ++ pairs.map(p => (p._2, p._1)))
+      .groupBy(_._1).map { case (v, es) => v -> es.map(_._2).toSet }
+    def ball(v: Long, t: Int): Set[Long] =
+      (0 until t).foldLeft(Set(v))((b, _) => b ++ b.flatMap(adj(_)))
+    val got = TextOps.harmonicCentrality(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == adj.size)
+    adj.keys.foreach { v =>
+      val e = (0 to 3).map(t => estOf(ball(v, t))._2)
+      val h = 1000L * math.max(e(1) - e(0), 0L) +
+        500L * math.max(e(2) - e(1), 0L) +
+        333L * math.max(e(3) - e(2), 0L)
+      assert(got(v) == h, s"node $v harmonic recount")
+    }
+  }
+
   test("estimates are monotone in t; n_zero is antitone; t=0 is one register") {
     val rows = TextOps.anfHyperball(spark, sf("sf0.001")).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))

@@ -41,16 +41,21 @@ class HybridRrfSpec extends SparkSpec {
         .map { case ((id, _), i) => id -> (i + 1L) }.toMap
     }.toMap
 
-    // ---- in-memory lexical channel (idf-weighted distinct overlap)
+    // ---- in-memory lexical channel (idf-weighted distinct overlap,
+    // df-PRUNED at the r13 corpus-relative threshold max(16, N/10) —
+    // the stop-listed Zipf head never reaches the score)
     val docs = Tables.documents(spark, dir)
       .select($"doc_id", $"text").as[(Long, String)].collect()
       .map { case (d, t) => d -> t.split(" ", -1).toSet }.toMap
+    val dfThresh = math.max(16L, docs.size.toLong / 10L)
     val dfreq = docs.values.flatten.groupBy(identity)
       .map { case (w, xs) => w -> xs.size.toLong }
+      .filter { case (_, df) => df <= dfThresh }
     val lrank = (0L until 10L).map { q =>
       q -> docs.toSeq.filter(_._1 != q)
         .map { case (id, ws) =>
-          (id, (ws & docs(q)).toSeq.map(w => 1000000L / dfreq(w)).sum) }
+          (id, (ws & docs(q)).toSeq.flatMap(dfreq.get)
+            .map(df => 1000000L / df).sum) }
         .filter(_._2 > 0L)
         .sortBy { case (id, s) => (-s, id) }.take(20).zipWithIndex
         .map { case ((id, _), i) => id -> (i + 1L) }.toMap

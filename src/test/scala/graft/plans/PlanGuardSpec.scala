@@ -28,7 +28,9 @@ class PlanGuardSpec extends SparkSpec {
     "sim_ivf_topk" -> 2, // centroid table in assign + probe branches
     "sim_cosine_topk" -> 1, // fixed broadcast query-vector set
     "sim_knn_classify" -> 1, // fixed 100-vector broadcast eval set
-    "sim_hybrid_rrf" -> 1, // fixed broadcast probe set (vector channel)
+    // fixed broadcast probe set (vector channel) + the 1-row broadcast
+    // ndocs frame feeding the lexical df-prune threshold (r13)
+    "sim_hybrid_rrf" -> 2,
     "sim_lsh_recall" -> 2, // composes cosine_topk + lsh_topk, inherits theirs
     "kv_scan_count" -> 2, // single-row aggregate frames joined for summary
     // 40-row broadcast quarter calendar, interval-containment join
@@ -183,7 +185,7 @@ class PlanGuardSpec extends SparkSpec {
     "sample_token_budget" -> 2,
     "sim_cosine_topk" -> 1,
     "sim_knn_classify" -> 1,
-    "sim_hybrid_rrf" -> 1,
+    "sim_hybrid_rrf" -> 2, // + the 1-row ndocs df-prune frame (r13)
     "sim_diversity_sample" -> 9,
     "sim_hard_negatives" -> 1,
     "sim_ivf_assign" -> 4,
