@@ -248,7 +248,11 @@ object ScalingBench {
       // shard-constant under vocabulary sharding, so lexical should read
       // FLAT while the vector scan scales; knn classify: fixed 100-vector
       // eval broadcast against a ×mult train corpus (pure scan term)
-      "sim_hybrid_rrf", "sim_knn_classify")
+      "sim_hybrid_rrf", "sim_knn_classify",
+      // round-13: SNM (two range-sorts + rank-keyed window pairing —
+      // candidate volume (w−1)·N by construction); ANF (per-round edge
+      // join + register max, rounds fixed at 3 → linear in |E|)
+      "dedup_sorted_neighborhood", "graph_anf")
       .filter(q => onlyQs.forall(_.contains(q)))
     val report = scala.collection.mutable.ArrayBuffer.empty[String]
 
