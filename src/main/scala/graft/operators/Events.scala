@@ -1082,7 +1082,62 @@ object Events {
       |  AND (d.valid_to IS NULL OR e.ts < d.valid_to)
       |GROUP BY 1, 2 ORDER BY state, event_type""".stripMargin
 
+  /** Per-user dyadic EWMA of event value — the feature-store smoothing
+    * primitive ("recent spend, exponentially discounted") kept
+    * bit-exact: with α = 1/2 truncated at depth 8, the smoothed value
+    * ×256 is Σ_{k=0..7} v_{t−k}·2^(7−k) — pure integer shifts of the
+    * last 8 cents values in (ts, event_id) order, so there is no float
+    * recursion to disagree across engines. Ships the final (most recent)
+    * smoothed value per user next to the raw last value; the gap is the
+    * recency-vs-history signal.
+    *
+    * Scale: ONE user-keyed shuffle; the lag window and the last-row
+    * filter ride the same partitioning (rows-between frames over a
+    * user partition — never an unpartitioned window), and depth-8
+    * truncation bounds per-row state at 8 lags regardless of history
+    * length (the untruncated EWMA would need the whole history; 2⁻⁸
+    * caps the dropped tail's weight at <0.4%).
+    */
+  def ewma(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val e = Tables.events(s, dir)
+      .select($"user_id", $"ts", $"event_id",
+        round($"value" * 100).cast("long").as("vc"))
+    val lagged = e
+      .withColumn("ewma_x256",
+        (0 to 7).map { k =>
+          val v = if (k == 0) $"vc" else coalesce(lag($"vc", k).over(w), lit(0L))
+          v * lit(1L << (7 - k))
+        }.reduce(_ + _))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy($"user_id")))
+    lagged.filter($"rn" === $"cnt")
+      .select($"user_id", $"cnt".as("n_events"), $"vc".as("last_cents"),
+        $"ewma_x256")
+      .orderBy($"user_id")
+  }
+
+  val ewmaSql: String = {
+    val terms = (0 to 7).map { k =>
+      val v = if (k == 0) "vc" else s"coalesce(lag(vc, $k) OVER w, 0)"
+      s"$v * ${1L << (7 - k)}"
+    }.mkString(" + ")
+    s"""WITH e AS (
+      |  SELECT user_id, ts, event_id, round(value * 100)::BIGINT AS vc
+      |  FROM events),
+      |l AS (
+      |  SELECT user_id, vc, row_number() OVER w AS rn,
+      |    count(*) OVER (PARTITION BY user_id) AS cnt,
+      |    ($terms)::BIGINT AS ewma_x256
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT user_id, cnt::BIGINT AS n_events, vc AS last_cents, ewma_x256
+      |FROM l WHERE rn = cnt ORDER BY user_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_ewma" -> ewma _,
     "ev_changepoint" -> changepoint _,
     "ev_resample_locf" -> resampleLocf _,
     "ev_scd2_build" -> scd2Build _,
@@ -1110,6 +1165,7 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "ev_ewma" -> ewmaSql,
     "ev_changepoint" -> changepointSql,
     "ev_resample_locf" -> resampleLocfSql,
     "ev_scd2_build" -> scd2BuildSql,

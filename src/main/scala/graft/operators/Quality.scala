@@ -508,7 +508,60 @@ object Quality {
     }.mkString("", "\nUNION ALL\n", "\nORDER BY check_id, row_key")
   }
 
+  /** Pearson chi-square association audit between two categorical
+    * columns across a key join — market segment × order priority — the
+    * "are these features independent?" read a training pipeline runs
+    * before trusting either as a stratification key (a strong
+    * association means stratifying on one silently skews the other).
+    * Exact-integer cells: with O the observed count, E = ⌊R·C/N⌋ the
+    * floored expectation from the margins, each cell ships O, E and
+    * 1000·(O−E)²/⌊E⌋ — the per-cell chi-square contribution in permille,
+    * integer-floored so both engines agree bit-for-bit. (O−E) ≤ N keeps
+    * 1000·(O−E)² within int64 to ~10⁹ rows.
+    *
+    * Scale: one join + ONE partial-aggregated groupBy folds the corpus
+    * to ≤|segments|·|priorities| cells; margins are two aggs OVER THE
+    * CELL FRAME (bounded, not the corpus) broadcast back onto it.
+    */
+  def chiSquare(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderpriority").as("p"))
+    val c = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment").as("g"))
+    val cells = o.join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("g"), col("p")).agg(count(lit(1)).as("o"))
+    import graft.Pin.PinOps
+    val pinned = cells.pin(true) // margins + final join read it thrice
+    val rm = pinned.groupBy(col("g")).agg(sum(col("o")).as("r"))
+    val cm = pinned.groupBy(col("p")).agg(sum(col("o")).as("c"))
+    val nn = pinned.agg(sum(col("o")).as("n"))
+    pinned
+      .join(broadcast(rm), "g").join(broadcast(cm), "p")
+      .crossJoin(broadcast(nn))
+      .withColumn("e_floor", expr("(r * c) div n"))
+      .withColumn("chi2_cell_x1000",
+        expr("(1000 * (o - e_floor) * (o - e_floor)) div greatest(1, e_floor)"))
+      .select(col("g"), col("p"), col("o"), col("e_floor"),
+        col("chi2_cell_x1000"))
+      .orderBy(col("g"), col("p"))
+  }
+
+  val chiSquareSql: String =
+    """WITH j AS (
+      |  SELECT c_mktsegment AS g, o_orderpriority AS p
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |cells AS (SELECT g, p, count(*)::BIGINT AS o FROM j GROUP BY g, p),
+      |rm AS (SELECT g, sum(o)::BIGINT AS r FROM cells GROUP BY g),
+      |cm AS (SELECT p, sum(o)::BIGINT AS c FROM cells GROUP BY p),
+      |nn AS (SELECT sum(o)::BIGINT AS n FROM cells)
+      |SELECT cells.g, cells.p, o, ((r * c) // n)::BIGINT AS e_floor,
+      |  ((1000 * (o - (r * c) // n) * (o - (r * c) // n))
+      |   // greatest(1, (r * c) // n))::BIGINT AS chi2_cell_x1000
+      |FROM cells JOIN rm USING (g) JOIN cm USING (p) CROSS JOIN nn
+      |ORDER BY g, p""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_chi_square" -> chiSquare _,
     "dq_violation_samples" -> violationSamples _,
     "dq_profile" -> profile _,
     "dq_constraints" -> constraints _,
@@ -517,6 +570,7 @@ object Quality {
     "dq_numeric_drift" -> numericDrift _)
 
   val oracles: Map[String, String] = Map(
+    "dq_chi_square" -> chiSquareSql,
     "dq_violation_samples" -> violationSamplesSql,
     "dq_profile" -> profileSql,
     "dq_constraints" -> constraintsSql,

@@ -2072,8 +2072,123 @@ object Relational {
       |   WHERE 10000 * abs(v - m) > 44478 * md) AS n_outliers
       |FROM nn CROSS JOIN med CROSS JOIN mad""".stripMargin
 
+  /** Exact two-sample Kolmogorov–Smirnov drift statistic between the
+    * pre- and post-1998-06 order cohorts of o_totalprice — the
+    * distribution-free "did this numeric column shift between corpus
+    * versions?" test (Massey 1951) that complements `dq_numeric_drift`'s
+    * binned total-variation read: KS needs NO binning agreement at all
+    * and is sensitive to location shifts TV's coarse log2 buckets blur.
+    * Kept exact-integer end to end: D·n1·n2 = max over distinct values v
+    * of |n2·C1(v) − n1·C2(v)| where C_i are cumulative counts, so the
+    * statistic is a pure max over integer cross-products — no ECDF
+    * floats, bit-reproducible.
+    *
+    * Scale: values collapse to a distinct-value histogram first (groupBy,
+    * mergeable), then TWO [[GlobalOrder.cumsum]] passes (range partition
+    * → per-partition running sum → broadcast offset table; never a
+    * single-reducer window) give both cumulative counts, and the answer
+    * is a 1-row max fold. Nothing holds more than a range partition.
+    */
+  def statKsDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vals = Tables.orders(s, dir)
+      .select(round($"o_totalprice" * 100).cast("long").as("v"),
+        ($"o_orderdate" < lit("1998-06-01").cast("timestamp")).as("a"))
+    val hist = vals.groupBy($"v")
+      .agg(sum(when($"a", 1L).otherwise(0L)).as("c1"),
+        sum(when(!$"a", 1L).otherwise(0L)).as("c2"))
+    val (cum1, n1) = GlobalOrder.cumsum(hist, Seq($"v"), $"c1", "f1")
+    val (cum2, n2) = GlobalOrder.cumsum(cum1, Seq($"v"), $"c2", "f2")
+    cum2
+      .select($"v", abs($"f1" * n2 - $"f2" * n1).as("dev"))
+      .agg(max(struct($"dev".as("d"), (-$"v").as("nv"))).as("m"))
+      .select(lit(n1).as("n1"), lit(n2).as("n2"),
+        $"m.d".as("ks_num"), (-$"m.nv").as("v_at_max_cents"),
+        expr(s"(1000 * m.d) div (${n1} * ${n2})").as("ks_pm"))
+  }
+
+  val statKsDriftSql: String =
+    """WITH vals AS (
+      |  SELECT round(o_totalprice * 100)::BIGINT AS v,
+      |    (o_orderdate < '1998-06-01') AS a FROM orders),
+      |hist AS (
+      |  SELECT v, sum(CASE WHEN a THEN 1 ELSE 0 END)::BIGINT AS c1,
+      |    sum(CASE WHEN a THEN 0 ELSE 1 END)::BIGINT AS c2
+      |  FROM vals GROUP BY v),
+      |nn AS (SELECT sum(c1)::BIGINT AS n1, sum(c2)::BIGINT AS n2 FROM hist),
+      |cum AS (SELECT v, sum(c1) OVER (ORDER BY v) AS f1,
+      |               sum(c2) OVER (ORDER BY v) AS f2 FROM hist),
+      |dev AS (SELECT v, abs(f1 * n2 - f2 * n1)::BIGINT AS d
+      |        FROM cum CROSS JOIN nn)
+      |SELECT n1, n2, max(d)::BIGINT AS ks_num,
+      |  (SELECT min(v) FROM dev WHERE d = (SELECT max(d) FROM dev))::BIGINT
+      |    AS v_at_max_cents,
+      |  ((1000 * max(d)) // (n1 * n2))::BIGINT AS ks_pm
+      |FROM dev CROSS JOIN nn GROUP BY n1, n2""".stripMargin
+
+  /** Per-group ordinary-least-squares trend in exact integers: the slope
+    * of line-item price (whole dollars) against quantity within each
+    * (returnflag, linestatus) group, carried as the classic sufficient
+    * statistics — slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²). The grouped
+    * trend probe feature pipelines run per cohort ("is price still
+    * linear in quantity for returned lines?"); numerator and denominator
+    * ship as exact integers, and the permille slope is sign(num) ·
+    * ⌊1000·|num|/den⌋ computed overflow-safe as (|num| div den)·1000 +
+    * ((|num| mod den)·1000) div den — no 1000·num intermediate (headroom
+    * is num < 2⁶³ itself, ≈10⁹ rows/group at these magnitudes), and all
+    * division operands are NON-NEGATIVE because Spark's `div` truncates
+    * toward zero while DuckDB's `//` floors: on a negative numerator the
+    * two engines would disagree by one, so the sign is factored out
+    * before any division. (num < 0 is real here — some cohorts of this
+    * corpus slope negative.)
+    *
+    * Scale: ONE partial-aggregated groupBy over five sums — map-side
+    * combine folds every partition to ≤|groups| rows before the
+    * exchange; the regression math is a projection on the folded frame.
+    */
+  def statGroupOls(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+      .select($"l_returnflag", $"l_linestatus",
+        $"l_quantity".cast("long").as("x"),
+        round($"l_extendedprice").cast("long").as("y"))
+    li.groupBy($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"))
+      .select($"l_returnflag", $"l_linestatus", $"n",
+        ($"n" * $"sxy" - $"sx" * $"sy").as("num"),
+        ($"n" * $"sxx" - $"sx" * $"sx").as("den"))
+      .withColumn("slope_pm",
+        expr("""(CASE WHEN num < 0 THEN -1 ELSE 1 END) *
+               ((abs(num) div den) * 1000
+                + ((abs(num) % den) * 1000) div den)"""))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  val statGroupOlsSql: String =
+    """WITH li AS (
+      |  SELECT l_returnflag, l_linestatus, l_quantity::BIGINT AS x,
+      |    round(l_extendedprice)::BIGINT AS y FROM lineitem),
+      |g AS (
+      |  SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS n,
+      |    sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+      |    sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx
+      |  FROM li GROUP BY l_returnflag, l_linestatus),
+      |d AS (
+      |  SELECT l_returnflag, l_linestatus, n,
+      |    (n * sxy - sx * sy)::BIGINT AS num,
+      |    (n * sxx - sx * sx)::BIGINT AS den
+      |  FROM g)
+      |SELECT l_returnflag, l_linestatus, n, num, den,
+      |  ((CASE WHEN num < 0 THEN -1 ELSE 1 END) *
+      |   (abs(num) // den * 1000 + (abs(num) % den) * 1000 // den))::BIGINT
+      |    AS slope_pm
+      |FROM d ORDER BY l_returnflag, l_linestatus""".stripMargin
+
   /** All relational queries + oracles, consumed by SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stat_ks_drift" -> statKsDrift _,
+    "stat_group_ols" -> statGroupOls _,
     "stat_mad_outliers" -> statMadOutliers _,
     "q51_revenue_change" -> q51RevenueChange _,
     "q52_supplier_value_share" -> q52SupplierValueShare _,
@@ -2146,6 +2261,8 @@ object Relational {
     "stat_exact_percentiles" -> statExactPercentilesSql,
     "stat_winsorize" -> statWinsorizeSql,
     "stat_equidepth_hist" -> statEquidepthHistSql,
+    "stat_ks_drift" -> statKsDriftSql,
+    "stat_group_ols" -> statGroupOlsSql,
     "stat_mad_outliers" -> statMadOutliersSql,
     "q49_unshipped_orders" -> q49Sql,
     "q50_local_supplier_volume" -> q50Sql,

@@ -3270,6 +3270,102 @@ object TextOps {
       |  row_number() OVER (ORDER BY common DESC, a, b) AS rnk
       |FROM top ORDER BY rnk""".stripMargin
 
+  /** Label-propagation communities (Raghavan et al. 2007, synchronous
+    * variant, 3 fixed rounds) over the group-contracted near-dup graph,
+    * scored by Newman modularity (Newman & Girvan 2004) in EXACT
+    * integers — the community-structure readout between
+    * [[componentSizes]]' too-coarse components and [[triangles]]' too-
+    * local clique signal: which template FAMILIES exist inside the giant
+    * component, and is the partition better than chance? Each node
+    * adopts the plurality label of its neighbors (ties → smallest
+    * label, so the fixed-point is deterministic without per-node
+    * randomness); after 3 rounds each community c reports its size,
+    * internal edge count e_c, degree mass d_c, and the modularity cell
+    * 4m·e_c − d_c² — Q·4m² = Σ_c cells, so the float-free cells ARE the
+    * score (headroom: d_c < 3·10⁹ keeps d_c² in int64).
+    *
+    * Scale: per round ONE edge⋈label join + a (node,label)-keyed count +
+    * a per-node struct-max argmax — all mergeable keyed aggs, linear in
+    * |E| per round, never per-source or all-pairs; the label frame is
+    * checkpointed so 3-round lineage stays flat. Modularity is two keyed
+    * aggs over the final labels plus an m-sized literal.
+    */
+  def lpaModularity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = groupPairsOf(s, dir)
+      .pin(true) // symmetrization, e_in count, and m
+    val m = pairs.count()
+    val sym = pairs.select($"a".as("v"), $"b".as("u"))
+      .unionByName(pairs.select($"b".as("v"), $"a".as("u")))
+      .pin(true) // re-joined every round
+    val deg = sym.groupBy($"v").agg(count(lit(1)).as("d"))
+      .pin(true) // initial labels + the degree-mass agg
+    var lbl = deg.select($"v", $"v".as("lbl"))
+    for (_ <- 1 to 3) {
+      lbl = sym
+        .join(lbl.select($"v".as("u"), $"lbl"), "u")
+        .groupBy($"v", $"lbl").agg(count(lit(1)).as("cnt"))
+        .groupBy($"v")
+        .agg(max(struct($"cnt", (-$"lbl").as("neg"))).as("w"))
+        .select($"v", (-$"w.neg").as("lbl"))
+        .pin(true) // flatten the per-round lineage
+    }
+    val dsum = lbl.join(deg, "v")
+      .groupBy($"lbl")
+      .agg(count(lit(1)).as("size"), sum($"d").as("d_sum"))
+    val ein = pairs
+      .join(lbl.select($"v".as("a"), $"lbl".as("la")), "a")
+      .join(lbl.select($"v".as("b"), $"lbl".as("lb")), "b")
+      .filter($"la" === $"lb")
+      .groupBy($"la".as("lbl")).agg(count(lit(1)).as("e_in"))
+    dsum.join(ein, Seq("lbl"), "left")
+      .select($"lbl".as("label"), $"size", $"d_sum",
+        coalesce($"e_in", lit(0L)).as("e_in"),
+        (lit(4L * m) * coalesce($"e_in", lit(0L)) - $"d_sum" * $"d_sum")
+          .as("q_cell"))
+      .orderBy($"label")
+  }
+
+  /** One synchronous LPA round as SQL: plurality neighbor label with
+    * smallest-label tie-break, argmax encoded scalar (cnt·2⁴⁰ − (lbl+1):
+    * max score ⇔ max cnt then min lbl; decoded exactly) — semantics, not
+    * implementation, mirrored from the Spark struct-max.
+    */
+  val lpaModularitySql: String = {
+    val S = 1099511627776L // 2^40 > any gid+1 at gate scale
+    def round(k: Int): String =
+      s""",
+         |v$k AS (SELECT s.v, l.lbl, count(*)::BIGINT AS cnt
+         |        FROM sym s JOIN l${k - 1} l ON s.u = l.v
+         |        GROUP BY s.v, l.lbl),
+         |l$k AS (SELECT v,
+         |    ((max(cnt * $S - (lbl + 1)) // $S + 1) * $S
+         |     - max(cnt * $S - (lbl + 1)) - 1)::BIGINT AS lbl
+         |  FROM v$k GROUP BY v)""".stripMargin
+    groupGraphCte +
+      """, nd AS (SELECT a AS v FROM gp UNION ALL SELECT b FROM gp),
+        |dg AS (SELECT v, count(*)::BIGINT AS d FROM nd GROUP BY v),
+        |sym AS (SELECT a AS v, b AS u FROM gp
+        |        UNION ALL SELECT b, a FROM gp),
+        |mm AS (SELECT count(*)::BIGINT AS m FROM gp),
+        |l0 AS (SELECT v, v AS lbl FROM dg)""".stripMargin +
+      (1 to 3).map(round).mkString +
+      """,
+        |dsum AS (SELECT l.lbl, count(*)::BIGINT AS size,
+        |           sum(dg.d)::BIGINT AS d_sum
+        |         FROM l3 l JOIN dg ON l.v = dg.v GROUP BY l.lbl),
+        |ein AS (SELECT la.lbl, count(*)::BIGINT AS e_in
+        |        FROM gp JOIN l3 la ON gp.a = la.v
+        |                JOIN l3 lb ON gp.b = lb.v
+        |        WHERE la.lbl = lb.lbl GROUP BY la.lbl)
+        |SELECT d.lbl AS label, d.size, d.d_sum,
+        |  coalesce(e.e_in, 0)::BIGINT AS e_in,
+        |  (4 * mm.m * coalesce(e.e_in, 0) - d.d_sum * d.d_sum)::BIGINT
+        |    AS q_cell
+        |FROM dsum d LEFT JOIN ein e ON d.lbl = e.lbl CROSS JOIN mm
+        |ORDER BY label""".stripMargin
+  }
+
   /** Multi-source BFS over the group-contracted near-dup graph: minimum
     * hop distance (≤ 3) from the seed set (every 17th group id) — the
     * "contamination blast radius" question: if these seed documents are
@@ -5785,6 +5881,7 @@ object TextOps {
     "graph_common_neighbors" -> commonNeighbors _,
     "graph_anf" -> anfHyperball _,
     "graph_harmonic" -> harmonicCentrality _,
+    "graph_lpa_modularity" -> lpaModularity _,
     "graph_bfs_reach" -> bfsReach _,
     "dedup_containment_pairs" -> containmentPairs _,
     "dedup_threshold_curve" -> thresholdCurve _,
@@ -5869,6 +5966,7 @@ object TextOps {
     "graph_common_neighbors" -> commonNeighborsSql,
     "graph_anf" -> anfHyperballSql,
     "graph_harmonic" -> harmonicCentralitySql,
+    "graph_lpa_modularity" -> lpaModularitySql,
     "graph_bfs_reach" -> bfsReachSql,
     "dedup_containment_pairs" -> containmentPairsSql,
     "dedup_threshold_curve" -> thresholdCurveSql,
