@@ -251,8 +251,10 @@ object ScalingBench {
       "sim_hybrid_rrf", "sim_knn_classify",
       // round-13: SNM (two range-sorts + rank-keyed window pairing —
       // candidate volume (w−1)·N by construction); ANF (per-round edge
-      // join + register max, rounds fixed at 3 → linear in |E|)
-      "dedup_sorted_neighborhood", "graph_anf")
+      // join + register max, rounds fixed at 3 → linear in |E|); LPA +
+      // modularity (per-round edge⋈label join + two keyed argmax aggs,
+      // rounds fixed at 3 → linear in |E|, same claim shape as ANF)
+      "dedup_sorted_neighborhood", "graph_anf", "graph_lpa_modularity")
       .filter(q => onlyQs.forall(_.contains(q)))
     val report = scala.collection.mutable.ArrayBuffer.empty[String]
 

@@ -1136,7 +1136,84 @@ object Events {
       |FROM l WHERE rn = cnt ORDER BY user_id""".stripMargin
   }
 
+  /** Kaplan–Meier life table (Kaplan & Meier 1958) of time-to-first-
+    * purchase — the survival-analysis read behind every conversion
+    * funnel: per day t since a user's first event, how many users had
+    * neither converted nor run out of observation window (n_risk), how
+    * many converted exactly on day t (d_events), and how many are
+    * right-censored there (never purchased; their observation ends
+    * date(corpus end) − date(first event) days in — the users a naive
+    * "conversion lag" average silently drops or, worse, counts as
+    * non-converting forever). Ships the exact-integer life-table
+    * columns plus the discrete hazard d/n_risk in permille (the daily
+    * conversion propensity among the still-unconverted); the KM
+    * product-limit S(t) = Π(1 − d/n) is a float product by nature, so
+    * the consumer composes it from the exact table instead of trusting
+    * an engine-rounded column.
+    *
+    * Scale: one user-keyed aggregation (min ts, min purchase ts), a
+    * 1-row corpus-end broadcast for the censor clock, then a groupBy to
+    * the ≤|calendar-days| histogram; n_risk is a top-down fold over
+    * that bounded frame (the PlanGuard bounded-window whitelist class —
+    * never a corpus-sized unpartitioned window).
+    */
+  def survivalTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+      .select($"user_id", to_date($"ts").as("d"), $"event_type")
+    val mx = ev.agg(max($"d").as("mx"))
+    val hist = ev.groupBy($"user_id")
+      .agg(min($"d").as("f"),
+        min(when($"event_type" === "purchase", $"d")).as("p"))
+      .crossJoin(broadcast(mx))
+      .select(
+        when($"p".isNotNull, datediff($"p", $"f"))
+          .otherwise(datediff($"mx", $"f")).cast("long").as("day"),
+        $"p".isNull.as("cens"))
+      .groupBy($"day")
+      .agg(sum(when($"cens", 0L).otherwise(1L)).as("d_events"),
+        sum(when($"cens", 1L).otherwise(0L)).as("censored"))
+    val before = Window.orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val all = Window.orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    hist
+      .withColumn("n_risk",
+        sum($"d_events" + $"censored").over(all)
+          - coalesce(sum($"d_events" + $"censored").over(before), lit(0L)))
+      .select($"day", $"n_risk", $"d_events", $"censored",
+        expr("(1000 * d_events) div n_risk").as("hazard_pm"))
+      .orderBy($"day")
+  }
+
+  val survivalTableSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, ts::DATE AS d, event_type FROM events),
+      |mx AS (SELECT max(d) AS mx FROM ev),
+      |u AS (SELECT user_id, min(d) AS f,
+      |        min(CASE WHEN event_type = 'purchase' THEN d END) AS p
+      |      FROM ev GROUP BY user_id),
+      |t AS (SELECT (CASE WHEN p IS NOT NULL THEN date_diff('day', f, p)
+      |              ELSE date_diff('day', f, mx) END)::BIGINT AS day,
+      |        p IS NULL AS cens
+      |      FROM u CROSS JOIN mx),
+      |h AS (SELECT day,
+      |        sum(CASE WHEN cens THEN 0 ELSE 1 END)::BIGINT AS d_events,
+      |        sum(CASE WHEN cens THEN 1 ELSE 0 END)::BIGINT AS censored
+      |      FROM t GROUP BY day),
+      |r AS (SELECT day, d_events, censored,
+      |        sum(d_events + censored) OVER ()
+      |          - coalesce(sum(d_events + censored) OVER (ORDER BY day
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |          AS n_risk
+      |      FROM h)
+      |SELECT day, n_risk::BIGINT AS n_risk, d_events, censored,
+      |  ((1000 * d_events) // n_risk)::BIGINT AS hazard_pm
+      |FROM r ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_survival_table" -> survivalTable _,
     "ev_ewma" -> ewma _,
     "ev_changepoint" -> changepoint _,
     "ev_resample_locf" -> resampleLocf _,
@@ -1165,6 +1242,7 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "ev_survival_table" -> survivalTableSql,
     "ev_ewma" -> ewmaSql,
     "ev_changepoint" -> changepointSql,
     "ev_resample_locf" -> resampleLocfSql,
