@@ -254,7 +254,11 @@ object ScalingBench {
       // join + register max, rounds fixed at 3 → linear in |E|); LPA +
       // modularity (per-round edge⋈label join + two keyed argmax aggs,
       // rounds fixed at 3 → linear in |E|, same claim shape as ANF)
-      "dedup_sorted_neighborhood", "graph_anf", "graph_lpa_modularity")
+      "dedup_sorted_neighborhood", "graph_anf", "graph_lpa_modularity",
+      // Borůvka MSF: rounds ≤ log₂(largest component) — constant under
+      // vocabulary sharding (components replicate, never merge), so the
+      // slope isolates the per-round edge-tagging + contraction cost
+      "graph_mst")
       .filter(q => onlyQs.forall(_.contains(q)))
     val report = scala.collection.mutable.ArrayBuffer.empty[String]
 

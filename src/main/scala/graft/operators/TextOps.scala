@@ -3366,6 +3366,137 @@ object TextOps {
         |ORDER BY label""".stripMargin
   }
 
+  /** Minimum spanning forest of the contracted near-dup graph under
+    * exact Jaccard DISTANCE (Borůvka 1926 — the parallel MST algorithm;
+    * distributed form as in Karloff–Suri–Vassilvitskii MRC) — the
+    * single-linkage hierarchy backbone (HDBSCAN's first stage): the MSF
+    * orders near-dup families by merge distance, so cutting it at any
+    * threshold yields exactly the single-linkage clustering at that
+    * radius without re-running anything. Edge weight = 1000 − exact
+    * distinct-token Jaccard permille between the groups' representative
+    * docs, totally ordered by (w, a, b) so the forest is UNIQUE and
+    * both engines converge to the same edge set.
+    *
+    * Scale: Borůvka is the MST algorithm that parallelizes — per round
+    * every component picks its lightest outgoing edge (one keyed
+    * struct-min agg), selected edges contract via [[starContraction]]
+    * (O(log n) keyed rounds), and the component count at least HALVES
+    * per round, so rounds ≤ log₂(largest component). Every step is a
+    * keyed join/agg over the edge frame — no sequential union-find, no
+    * driver-side edges. The oracle mirrors the rounds exactly (7 ≥
+    * ⌈log₂ 77⌉, the gate's largest component), each contraction a
+    * recursive reachability CTE.
+    */
+  def mstForest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = groupPairsOf(s, dir).pin(true)
+    val tok = tokens(s, dir).pin(true) // intersection join + size agg
+    val sz = tok.groupBy($"doc_id").agg(count(lit(1)).as("n")).pin(true)
+    val it = pairs
+      .join(tok.select($"doc_id".as("a"), $"w"), "a")
+      .join(tok.select($"doc_id".as("b"), $"w"), Seq("b", "w"))
+      .groupBy($"a", $"b").agg(count(lit(1)).as("c"))
+    val edges = pairs
+      .join(it, Seq("a", "b"), "left")
+      .join(sz.select($"doc_id".as("a"), $"n".as("na")), "a")
+      .join(sz.select($"doc_id".as("b"), $"n".as("nb")), "b")
+      .select($"a", $"b",
+        (lit(1000L) - expr(
+          "(1000 * coalesce(c, 0)) div (na + nb - coalesce(c, 0))")).as("w"))
+      .pin(true) // re-tagged every round
+    var comp = edges.select($"a".as("v")).unionByName(edges.select($"b".as("v")))
+      .distinct().select($"v", $"v".as("c")).pin(true)
+    val sel = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var done = false
+    var rounds = 0
+    while (!done && rounds < 32) {
+      val tagged = edges
+        .join(comp.select($"v".as("a"), $"c".as("ca")), "a")
+        .join(comp.select($"v".as("b"), $"c".as("cb")), "b")
+        .filter($"ca" =!= $"cb")
+        .pin(true) // min-edge agg reads it twice
+      if (tagged.isEmpty) done = true
+      else {
+        val e = struct($"w", $"a", $"b", $"ca", $"cb").as("e")
+        val mr = tagged.select($"ca".as("cc"), e)
+          .unionByName(tagged.select($"cb".as("cc"), e))
+          .groupBy($"cc").agg(min($"e").as("e"))
+          .select($"e.w", $"e.a", $"e.b", $"e.ca", $"e.cb")
+          .distinct() // the two endpoints of a mutual-min edge pick it twice
+          .pin(true)
+        sel += mr.select($"a", $"b", $"w")
+        val (labels, _) = starContraction(
+          comp.select($"c").distinct(),
+          mr.select($"ca".as("a"), $"cb".as("b")))
+        comp = comp.join(labels, Seq("c"))
+          .select($"v", $"label".as("c")).pin(true)
+        rounds += 1
+      }
+    }
+    if (sel.isEmpty) edges.select($"a", $"b", $"w").limit(0)
+    else sel.reduce(_.unionByName(_)).orderBy($"a", $"b")
+  }
+
+  /** Borůvka mirrored round-by-round in SQL: per round the component-
+    * tagged active edges, a row_number()=1 lightest-outgoing pick per
+    * component (the struct-min), and a recursive-reachability
+    * contraction of the selected edges; 7 rounds ≥ ⌈log₂(largest gate
+    * component)⌉, later rounds no-op once converged.
+    */
+  lazy val mstForestSql: String = {
+    // every multiply-referenced CTE is AS MATERIALIZED: DuckDB inlines
+    // plain CTEs per reference, and with each round reading the previous
+    // round's labels twice the 7-round chain would inline the whole
+    // band-join pipeline 2^7 times (measured: file-handle exhaustion)
+    def round(r: Int): String =
+      s""",
+         |t$r AS MATERIALIZED (
+         |        SELECT e.a, e.b, e.w, x.c AS ca, y.c AS cb
+         |        FROM ew e JOIN c${r - 1} x ON e.a = x.v
+         |                  JOIN c${r - 1} y ON e.b = y.v
+         |        WHERE x.c <> y.c),
+         |s$r AS (SELECT w, a, b, ca, cb FROM (
+         |          SELECT cc, w, a, b, ca, cb,
+         |            row_number() OVER (PARTITION BY cc ORDER BY w, a, b)
+         |              AS rn
+         |          FROM (SELECT ca AS cc, w, a, b, ca, cb FROM t$r
+         |                UNION ALL SELECT cb, w, a, b, ca, cb FROM t$r))
+         |        WHERE rn = 1),
+         |m$r AS MATERIALIZED (SELECT DISTINCT w, a, b, ca, cb FROM s$r),
+         |y$r AS MATERIALIZED (SELECT ca AS x, cb AS y FROM m$r
+         |        UNION ALL SELECT cb, ca FROM m$r),
+         |r$r(n, m) AS (SELECT x, x FROM y$r
+         |        UNION SELECT y$r.x, r$r.m FROM y$r JOIN r$r ON y$r.y = r$r.n),
+         |l$r AS MATERIALIZED (SELECT n, min(m) AS lbl FROM r$r GROUP BY n),
+         |c$r AS MATERIALIZED (
+         |        SELECT p.v, coalesce(l$r.lbl, p.c) AS c
+         |        FROM c${r - 1} p LEFT JOIN l$r ON p.c = l$r.n)""".stripMargin
+    groupGraphCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """, sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+        |it AS (SELECT p.a, p.b, count(*) AS c
+        |       FROM gp p JOIN tok x ON x.doc_id = p.a
+        |                 JOIN tok y ON y.doc_id = p.b AND y.w = x.w
+        |       GROUP BY 1, 2),
+        |ew AS MATERIALIZED (
+        |       SELECT p.a, p.b,
+        |         (1000 - (1000 * coalesce(it.c, 0))
+        |          // (sa.n + sb.n - coalesce(it.c, 0)))::BIGINT AS w
+        |       FROM gp p LEFT JOIN it ON p.a = it.a AND p.b = it.b
+        |       JOIN sz sa ON sa.doc_id = p.a
+        |       JOIN sz sb ON sb.doc_id = p.b),
+        |vn AS (SELECT DISTINCT v FROM
+        |        (SELECT a AS v FROM ew UNION ALL SELECT b FROM ew)),
+        |c0 AS MATERIALIZED (SELECT v, v AS c FROM vn)""".stripMargin +
+      (1 to 7).map(round).mkString +
+      """
+        |SELECT a, b, w FROM (
+        |  SELECT w, a, b FROM m1 UNION ALL SELECT w, a, b FROM m2
+        |  UNION ALL SELECT w, a, b FROM m3 UNION ALL SELECT w, a, b FROM m4
+        |  UNION ALL SELECT w, a, b FROM m5 UNION ALL SELECT w, a, b FROM m6
+        |  UNION ALL SELECT w, a, b FROM m7)
+        |ORDER BY a, b""".stripMargin
+  }
+
   /** Multi-source BFS over the group-contracted near-dup graph: minimum
     * hop distance (≤ 3) from the seed set (every 17th group id) — the
     * "contamination blast radius" question: if these seed documents are
@@ -5882,6 +6013,7 @@ object TextOps {
     "graph_anf" -> anfHyperball _,
     "graph_harmonic" -> harmonicCentrality _,
     "graph_lpa_modularity" -> lpaModularity _,
+    "graph_mst" -> mstForest _,
     "graph_bfs_reach" -> bfsReach _,
     "dedup_containment_pairs" -> containmentPairs _,
     "dedup_threshold_curve" -> thresholdCurve _,
@@ -5967,6 +6099,7 @@ object TextOps {
     "graph_anf" -> anfHyperballSql,
     "graph_harmonic" -> harmonicCentralitySql,
     "graph_lpa_modularity" -> lpaModularitySql,
+    "graph_mst" -> mstForestSql,
     "graph_bfs_reach" -> bfsReachSql,
     "dedup_containment_pairs" -> containmentPairsSql,
     "dedup_threshold_curve" -> thresholdCurveSql,
