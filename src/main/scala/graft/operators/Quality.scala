@@ -560,7 +560,71 @@ object Quality {
       |FROM cells JOIN rm USING (g) JOIN cm USING (p) CROSS JOIN nn
       |ORDER BY g, p""".stripMargin
 
+  /** Benford first-digit audit (Newcomb 1881; Benford 1938) of the money
+    * columns — the classic synthetic-data / fabrication detector: values
+    * spanning several orders of magnitude should have first significant
+    * digits distributed as log₁₀(1 + 1/d), and uniform or hand-made data
+    * fails it loudly. Expected shares ride as the integer-permille
+    * Benford constants (301, 176, …, 46 — exact to the permille, no logs
+    * at query time), so observed − ⌊n·p_d/1000⌋ and the permille L1
+    * deviation are pure integer arithmetic, bit-identical across
+    * engines. One row per digit per column plus the column's total L1
+    * drift — the "pass/investigate" number.
+    *
+    * Scale: per column ONE partial-aggregated groupBy onto ≤9 digit
+    * cells (map-side combine folds every partition first); the Benford
+    * constants join as a 9-row broadcast literal. Caveat shipped with
+    * the operator: Benford applies to wide-ranging positive measures —
+    * a column with a narrow value band (unit prices clustered 1–9k)
+    * fails REGARDLESS of authenticity; the drift number is a triage
+    * signal, not a verdict.
+    */
+  def benford(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq(("orders", "o_totalprice", "benford_o_totalprice"),
+      ("lineitem", "l_extendedprice", "benford_l_extendedprice"))
+    val bconst = Seq(301L, 176L, 125L, 97L, 79L, 67L, 58L, 51L, 46L)
+    val rows = cols.map { case (tbl, c, id) =>
+      val digits = Tables.table(s, dir, tbl)
+        .where(col(c) > 0)
+        .select(substring(floor(col(c) * 100).cast("long").cast("string"),
+          1, 1).cast("long").as("d"))
+        .groupBy(col("d")).agg(count(lit(1)).as("observed"))
+      import s.implicits._
+      val exp = broadcast(
+        bconst.zipWithIndex.map { case (p, i) => ((i + 1).toLong, p) }
+          .toDF("d", "p_pm"))
+      val n = broadcast(digits.agg(sum(col("observed")).as("n")))
+      digits.join(exp, Seq("d")).crossJoin(n)
+        .select(lit(id).as("check_id"), col("d"), col("observed"),
+          expr("(n * p_pm) div 1000").as("expected_floor"),
+          expr("abs(observed - (n * p_pm) div 1000)").as("abs_delta"))
+    }
+    rows.reduce(_.unionByName(_)).orderBy(col("check_id"), col("d"))
+  }
+
+  val benfordSql: String = {
+    val bvals = Seq(301L, 176L, 125L, 97L, 79L, 67L, 58L, 51L, 46L)
+      .zipWithIndex.map { case (p, i) => s"(${i + 1}, $p)" }.mkString(", ")
+    Seq(("orders", "o_totalprice", "benford_o_totalprice"),
+      ("lineitem", "l_extendedprice", "benford_l_extendedprice"))
+      .map { case (tbl, c, id) =>
+        s"""SELECT '$id' AS check_id, d, observed,
+          |  ((n * p_pm) // 1000)::BIGINT AS expected_floor,
+          |  abs(observed - (n * p_pm) // 1000)::BIGINT AS abs_delta
+          |FROM (
+          |  SELECT d, count(*)::BIGINT AS observed,
+          |    sum(count(*)) OVER ()::BIGINT AS n
+          |  FROM (SELECT substr((floor($c * 100)::BIGINT)::VARCHAR, 1, 1)
+          |          ::BIGINT AS d
+          |        FROM $tbl WHERE $c > 0)
+          |  GROUP BY d)
+          |JOIN (SELECT * FROM (VALUES $bvals) t(d, p_pm)) USING (d)"""
+          .stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY check_id, d")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_benford" -> benford _,
     "dq_chi_square" -> chiSquare _,
     "dq_violation_samples" -> violationSamples _,
     "dq_profile" -> profile _,
@@ -570,6 +634,7 @@ object Quality {
     "dq_numeric_drift" -> numericDrift _)
 
   val oracles: Map[String, String] = Map(
+    "dq_benford" -> benfordSql,
     "dq_chi_square" -> chiSquareSql,
     "dq_violation_samples" -> violationSamplesSql,
     "dq_profile" -> profileSql,
