@@ -3425,6 +3425,14 @@ object TextOps {
           .distinct() // the two endpoints of a mutual-min edge pick it twice
           .pin(true)
         sel += mr.select($"a", $"b", $"w")
+        // contraction = components of the selected-edge graph, via the
+        // shared starContraction (O(log) keyed rounds). A pointer-
+        // doubling contraction (the textbook Borůvka step) was tried
+        // and reverted: with pins per doubling it pays MORE fixed job
+        // latency than starContraction, and without them the self-join
+        // chain doubles the plan per step and froze the optimizer —
+        // gate wall here is round-latency-bound, not volume-bound, and
+        // starContraction is the proven form.
         val (labels, _) = starContraction(
           comp.select($"c").distinct(),
           mr.select($"ca".as("a"), $"cb".as("b")))
