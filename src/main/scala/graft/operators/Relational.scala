@@ -2185,8 +2185,52 @@ object Relational {
       |    AS slope_pm
       |FROM d ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** Gini coefficient of per-customer spend — the one-number inequality
+    * scalar behind `ev_whale_curve`'s decile read, exact: with spend
+    * x₍₁₎ ≤ … ≤ x₍ₙ₎ (whole dollars; ties broken by custkey) the mean-
+    * difference identity gives G = (2·Σi·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx) —
+    * every term an integer once ranks come from [[GlobalOrder.rank]]
+    * (range partition, never a single-reducer window). num and den ship
+    * exactly; the permille is the overflow-safe two-step floor division
+    * (headroom: den = n·Σx < 2⁶³/1000 holds to ~10⁶ customers at these
+    * magnitudes — beyond that ship num/den and divide downstream).
+    *
+    * Scale: one custkey-keyed aggregation, one rank pass, one fold.
+    */
+  def statGini(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val spend = Tables.orders(s, dir)
+      .groupBy($"o_custkey")
+      .agg(round(sum($"o_totalprice")).cast("long").as("x"))
+    val (ranked, n) = GlobalOrder.rank(
+      spend, Seq($"x", $"o_custkey"), "rnk")
+    ranked
+      .agg(sum($"rnk" * $"x").as("six"), sum($"x").as("sx"))
+      .select(lit(n).as("n_customers"), $"sx".as("total_dollars"),
+        (lit(2L) * $"six" - lit(n + 1L) * $"sx").as("num"),
+        (lit(n) * $"sx").as("den"))
+      .withColumn("gini_pm",
+        expr("(num div den) * 1000 + ((num % den) * 1000) div den"))
+  }
+
+  val statGiniSql: String =
+    """WITH spend AS (
+      |  SELECT o_custkey, round(sum(o_totalprice))::BIGINT AS x
+      |  FROM orders GROUP BY o_custkey),
+      |r AS (SELECT x, row_number() OVER (ORDER BY x, o_custkey) AS rnk
+      |      FROM spend),
+      |nn AS (SELECT count(*)::BIGINT AS n FROM spend),
+      |f AS (SELECT n, sum(x)::BIGINT AS sx,
+      |        (2 * sum(rnk * x) - (n + 1) * sum(x))::BIGINT AS num,
+      |        (n * sum(x))::BIGINT AS den
+      |      FROM r CROSS JOIN nn GROUP BY n)
+      |SELECT n AS n_customers, sx AS total_dollars, num, den,
+      |  (num // den * 1000 + (num % den) * 1000 // den)::BIGINT AS gini_pm
+      |FROM f""".stripMargin
+
   /** All relational queries + oracles, consumed by SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stat_gini" -> statGini _,
     "stat_ks_drift" -> statKsDrift _,
     "stat_group_ols" -> statGroupOls _,
     "stat_mad_outliers" -> statMadOutliers _,
@@ -2261,6 +2305,7 @@ object Relational {
     "stat_exact_percentiles" -> statExactPercentilesSql,
     "stat_winsorize" -> statWinsorizeSql,
     "stat_equidepth_hist" -> statEquidepthHistSql,
+    "stat_gini" -> statGiniSql,
     "stat_ks_drift" -> statKsDriftSql,
     "stat_group_ols" -> statGroupOlsSql,
     "stat_mad_outliers" -> statMadOutliersSql,

@@ -116,7 +116,13 @@ class PlanGuardSpec extends SparkSpec {
     "dq_category_drift" -> 5,
     // three 1-row broadcast cohort-totals frames (one per numeric
     // column), same shape over the ≤64-bucket bitlength histograms
-    "dq_numeric_drift" -> 3)
+    "dq_numeric_drift" -> 3,
+    // 1-row broadcast cell-total frame (N for the floored expectations)
+    "dq_chi_square" -> 1,
+    // two 1-row broadcast digit-total frames (one per audited column)
+    "dq_benford" -> 2,
+    // 1-row broadcast corpus-end frame (the censor clock)
+    "ev_survival_table" -> 1)
 
   /** Queries whose plans legitimately contain a Window with EMPTY
     * partitionSpec — Spark executes such a window on a SINGLE task
@@ -152,7 +158,8 @@ class PlanGuardSpec extends SparkSpec {
     "sim_outliers" -> 1, // 20-row post-limit outlier-queue frame
     "text_bm25_topk" -> 1, // 10-row post-limit top-score frame
     "text_cooccur_lift" -> 1, // 20-row post-limit top-lift frame
-    "text_rake_phrases" -> 1) // 20-row post-limit top-phrase frame
+    "text_rake_phrases" -> 1, // 20-row post-limit top-phrase frame
+    "ev_survival_table" -> 1) // ≤|calendar-days| life-table fold
 
   /** TOTAL cross-join budget per query over the WHOLE plan — final frame
     * PLUS every checkpoint-hidden segment the audited build reports
@@ -174,6 +181,9 @@ class PlanGuardSpec extends SparkSpec {
     "dedup_semantic" -> 4,
     "dq_category_drift" -> 5,
     "dq_numeric_drift" -> 3,
+    "dq_chi_square" -> 1, // the 1-row N frame (r13 session 2)
+    "dq_benford" -> 2, // the two per-column 1-row totals (r13 session 2)
+    "ev_survival_table" -> 1, // the 1-row censor clock (r13 session 2)
     "ev_whale_curve" -> 1,
     "graph_diameter_probe" -> 1,
     "kv_scan_count" -> 2,
