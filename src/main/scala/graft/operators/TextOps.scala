@@ -1982,6 +1982,61 @@ object TextOps {
          |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
     }
 
+  /** GROUP-AWARE k-fold assignment: folds are a hash of the near-dup
+    * CLUSTER, not the document — the split discipline behind honest
+    * cross-validation on web-scale text (Lee et al. ACL 2022 measured
+    * how near-dup train/eval leakage inflates scores): any two near-dup
+    * documents land in the SAME fold by construction, so no fold's eval
+    * half sees paraphrases of another fold's train half. The per-doc
+    * leakage-safe split already exists (`sample_leakage_split`); this is
+    * its k-fold generalization, reporting per fold the doc count,
+    * cluster count, and token mass — the balance readout that tells you
+    * whether the cluster-size skew (one giant template family) broke
+    * fold comparability. Fold = cluster·Knuth mod 2³¹ mod 5 (headroom:
+    * cluster ids < 2³¹ keep the product exact in int64).
+    *
+    * Scale: rides [[starContraction]]'s cluster labels (O(log n) keyed
+    * rounds); the assignment is a projection and the report one
+    * fold-keyed aggregation. Nothing new shuffles beyond the clustering.
+    */
+  def groupKfold(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import s.implicits._
+    val nodes = Tables.documents(s, dir).select($"doc_id")
+    val (labels, _) =
+      starContraction(nodes, shinglePairsOf(shingleCodes(s, dir)))
+    val folds = labels.select($"doc_id", $"label",
+      ($"label" * 2654435761L % 2147483647L % k).as("fold"))
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("toks"))
+    folds.join(docs, Seq("doc_id"))
+      .groupBy($"fold")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct($"label").as("n_clusters"),
+        sum($"toks").as("n_tokens"))
+      .orderBy($"fold")
+  }
+
+  val groupKfoldSql: String =
+    shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ") + shingleBandsCte + {
+      s""",
+         |edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+         |reach(node, m) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.a, r.m FROM edges e JOIN reach r ON e.b = r.node),
+         |lab AS (SELECT node AS doc_id, min(m) AS label FROM reach
+         |        GROUP BY node),
+         |f AS (SELECT doc_id, label,
+         |        label * 2654435761 % 2147483647 % 5 AS fold FROM lab),
+         |t AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS toks
+         |      FROM documents)
+         |SELECT fold::BIGINT AS fold, count(*)::BIGINT AS n_docs,
+         |  count(DISTINCT label)::BIGINT AS n_clusters,
+         |  sum(toks)::BIGINT AS n_tokens
+         |FROM f JOIN t USING (doc_id) GROUP BY fold ORDER BY fold"""
+        .stripMargin
+    }
+
   /** Cluster PURITY audit: over the multi-member near-dup clusters, how
     * often the members agree on language — the cheap ground-truth proxy
     * for "is the banding merging unrelated documents" (true near-dups
@@ -5986,6 +6041,7 @@ object TextOps {
     "graph_diameter_probe" -> diameterProbe _,
     "graph_assortativity" -> assortativity _,
     "sample_leakage_split" -> leakageSafeSplit _,
+    "sample_group_kfold" -> ((s: SparkSession, dir: String) => groupKfold(s, dir)),
     "dedup_lsh_tuning" -> lshTuning _,
     "dedup_cluster_purity" -> clusterPurity _,
     "sample_soft_budget" -> softBudget _,
@@ -6072,6 +6128,7 @@ object TextOps {
     "graph_diameter_probe" -> diameterProbeSql,
     "graph_assortativity" -> assortativitySql,
     "sample_leakage_split" -> leakageSafeSplitSql,
+    "sample_group_kfold" -> groupKfoldSql,
     "dedup_lsh_tuning" -> lshTuningSql,
     "dedup_cluster_purity" -> clusterPuritySql,
     "sample_soft_budget" -> softBudgetSql,
