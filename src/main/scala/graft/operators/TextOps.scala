@@ -3444,20 +3444,7 @@ object TextOps {
     */
   def mstForest(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val pairs = groupPairsOf(s, dir).pin(true)
-    val tok = tokens(s, dir).pin(true) // intersection join + size agg
-    val sz = tok.groupBy($"doc_id").agg(count(lit(1)).as("n")).pin(true)
-    val it = pairs
-      .join(tok.select($"doc_id".as("a"), $"w"), "a")
-      .join(tok.select($"doc_id".as("b"), $"w"), Seq("b", "w"))
-      .groupBy($"a", $"b").agg(count(lit(1)).as("c"))
-    val edges = pairs
-      .join(it, Seq("a", "b"), "left")
-      .join(sz.select($"doc_id".as("a"), $"n".as("na")), "a")
-      .join(sz.select($"doc_id".as("b"), $"n".as("nb")), "b")
-      .select($"a", $"b",
-        (lit(1000L) - expr(
-          "(1000 * coalesce(c, 0)) div (na + nb - coalesce(c, 0))")).as("w"))
+    val edges = jaccardEdges(s, dir)
       .pin(true) // re-tagged every round
     var comp = edges.select($"a".as("v")).unionByName(edges.select($"b".as("v")))
       .distinct().select($"v", $"v".as("c")).pin(true)
@@ -3559,6 +3546,80 @@ object TextOps {
         |  UNION ALL SELECT w, a, b FROM m7)
         |ORDER BY a, b""".stripMargin
   }
+
+  /** Shared weighted edge frame of the contracted near-dup graph —
+    * (a, b, w) with w = 1000 − exact distinct-token Jaccard permille of
+    * the group representatives; the input of [[mstForest]] and
+    * [[singleLinkage]].
+    */
+  private def jaccardEdges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = groupPairsOf(s, dir).pin(true)
+    val tok = tokens(s, dir).pin(true) // intersection join + size agg
+    val sz = tok.groupBy($"doc_id").agg(count(lit(1)).as("n")).pin(true)
+    val it = pairs
+      .join(tok.select($"doc_id".as("a"), $"w"), "a")
+      .join(tok.select($"doc_id".as("b"), $"w"), Seq("b", "w"))
+      .groupBy($"a", $"b").agg(count(lit(1)).as("c"))
+    pairs
+      .join(it, Seq("a", "b"), "left")
+      .join(sz.select($"doc_id".as("a"), $"n".as("na")), "a")
+      .join(sz.select($"doc_id".as("b"), $"n".as("nb")), "b")
+      .select($"a", $"b",
+        (lit(1000L) - expr(
+          "(1000 * coalesce(c, 0)) div (na + nb - coalesce(c, 0))")).as("w"))
+  }
+
+  /** Single-linkage clusters at radius τ=100 (Jaccard ≥ 0.9): the
+    * dendrogram CUT the MSF encodes — connected components of the
+    * τ-thresholded weighted graph, which equal the components of the
+    * MSF's ≤τ edges (the single-linkage/MST duality; SingleLinkageSpec
+    * asserts the equivalence against [[mstForest]] directly). Output is
+    * the cluster-size histogram plus the within-radius edge count — the
+    * "how much does the corpus clump at this similarity?" readout a
+    * dedup policy sweeps before picking its merge radius.
+    *
+    * Scale: the threshold filter prunes BEFORE contraction, so the CC
+    * runs on the sparse ≤τ subgraph ([[starContraction]], O(log n)
+    * keyed rounds); the histogram is two bounded aggs. Cheaper than
+    * cutting a materialized MSF — same answer by the duality.
+    */
+  def singleLinkage(s: SparkSession, dir: String, tau: Long = 100L)
+      : DataFrame = {
+    import s.implicits._
+    val edges = jaccardEdges(s, dir).filter($"w" <= tau).pin(true)
+    val nodes = groupFrame(s, dir).select($"gid")
+    val (labels, _) = starContraction(nodes, edges.select($"a", $"b"))
+    labels.groupBy($"label").agg(count(lit(1)).as("size"))
+      .groupBy($"size").agg(count(lit(1)).as("n_clusters"))
+      .orderBy($"size")
+  }
+
+  lazy val singleLinkageSql: String =
+    groupGraphCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """, sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+        |it AS (SELECT p.a, p.b, count(*) AS c
+        |       FROM gp p JOIN tok x ON x.doc_id = p.a
+        |                 JOIN tok y ON y.doc_id = p.b AND y.w = x.w
+        |       GROUP BY 1, 2),
+        |ew AS MATERIALIZED (
+        |       SELECT p.a, p.b,
+        |         (1000 - (1000 * coalesce(it.c, 0))
+        |          // (sa.n + sb.n - coalesce(it.c, 0)))::BIGINT AS w
+        |       FROM gp p LEFT JOIN it ON p.a = it.a AND p.b = it.b
+        |       JOIN sz sa ON sa.doc_id = p.a
+        |       JOIN sz sb ON sb.doc_id = p.b),
+        |kept AS (SELECT a, b FROM ew WHERE w <= 100),
+        |sym AS (SELECT a, b FROM kept UNION ALL SELECT b, a FROM kept),
+        |reach(node, m) AS (
+        |  SELECT gid, gid FROM g
+        |  UNION
+        |  SELECT s.a, r.m FROM sym s JOIN reach r ON s.b = r.node),
+        |lab AS (SELECT node, min(m) AS label FROM reach GROUP BY node),
+        |csz AS (SELECT label, count(*)::BIGINT AS size FROM lab
+        |        GROUP BY label)
+        |SELECT size, count(*)::BIGINT AS n_clusters
+        |FROM csz GROUP BY size ORDER BY size""".stripMargin
 
   /** Multi-source BFS over the group-contracted near-dup graph: minimum
     * hop distance (≤ 3) from the seed set (every 17th group id) — the
@@ -6061,6 +6122,7 @@ object TextOps {
     "text_dup_span_apply" -> dupSpanApply _,
     "dedup_jaccard_pairs" -> jaccardPairs _,
     "dedup_sorted_neighborhood" -> sortedNeighborhood _,
+    "dedup_single_linkage" -> ((s: SparkSession, dir: String) => singleLinkage(s, dir)),
     "dedup_simhash" -> simhash _,
     "dedup_simhash_pairs" -> simhashPairs _,
     "dedup_simhash_wide_pairs" -> simhashWidePairs _,
@@ -6148,6 +6210,7 @@ object TextOps {
     "text_dup_span_apply" -> dupSpanApplySql,
     "dedup_jaccard_pairs" -> jaccardPairsSql,
     "dedup_sorted_neighborhood" -> sortedNeighborhoodSql,
+    "dedup_single_linkage" -> singleLinkageSql,
     "dedup_simhash" -> simhashSql,
     "dedup_simhash_pairs" -> simhashPairsSql,
     "dedup_simhash_wide_pairs" -> simhashWidePairsSql,
