@@ -257,8 +257,10 @@ object ScalingBench {
       "dedup_sorted_neighborhood", "graph_anf", "graph_lpa_modularity",
       // Borůvka MSF: rounds ≤ log₂(largest component) — constant under
       // vocabulary sharding (components replicate, never merge), so the
-      // slope isolates the per-round edge-tagging + contraction cost
-      "graph_mst")
+      // slope isolates the per-round edge-tagging + contraction cost;
+      // single-linkage: the same jaccardEdges weight term + one CC on
+      // the τ-pruned subgraph
+      "graph_mst", "dedup_single_linkage")
       .filter(q => onlyQs.forall(_.contains(q)))
     val report = scala.collection.mutable.ArrayBuffer.empty[String]
 
