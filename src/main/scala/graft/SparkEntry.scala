@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.operators.{Events, KvAria, Materialized, Multimodal, Quality, Relational, Similarity, Skew, Sketches, Skyline, TemporalJoins, TextOps}
+import graft.operators.{Affinity, Events, KvAria, Materialized, Multimodal, Quality, Relational, Similarity, Skew, Sketches, Skyline, TemporalJoins, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,7 +22,8 @@ object SparkEntry {
     Relational.queries ++ KvAria.queries ++ Events.queries ++
       TextOps.queries ++ Similarity.queries ++ Multimodal.queries ++
       Skew.queries ++ TemporalJoins.queries ++ Skyline.queries ++
-      Sketches.queries ++ Materialized.queries ++ Quality.queries
+      Sketches.queries ++ Materialized.queries ++ Quality.queries ++
+      Affinity.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -30,7 +31,8 @@ object SparkEntry {
     Relational.oracles ++ KvAria.oracles ++ Events.oracles ++
       TextOps.oracles ++ Similarity.oracles ++ Multimodal.oracles ++
       Skew.oracles ++ TemporalJoins.oracles ++ Skyline.oracles ++
-      Sketches.oracles ++ Materialized.oracles ++ Quality.oracles
+      Sketches.oracles ++ Materialized.oracles ++ Quality.oracles ++
+      Affinity.oracles
 
   /** DIAGNOSTIC queries: correct (oracle-gated) at gate scale but kept as
     * measured baselines for a production-width sibling, NOT recommended

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Market-basket affinity analysis (Agrawal–Imieliński–Swami, SIGMOD'93
+  * association rules) — the order-level "frequently bought together"
+  * battery a retail/recommendation pipeline runs over transaction logs.
+  * The reference engine has no recommendation surface; this extends the
+  * analytics inventory the way SURVEY.md §2.2 mandates (COVERAGE.md
+  * "affinity" family).
+  *
+  * Scale shape, by construction:
+  *  - the pair generator is a BASKET-KEYED self-join (equi on the order
+  *    key): candidate volume is Σ_baskets |b|² — linear in rows whenever
+  *    basket sizes are bounded (they are: an order has ≤7 lines in TPC-H,
+  *    ≤13 distinct parts on this corpus), never corpus-quadratic. This is
+  *    the same volume argument as the LSH bucket join, with the basket id
+  *    playing the bucket role — a natural key, so no signature pass.
+  *  - min-support pruning (s_ab ≥ 2) happens in the same aggregation that
+  *    counts pairs — map-side partials fold duplicate pair instances
+  *    before the exchange.
+  *  - per-item supports are a second keyed aggregation over the SAME
+  *    deduplicated item frame; the final enrich joins are key-equi
+  *    (broadcastable while the item vocabulary fits, shuffled otherwise).
+  *  - the single 1-row basket-total frame rides the house 1-row
+  *    broadcast-cross shape (PlanGuardSpec whitelist).
+  *
+  * Everything stays in exact integers: confidence and lift ship as
+  * permille via floor division with ALL-POSITIVE operands (support
+  * counts), so Spark's truncating `div` and DuckDB's flooring `//`
+  * agree. Headroom: 1000·s_ab·n_orders < 2⁶³ holds to ~10¹⁵ basket-pair
+  * instances — beyond that ship the raw supports and divide downstream.
+  */
+object Affinity {
+
+  /** Top-20 association pairs by lift over order baskets: for parts a<b,
+    * support s_ab = #orders containing both, per-item supports s_a/s_b,
+    * confidence(a→b) = s_ab/s_a and lift = N·s_ab/(s_a·s_b) in permille.
+    * Deterministic total order: lift desc, support desc, then the pair.
+    */
+  def marketBasket(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // basket = distinct parts per order (a part twice in one order is
+    // one basket membership, per the standard itemset model)
+    val items = Tables.lineitem(s, dir)
+      .select($"l_orderkey".as("o"), $"l_partkey".as("p"))
+      .distinct()
+    val nOrders = items.agg(countDistinct($"o").as("n_orders"))
+    val supp = items.groupBy($"p").agg(count(lit(1)).as("s"))
+    val pairs = items.select($"o", $"p".as("pa"))
+      .join(items.select($"o", $"p".as("pb")), Seq("o"))
+      .where($"pa" < $"pb")
+      .groupBy($"pa", $"pb").agg(count(lit(1)).as("s_ab"))
+      .where($"s_ab" >= 2L)
+    pairs
+      .join(supp.select($"p".as("pa"), $"s".as("s_a")), Seq("pa"))
+      .join(supp.select($"p".as("pb"), $"s".as("s_b")), Seq("pb"))
+      .crossJoin(nOrders)
+      .select($"pa", $"pb", $"s_ab", $"s_a", $"s_b",
+        expr("(1000 * s_ab) div s_a").as("conf_pm"),
+        expr("(1000 * s_ab * n_orders) div (s_a * s_b)").as("lift_pm"))
+      .orderBy($"lift_pm".desc, $"s_ab".desc, $"pa", $"pb")
+      .limit(20)
+  }
+
+  val marketBasketSql: String =
+    """WITH items AS (
+      |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |n AS (SELECT count(DISTINCT o)::BIGINT AS n_orders FROM items),
+      |supp AS (SELECT p, count(*)::BIGINT AS s FROM items GROUP BY p),
+      |pairs AS (
+      |  SELECT a.p AS pa, b.p AS pb, count(*)::BIGINT AS s_ab
+      |  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+      |  GROUP BY 1, 2 HAVING count(*) >= 2)
+      |SELECT pa, pb, s_ab, sa.s AS s_a, sb.s AS s_b,
+      |  ((1000 * s_ab) // sa.s)::BIGINT AS conf_pm,
+      |  ((1000 * s_ab * n_orders) // (sa.s * sb.s))::BIGINT AS lift_pm
+      |FROM pairs
+      |JOIN supp sa ON pa = sa.p
+      |JOIN supp sb ON pb = sb.p
+      |CROSS JOIN n
+      |ORDER BY lift_pm DESC, s_ab DESC, pa, pb LIMIT 20""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rec_market_basket" -> marketBasket _)
+
+  val oracles: Map[String, String] = Map(
+    "rec_market_basket" -> marketBasketSql)
+}

@@ -1082,6 +1082,68 @@ object Events {
       |  AND (d.valid_to IS NULL OR e.ts < d.valid_to)
       |GROUP BY 1, 2 ORDER BY state, event_type""".stripMargin
 
+  /** Exact autocorrelation function of the daily event-count series at
+    * lags 1..7 — the time-series diagnostic behind seasonality detection
+    * ("does activity today predict activity k days out?"), kept in exact
+    * integers: with daily counts x_t (t = 0..n−1), mean factored out by
+    * multiplying through by n, r_k = num_k/den where
+    * num_k = Σ_t (n·x_t − S)(n·x_{t+k} − S) and den = Σ_t (n·x_t − S)²
+    * (S = Σx — the standard full-series-mean ACF, denominators shared
+    * across lags). num_k is signed, so the permille is sign-factored
+    * before the floor division (Spark `div` truncates, DuckDB `//`
+    * floors — they differ on negatives; see stat_group_ols).
+    *
+    * Scale: ONE corpus scan folds events to the ≤|calendar-days| daily
+    * frame (map-side combinable count); everything after is arithmetic
+    * on that bounded frame — the lag pairing is an equi-join on the day
+    * index (t+k), the three 1-row normalizer frames ride the house
+    * bounded broadcast-cross shape (PlanGuardSpec whitelist). More data
+    * means heavier days, never more rows past the first fold.
+    */
+  def acf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.events(s, dir)
+      .groupBy(datediff(date_trunc("day", $"ts"),
+        lit("2024-01-01").cast("date")).cast("long").as("t"))
+      .agg(count(lit(1)).as("x"))
+    val tot = daily.agg(count(lit(1)).as("n"), sum($"x").as("sx"))
+    val dev = daily.crossJoin(tot)
+      .select($"t", ($"n" * $"x" - $"sx").as("d"))
+    val den = dev.agg(sum($"d" * $"d").as("den"))
+    val lagged = dev.select($"t", $"d")
+      .withColumn("k", explode(sequence(lit(1L), lit(7L))))
+      .select(($"t" + $"k").as("t2"), $"k", $"d".as("d_a"))
+    val num = lagged
+      .join(dev.select($"t".as("t2"), $"d".as("d_b")), Seq("t2"))
+      .groupBy($"k").agg(sum($"d_a" * $"d_b").as("num"))
+    num.crossJoin(den)
+      .select($"k", $"num", $"den",
+        expr("""(CASE WHEN num < 0 THEN -1 ELSE 1 END) *
+               ((1000 * abs(num)) div den)""").as("acf_pm"))
+      .orderBy($"k")
+  }
+
+  val acfSql: String =
+    """WITH daily AS (
+      |  SELECT date_diff('day', DATE '2024-01-01',
+      |           CAST(date_trunc('day', ts) AS DATE))::BIGINT AS t,
+      |    count(*)::BIGINT AS x
+      |  FROM events GROUP BY 1),
+      |tot AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx
+      |        FROM daily),
+      |dev AS (SELECT t, (n * x - sx)::BIGINT AS d
+      |        FROM daily CROSS JOIN tot),
+      |den AS (SELECT sum(d * d)::BIGINT AS den FROM dev),
+      |ks AS (SELECT unnest(range(1, 8))::BIGINT AS k),
+      |num AS (
+      |  SELECT k, sum(a.d * b.d)::BIGINT AS num
+      |  FROM ks CROSS JOIN dev a JOIN dev b ON b.t = a.t + ks.k
+      |  GROUP BY k)
+      |SELECT k, num, den,
+      |  ((CASE WHEN num < 0 THEN -1 ELSE 1 END) *
+      |   ((1000 * abs(num)) // den))::BIGINT AS acf_pm
+      |FROM num CROSS JOIN den ORDER BY k""".stripMargin
+
   /** Per-user dyadic EWMA of event value — the feature-store smoothing
     * primitive ("recent spend, exponentially discounted") kept
     * bit-exact: with α = 1/2 truncated at depth 8, the smoothed value
@@ -1214,6 +1276,7 @@ object Events {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_survival_table" -> survivalTable _,
+    "ev_acf" -> acf _,
     "ev_ewma" -> ewma _,
     "ev_changepoint" -> changepoint _,
     "ev_resample_locf" -> resampleLocf _,
@@ -1243,6 +1306,7 @@ object Events {
 
   val oracles: Map[String, String] = Map(
     "ev_survival_table" -> survivalTableSql,
+    "ev_acf" -> acfSql,
     "ev_ewma" -> ewmaSql,
     "ev_changepoint" -> changepointSql,
     "ev_resample_locf" -> resampleLocfSql,

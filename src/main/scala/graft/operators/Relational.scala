@@ -2185,6 +2185,69 @@ object Relational {
       |    AS slope_pm
       |FROM d ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** Per-segment Theil–Sen trend — the robust complement of
+    * [[statGroupOls]]: the slope of monthly segment revenue against the
+    * month index, estimated as the MEDIAN of all pairwise slopes
+    * (Theil 1950, Sen 1968; 29.3% breakdown vs OLS's zero — one crazy
+    * month cannot move it). Pairwise slope (rev₂−rev₁)/(m₂−m₁) ships in
+    * integer micro-cents-per-month with the sign factored out of the
+    * floor division (revenue can dip month-over-month, and Spark's `div`
+    * truncates while DuckDB's `//` floors on negatives — the
+    * stat_group_ols rule); the lower median is selected by exact rank
+    * under the deterministic total order (slope, m₁, m₂).
+    *
+    * Scale: the corpus pass is ONE keyed aggregation to the
+    * (segment × month) frame — bounded by the CALENDAR (≈80 months ×
+    * 5 segments here), not the corpus; 100 TB means heavier months,
+    * never more pairs. The pair generator is a segment-keyed self-join
+    * on that bounded frame (≤C(80,2)·5 ≈ 16k rows), and the median rank
+    * is a window PARTITIONED by segment — no unpartitioned window, no
+    * cross join anywhere in the plan.
+    */
+  def statTheilSen(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val mo = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment".as("seg"),
+        (year($"o_orderdate") * 12 + month($"o_orderdate") - 1)
+          .cast("long").as("m"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("rev"))
+    val a = mo.select($"seg", $"m".as("m1"), $"rev".as("r1"))
+    val b = mo.select($"seg", $"m".as("m2"), $"rev".as("r2"))
+    val slopes = a.join(b, Seq("seg")).where($"m1" < $"m2")
+      .select($"seg", $"m1", $"m2",
+        expr("""(CASE WHEN r2 - r1 < 0 THEN -1 ELSE 1 END) *
+               ((1000000 * abs(r2 - r1)) div (m2 - m1))""").as("sm"))
+    val w = Window.partitionBy($"seg")
+    slopes
+      .withColumn("rn", row_number().over(w.orderBy($"sm", $"m1", $"m2")))
+      .withColumn("np", count(lit(1)).over(w))
+      .where($"rn" === expr("(np + 1) div 2"))
+      .select($"seg", $"np".as("n_pairs"), $"sm".as("slope_micro"))
+      .orderBy($"seg")
+  }
+
+  val statTheilSenSql: String =
+    """WITH mo AS (
+      |  SELECT c_mktsegment AS seg,
+      |    (year(o_orderdate) * 12 + month(o_orderdate) - 1)::BIGINT AS m,
+      |    sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS rev
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |sl AS (
+      |  SELECT a.seg, a.m AS m1, b.m AS m2,
+      |    ((CASE WHEN b.rev - a.rev < 0 THEN -1 ELSE 1 END) *
+      |     ((1000000 * abs(b.rev - a.rev)) // (b.m - a.m)))::BIGINT AS sm
+      |  FROM mo a JOIN mo b ON a.seg = b.seg AND a.m < b.m),
+      |r AS (
+      |  SELECT seg, sm,
+      |    row_number() OVER (PARTITION BY seg ORDER BY sm, m1, m2) AS rn,
+      |    count(*) OVER (PARTITION BY seg) AS np
+      |  FROM sl)
+      |SELECT seg, np::BIGINT AS n_pairs, sm AS slope_micro
+      |FROM r WHERE rn = (np + 1) // 2 ORDER BY seg""".stripMargin
+
   /** Gini coefficient of per-customer spend — the one-number inequality
     * scalar behind `ev_whale_curve`'s decile read, exact: with spend
     * x₍₁₎ ≤ … ≤ x₍ₙ₎ (whole dollars; ties broken by custkey) the mean-
@@ -2233,6 +2296,7 @@ object Relational {
     "stat_gini" -> statGini _,
     "stat_ks_drift" -> statKsDrift _,
     "stat_group_ols" -> statGroupOls _,
+    "stat_theil_sen" -> statTheilSen _,
     "stat_mad_outliers" -> statMadOutliers _,
     "q51_revenue_change" -> q51RevenueChange _,
     "q52_supplier_value_share" -> q52SupplierValueShare _,
@@ -2308,6 +2372,7 @@ object Relational {
     "stat_gini" -> statGiniSql,
     "stat_ks_drift" -> statKsDriftSql,
     "stat_group_ols" -> statGroupOlsSql,
+    "stat_theil_sen" -> statTheilSenSql,
     "stat_mad_outliers" -> statMadOutliersSql,
     "q49_unshipped_orders" -> q49Sql,
     "q50_local_supplier_volume" -> q50Sql,

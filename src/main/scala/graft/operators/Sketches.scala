@@ -325,6 +325,99 @@ object Sketches {
        |FROM probes JOIN cells USING (j, bucket)
        |GROUP BY priority, exact_n ORDER BY priority""".stripMargin
 
+  /** Join-size estimation from count-min inner products (Cormode &
+    * Muthukrishnan 2005 §4.2; the AMS F₂ idea carried by CMS buckets) —
+    * the query-planner primitive that prices a join WITHOUT running it.
+    * Estimated here on the corpus's skew-bearing self-join, lineitem ⋈
+    * lineitem on l_partkey (size = Σ_p f(p)² — also exactly the
+    * candidate volume a partkey-blocked dedup would pay): for each of
+    * d=2 hash rows, est_j = Σ_b c_j[b]² ≥ Σ f² with equality iff no
+    * collisions, so est = min_j est_j OVERESTIMATES by at most n²/w in
+    * expectation — the one-sided bound that makes it safe for
+    * budget-gating ("never under-provision the shuffle").
+    *
+    * Scale: the sketch build is ONE scan with a map-side-combinable
+    * (row, bucket) count — d·w = 16,384 cells of state regardless of
+    * corpus size, mergeable across partitions/shards/days by cell-wise
+    * sum (the reason planners ship CMS and not samples); the exact side
+    * (shipped for the error surface, as with KMV/HLL) is one keyed
+    * aggregation. The single 1-row cross assembling the report row is
+    * the house bounded-broadcast shape.
+    *
+    * Like HLL (and unlike [[cmsFreq]]'s point estimates, which only
+    * need hash ORDER exchangeability), the inner product reads bucket
+    * OCCUPANCY — a bit-pattern statistic — so the plain affine hash is
+    * disqualified: over this corpus's sequential part keys its
+    * equally-spaced output lattice lands 2,000 keys in 2,000 DISTINCT
+    * buckets of 8,192 (measured: zero collisions in either row, est =
+    * exact — a misleadingly perfect sketch that would shatter the
+    * moment keys stop being consecutive). Both rows therefore pay the
+    * avalanche rounds; the surviving overestimate is the honest n²/w
+    * collision price.
+    */
+  def cmsJoinCard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = 8192L
+    val rows = Seq((0, 2654435761L, 12007L, 1779033703L, 514229L),
+      (1, 52361L, 33023L, 2246822519L, 28657L))
+    val cells = Tables.lineitem(s, dir)
+      .select($"l_partkey".as("key"))
+      .select(explode(array(rows.map { case (j, a, b, c, d) =>
+        struct(lit(j).as("j"),
+          (avalanche(h($"key", a, b), c, d) % w).as("bucket"))
+      }: _*)).as("e"))
+      .select($"e.j".as("j"), $"e.bucket".as("bucket"))
+      .groupBy($"j", $"bucket")
+      .agg(count(lit(1)).as("c"))
+    val est = cells.groupBy($"j").agg(sum($"c" * $"c").as("est"))
+      .agg(sum(when($"j" === 0, $"est")).as("est_row0"),
+        sum(when($"j" === 1, $"est")).as("est_row1"),
+        min($"est").as("est_join"))
+    val exact = Tables.lineitem(s, dir)
+      .groupBy($"l_partkey").agg(count(lit(1)).as("f"))
+      .agg(sum($"f" * $"f").as("exact_join"))
+    est.crossJoin(exact)
+      .select($"est_row0", $"est_row1", $"est_join", $"exact_join",
+        // one-sided: est ≥ exact always, so operands stay positive
+        expr("(1000 * (est_join - exact_join)) div exact_join")
+          .as("overest_pm"))
+  }
+
+  val cmsJoinCardSql: String =
+    s"""WITH y0 AS (
+       |  SELECT xor((2654435761 * l_partkey + 12007) % $M,
+       |             ((2654435761 * l_partkey + 12007) % $M) >> 15) AS y
+       |  FROM lineitem),
+       |y1 AS (
+       |  SELECT xor((52361 * l_partkey + 33023) % $M,
+       |             ((52361 * l_partkey + 33023) % $M) >> 15) AS y
+       |  FROM lineitem),
+       |cells AS (
+       |  SELECT 0 AS j,
+       |    xor((1779033703 * y + 514229) % $M,
+       |        ((1779033703 * y + 514229) % $M) >> 13) % 8192 AS bucket,
+       |    count(*)::BIGINT AS c
+       |  FROM y0 GROUP BY 2
+       |  UNION ALL
+       |  SELECT 1,
+       |    xor((2246822519 * y + 28657) % $M,
+       |        ((2246822519 * y + 28657) % $M) >> 13) % 8192,
+       |    count(*)::BIGINT
+       |  FROM y1 GROUP BY 2),
+       |est AS (
+       |  SELECT sum(CASE WHEN j = 0 THEN e END)::BIGINT AS est_row0,
+       |    sum(CASE WHEN j = 1 THEN e END)::BIGINT AS est_row1,
+       |    min(e)::BIGINT AS est_join
+       |  FROM (SELECT j, sum(c * c)::BIGINT AS e FROM cells GROUP BY j)),
+       |exact AS (
+       |  SELECT sum(f * f)::BIGINT AS exact_join
+       |  FROM (SELECT count(*)::BIGINT AS f FROM lineitem
+       |        GROUP BY l_partkey))
+       |SELECT est_row0, est_row1, est_join, exact_join,
+       |  ((1000 * (est_join - exact_join)) // exact_join)::BIGINT
+       |    AS overest_pm
+       |FROM est CROSS JOIN exact""".stripMargin
+
   /** Stratified sampling over the corpus: per-language per-mille rates
     * (downsample the dominant language, keep the tail), selected by a
     * deterministic multiplicative hash of the row key — rerun-, partition-
@@ -1285,6 +1378,7 @@ object Sketches {
     "sketch_hll_distinct" -> hllDistinct _,
     "sketch_hash_sample" -> hashSample _,
     "sketch_cms_freq" -> cmsFreq _,
+    "sketch_cms_join_card" -> cmsJoinCard _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1307,5 +1401,6 @@ object Sketches {
     "sketch_hll_distinct" -> hllDistinctSql,
     "sketch_hash_sample" -> hashSampleSql,
     "sketch_cms_freq" -> cmsFreqSql,
+    "sketch_cms_join_card" -> cmsJoinCardSql,
   )
 }

@@ -122,7 +122,16 @@ class PlanGuardSpec extends SparkSpec {
     // two 1-row broadcast digit-total frames (one per audited column)
     "dq_benford" -> 2,
     // 1-row broadcast corpus-end frame (the censor clock)
-    "ev_survival_table" -> 1)
+    "ev_survival_table" -> 1,
+    // the 1-row (n, Σx) normalizer crossed into the ≤|days| daily frame,
+    // whose deviation subtree appears THREE times in the plan (lag side,
+    // join side, denominator fold), + the 1-row denominator cross into
+    // the 7-row lag frame (r13 session 3)
+    "ev_acf" -> 4,
+    // 1-row broadcast basket-total frame (the lift normalizer N)
+    "rec_market_basket" -> 1,
+    // 1-row broadcast exact-join-size frame joined to the 1-row estimate
+    "sketch_cms_join_card" -> 1)
 
   /** Queries whose plans legitimately contain a Window with EMPTY
     * partitionSpec — Spark executes such a window on a SINGLE task
@@ -183,7 +192,10 @@ class PlanGuardSpec extends SparkSpec {
     "dq_numeric_drift" -> 3,
     "dq_chi_square" -> 1, // the 1-row N frame (r13 session 2)
     "dq_benford" -> 2, // the two per-column 1-row totals (r13 session 2)
+    "ev_acf" -> 4, // 3× the 1-row (n,Σx) cross + the 1-row den (r13 s3)
     "ev_survival_table" -> 1, // the 1-row censor clock (r13 session 2)
+    "rec_market_basket" -> 1, // the 1-row basket-total N (r13 session 3)
+    "sketch_cms_join_card" -> 1, // the 1-row exact-size frame (r13 s3)
     "ev_whale_curve" -> 1,
     "graph_diameter_probe" -> 1,
     "kv_scan_count" -> 2,
