@@ -36,6 +36,28 @@ import graft.sources.Tables
   */
 object Affinity {
 
+  /** Deduplicated basket-membership frame (order o, part p) — basket =
+    * distinct parts per order (a part twice in one order is one basket
+    * membership, per the standard itemset model). Shared by
+    * [[marketBasket]] and [[itemCosine]].
+    */
+  private def itemsOf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .select($"l_orderkey".as("o"), $"l_partkey".as("p"))
+      .distinct()
+  }
+
+  /** Pair supports s_ab (≥ 2) from the basket-keyed self-join, a < b. */
+  private def pairsOf(items: DataFrame): DataFrame = {
+    import items.sparkSession.implicits._
+    items.select($"o", $"p".as("pa"))
+      .join(items.select($"o", $"p".as("pb")), Seq("o"))
+      .where($"pa" < $"pb")
+      .groupBy($"pa", $"pb").agg(count(lit(1)).as("s_ab"))
+      .where($"s_ab" >= 2L)
+  }
+
   /** Top-20 association pairs by lift over order baskets: for parts a<b,
     * support s_ab = #orders containing both, per-item supports s_a/s_b,
     * confidence(a→b) = s_ab/s_a and lift = N·s_ab/(s_a·s_b) in permille.
@@ -43,19 +65,10 @@ object Affinity {
     */
   def marketBasket(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // basket = distinct parts per order (a part twice in one order is
-    // one basket membership, per the standard itemset model)
-    val items = Tables.lineitem(s, dir)
-      .select($"l_orderkey".as("o"), $"l_partkey".as("p"))
-      .distinct()
+    val items = itemsOf(s, dir)
     val nOrders = items.agg(countDistinct($"o").as("n_orders"))
     val supp = items.groupBy($"p").agg(count(lit(1)).as("s"))
-    val pairs = items.select($"o", $"p".as("pa"))
-      .join(items.select($"o", $"p".as("pb")), Seq("o"))
-      .where($"pa" < $"pb")
-      .groupBy($"pa", $"pb").agg(count(lit(1)).as("s_ab"))
-      .where($"s_ab" >= 2L)
-    pairs
+    pairsOf(items)
       .join(supp.select($"p".as("pa"), $"s".as("s_a")), Seq("pa"))
       .join(supp.select($"p".as("pb"), $"s".as("s_b")), Seq("pb"))
       .crossJoin(nOrders)
@@ -84,9 +97,71 @@ object Affinity {
       |CROSS JOIN n
       |ORDER BY lift_pm DESC, s_ab DESC, pa, pb LIMIT 20""".stripMargin
 
+  /** Per-item top-3 co-purchase recommendations (Sarwar et al., WWW'01
+    * item-based collaborative filtering): for every item with a
+    * qualifying pair, the 3 neighbors with the highest cosine similarity
+    * over basket-membership vectors — cos(a,b) = s_ab/√(s_a·s_b), kept
+    * exact as cos²·10⁶ = (10⁶·s_ab²) div (s_a·s_b) (squaring clears the
+    * square root; cosine is non-negative here so the order is preserved).
+    * The per-item form of [[marketBasket]]'s global rule list — "users
+    * who bought X also bought" is THE production recommendation query.
+    *
+    * Scale: the pair frame is the same basket-bounded self-join; the
+    * top-3 cut is a window PARTITIONED by item (per-item candidate fan
+    * bounded by the item's co-purchase vocabulary, never the corpus).
+    * Headroom: 10⁶·s_ab² < 2⁶³ holds to s_ab ≈ 3·10⁶ baskets per pair —
+    * beyond that drop the 10⁶ scale to 10⁴.
+    */
+  def itemCosine(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val items = itemsOf(s, dir)
+    val supp = items.groupBy($"p").agg(count(lit(1)).as("s"))
+    val pairs = pairsOf(items)
+    val sym = pairs.select($"pa".as("item"), $"pb".as("rec"), $"s_ab")
+      .unionByName(pairs.select($"pb".as("item"), $"pa".as("rec"), $"s_ab"))
+    sym
+      .join(supp.select($"p".as("item"), $"s".as("s_i")), Seq("item"))
+      .join(supp.select($"p".as("rec"), $"s".as("s_r")), Seq("rec"))
+      .withColumn("cos2_ppm",
+        expr("(1000000 * s_ab * s_ab) div (s_i * s_r)"))
+      .withColumn("rn", row_number().over(Window.partitionBy($"item")
+        .orderBy($"cos2_ppm".desc, $"s_ab".desc, $"rec")))
+      .where($"rn" <= 3)
+      .select($"item", $"rn", $"rec", $"s_ab", $"cos2_ppm")
+      .orderBy($"item", $"rn")
+  }
+
+  val itemCosineSql: String =
+    """WITH items AS (
+      |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |supp AS (SELECT p, count(*)::BIGINT AS s FROM items GROUP BY p),
+      |pairs AS (
+      |  SELECT a.p AS pa, b.p AS pb, count(*)::BIGINT AS s_ab
+      |  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |sym AS (
+      |  SELECT pa AS item, pb AS rec, s_ab FROM pairs
+      |  UNION ALL
+      |  SELECT pb, pa, s_ab FROM pairs),
+      |scored AS (
+      |  SELECT item, rec, s_ab,
+      |    ((1000000 * s_ab * s_ab) // (si.s * sr.s))::BIGINT AS cos2_ppm
+      |  FROM sym
+      |  JOIN supp si ON item = si.p
+      |  JOIN supp sr ON rec = sr.p),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY item
+      |    ORDER BY cos2_ppm DESC, s_ab DESC, rec) AS rn
+      |  FROM scored)
+      |SELECT item, rn::BIGINT AS rn, rec, s_ab, cos2_ppm
+      |FROM ranked WHERE rn <= 3 ORDER BY item, rn""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "rec_market_basket" -> marketBasket _)
+    "rec_market_basket" -> marketBasket _,
+    "rec_item_cosine" -> itemCosine _)
 
   val oracles: Map[String, String] = Map(
-    "rec_market_basket" -> marketBasketSql)
+    "rec_market_basket" -> marketBasketSql,
+    "rec_item_cosine" -> itemCosineSql)
 }

@@ -2757,6 +2757,101 @@ object Similarity {
       |SELECT true_label, pred_label, count(*)::BIGINT AS n
       |FROM pred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** nDCG@10 of the exact k-NN retrieval under label relevance — the
+    * ranking-quality metric that completes the eval battery (AUC and
+    * PR measure the CLASSIFIER; nDCG measures the RANKING a retrieval
+    * system actually serves). For each of the 10 fixed query vectors,
+    * the corpus is ranked by exact quantized L2 (the [[knnClassify]]
+    * retrieval), a position is relevant iff its label matches the
+    * query's, and DCG uses the HARMONIC discount 1/(i+1) — Järvelin &
+    * Kekäläinen's framework explicitly admits alternative discount
+    * curves, and the harmonic one is exactly representable in integers:
+    * scaling by lcm(2..11) = 27720 makes every positional weight
+    * 27720/(i+1) a whole number, so DCG, ideal DCG (the top-min(10,R)
+    * prefix for a query whose label has R corpus members), and the
+    * permille ratio are all exact across engines — a log2 discount
+    * would park an irrational in every weight.
+    *
+    * Scale: the ranking is the bounded-broadcast probe scan (10 query
+    * vectors against the corpus — the sim_cosine_topk shape) ended by a
+    * qid-PARTITIONED top-10 window; the per-label relevant counts are
+    * one keyed aggregation. Nothing holds more than 10 rows per query
+    * past the scan.
+    */
+  def evalNdcg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val wts = Seq(13860L, 9240L, 6930L, 5544L, 4620L,
+      3960L, 3465L, 3080L, 2772L, 2520L)
+    val cum = wts.scanLeft(0L)(_ + _).tail
+    val emb = Tables.embeddings(s, dir)
+      .select($"vec_id", $"label".cast("long").as("label"),
+        qvec($"embedding").as("q"))
+      .withColumn("n2", norm2($"q"))
+    val qs = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"label".as("true_label"),
+        $"q".as("qq"), $"n2".as("qn2"))
+    val corpus = emb.filter($"vec_id" >= 10)
+    val nLabel = corpus.groupBy($"label".as("true_label"))
+      .agg(count(lit(1)).as("n_label"))
+    corpus.crossJoin(broadcast(qs))
+      .select($"qid", $"true_label", $"vec_id", $"label",
+        ($"n2" + $"qn2" - lit(2L) * dot($"q", $"qq")).as("d2"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"qid").orderBy($"d2", $"vec_id")))
+      .filter($"rn" <= 10)
+      .groupBy($"qid", $"true_label")
+      .agg(sum(when($"label" === $"true_label",
+          element_at(array(wts.map(lit): _*), $"rn".cast("int")))
+          .otherwise(0L)).as("dcg"),
+        sum(when($"label" === $"true_label", 1L).otherwise(0L))
+          .as("n_rel"))
+      .join(nLabel, Seq("true_label"))
+      .withColumn("idcg", element_at(array(cum.map(lit): _*),
+        least(lit(10L), $"n_label").cast("int")))
+      .select($"qid", $"true_label", $"n_rel", $"dcg", $"idcg",
+        expr("(1000 * dcg) div idcg").as("ndcg_pm"))
+      .orderBy($"qid")
+  }
+
+  val evalNdcgSql: String =
+    """WITH qv AS (
+      |  SELECT vec_id, label::BIGINT AS label,
+      |    [floor(x::DOUBLE * 10000)::BIGINT FOR x IN embedding] AS q
+      |  FROM embeddings),
+      |co AS (SELECT * FROM qv WHERE vec_id >= 10),
+      |qs AS (SELECT vec_id AS qid, label AS true_label, q AS qq
+      |       FROM qv WHERE vec_id < 10),
+      |nl AS (SELECT label AS true_label, count(*)::BIGINT AS n_label
+      |       FROM co GROUP BY 1),
+      |d AS (
+      |  SELECT qid, true_label, vec_id, label,
+      |    sum((x - y) * (x - y))::BIGINT AS d2
+      |  FROM (SELECT qs.qid, qs.true_label, co.vec_id, co.label,
+      |          unnest(co.q) AS x, unnest(qs.qq) AS y
+      |        FROM co, qs) z
+      |  GROUP BY 1, 2, 3, 4),
+      |top AS (
+      |  SELECT qid, true_label, label, rn FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY qid
+      |      ORDER BY d2, vec_id) AS rn FROM d) t
+      |  WHERE rn <= 10),
+      |g AS (
+      |  SELECT qid, true_label,
+      |    sum(CASE WHEN label = true_label THEN
+      |      ([13860,9240,6930,5544,4620,3960,3465,3080,2772,2520])[rn]
+      |      ELSE 0 END)::BIGINT AS dcg,
+      |    sum(CASE WHEN label = true_label THEN 1 ELSE 0 END)::BIGINT
+      |      AS n_rel
+      |  FROM top GROUP BY 1, 2)
+      |SELECT qid, true_label, n_rel, dcg,
+      |  ([13860,23100,30030,35574,40194,44154,47619,50699,53471,55991]
+      |   )[least(10, n_label)]::BIGINT AS idcg,
+      |  ((1000 * dcg) //
+      |   ([13860,23100,30030,35574,40194,44154,47619,50699,53471,55991]
+      |    )[least(10, n_label)])::BIGINT AS ndcg_pm
+      |FROM g JOIN nl USING (true_label) ORDER BY qid""".stripMargin
+
   /** Hybrid retrieval with reciprocal-rank fusion (Cormack, Clarke &
     * Buettcher, SIGIR 2009): for each probe document (the aligned
     * vec_id = doc_id < 10 query convention) fuse its VECTOR ranking
@@ -3235,6 +3330,7 @@ object Similarity {
     "sim_outliers" -> labelOutliers _,
     "sim_nearest_centroid" -> nearestCentroid _,
     "sim_knn_classify" -> knnClassify _,
+    "eval_ndcg" -> evalNdcg _,
     "sim_hybrid_rrf" -> hybridRrf _,
     "sim_label_prop" -> labelProp _,
     "sim_range_search" -> rangeSearch _,
@@ -3277,6 +3373,7 @@ object Similarity {
     "sim_outliers" -> labelOutliersSql,
     "sim_nearest_centroid" -> nearestCentroidSql,
     "sim_knn_classify" -> knnClassifySql,
+    "eval_ndcg" -> evalNdcgSql,
     "sim_hybrid_rrf" -> hybridRrfSql,
     "sim_label_prop" -> labelPropSql,
     "sim_range_search" -> rangeSearchSql,

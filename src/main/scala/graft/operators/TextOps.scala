@@ -2890,6 +2890,76 @@ object TextOps {
       "\nSELECT doc_id, r AS rank FROM r3 ORDER BY doc_id"
   }
 
+  /** Personalized PageRank (Haveliwala, WWW'02; the push/seed-restart
+    * form every "find documents related to THIS set" expansion uses —
+    * seed-set expansion over the near-dup graph is how a curation
+    * pipeline grows a topic slice from a few exemplars). Identical BSP
+    * loop, fixed-point arithmetic, and edge layout as [[pageRank]]; the
+    * ONE change is the teleport vector: mass restarts only at the seed
+    * set (here the deterministic ~1% slice doc_id ≡ 0 mod 97), so rank
+    * measures proximity to the seeds instead of global centrality —
+    * non-seed docs hold rank 0 until contribution mass reaches them,
+    * and anything outside the seeds' components stays exactly 0 (the
+    * locality that makes PPR the scalable choice: mass touches only
+    * the seeds' neighborhoods, however big the graph).
+    *
+    * Output: the top-20 ranked docs (rank desc, doc_id) with their seed
+    * flag — the expansion list, seeds naturally at the top.
+    */
+  def pprRank(s: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+    import s.implicits._
+    val nodes = Tables.documents(s, dir)
+      .select($"doc_id", ($"doc_id" % 97L === 0L).as("seed"))
+      .pin(true) // re-read every round (the rank left-join base)
+    val pairs = minhashCandidates(s, dir).pin(true) // union reads it twice
+    val edges = pairs.select($"a".as("src"), $"b".as("dst"))
+      .unionByName(pairs.select($"b".as("src"), $"a".as("dst")))
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("d"))
+    val edgesD = edges.join(deg, "src")
+      .select($"src", $"dst", $"d")
+      .pin(true) // re-joined every round
+    var r = nodes.select($"doc_id",
+      when($"seed", 1000000L).otherwise(0L).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = edgesD
+        .join(r.withColumnRenamed("doc_id", "src"), "src")
+        .select($"dst".as("doc_id"), expr("r div d").as("c"))
+        .groupBy($"doc_id").agg(sum($"c").as("s"))
+      r = nodes.join(contrib, Seq("doc_id"), "left")
+        .select($"doc_id", $"seed",
+          (when($"seed", 150000L).otherwise(0L)
+            + expr("(85 * coalesce(s, 0)) div 100")).as("r"))
+    }
+    r.select($"doc_id", $"seed", $"r".as("rank"))
+      .orderBy($"rank".desc, $"doc_id").limit(20)
+  }
+
+  val pprRankSql: String = {
+    def iterCte(k: Int): String =
+      s""",
+         |p$k AS (
+         |  SELECT n.doc_id, n.seed,
+         |    (CASE WHEN n.seed THEN 150000 ELSE 0 END
+         |     + (85 * COALESCE(c.s, 0)) // 100)::BIGINT AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS doc_id, sum(r.r // deg.d)::BIGINT AS s
+         |    FROM edges e JOIN p${k - 1} r ON e.src = r.doc_id
+         |                 JOIN deg ON deg.src = e.src
+         |    GROUP BY e.dst) c ON n.doc_id = c.doc_id)""".stripMargin
+    minhashPairsCte +
+      """, nodes AS (SELECT doc_id, doc_id % 97 = 0 AS seed
+        |            FROM documents),
+        |edges AS (SELECT a AS src, b AS dst FROM pairs
+        |          UNION ALL SELECT b, a FROM pairs),
+        |deg AS (SELECT src, count(*)::BIGINT AS d FROM edges GROUP BY src),
+        |p0 AS (SELECT doc_id, seed,
+        |         (CASE WHEN seed THEN 1000000 ELSE 0 END)::BIGINT AS r
+        |       FROM nodes)""".stripMargin +
+      (1 to 3).map(iterCte).mkString +
+      "\nSELECT doc_id, seed, r AS rank FROM p3 " +
+      "ORDER BY rank DESC, doc_id LIMIT 20"
+  }
+
   /** Triangle counting over the minhash near-dup graph (node-iterator++ /
     * MPS degree orientation — Suri & Vassilvitskii 2011, the MapReduce
     * formulation): per doc, the number of triangles it belongs to — the
@@ -6095,6 +6165,7 @@ object TextOps {
       ((s: SparkSession, dir: String) => bpeTrainIncremental(s, dir)),
     "text_bpe_encode" -> bpeEncode _,
     "graph_pagerank" -> ((s: SparkSession, dir: String) => pageRank(s, dir)),
+    "graph_ppr" -> ((s: SparkSession, dir: String) => pprRank(s, dir)),
     "text_inverted_index" -> invertedIndex _,
     "graph_triangles" -> triangles _,
     "graph_clustering_coeff" -> clusteringCoeff _,
@@ -6183,6 +6254,7 @@ object TextOps {
     "text_bpe_train_incremental" -> bpeTrainSql,
     "text_bpe_encode" -> bpeEncodeSql,
     "graph_pagerank" -> pageRankSql,
+    "graph_ppr" -> pprRankSql,
     "text_inverted_index" -> invertedIndexSql,
     "graph_triangles" -> trianglesSql,
     "graph_clustering_coeff" -> clusteringCoeffSql,

@@ -28,6 +28,8 @@ class PlanGuardSpec extends SparkSpec {
     "sim_ivf_topk" -> 2, // centroid table in assign + probe branches
     "sim_cosine_topk" -> 1, // fixed broadcast query-vector set
     "sim_knn_classify" -> 1, // fixed 100-vector broadcast eval set
+    // fixed 10-vector broadcast query set (the ranked retrieval)
+    "eval_ndcg" -> 1,
     // fixed broadcast probe set (vector channel) + the 1-row broadcast
     // ndocs frame feeding the lexical df-prune threshold (r13)
     "sim_hybrid_rrf" -> 2,
@@ -193,6 +195,7 @@ class PlanGuardSpec extends SparkSpec {
     "dq_chi_square" -> 1, // the 1-row N frame (r13 session 2)
     "dq_benford" -> 2, // the two per-column 1-row totals (r13 session 2)
     "ev_acf" -> 4, // 3× the 1-row (n,Σx) cross + the 1-row den (r13 s3)
+    "eval_ndcg" -> 1, // the 10-vector broadcast query set (r13 s3)
     "ev_survival_table" -> 1, // the 1-row censor clock (r13 session 2)
     "rec_market_basket" -> 1, // the 1-row basket-total N (r13 session 3)
     "sketch_cms_join_card" -> 1, // the 1-row exact-size frame (r13 s3)
