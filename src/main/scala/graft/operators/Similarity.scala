@@ -3284,6 +3284,16 @@ object Similarity {
     */
   def covarianceMatrix(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    covNumFrame(s, dir).orderBy($"i", $"j")
+  }
+
+  /** The unsorted upper-triangle covariance-numerator frame (i ≤ j,
+    * cov_num = n·Σqᵢqⱼ − Σqᵢ·Σqⱼ) — [[covarianceMatrix]]'s body, shared
+    * with [[pcaPower]] which consumes it re-shuffled and must not pay
+    * the presentation sort.
+    */
+  private def covNumFrame(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val d = 64
     val q = Tables.embeddings(s, dir)
       .select($"vec_id",
@@ -3305,7 +3315,112 @@ object Similarity {
       .join(broadcast(dims.select($"i".as("j"), $"sx".as("sx_j"))), Seq("j"))
       .select($"i".cast("long"), $"j".cast("long"),
         ($"n" * $"sxy" - $"sx_i" * $"sx_j").as("cov_num"))
-      .orderBy($"i", $"j")
+  }
+
+  /** Top principal component of the embedding corpus by fixed-point
+    * power iteration — PCA's workhorse step (von Mises–Pollaczek 1929;
+    * Halko et al. 2011 §4 for why matrix-free products are THE scale
+    * form), run entirely on the ≤2,080-row folded covariance so the
+    * corpus is touched exactly once however many iterations run.
+    * Eigenvectors are invariant under positive scaling of the matrix,
+    * so the iteration uses the integer covariance NUMERATOR, pre-shifted
+    * by the data-dependent s = max(0, bitlength(max|C|) − 36) keeping
+    * |Cs| < 2³⁶: with the iterate rescaled to |v| ≤ 2²⁰ each round,
+    * every Σⱼ Cs·vⱼ stays under 2³⁶⁺²⁰⁺⁶ = 2⁶² — exact int64 in both
+    * engines at ANY corpus size (the shift grows with the data; the
+    * floor-div perturbations are the standard fixed-point price and
+    * identical cross-engine, so the oracle is an exact hash gate).
+    * Every signed division is sign-factored (the stat_group_ols rule).
+    *
+    * Output: per dim, the last two iterates (v_prev, v_top) — their
+    * proportionality is the convergence read, and their BigInt cosine
+    * is law-tested in PcaPowerSpec.
+    *
+    * Scale: ONE corpus scan (the mergeable Gram fold, O(d²) state);
+    * the 8 rounds run on 64-row frames — each one broadcast-joined
+    * against the 4,096-row matrix and checkpointed (the BPE-chain rule:
+    * the iterate is referenced twice per round, so an unpinned chain
+    * doubles the DAG per round). The per-round 1-row max frames are the
+    * house bounded-broadcast cross shape.
+    */
+  def pcaPower(s: SparkSession, dir: String, iters: Int = 8): DataFrame = {
+    import s.implicits._
+    val cn = covNumFrame(s, dir)
+    val full = cn.select($"i", $"j", $"cov_num")
+      .unionByName(cn.where($"i" =!= $"j")
+        .select($"j".as("i"), $"i".as("j"), $"cov_num"))
+      .pin(true) // the shift fold + every round re-read it
+    val sh = full.agg(max(abs($"cov_num")).as("mc"))
+      .select(greatest(lit(0L),
+        (length(bin($"mc")) - 36).cast("long")).as("sh"))
+    val cs = full.crossJoin(sh)
+      .select($"i", $"j",
+        expr("""(CASE WHEN cov_num < 0 THEN -1 ELSE 1 END) *
+               (abs(cov_num) div shiftleft(CAST(1 AS BIGINT),
+                                           CAST(sh AS INT)))""").as("c"))
+      .pin(true) // re-joined every round
+    var v = s.range(64).select($"id".cast("long").as("i"),
+      lit(1048576L).as("v"))
+    var prev = v
+    for (_ <- 1 to iters) {
+      val u = cs.join(v.select($"i".as("j"), $"v"), Seq("j"))
+        .select($"i", ($"c" * $"v").as("t"))
+        .groupBy($"i").agg(sum($"t").as("u"))
+      val dv = u.agg(max(abs($"u")).as("mu"))
+        .select((expr("mu div 1048576") + 1L).as("dv"))
+      prev = v
+      v = u.crossJoin(dv)
+        .select($"i",
+          expr("""(CASE WHEN u < 0 THEN -1 ELSE 1 END) *
+                 (abs(u) div dv)""").as("v"))
+        .pin(true) // referenced twice next round (product + max)
+    }
+    prev.select($"i", $"v".as("v_prev"))
+      .join(v.select($"i", $"v".as("v_top")), Seq("i"))
+      .orderBy($"i")
+  }
+
+  val pcaPowerSql: String = {
+    // every multiply-referenced CTE is AS MATERIALIZED — DuckDB inlines
+    // plain CTEs per reference, and v_k reads u_k twice (max + rescale),
+    // so the 8-round chain would otherwise inline the covariance
+    // pipeline 2^8 times (the graph_mst round-chain lesson, PLANS.md r13)
+    def round(k: Int): String =
+      s""",
+         |u$k AS MATERIALIZED (
+         |  SELECT cs.i, sum(cs.c * v${k - 1}.v)::BIGINT AS u
+         |  FROM cs JOIN v${k - 1} ON cs.j = v${k - 1}.i GROUP BY 1),
+         |d$k AS (SELECT (max(abs(u)) // 1048576 + 1)::BIGINT AS dv
+         |        FROM u$k),
+         |v$k AS MATERIALIZED (
+         |  SELECT i, ((CASE WHEN u < 0 THEN -1 ELSE 1 END) *
+         |             (abs(u) // dv))::BIGINT AS v
+         |  FROM u$k CROSS JOIN d$k)""".stripMargin
+    """WITH q AS MATERIALIZED (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+      |    floor(unnest(embedding)::DOUBLE * 10000)::BIGINT AS v
+      |  FROM embeddings),
+      |dims AS (SELECT i, sum(v) AS sx, count(*) AS n FROM q GROUP BY i),
+      |p AS (SELECT a.i AS i, b.i AS j, sum(a.v * b.v) AS sxy
+      |      FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+      |      GROUP BY 1, 2),
+      |cn AS MATERIALIZED (
+      |  SELECT p.i, p.j, (di.n * p.sxy - di.sx * dj.sx)::BIGINT AS c
+      |  FROM p JOIN dims di ON di.i = p.i JOIN dims dj ON dj.i = p.j),
+      |fm AS MATERIALIZED (SELECT i, j, c FROM cn
+      |       UNION ALL SELECT j, i, c FROM cn WHERE i <> j),
+      |sh AS (SELECT greatest(0, length(bin(max(abs(c)))) - 36)::BIGINT
+      |         AS sh FROM fm),
+      |cs AS MATERIALIZED (
+      |  SELECT i, j, ((CASE WHEN c < 0 THEN -1 ELSE 1 END) *
+      |    (abs(c) // (1::BIGINT << sh)))::BIGINT AS c
+      |  FROM fm CROSS JOIN sh),
+      |v0 AS (SELECT unnest(range(0, 64))::BIGINT AS i,
+      |         1048576::BIGINT AS v)""".stripMargin +
+      (1 to 8).map(round).mkString +
+      """
+        |SELECT v7.i, v7.v AS v_prev, v8.v AS v_top
+        |FROM v7 JOIN v8 USING (i) ORDER BY i""".stripMargin
   }
 
   val covarianceMatrixSql: String =
@@ -3324,6 +3439,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_covariance" -> covarianceMatrix _,
+    "emb_pca_power" -> ((s: SparkSession, dir: String) => pcaPower(s, dir)),
     "sim_sq_spearman" -> sqSpearman _,
     "sim_recall_curve" -> recallCurve _,
     "sim_pq_distortion" -> pqDistortion _,
@@ -3367,6 +3483,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "emb_covariance" -> covarianceMatrixSql,
+    "emb_pca_power" -> pcaPowerSql,
     "sim_sq_spearman" -> sqSpearmanSql,
     "sim_recall_curve" -> recallCurveSql,
     "sim_pq_distortion" -> pqDistortionSql,

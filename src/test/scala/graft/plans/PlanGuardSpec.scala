@@ -196,6 +196,9 @@ class PlanGuardSpec extends SparkSpec {
     "dq_benford" -> 2, // the two per-column 1-row totals (r13 session 2)
     "ev_acf" -> 4, // 3× the 1-row (n,Σx) cross + the 1-row den (r13 s3)
     "eval_ndcg" -> 1, // the 10-vector broadcast query set (r13 s3)
+    // the 1-row shift fold crossed into the matrix + one 1-row rescale
+    // divisor per power-iteration round (8), all behind the round pins
+    "emb_pca_power" -> 9,
     "ev_survival_table" -> 1, // the 1-row censor clock (r13 session 2)
     "rec_market_basket" -> 1, // the 1-row basket-total N (r13 session 3)
     "sketch_cms_join_card" -> 1, // the 1-row exact-size frame (r13 s3)
