@@ -482,6 +482,50 @@ object ScalingBench {
       }
     }
 
+    // Round-13 session-3 operator probes (opt-in via "s3_ops"). The
+    // relational trio rides the keyspace-offset corpus, which holds the
+    // PART CATALOG fixed while orders multiply — exactly how a real
+    // basket corpus grows (same products, more transactions), so pair
+    // supports grow with the data instead of the vocabulary:
+    //  - rec_market_basket: basket-keyed self-join, volume ×mult;
+    //  - stat_theil_sen: the (seg × month) fold shrinks a ×mult corpus
+    //    to the SAME bounded frame — wall should be the fold scan term;
+    //  - sketch_cms_join_card: one mergeable scan, 16k cells of state;
+    //  - emb_pca_power (vocabulary-sharded embeddings): one Gram-fold
+    //    scan + 8 bounded rounds — wall = scan term + fixed round
+    //    latency;
+    //  - ev_acf (inline-scaled events, same calendar ×mult rows): the
+    //    daily fold shrinks everything to ≤31 rows.
+    if (onlyQs.exists(_.contains("s3_ops"))) {
+      val relOut = s"tmp/sfrel$mult"
+      buildRelCorpus(spark, base, relOut, mult)
+      val evOut = s"tmp/sfev$mult"
+      if (!new java.io.File(s"$evOut/_DONE_v1").exists()) {
+        val ev = spark.read.parquet(s"$base/events.parquet")
+        val nEv = ev.agg(max("event_id")).head().getLong(0) + 1
+        val nUser = ev.agg(max("user_id")).head().getLong(0) + 1
+        ev.withColumn("shard", explode(sequence(lit(0), lit(mult - 1))))
+          .select((col("event_id") + col("shard") * nEv).as("event_id"),
+            col("ts"), (col("user_id") + col("shard") * nUser).as("user_id"),
+            col("event_type"), col("value"), col("props"))
+          .repartition(32)
+          .write.mode("overwrite").parquet(s"$evOut/events.parquet")
+        new java.io.File(s"$evOut/_DONE_v1").createNewFile()
+      }
+      for ((q, sDir) <- Seq("rec_market_basket" -> relOut,
+             "stat_theil_sen" -> relOut,
+             "sketch_cms_join_card" -> relOut,
+             "emb_pca_power" -> out,
+             "ev_acf" -> evOut);
+           (tag, dir) <- Seq("1x" -> base, s"${mult}x" -> sDir)) {
+        val (secs, rows) = time(iters)(SparkEntry.queries(q)(spark, dir))
+        val line = s"""{"query":"$q","scale":"$tag",""" +
+          s""""sec":${f3(secs)},"rows":$rows}"""
+        println(line)
+        report += line
+      }
+    }
+
     // ExactSubstr grain sensitivity (opt-in via "dup_grain", VERDICT r12
     // item 7): span/coverage counts and wall at n = 8 (the gate grain),
     // 16, 32 on the 1x corpus — how much duplicated mass each doubling

@@ -2204,18 +2204,35 @@ object Relational {
     * is a window PARTITIONED by segment — no unpartitioned window, no
     * cross join anywhere in the plan.
     */
-  def statTheilSen(s: SparkSession, dir: String): DataFrame = {
+  /** The calendar-bounded (segment × month) revenue fold — ONE keyed
+    * aggregation over the orders⋈customer join; shared by
+    * [[statTheilSen]] and [[statMannKendall]].
+    */
+  private def monthlyRevenue(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val mo = Tables.orders(s, dir)
+    Tables.orders(s, dir)
       .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
       .groupBy($"c_mktsegment".as("seg"),
         (year($"o_orderdate") * 12 + month($"o_orderdate") - 1)
           .cast("long").as("m"))
       .agg(sum(round($"o_totalprice" * 100).cast("long")).as("rev"))
-    val a = mo.select($"seg", $"m".as("m1"), $"rev".as("r1"))
-    val b = mo.select($"seg", $"m".as("m2"), $"rev".as("r2"))
-    val slopes = a.join(b, Seq("seg")).where($"m1" < $"m2")
+  }
+
+  /** The segment-keyed ordered pair frame over [[monthlyRevenue]]
+    * (m1 < m2) — [[statTheilSen]]'s slope domain and
+    * [[statMannKendall]]'s concordance domain.
+    */
+  private def monthPairs(mo: DataFrame): DataFrame = {
+    import mo.sparkSession.implicits._
+    mo.select($"seg", $"m".as("m1"), $"rev".as("r1"))
+      .join(mo.select($"seg", $"m".as("m2"), $"rev".as("r2")), Seq("seg"))
+      .where($"m1" < $"m2")
+  }
+
+  def statTheilSen(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val slopes = monthPairs(monthlyRevenue(s, dir))
       .select($"seg", $"m1", $"m2",
         expr("""(CASE WHEN r2 - r1 < 0 THEN -1 ELSE 1 END) *
                ((1000000 * abs(r2 - r1)) div (m2 - m1))""").as("sm"))
@@ -2228,13 +2245,19 @@ object Relational {
       .orderBy($"seg")
   }
 
-  val statTheilSenSql: String =
+  /** The shared monthly-fold + pair CTE prefix of [[statTheilSenSql]]
+    * and [[statMannKendallSql]].
+    */
+  private val monthlyCte: String =
     """WITH mo AS (
       |  SELECT c_mktsegment AS seg,
       |    (year(o_orderdate) * 12 + month(o_orderdate) - 1)::BIGINT AS m,
       |    sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS rev
       |  FROM orders JOIN customer ON o_custkey = c_custkey
-      |  GROUP BY 1, 2),
+      |  GROUP BY 1, 2),""".stripMargin
+
+  val statTheilSenSql: String = monthlyCte +
+    """
       |sl AS (
       |  SELECT a.seg, a.m AS m1, b.m AS m2,
       |    ((CASE WHEN b.rev - a.rev < 0 THEN -1 ELSE 1 END) *
@@ -2247,6 +2270,98 @@ object Relational {
       |  FROM sl)
       |SELECT seg, np::BIGINT AS n_pairs, sm AS slope_micro
       |FROM r WHERE rn = (np + 1) // 2 ORDER BY seg""".stripMargin
+
+  /** Mann–Kendall trend test per segment (Mann 1945; Kendall's τ over
+    * time order) — the NON-PARAMETRIC "is there a monotone trend at
+    * all?" significance companion to [[statTheilSen]]'s magnitude (the
+    * two are the standard pairing in trend analysis): over the same
+    * monthly pairs, S = Σ sign(rev₂ − rev₁) and τ = S / C(n,2), shipped
+    * as exact integers with the sign factored out of the permille floor
+    * division. S near ±C(n,2) means a near-monotone series; the pair
+    * frame, bounds, and engine-parity rules are [[statTheilSen]]'s.
+    */
+  def statMannKendall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    monthPairs(monthlyRevenue(s, dir))
+      .select($"seg",
+        expr("""CASE WHEN r2 > r1 THEN 1
+                     WHEN r2 < r1 THEN -1 ELSE 0 END""").as("sg"))
+      .groupBy($"seg")
+      .agg(count(lit(1)).as("n_pairs"), sum($"sg").as("s_stat"))
+      .select($"seg", $"n_pairs", $"s_stat",
+        expr("""(CASE WHEN s_stat < 0 THEN -1 ELSE 1 END) *
+               ((1000 * abs(s_stat)) div n_pairs)""").as("tau_pm"))
+      .orderBy($"seg")
+  }
+
+  val statMannKendallSql: String = monthlyCte +
+    """
+      |sg AS (
+      |  SELECT a.seg,
+      |    (CASE WHEN b.rev > a.rev THEN 1
+      |          WHEN b.rev < a.rev THEN -1 ELSE 0 END)::BIGINT AS sg
+      |  FROM mo a JOIN mo b ON a.seg = b.seg AND a.m < b.m),
+      |st AS (
+      |  SELECT seg, count(*)::BIGINT AS n_pairs, sum(sg)::BIGINT AS s_stat
+      |  FROM sg GROUP BY seg)
+      |SELECT seg, n_pairs, s_stat,
+      |  ((CASE WHEN s_stat < 0 THEN -1 ELSE 1 END) *
+      |   ((1000 * abs(s_stat)) // n_pairs))::BIGINT AS tau_pm
+      |FROM st ORDER BY seg""".stripMargin
+
+  /** Exact weighted median of line-item price (whole dollars) weighted
+    * by quantity, per return flag — the robust "typical traded price"
+    * (each dollar level counts by the QUANTITY transacted at it, not by
+    * its row count; the unweighted percentiles are
+    * [[statExactPercentiles]]). Median = smallest v with
+    * 2·cumweight(v) ≥ totalweight, all integer.
+    *
+    * Scale shape — per-group order statistics with NO per-group sort
+    * task and no single-reducer window: the corpus folds to a
+    * (group, value) weight histogram; ONE [[GlobalOrder.cumsum]] over
+    * the composite (grp, v) total order gives the global running
+    * weight; the per-group running weight is that minus the group's
+    * offset (the strictly-earlier groups' totals — a |groups|-row
+    * frame whose own cumsum is a bounded window, whitelisted). A
+    * partitioned-window form would put each GROUP in one task — the
+    * skew trap when one group dominates; this form range-partitions
+    * the composite order instead, so a hot group spreads over many
+    * partitions.
+    */
+  def statWeightedMedian(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val hist = Tables.lineitem(s, dir)
+      .select($"l_returnflag".as("grp"),
+        round($"l_extendedprice").cast("long").as("v"),
+        $"l_quantity".cast("long").as("w"))
+      .groupBy($"grp", $"v").agg(sum($"w").as("w"))
+    val (cum, _) = GlobalOrder.cumsum(hist, Seq($"grp", $"v"), $"w", "f")
+    // |groups|-row frame: per-group total + strictly-earlier offset
+    val gt = hist.groupBy($"grp").agg(sum($"w").as("wg"))
+      .withColumn("off",
+        coalesce(sum($"wg").over(Window.orderBy($"grp")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    cum.join(broadcast(gt), Seq("grp"))
+      .where(($"f" - $"off") * 2 >= $"wg")
+      .groupBy($"grp", $"wg")
+      .agg(min($"v").as("median_v"))
+      .select($"grp", $"wg".as("w_total"), $"median_v")
+      .orderBy($"grp")
+  }
+
+  val statWeightedMedianSql: String =
+    """WITH li AS (
+      |  SELECT l_returnflag AS grp, round(l_extendedprice)::BIGINT AS v,
+      |    l_quantity::BIGINT AS w FROM lineitem),
+      |hist AS (SELECT grp, v, sum(w)::BIGINT AS w FROM li GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT grp, v,
+      |    sum(w) OVER (PARTITION BY grp ORDER BY v) AS f,
+      |    sum(w) OVER (PARTITION BY grp) AS wg
+      |  FROM hist)
+      |SELECT grp, wg::BIGINT AS w_total, min(v)::BIGINT AS median_v
+      |FROM cum WHERE 2 * f >= wg GROUP BY grp, wg ORDER BY grp""".stripMargin
 
   /** Gini coefficient of per-customer spend — the one-number inequality
     * scalar behind `ev_whale_curve`'s decile read, exact: with spend
@@ -2297,6 +2412,8 @@ object Relational {
     "stat_ks_drift" -> statKsDrift _,
     "stat_group_ols" -> statGroupOls _,
     "stat_theil_sen" -> statTheilSen _,
+    "stat_mann_kendall" -> statMannKendall _,
+    "stat_weighted_median" -> statWeightedMedian _,
     "stat_mad_outliers" -> statMadOutliers _,
     "q51_revenue_change" -> q51RevenueChange _,
     "q52_supplier_value_share" -> q52SupplierValueShare _,
@@ -2373,6 +2490,8 @@ object Relational {
     "stat_ks_drift" -> statKsDriftSql,
     "stat_group_ols" -> statGroupOlsSql,
     "stat_theil_sen" -> statTheilSenSql,
+    "stat_mann_kendall" -> statMannKendallSql,
+    "stat_weighted_median" -> statWeightedMedianSql,
     "stat_mad_outliers" -> statMadOutliersSql,
     "q49_unshipped_orders" -> q49Sql,
     "q50_local_supplier_volume" -> q50Sql,

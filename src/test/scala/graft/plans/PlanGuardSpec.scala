@@ -170,7 +170,10 @@ class PlanGuardSpec extends SparkSpec {
     "text_bm25_topk" -> 1, // 10-row post-limit top-score frame
     "text_cooccur_lift" -> 1, // 20-row post-limit top-lift frame
     "text_rake_phrases" -> 1, // 20-row post-limit top-phrase frame
-    "ev_survival_table" -> 1) // ≤|calendar-days| life-table fold
+    "ev_survival_table" -> 1, // ≤|calendar-days| life-table fold
+    // |groups|-row (3 return flags) strictly-earlier offset cumsum —
+    // the composite-order weighted median's group-offset table
+    "stat_weighted_median" -> 1)
 
   /** TOTAL cross-join budget per query over the WHOLE plan — final frame
     * PLUS every checkpoint-hidden segment the audited build reports
