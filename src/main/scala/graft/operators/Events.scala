@@ -386,6 +386,99 @@ object Events {
       |FROM c JOIN m USING (from_type)
       |ORDER BY c.from_type, c.to_type""".stripMargin
 
+  /** Stationary distribution of the [[transitions]] Markov chain — the
+    * long-run event mix the per-step matrix implies ("where does a user
+    * journey settle?"), the classic chain read behind behavioral mix
+    * forecasting. Fixed-point power iteration on the transposed chain:
+    * π'(to) = Σ_from (π(from)·c(from,to)) div m(from) — the pageRank
+    * contribution idiom, every division an integer floor on the
+    * non-negative domain so both engines agree bit-for-bit; mass lost
+    * to floors is the standard fixed-point price and identical
+    * cross-engine. Start uniform at 10⁶ per state; a state with no
+    * outgoing observations absorbs (inflow, no outflow) — honest chain
+    * semantics, not a special case.
+    *
+    * Output ships the last two iterates (the convergence read, as in
+    * emb_pca_power) plus each state's permille share of the final mass.
+    *
+    * Scale: ONE user-keyed windowed scan builds the transition counts
+    * (the corpus pass); the 8 rounds run on ≤|event-types|-row frames —
+    * bounded by the schema, not the data — each checkpointed (the
+    * iterate chain rule). More data = heavier counts, never more rows
+    * past the fold.
+    */
+  def markovStationary(s: SparkSession, dir: String,
+      iters: Int = 8): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import graft.Pin.PinOps
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val tr = Tables.events(s, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("from_type", lag($"event_type", 1).over(w))
+      .filter($"from_type".isNotNull)
+      .groupBy($"from_type", $"event_type".as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val m = tr.groupBy($"from_type").agg(sum($"n").as("row_n"))
+    val cm = tr.join(m, Seq("from_type")).pin(true) // re-read per round
+    val states = Tables.events(s, dir)
+      .select($"event_type".as("state")).distinct().pin(true)
+    var pi = states.select($"state", lit(1000000L).as("pi"))
+    var prev = pi
+    for (_ <- 1 to iters) {
+      val contrib = cm
+        .join(pi.select($"state".as("from_type"), $"pi"), Seq("from_type"))
+        .select($"to_type".as("state"),
+          expr("(pi * n) div row_n").as("c"))
+        .groupBy($"state").agg(sum($"c").as("s"))
+      prev = pi
+      pi = states.join(contrib, Seq("state"), "left")
+        .select($"state", coalesce($"s", lit(0L)).as("pi"))
+        .pin(true)
+    }
+    val tot = pi.agg(sum($"pi").as("tot"))
+    prev.select($"state", $"pi".as("pi_prev"))
+      .join(pi, Seq("state"))
+      .crossJoin(tot)
+      .select($"state", $"pi_prev", $"pi",
+        expr("(1000 * pi) div tot").as("share_pm"))
+      .orderBy($"state")
+  }
+
+  val markovStationarySql: String = {
+    def round(k: Int): String =
+      s""",
+         |pi$k AS MATERIALIZED (
+         |  SELECT st.state, coalesce(c.s, 0)::BIGINT AS pi
+         |  FROM states st LEFT JOIN (
+         |    SELECT cm.to_type AS state,
+         |      sum((p.pi * cm.n) // cm.row_n)::BIGINT AS s
+         |    FROM cm JOIN pi${k - 1} p ON cm.from_type = p.state
+         |    GROUP BY 1) c ON st.state = c.state)""".stripMargin
+    """WITH tr AS (
+      |  SELECT lag(event_type) OVER (PARTITION BY user_id
+      |           ORDER BY ts, event_id) AS from_type,
+      |         event_type AS to_type
+      |  FROM events),
+      |c0 AS (SELECT from_type, to_type, count(*)::BIGINT AS n
+      |       FROM tr WHERE from_type IS NOT NULL GROUP BY 1, 2),
+      |m AS (SELECT from_type, sum(n)::BIGINT AS row_n FROM c0 GROUP BY 1),
+      |cm AS MATERIALIZED (
+      |  SELECT c0.from_type, c0.to_type, c0.n, m.row_n
+      |  FROM c0 JOIN m USING (from_type)),
+      |states AS MATERIALIZED (
+      |  SELECT DISTINCT event_type AS state FROM events),
+      |pi0 AS (SELECT state, 1000000::BIGINT AS pi FROM states)"""
+      .stripMargin +
+      (1 to 8).map(round).mkString +
+      """,
+        |tot AS (SELECT sum(pi)::BIGINT AS tot FROM pi8)
+        |SELECT p7.state, p7.pi AS pi_prev, p8.pi AS pi,
+        |  ((1000 * p8.pi) // tot)::BIGINT AS share_pm
+        |FROM pi7 p7 JOIN pi8 p8 USING (state) CROSS JOIN tot
+        |ORDER BY p7.state""".stripMargin
+  }
+
   /** Inter-arrival gap distribution per event type — the arrival-process
     * diagnostic that sizes streaming capacity (trigger intervals, state
     * store pressure, watermark slack): per user, the gap between
@@ -1291,6 +1384,8 @@ object Events {
     "ev_rfm" -> rfm _,
     "ev_streaks" -> streaks _,
     "ev_transitions" -> transitions _,
+    "ev_markov_stationary" ->
+      ((s: SparkSession, dir: String) => markovStationary(s, dir)),
     "ev_inter_arrival" -> interArrival _,
     "ev_anomaly" -> anomalies _,
     "ev_tumbling" -> tumbling _,
@@ -1321,6 +1416,7 @@ object Events {
     "ev_rfm" -> rfmSql,
     "ev_streaks" -> streaksSql,
     "ev_transitions" -> transitionsSql,
+    "ev_markov_stationary" -> markovStationarySql,
     "ev_inter_arrival" -> interArrivalSql,
     "ev_anomaly" -> anomaliesSql,
     "ev_tumbling" -> tumblingSql,

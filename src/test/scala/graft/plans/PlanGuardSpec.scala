@@ -125,6 +125,8 @@ class PlanGuardSpec extends SparkSpec {
     "dq_benford" -> 2,
     // 1-row broadcast corpus-end frame (the censor clock)
     "ev_survival_table" -> 1,
+    // 1-row broadcast total-mass frame (the share normalizer)
+    "ev_markov_stationary" -> 1,
     // the 1-row (n, Σx) normalizer crossed into the ≤|days| daily frame,
     // whose deviation subtree appears THREE times in the plan (lag side,
     // join side, denominator fold), + the 1-row denominator cross into
@@ -198,6 +200,7 @@ class PlanGuardSpec extends SparkSpec {
     "dq_chi_square" -> 1, // the 1-row N frame (r13 session 2)
     "dq_benford" -> 2, // the two per-column 1-row totals (r13 session 2)
     "ev_acf" -> 4, // 3× the 1-row (n,Σx) cross + the 1-row den (r13 s3)
+    "ev_markov_stationary" -> 1, // the 1-row total-mass frame (r13 s3)
     "eval_ndcg" -> 1, // the 10-vector broadcast query set (r13 s3)
     // the 1-row shift fold crossed into the matrix + one 1-row rescale
     // divisor per power-iteration round (8), all behind the round pins
