@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
+import graft.Pin.PinOps
 
 /** Market-basket affinity analysis (Agrawal–Imieliński–Swami, SIGMOD'93
   * association rules) — the order-level "frequently bought together"
@@ -46,6 +47,11 @@ object Affinity {
     Tables.lineitem(s, dir)
       .select($"l_orderkey".as("o"), $"l_partkey".as("p"))
       .distinct()
+      // the multiply-consumed-frame rule: each caller reads this frame
+      // 3-4 times (both sides of the pair join, the supports, the basket
+      // total) — unpinned, every reference replays the corpus scan +
+      // dedup exchange
+      .pin(true)
   }
 
   /** Pair supports s_ab (≥ 2) from the basket-keyed self-join, a < b. */
