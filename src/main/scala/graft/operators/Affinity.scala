@@ -47,11 +47,14 @@ object Affinity {
     Tables.lineitem(s, dir)
       .select($"l_orderkey".as("o"), $"l_partkey".as("p"))
       .distinct()
-      // the multiply-consumed-frame rule: each caller reads this frame
-      // 3-4 times (both sides of the pair join, the supports, the basket
-      // total) — unpinned, every reference replays the corpus scan +
-      // dedup exchange
-      .pin(true)
+    // Deliberately NOT pinned despite 3-4 consumers: a checkpoint of the
+    // row-count-sized frame competes with the pair join's aggregation for
+    // unified memory — measured at the ×100 probe (60M rows), the pinned
+    // form dies with AGGREGATE_OUT_OF_MEMORY while the recompute form
+    // finishes in 39 s. The recompute is CPU-for-memory, and on a real
+    // cluster AQE exchange reuse dedups the repeated dedup-shuffle anyway
+    // (pins are for ITERATIVE chains and bounded frames, not for
+    // corpus-sized frames a join is about to stream).
   }
 
   /** Pair supports s_ab (≥ 2) from the basket-keyed self-join, a < b. */
