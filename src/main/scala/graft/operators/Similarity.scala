@@ -2778,12 +2778,16 @@ object Similarity {
     * one keyed aggregation. Nothing holds more than 10 rows per query
     * past the scan.
     */
-  def evalNdcg(s: SparkSession, dir: String): DataFrame = {
+  /** The exact top-10 retrieval frame under label relevance — (qid,
+    * true_label, vec_id, label, rn), rn 1..10 by quantized L2 with
+    * vec_id ties — shared by [[evalNdcg]] and [[evalRankBattery]]; the
+    * per-label corpus counts ride along for the ideal-ranking
+    * denominators.
+    */
+  private def rankedTopOf(s: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val wts = Seq(13860L, 9240L, 6930L, 5544L, 4620L,
-      3960L, 3465L, 3080L, 2772L, 2520L)
-    val cum = wts.scanLeft(0L)(_ + _).tail
     val emb = Tables.embeddings(s, dir)
       .select($"vec_id", $"label".cast("long").as("label"),
         qvec($"embedding").as("q"))
@@ -2794,12 +2798,22 @@ object Similarity {
     val corpus = emb.filter($"vec_id" >= 10)
     val nLabel = corpus.groupBy($"label".as("true_label"))
       .agg(count(lit(1)).as("n_label"))
-    corpus.crossJoin(broadcast(qs))
+    val top = corpus.crossJoin(broadcast(qs))
       .select($"qid", $"true_label", $"vec_id", $"label",
         ($"n2" + $"qn2" - lit(2L) * dot($"q", $"qq")).as("d2"))
       .withColumn("rn", row_number().over(
         Window.partitionBy($"qid").orderBy($"d2", $"vec_id")))
       .filter($"rn" <= 10)
+    (top, nLabel)
+  }
+
+  def evalNdcg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wts = Seq(13860L, 9240L, 6930L, 5544L, 4620L,
+      3960L, 3465L, 3080L, 2772L, 2520L)
+    val cum = wts.scanLeft(0L)(_ + _).tail
+    val (top, nLabel) = rankedTopOf(s, dir)
+    top
       .groupBy($"qid", $"true_label")
       .agg(sum(when($"label" === $"true_label",
           element_at(array(wts.map(lit): _*), $"rn".cast("int")))
@@ -2850,6 +2864,89 @@ object Similarity {
       |  ((1000 * dcg) //
       |   ([13860,23100,30030,35574,40194,44154,47619,50699,53471,55991]
       |    )[least(10, n_label)])::BIGINT AS ndcg_pm
+      |FROM g JOIN nl USING (true_label) ORDER BY qid""".stripMargin
+
+  /** MAP@10 + MRR over the same exact retrieval — with [[evalNdcg]] the
+    * full ranking-metric triad (nDCG grades the whole list shape, AP the
+    * precision-ordering of relevant hits, RR the time-to-first-hit).
+    * Both stay exact integers: P@k = c_k/k rides the common denominator
+    * lcm(1..10) = 2520 (AP·2520·R̃ = Σ_{relevant k} c_k·(2520/k), every
+    * weight whole), RR is 10⁶ div first_relevant_rank; queries with no
+    * relevant hit in the top-10 ship rank 0 / rr 0 — visible, not
+    * dropped. AP's denominator uses R̃ = min(10, R) (the standard
+    * cutoff-aware normalization, same n_label frame as the nDCG ideal).
+    *
+    * Scale: identical bounded-broadcast probe scan + qid-partitioned
+    * windows as [[evalNdcg]]; the running relevant count is a window
+    * over ≤10 rows per query.
+    */
+  def evalRankBattery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val (top, nLabel) = rankedTopOf(s, dir)
+    val wq = Window.partitionBy($"qid").orderBy($"rn")
+    val marked = top
+      .withColumn("rel",
+        when($"label" === $"true_label", 1L).otherwise(0L))
+      .withColumn("ck", sum($"rel").over(wq))
+    marked.groupBy($"qid", $"true_label")
+      .agg(sum($"rel").as("n_rel"),
+        sum(when($"rel" === 1L,
+          $"ck" * expr("CAST(2520 AS BIGINT) div rn")).otherwise(0L))
+          .as("ap_num"),
+        min(when($"rel" === 1L, $"rn")).as("fr"))
+      .join(nLabel, Seq("true_label"))
+      .select($"qid", $"true_label", $"n_rel",
+        coalesce($"fr", lit(0)).cast("long").as("first_rel_rank"),
+        coalesce(expr("CAST(1000000 AS BIGINT) div fr"), lit(0L))
+          .as("rr_ppm"),
+        $"ap_num",
+        when($"n_rel" === 0L, 0L)
+          .otherwise(expr("(1000 * ap_num) div (2520 * least(10, n_label))"))
+          .as("ap_pm"))
+      .orderBy($"qid")
+  }
+
+  val evalRankBatterySql: String =
+    """WITH qv AS (
+      |  SELECT vec_id, label::BIGINT AS label,
+      |    [floor(x::DOUBLE * 10000)::BIGINT FOR x IN embedding] AS q
+      |  FROM embeddings),
+      |co AS (SELECT * FROM qv WHERE vec_id >= 10),
+      |qs AS (SELECT vec_id AS qid, label AS true_label, q AS qq
+      |       FROM qv WHERE vec_id < 10),
+      |nl AS (SELECT label AS true_label, count(*)::BIGINT AS n_label
+      |       FROM co GROUP BY 1),
+      |d AS (
+      |  SELECT qid, true_label, vec_id, label,
+      |    sum((x - y) * (x - y))::BIGINT AS d2
+      |  FROM (SELECT qs.qid, qs.true_label, co.vec_id, co.label,
+      |          unnest(co.q) AS x, unnest(qs.qq) AS y
+      |        FROM co, qs) z
+      |  GROUP BY 1, 2, 3, 4),
+      |top AS (
+      |  SELECT qid, true_label, label, rn,
+      |    CASE WHEN label = true_label THEN 1 ELSE 0 END AS rel
+      |  FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY qid
+      |      ORDER BY d2, vec_id) AS rn FROM d) t
+      |  WHERE rn <= 10),
+      |m AS (
+      |  SELECT *, sum(rel) OVER (PARTITION BY qid ORDER BY rn) AS ck
+      |  FROM top),
+      |g AS (
+      |  SELECT qid, true_label, sum(rel)::BIGINT AS n_rel,
+      |    sum(CASE WHEN rel = 1 THEN ck * (2520 // rn) ELSE 0 END)::BIGINT
+      |      AS ap_num,
+      |    min(CASE WHEN rel = 1 THEN rn END) AS fr
+      |  FROM m GROUP BY 1, 2)
+      |SELECT qid, true_label, n_rel,
+      |  coalesce(fr, 0)::BIGINT AS first_rel_rank,
+      |  coalesce(1000000 // fr, 0)::BIGINT AS rr_ppm,
+      |  ap_num,
+      |  (CASE WHEN n_rel = 0 THEN 0 ELSE
+      |    (1000 * ap_num) // (2520 * least(10, n_label)) END)::BIGINT
+      |    AS ap_pm
       |FROM g JOIN nl USING (true_label) ORDER BY qid""".stripMargin
 
   /** Hybrid retrieval with reciprocal-rank fusion (Cormack, Clarke &
@@ -3447,6 +3544,7 @@ object Similarity {
     "sim_nearest_centroid" -> nearestCentroid _,
     "sim_knn_classify" -> knnClassify _,
     "eval_ndcg" -> evalNdcg _,
+    "eval_rank_battery" -> evalRankBattery _,
     "sim_hybrid_rrf" -> hybridRrf _,
     "sim_label_prop" -> labelProp _,
     "sim_range_search" -> rangeSearch _,
@@ -3491,6 +3589,7 @@ object Similarity {
     "sim_nearest_centroid" -> nearestCentroidSql,
     "sim_knn_classify" -> knnClassifySql,
     "eval_ndcg" -> evalNdcgSql,
+    "eval_rank_battery" -> evalRankBatterySql,
     "sim_hybrid_rrf" -> hybridRrfSql,
     "sim_label_prop" -> labelPropSql,
     "sim_range_search" -> rangeSearchSql,

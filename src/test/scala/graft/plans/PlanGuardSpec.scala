@@ -30,6 +30,7 @@ class PlanGuardSpec extends SparkSpec {
     "sim_knn_classify" -> 1, // fixed 100-vector broadcast eval set
     // fixed 10-vector broadcast query set (the ranked retrieval)
     "eval_ndcg" -> 1,
+    "eval_rank_battery" -> 1, // same shared rankedTopOf probe broadcast
     // fixed broadcast probe set (vector channel) + the 1-row broadcast
     // ndocs frame feeding the lexical df-prune threshold (r13)
     "sim_hybrid_rrf" -> 2,
@@ -202,6 +203,7 @@ class PlanGuardSpec extends SparkSpec {
     "ev_acf" -> 4, // 3× the 1-row (n,Σx) cross + the 1-row den (r13 s3)
     "ev_markov_stationary" -> 1, // the 1-row total-mass frame (r13 s3)
     "eval_ndcg" -> 1, // the 10-vector broadcast query set (r13 s3)
+    "eval_rank_battery" -> 1, // same shared probe broadcast (r13 s3)
     // the 1-row shift fold crossed into the matrix + one 1-row rescale
     // divisor per power-iteration round (8), all behind the round pins
     "emb_pca_power" -> 9,
