@@ -295,6 +295,113 @@ object Events {
       |   AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 30 MINUTE
       |) t WHERE rn = 1 ORDER BY click_id""".stripMargin
 
+  /** Linear multi-touch attribution — the credit-splitting complement of
+    * [[attribution]]'s last-touch rule (the marketing-analytics pairing:
+    * last-touch answers "what closed it", linear answers "what
+    * contributed"): each purchase splits 1000 permille of conversion
+    * credit EQUALLY across every click of the same user in the
+    * preceding 30 minutes, floors conserved exactly by handing the
+    * remainder to the most recent touches — Σ credit per converted
+    * purchase is EXACTLY 1000, so channel totals are auditable against
+    * the conversion count (the law AttributionLinearSpec pins). Credit
+    * aggregates per channel (the props.k decile — the corpus's campaign
+    * proxy, as in ev_json_extract).
+    *
+    * Scale: one user-keyed interval join (both sides shuffle on user_id
+    * once), per-purchase windows over the ≤horizon-bounded touch fan,
+    * then one channel-keyed fold to ≤10 rows.
+    */
+  def attributionLinear(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("pid"), $"user_id", $"ts".as("pts"))
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id".as("cid"), $"user_id", $"ts".as("cts"),
+        (get_json_object($"props", "$.k").cast("long") / 10L)
+          .cast("long").as("channel"))
+    val w = Window.partitionBy($"pid")
+    purchases.join(clicks, Seq("user_id"))
+      .filter($"cts" <= $"pts" &&
+        $"cts" >= $"pts" - expr("INTERVAL 30 MINUTES"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("rn", row_number().over(
+        w.orderBy($"cts".desc, $"cid".desc)))
+      .withColumn("credit",
+        expr("1000 div n") +
+          when($"rn" <= expr("1000 % n"), 1L).otherwise(0L))
+      .groupBy($"channel")
+      .agg(countDistinct($"pid").as("n_purchases"),
+        count(lit(1)).as("n_touches"),
+        sum($"credit").as("credit_pm"))
+      .orderBy($"channel")
+  }
+
+  val attributionLinearSql: String =
+    """WITH touches AS (
+      |  SELECT p.event_id AS pid, c.event_id AS cid,
+      |    (json_extract_string(c.props, '$.k')::BIGINT // 10) AS channel,
+      |    count(*) OVER (PARTITION BY p.event_id) AS n,
+      |    row_number() OVER (PARTITION BY p.event_id
+      |      ORDER BY c.ts DESC, c.event_id DESC) AS rn
+      |  FROM events p JOIN events c
+      |    ON p.user_id = c.user_id
+      |   AND p.event_type = 'purchase' AND c.event_type = 'click'
+      |   AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE),
+      |credited AS (
+      |  SELECT channel, pid,
+      |    (1000 // n + CASE WHEN rn <= 1000 % n THEN 1 ELSE 0 END)
+      |      AS credit
+      |  FROM touches)
+      |SELECT channel, count(DISTINCT pid)::BIGINT AS n_purchases,
+      |  count(*)::BIGINT AS n_touches, sum(credit)::BIGINT AS credit_pm
+      |FROM credited GROUP BY channel ORDER BY channel""".stripMargin
+
+  /** Seasonal-naive forecast backtest with MASE (Hyndman & Koehler
+    * 2006) — the "is the weekly pattern worth anything?" read every
+    * volume-forecasting pipeline starts from, exact: over the daily
+    * event-count series, forecast day d by day d−7 (seasonal naive),
+    * baseline it by day d−1 (naive), and ship
+    * MASE_pm = 1000·Σ|x_d − x_{d−7}| div Σ|x_d − x_{d−1}| over every
+    * day with both lags in the corpus — below 1000 means the weekly
+    * shape beats a random walk. Per-lag absolute-error sums ship too.
+    *
+    * Scale: the calendar-bounded daily fold again — two equi-joins on
+    * the day index and a ≤1-row report; more data = heavier days.
+    */
+  def forecastMase(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.events(s, dir)
+      .groupBy(datediff(date_trunc("day", $"ts"),
+        lit("2024-01-01").cast("date")).cast("long").as("t"))
+      .agg(count(lit(1)).as("x"))
+    val d0 = daily.select($"t", $"x")
+    val d1 = daily.select(($"t" + 1L).as("t"), $"x".as("x1"))
+    val d7 = daily.select(($"t" + 7L).as("t"), $"x".as("x7"))
+    d0.join(d1, Seq("t")).join(d7, Seq("t"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(abs($"x" - $"x7")).as("snaive_abs_err"),
+        sum(abs($"x" - $"x1")).as("naive_abs_err"))
+      .select($"n_days", $"snaive_abs_err", $"naive_abs_err",
+        expr("(1000 * snaive_abs_err) div naive_abs_err").as("mase_pm"))
+  }
+
+  val forecastMaseSql: String =
+    """WITH daily AS (
+      |  SELECT date_diff('day', DATE '2024-01-01',
+      |           CAST(date_trunc('day', ts) AS DATE))::BIGINT AS t,
+      |    count(*)::BIGINT AS x
+      |  FROM events GROUP BY 1)
+      |SELECT count(*)::BIGINT AS n_days,
+      |  sum(abs(d0.x - d7.x))::BIGINT AS snaive_abs_err,
+      |  sum(abs(d0.x - d1.x))::BIGINT AS naive_abs_err,
+      |  ((1000 * sum(abs(d0.x - d7.x))) //
+      |   sum(abs(d0.x - d1.x)))::BIGINT AS mase_pm
+      |FROM daily d0
+      |JOIN daily d1 ON d0.t = d1.t + 1
+      |JOIN daily d7 ON d0.t = d7.t + 7""".stripMargin
+
   /** Daily-volume anomaly flags per event type: a day is anomalous when
     * its count deviates from the type's mean by more than 2σ — computed
     * ENTIRELY in exact integer arithmetic so both engines agree
@@ -1390,6 +1497,8 @@ object Events {
     "ev_anomaly" -> anomalies _,
     "ev_tumbling" -> tumbling _,
     "ev_attribution" -> attribution _,
+    "ev_attribution_linear" -> attributionLinear _,
+    "ev_forecast_mase" -> forecastMase _,
     "ev_sliding" -> sliding _,
     "ev_sessions" -> sessions _,
     "ev_daily_topk" -> dailyTopEvents _,
@@ -1421,6 +1530,8 @@ object Events {
     "ev_anomaly" -> anomaliesSql,
     "ev_tumbling" -> tumblingSql,
     "ev_attribution" -> attributionSql,
+    "ev_attribution_linear" -> attributionLinearSql,
+    "ev_forecast_mase" -> forecastMaseSql,
     "ev_sliding" -> slidingSql,
     "ev_sessions" -> sessionsSql,
     "ev_daily_topk" -> dailyTopEventsSql,
