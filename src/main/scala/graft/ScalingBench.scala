@@ -259,8 +259,10 @@ object ScalingBench {
       // vocabulary sharding (components replicate, never merge), so the
       // slope isolates the per-round edge-tagging + contraction cost;
       // single-linkage: the same jaccardEdges weight term + one CC on
-      // the τ-pruned subgraph
-      "graph_mst", "dedup_single_linkage")
+      // the τ-pruned subgraph; PPR: 3 BSP rounds over the pinned edge
+      // list — per-round one edge⋈rank join, linear in |E| (seed count
+      // scales with docs under sharding, so teleport mass does too)
+      "graph_mst", "dedup_single_linkage", "graph_ppr", "graph_pagerank")
       .filter(q => onlyQs.forall(_.contains(q)))
     val report = scala.collection.mutable.ArrayBuffer.empty[String]
 
