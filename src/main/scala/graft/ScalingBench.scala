@@ -262,7 +262,10 @@ object ScalingBench {
       // the τ-pruned subgraph; PPR: 3 BSP rounds over the pinned edge
       // list — per-round one edge⋈rank join, linear in |E| (seed count
       // scales with docs under sharding, so teleport mass does too)
-      "graph_mst", "dedup_single_linkage", "graph_ppr", "graph_pagerank")
+      "graph_mst", "dedup_single_linkage", "graph_ppr", "graph_pagerank",
+      // the contracted-graph PPR — the production form whose slope the
+      // doc-level ×27 finding motivates
+      "graph_ppr_groups")
       .filter(q => onlyQs.forall(_.contains(q)))
     val report = scala.collection.mutable.ArrayBuffer.empty[String]
 

@@ -2906,32 +2906,92 @@ object TextOps {
     * Output: the top-20 ranked docs (rank desc, doc_id) with their seed
     * flag — the expansion list, seeds naturally at the top.
     */
-  def pprRank(s: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+  /** The shared seed-restart BSP loop of [[pprRank]] and
+    * [[pprRankGroups]]: `nodes0` carries (v, seed), `pairs` the
+    * undirected edge list (a, b); returns the top-20 (v, seed, rank).
+    */
+  private def pprLoop(nodes0: DataFrame, pairs0: DataFrame,
+      iters: Int): DataFrame = {
+    val s = nodes0.sparkSession
     import s.implicits._
-    val nodes = Tables.documents(s, dir)
-      .select($"doc_id", ($"doc_id" % 97L === 0L).as("seed"))
-      .pin(true) // re-read every round (the rank left-join base)
-    val pairs = minhashCandidates(s, dir).pin(true) // union reads it twice
+    val nodes = nodes0.pin(true) // re-read every round (rank join base)
+    val pairs = pairs0.pin(true) // union reads it twice
     val edges = pairs.select($"a".as("src"), $"b".as("dst"))
       .unionByName(pairs.select($"b".as("src"), $"a".as("dst")))
     val deg = edges.groupBy($"src").agg(count(lit(1)).as("d"))
     val edgesD = edges.join(deg, "src")
       .select($"src", $"dst", $"d")
       .pin(true) // re-joined every round
-    var r = nodes.select($"doc_id",
+    var r = nodes.select($"v",
       when($"seed", 1000000L).otherwise(0L).as("r"))
     for (_ <- 1 to iters) {
       val contrib = edgesD
-        .join(r.withColumnRenamed("doc_id", "src"), "src")
-        .select($"dst".as("doc_id"), expr("r div d").as("c"))
-        .groupBy($"doc_id").agg(sum($"c").as("s"))
-      r = nodes.join(contrib, Seq("doc_id"), "left")
-        .select($"doc_id", $"seed",
+        .join(r.withColumnRenamed("v", "src"), "src")
+        .select($"dst".as("v"), expr("r div d").as("c"))
+        .groupBy($"v").agg(sum($"c").as("s"))
+      r = nodes.join(contrib, Seq("v"), "left")
+        .select($"v", $"seed",
           (when($"seed", 150000L).otherwise(0L)
             + expr("(85 * coalesce(s, 0)) div 100")).as("r"))
     }
-    r.select($"doc_id", $"seed", $"r".as("rank"))
-      .orderBy($"rank".desc, $"doc_id").limit(20)
+    r.select($"v", $"seed", $"r".as("rank"))
+      .orderBy($"rank".desc, $"v").limit(20)
+  }
+
+  def pprRank(s: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+    import s.implicits._
+    pprLoop(
+      Tables.documents(s, dir)
+        .select($"doc_id".as("v"), ($"doc_id" % 97L === 0L).as("seed")),
+      minhashCandidates(s, dir), iters)
+      .withColumnRenamed("v", "doc_id")
+  }
+
+  /** [[pprRank]] on the CONTRACTED group graph — the production form
+    * (the doc-level loop is the oracle-exact per-document surface, but
+    * ScalingBench measured both doc-level BSP loops at ×27–28 wall for
+    * ×10 docs: the clique-structured doc graph's ~87M-edge checkpointed
+    * adjacency saturates local unified memory, the same degeneracy that
+    * moved triangles/LPA/ANF/MST to groups). Nodes are signature groups
+    * (gid = min member doc_id), seeds the gid ≡ 0 mod 97 slice, and the
+    * expansion list reads "which duplicate FAMILIES are near the seed
+    * families" — the cluster-level answer a curation pipeline acts on.
+    */
+  def pprRankGroups(s: SparkSession, dir: String,
+      iters: Int = 3): DataFrame = {
+    import s.implicits._
+    pprLoop(
+      groupFrame(s, dir)
+        .select($"gid".as("v"), ($"gid" % 97L === 0L).as("seed")),
+      groupPairsOf(s, dir), iters)
+      .withColumnRenamed("v", "gid")
+  }
+
+  // lazy: groupGraphCte is declared later in the object (initialization
+  // order), same reason sqSpearmanSql is lazy in Similarity
+  lazy val pprRankGroupsSql: String = {
+    def iterCte(k: Int): String =
+      s""",
+         |p$k AS (
+         |  SELECT n.gid, n.seed,
+         |    (CASE WHEN n.seed THEN 150000 ELSE 0 END
+         |     + (85 * COALESCE(c.s, 0)) // 100)::BIGINT AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS gid, sum(r.r // deg.d)::BIGINT AS s
+         |    FROM edges e JOIN p${k - 1} r ON e.src = r.gid
+         |                 JOIN deg ON deg.src = e.src
+         |    GROUP BY e.dst) c ON n.gid = c.gid)""".stripMargin
+    groupGraphCte +
+      """, nodes AS (SELECT gid, gid % 97 = 0 AS seed FROM g),
+        |edges AS (SELECT a AS src, b AS dst FROM gp
+        |          UNION ALL SELECT b, a FROM gp),
+        |deg AS (SELECT src, count(*)::BIGINT AS d FROM edges GROUP BY src),
+        |p0 AS (SELECT gid, seed,
+        |         (CASE WHEN seed THEN 1000000 ELSE 0 END)::BIGINT AS r
+        |       FROM nodes)""".stripMargin +
+      (1 to 3).map(iterCte).mkString +
+      "\nSELECT gid, seed, r AS rank FROM p3 " +
+      "ORDER BY rank DESC, gid LIMIT 20"
   }
 
   val pprRankSql: String = {
@@ -6166,6 +6226,8 @@ object TextOps {
     "text_bpe_encode" -> bpeEncode _,
     "graph_pagerank" -> ((s: SparkSession, dir: String) => pageRank(s, dir)),
     "graph_ppr" -> ((s: SparkSession, dir: String) => pprRank(s, dir)),
+    "graph_ppr_groups" ->
+      ((s: SparkSession, dir: String) => pprRankGroups(s, dir)),
     "text_inverted_index" -> invertedIndex _,
     "graph_triangles" -> triangles _,
     "graph_clustering_coeff" -> clusteringCoeff _,
@@ -6255,6 +6317,7 @@ object TextOps {
     "text_bpe_encode" -> bpeEncodeSql,
     "graph_pagerank" -> pageRankSql,
     "graph_ppr" -> pprRankSql,
+    "graph_ppr_groups" -> pprRankGroupsSql,
     "text_inverted_index" -> invertedIndexSql,
     "graph_triangles" -> trianglesSql,
     "graph_clustering_coeff" -> clusteringCoeffSql,
