@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.operators.{Affinity, Events, KvAria, Materialized, Multimodal, Quality, Relational, Similarity, Skew, Sketches, Skyline, TemporalJoins, TextOps}
+import graft.operators.{Affinity, Events, KvAria, LayoutOps, Materialized, Multimodal, Quality, Relational, Similarity, Skew, Sketches, Skyline, TemporalJoins, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -23,7 +23,7 @@ object SparkEntry {
       TextOps.queries ++ Similarity.queries ++ Multimodal.queries ++
       Skew.queries ++ TemporalJoins.queries ++ Skyline.queries ++
       Sketches.queries ++ Materialized.queries ++ Quality.queries ++
-      Affinity.queries
+      Affinity.queries ++ LayoutOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -32,7 +32,7 @@ object SparkEntry {
       TextOps.oracles ++ Similarity.oracles ++ Multimodal.oracles ++
       Skew.oracles ++ TemporalJoins.oracles ++ Skyline.oracles ++
       Sketches.oracles ++ Materialized.oracles ++ Quality.oracles ++
-      Affinity.oracles
+      Affinity.oracles ++ LayoutOps.oracles
 
   /** DIAGNOSTIC queries: correct (oracle-gated) at gate scale but kept as
     * measured baselines for a production-width sibling, NOT recommended

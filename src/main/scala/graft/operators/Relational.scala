@@ -2126,6 +2126,74 @@ object Relational {
       |  ((1000 * max(d)) // (n1 * n2))::BIGINT AS ks_pm
       |FROM dev CROSS JOIN nn GROUP BY n1, n2""".stripMargin
 
+  /** Welch's unequal-variance two-sample t (Welch 1947) between the same
+    * pre/post-1998-06 order cohorts as [[statKsDrift]] — the parametric
+    * mean-shift test beside the distribution-free KS, so a drift triage
+    * reads both from one split: KS fires on ANY distributional change,
+    * Welch isolates the mean. Sufficient statistics (n, Σx, Σx²) are
+    * EXACT integer sums over whole-dollar order totals (dollars keep
+    * Σx² < 2⁶³ past sf1; the deterministic-aggregation rule — double
+    * sums would vary with partition order); the t statistic and the
+    * Welch–Satterthwaite df are then double arithmetic on the six folded
+    * scalars only, rounded to fixed decimals — the same
+    * exact-fold-then-scalar-math discipline as the cosine family.
+    *
+    * Scale: ONE conditional-aggregation pass (six mergeable sums,
+    * map-side combined); everything after is a projection on one row.
+    */
+  def statWelchT(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vals = Tables.orders(s, dir).select(
+      round($"o_totalprice").cast("long").as("v"),
+      ($"o_orderdate" < lit("1998-06-01")).as("a"))
+    vals.agg(
+        count(when($"a", 1)).as("n1"), count(when(!$"a", 1)).as("n2"),
+        sum(when($"a", $"v").otherwise(0L)).as("s1"),
+        sum(when(!$"a", $"v").otherwise(0L)).as("s2"),
+        sum(when($"a", $"v" * $"v").otherwise(0L)).as("q1"),
+        sum(when(!$"a", $"v" * $"v").otherwise(0L)).as("q2"))
+      .select($"n1", $"n2",
+        ($"s1".cast("double") / $"n1").as("m1"),
+        ($"s2".cast("double") / $"n2").as("m2"),
+        (($"q1".cast("double") - $"s1".cast("double") * $"s1" / $"n1")
+          / ($"n1" - 1L)).as("v1"),
+        (($"q2".cast("double") - $"s2".cast("double") * $"s2" / $"n2")
+          / ($"n2" - 1L)).as("v2"))
+      .select($"n1", $"n2",
+        round($"m1", 2).as("mean1"), round($"m2", 2).as("mean2"),
+        round(($"m1" - $"m2") / sqrt($"v1" / $"n1" + $"v2" / $"n2"), 4)
+          .as("t"),
+        round(($"v1" / $"n1" + $"v2" / $"n2")
+            * ($"v1" / $"n1" + $"v2" / $"n2")
+            / (($"v1" / $"n1") * ($"v1" / $"n1") / ($"n1" - 1L)
+              + ($"v2" / $"n2") * ($"v2" / $"n2") / ($"n2" - 1L)), 2)
+          .as("df_ws"))
+  }
+
+  val statWelchTSql: String =
+    """WITH vals AS (
+      |  SELECT round(o_totalprice)::BIGINT AS v,
+      |    (o_orderdate < '1998-06-01') AS a FROM orders),
+      |g AS (
+      |  SELECT count(*) FILTER (a)::BIGINT AS n1,
+      |    count(*) FILTER (NOT a)::BIGINT AS n2,
+      |    sum(CASE WHEN a THEN v ELSE 0 END)::BIGINT AS s1,
+      |    sum(CASE WHEN a THEN 0 ELSE v END)::BIGINT AS s2,
+      |    sum(CASE WHEN a THEN v * v ELSE 0 END)::BIGINT AS q1,
+      |    sum(CASE WHEN a THEN 0 ELSE v * v END)::BIGINT AS q2
+      |  FROM vals),
+      |mm AS (
+      |  SELECT n1, n2, s1::DOUBLE / n1 AS m1, s2::DOUBLE / n2 AS m2,
+      |    (q1::DOUBLE - s1::DOUBLE * s1 / n1) / (n1 - 1) AS v1,
+      |    (q2::DOUBLE - s2::DOUBLE * s2 / n2) / (n2 - 1) AS v2
+      |  FROM g)
+      |SELECT n1, n2, round(m1, 2) AS mean1, round(m2, 2) AS mean2,
+      |  round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 4) AS t,
+      |  round((v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2)
+      |    / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+      |      + (v2 / n2) * (v2 / n2) / (n2 - 1)), 2) AS df_ws
+      |FROM mm""".stripMargin
+
   /** Per-group ordinary-least-squares trend in exact integers: the slope
     * of line-item price (whole dollars) against quantity within each
     * (returnflag, linestatus) group, carried as the classic sufficient
@@ -2410,6 +2478,7 @@ object Relational {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stat_gini" -> statGini _,
     "stat_ks_drift" -> statKsDrift _,
+    "stat_welch_t" -> statWelchT _,
     "stat_group_ols" -> statGroupOls _,
     "stat_theil_sen" -> statTheilSen _,
     "stat_mann_kendall" -> statMannKendall _,
@@ -2488,6 +2557,7 @@ object Relational {
     "stat_equidepth_hist" -> statEquidepthHistSql,
     "stat_gini" -> statGiniSql,
     "stat_ks_drift" -> statKsDriftSql,
+    "stat_welch_t" -> statWelchTSql,
     "stat_group_ols" -> statGroupOlsSql,
     "stat_theil_sen" -> statTheilSenSql,
     "stat_mann_kendall" -> statMannKendallSql,

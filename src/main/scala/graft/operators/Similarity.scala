@@ -269,6 +269,103 @@ object Similarity {
         |  CASE WHEN node = min(m) THEN 1 ELSE 0 END AS is_canonical
         |FROM reach GROUP BY node ORDER BY vec_id""".stripMargin
 
+  /** DBSCAN over the embedding space (Ester et al., KDD'96), ε-neighbor
+    * predicate = exact cosine ≥ 0.30, minPts = 4: CORE points are those
+    * with ≥ 3 ε-neighbors (≥ minPts counting self), clusters are the
+    * connected components of the core–core ε-graph, BORDER points are
+    * non-core nodes within ε of some core (assigned the min core-neighbor
+    * cluster — deterministic, where the textbook's "first discoverer"
+    * is scan-order-dependent), everything else is NOISE. The density
+    * clustering complement of [[semanticClusters]] (plain CC): a single
+    * stray ε-pair no longer glues two dense clusters together unless
+    * both endpoints are core — the chaining failure plain CC has on
+    * bridge points, which is the reason DBSCAN exists.
+    *
+    * Shape: the ε-graph is the grid-blocked exact pair join
+    * ([[nearDupPairsOf]] — Θ(n²) compares hash-partitioned evenly, no
+    * broadcast that grows with the data); degrees and the border
+    * assignment are keyed aggregations over it; components via
+    * large/small-star contraction (O(log n) rounds). At 100 TB the
+    * ε-graph build is the quadratic term and would swap to the IVF
+    * bucketed form ([[ivfAssign]] cells as blocks) — the cluster step
+    * is unchanged either way.
+    *
+    * Output: (vec_id, role 2=core/1=border/0=noise, cluster; −1 for
+    * noise). Oracle: same graph in SQL, components replayed as a
+    * recursive CTE over the core–core edges.
+    */
+  def dbscanClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // the ε-pair frame feeds degrees, core edges, and border assignment
+    val edges = nearDupPairsOf(qEmb(s, dir), 0.30, 32)
+      .select($"a", $"b").pin(true)
+    val sym = edges.unionByName(edges.select($"b".as("a"), $"a".as("b")))
+    val core = sym.groupBy($"a").agg(count(lit(1)).as("deg"))
+      .filter($"deg" >= 3L).select($"a".as("vec_id"))
+    val coreEdges = edges
+      .join(core.select($"vec_id".as("a")), Seq("a"))
+      .join(core.select($"vec_id".as("b")), Seq("b"))
+      .select($"a", $"b")
+    val (labels, _) = TextOps.starContraction(core, coreEdges)
+    // labels cover exactly the core set, so joining sym against them both
+    // restricts to core neighbors and fetches their cluster in one go
+    val nearCore = sym
+      .join(labels.select($"vec_id".as("b"), $"label".as("bcl")), Seq("b"))
+      .groupBy($"a".as("vec_id")).agg(min($"bcl").as("bcl"))
+    Tables.embeddings(s, dir).select($"vec_id")
+      .join(labels.withColumnRenamed("label", "ccl"), Seq("vec_id"), "left")
+      .join(nearCore, Seq("vec_id"), "left")
+      .select($"vec_id",
+        when($"ccl".isNotNull, 2L).when($"bcl".isNotNull, 1L)
+          .otherwise(0L).as("role"),
+        coalesce($"ccl", $"bcl", lit(-1L)).as("cluster"))
+      .orderBy($"vec_id")
+  }
+
+  val dbscanClustersSql: String =
+    """WITH RECURSIVE qv AS MATERIALIZED (
+      |  SELECT vec_id,
+      |    [floor(x::DOUBLE * 10000)::BIGINT FOR x IN embedding] AS q
+      |  FROM embeddings),
+      |nrm AS MATERIALIZED (
+      |  SELECT vec_id, sum(e * e)::BIGINT AS n2
+      |  FROM (SELECT vec_id, unnest(q) AS e FROM qv) GROUP BY vec_id),
+      |dots AS MATERIALIZED (
+      |  SELECT a, b, sum(x * y) AS d FROM (
+      |    SELECT a.vec_id AS a, b.vec_id AS b,
+      |           unnest(a.q) AS x, unnest(b.q) AS y
+      |    FROM qv a JOIN qv b ON a.vec_id < b.vec_id) z
+      |  GROUP BY 1, 2),
+      |eps AS MATERIALIZED (
+      |  SELECT a, b FROM dots
+      |  JOIN nrm na ON a = na.vec_id JOIN nrm nb ON b = nb.vec_id
+      |  WHERE round(d / (sqrt(na.n2) * sqrt(nb.n2)), 4) >= 0.30),
+      |sym AS MATERIALIZED (
+      |  SELECT a, b FROM eps UNION ALL SELECT b, a FROM eps),
+      |core AS MATERIALIZED (
+      |  SELECT a AS v FROM sym GROUP BY a HAVING count(*) >= 3),
+      |ce AS MATERIALIZED (
+      |  SELECT e.a, e.b FROM eps e
+      |  JOIN core ca ON e.a = ca.v JOIN core cb ON e.b = cb.v),
+      |cedges AS (SELECT a, b FROM ce UNION ALL SELECT b, a FROM ce),
+      |reach(node, m) AS (
+      |  SELECT v, v FROM core
+      |  UNION
+      |  SELECT e.a, r.m FROM cedges e JOIN reach r ON e.b = r.node),
+      |cl AS MATERIALIZED (
+      |  SELECT node, min(m)::BIGINT AS cluster FROM reach GROUP BY node),
+      |nearcore AS (
+      |  SELECT s.a AS v, min(c.cluster) AS bcl
+      |  FROM sym s JOIN cl c ON c.node = s.b GROUP BY s.a)
+      |SELECT e.vec_id,
+      |  (CASE WHEN c.cluster IS NOT NULL THEN 2
+      |        WHEN n.bcl IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS role,
+      |  coalesce(c.cluster, n.bcl, -1)::BIGINT AS cluster
+      |FROM embeddings e
+      |LEFT JOIN cl c ON c.node = e.vec_id
+      |LEFT JOIN nearcore n ON n.v = e.vec_id
+      |ORDER BY vec_id""".stripMargin
+
   /** Random-hyperplane LSH bucketing: 8 deterministic integer hyperplanes
     * (h[j][i] = ((1 + (j*64+i)*2654435761) mod 1999) − 999), sign of each
     * integer dot product is one bucket bit. Exact int arithmetic → exact
@@ -3562,6 +3659,7 @@ object Similarity {
     "sim_label_centroids" -> labelCentroids _,
     "sim_neardup_pairs" -> nearDupPairs _,
     "sim_semantic_clusters" -> semanticClusters _,
+    "sim_dbscan" -> dbscanClusters _,
     "sim_lsh_buckets" -> lshBuckets _,
     "sim_lsh_topk" -> lshTopK _,
     "sim_ivf_assign" -> ivfAssign _,
@@ -3607,6 +3705,7 @@ object Similarity {
     "sim_label_centroids" -> labelCentroidsSql,
     "sim_neardup_pairs" -> nearDupPairsSql,
     "sim_semantic_clusters" -> semanticClustersSql,
+    "sim_dbscan" -> dbscanClustersSql,
     "sim_lsh_buckets" -> lshBucketsSql,
     "sim_lsh_topk" -> lshTopKSql,
     "sim_ivf_assign" -> ivfAssignSql,

@@ -92,6 +92,11 @@ class PlanGuardSpec extends SparkSpec {
     // same nbScores subtree as text_lang_nb, inherits its two bounded
     // broadcast frames (|langs| candidates + the 1-row vocab)
     "text_langid_margin" -> 2,
+    // the 1-row broadcast max(partkey, suppkey) normalizer frame crossed
+    // into the binning pass — once per zone-map layout + once for the
+    // matched-rows fold (the scan is rebuilt per consumer; corpus-sized
+    // frames are never pinned, the Affinity basket lesson)
+    "layout_zorder" -> 3,
     // 1-row broadcast revenue-total frame under the 10-row decile window
     "ev_whale_curve" -> 1,
     // the two 1-row sweep-result frames composed into the probe row
