@@ -493,6 +493,53 @@ object Events {
       |FROM c JOIN m USING (from_type)
       |ORDER BY c.from_type, c.to_type""".stripMargin
 
+  /** Sequential PATH mining — the order-3 generalization of
+    * [[transitions]] (Agrawal–Srikant sequence patterns at the n-gram
+    * grain): the top-10 most-traveled 3-step event paths per user
+    * timeline, with each path's share of all trigrams in exact permille.
+    * The "what do users actually do" readout behind funnel design — a
+    * bigram matrix cannot distinguish view→click→purchase from
+    * view→click→error; the trigram table can.
+    *
+    * Scale: ONE user-keyed window pass (two lead()s on the same
+    * partitioning — a single exchange, stacked frames), then a groupBy
+    * whose key space is bounded by |event types|³ (≤125 here) — the
+    * top-10 sort runs on that bounded frame, never on the corpus; the
+    * share normalizer is a 1-row broadcast.
+    */
+  def topPaths(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val tri = Tables.events(s, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type".as("p1"))
+      .withColumn("p2", lead($"p1", 1).over(w))
+      .withColumn("p3", lead($"p1", 2).over(w))
+      .filter($"p3".isNotNull)
+      .groupBy($"p1", $"p2", $"p3").agg(count(lit(1)).as("n"))
+    val tot = tri.agg(sum($"n").as("total"))
+    tri.crossJoin(broadcast(tot))
+      .select($"p1", $"p2", $"p3", $"n",
+        floor($"n" * 1000L / $"total").cast("long").as("share_pm"))
+      .orderBy($"n".desc, $"p1", $"p2", $"p3")
+      .limit(10)
+  }
+
+  val topPathsSql: String =
+    """WITH tri AS (
+      |  SELECT event_type AS p1,
+      |    lead(event_type, 1) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS p2,
+      |    lead(event_type, 2) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS p3
+      |  FROM events),
+      |c AS (SELECT p1, p2, p3, count(*)::BIGINT AS n
+      |      FROM tri WHERE p3 IS NOT NULL GROUP BY 1, 2, 3),
+      |t AS (SELECT sum(n)::BIGINT AS total FROM c)
+      |SELECT p1, p2, p3, n, (n * 1000 // total)::BIGINT AS share_pm
+      |FROM c CROSS JOIN t
+      |ORDER BY n DESC, p1, p2, p3 LIMIT 10""".stripMargin
+
   /** Stationary distribution of the [[transitions]] Markov chain — the
     * long-run event mix the per-step matrix implies ("where does a user
     * journey settle?"), the classic chain read behind behavioral mix
@@ -1491,6 +1538,7 @@ object Events {
     "ev_rfm" -> rfm _,
     "ev_streaks" -> streaks _,
     "ev_transitions" -> transitions _,
+    "ev_top_paths" -> topPaths _,
     "ev_markov_stationary" ->
       ((s: SparkSession, dir: String) => markovStationary(s, dir)),
     "ev_inter_arrival" -> interArrival _,
@@ -1525,6 +1573,7 @@ object Events {
     "ev_rfm" -> rfmSql,
     "ev_streaks" -> streaksSql,
     "ev_transitions" -> transitionsSql,
+    "ev_top_paths" -> topPathsSql,
     "ev_markov_stationary" -> markovStationarySql,
     "ev_inter_arrival" -> interArrivalSql,
     "ev_anomaly" -> anomaliesSql,

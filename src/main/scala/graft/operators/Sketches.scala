@@ -646,6 +646,119 @@ object Sketches {
        |ORDER BY nationkey""".stripMargin
   }
 
+  /** Bloom-pruned semi join — the runtime-filter pushdown every 100 TB
+    * join wants (Spark's own runtime bloom, Bloom 1970): the build side's
+    * key set (custkeys holding 1-URGENT orders) folds to a 64-WORD bloom
+    * TABLE (word_idx, bits) — the word-as-row layout keeps the sketch a
+    * tiny broadcast relation instead of a 64-column monster, and membership
+    * tests become two equi joins against it. The probe scan (customer)
+    * keeps only bloom-passing rows BEFORE the exact semi join — at scale
+    * that is shuffle volume cut at the map side; here every stage of the
+    * funnel ships in one row: inserted keys, probe rows, bloom passes,
+    * exact matches, false positives, and the joined balance total (which
+    * the oracle computes WITHOUT the bloom — hash equality IS the
+    * no-false-negative proof).
+    *
+    * Both bit positions use the avalanched hash, not the plain affine map:
+    * the CMS/HLL lattice lesson — sequential custkeys under an affine hash
+    * land equally spaced, a misleadingly collision-free bloom that would
+    * report 0 false positives and shatter on non-consecutive keys.
+    *
+    * Scale: build = one distinct + a ≤64-row bit_or aggregate (mergeable,
+    * O(words) state); probe = two broadcast joins + a filter riding the
+    * scan; the exact semi join runs on the pruned remainder. Nothing
+    * grows but the scans.
+    */
+  def bloomJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wbits = 48L
+    val words = 64L // m = 3072 bits, k = 2
+    val mBits = words * wbits
+    def pos1(x: Column) =
+      avalanche(h(x, 2654435761L, 12007L), 1779033703L, 514229L) % mBits
+    def pos2(x: Column) =
+      avalanche(h(x, 1779033703L, 514229L), 2654435761L, 12007L) % mBits
+    val keys = Tables.orders(s, dir)
+      .filter($"o_orderpriority" === "1-URGENT" &&
+        $"o_totalprice" > 350000.0)
+      .select($"o_custkey".as("x")).distinct()
+    val bloom = keys
+      .select(explode(array(pos1($"x"), pos2($"x"))).as("hc"))
+      .select(floor($"hc" / wbits).cast("long").as("w"),
+        // 2^j as an exact double-exponent shift (the bloomFilter idiom)
+        floor(pow(lit(2.0), $"hc" % wbits)).cast("long").as("bit"))
+      .groupBy($"w").agg(bit_or($"bit").as("bits"))
+    def hits(bits: Column, hc: Column): Column =
+      pmod(floor(bits.cast("double") / pow(lit(2.0), hc % wbits))
+        .cast("long"), lit(2L)) === 1L
+    val probe = Tables.customer(s, dir)
+      .select($"c_custkey".as("x"),
+        round($"c_acctbal" * 100).cast("long").as("bal"))
+      .withColumn("h1", pos1($"x")).withColumn("h2", pos2($"x"))
+    // left joins: a missing bloom word means no bit set -> condition null
+    // -> filtered, exactly the all-zero-word semantics
+    val passed = probe
+      .join(broadcast(bloom.select($"w".as("w1"), $"bits".as("bits1"))),
+        floor($"h1" / wbits).cast("long") === $"w1", "left")
+      .join(broadcast(bloom.select($"w".as("w2"), $"bits".as("bits2"))),
+        floor($"h2" / wbits).cast("long") === $"w2", "left")
+      .filter(hits($"bits1", $"h1") && hits($"bits2", $"h2"))
+      .select($"x", $"bal")
+    val matched = passed.join(keys, Seq("x"), "left_semi")
+    val a = keys.agg(count(lit(1)).as("n_keys"))
+    val b = probe.agg(count(lit(1)).as("n_probe"))
+    val c = passed.agg(count(lit(1)).as("n_pass"))
+    val d = matched.agg(count(lit(1)).as("n_match"),
+      sum($"bal").as("bal_cents"))
+    a.crossJoin(broadcast(b)).crossJoin(broadcast(c))
+      .crossJoin(broadcast(d))
+      .select($"n_keys", $"n_probe", $"n_pass", $"n_match",
+        ($"n_pass" - $"n_match").as("n_fp"), $"bal_cents")
+  }
+
+  val bloomJoinSql: String = {
+    // the avalanched bit position as SQL, mirroring [[avalanche]] exactly:
+    // affine -> xor-shift 15 -> affine -> xor-shift 13 -> mod m
+    def ava(expr: String, a1: Long, b1: Long, a2: Long, b2: Long) = {
+      val inner =
+        s"xor(($a1 * $expr + $b1) % $M, (($a1 * $expr + $b1) % $M) >> 15)"
+      val affine2 = s"($a2 * ($inner) + $b2) % $M"
+      s"(xor($affine2, ($affine2) >> 13)) % 3072"
+    }
+    def p1(e: String) = ava(e, 2654435761L, 12007L, 1779033703L, 514229L)
+    def p2(e: String) = ava(e, 1779033703L, 514229L, 2654435761L, 12007L)
+    s"""WITH keys AS (
+       |  SELECT DISTINCT o_custkey AS x FROM orders
+       |  WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 350000),
+       |kpos AS (
+       |  SELECT ${p1("x")} AS hc FROM keys
+       |  UNION ALL SELECT ${p2("x")} AS hc FROM keys),
+       |bloom AS (
+       |  SELECT hc // 48 AS w, bit_or(1::BIGINT << (hc % 48)::INT) AS bits
+       |  FROM kpos GROUP BY 1),
+       |probe AS (
+       |  SELECT c_custkey AS x, round(c_acctbal * 100)::BIGINT AS bal,
+       |    ${p1("c_custkey")} AS h1, ${p2("c_custkey")} AS h2
+       |  FROM customer),
+       |passed AS (
+       |  SELECT p.x, p.bal FROM probe p
+       |  JOIN bloom b1 ON p.h1 // 48 = b1.w
+       |    AND ((b1.bits >> (p.h1 % 48)::INT) & 1) = 1
+       |  JOIN bloom b2 ON p.h2 // 48 = b2.w
+       |    AND ((b2.bits >> (p.h2 % 48)::INT) & 1) = 1),
+       |matched AS (
+       |  SELECT pa.x, pa.bal FROM passed pa
+       |  WHERE pa.x IN (SELECT x FROM keys))
+       |SELECT
+       |  (SELECT count(*) FROM keys)::BIGINT AS n_keys,
+       |  (SELECT count(*) FROM probe)::BIGINT AS n_probe,
+       |  (SELECT count(*) FROM passed)::BIGINT AS n_pass,
+       |  (SELECT count(*) FROM matched)::BIGINT AS n_match,
+       |  ((SELECT count(*) FROM passed)
+       |    - (SELECT count(*) FROM matched))::BIGINT AS n_fp,
+       |  (SELECT sum(bal) FROM matched)::BIGINT AS bal_cents""".stripMargin
+  }
+
   // ---- weighted (πps / Poisson) sampling ----
 
   /** Probability-proportional-to-size Poisson sample: doc i is kept iff
@@ -1372,6 +1485,7 @@ object Sketches {
     "sample_mixture" -> mixtureSample _,
     "sample_weighted" -> weightedSample _,
     "sketch_bloom_filter" -> bloomFilter _,
+    "sketch_bloom_join" -> bloomJoin _,
     "sketch_kmv_distinct" -> kmvDistinct _,
     "sketch_kmv_agg" -> kmvAgg _,
     "sketch_kmv_setops" -> kmvSetOps _,
@@ -1395,6 +1509,7 @@ object Sketches {
     "sample_mixture" -> mixtureSampleSql,
     "sample_weighted" -> weightedSampleSql,
     "sketch_bloom_filter" -> bloomFilterSql,
+    "sketch_bloom_join" -> bloomJoinSql,
     "sketch_kmv_distinct" -> kmvDistinctSql,
     "sketch_kmv_agg" -> kmvDistinctSql, // same logical result, UDAF plan
     "sketch_kmv_setops" -> kmvSetOpsSql,

@@ -92,6 +92,12 @@ class PlanGuardSpec extends SparkSpec {
     // same nbScores subtree as text_lang_nb, inherits its two bounded
     // broadcast frames (|langs| candidates + the 1-row vocab)
     "text_langid_margin" -> 2,
+    // 1-row broadcast trigram-total frame (the share normalizer)
+    "ev_top_paths" -> 1,
+    // the three bounded 1-row funnel aggregates (probe/pass/match) crossed
+    // into the single output row; the bloom itself joins as a ≤64-row
+    // broadcast EQUI join, not a nested loop
+    "sketch_bloom_join" -> 3,
     // the 1-row broadcast max(partkey, suppkey) normalizer frame crossed
     // into the binning pass — once per zone-map layout + once for the
     // matched-rows fold (the scan is rebuilt per consumer; corpus-sized
