@@ -635,7 +635,85 @@ object Multimodal {
        |        JOIN pha pb ON tp.b = pb.media_id
        |ORDER BY tp.a, tp.b""".stripMargin
 
+  /** STUB audio fingerprint (Haitsma–Kalker 2002 / the Chromaprint
+    * recipe, over the stub decoder's signal): the payload is framed into
+    * 8-byte windows, each frame's ENERGY is its byte sum, and bit j of
+    * the 16-bit fingerprint is the SIGN of the energy delta between
+    * frames j and j+1 — the delta-sign trick that makes the print robust
+    * to level changes (a real implementation band-filters a spectrogram
+    * first; the frame→energy→delta-sign→bits contract is identical and
+    * is what this exercises). Partial trailing frames are dropped, media
+    * shorter than j+2 full frames leave bit j at 0.
+    */
+  def stubAudioFp(payload: Array[Byte]): Long = {
+    val nf = payload.length / 8
+    val e = new Array[Long](nf)
+    var i = 0
+    while (i < nf * 8) { e(i / 8) += (payload(i) & 0xff).toLong; i += 1 }
+    var fp = 0L
+    var j = 0
+    while (j < 16 && j + 1 < nf) {
+      if (e(j + 1) > e(j)) fp |= (1L << j)
+      j += 1
+    }
+    fp
+  }
+
+  /** Audio DEDUP by fingerprint: each media row's 16-bit delta-sign print
+    * plus its duplicate group (min media_id sharing the print) and group
+    * size — the "same recording, different container" detector. Decode
+    * runs partition-batched ([[mediaFeatures]]'s mapInPandas-equivalent
+    * shape); grouping is one fingerprint-keyed aggregation joined back —
+    * at 100 TB both stages are plain keyed shuffles on a 16-bit-bounded
+    * key space (65,536 groups regardless of corpus size; a production
+    * print widens the key, never the shape).
+    */
+  def audioFingerprint(s: SparkSession, dir: String): DataFrame = {
+    val fpSchema = StructType(Seq(StructField("media_id", LongType),
+      StructField("fp", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(fpSchema)
+    val fps = mediaTable(s, dir)
+      .select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          Row(r.getAs[Long]("media_id"),
+            stubAudioFp(r.getAs[Array[Byte]]("payload")))
+        }
+      }(enc)
+    val groups = fps.groupBy(col("fp")).agg(
+      min(col("media_id")).as("dup_group"),
+      count(lit(1)).as("group_n"))
+    fps.join(groups, Seq("fp"))
+      .select(col("media_id"), col("fp"), col("dup_group"), col("group_n"))
+      .orderBy(col("media_id"))
+  }
+
+  val audioFingerprintSql: String =
+    s"""$channelCte,
+       |fe AS (
+       |  SELECT doc_id, i // 8 AS f, sum(code)::BIGINT AS e,
+       |         count(*)::BIGINT AS c
+       |  FROM ch GROUP BY 1, 2),
+       |de AS (
+       |  SELECT doc_id, f, e,
+       |    lead(e) OVER (PARTITION BY doc_id ORDER BY f) AS e2
+       |  FROM fe WHERE c = 8),
+       |fp AS (
+       |  SELECT d.doc_id AS media_id,
+       |    coalesce(sum(CASE WHEN de.e2 > de.e AND de.f < 16
+       |      THEN (1::BIGINT << de.f::INT) ELSE 0 END), 0)::BIGINT AS fp
+       |  FROM documents d LEFT JOIN de ON de.doc_id = d.doc_id
+       |  GROUP BY 1),
+       |g AS (
+       |  SELECT fp, min(media_id) AS dup_group, count(*)::BIGINT AS group_n
+       |  FROM fp GROUP BY 1)
+       |SELECT f.media_id, f.fp, g.dup_group, g.group_n
+       |FROM fp f JOIN g USING (fp)
+       |ORDER BY media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_audio_fingerprint" -> audioFingerprint _,
     "mm_crossmodal_dups" -> crossmodalDups _,
     "mm_phash_clusters" -> phashClusters _,
     "mm_scene_cuts" -> sceneCuts _,
@@ -648,6 +726,7 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    "mm_audio_fingerprint" -> audioFingerprintSql,
     "mm_crossmodal_dups" -> crossmodalDupsSql,
     "mm_phash_clusters" -> phashClustersSql,
     "mm_scene_cuts" -> sceneCutsSql,
