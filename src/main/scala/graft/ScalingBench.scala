@@ -166,6 +166,25 @@ object ScalingBench {
     ()
   }
 
+  /** Inline-scaled events (user/event keyspaces offset per shard, same
+    * calendar) — shared by the s3/s4 probe blocks.
+    */
+  private def buildEventsCorpus(spark: SparkSession, base: String,
+      evOut: String, mult: Int): Unit = {
+    if (new java.io.File(s"$evOut/_DONE_v1").exists()) return
+    val ev = spark.read.parquet(s"$base/events.parquet")
+    val nEv = ev.agg(max("event_id")).head().getLong(0) + 1
+    val nUser = ev.agg(max("user_id")).head().getLong(0) + 1
+    ev.withColumn("shard", explode(sequence(lit(0), lit(mult - 1))))
+      .select((col("event_id") + col("shard") * nEv).as("event_id"),
+        col("ts"), (col("user_id") + col("shard") * nUser).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$evOut/events.parquet")
+    new java.io.File(s"$evOut/_DONE_v1").createNewFile()
+    ()
+  }
+
   /** min-of-iters wall seconds + result rows for one DataFrame builder. */
   private def time(iters: Int)(build: => DataFrame): (Double, Long) = {
     var rows = 0L
@@ -505,23 +524,51 @@ object ScalingBench {
       val relOut = s"tmp/sfrel$mult"
       buildRelCorpus(spark, base, relOut, mult)
       val evOut = s"tmp/sfev$mult"
-      if (!new java.io.File(s"$evOut/_DONE_v1").exists()) {
-        val ev = spark.read.parquet(s"$base/events.parquet")
-        val nEv = ev.agg(max("event_id")).head().getLong(0) + 1
-        val nUser = ev.agg(max("user_id")).head().getLong(0) + 1
-        ev.withColumn("shard", explode(sequence(lit(0), lit(mult - 1))))
-          .select((col("event_id") + col("shard") * nEv).as("event_id"),
-            col("ts"), (col("user_id") + col("shard") * nUser).as("user_id"),
-            col("event_type"), col("value"), col("props"))
-          .repartition(32)
-          .write.mode("overwrite").parquet(s"$evOut/events.parquet")
-        new java.io.File(s"$evOut/_DONE_v1").createNewFile()
-      }
+      buildEventsCorpus(spark, base, evOut, mult)
       for ((q, sDir) <- Seq("rec_market_basket" -> relOut,
              "stat_theil_sen" -> relOut,
              "sketch_cms_join_card" -> relOut,
              "emb_pca_power" -> out,
              "ev_acf" -> evOut);
+           (tag, dir) <- Seq("1x" -> base, s"${mult}x" -> sDir)) {
+        val (secs, rows) = time(iters)(SparkEntry.queries(q)(spark, dir))
+        val line = s"""{"query":"$q","scale":"$tag",""" +
+          s""""sec":${f3(secs)},"rows":$rows}"""
+        println(line)
+        report += line
+      }
+    }
+
+    // Round-13 session-4 operator probes (opt-in via "s4_ops"):
+    //  - dedup_prefix_pairs (vocab-sharded docs): prefix df is
+    //    shard-constant, so candidate volume Σ C(prefix-df, 2) scales
+    //    ×mult — wall should track the shingling scan, the AllPairs
+    //    completeness claim at scale;
+    //  - sim_dbscan (sharded embeddings): the ε-graph grid join is the
+    //    quadratic term (intra-shard pairs only by the ±1 diagonal
+    //    construction); degree/core/border stages are keyed aggs on the
+    //    ×mult edge frame;
+    //  - mm_audio_fingerprint (sharded docs): decode scan + an agg on a
+    //    key space bounded at 2^16 — must read near-flat per row;
+    //  - ev_top_paths (inline-scaled events): one user-keyed window pass
+    //    folding to ≤|event-types|³ rows;
+    //  - sketch_bloom_join / stat_welch_t / layout_zorder (keyspace-offset
+    //    relational corpus — bloom keys, cohorts, and the partkey catalog
+    //    all scale honestly): one-scan funnels over fixed sketch/zone-map
+    //    state (64 bloom words, 64 files, 6 sums).
+    if (onlyQs.exists(_.contains("s4_ops"))) {
+      val relOut = s"tmp/sfrel$mult"
+      buildRelCorpus(spark, base, relOut, mult)
+      val evOut = s"tmp/sfev$mult"
+      buildEventsCorpus(spark, base, evOut, mult)
+      for ((q, sDir) <- Seq(
+             "mm_audio_fingerprint" -> out,
+             "ev_top_paths" -> evOut,
+             "sketch_bloom_join" -> relOut,
+             "stat_welch_t" -> relOut,
+             "layout_zorder" -> relOut,
+             "dedup_prefix_pairs" -> out,
+             "sim_dbscan" -> out);
            (tag, dir) <- Seq("1x" -> base, s"${mult}x" -> sDir)) {
         val (secs, rows) = time(iters)(SparkEntry.queries(q)(spark, dir))
         val line = s"""{"query":"$q","scale":"$tag",""" +

@@ -2194,6 +2194,75 @@ object Relational {
       |      + (v2 / n2) * (v2 / n2) / (n2 - 1)), 2) AS df_ws
       |FROM mm""".stripMargin
 
+  /** One-way ANOVA (Fisher's F) of order totals across the five order
+    * priorities — the k-group generalization of [[statWelchT]], closing
+    * the inference battery (KS / chi-square / Welch / Mann–Kendall /
+    * ANOVA): does ANY priority class price differently? Same discipline
+    * as Welch: per-group sufficient statistics (n, Σx, Σx²) are exact
+    * integer sums; SSB/SSW/F are scalar double math on the ≤k-row folded
+    * frame (Σ S_g²/n_g runs in double — S_g² would clear int64 around
+    * sf1). SSB = Σ S_g²/n_g − S²/N, SSW = Σ Q_g − Σ S_g²/n_g, F =
+    * (SSB/(k−1)) / (SSW/(N−k)).
+    *
+    * Scale: one partial-aggregated groupBy to ≤|priorities| rows, then a
+    * second fold of that bounded frame to one row. Nothing else.
+    */
+  def statAnova(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val g = Tables.orders(s, dir)
+      .select($"o_orderpriority".as("g"),
+        round($"o_totalprice").cast("long").as("v"))
+      .groupBy($"g").agg(count(lit(1)).as("n"), sum($"v").as("s"),
+        sum($"v" * $"v").as("q"))
+      // the S_g²/n_g term as a centi-floored DECIMAL: each per-group value
+      // is ONE fixed expression (IEEE-identical cross-engine), and the
+      // cross-group SUM runs in exact decimal — a plain double sum here
+      // was measured to flip the last bits with partition order, which
+      // round(…, 2) cannot absorb at these magnitudes
+      .withColumn("t",
+        floor($"s".cast("double") * $"s" / $"n" * 100d)
+          .cast("decimal(38,0)"))
+    g.agg(count(lit(1)).as("k"), sum($"n").as("n_total"),
+        sum($"s").as("s_total"), sum($"q").as("q_sum"),
+        sum($"t").as("t_sum"))
+      .select($"k", $"n_total",
+        round($"t_sum".cast("double") / 100d
+          - $"s_total".cast("double") * $"s_total" / $"n_total", 2)
+          .as("ss_between"),
+        round($"q_sum".cast("double") - $"t_sum".cast("double") / 100d, 2)
+          .as("ss_within"),
+        round((($"t_sum".cast("double") / 100d
+            - $"s_total".cast("double") * $"s_total" / $"n_total")
+            / ($"k" - 1L))
+          / (($"q_sum".cast("double") - $"t_sum".cast("double") / 100d)
+            / ($"n_total" - $"k")), 4).as("f"))
+  }
+
+  val statAnovaSql: String =
+    """WITH g AS (
+      |  SELECT o_orderpriority AS g, count(*)::BIGINT AS n,
+      |    sum(round(o_totalprice)::BIGINT)::BIGINT AS s,
+      |    sum(round(o_totalprice)::BIGINT * round(o_totalprice)::BIGINT)
+      |      ::BIGINT AS q
+      |  FROM orders GROUP BY 1),
+      |g2 AS (
+      |  SELECT *, floor(s::DOUBLE * s / n * 100)::DECIMAL(38,0) AS t
+      |  FROM g),
+      |t AS (
+      |  SELECT count(*)::BIGINT AS k, sum(n)::BIGINT AS n_total,
+      |    sum(s)::BIGINT AS s_total, sum(q)::BIGINT AS q_sum,
+      |    sum(t)::DECIMAL(38,0) AS t_sum
+      |  FROM g2)
+      |SELECT k, n_total,
+      |  round(t_sum::DOUBLE / 100
+      |    - s_total::DOUBLE * s_total / n_total, 2) AS ss_between,
+      |  round(q_sum::DOUBLE - t_sum::DOUBLE / 100, 2) AS ss_within,
+      |  round(((t_sum::DOUBLE / 100 - s_total::DOUBLE * s_total / n_total)
+      |      / (k - 1))
+      |    / ((q_sum::DOUBLE - t_sum::DOUBLE / 100) / (n_total - k)), 4)
+      |    AS f
+      |FROM t""".stripMargin
+
   /** Per-group ordinary-least-squares trend in exact integers: the slope
     * of line-item price (whole dollars) against quantity within each
     * (returnflag, linestatus) group, carried as the classic sufficient
@@ -2479,6 +2548,7 @@ object Relational {
     "stat_gini" -> statGini _,
     "stat_ks_drift" -> statKsDrift _,
     "stat_welch_t" -> statWelchT _,
+    "stat_anova" -> statAnova _,
     "stat_group_ols" -> statGroupOls _,
     "stat_theil_sen" -> statTheilSen _,
     "stat_mann_kendall" -> statMannKendall _,
@@ -2558,6 +2628,7 @@ object Relational {
     "stat_gini" -> statGiniSql,
     "stat_ks_drift" -> statKsDriftSql,
     "stat_welch_t" -> statWelchTSql,
+    "stat_anova" -> statAnovaSql,
     "stat_group_ols" -> statGroupOlsSql,
     "stat_theil_sen" -> statTheilSenSql,
     "stat_mann_kendall" -> statMannKendallSql,
