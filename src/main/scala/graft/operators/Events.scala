@@ -540,6 +540,75 @@ object Events {
       |FROM c CROSS JOIN t
       |ORDER BY n DESC, p1, p2, p3 LIMIT 10""".stripMargin
 
+  /** WINDOWED funnel (the ClickHouse windowFunnel primitive): the deepest
+    * view→click→purchase chain each user completes INSIDE a 6-hour
+    * window (the sessionCounts horizon) anchored at the chain's first event — [[funnel]] without the
+    * window answers "ever converted", this answers "converted while the
+    * intent was live". Per user the max stage (0 = active but no view),
+    * output as a stage histogram.
+    *
+    * The chain search is GREEDY-EARLIEST, which is exact for
+    * chain-existence (taking the earliest click ≥ the view, then the
+    * earliest purchase ≥ that click, minimizes the chain's end — an
+    * exchange argument): both hops come from ONE user-keyed window pass —
+    * `min(purchase micros) over [current, ∞)` stacked with
+    * `min(struct(click micros, that purchase min)) over [current, ∞)`,
+    * RANGE frames on epoch micros so the ≥ comparisons are value-based
+    * (identical to the oracle's correlated min-subqueries even under
+    * timestamp ties). Two windows, same partitioning → one exchange;
+    * the per-user fold and the ≤4-row histogram follow.
+    */
+  def windowFunnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val H = 21600000000L // 6 hours in micros (the session horizon)
+    val w = Window.partitionBy($"user_id").orderBy($"m")
+      .rangeBetween(Window.currentRow, Window.unboundedFollowing)
+    val ev = Tables.events(s, dir)
+      .select($"user_id", unix_micros($"ts").as("m"), $"event_type")
+    val chained = ev
+      .withColumn("pm",
+        min(when($"event_type" === "purchase", $"m")).over(w))
+      .withColumn("cb",
+        min(when($"event_type" === "click", struct($"m", $"pm"))).over(w))
+    val perUser = chained.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(
+        max(when($"cb.pm".isNotNull && $"cb.pm" - $"m" <= H, 3L)
+          .when($"cb.m".isNotNull && $"cb.m" - $"m" <= H, 2L)
+          .otherwise(1L)).as("stage"))
+    ev.select($"user_id").distinct()
+      .join(perUser, Seq("user_id"), "left")
+      .select(coalesce($"stage", lit(0L)).as("stage"))
+      .groupBy($"stage").agg(count(lit(1)).as("users"))
+      .orderBy($"stage")
+  }
+
+  val windowFunnelSql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS m, event_type FROM events),
+      |v AS (SELECT user_id, m FROM e WHERE event_type = 'view'),
+      |c1 AS (
+      |  SELECT v.user_id, v.m,
+      |    (SELECT min(c.m) FROM e c WHERE c.user_id = v.user_id
+      |       AND c.event_type = 'click' AND c.m >= v.m) AS cm
+      |  FROM v),
+      |c2 AS (
+      |  SELECT user_id, m, cm,
+      |    (SELECT min(p.m) FROM e p WHERE p.user_id = c1.user_id
+      |       AND p.event_type = 'purchase' AND p.m >= c1.cm) AS pm
+      |  FROM c1),
+      |us AS (
+      |  SELECT user_id,
+      |    max(CASE WHEN pm IS NOT NULL AND pm - m <= 21600000000 THEN 3
+      |             WHEN cm IS NOT NULL AND cm - m <= 21600000000 THEN 2
+      |             ELSE 1 END)::BIGINT AS stage
+      |  FROM c2 GROUP BY 1),
+      |allu AS (SELECT DISTINCT user_id FROM e)
+      |SELECT stage, count(*)::BIGINT AS users FROM (
+      |  SELECT coalesce(us.stage, 0) AS stage
+      |  FROM allu LEFT JOIN us USING (user_id)) t
+      |GROUP BY stage ORDER BY stage""".stripMargin
+
   /** Stationary distribution of the [[transitions]] Markov chain — the
     * long-run event mix the per-step matrix implies ("where does a user
     * journey settle?"), the classic chain read behind behavioral mix
@@ -1539,6 +1608,7 @@ object Events {
     "ev_streaks" -> streaks _,
     "ev_transitions" -> transitions _,
     "ev_top_paths" -> topPaths _,
+    "ev_window_funnel" -> windowFunnel _,
     "ev_markov_stationary" ->
       ((s: SparkSession, dir: String) => markovStationary(s, dir)),
     "ev_inter_arrival" -> interArrival _,
@@ -1574,6 +1644,7 @@ object Events {
     "ev_streaks" -> streaksSql,
     "ev_transitions" -> transitionsSql,
     "ev_top_paths" -> topPathsSql,
+    "ev_window_funnel" -> windowFunnelSql,
     "ev_markov_stationary" -> markovStationarySql,
     "ev_inter_arrival" -> interArrivalSql,
     "ev_anomaly" -> anomaliesSql,
