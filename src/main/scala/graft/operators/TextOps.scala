@@ -1749,10 +1749,19 @@ object TextOps {
     */
   def prefixPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
     // one shingling pass, checkpointed: df, sizes, prefixes, and the
     // verify join all fan out from this frame (the containmentPairs rule)
     val codes = shingleCodes(s, dir).pin(true)
+    prefixPairsOf(codes).orderBy($"a", $"b")
+  }
+
+  /** The AllPairs core over an already-built (and pinned) codes frame —
+    * shared by the public query and the recall audit.
+    */
+  private def prefixPairsOf(codes: DataFrame): DataFrame = {
+    val s = codes.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
     val dfq = codes.groupBy($"code").agg(count(lit(1)).as("df"))
     val sizes = shingleSizes(codes)
     val ranked = codes.join(dfq, Seq("code"))
@@ -1779,10 +1788,12 @@ object TextOps {
       .filter($"c" * 5L >= ($"na" + $"nb" - $"c") * 4L)
       .select($"a", $"b", $"c", $"na", $"nb",
         (($"c" * 1000L) / ($"na" + $"nb" - $"c")).cast("long").as("jac_pm"))
-      .orderBy($"a", $"b")
   }
 
-  val prefixPairsSql: String = shingleCte +
+  /** The AllPairs prefix CTE chain (dfq/psz/rk/pref/cand/pinter) — one
+    * copy shared by the pair query and the recall audit.
+    */
+  private val prefixCtes: String =
     """, dfq AS (SELECT code, count(*)::BIGINT AS df FROM codes GROUP BY 1),
       |psz AS (SELECT doc_id, count(*)::BIGINT AS n FROM codes GROUP BY 1),
       |rk AS (
@@ -1799,13 +1810,82 @@ object TextOps {
       |  SELECT p.a, p.b, count(*)::BIGINT AS c
       |  FROM cand p JOIN codes ca ON ca.doc_id = p.a
       |  JOIN codes cb ON cb.doc_id = p.b AND cb.code = ca.code
-      |  GROUP BY 1, 2)
+      |  GROUP BY 1, 2)""".stripMargin
+
+  val prefixPairsSql: String = shingleCte + prefixCtes +
+    """
       |SELECT i.a, i.b, i.c, sa.n AS na, sb.n AS nb,
       |  (i.c * 1000) // (sa.n + sb.n - i.c) AS jac_pm
       |FROM pinter i JOIN psz sa ON i.a = sa.doc_id
       |JOIN psz sb ON i.b = sb.doc_id
       |WHERE i.c * 5 >= (sa.n + sb.n - i.c) * 4
       |ORDER BY a, b""".stripMargin
+
+  /** LSH RECALL AUDIT — the "are we missing duplicates?" number a dedup
+    * pipeline cannot read from inside itself: the shingle-LSH path only
+    * ever sees ITS candidates, so its false negatives are invisible to
+    * every LSH-side metric. The AllPairs prefix join ([[prefixPairs]]) is
+    * exact and complete at the same τ = 0.8, so the two pipelines
+    * compose into an honest recall measurement: found = LSH candidates
+    * verified ≥ τ (⊆ truth by construction — both sides verify the same
+    * exact Jaccard), missed = truth ∖ found with its Jaccard range (are
+    * the misses borderline 0.8s or smoking-gun 0.95s?). The Broder/MMDS
+    * S-curve predicts recall 1 − (1 − 0.8⁴)² ≈ 0.65 for this 2-band ×
+    * 4-row config at J = 0.8 — the audit measures it on the real corpus.
+    *
+    * Scale: one shingling pass feeds both sides; the LSH side is the
+    * measured banded-join shape, the AllPairs side the measured
+    * prefix-join shape; the compose is an anti-join on bounded pair
+    * frames + three 1-row aggregates.
+    */
+  def recallAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val codes = shingleCodes(s, dir).pin(true)
+    val sizes = shingleSizes(codes)
+    val found = shingleInterCounts(codes)
+      .join(sizes.select($"doc_id".as("a"), $"n".as("na")), Seq("a"))
+      .join(sizes.select($"doc_id".as("b"), $"n".as("nb")), Seq("b"))
+      .filter($"c" * 5L >= ($"na" + $"nb" - $"c") * 4L)
+      .select($"a", $"b").pin(true)
+    val truth = prefixPairsOf(codes).select($"a", $"b", $"jac_pm").pin(true)
+    val missed = truth.join(found, Seq("a", "b"), "left_anti")
+    val tAgg = truth.agg(count(lit(1)).as("n_truth"))
+    val fAgg = found.agg(count(lit(1)).as("n_found"))
+    val mAgg = missed.agg(count(lit(1)).as("n_missed"),
+      coalesce(min($"jac_pm"), lit(-1L)).as("missed_min_jac_pm"),
+      coalesce(max($"jac_pm"), lit(-1L)).as("missed_max_jac_pm"))
+    tAgg.crossJoin(broadcast(fAgg)).crossJoin(broadcast(mAgg))
+      .select($"n_truth", $"n_found", $"n_missed",
+        floor($"n_found" * 1000L / $"n_truth").cast("long").as("recall_pm"),
+        $"missed_min_jac_pm", $"missed_max_jac_pm")
+  }
+
+  val recallAuditSql: String = shingleCte + shingleBandsCte +
+    shingleInterCte + prefixCtes +
+    """,
+      |truth AS (
+      |  SELECT i.a, i.b, (i.c * 1000) // (sa.n + sb.n - i.c) AS jac_pm
+      |  FROM pinter i JOIN psz sa ON i.a = sa.doc_id
+      |  JOIN psz sb ON i.b = sb.doc_id
+      |  WHERE i.c * 5 >= (sa.n + sb.n - i.c) * 4),
+      |found AS (
+      |  SELECT i.a, i.b FROM inter i
+      |  JOIN sz sa ON i.a = sa.doc_id JOIN sz sb ON i.b = sb.doc_id
+      |  WHERE i.c * 5 >= (sa.n + sb.n - i.c) * 4),
+      |missed AS (
+      |  SELECT t.a, t.b, t.jac_pm FROM truth t
+      |  LEFT JOIN found f ON t.a = f.a AND t.b = f.b
+      |  WHERE f.a IS NULL)
+      |SELECT
+      |  (SELECT count(*) FROM truth)::BIGINT AS n_truth,
+      |  (SELECT count(*) FROM found)::BIGINT AS n_found,
+      |  (SELECT count(*) FROM missed)::BIGINT AS n_missed,
+      |  ((SELECT count(*) FROM found) * 1000
+      |    // (SELECT count(*) FROM truth))::BIGINT AS recall_pm,
+      |  coalesce((SELECT min(jac_pm) FROM missed), -1)::BIGINT
+      |    AS missed_min_jac_pm,
+      |  coalesce((SELECT max(jac_pm) FROM missed), -1)::BIGINT
+      |    AS missed_max_jac_pm""".stripMargin
 
   /** LSH BANDING calibration (the (b, r) knob of the Broder/MMDS S-curve
     * P(candidate) = 1 − (1 − J^r)^b): the same 8 shingle-minhash perms
@@ -6341,6 +6421,7 @@ object TextOps {
     "text_dup_span_apply" -> dupSpanApply _,
     "dedup_jaccard_pairs" -> jaccardPairs _,
     "dedup_prefix_pairs" -> prefixPairs _,
+    "dedup_recall_audit" -> recallAudit _,
     "dedup_sorted_neighborhood" -> sortedNeighborhood _,
     "dedup_single_linkage" -> ((s: SparkSession, dir: String) => singleLinkage(s, dir)),
     "dedup_simhash" -> simhash _,
@@ -6432,6 +6513,7 @@ object TextOps {
     "text_dup_span_apply" -> dupSpanApplySql,
     "dedup_jaccard_pairs" -> jaccardPairsSql,
     "dedup_prefix_pairs" -> prefixPairsSql,
+    "dedup_recall_audit" -> recallAuditSql,
     "dedup_sorted_neighborhood" -> sortedNeighborhoodSql,
     "dedup_single_linkage" -> singleLinkageSql,
     "dedup_simhash" -> simhashSql,

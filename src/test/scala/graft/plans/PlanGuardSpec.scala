@@ -94,6 +94,9 @@ class PlanGuardSpec extends SparkSpec {
     "text_langid_margin" -> 2,
     // 1-row broadcast trigram-total frame (the share normalizer)
     "ev_top_paths" -> 1,
+    // the two bounded 1-row audit aggregates (found/missed) crossed into
+    // the single report row
+    "dedup_recall_audit" -> 2,
     // the three bounded 1-row funnel aggregates (probe/pass/match) crossed
     // into the single output row; the bloom itself joins as a ≤64-row
     // broadcast EQUI join, not a nested loop
