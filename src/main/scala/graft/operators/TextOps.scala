@@ -3309,7 +3309,12 @@ object TextOps {
       .groupBy($"src").agg(count(lit(1)).as("od"))
   }
 
-  private def degAndTriCounts(pairs: DataFrame): (DataFrame, DataFrame) = {
+  /** Triangle tuples (v, u, w) of an undirected a<b edge list via the
+    * degree-oriented MPS wedge close — the tri frame is pinned (three
+    * member-explode consumers in the node close; three edge-explode
+    * consumers in the truss support).
+    */
+  private def triTuples(pairs: DataFrame): (DataFrame, DataFrame) = {
     val s = pairs.sparkSession
     import s.implicits._
     val nodes = pairs.select($"a".as("v")).unionByName(pairs.select($"b".as("v")))
@@ -3333,7 +3338,14 @@ object TextOps {
     val tri = wedges
       .join(oriented.as("z"), $"u" === $"z.src" && $"w" === $"z.dst")
       .select($"v", $"u", $"w")
-      .pin(true) // three member-explode consumers below
+      .pin(true)
+    (deg, tri)
+  }
+
+  private def degAndTriCounts(pairs: DataFrame): (DataFrame, DataFrame) = {
+    val s = pairs.sparkSession
+    import s.implicits._
+    val (deg, tri) = triTuples(pairs)
     val triCnt = tri.select($"v".as("group_id"))
       .unionByName(tri.select($"u".as("group_id")))
       .unionByName(tri.select($"w".as("group_id")))
@@ -3520,6 +3532,71 @@ object TextOps {
        |  FROM g l JOIN g r ON (l.s0 = r.s0 OR l.s1 = r.s1)
        |    AND l.gid < r.gid)
        |""".stripMargin
+  }
+
+  /** k-TRUSS of the contracted near-dup graph (Cohen 2008; the Graph
+    * Challenge kernel), k = 4: the maximal subgraph in which every
+    * surviving edge sits in ≥ k−2 = 2 triangles OF THE SUBGRAPH — the
+    * edge-level density filter one notch stricter than triangle counting
+    * (an edge in 2 triangles of the full graph can still die when its
+    * supporting edges are peeled). Where [[kcore]] keeps dense NODES and
+    * [[triangles]] scores them, the truss keeps certified-dense EDGES —
+    * the subgraph a cluster-keeper can act on without the bridge-edge
+    * false merges plain CC inherits.
+    *
+    * Shape: iterative peel — each round one degree-oriented MPS wedge
+    * close ([[triTuples]], wedge volume O(m^1.5)) restricted to the
+    * surviving edges, one 3-way edge explode + keyed count, one filter.
+    * ROUNDS ARE PINNED at 5 in BOTH engines (peeling is idempotent at
+    * the fixpoint, so extra rounds are no-ops) and the Spark side
+    * REQUIRES convergence by round 5 — the same fixed-round doctrine as
+    * the MST/PCA oracles, without a data-dependent round count leaking
+    * into the oracle string.
+    */
+  def truss(s: SparkSession, dir: String, k: Int = 4): DataFrame = {
+    import s.implicits._
+    def support(edges: DataFrame): DataFrame = {
+      val (_, tri) = triTuples(edges)
+      val mem = tri.select(least($"v", $"u").as("a"),
+          greatest($"v", $"u").as("b"))
+        .unionByName(tri.select(least($"v", $"w").as("a"),
+          greatest($"v", $"w").as("b")))
+        .unionByName(tri.select(least($"u", $"w").as("a"),
+          greatest($"u", $"w").as("b")))
+      mem.groupBy($"a", $"b").agg(count(lit(1)).as("support"))
+    }
+    var edges = groupPairsOf(s, dir).pin(true)
+    var lastCount = -1L
+    for (_ <- 1 to 5) {
+      lastCount = edges.count()
+      edges = support(edges).filter($"support" >= k - 2L)
+        .select($"a", $"b").pin(true)
+    }
+    require(edges.count() == lastCount,
+      "truss peeling did not converge within the 5 pinned rounds")
+    support(edges).filter($"support" >= k - 2L)
+      .orderBy($"a", $"b")
+  }
+
+  val trussSql: String = groupGraphCte + {
+    val rounds = (1 to 6).map { r =>
+      s""",
+         |tr$r AS MATERIALIZED (
+         |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |  FROM e${r - 1} e1
+         |  JOIN e${r - 1} e2 ON e2.a = e1.a AND e2.b > e1.b
+         |  JOIN e${r - 1} e3 ON e3.a = e1.b AND e3.b = e2.b),
+         |sup$r AS MATERIALIZED (
+         |  SELECT a, b, count(*)::BIGINT AS support FROM (
+         |    SELECT x AS a, y AS b FROM tr$r
+         |    UNION ALL SELECT x, z FROM tr$r
+         |    UNION ALL SELECT y, z FROM tr$r) m GROUP BY 1, 2),
+         |e$r AS MATERIALIZED (
+         |  SELECT s.a, s.b FROM sup$r s WHERE s.support >= 2)""".stripMargin
+    }.mkString
+    s""", e0 AS MATERIALIZED (SELECT a, b FROM gp)$rounds
+       |SELECT a, b, support FROM sup6
+       |WHERE support >= 2 ORDER BY a, b""".stripMargin
   }
 
   val trianglesSql: String = groupGraphCte + {
@@ -6396,6 +6473,7 @@ object TextOps {
       ((s: SparkSession, dir: String) => pprRankGroups(s, dir)),
     "text_inverted_index" -> invertedIndex _,
     "graph_triangles" -> triangles _,
+    "graph_truss" -> ((s: SparkSession, dir: String) => truss(s, dir)),
     "graph_clustering_coeff" -> clusteringCoeff _,
     "graph_component_sizes" -> componentSizes _,
     "graph_diameter_probe" -> diameterProbe _,
@@ -6488,6 +6566,7 @@ object TextOps {
     "graph_ppr_groups" -> pprRankGroupsSql,
     "text_inverted_index" -> invertedIndexSql,
     "graph_triangles" -> trianglesSql,
+    "graph_truss" -> trussSql,
     "graph_clustering_coeff" -> clusteringCoeffSql,
     "graph_component_sizes" -> componentSizesSql,
     "graph_diameter_probe" -> diameterProbeSql,
