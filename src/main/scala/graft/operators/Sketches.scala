@@ -460,6 +460,91 @@ object Sketches {
        |  sum(CASE WHEN hv < rate_pm THEN 1 ELSE 0 END)::BIGINT AS n_sampled
        |FROM rated GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** NEYMAN-optimal stratified allocation (Neyman 1934): split a fixed
+    * 100-doc budget across language strata ∝ N_h·σ_h — the design that
+    * minimizes the estimator variance of a corpus mean (doc length here),
+    * vs the proportional allocation [[stratifiedSample]]'s fixed rates
+    * imply. High-variance strata earn MORE than their headcount share;
+    * the op reports both allocations side by side, plus what the
+    * deterministic hash-sample actually admits under the Neyman one.
+    *
+    * Exactness: N_h·σ_h = √(N_h·Σx² − S_h²) — ONE sqrt of an exact
+    * integer per stratum (floor'd back to integer), so the cross-stratum
+    * total and both allocations are pure integer arithmetic; no k-term
+    * double fold (the stat_anova partition-order lesson). Realized
+    * sampling is top-n_h by the deterministic hash under a lang-keyed
+    * window — exact counts, reproducible across reruns and engines.
+    *
+    * Scale: one groupBy to |strata| rows, a 1-row broadcast total, one
+    * lang-partitioned window pass for the realized sample.
+    */
+  def neymanSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(s, dir)
+      .select($"lang", $"doc_id", $"n_chars".cast("long").as("x"),
+        sampleHash.as("hv"))
+    val strata = d.groupBy($"lang").agg(count(lit(1)).as("n_total"),
+        sum($"x").as("sh"), sum($"x" * $"x").as("qh"))
+      .withColumn("nsig",
+        floor(sqrt(($"n_total" * $"qh" - $"sh" * $"sh").cast("double")))
+          .cast("long"))
+    val tot = strata.agg(sum($"nsig").as("tt"), sum($"n_total").as("nn"))
+    val alloc = strata.crossJoin(broadcast(tot))
+      .select($"lang", $"n_total", $"nsig",
+        ($"nsig" * 100L / $"tt").cast("long").as("alloc_neyman"),
+        ($"n_total" * 100L / $"nn").cast("long").as("alloc_prop"))
+    val sampled = d
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"lang").orderBy($"hv", $"doc_id")))
+      .join(broadcast(alloc.select($"lang", $"alloc_neyman")), Seq("lang"))
+      .filter($"rn" <= $"alloc_neyman")
+      .groupBy($"lang").agg(count(lit(1)).as("n_sampled"),
+        sum($"x").as("sx"))
+    alloc.join(sampled.select($"lang", $"n_sampled",
+        ($"sx" / $"n_sampled").cast("long").as("sampled_avg_len")),
+        Seq("lang"), "left")
+      .select($"lang", $"n_total", $"nsig", $"alloc_neyman", $"alloc_prop",
+        coalesce($"n_sampled", lit(0L)).as("n_sampled"),
+        coalesce($"sampled_avg_len", lit(-1L)).as("sampled_avg_len"))
+      .orderBy($"lang")
+  }
+
+  val neymanSampleSql: String =
+    s"""WITH d AS (
+       |  SELECT lang, doc_id, n_chars::BIGINT AS x,
+       |    ((doc_id * 131071 + n_chars * 8191) % $M) % 1000 AS hv
+       |  FROM documents),
+       |strata AS (
+       |  SELECT lang, count(*)::BIGINT AS n_total, sum(x)::BIGINT AS sh,
+       |    sum(x * x)::BIGINT AS qh
+       |  FROM d GROUP BY 1),
+       |st2 AS (
+       |  SELECT *, floor(sqrt((n_total * qh - sh * sh)::DOUBLE))::BIGINT
+       |    AS nsig
+       |  FROM strata),
+       |tot AS (SELECT sum(nsig)::BIGINT AS tt, sum(n_total)::BIGINT AS nn
+       |        FROM st2),
+       |alloc AS (
+       |  SELECT lang, n_total, nsig,
+       |    nsig * 100 // tt AS alloc_neyman,
+       |    n_total * 100 // nn AS alloc_prop
+       |  FROM st2 CROSS JOIN tot),
+       |rk AS (
+       |  SELECT lang, x,
+       |    row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rn
+       |  FROM d),
+       |sampled AS (
+       |  SELECT r.lang, count(*)::BIGINT AS n_sampled,
+       |    (sum(r.x) // count(*))::BIGINT AS sampled_avg_len
+       |  FROM rk r JOIN alloc a ON r.lang = a.lang
+       |  WHERE r.rn <= a.alloc_neyman GROUP BY 1)
+       |SELECT a.lang, a.n_total, a.nsig, a.alloc_neyman, a.alloc_prop,
+       |  coalesce(s.n_sampled, 0)::BIGINT AS n_sampled,
+       |  coalesce(s.sampled_avg_len, -1)::BIGINT AS sampled_avg_len
+       |FROM alloc a LEFT JOIN sampled s ON a.lang = s.lang
+       |ORDER BY a.lang""".stripMargin
+
   // ---- mixture sampling (domain reweighting) ----
 
   /** Multi-source mixture sampling: given target mixture weights over
@@ -1486,6 +1571,7 @@ object Sketches {
     "sample_weighted" -> weightedSample _,
     "sketch_bloom_filter" -> bloomFilter _,
     "sketch_bloom_join" -> bloomJoin _,
+    "sample_neyman" -> neymanSample _,
     "sketch_kmv_distinct" -> kmvDistinct _,
     "sketch_kmv_agg" -> kmvAgg _,
     "sketch_kmv_setops" -> kmvSetOps _,
@@ -1510,6 +1596,7 @@ object Sketches {
     "sample_weighted" -> weightedSampleSql,
     "sketch_bloom_filter" -> bloomFilterSql,
     "sketch_bloom_join" -> bloomJoinSql,
+    "sample_neyman" -> neymanSampleSql,
     "sketch_kmv_distinct" -> kmvDistinctSql,
     "sketch_kmv_agg" -> kmvDistinctSql, // same logical result, UDAF plan
     "sketch_kmv_setops" -> kmvSetOpsSql,
