@@ -493,6 +493,94 @@ object Events {
       |FROM c JOIN m USING (from_type)
       |ORDER BY c.from_type, c.to_type""".stripMargin
 
+  /** Markov COMMUNICATING CLASSES of the dominant-transition skeleton —
+    * the structural companion to [[markovStationary]] (which computes the
+    * long-run mix, this explains it): over the [[transitions]] chain's
+    * p ≥ 200‰ edges, states are grouped by mutual reachability (the SCCs
+    * of the skeleton) and each class is flagged RECURRENT (closed — no
+    * dominant transition leaves it; the stationary mass parks here) or
+    * TRANSIENT (the chain passes through and doesn't come back). At the
+    * gate corpus: {click, error, purchase, signup} form one recurrent
+    * class, `view` is transient — the funnel's entry state.
+    *
+    * Shape: every frame is SCHEMA-BOUNDED at |event types|² rows (the
+    * ev_markov_stationary argument) — the corpus pass is the one
+    * [[transitions]] window scan; reachability closes by THREE pinned
+    * rounds of relation squaring (covers path length 8 ≥ any |types|≤8
+    * diameter; squaring is idempotent at closure, the truss round
+    * doctrine), mutual reach is one self-join, the class fold and the
+    * leak test are keyed aggs on the bounded frames.
+    */
+  def markovClasses(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val counts = Tables.events(s, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("f", lag($"event_type", 1).over(w))
+      .filter($"f".isNotNull)
+      .groupBy($"f", $"event_type".as("t")).agg(count(lit(1)).as("n"))
+      .pin(true)
+    val outMass = counts.groupBy($"f").agg(sum($"n").as("rn"))
+    val skel = counts.join(outMass, Seq("f"))
+      .filter($"n" * 1000L >= $"rn" * 200L)
+      .select($"f", $"t").pin(true)
+    val nodes = Tables.events(s, dir).select($"event_type".as("v")).distinct()
+    var r = nodes.select($"v".as("x"), $"v".as("y"))
+      .unionByName(skel.select($"f".as("x"), $"t".as("y")))
+      .distinct().pin(true)
+    for (_ <- 1 to 3) {
+      r = r.unionByName(
+          r.as("p").join(r.as("q"), $"p.y" === $"q.x")
+            .select($"p.x".as("x"), $"q.y".as("y")))
+        .distinct().pin(true)
+    }
+    val mutual = r.as("a")
+      .join(r.as("b"), $"a.x" === $"b.y" && $"a.y" === $"b.x")
+      .select($"a.x".as("v"), $"a.y".as("m"))
+    val cls = mutual.groupBy($"v").agg(min($"m").as("class_id")).pin(true)
+    val leak = skel
+      .join(cls.select($"v".as("f"), $"class_id"), Seq("f"))
+      .join(cls.select($"v".as("t"), $"class_id".as("c2")), Seq("t"))
+      .filter($"class_id" =!= $"c2")
+      .select($"class_id").distinct()
+    cls.join(leak.withColumn("leaky", lit(1L)), Seq("class_id"), "left")
+      .select($"v".as("event_type"), $"class_id",
+        when($"leaky".isNotNull, 0L).otherwise(1L).as("recurrent"))
+      .orderBy($"event_type")
+  }
+
+  val markovClassesSql: String =
+    """WITH RECURSIVE tr AS (
+      |  SELECT lag(event_type) OVER (PARTITION BY user_id
+      |           ORDER BY ts, event_id) AS f,
+      |         event_type AS t
+      |  FROM events),
+      |c AS (SELECT f, t, count(*)::BIGINT AS n
+      |      FROM tr WHERE f IS NOT NULL GROUP BY 1, 2),
+      |m AS (SELECT f, sum(n)::BIGINT AS rn FROM c GROUP BY 1),
+      |skel AS (
+      |  SELECT c.f, c.t FROM c JOIN m USING (f)
+      |  WHERE c.n * 1000 >= m.rn * 200),
+      |nodes AS (SELECT DISTINCT event_type AS v FROM events),
+      |reach(x, y) AS (
+      |  SELECT v, v FROM nodes
+      |  UNION
+      |  SELECT r.x, s.t FROM reach r JOIN skel s ON r.y = s.f),
+      |mut AS (
+      |  SELECT a.x AS v, a.y AS m FROM reach a
+      |  JOIN reach b ON a.x = b.y AND a.y = b.x),
+      |cls AS (SELECT v, min(m) AS class_id FROM mut GROUP BY 1),
+      |leak AS (
+      |  SELECT DISTINCT cf.class_id FROM skel s
+      |  JOIN cls cf ON s.f = cf.v JOIN cls ct ON s.t = ct.v
+      |  WHERE cf.class_id <> ct.class_id)
+      |SELECT c2.v AS event_type, c2.class_id,
+      |  (CASE WHEN l.class_id IS NULL THEN 1 ELSE 0 END)::BIGINT
+      |    AS recurrent
+      |FROM cls c2 LEFT JOIN leak l ON c2.class_id = l.class_id
+      |ORDER BY event_type""".stripMargin
+
   /** Sequential PATH mining — the order-3 generalization of
     * [[transitions]] (Agrawal–Srikant sequence patterns at the n-gram
     * grain): the top-10 most-traveled 3-step event paths per user
@@ -1609,6 +1697,7 @@ object Events {
     "ev_transitions" -> transitions _,
     "ev_top_paths" -> topPaths _,
     "ev_window_funnel" -> windowFunnel _,
+    "ev_markov_classes" -> markovClasses _,
     "ev_markov_stationary" ->
       ((s: SparkSession, dir: String) => markovStationary(s, dir)),
     "ev_inter_arrival" -> interArrival _,
@@ -1645,6 +1734,7 @@ object Events {
     "ev_transitions" -> transitionsSql,
     "ev_top_paths" -> topPathsSql,
     "ev_window_funnel" -> windowFunnelSql,
+    "ev_markov_classes" -> markovClassesSql,
     "ev_markov_stationary" -> markovStationarySql,
     "ev_inter_arrival" -> interArrivalSql,
     "ev_anomaly" -> anomaliesSql,
