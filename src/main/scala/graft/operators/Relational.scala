@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -2194,6 +2194,84 @@ object Relational {
       |      + (v2 / n2) * (v2 / n2) / (n2 - 1)), 2) AS df_ws
       |FROM mm""".stripMargin
 
+  /** Spearman rank correlation (1904) between order totals and the
+    * ordering customer's account balance, reported beside Pearson on the
+    * raw values — the monotone-vs-linear association readout ("do
+    * richer-balance customers place bigger orders, and is the relation a
+    * line or just an ordering?"). Ties get the textbook AVERAGE rank,
+    * kept integer by doubling: 2·r̄(v) = 2·|{u < v}| + cnt(v) + 1, from a
+    * per-VALUE histogram + one GlobalOrder cumulative count (never a
+    * single-reducer row window over the corpus); both correlations are
+    * then Pearson moments — exact integer sums, with the final
+    * (n·Σxy − ΣxΣy)-style scalars evaluated in double (single fixed
+    * expressions; no k-term double fold).
+    *
+    * Scale: one join + two value-histogram cumsums (GlobalOrder's
+    * range-partitioned offset pass) + joins back ON VALUE (keyed) + one
+    * 10-sum aggregate.
+    */
+  def statSpearman(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.orders(s, dir)
+      .select($"o_custkey", round($"o_totalprice").cast("long").as("x"))
+      .join(Tables.customer(s, dir)
+        .select($"c_custkey".as("o_custkey"),
+          round($"c_acctbal").cast("long").as("y")), Seq("o_custkey"))
+      .select($"x", $"y").pin(true)
+    def ranks2(c: String, out: String): DataFrame = {
+      val hist = base.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+      val (cum, _) = GlobalOrder.cumsum(hist, Seq(col(c)), col("cnt"),
+        "upto")
+      cum.select(col(c),
+        (lit(2L) * (col("upto") - col("cnt")) + col("cnt") + 1L).as(out))
+    }
+    val joined = base.join(ranks2("x", "rx2"), Seq("x"))
+      .join(ranks2("y", "ry2"), Seq("y"))
+    def rho(n: Column, sx: Column, sy: Column, sxy: Column, sxx: Column,
+        syy: Column): Column =
+      round((n.cast("double") * sxy - sx.cast("double") * sy)
+        / sqrt((n.cast("double") * sxx - sx.cast("double") * sx)
+          * (n.cast("double") * syy - sy.cast("double") * sy)), 4)
+    joined.agg(count(lit(1)).as("n"),
+        sum($"rx2").as("srx"), sum($"ry2").as("sry"),
+        sum($"rx2" * $"ry2").as("srxy"),
+        sum($"rx2" * $"rx2").as("srxx"), sum($"ry2" * $"ry2").as("sryy"),
+        sum($"x").as("sx"), sum($"y").as("sy"), sum($"x" * $"y").as("sxy"),
+        sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"))
+      .select($"n",
+        rho($"n", $"srx", $"sry", $"srxy", $"srxx", $"sryy").as("spearman"),
+        rho($"n", $"sx", $"sy", $"sxy", $"sxx", $"syy").as("pearson"))
+  }
+
+  val statSpearmanSql: String =
+    """WITH base AS (
+      |  SELECT round(o_totalprice)::BIGINT AS x,
+      |         round(c_acctbal)::BIGINT AS y
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |hx AS (SELECT x, count(*)::BIGINT AS cnt FROM base GROUP BY 1),
+      |cx AS (SELECT x,
+      |  2 * (sum(cnt) OVER (ORDER BY x) - cnt) + cnt + 1 AS rx2 FROM hx),
+      |hy AS (SELECT y, count(*)::BIGINT AS cnt FROM base GROUP BY 1),
+      |cy AS (SELECT y,
+      |  2 * (sum(cnt) OVER (ORDER BY y) - cnt) + cnt + 1 AS ry2 FROM hy),
+      |g AS (
+      |  SELECT count(*)::BIGINT AS n,
+      |    sum(rx2)::BIGINT AS srx, sum(ry2)::BIGINT AS sry,
+      |    sum(rx2 * ry2)::BIGINT AS srxy,
+      |    sum(rx2 * rx2)::BIGINT AS srxx, sum(ry2 * ry2)::BIGINT AS sryy,
+      |    sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+      |    sum(x * y)::BIGINT AS sxy,
+      |    sum(x * x)::BIGINT AS sxx, sum(y * y)::BIGINT AS syy
+      |  FROM base JOIN cx USING (x) JOIN cy USING (y))
+      |SELECT n,
+      |  round((n::DOUBLE * srxy - srx::DOUBLE * sry)
+      |    / sqrt((n::DOUBLE * srxx - srx::DOUBLE * srx)
+      |      * (n::DOUBLE * sryy - sry::DOUBLE * sry)), 4) AS spearman,
+      |  round((n::DOUBLE * sxy - sx::DOUBLE * sy)
+      |    / sqrt((n::DOUBLE * sxx - sx::DOUBLE * sx)
+      |      * (n::DOUBLE * syy - sy::DOUBLE * sy)), 4) AS pearson
+      |FROM g""".stripMargin
+
   /** One-way ANOVA (Fisher's F) of order totals across the five order
     * priorities — the k-group generalization of [[statWelchT]], closing
     * the inference battery (KS / chi-square / Welch / Mann–Kendall /
@@ -2549,6 +2627,7 @@ object Relational {
     "stat_ks_drift" -> statKsDrift _,
     "stat_welch_t" -> statWelchT _,
     "stat_anova" -> statAnova _,
+    "stat_spearman" -> statSpearman _,
     "stat_group_ols" -> statGroupOls _,
     "stat_theil_sen" -> statTheilSen _,
     "stat_mann_kendall" -> statMannKendall _,
@@ -2629,6 +2708,7 @@ object Relational {
     "stat_ks_drift" -> statKsDriftSql,
     "stat_welch_t" -> statWelchTSql,
     "stat_anova" -> statAnovaSql,
+    "stat_spearman" -> statSpearmanSql,
     "stat_group_ols" -> statGroupOlsSql,
     "stat_theil_sen" -> statTheilSenSql,
     "stat_mann_kendall" -> statMannKendallSql,
