@@ -121,7 +121,11 @@ object Affinity {
     * Headroom: 10⁶·s_ab² < 2⁶³ holds to s_ab ≈ 3·10⁶ baskets per pair —
     * beyond that drop the 10⁶ scale to 10⁴.
     */
-  def itemCosine(s: SparkSession, dir: String): DataFrame = {
+  /** The unsorted top-3 recommendation frame — shared by the public query
+    * and the coverage/exposure audit (which re-aggregates immediately, so
+    * the presentation sort would be a wasted exchange there).
+    */
+  private def rankedRecs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val items = itemsOf(s, dir)
@@ -138,8 +142,88 @@ object Affinity {
         .orderBy($"cos2_ppm".desc, $"s_ab".desc, $"rec")))
       .where($"rn" <= 3)
       .select($"item", $"rn", $"rec", $"s_ab", $"cos2_ppm")
-      .orderBy($"item", $"rn")
   }
+
+  def itemCosine(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    rankedRecs(s, dir).orderBy($"item", $"rn")
+  }
+
+  /** Aggregate DIVERSITY of the recommender (Adomavicius–Kwon 2012): what
+    * a per-list quality metric cannot see — how much of the catalog the
+    * top-3 lists collectively surface (coverage), and how concentrated
+    * the exposure is across items (Gini over per-item recommendation
+    * counts, zeros included — the popularity-bias number; G → 1 means a
+    * few blockbusters absorb every slot, the failure mode item-item CF
+    * is known for). One row: catalog size, distinct items recommended,
+    * coverage ‰, exposure Gini ‰.
+    *
+    * Scale: the rec frame is the measured basket-bounded shape; exposure
+    * is one keyed count; the Gini rides GlobalOrder's exact rank over
+    * the CATALOG-sized frame (bounded by the part table, fixed while
+    * orders multiply) with the overflow-safe two-step permille division
+    * (the stat_gini idiom).
+    */
+  def recCoverage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val exposure = rankedRecs(s, dir).groupBy($"rec".as("item"))
+      .agg(count(lit(1)).as("x"))
+    val full = Tables.part(s, dir).select($"p_partkey".as("item"))
+      .join(exposure, Seq("item"), "left")
+      .select($"item", coalesce($"x", lit(0L)).as("x"))
+    val (ranked, n) = graft.operators.GlobalOrder.rank(
+      full, Seq(col("x"), col("item")), "i")
+    ranked.agg(sum($"x").as("sx"), sum($"i" * $"x").as("six"),
+        count(when($"x" > 0L, 1)).as("dis"))
+      .select(lit(n).as("catalog_n"), $"dis".as("reco_distinct"),
+        (($"dis" * 1000L) / n).cast("long").as("coverage_pm"),
+        expr(s"""((2 * six - ${n + 1} * sx) div ($n * sx)) * 1000
+                 + (((2 * six - ${n + 1} * sx) % ($n * sx)) * 1000)
+                   div ($n * sx)""").as("exposure_gini_pm"))
+  }
+
+  val recCoverageSql: String =
+    """WITH items AS (
+      |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |supp AS (SELECT p, count(*)::BIGINT AS s FROM items GROUP BY p),
+      |pairs AS (
+      |  SELECT a.p AS pa, b.p AS pb, count(*)::BIGINT AS s_ab
+      |  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |sym AS (
+      |  SELECT pa AS item, pb AS rec, s_ab FROM pairs
+      |  UNION ALL
+      |  SELECT pb, pa, s_ab FROM pairs),
+      |scored AS (
+      |  SELECT sym.item, sym.rec, sym.s_ab,
+      |    (1000000 * sym.s_ab * sym.s_ab) // (si.s * sr.s) AS cos2_ppm
+      |  FROM sym JOIN supp si ON sym.item = si.p
+      |           JOIN supp sr ON sym.rec = sr.p),
+      |recs AS (
+      |  SELECT rec FROM (
+      |    SELECT rec, row_number() OVER (PARTITION BY item
+      |      ORDER BY cos2_ppm DESC, s_ab DESC, rec) AS rn
+      |    FROM scored) t
+      |  WHERE rn <= 3),
+      |expo AS (SELECT rec AS item, count(*)::BIGINT AS x FROM recs
+      |         GROUP BY 1),
+      |fullc AS (
+      |  SELECT p.p_partkey AS item, coalesce(e.x, 0)::BIGINT AS x
+      |  FROM part p LEFT JOIN expo e ON p.p_partkey = e.item),
+      |rk AS (SELECT item, x,
+      |         row_number() OVER (ORDER BY x, item)::BIGINT AS i
+      |       FROM fullc),
+      |g AS (
+      |  SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+      |    sum(i * x)::BIGINT AS six,
+      |    count(*) FILTER (x > 0)::BIGINT AS dis
+      |  FROM rk)
+      |SELECT n AS catalog_n, dis AS reco_distinct,
+      |  (dis * 1000 // n)::BIGINT AS coverage_pm,
+      |  ((2 * six - (n + 1) * sx) // (n * sx) * 1000
+      |    + ((2 * six - (n + 1) * sx) % (n * sx)) * 1000 // (n * sx))
+      |    ::BIGINT AS exposure_gini_pm
+      |FROM g""".stripMargin
 
   val itemCosineSql: String =
     """WITH items AS (
@@ -168,9 +252,11 @@ object Affinity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rec_market_basket" -> marketBasket _,
-    "rec_item_cosine" -> itemCosine _)
+    "rec_item_cosine" -> itemCosine _,
+    "rec_coverage" -> recCoverage _)
 
   val oracles: Map[String, String] = Map(
     "rec_market_basket" -> marketBasketSql,
-    "rec_item_cosine" -> itemCosineSql)
+    "rec_item_cosine" -> itemCosineSql,
+    "rec_coverage" -> recCoverageSql)
 }

@@ -97,8 +97,10 @@ class PlanGuardSpec extends SparkSpec {
     // the two bounded 1-row audit aggregates (found/missed) crossed into
     // the single report row
     "dedup_recall_audit" -> 2,
-    // the 1-row broadcast (total nsig, total N) allocation normalizer
-    "sample_neyman" -> 1,
+    // the 1-row broadcast (total nsig, total N) allocation normalizer —
+    // twice: the alloc frame is rebuilt for the realized-sample join and
+    // the final report (bounded |strata| frame, not worth a pin)
+    "sample_neyman" -> 2,
     // the three bounded 1-row funnel aggregates (probe/pass/match) crossed
     // into the single output row; the bloom itself joins as a ≤64-row
     // broadcast EQUI join, not a nested loop
