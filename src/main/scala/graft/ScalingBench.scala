@@ -140,6 +140,15 @@ object ScalingBench {
     */
   private def buildRelCorpus(spark: SparkSession, base: String,
       out: String, mult: Int): Unit = {
+    // the part CATALOG is deliberately NOT multiplied (the honest basket
+    // scale-up: same products, more transactions) — copied verbatim for
+    // part-reading probes (rec_coverage's coverage denominator); its own
+    // guard so pre-existing corpora gain it without a rebuild
+    val partOut = new java.io.File(s"$out/part.parquet")
+    if (!partOut.exists()) {
+      spark.read.parquet(s"$base/part.parquet")
+        .write.mode("overwrite").parquet(s"$out/part.parquet")
+    }
     val done = new java.io.File(s"$out/_DONE_rel_v1")
     if (done.exists()) return
     def keyMax(tbl: String, c: String): Long =
@@ -564,10 +573,24 @@ object ScalingBench {
       for ((q, sDir) <- Seq(
              "mm_audio_fingerprint" -> out,
              "ev_top_paths" -> evOut,
-             "sketch_bloom_join" -> relOut,
+             // batch 2: windowed funnel + Markov classes (user-keyed
+             // window passes to bounded folds), the inference trio
+             // (one-scan folds), Neyman (strata fold + one lang window),
+             // rec coverage (basket pair join + catalog-bounded Gini),
+             // the AllPairs recall audit (both pair paths + anti-join),
+             // and the truss peel (5 pinned wedge-close rounds)
+             "ev_window_funnel" -> evOut,
+             "ev_markov_classes" -> evOut,
              "stat_welch_t" -> relOut,
+             "stat_anova" -> relOut,
+             "stat_spearman" -> relOut,
+             "sample_neyman" -> out,
+             "rec_coverage" -> relOut,
+             "sketch_bloom_join" -> relOut,
              "layout_zorder" -> relOut,
              "dedup_prefix_pairs" -> out,
+             "dedup_recall_audit" -> out,
+             "graph_truss" -> out,
              "sim_dbscan" -> out);
            (tag, dir) <- Seq("1x" -> base, s"${mult}x" -> sDir)) {
         val (secs, rows) = time(iters)(SparkEntry.queries(q)(spark, dir))
