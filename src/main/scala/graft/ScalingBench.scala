@@ -591,7 +591,10 @@ object ScalingBench {
              "dedup_prefix_pairs" -> out,
              "dedup_recall_audit" -> out,
              "graph_truss" -> out,
-             "sim_dbscan" -> out);
+             "sim_dbscan" -> out)
+           // names passed alongside the block tag restrict it (the ×100
+           // decade only pays for the probes it is asked about)
+           if onlyQs.forall(set => set.size <= 1 || set.contains(q));
            (tag, dir) <- Seq("1x" -> base, s"${mult}x" -> sDir)) {
         val (secs, rows) = time(iters)(SparkEntry.queries(q)(spark, dir))
         val line = s"""{"query":"$q","scale":"$tag",""" +

@@ -1749,14 +1749,19 @@ object TextOps {
     */
   def prefixPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // one shingling pass, checkpointed: df, sizes, prefixes, and the
-    // verify join all fan out from this frame (the containmentPairs rule)
-    val codes = shingleCodes(s, dir).pin(true)
+    // codes deliberately NOT pinned despite the 5-consumer fanout: the
+    // corpus-sized checkpoint competes with the prefix/verify joins for
+    // unified memory — measured at the ×100 probe (50M shingle rows on
+    // the 4.6 GiB harness) the pinned form dies with an executor heap
+    // OOM while the recompute form finishes; the Affinity basket rule
+    // (pins are for iterative chains and bounded frames), re-measured
+    val codes = shingleCodes(s, dir)
     prefixPairsOf(codes).orderBy($"a", $"b")
   }
 
-  /** The AllPairs core over an already-built (and pinned) codes frame —
-    * shared by the public query and the recall audit.
+  /** The AllPairs core over an already-built codes frame — shared by the
+    * public query and the recall audit (pinning is the caller's call:
+    * corpus-sized codes frames must NOT be, see [[prefixPairs]]).
     */
   private def prefixPairsOf(codes: DataFrame): DataFrame = {
     val s = codes.sparkSession
@@ -1840,7 +1845,8 @@ object TextOps {
     */
   def recallAudit(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val codes = shingleCodes(s, dir).pin(true)
+    // unpinned for the same ×100 unified-memory reason as [[prefixPairs]]
+    val codes = shingleCodes(s, dir)
     val sizes = shingleSizes(codes)
     val found = shingleInterCounts(codes)
       .join(sizes.select($"doc_id".as("a"), $"n".as("na")), Seq("a"))
