@@ -596,7 +596,16 @@ object ScalingBench {
            // decade only pays for the probes it is asked about)
            if onlyQs.forall(set => set.size <= 1 || set.contains(q));
            (tag, dir) <- Seq("1x" -> base, s"${mult}x" -> sDir)) {
+        // partition-count sizing, the harness-side knob a cluster sizes by
+        // data volume: 32 partitions at ×100 put 32 CONCURRENT ~150 MB
+        // window-sort buffers on the 4.6 GiB heap (measured: the AllPairs
+        // per-doc rank OOMs); partitions ∝ corpus keeps each task's
+        // working set constant while AQE re-coalesces the small stages
+        val parts =
+          if (tag == "1x") cpus.toInt else cpus.toInt * math.max(1, mult / 10)
+        spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
         val (secs, rows) = time(iters)(SparkEntry.queries(q)(spark, dir))
+        spark.conf.set("spark.sql.shuffle.partitions", cpus)
         val line = s"""{"query":"$q","scale":"$tag",""" +
           s""""sec":${f3(secs)},"rows":$rows}"""
         println(line)
