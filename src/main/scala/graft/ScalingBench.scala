@@ -604,8 +604,11 @@ object ScalingBench {
         val parts =
           if (tag == "1x") cpus.toInt else cpus.toInt * math.max(1, mult / 10)
         spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
-        val (secs, rows) = time(iters)(SparkEntry.queries(q)(spark, dir))
-        spark.conf.set("spark.sql.shuffle.partitions", cpus)
+        // finally-restore (ADVICE r13): a throwing probe must not leak the
+        // ×100 partition count into every later probe block of the run
+        val (secs, rows) =
+          try time(iters)(SparkEntry.queries(q)(spark, dir))
+          finally spark.conf.set("spark.sql.shuffle.partitions", cpus)
         val line = s"""{"query":"$q","scale":"$tag",""" +
           s""""sec":${f3(secs)},"rows":$rows}"""
         println(line)

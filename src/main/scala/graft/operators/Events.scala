@@ -506,10 +506,12 @@ object Events {
     * Shape: every frame is SCHEMA-BOUNDED at |event types|² rows (the
     * ev_markov_stationary argument) — the corpus pass is the one
     * [[transitions]] window scan; reachability closes by THREE pinned
-    * rounds of relation squaring (covers path length 8 ≥ any |types|≤8
+    * rounds of relation squaring (covers path length 8 ≥ any |types|≤9
     * diameter; squaring is idempotent at closure, the truss round
-    * doctrine), mutual reach is one self-join, the class fold and the
-    * leak test are keyed aggs on the bounded frames.
+    * doctrine — and the ≤9-state bound is ENFORCED by an in-plan
+    * assert_true guard, so a grown domain fails instead of diverging
+    * from the oracle), mutual reach is one self-join, the class fold and
+    * the leak test are keyed aggs on the bounded frames.
     */
   def markovClasses(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -526,6 +528,15 @@ object Events {
       .filter($"n" * 1000L >= $"rn" * 200L)
       .select($"f", $"t").pin(true)
     val nodes = Tables.events(s, dir).select($"event_type".as("v")).distinct()
+    // state-count contract (ADVICE r13): 3 squaring rounds close paths of
+    // length 2³ = 8, i.e. any skeleton on ≤ 9 states; enforce in-plan via
+    // the broadcast-1-row-aggregate idiom (assert_true is NULL on pass,
+    // throws on a wider domain) so a grown event_type domain fails loudly
+    // instead of silently under-closing vs the oracle's fixpoint CTE —
+    // the truss convergence-require doctrine.
+    val guard = nodes.agg(assert_true(count(lit(1)) <= lit(9L),
+      lit("ev_markov_classes: more than 9 distinct event types — 3 " +
+        "squaring rounds only close diameter 8; add a round")).as("_g"))
     var r = nodes.select($"v".as("x"), $"v".as("y"))
       .unionByName(skel.select($"f".as("x"), $"t".as("y")))
       .distinct().pin(true)
@@ -545,6 +556,7 @@ object Events {
       .filter($"class_id" =!= $"c2")
       .select($"class_id").distinct()
     cls.join(leak.withColumn("leaky", lit(1L)), Seq("class_id"), "left")
+      .crossJoin(broadcast(guard)).filter($"_g".isNull)
       .select($"v".as("event_type"), $"class_id",
         when($"leaky".isNotNull, 0L).otherwise(1L).as("recurrent"))
       .orderBy($"event_type")

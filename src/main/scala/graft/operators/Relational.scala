@@ -2209,6 +2209,13 @@ object Relational {
     * Scale: one join + two value-histogram cumsums (GlobalOrder's
     * range-partitioned offset pass) + joins back ON VALUE (keyed) + one
     * 10-sum aggregate.
+    *
+    * Headroom: the doubled-rank moments grow as Σ(2r̄)² ≈ (4/3)·n³ —
+    * int64-exact only while n ≲ 1.9M joined rows (≈ sf1.3); past that
+    * Spark's sum() wraps silently where DuckDB raises. Guarded below by
+    * a row-count require (n is already one of the computed aggregates,
+    * so the guard costs no extra action — it reads the same row the
+    * result is built from).
     */
   def statSpearman(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -2232,6 +2239,12 @@ object Relational {
       round((n.cast("double") * sxy - sx.cast("double") * sy)
         / sqrt((n.cast("double") * sxx - sx.cast("double") * sx)
           * (n.cast("double") * syy - sy.cast("double") * sy)), 4)
+    // headroom guard (scaladoc): assert_true returns NULL on pass, throws
+    // past the (4/3)n³ < 2^63 bound — inline on the one aggregate row
+    val guard = assert_true($"n" <= 1900000L,
+      lit("stat_spearman: doubled-rank moments exceed int64 headroom " +
+        "past ~1.9M joined rows — shard the correlation or widen to " +
+        "decimal sums"))
     joined.agg(count(lit(1)).as("n"),
         sum($"rx2").as("srx"), sum($"ry2").as("sry"),
         sum($"rx2" * $"ry2").as("srxy"),
@@ -2239,8 +2252,11 @@ object Relational {
         sum($"x").as("sx"), sum($"y").as("sy"), sum($"x" * $"y").as("sxy"),
         sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"))
       .select($"n",
-        rho($"n", $"srx", $"sry", $"srxy", $"srxx", $"sryy").as("spearman"),
-        rho($"n", $"sx", $"sy", $"sxy", $"sxx", $"syy").as("pearson"))
+        when(guard.isNull,
+          rho($"n", $"srx", $"sry", $"srxy", $"srxx", $"sryy"))
+          .as("spearman"),
+        when(guard.isNull,
+          rho($"n", $"sx", $"sy", $"sxy", $"sxx", $"syy")).as("pearson"))
   }
 
   val statSpearmanSql: String =
