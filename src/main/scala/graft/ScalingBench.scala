@@ -36,7 +36,30 @@ object ScalingBench {
   // caches rebuild instead of being silently re-measured
   // v3: embeddings get per-shard ±1 sign transforms (see buildCorpus) so
   // scaled pair-emitter slopes measure a scaled problem, not a denser one
+  // v4 (mult > 10 only; ≤10 output is byte-identical to v3, so those
+  // caches stay valid): shard suffixes become "s" + a shard-UNIQUE single
+  // character from a 100-char alphabet, restoring the cross-shard
+  // token-inequality contract at 100 shards — see shardChar
   private val corpusGen = "v3"
+
+  /** One shard-unique suffix character per shard, for up to 100 shards.
+    * The contract buildCorpus needs is cross-shard inequality IN
+    * tokenCode SPACE — (first-3 chars, length, LAST char) — not just
+    * string inequality. Suffixes are all "s"+c (equal length, so the
+    * length digit never separates shards), which means the LAST character
+    * alone must distinguish all shards: variable-length suffixes like
+    * "s15"/"s25" collide on (length, last='5') — the ×100 densification
+    * PLANS.md measured (1,280,200 pairs vs the linear 25,600); and the
+    * r13-verdict-suggested zero-padding ("s15" vs "s25" stays equal-length
+    * with equal last char) would NOT fix it. 100 distinct chars, all with
+    * codepoint < 256 so the base-256 last-char digit of tokenCode stays
+    * injective: digits + ASCII letters (62) + Latin-1 letters À..å (38).
+    * Shards 0–9 keep '0'..'9', so ≤10-shard corpora are byte-identical
+    * to v3. Spark-only corpus (probes never hit the DuckDB oracle).
+    */
+  private[graft] val shardAlphabet: String =
+    ('0' to '9').mkString + ('a' to 'z').mkString + ('A' to 'Z').mkString +
+      (192 to 230).filterNot(_ == 215).map(_.toChar).mkString // À..æ, <256, skip ×
   private val zorderGen = "z1"
 
   private def f3(v: Double): String =
@@ -46,8 +69,12 @@ object ScalingBench {
       mult: Int): Unit = {
     // the marker carries the corpusGen suffix (see the constants above):
     // machines holding a pre-change cache rebuild instead of silently
-    // measuring the old layout
-    val done = new java.io.File(s"$out/_DONE_$corpusGen")
+    // measuring the old layout. mult > 10 carries the v4 suffix scheme
+    // (the ≤10 output is byte-identical, so its v3 caches stay valid).
+    require(mult <= shardAlphabet.length,
+      s"buildCorpus supports at most ${shardAlphabet.length} shards")
+    val gen = if (mult <= 10) corpusGen else corpusGen + "-pad100"
+    val done = new java.io.File(s"$out/_DONE_$gen")
     if (done.exists()) return
     val docs = spark.read.parquet(s"$base/documents.parquet")
     val nDocs = docs.agg(max("doc_id")).head().getLong(0) + 1
@@ -55,14 +82,17 @@ object ScalingBench {
       .select(
         (col("doc_id") + col("shard") * nDocs).as("doc_id"),
         // EVERY shard (including 0) remaps into a shard-private vocabulary:
-        // with ≤10 shards the suffixes "s0".."s9" are equal-length and end
-        // in distinct digits, so cross-shard token equality is impossible
-        // by construction — no assumption about the base alphabet (keeping
-        // shard 0 unmapped would collide if a base token ever ended in
-        // "s<digit>")
+        // suffixes are "s" + one shard-UNIQUE character (see shardAlphabet
+        // — equal length for all shards, last char distinct across all
+        // 100 shards), so cross-shard token equality is impossible by
+        // construction IN tokenCode SPACE, not just as strings — no
+        // assumption about the base alphabet (keeping shard 0 unmapped
+        // would collide if a base token ever ended in "s<digit>")
         concat_ws(" ",
           transform(split(col("text"), " "),
-            w => concat(w, lit("s"), col("shard")))).as("text"),
+            w => concat(w, lit("s"),
+              lit(shardAlphabet).substr(col("shard") + 1, lit(1)))))
+          .as("text"),
         col("lang"), col("source"))
       .withColumn("n_chars", length(col("text")))
       .repartition(32)
@@ -97,6 +127,17 @@ object ScalingBench {
     done.getParentFile.mkdirs()
     done.createNewFile()
     ()
+  }
+
+  /** Law check for the v4 suffix scheme, runnable standalone and asserted
+    * by ScalingBenchCorpusSpec: every shard pair must differ in the LAST
+    * suffix character (the only tokenCode digit equal-length suffixes can
+    * differ in), with all codepoints < 256 and none a space.
+    */
+  private[graft] def shardSuffixContractHolds(n: Int): Boolean = {
+    val cs = shardAlphabet.take(n)
+    cs.length == n && cs.distinct.length == n &&
+      cs.forall(c => c.toInt < 256 && c != ' ')
   }
 
   /** Zipf-HONEST scale-up: verbatim document replication (doc_id offset
@@ -292,8 +333,9 @@ object ScalingBench {
       // scales with docs under sharding, so teleport mass does too)
       "graph_mst", "dedup_single_linkage", "graph_ppr", "graph_pagerank",
       // the contracted-graph PPR — the production form whose slope the
-      // doc-level ×27 finding motivates
-      "graph_ppr_groups")
+      // doc-level ×27 finding motivates — and its plain-PageRank sibling
+      // (r14: same pageRankBsp core, uniform teleport)
+      "graph_ppr_groups", "graph_pagerank_groups")
       .filter(q => onlyQs.forall(_.contains(q)))
     val report = scala.collection.mutable.ArrayBuffer.empty[String]
 
@@ -301,7 +343,10 @@ object ScalingBench {
     // the emitters' leftover pressure): workload-parameterized 10× (no
     // corpus input)
     import graft.aria.{AriaEngine, TxnGen}
-    for ((tag, k) <- Seq("1x" -> 1, s"${mult}x" -> mult) if onlyQs.isEmpty) {
+    // runs by default AND when named explicitly in the filter (r14: the
+    // ×100 s/epoch decade — VERDICT r13 item 7 — is a filtered run)
+    for ((tag, k) <- Seq("1x" -> 1, s"${mult}x" -> mult)
+         if onlyQs.forall(_.contains("aria_reference_scenario"))) {
       val (secs, rows) = time(iters) {
         import spark.implicits._
         val table = TxnGen.bulkLoad(spark, 200000L * k)
@@ -324,8 +369,13 @@ object ScalingBench {
         }
         runs.flatten.toDF("mode", "epoch", "committed", "aborted")
       }
+      // rows = executed epochs summed over the two policies, so sec/rows
+      // is the mean per-epoch wall — the deferred-install + broadcast-
+      // verdict design predicts it near-flat in keys/txns
       val line =
-        s"""{"query":"aria_reference_scenario","scale":"$tag","sec":${f3(secs)},"rows":$rows}"""
+        s"""{"query":"aria_reference_scenario","scale":"$tag",""" +
+          s""""sec":${f3(secs)},"rows":$rows,""" +
+          s""""sec_per_epoch":${f3(secs / math.max(1L, rows))}}"""
       println(line)
       report += line
     }
