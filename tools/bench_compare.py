@@ -34,6 +34,21 @@ is NOT a set of measurements, and the tool REFUSES to compare: exit 3,
 no delta table. A below-floor canary is treated the same way (it is the
 failure signature round 9 taught us), not merely flagged.
 
+Ambient normalization (VERDICT r13 #3): two windows can BOTH pass the
+2x-floor gate while running at different ambient co-tenancy bands — round
+13's graded window ran its common-query median x1.53 hot vs round 12's
+while the shuffle canary ratio read x1.51, manufacturing 34 apparent
+"regressions" that were weather, not code. When the canary-to-canary
+ratio between the sides exceeds x1.15 (either direction), NEW's readings
+are normalized by that ratio before the regression gates are applied:
+rows that trip raw but not normalized are printed separately as
+"ambient-explained", not as regressions, and the total line gains a
+normalized column. The shuffle canary is preferred as the normalizer
+(most queries are shuffle-bound; round 13's evidence), falling back to
+the scan canary for pre-round-12 artifacts. Beyond x1.3 the tool also
+states that total-level comparison is not meaningful and directs readers
+to the clean-window history.
+
 --history: the per-QUERY reconciliation pass (VERDICT r12 #2). The
 window-level canaries certify the WINDOW; a query-long co-tenancy burst
 inside an otherwise-clean window still corrupts that one query's reading
@@ -200,6 +215,25 @@ def main(argv):
               "off this one")
         return 2
 
+    # ambient cross-window factor (VERDICT r13 #3): both windows passed the
+    # 2x-floor gate, but they may sit at different ambient bands; the canary
+    # ratio measures the band shift with a query whose code never changes
+    ambient, amb_src = 1.0, None
+    for qname in ("kv_shuffle_canary", "kv_scan_count"):
+        a_c, b_c = old_canaries.get(qname), new_canaries.get(qname)
+        if a_c and b_c and a_c > CANARY_POISON_CEILING:
+            ambient, amb_src = b_c / a_c, qname
+            break
+    if ambient > 1.15 or ambient < 1 / 1.15:
+        note = (" — beyond x1.3 total-level comparison is not meaningful; "
+                "read the clean-window history instead"
+                if ambient > 1.3 or ambient < 1 / 1.3 else "")
+        print(f"[ambient] {amb_src} NEW/OLD = x{ambient:.2f} — the windows "
+              "ran at different ambient bands; NEW readings are "
+              f"canary-normalized before the regression gates{note}")
+    else:
+        ambient = 1.0
+
     # per-query clean-history floors (VERDICT r12 #2): minimum across the
     # persisted clean windows, used to flag single-query co-tenancy bursts
     # that the window-level canaries cannot see
@@ -237,8 +271,10 @@ def main(argv):
                 and new[q] >= 2 * hist[q]}
 
     if old_total is not None and new_total is not None:
+        norm_col = (f" (normalized: {new_total / ambient:.1f}s)"
+                    if ambient != 1.0 else "")
         print(f"[total] {old_total:.1f}s -> {new_total:.1f}s "
-              f"({new_total - old_total:+.1f}s)")
+              f"({new_total - old_total:+.1f}s){norm_col}")
     common = sorted(set(old) & set(new))
     print(f"[coverage] OLD: {len(old)} query mins ({old_ns} with spreads); "
           f"NEW: {len(new)} ({new_ns}); comparable: {len(common)}")
@@ -249,20 +285,37 @@ def main(argv):
     if only_new:
         print(f"[coverage] added in NEW: {', '.join(only_new)}")
 
-    regressions, improvements = [], []
+    def trips(a, b):
+        return abs(b - a) > abs_floor and max(a, b) > min(a, b) * rel_floor
+
+    regressions, improvements, explained = [], [], []
     for q in common:
         a, b = old[q], new[q]
-        if abs(b - a) <= abs_floor or max(a, b) <= min(a, b) * rel_floor:
-            continue
-        (regressions if b > a else improvements).append((b - a, q, a, b))
+        bn = b / ambient  # normalized NEW reading (== b when ambient off)
+        if trips(a, bn):
+            (regressions if bn > a else improvements).append((bn - a, q, a, b, bn))
+        elif trips(a, b):
+            # raw delta exists but the window's own canary shift accounts
+            # for it — weather wearing the query's name, not a regression
+            explained.append((b - a, q, a, b, bn))
     for title, rows in (("REGRESSIONS", sorted(regressions, reverse=True)),
                         ("improvements", sorted(improvements))):
         if rows:
-            print(f"-- {title} (|delta| > {abs_floor}s and ratio > {rel_floor}x)")
-            for d, q, a, b in rows:
+            print(f"-- {title} (|delta| > {abs_floor}s and ratio > {rel_floor}x"
+                  + (", canary-normalized" if ambient != 1.0 else "") + ")")
+            for d, q, a, b, bn in rows:
                 tag = " [SUSPECT — see below]" if q in suspects else ""
-                print(f"  {q}: {a:.3f}s -> {b:.3f}s ({d:+.3f}s, x{b / a:.2f}){tag}")
-    if not regressions and not improvements:
+                ncol = f" (normalized {bn:.3f}s, x{bn / a:.2f})" \
+                    if ambient != 1.0 else ""
+                print(f"  {q}: {a:.3f}s -> {b:.3f}s ({d:+.3f}s, "
+                      f"x{b / a:.2f}){ncol}{tag}")
+    if explained:
+        print(f"-- ambient-explained (raw delta within the x{ambient:.2f} "
+              "canary band once normalized — co-tenancy, not code)")
+        for d, q, a, b, bn in sorted(explained, reverse=True):
+            print(f"  {q}: {a:.3f}s -> {b:.3f}s raw (x{b / a:.2f}), "
+                  f"normalized {bn:.3f}s (x{bn / a:.2f})")
+    if not regressions and not improvements and not explained:
         print(f"-- no per-query delta beyond the noise floor "
               f"(|delta| > {abs_floor}s and ratio > {rel_floor}x)")
     if suspects:

@@ -118,6 +118,77 @@ class CanaryRefusal(unittest.TestCase):
         self.assertEqual(rc, 3)
 
 
+class AmbientNormalization(unittest.TestCase):
+    """The canary-ratio normalization pass (VERDICT r13 #3): two windows
+    can both pass the 2x-floor gate while sitting at different ambient
+    bands; deltas explained by the canary shift must not read as
+    regressions."""
+
+    def test_uniform_band_shift_is_explained_not_regressed(self):
+        # NEW runs x1.5 hot across the board INCLUDING the shuffle canary
+        # (still under the 2x floor): every raw delta is weather
+        rc, out = run_compare(
+            artifact(shuffle=0.45, q1=1.0, q2=2.0),
+            artifact(shuffle=0.675, q1=1.5, q2=3.0))
+        self.assertEqual(rc, 0)
+        self.assertIn("[ambient] kv_shuffle_canary NEW/OLD = x1.50", out)
+        self.assertNotIn("REGRESSIONS", out)
+        self.assertIn("ambient-explained", out)
+        self.assertIn("q_beta", out)
+
+    def test_genuine_regression_survives_normalization(self):
+        # q_beta runs x3 while the band itself is only x1.5 — after
+        # normalization it still trips the gates and must be reported
+        rc, out = run_compare(
+            artifact(shuffle=0.45, q2=2.0),
+            artifact(shuffle=0.675, q2=6.0))
+        self.assertEqual(rc, 1)
+        self.assertIn("REGRESSIONS", out)
+        self.assertIn("canary-normalized", out)
+        self.assertIn("q_beta", out)
+
+    def test_small_canary_drift_does_not_normalize(self):
+        # a x1.1 canary drift is within same-code noise: no ambient line,
+        # raw gates apply unchanged
+        rc, out = run_compare(
+            artifact(shuffle=0.45, q2=2.0),
+            artifact(shuffle=0.495, q2=3.5))
+        self.assertEqual(rc, 1)
+        self.assertNotIn("[ambient]", out)
+        self.assertIn("REGRESSIONS", out)
+
+    def test_cooler_new_window_normalizes_up(self):
+        # NEW ran on a QUIETER box: an apparent improvement that is just
+        # the band cooling must be explained, not celebrated
+        rc, out = run_compare(
+            artifact(shuffle=0.675, q1=1.5, q2=3.0),
+            artifact(shuffle=0.45, q1=1.0, q2=2.0))
+        self.assertEqual(rc, 0)
+        self.assertIn("[ambient]", out)
+        self.assertNotIn("improvements", out)
+        self.assertIn("ambient-explained", out)
+
+    def test_replays_r12_vs_r13_false_regression_collapse(self):
+        # the motivating case on the REAL artifacts: r13's graded window
+        # ran x1.51 hot on the shuffle canary vs r12's and manufactured
+        # 34 apparent regressions; normalized, the list must collapse to
+        # at most a handful (the genuinely-suspect co-tenancy bursts)
+        r12 = os.path.join(HERE, "..", "BENCH_r12.json")
+        r13 = os.path.join(HERE, "..", "BENCH_r13.json")
+        if not (os.path.exists(r12) and os.path.exists(r13)):
+            self.skipTest("driver artifacts not present")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            bc.main([r12, r13])
+        out = buf.getvalue()
+        self.assertIn("[ambient] kv_shuffle_canary NEW/OLD = x1.51", out)
+        self.assertIn("ambient-explained", out)
+        n_regr = len([l for l in out.splitlines()
+                      if l.startswith("  ") and "normalized" in l
+                      and "raw" not in l and "->" in l])
+        self.assertLess(n_regr, 10, out)
+
+
 class HistoryReconciliation(unittest.TestCase):
     """The per-query clean-history pass (VERDICT r12 #2): a single-query
     burst inside a canary-clean window must be flagged SUSPECT."""
