@@ -666,6 +666,26 @@ object ScalingBench {
       }
     }
 
+    // IVF-bucketed DBSCAN (opt-in via "dbscan_ivf", r14): the production
+    // swap's slope, with nCells scaled as the operator's own doctrine
+    // prescribes (8·√mult — compare term 4n²/k and assignment term n·k
+    // balance at k ∝ √n). The FIRST cut (fixed 8 cells + a materialized
+    // candidate distinct) measured 241.7 s at ×10 where the grid join
+    // read 29.0 s — both fixes (inline verify, scaled cells) came from
+    // that number.
+    if (onlyQs.exists(_.contains("dbscan_ivf"))) {
+      for ((tag, dir, k) <- Seq(
+             ("1x", base, 8),
+             (s"${mult}x", out, (8 * math.sqrt(mult)).round.toInt))) {
+        val (secs, rows) = time(iters)(
+          graft.operators.Similarity.dbscanIvfClusters(spark, dir, k))
+        val line = s"""{"query":"sim_dbscan_ivf","scale":"$tag",""" +
+          s""""sec":${f3(secs)},"rows":$rows,"ncells":$k}"""
+        println(line)
+        report += line
+      }
+    }
+
     // ExactSubstr grain sensitivity (opt-in via "dup_grain", VERDICT r12
     // item 7): span/coverage counts and wall at n = 8 (the gate grain),
     // 16, 32 on the 1x corpus — how much duplicated mass each doubling
