@@ -3227,6 +3227,84 @@ object TextOps {
       .withColumnRenamed("v", "doc_id")
   }
 
+  /** TextRank keyword extraction (Mihalcea & Tarau, EMNLP'04): plain
+    * PageRank over the word CO-OCCURRENCE graph — nodes are terms, edges
+    * connect terms co-occurring within a 3-token window (the
+    * [[cooccurLift]] pair construction, self-pairs excluded) with
+    * support ≥ 5, unweighted as in the original paper. The top-ranked
+    * terms are the corpus's keyword vocabulary: centrality in the
+    * co-occurrence graph, not raw frequency (a frequent term with a
+    * narrow context ranks below a moderately frequent hub — the property
+    * that made TextRank the default non-learned keyword extractor).
+    * Same fixed-point integer BSP as [[pageRank]] via the shared
+    * [[pageRankBsp]] (seed = true everywhere ≡ uniform teleport), so the
+    * oracle is an exact hash gate.
+    *
+    * Scale: one corpus window pass emits the pairs; the support-≥5
+    * filter bounds the graph by the collocation vocabulary (the
+    * text_cooccur_lift measured shape — O(window·tokens) emit, keyed
+    * aggs); the 3 BSP rounds are joins over the vocabulary-bounded edge
+    * frame, never the corpus.
+    */
+  def textRankTerms(s: SparkSession, dir: String,
+      iters: Int = 3): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val dw = Window.partitionBy($"doc_id").orderBy($"pos")
+    val toks = Tables.documents(s, dir)
+      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "w")))
+    val edges = toks
+      .withColumn("w1", lead($"w", 1).over(dw))
+      .withColumn("w2", lead($"w", 2).over(dw))
+      .withColumn("w3", lead($"w", 3).over(dw))
+      .select($"w", explode(array($"w1", $"w2", $"w3")).as("x"))
+      .filter($"x".isNotNull && $"w" =!= $"x")
+      .select(least($"w", $"x").as("a"), greatest($"w", $"x").as("b"))
+      .groupBy($"a", $"b").agg(count(lit(1)).as("n_ab"))
+      .filter($"n_ab" >= 5L)
+      .select($"a", $"b")
+      .pin(true) // node derivation + both union branches of the BSP
+    val nodes = edges.select($"a".as("v"))
+      .unionByName(edges.select($"b".as("v"))).distinct()
+    pageRankBsp(nodes.select($"v", lit(true).as("seed")), edges, iters)
+      .select($"v".as("term"), $"rank")
+      .orderBy($"rank".desc, $"term").limit(20)
+  }
+
+  val textRankTermsSql: String = {
+    def iterCte(k: Int): String =
+      s""",
+         |r$k AS (
+         |  SELECT n.v,
+         |    (150000 + (85 * COALESCE(c.s, 0)) // 100)::BIGINT AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS v, sum(r.r // deg.d)::BIGINT AS s
+         |    FROM edges e JOIN r${k - 1} r ON e.src = r.v
+         |                 JOIN deg ON deg.src = e.src
+         |    GROUP BY e.dst) c ON n.v = c.v)""".stripMargin
+    """WITH toks AS (
+      |  SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
+      |         unnest(string_split(text, ' ')) AS w
+      |  FROM documents),
+      |ld AS (
+      |  SELECT w, lead(w, 1) OVER dw AS w1, lead(w, 2) OVER dw AS w2,
+      |         lead(w, 3) OVER dw AS w3
+      |  FROM toks WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)),
+      |prs AS (
+      |  SELECT least(w, x) AS a, greatest(w, x) AS b FROM (
+      |    SELECT w, unnest([w1, w2, w3]) AS x FROM ld) z
+      |  WHERE x IS NOT NULL AND w <> x),
+      |e AS (SELECT a, b FROM prs GROUP BY a, b HAVING count(*) >= 5),
+      |nodes AS (SELECT a AS v FROM e UNION SELECT b FROM e),
+      |edges AS (SELECT a AS src, b AS dst FROM e
+      |          UNION ALL SELECT b, a FROM e),
+      |deg AS (SELECT src, count(*)::BIGINT AS d FROM edges GROUP BY src),
+      |r0 AS (SELECT v, 1000000::BIGINT AS r FROM nodes)""".stripMargin +
+      (1 to 3).map(iterCte).mkString +
+      "\nSELECT v AS term, r AS rank FROM r3 " +
+      "ORDER BY rank DESC, term LIMIT 20"
+  }
+
   /** [[pprRank]] on the CONTRACTED group graph — the production form
     * (the doc-level loop is the oracle-exact per-document surface, but
     * ScalingBench measured both doc-level BSP loops at ×27–28 wall for
@@ -3854,6 +3932,153 @@ object TextOps {
       |top AS (SELECT * FROM ne ORDER BY common DESC, a, b LIMIT 20)
       |SELECT a, b, common,
       |  row_number() OVER (ORDER BY common DESC, a, b) AS rnk
+      |FROM top ORDER BY rnk""".stripMargin
+
+  /** WINNOWING document fingerprints (Schleimer, Wilkerson & Aiken,
+    * SIGMOD'03 — the MOSS algorithm): per doc, 4-token-gram rolling
+    * hashes, then the w = 4 window-min selection — every window of 4
+    * consecutive grams contributes its minimum hash, which guarantees
+    * any shared run of ≥ w + k − 1 = 7 tokens between two docs shares at
+    * least one selected fingerprint (the paper's detection guarantee,
+    * which uniform sampling of grams cannot give). Fingerprints are the
+    * DISTINCT (doc, hash) selections; the match surface is the top-20
+    * doc pairs by shared-fingerprint count — the plagiarism/boilerplate
+    * readout MOSS serves, here over the corpus.
+    *
+    * Scale: one positional window pass builds grams and window-mins
+    * (per-doc windows, never corpus-wide); fingerprints with df > 10 are
+    * dropped before the pair join (the MOSS "too common to mean
+    * anything" prune — the same posting-head discipline as AllPairs'
+    * df-ascending prefixes), so pair volume is Σ df² over the pruned
+    * postings, never all-pairs.
+    */
+  def winnowingMatches(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val P = 2147483647L
+    val dw = Window.partitionBy($"doc_id").orderBy($"pos")
+    val toks = Tables.documents(s, dir)
+      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "w")))
+      .select($"doc_id", $"pos", tokenCode($"w").as("c"))
+    val grams = toks
+      .withColumn("c1", lead($"c", 1).over(dw))
+      .withColumn("c2", lead($"c", 2).over(dw))
+      .withColumn("c3", lead($"c", 3).over(dw))
+      .filter($"c3".isNotNull)
+      .select($"doc_id", $"pos",
+        ((($"c" % P * 131071L + $"c1") % P * 131071L + $"c2") % P
+          * 131071L + $"c3" % P).mod(P).as("h"))
+    val wmin = grams
+      .withColumn("m", min($"h").over(dw.rowsBetween(0, 3)))
+      .withColumn("full", lead($"h", 3).over(dw))
+      .filter($"full".isNotNull) // complete windows only
+      .select($"doc_id", $"m".as("fp")).distinct()
+      .pin(true) // df prune + both sides of the match join
+    val keep = wmin.groupBy($"fp").agg(count(lit(1)).as("df"))
+      .filter($"df" <= 10L && $"df" >= 2L).select($"fp")
+    val pruned = wmin.join(keep, Seq("fp"))
+    val matches = pruned.select($"fp", $"doc_id".as("a"))
+      .join(pruned.select($"fp", $"doc_id".as("b")), Seq("fp"))
+      .filter($"a" < $"b")
+      .groupBy($"a", $"b").agg(count(lit(1)).as("n_shared"))
+    val top = matches.orderBy($"n_shared".desc, $"a", $"b").limit(20)
+    top.withColumn("rnk", row_number().over(
+        Window.orderBy($"n_shared".desc, $"a", $"b"))) // 20-row frame
+      .orderBy($"rnk")
+  }
+
+  val winnowingMatchesSql: String =
+    s"""WITH toksp AS (
+       |  SELECT doc_id,
+       |    generate_subscripts(string_split(text, ' '), 1) AS pos,
+       |    unnest(string_split(text, ' ')) AS w
+       |  FROM documents),
+       |cps AS (SELECT doc_id, pos, $tokenCodeSql AS c FROM toksp),
+       |ld AS (
+       |  SELECT doc_id, pos, c, lead(c, 1) OVER dw AS c1,
+       |         lead(c, 2) OVER dw AS c2, lead(c, 3) OVER dw AS c3
+       |  FROM cps WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)),
+       |grams AS (
+       |  SELECT doc_id, pos,
+       |    (((c % 2147483647 * 131071 + c1) % 2147483647 * 131071 + c2)
+       |      % 2147483647 * 131071 + c3 % 2147483647) % 2147483647 AS h
+       |  FROM ld WHERE c3 IS NOT NULL),
+       |wm AS (
+       |  SELECT doc_id,
+       |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+       |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m,
+       |    lead(h, 3) OVER (PARTITION BY doc_id ORDER BY pos) AS fl
+       |  FROM grams),
+       |fps AS (SELECT DISTINCT doc_id, m AS fp FROM wm
+       |        WHERE fl IS NOT NULL),
+       |keep AS (SELECT fp FROM fps GROUP BY fp
+       |         HAVING count(*) <= 10 AND count(*) >= 2),
+       |pruned AS (SELECT f.doc_id, f.fp FROM fps f JOIN keep USING (fp)),
+       |matches AS (
+       |  SELECT l.doc_id AS a, r.doc_id AS b, count(*)::BIGINT AS n_shared
+       |  FROM pruned l JOIN pruned r
+       |    ON l.fp = r.fp AND l.doc_id < r.doc_id
+       |  GROUP BY 1, 2),
+       |top AS (SELECT * FROM matches
+       |        ORDER BY n_shared DESC, a, b LIMIT 20)
+       |SELECT a, b, n_shared,
+       |  row_number() OVER (ORDER BY n_shared DESC, a, b) AS rnk
+       |FROM top ORDER BY rnk""".stripMargin
+
+  /** Resource-Allocation link-prediction index (Zhou, Lü & Zhang, Eur.
+    * Phys. J. B 2009) over the contracted near-dup graph: for each
+    * NON-adjacent group pair, Σ over common neighbors z of 1/deg(z) —
+    * [[commonNeighbors]] re-weighted so a promiscuous hub certifies
+    * nothing while a low-degree bridge certifies a lot (RA beats
+    * Adamic–Adar's 1/log deg on most link-prediction benchmarks, and its
+    * reciprocal is integer-exact where 1/log is not: each term is
+    * floor(10⁹/deg z), so the cross-engine sum needs no float fold). The
+    * pipeline reading: "which duplicate families are ABOUT to merge" —
+    * the pairs a slightly looser banding would connect next.
+    *
+    * Scale: the same one-wedge-join shape as [[commonNeighbors]] /
+    * triangles (volume Σ deg z², the measured family); the per-z term
+    * rides the wedge join's left leg, so scoring adds no extra pass.
+    */
+  def resourceAlloc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val pairs = groupPairsOf(s, dir)
+      .pin(true) // symmetrization + the non-edge anti-join
+    val sym = pairs.select($"a".as("c"), $"b".as("x"))
+      .unionByName(pairs.select($"b".as("c"), $"a".as("x")))
+      .pin(true) // degree agg + both wedge sides
+    val deg = sym.groupBy($"c").agg(count(lit(1)).as("d"))
+    val wz = sym.join(deg, Seq("c"))
+      .withColumn("t", expr("1000000000 div d"))
+      .select($"c", $"x", $"t")
+    val cand = wz.as("l")
+      .join(wz.as("r"), $"l.c" === $"r.c" && $"l.x" < $"r.x")
+      .select($"l.x".as("a"), $"r.x".as("b"), $"l.t".as("t"))
+      .groupBy($"a", $"b").agg(sum($"t").as("ra"))
+    val top = cand.join(pairs, Seq("a", "b"), "left_anti")
+      .orderBy($"ra".desc, $"a", $"b").limit(20)
+    top.withColumn("rnk", row_number().over(
+        Window.orderBy($"ra".desc, $"a", $"b"))) // 20-row frame
+      .orderBy($"rnk")
+  }
+
+  val resourceAllocSql: String = groupGraphCte +
+    """, sym AS (SELECT a AS c, b AS x FROM gp
+      |         UNION ALL SELECT b, a FROM gp),
+      |dg AS (SELECT c, count(*)::BIGINT AS d FROM sym GROUP BY c),
+      |wz AS (SELECT s.c, s.x, (1000000000 // d.d)::BIGINT AS t
+      |       FROM sym s JOIN dg d ON s.c = d.c),
+      |cand AS (
+      |  SELECT l.x AS a, r.x AS b, sum(l.t)::BIGINT AS ra
+      |  FROM wz l JOIN wz r ON l.c = r.c AND l.x < r.x
+      |  GROUP BY 1, 2),
+      |ne AS (SELECT c.a, c.b, c.ra FROM cand c
+      |       LEFT JOIN gp ON gp.a = c.a AND gp.b = c.b
+      |       WHERE gp.a IS NULL),
+      |top AS (SELECT * FROM ne ORDER BY ra DESC, a, b LIMIT 20)
+      |SELECT a, b, ra,
+      |  row_number() OVER (ORDER BY ra DESC, a, b) AS rnk
       |FROM top ORDER BY rnk""".stripMargin
 
   /** Label-propagation communities (Raghavan et al. 2007, synchronous
@@ -6632,6 +6857,10 @@ object TextOps {
     "graph_pagerank" -> ((s: SparkSession, dir: String) => pageRank(s, dir)),
     "graph_pagerank_groups" ->
       ((s: SparkSession, dir: String) => pageRankGroups(s, dir)),
+    "text_textrank_terms" ->
+      ((s: SparkSession, dir: String) => textRankTerms(s, dir)),
+    "graph_resource_alloc" -> resourceAlloc _,
+    "text_winnowing" -> winnowingMatches _,
     "graph_ppr" -> ((s: SparkSession, dir: String) => pprRank(s, dir)),
     "graph_ppr_groups" ->
       ((s: SparkSession, dir: String) => pprRankGroups(s, dir)),
@@ -6728,6 +6957,9 @@ object TextOps {
     "text_bpe_encode" -> bpeEncodeSql,
     "graph_pagerank" -> pageRankSql,
     "graph_pagerank_groups" -> pageRankGroupsSql,
+    "text_textrank_terms" -> textRankTermsSql,
+    "graph_resource_alloc" -> resourceAllocSql,
+    "text_winnowing" -> winnowingMatchesSql,
     "graph_ppr" -> pprRankSql,
     "graph_ppr_groups" -> pprRankGroupsSql,
     "text_inverted_index" -> invertedIndexSql,
