@@ -2357,6 +2357,161 @@ object Relational {
       |    AS f
       |FROM t""".stripMargin
 
+  /** Chi-squared test of independence (Pearson 1900) between order
+    * priority and order status — the categorical member of the inference
+    * battery (ANOVA/Welch cover means, KS covers distributions, this
+    * covers contingency: "does fulfillment status depend on priority?").
+    * The FULL k₁×k₂ grid is materialized (zero-observed cells still
+    * contribute their expectation), each cell's (o·T − r·c)²/(T·r·c)
+    * term is ONE fixed double expression (IEEE-identical cross-engine),
+    * and the cross-cell sum runs micro-floored in exact decimal — the
+    * [[statAnova]] float-fold lesson applied verbatim. Cramér's V is
+    * reported as the effect size (χ² alone grows with N).
+    *
+    * Scale: one partial-aggregated groupBy to ≤ k₁·k₂ cells; everything
+    * after is arithmetic on bounded frames.
+    */
+  def statChi2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cells = Tables.orders(s, dir)
+      .select($"o_orderpriority".as("g"), $"o_orderstatus".as("h"))
+      .groupBy($"g", $"h").agg(count(lit(1)).as("o"))
+      .pin(true) // margins, total, and the grid join all read it
+    val rws = cells.groupBy($"g").agg(sum($"o").as("r"))
+    val cls = cells.groupBy($"h").agg(sum($"o").as("c"))
+    val tot = cells.agg(sum($"o").as("t"))
+    val d = ($"o".cast("double") * $"t".cast("double")
+      - $"r".cast("double") * $"c".cast("double"))
+    val grid = rws.crossJoin(cls)
+      .join(cells, Seq("g", "h"), "left")
+      .withColumn("o", coalesce($"o", lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("term", floor(d * d
+        / ($"t".cast("double") * $"r".cast("double") * $"c".cast("double"))
+        * 1000000d).cast("decimal(38,0)"))
+    grid.agg(countDistinct($"g").as("k_rows"),
+        countDistinct($"h").as("k_cols"),
+        max($"t").as("n"), sum($"term").as("chi6"))
+      .select($"k_rows", $"k_cols", $"n",
+        (($"k_rows" - 1L) * ($"k_cols" - 1L)).as("dof"),
+        round($"chi6".cast("double") / 1000000d, 4).as("chi2"),
+        round(sqrt($"chi6".cast("double") / 1000000d
+          / ($"n".cast("double")
+            * least($"k_rows" - 1L, $"k_cols" - 1L).cast("double"))), 4)
+          .as("cramers_v"))
+  }
+
+  val statChi2Sql: String =
+    """WITH cells AS (
+      |  SELECT o_orderpriority AS g, o_orderstatus AS h,
+      |         count(*)::BIGINT AS o
+      |  FROM orders GROUP BY 1, 2),
+      |rws AS (SELECT g, sum(o)::BIGINT AS r FROM cells GROUP BY g),
+      |cls AS (SELECT h, sum(o)::BIGINT AS c FROM cells GROUP BY h),
+      |tt AS (SELECT sum(o)::BIGINT AS t FROM cells),
+      |grid AS (
+      |  SELECT rws.g, cls.h, coalesce(ce.o, 0)::BIGINT AS o,
+      |         rws.r, cls.c, tt.t
+      |  FROM rws CROSS JOIN cls
+      |  LEFT JOIN cells ce ON ce.g = rws.g AND ce.h = cls.h
+      |  CROSS JOIN tt),
+      |terms AS (
+      |  SELECT g, h, o, r, c, t,
+      |    floor((o::DOUBLE * t::DOUBLE - r::DOUBLE * c::DOUBLE)
+      |      * (o::DOUBLE * t::DOUBLE - r::DOUBLE * c::DOUBLE)
+      |      / (t::DOUBLE * r::DOUBLE * c::DOUBLE)
+      |      * 1000000)::DECIMAL(38,0) AS term
+      |  FROM grid),
+      |agg AS (
+      |  SELECT count(DISTINCT g)::BIGINT AS k_rows,
+      |    count(DISTINCT h)::BIGINT AS k_cols,
+      |    max(t)::BIGINT AS n, sum(term)::DECIMAL(38,0) AS chi6
+      |  FROM terms)
+      |SELECT k_rows, k_cols, n,
+      |  ((k_rows - 1) * (k_cols - 1))::BIGINT AS dof,
+      |  round(chi6::DOUBLE / 1000000, 4) AS chi2,
+      |  round(sqrt(chi6::DOUBLE / 1000000
+      |    / (n::DOUBLE * least(k_rows - 1, k_cols - 1)::DOUBLE)), 4)
+      |    AS cramers_v
+      |FROM agg""".stripMargin
+
+  /** Kruskal–Wallis H (1952) — the rank-based (nonparametric) k-group
+    * test, completing the pair with [[statAnova]] exactly as
+    * [[statSpearman]] completes Pearson: does ANY order priority's price
+    * DISTRIBUTION sit higher, without assuming normality? Ties get the
+    * textbook average rank kept integer by doubling (the [[statSpearman]]
+    * histogram + GlobalOrder cumsum machinery — never a single-reducer
+    * corpus window), each group's R²/n term is one fixed double
+    * expression centi-floored into exact decimal (the ANOVA fold
+    * lesson), and the tie-correction term Σ(t³−t) is an exact integer
+    * sum over the value histogram. H = [12/(N(N+1)) · Σ R_g²/n_g −
+    * 3(N+1)] / (1 − Σ(t³−t)/(N³−N)).
+    *
+    * Headroom: Σ(2R_g)² grows as ~4n³/k per group — same ~1.9M-row int64
+    * bound as stat_spearman (documented there), here reached only inside
+    * the double expression (the integer sums are 2R_g and n_g, both
+    * linear).
+    *
+    * Scale: one join + one value-histogram cumsum + a k-row fold.
+    */
+  def statKruskalWallis(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.orders(s, dir)
+      .select($"o_orderpriority".as("g"),
+        round($"o_totalprice").cast("long").as("v"))
+      .pin(true) // histogram + the rank join-back
+    val hist = base.groupBy($"v").agg(count(lit(1)).as("cnt")).pin(true)
+    val (cum, _) = GlobalOrder.cumsum(hist, Seq(col("v")), col("cnt"),
+      "upto")
+    val ranks2 = cum.select($"v",
+      (lit(2L) * ($"upto" - $"cnt") + $"cnt" + 1L).as("r2"))
+    val pg = base.join(ranks2, Seq("v"))
+      .groupBy($"g").agg(count(lit(1)).as("n"), sum($"r2").as("s2"))
+      .withColumn("t",
+        floor($"s2".cast("double") * $"s2" / (lit(4d) * $"n") * 100d)
+          .cast("decimal(38,0)"))
+    val ties = hist.agg(
+      sum($"cnt" * $"cnt" * $"cnt" - $"cnt").as("tie3"))
+    val nD = $"n_total".cast("double")
+    pg.agg(count(lit(1)).as("k"), sum($"n").as("n_total"),
+        sum($"t").as("t_sum"))
+      .crossJoin(broadcast(ties))
+      .select($"k", $"n_total",
+        round((lit(12d) * ($"t_sum".cast("double") / 100d)
+            / (nD * (nD + 1d)) - lit(3d) * (nD + 1d))
+          / (lit(1d) - $"tie3".cast("double") / (nD * nD * nD - nD)), 4)
+          .as("h"))
+  }
+
+  val statKruskalWallisSql: String =
+    """WITH base AS (
+      |  SELECT o_orderpriority AS g, round(o_totalprice)::BIGINT AS v
+      |  FROM orders),
+      |hist AS (SELECT v, count(*)::BIGINT AS cnt FROM base GROUP BY v),
+      |cum AS (SELECT v, cnt, sum(cnt) OVER (ORDER BY v) AS upto FROM hist),
+      |r2 AS (SELECT v, 2 * (upto - cnt) + cnt + 1 AS r2 FROM cum),
+      |pg AS (
+      |  SELECT g, count(*)::BIGINT AS n, sum(r2)::BIGINT AS s2
+      |  FROM base JOIN r2 USING (v) GROUP BY g),
+      |pg2 AS (
+      |  SELECT *, floor(s2::DOUBLE * s2 / (4 * n) * 100)::DECIMAL(38,0)
+      |    AS t
+      |  FROM pg),
+      |ties AS (SELECT sum(cnt * cnt * cnt - cnt)::BIGINT AS tie3
+      |         FROM hist),
+      |agg AS (
+      |  SELECT count(*)::BIGINT AS k, sum(n)::BIGINT AS n_total,
+      |    sum(t)::DECIMAL(38,0) AS t_sum
+      |  FROM pg2)
+      |SELECT k, n_total,
+      |  round((12 * (t_sum::DOUBLE / 100)
+      |      / (n_total::DOUBLE * (n_total::DOUBLE + 1))
+      |      - 3 * (n_total::DOUBLE + 1))
+      |    / (1 - tie3::DOUBLE
+      |      / (n_total::DOUBLE * n_total::DOUBLE * n_total::DOUBLE
+      |        - n_total::DOUBLE)), 4) AS h
+      |FROM agg CROSS JOIN ties""".stripMargin
+
   /** Per-group ordinary-least-squares trend in exact integers: the slope
     * of line-item price (whole dollars) against quantity within each
     * (returnflag, linestatus) group, carried as the classic sufficient
@@ -2643,6 +2798,8 @@ object Relational {
     "stat_ks_drift" -> statKsDrift _,
     "stat_welch_t" -> statWelchT _,
     "stat_anova" -> statAnova _,
+    "stat_chi2" -> statChi2 _,
+    "stat_kruskal_wallis" -> statKruskalWallis _,
     "stat_spearman" -> statSpearman _,
     "stat_group_ols" -> statGroupOls _,
     "stat_theil_sen" -> statTheilSen _,
@@ -2724,6 +2881,8 @@ object Relational {
     "stat_ks_drift" -> statKsDriftSql,
     "stat_welch_t" -> statWelchTSql,
     "stat_anova" -> statAnovaSql,
+    "stat_chi2" -> statChi2Sql,
+    "stat_kruskal_wallis" -> statKruskalWallisSql,
     "stat_spearman" -> statSpearmanSql,
     "stat_group_ols" -> statGroupOlsSql,
     "stat_theil_sen" -> statTheilSenSql,

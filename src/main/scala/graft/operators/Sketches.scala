@@ -890,6 +890,48 @@ object Sketches {
        |           ELSE 0 END)::BIGINT AS ht_est_w
        |FROM d GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** SYSTEMATIC πps sample (Madow 1949; the fixed-size complement of the
+    * Poisson πps [[weightedSample]]): k = 100 evenly-spaced ticks on the
+    * cumulative-weight axis, weight = n_chars; the doc whose weight
+    * interval (cum − w, cum] contains tick t·W/k is pick t. Poisson πps
+    * has binomial sample-size variance; systematic πps returns EXACTLY k
+    * docs with inclusion probability still ∝ weight (a doc with w >
+    * W/k is hit by ≥1 tick with certainty — the certainty-inclusion
+    * property size-biased selection wants). Integer-exact: a doc is
+    * selected iff floor(cum·k/W) > floor((cum−w)·k/W); its pick index is
+    * floor(cum·k/W) (the FIRST tick in its interval when several land
+    * there). Deterministic start offset 0 — the reproducible audit form
+    * of the textbook's random-start estimator, same trade as every
+    * deterministic hash in this file.
+    *
+    * Scale: one GlobalOrder cumulative sum (range-partitioned offset
+    * pass, never a single-reducer window) + one filter; output is k rows.
+    */
+  def ppsSystematic(s: SparkSession, dir: String, k: Int = 100): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", $"n_chars".cast("long").as("w"))
+    val (cum, _) = GlobalOrder.cumsum(docs, Seq(col("doc_id")), col("w"),
+      "cum")
+    val tot = cum.agg(max($"cum").as("wt"))
+    // integer floor-div via expr: Spark's `/` on longs is DOUBLE division
+    cum.crossJoin(broadcast(tot))
+      .filter(expr(s"cum * $k div wt > (cum - w) * $k div wt"))
+      .select(expr(s"cum * $k div wt").as("pick"), $"doc_id", $"w")
+      .orderBy($"pick", $"doc_id")
+  }
+
+  val ppsSystematicSql: String =
+    """WITH c AS (
+      |  SELECT doc_id, n_chars::BIGINT AS w,
+      |    sum(n_chars::BIGINT) OVER (ORDER BY doc_id) AS cum
+      |  FROM documents),
+      |tt AS (SELECT max(cum)::BIGINT AS wt FROM c)
+      |SELECT (cum * 100 // wt)::BIGINT AS pick, doc_id, w
+      |FROM c CROSS JOIN tt
+      |WHERE cum * 100 // wt > (cum - w) * 100 // wt
+      |ORDER BY pick, doc_id""".stripMargin
+
   /** KMV multiset algebra (Beyer et al., "On Synopses for Distinct-Value
     * Estimation Under Multiset Operations", SIGMOD 2007): distinct-count
     * estimates for the UNION and INTERSECTION of every pair of
@@ -1569,6 +1611,7 @@ object Sketches {
     "sample_stratified" -> stratifiedSample _,
     "sample_mixture" -> mixtureSample _,
     "sample_weighted" -> weightedSample _,
+    "sample_pps" -> ((s: SparkSession, dir: String) => ppsSystematic(s, dir)),
     "sketch_bloom_filter" -> bloomFilter _,
     "sketch_bloom_join" -> bloomJoin _,
     "sample_neyman" -> neymanSample _,
@@ -1594,6 +1637,7 @@ object Sketches {
     "sample_stratified" -> stratifiedSampleSql,
     "sample_mixture" -> mixtureSampleSql,
     "sample_weighted" -> weightedSampleSql,
+    "sample_pps" -> ppsSystematicSql,
     "sketch_bloom_filter" -> bloomFilterSql,
     "sketch_bloom_join" -> bloomJoinSql,
     "sample_neyman" -> neymanSampleSql,

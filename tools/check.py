@@ -84,8 +84,9 @@ def main():
     outdir = args[1] if len(args) > 1 else "/tmp/verify_out"
     only = set(args[2:])
     if "--skip-spark" not in sys.argv:
+        names = " " + ",".join(sorted(only)) if only else ""
         r = subprocess.run(
-            ["sbt", "-batch", f'runMain graft.Verify {sfdir} {outdir}'],
+            ["sbt", "-batch", f'runMain graft.Verify {sfdir} {outdir}{names}'],
             cwd="/root/repo", capture_output=True, text=True)
         tail = "\n".join((r.stdout + r.stderr).splitlines()[-25:])
         if r.returncode != 0:
