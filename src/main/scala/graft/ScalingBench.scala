@@ -663,6 +663,9 @@ object ScalingBench {
              "layout_zorder" -> relOut,
              "dedup_prefix_pairs" -> out,
              "dedup_recall_audit" -> out,
+             // r14: the hash-stratum sampled audit — must read near the
+             // corpus-scan floor where the exact audit reads ~26 s
+             "dedup_recall_audit_sampled" -> out,
              "graph_truss" -> out,
              "sim_dbscan" -> out)
            // names passed alongside the block tag restrict it (the ×100

@@ -120,6 +120,69 @@ object Events {
       |  FROM events) t
       |WHERE rn <= 3 ORDER BY day, event_type, rn""".stripMargin
 
+  /** Classical seasonal-trend decomposition of the daily event-count
+    * series (the moving-average decomposition underlying STL — Cleveland
+    * et al. 1990 — in its textbook additive form): trend = centered
+    * 7-day moving average, weekly seasonal = per-day-of-week mean of the
+    * detrended series, remainder = what's left. Kept EXACT by scaling
+    * everything ×7: trend7 = the 7-day window SUM (integer), detrended7
+    * = 7·cnt − trend7 (integer), seasonal7 = floor-mean of detrended7
+    * per weekday, rem7 = detrended7 − seasonal7 — so the decomposition
+    * law 7·cnt = trend7 + seasonal7 + rem7 holds exactly, both engines
+    * hash-identical with no float fold. Day-of-week from epoch-day mod 7
+    * (engine day-number conventions differ; datediff doesn't). Edge days
+    * without a full 7-day window are excluded (the textbook treatment).
+    *
+    * Scale: the corpus folds to ≤|days| rows in one pass; every window
+    * after runs on that bounded frame.
+    */
+  def stlDaily(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, dir)
+      .groupBy(date_trunc("day", $"ts").as("d"))
+      .agg(count(lit(1)).as("cnt"))
+      .pin(true) // bounded |days| frame; windows + the seasonal join
+    val w = Window.orderBy($"d").rowsBetween(-3, 3)
+    val trended = daily
+      .withColumn("trend7", sum($"cnt").over(w))
+      .withColumn("nw", count(lit(1)).over(w))
+      .filter($"nw" === 7L)
+      .withColumn("detr7", lit(7L) * $"cnt" - $"trend7")
+      .withColumn("dow",
+        datediff($"d", lit("1970-01-01").cast("timestamp")) % 7)
+      .pin(true) // seasonal agg + the join back
+    val seas = trended.groupBy($"dow")
+      .agg(floor(sum($"detr7").cast("double") / count(lit(1)))
+        .cast("long").as("seasonal7"))
+    trended.join(broadcast(seas), Seq("dow"))
+      .select(date_format($"d", "yyyy-MM-dd").as("day"), $"cnt",
+        $"trend7", $"seasonal7", ($"detr7" - $"seasonal7").as("rem7"))
+      .orderBy($"day")
+  }
+
+  val stlDailySql: String =
+    """WITH daily AS (
+      |  SELECT date_trunc('day', ts) AS d, count(*)::BIGINT AS cnt
+      |  FROM events GROUP BY 1),
+      |tr AS (
+      |  SELECT d, cnt,
+      |    (sum(cnt) OVER w)::BIGINT AS trend7, count(*) OVER w AS nw
+      |  FROM daily
+      |  WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      |det AS (
+      |  SELECT d, cnt, trend7, (7 * cnt - trend7)::BIGINT AS detr7,
+      |    date_diff('day', TIMESTAMP '1970-01-01', d) % 7 AS dow
+      |  FROM tr WHERE nw = 7),
+      |seas AS (
+      |  SELECT dow,
+      |    floor(sum(detr7)::DOUBLE / count(*))::BIGINT AS seasonal7
+      |  FROM det GROUP BY dow)
+      |SELECT strftime(det.d, '%Y-%m-%d') AS day, cnt, trend7, seasonal7,
+      |  (detr7 - seasonal7)::BIGINT AS rem7
+      |FROM det JOIN seas USING (dow)
+      |ORDER BY day""".stripMargin
+
   /** Pivot: event counts per user-decile × event_type as columns (fixed
     * pivot values so the output schema is deterministic).
     */
@@ -1693,6 +1756,7 @@ object Events {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_survival_table" -> survivalTable _,
     "ev_acf" -> acf _,
+    "ev_stl_daily" -> stlDaily _,
     "ev_ewma" -> ewma _,
     "ev_changepoint" -> changepoint _,
     "ev_resample_locf" -> resampleLocf _,
@@ -1730,6 +1794,7 @@ object Events {
   val oracles: Map[String, String] = Map(
     "ev_survival_table" -> survivalTableSql,
     "ev_acf" -> acfSql,
+    "ev_stl_daily" -> stlDailySql,
     "ev_ewma" -> ewmaSql,
     "ev_changepoint" -> changepointSql,
     "ev_resample_locf" -> resampleLocfSql,

@@ -2361,6 +2361,10 @@ object Relational {
     * priority and order status — the categorical member of the inference
     * battery (ANOVA/Welch cover means, KS covers distributions, this
     * covers contingency: "does fulfillment status depend on priority?").
+    * Complements [[graft.operators.Quality]]'s dq_chi_square, which
+    * reports PER-CELL permille contributions as a drift-audit surface;
+    * this is the one-row inference surface (statistic + dof + effect
+    * size) over a different contingency pair.
     * The FULL k₁×k₂ grid is materialized (zero-observed cells still
     * contribute their expectation), each cell's (o·T − r·c)²/(T·r·c)
     * term is ONE fixed double expression (IEEE-identical cross-engine),

@@ -146,6 +146,59 @@ object TextOps {
       .orderBy($"lang", $"pred_lang")
   }
 
+  /** Cohen's kappa (1960) between the marker-heuristic language
+    * prediction and the labeled language — the CHANCE-CORRECTED
+    * agreement statistic [[langIdConfusion]]'s raw diagonal can't give
+    * (a classifier that always answers "en" on an 80%-English corpus
+    * gets 80% raw agreement and κ ≈ 0). Fully integer until the last
+    * division: κ = (N·Σdiag − Σ_l r_l·c_l) / (N² − Σ_l r_l·c_l), with
+    * row/column marginals full-outer-joined so labels with no
+    * predictions (zh has no marker class) still enter the chance term.
+    *
+    * Scale: rides the one langPreds corpus pass; everything after is
+    * ≤|langs|²-row arithmetic.
+    */
+  def cohensKappa(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cm = langPreds(s, dir).groupBy($"lang", $"pred_lang")
+      .agg(count(lit(1)).as("n")).pin(true) // bounded |langs|² frame
+    val rows = cm.groupBy($"lang").agg(sum($"n").as("r"))
+    val cols = cm.groupBy($"pred_lang".as("lang")).agg(sum($"n").as("c"))
+    val agree = cm.filter($"lang" === $"pred_lang")
+      .agg(coalesce(sum($"n"), lit(0L)).as("d"))
+    val tot = cm.agg(sum($"n").as("nn"))
+    val chance = rows.join(cols, Seq("lang"), "full")
+      .select((coalesce($"r", lit(0L)) * coalesce($"c", lit(0L))).as("rc"))
+      .agg(sum($"rc").as("s_rc"))
+    agree.crossJoin(broadcast(tot)).crossJoin(broadcast(chance))
+      .select($"nn".as("n"), $"d".as("n_agree"),
+        round($"d".cast("double") / $"nn", 4).as("p_observed"),
+        round($"s_rc".cast("double") / ($"nn" * $"nn"), 4).as("p_expected"),
+        round(($"nn" * $"d" - $"s_rc").cast("double")
+          / ($"nn" * $"nn" - $"s_rc").cast("double"), 4).as("kappa"))
+  }
+
+  // lazy: langIdSql is declared later in the object (initialization order)
+  lazy val cohensKappaSql: String =
+    s"""WITH p AS (${"\n"}$langIdSql),
+       |cm AS (SELECT lang, pred_lang, count(*)::BIGINT AS n
+       |       FROM p GROUP BY 1, 2),
+       |rws AS (SELECT lang, sum(n)::BIGINT AS r FROM cm GROUP BY lang),
+       |cls AS (SELECT pred_lang AS lang, sum(n)::BIGINT AS c
+       |        FROM cm GROUP BY 1),
+       |ag AS (SELECT coalesce(sum(n), 0)::BIGINT AS d FROM cm
+       |       WHERE lang = pred_lang),
+       |tt AS (SELECT sum(n)::BIGINT AS nn FROM cm),
+       |ch AS (
+       |  SELECT sum(coalesce(r, 0) * coalesce(c, 0))::BIGINT AS s_rc
+       |  FROM rws FULL OUTER JOIN cls USING (lang))
+       |SELECT nn AS n, d AS n_agree,
+       |  round(d::DOUBLE / nn, 4) AS p_observed,
+       |  round(s_rc::DOUBLE / (nn * nn), 4) AS p_expected,
+       |  round((nn * d - s_rc)::DOUBLE / (nn * nn - s_rc)::DOUBLE, 4)
+       |    AS kappa
+       |FROM ag CROSS JOIN tt CROSS JOIN ch""".stripMargin
+
   // lazy: langIdSql is declared later in the object; a strict val here
   // would capture null at initialization order
   lazy val langIdConfusionSql: String =
@@ -6830,6 +6883,7 @@ object TextOps {
     "text_dsir_weights" -> dsirWeights _,
     "text_ppl_buckets" -> pplBuckets _,
     "text_langid_confusion" -> langIdConfusion _,
+    "eval_cohens_kappa" -> cohensKappa _,
     "text_lang_nb" -> langNb _,
     "graph_degree_hist" -> degreeHist _,
     "graph_kcore" -> ((s: SparkSession, dir: String) => kcore(s, dir)),
@@ -6934,6 +6988,7 @@ object TextOps {
     "eval_auc_ranksum" -> aucRankSumSql,
     "eval_poisson_bootstrap" -> poissonBootstrapSql,
     "text_langid_confusion" -> langIdConfusionSql,
+    "eval_cohens_kappa" -> cohensKappaSql,
     "text_lang_nb" -> langNbSql,
     "graph_degree_hist" -> degreeHistSql,
     "graph_kcore" -> kcoreSql,
