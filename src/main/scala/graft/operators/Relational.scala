@@ -2439,6 +2439,66 @@ object Relational {
       |    AS cramers_v
       |FROM agg""".stripMargin
 
+  /** Tukey–Kramer HSD pairwise comparisons (Tukey 1949; Kramer 1956 for
+    * unequal n) — the post-hoc [[statAnova]] leaves open: ANOVA's F says
+    * SOME priority class prices differently, this says WHICH pairs, via
+    * the studentized-range statistic q = |m_i − m_j| /
+    * √(MSW/2 · (1/n_i + 1/n_j)) for all k(k−1)/2 group pairs. Same
+    * sufficient-statistics discipline as ANOVA: per-group (n, Σx, Σx²)
+    * exact integer, MSW from the centi-floored decimal fold, each pair's
+    * q one fixed double expression on the bounded pair frame.
+    *
+    * Scale: one partial-aggregated groupBy to ≤k rows, a k²-row self
+    * join of that bounded frame, nothing else.
+    */
+  def statTukeyPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val g = Tables.orders(s, dir)
+      .select($"o_orderpriority".as("g"),
+        round($"o_totalprice").cast("long").as("v"))
+      .groupBy($"g").agg(count(lit(1)).as("n"), sum($"v").as("s"),
+        sum($"v" * $"v").as("q"))
+      .withColumn("t",
+        floor($"s".cast("double") * $"s" / $"n" * 100d)
+          .cast("decimal(38,0)"))
+      .pin(true) // MSW fold + both sides of the pair join
+    val msw = g.agg(count(lit(1)).as("k"), sum($"n").as("nt"),
+        sum($"q").as("qs"), sum($"t").as("ts"))
+      .select((($"qs".cast("double") - $"ts".cast("double") / 100d)
+        / ($"nt" - $"k").cast("double")).as("msw"))
+    g.as("l").join(g.as("r"), $"l.g" < $"r.g")
+      .crossJoin(broadcast(msw))
+      .select($"l.g".as("g1"), $"r.g".as("g2"),
+        round($"l.s".cast("double") / $"l.n"
+          - $"r.s".cast("double") / $"r.n", 2).as("mean_diff"),
+        round(abs($"l.s".cast("double") / $"l.n"
+            - $"r.s".cast("double") / $"r.n")
+          / sqrt($"msw" / 2d * (lit(1d) / $"l.n" + lit(1d) / $"r.n")), 4)
+          .as("q_stat"))
+      .orderBy($"g1", $"g2")
+  }
+
+  val statTukeyPairsSql: String =
+    """WITH g AS (
+      |  SELECT o_orderpriority AS g, count(*)::BIGINT AS n,
+      |    sum(round(o_totalprice)::BIGINT)::BIGINT AS s,
+      |    sum(round(o_totalprice)::BIGINT * round(o_totalprice)::BIGINT)
+      |      ::BIGINT AS q
+      |  FROM orders GROUP BY 1),
+      |g2 AS (
+      |  SELECT *, floor(s::DOUBLE * s / n * 100)::DECIMAL(38,0) AS t
+      |  FROM g),
+      |m AS (
+      |  SELECT (sum(q)::DOUBLE - sum(t)::DOUBLE / 100)
+      |    / (sum(n) - count(*))::DOUBLE AS msw
+      |  FROM g2)
+      |SELECT l.g AS g1, r.g AS g2,
+      |  round(l.s::DOUBLE / l.n - r.s::DOUBLE / r.n, 2) AS mean_diff,
+      |  round(abs(l.s::DOUBLE / l.n - r.s::DOUBLE / r.n)
+      |    / sqrt(msw / 2 * (1.0 / l.n + 1.0 / r.n)), 4) AS q_stat
+      |FROM g2 l JOIN g2 r ON l.g < r.g CROSS JOIN m
+      |ORDER BY g1, g2""".stripMargin
+
   /** Kruskal–Wallis H (1952) — the rank-based (nonparametric) k-group
     * test, completing the pair with [[statAnova]] exactly as
     * [[statSpearman]] completes Pearson: does ANY order priority's price
@@ -2804,6 +2864,7 @@ object Relational {
     "stat_anova" -> statAnova _,
     "stat_chi2" -> statChi2 _,
     "stat_kruskal_wallis" -> statKruskalWallis _,
+    "stat_tukey_pairs" -> statTukeyPairs _,
     "stat_spearman" -> statSpearman _,
     "stat_group_ols" -> statGroupOls _,
     "stat_theil_sen" -> statTheilSen _,
@@ -2887,6 +2948,7 @@ object Relational {
     "stat_anova" -> statAnovaSql,
     "stat_chi2" -> statChi2Sql,
     "stat_kruskal_wallis" -> statKruskalWallisSql,
+    "stat_tukey_pairs" -> statTukeyPairsSql,
     "stat_spearman" -> statSpearmanSql,
     "stat_group_ols" -> statGroupOlsSql,
     "stat_theil_sen" -> statTheilSenSql,

@@ -146,6 +146,60 @@ object TextOps {
       .orderBy($"lang", $"pred_lang")
   }
 
+  /** Katz centrality (1953) on the contracted near-dup graph — the
+    * path-counting complement of [[pageRankGroups]]: each node scores
+    * Σ_k β^k · (walks of length k into it) with attenuation β = 1/2,
+    * computed as 3 pinned rounds of r ← 10⁶ + (Σ_in r) div 2 in exact
+    * integer arithmetic (the fixed-round doctrine; β as an integer div
+    * keeps both engines bit-identical). Where PageRank normalizes by
+    * out-degree (a random surfer), Katz counts raw walks — a family
+    * adjacent to two hubs outscores one adjacent to two leaves even at
+    * equal degree, the "connected to important things" signal.
+    *
+    * Headroom: r_k ≤ 10⁶·(d_max/2)^k — int64-safe to d_max ≈ 50k at the
+    * pinned 3 rounds; the contracted graph's degrees sit orders below.
+    *
+    * Scale: per round one edge⋈rank join + one dst-keyed sum over the
+    * group-contracted edge frame — the [[pageRankBsp]] shape without the
+    * degree join.
+    */
+  def katzGroups(s: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+    import s.implicits._
+    val nodes = groupFrame(s, dir).select($"gid")
+    val pairs = groupPairsOf(s, dir).pin(true) // union reads it twice
+    val edges = pairs.select($"a".as("src"), $"b".as("dst"))
+      .unionByName(pairs.select($"b".as("src"), $"a".as("dst")))
+      .pin(true) // re-joined every round
+    var r = nodes.select($"gid", lit(1000000L).as("r"))
+    for (_ <- 1 to iters) {
+      val in = edges.join(r.withColumnRenamed("gid", "src"), "src")
+        .groupBy($"dst".as("gid")).agg(sum($"r").as("s"))
+      r = nodes.join(in, Seq("gid"), "left")
+        .select($"gid",
+          (lit(1000000L) + expr("coalesce(s, 0) div 2")).as("r"))
+    }
+    r.select($"gid", $"r".as("katz")).orderBy($"gid")
+  }
+
+  lazy val katzGroupsSql: String = {
+    def iterCte(k: Int): String =
+      s""",
+         |k$k AS (
+         |  SELECT n.gid,
+         |    (1000000 + COALESCE(c.s, 0) // 2)::BIGINT AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS gid, sum(r.r)::BIGINT AS s
+         |    FROM edges e JOIN k${k - 1} r ON e.src = r.gid
+         |    GROUP BY e.dst) c ON n.gid = c.gid)""".stripMargin
+    groupGraphCte +
+      """, nodes AS (SELECT gid FROM g),
+        |edges AS (SELECT a AS src, b AS dst FROM gp
+        |          UNION ALL SELECT b, a FROM gp),
+        |k0 AS (SELECT gid, 1000000::BIGINT AS r FROM nodes)""".stripMargin +
+      (1 to 3).map(iterCte).mkString +
+      "\nSELECT gid, r AS katz FROM k3 ORDER BY gid"
+  }
+
   /** Cohen's kappa (1960) between the marker-heuristic language
     * prediction and the labeled language — the CHANCE-CORRECTED
     * agreement statistic [[langIdConfusion]]'s raw diagonal can't give
@@ -324,7 +378,13 @@ object TextOps {
     scored
   }
 
-  def langNb(s: SparkSession, dir: String): DataFrame = {
+  def langNb(s: SparkSession, dir: String): DataFrame =
+    nbPreds(s, dir).orderBy(col("doc_id"))
+
+  /** Unsorted NB prediction frame — shared by [[langNb]] (adds the
+    * presentation sort) and [[mcnemar]] (aggregates immediately).
+    */
+  private def nbPreds(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // argmin with deterministic tie-break = lexicographic min over the
     // (score, cand) struct — a MERGEABLE aggregate (map-side combinable),
@@ -338,8 +398,55 @@ object TextOps {
       .join(pred, Seq("doc_id"))
       .select($"doc_id", $"lang", $"pred_lang", $"score",
         ($"lang" === $"pred_lang").cast("int").as("correct"))
-      .orderBy($"doc_id")
   }
+
+  /** McNemar's test (1947) comparing the two shipped language
+    * classifiers — the marker heuristic ([[langId]]) vs the n-gram NB
+    * ([[langNb]]) — on their PAIRED per-document outcomes: only the
+    * discordant cells matter (b = marker-only correct, c = NB-only
+    * correct), χ² = (b−c)²/(b+c). This is the statistically right way
+    * to compare two classifiers evaluated on the SAME documents
+    * (accuracy deltas ignore pairing; McNemar is the Dietterich 1998
+    * recommendation). Exact integers until the single final division.
+    *
+    * Scale: the two prediction passes the classifiers already cost,
+    * one doc-keyed join, one 4-counter fold.
+    */
+  def mcnemar(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = langPreds(s, dir)
+      .select($"doc_id", ($"lang" === $"pred_lang").as("c1"))
+    val nb = nbPreds(s, dir).select($"doc_id", ($"correct" === 1).as("c2"))
+    m.join(nb, Seq("doc_id"))
+      .agg(
+        sum(when($"c1" && $"c2", 1L).otherwise(0L)).as("both_correct"),
+        sum(when($"c1" && !$"c2", 1L).otherwise(0L)).as("only_marker"),
+        sum(when(!$"c1" && $"c2", 1L).otherwise(0L)).as("only_nb"),
+        sum(when(!$"c1" && !$"c2", 1L).otherwise(0L)).as("both_wrong"))
+      .select($"both_correct", $"only_marker", $"only_nb", $"both_wrong",
+        round((($"only_marker" - $"only_nb")
+          * ($"only_marker" - $"only_nb")).cast("double")
+          / greatest($"only_marker" + $"only_nb", lit(1L)), 4)
+          .as("mcnemar_chi2"))
+  }
+
+  lazy val mcnemarSql: String =
+    s"""WITH p1 AS (${"\n"}$langIdSql),
+       |p2 AS (${"\n"}$langNbSql),
+       |j AS (
+       |  SELECT p1.lang = p1.pred_lang AS c1, p2.correct = 1 AS c2
+       |  FROM p1 JOIN p2 ON p1.doc_id = p2.doc_id),
+       |ag AS (SELECT
+       |  sum(CASE WHEN c1 AND c2 THEN 1 ELSE 0 END)::BIGINT AS a,
+       |  sum(CASE WHEN c1 AND NOT c2 THEN 1 ELSE 0 END)::BIGINT AS b,
+       |  sum(CASE WHEN NOT c1 AND c2 THEN 1 ELSE 0 END)::BIGINT AS c,
+       |  sum(CASE WHEN NOT c1 AND NOT c2 THEN 1 ELSE 0 END)::BIGINT AS d
+       |  FROM j)
+       |SELECT a AS both_correct, b AS only_marker, c AS only_nb,
+       |  d AS both_wrong,
+       |  round(((b - c) * (b - c))::DOUBLE / greatest(b + c, 1), 4)
+       |    AS mcnemar_chi2
+       |FROM ag""".stripMargin
 
   val langNbSql: String =
     """WITH g AS (
@@ -6884,6 +6991,8 @@ object TextOps {
     "text_ppl_buckets" -> pplBuckets _,
     "text_langid_confusion" -> langIdConfusion _,
     "eval_cohens_kappa" -> cohensKappa _,
+    "eval_mcnemar" -> mcnemar _,
+    "graph_katz" -> ((s: SparkSession, dir: String) => katzGroups(s, dir)),
     "text_lang_nb" -> langNb _,
     "graph_degree_hist" -> degreeHist _,
     "graph_kcore" -> ((s: SparkSession, dir: String) => kcore(s, dir)),
@@ -6989,6 +7098,8 @@ object TextOps {
     "eval_poisson_bootstrap" -> poissonBootstrapSql,
     "text_langid_confusion" -> langIdConfusionSql,
     "eval_cohens_kappa" -> cohensKappaSql,
+    "eval_mcnemar" -> mcnemarSql,
+    "graph_katz" -> katzGroupsSql,
     "text_lang_nb" -> langNbSql,
     "graph_degree_hist" -> degreeHistSql,
     "graph_kcore" -> kcoreSql,
