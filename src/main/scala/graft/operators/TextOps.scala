@@ -146,6 +146,88 @@ object TextOps {
       .orderBy($"lang", $"pred_lang")
   }
 
+  /** Top LATENT SEMANTIC direction (LSA — Deerwester et al. 1990) of the
+    * tf·idf term–document matrix, by power iteration that NEVER FORMS
+    * THE GRAM: u ← A·v (term side), v ← Aᵀ·u (doc side), 4 pinned
+    * ping-pong rounds, each one keyed join + keyed sum over the sparse
+    * (term, doc, weight) triples — where [[graft.operators.Similarity]]'s
+    * emb_pca_power materializes a 64×64 covariance (right for dense
+    * embeddings), a term–doc matrix at corpus scale has a vocabulary-
+    * sized Gram that must never exist; iterating on the triples is the
+    * standard sparse-SVD shape (one pass per half-round, work ∝ nnz).
+    * Integer-exact throughout: idf = bitlength(N div df) (the log2-bucket
+    * idf, exact in both engines — the langNb bits trick), per-round
+    * rescale by max|u| div 2²⁰ + 1 (the emb_pca_power normalization).
+    * Start vector all-ones; A is nonnegative so the iterate stays
+    * nonnegative — no sign indeterminacy. Output: the top-10 terms by
+    * loading — the corpus's dominant topic axis.
+    */
+  def lsaPower(s: SparkSession, dir: String, iters: Int = 4): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("w"))
+    val tf = toks.groupBy($"doc_id", $"w").agg(count(lit(1)).as("tf"))
+      .pin(true) // df agg + the weight join
+    val nDocs = Tables.documents(s, dir).agg(count(lit(1)).as("n"))
+    val dfq = tf.groupBy($"w").agg(count(lit(1)).as("df"))
+    val triples = tf.join(dfq, Seq("w")).crossJoin(broadcast(nDocs))
+      .select($"w", $"doc_id",
+        ($"tf" * length(bin(expr("n div df")))).as("wt"))
+      .pin(true) // re-joined every half-round
+    var v = Tables.documents(s, dir)
+      .select($"doc_id", lit(1048576L).as("v"))
+    var u = triples.limit(0).select($"w", lit(0L).as("u")) // replaced below
+    for (_ <- 1 to iters) {
+      val u0 = triples.join(v, Seq("doc_id"))
+        .groupBy($"w").agg(sum($"wt" * $"v").as("u"))
+      val du = u0.agg((expr("max(abs(u)) div 1048576") + 1L).as("d"))
+      u = u0.crossJoin(broadcast(du))
+        .select($"w", expr("u div d").as("u")).pin(true)
+      val v0 = triples.join(u, Seq("w"))
+        .groupBy($"doc_id").agg(sum($"wt" * $"u").as("s"))
+      val dv = v0.agg((expr("max(abs(s)) div 1048576") + 1L).as("d"))
+      v = v0.crossJoin(broadcast(dv))
+        .select($"doc_id", expr("s div d").as("v")).pin(true)
+    }
+    u.orderBy($"u".desc, $"w").limit(10)
+      .select($"w".as("term"), $"u".as("loading"))
+  }
+
+  lazy val lsaPowerSql: String = {
+    def round(k: Int): String =
+      s""",
+         |u$k AS MATERIALIZED (
+         |  SELECT w, sum(wt * v)::BIGINT AS u
+         |  FROM triples JOIN v${k - 1} USING (doc_id) GROUP BY w),
+         |du$k AS (SELECT (max(abs(u)) // 1048576 + 1)::BIGINT AS d
+         |         FROM u$k),
+         |us$k AS MATERIALIZED (
+         |  SELECT w, (u // d)::BIGINT AS u FROM u$k CROSS JOIN du$k),
+         |w$k AS MATERIALIZED (
+         |  SELECT doc_id, sum(wt * u)::BIGINT AS s
+         |  FROM triples JOIN us$k USING (w) GROUP BY doc_id),
+         |dv$k AS (SELECT (max(abs(s)) // 1048576 + 1)::BIGINT AS d
+         |         FROM w$k),
+         |v$k AS MATERIALIZED (
+         |  SELECT doc_id, (s // d)::BIGINT AS v
+         |  FROM w$k CROSS JOIN dv$k)""".stripMargin
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |  FROM documents),
+      |tf AS (SELECT doc_id, w, count(*)::BIGINT AS tf
+      |       FROM toks GROUP BY 1, 2),
+      |dfq AS (SELECT w, count(*)::BIGINT AS df FROM tf GROUP BY w),
+      |nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+      |triples AS MATERIALIZED (
+      |  SELECT w, doc_id, (tf * length(bin(n // df)))::BIGINT AS wt
+      |  FROM tf JOIN dfq USING (w) CROSS JOIN nn),
+      |v0 AS (SELECT doc_id, 1048576::BIGINT AS v FROM documents)"""
+      .stripMargin +
+      (1 to 4).map(round).mkString +
+      "\nSELECT w AS term, u AS loading FROM us4 " +
+      "ORDER BY loading DESC, term LIMIT 10"
+  }
+
   /** Katz centrality (1953) on the contracted near-dup graph — the
     * path-counting complement of [[pageRankGroups]]: each node scores
     * Σ_k β^k · (walks of length k into it) with attenuation β = 1/2,
@@ -6993,6 +7075,7 @@ object TextOps {
     "eval_cohens_kappa" -> cohensKappa _,
     "eval_mcnemar" -> mcnemar _,
     "graph_katz" -> ((s: SparkSession, dir: String) => katzGroups(s, dir)),
+    "text_lsa_power" -> ((s: SparkSession, dir: String) => lsaPower(s, dir)),
     "text_lang_nb" -> langNb _,
     "graph_degree_hist" -> degreeHist _,
     "graph_kcore" -> ((s: SparkSession, dir: String) => kcore(s, dir)),
@@ -7100,6 +7183,7 @@ object TextOps {
     "eval_cohens_kappa" -> cohensKappaSql,
     "eval_mcnemar" -> mcnemarSql,
     "graph_katz" -> katzGroupsSql,
+    "text_lsa_power" -> lsaPowerSql,
     "text_lang_nb" -> langNbSql,
     "graph_degree_hist" -> degreeHistSql,
     "graph_kcore" -> kcoreSql,
