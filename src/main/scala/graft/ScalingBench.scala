@@ -335,7 +335,13 @@ object ScalingBench {
       // the contracted-graph PPR — the production form whose slope the
       // doc-level ×27 finding motivates — and its plain-PageRank sibling
       // (r14: same pageRankBsp core, uniform teleport)
-      "graph_ppr_groups", "graph_pagerank_groups")
+      "graph_ppr_groups", "graph_pagerank_groups",
+      // r14 wave: TextRank (window pass + vocab-bounded BSP), winnowing
+      // (positional window pass + df-pruned fingerprint join), sparse LSA
+      // (nnz-proportional ping-pong), Katz + RA (group-graph keyed
+      // joins/wedges — both should read near-flat under sharding)
+      "text_textrank_terms", "text_winnowing", "text_lsa_power",
+      "graph_katz", "graph_resource_alloc")
       .filter(q => onlyQs.forall(_.contains(q)))
     val report = scala.collection.mutable.ArrayBuffer.empty[String]
 

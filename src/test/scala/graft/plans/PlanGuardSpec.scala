@@ -154,7 +154,27 @@ class PlanGuardSpec extends SparkSpec {
     // 1-row broadcast basket-total frame (the lift normalizer N)
     "rec_market_basket" -> 1,
     // 1-row broadcast exact-join-size frame joined to the 1-row estimate
-    "sketch_cms_join_card" -> 1)
+    "sketch_cms_join_card" -> 1,
+    // r14: the two bounded 1-row audit aggregates (found/missed) crossed
+    // into the single report row — the dedup_recall_audit shape
+    "dedup_recall_audit_sampled" -> 2,
+    // r14 ADVICE fix: the 1-row assert_true state-count guard (<=9
+    // event types) crossed into the bounded class frame
+    "ev_markov_classes" -> 1,
+    // r14: 1-row total + 1-row chance-term frames into the report row
+    "eval_cohens_kappa" -> 2,
+    // r14: inherits one of text_lang_nb's bounded broadcast frames
+    // (|langs| candidates) in the final un-pinned segment
+    "eval_mcnemar" -> 1,
+    // r14: the 1-row total-weight frame crossed into the cumsum scan
+    "sample_pps" -> 1,
+    // r14: the bounded k1xk2 margin grid cross + the 1-row total N
+    "stat_chi2" -> 2,
+    // r14: the 1-row tie-correction frame crossed into the k-group fold
+    "stat_kruskal_wallis" -> 1,
+    // r14: the k-row x k-row non-equi pair join (bounded |priorities|^2)
+    // + the 1-row MSW frame
+    "stat_tukey_pairs" -> 2)
 
   /** Queries whose plans legitimately contain a Window with EMPTY
     * partitionSpec — Spark executes such a window on a SINGLE task
@@ -194,7 +214,12 @@ class PlanGuardSpec extends SparkSpec {
     "ev_survival_table" -> 1, // ≤|calendar-days| life-table fold
     // |groups|-row (3 return flags) strictly-earlier offset cumsum —
     // the composite-order weighted median's group-offset table
-    "stat_weighted_median" -> 1)
+    "stat_weighted_median" -> 1,
+    "graph_resource_alloc" -> 1, // 20-row post-limit top-pairs frame
+    "text_winnowing" -> 1, // 20-row post-limit top-matches frame
+    // <=|calendar-days| daily frame: the centered 7-day MA window runs
+    // on the day-folded bounded frame, never the corpus (r14)
+    "ev_stl_daily" -> 1)
 
   /** TOTAL cross-join budget per query over the WHOLE plan — final frame
     * PLUS every checkpoint-hidden segment the audited build reports
@@ -273,7 +298,17 @@ class PlanGuardSpec extends SparkSpec {
     "text_langid_margin" -> 2,
     "text_ppl_buckets" -> 1,
     "text_surprisal" -> 1,
-    "text_zipf_curve" -> 1)
+    "text_zipf_curve" -> 1,
+    // r14: NB candidate-set crosses behind the prediction pins (the
+    // text_lang_nb shape, both classifier branches)
+    "eval_mcnemar" -> 2,
+    // r14: the k-means fit's per-iteration 8-row centroid cross behind
+    // the fit pins — the sim_ivf_assign full-plan shape
+    "sim_dbscan_ivf" -> 4,
+    // r14: the 1-row ndocs idf frame + a 1-row rescale divisor per
+    // ping-pong half-round (8), all behind the round pins — the
+    // emb_pca_power full-plan shape
+    "text_lsa_power" -> 9)
 
   private case class Audit(wFinal: Int, cFinal: Int, wTotal: Int,
       cTotal: Int, err: Option[String])
