@@ -1742,7 +1742,7 @@ object TextOps {
     * — the public query adds the deterministic sort).
     */
   private[operators] def shinglePairsOf(codes: DataFrame,
-      aPred: Column => Column = _ => lit(true)): DataFrame = {
+      aPred: Option[Column => Column] = None): DataFrame = {
     val s = codes.sparkSession
     import s.implicits._
     // materialized for the same reason as minhashPairs' signatures: band
@@ -1760,8 +1760,10 @@ object TextOps {
     // aPred restricts the LEFT (min-id) side BEFORE the bucket join —
     // the sampled recall audit's lever: per-bucket volume drops from
     // |bucket|^2 to |stratum slice| x |bucket|
-    val l = bands.select($"doc_id".as("a"), $"sig0".as("s0a"), $"band", $"sig")
-      .filter(aPred($"a"))
+    val l0 = bands.select($"doc_id".as("a"), $"sig0".as("s0a"), $"band", $"sig")
+    // None leaves l structurally identical to r (exchange-reuse safe);
+    // the filter node exists only when a stratum is actually requested
+    val l = aPred.fold(l0)(p => l0.filter(p($"a")))
     val r = bands.select($"doc_id".as("b"), $"sig0".as("s0b"), $"band", $"sig")
     l.join(r, Seq("band", "sig"))
       .filter($"a" < $"b" && ($"band" === 0 || $"s0a" =!= $"s0b"))
@@ -2011,7 +2013,7 @@ object TextOps {
     * corpus-sized codes frames must NOT be, see [[prefixPairs]]).
     */
   private def prefixPairsOf(codes: DataFrame,
-      aPred: Column => Column = _ => lit(true)): DataFrame = {
+      aPred: Option[Column => Column] = None): DataFrame = {
     val s = codes.sparkSession
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -2025,8 +2027,8 @@ object TextOps {
     val pref = ranked
       .filter($"rk" <= $"n" - (($"n" * 4L + 4L) / 5L).cast("long") + 1L)
       .select($"doc_id", $"code", $"n")
-    val cand = pref.select($"doc_id".as("a"), $"code", $"n".as("na"))
-      .filter(aPred($"a")) // sampled-audit lever: min-id side only
+    val prefA = pref.select($"doc_id".as("a"), $"code", $"n".as("na"))
+    val cand = aPred.fold(prefA)(p => prefA.filter(p($"a")))
       .join(pref.select($"doc_id".as("b"), $"code", $"n".as("nb")),
         Seq("code"))
       .filter($"a" < $"b" &&
@@ -2174,7 +2176,7 @@ object TextOps {
       d => (d % 1000003L) * 131071L % 1000003L % strata === 0L
     val codes = shingleCodes(s, dir) // unpinned, the prefixPairs rule
     val sizes = shingleSizes(codes)
-    val fInter = shinglePairsOf(codes, strat)
+    val fInter = shinglePairsOf(codes, Some(strat))
       .join(codes.select($"doc_id".as("a"), $"code"), Seq("a"))
       .join(codes.select($"doc_id".as("b"), $"code"), Seq("b", "code"))
       .groupBy($"a", $"b").agg(count(lit(1)).as("c"))
@@ -2183,7 +2185,7 @@ object TextOps {
       .join(sizes.select($"doc_id".as("b"), $"n".as("nb")), Seq("b"))
       .filter($"c" * 5L >= ($"na" + $"nb" - $"c") * 4L)
       .select($"a", $"b").pin(true)
-    val truth = prefixPairsOf(codes, strat)
+    val truth = prefixPairsOf(codes, Some(strat))
       .select($"a", $"b", $"jac_pm").pin(true)
     val missed = truth.join(found, Seq("a", "b"), "left_anti")
     val tAgg = truth.agg(count(lit(1)).as("t"))
