@@ -68,6 +68,7 @@ object Bench {
     // instead of a structurally valid report of non-measurements.
     var aborted = false
     val spreadsBuf = scala.collection.mutable.ArrayBuffer.empty[(String, Seq[Double])]
+    val rowsByQuery = scala.collection.mutable.Map.empty[String, Long]
     val queryIt = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }.iterator
     while (queryIt.hasNext && !aborted) {
@@ -92,6 +93,7 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }.sorted
       spreadsBuf += name -> times
+      rowsByQuery(name) = rows
       if (spark.sparkContext.isStopped) {
         aborted = true
         System.err.println(s"[bench] ABORT: SparkContext died at $name; " +
@@ -155,11 +157,25 @@ object Bench {
     // recorded floor (PLANS.md) should distrust every number on the line;
     // tools/bench_compare.py refuses to compare such a window.
     val rmap = results.toMap
+    // THIRD canary (round 15): kv_long_canary is a pinned 5-round BSP —
+    // the long-multi-stage execution profile both short canaries are
+    // blind to (round 14: long queries inflated ×1.3–1.9 under sustained
+    // cache-pressure weather while the short canaries read ×1.1).
     val canary = rmap.get("kv_scan_count")
       .map(t => s""","canary_kv_scan_count":${f3(t)}""").getOrElse("") +
       rmap.get("kv_shuffle_canary")
-        .map(t => s""","canary_kv_shuffle":${f3(t)}""").getOrElse("")
-    val head = s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","iters":$iters,"nq":${results.size},"qsum":${f3(total)}$canary$failedCompact,"queries":{"""
+        .map(t => s""","canary_kv_shuffle":${f3(t)}""").getOrElse("") +
+      rmap.get("kv_long_canary")
+        .map(t => s""","canary_kv_long":${f3(t)}""").getOrElse("")
+    // flagship per-epoch wall (VERDICT r14 #7): aria_two_tables_epochs
+    // returns one row per executed epoch, so min-wall / rows is the
+    // tracked sec/epoch — the Aria engine's headline cost — with the
+    // same round-over-round guard as every query
+    val secPerEpoch = rowsByQuery.get("aria_two_tables_epochs")
+      .filter(_ > 0L)
+      .flatMap(n => rmap.get("aria_two_tables_epochs").map(_ / n))
+      .map(v => s""","aria_sec_per_epoch":${f3(v)}""").getOrElse("")
+    val head = s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","iters":$iters,"nq":${results.size},"qsum":${f3(total)}$canary$secPerEpoch$failedCompact,"queries":{"""
     val tail = "}}"
     val budget = 1500 - head.length - tail.length
     // Slowest-first greedy fill: entries are offered in descending time and

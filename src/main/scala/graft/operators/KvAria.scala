@@ -699,6 +699,80 @@ object KvAria {
       |FROM per JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** LONG bench canary — a pinned 5-round integer BSP (PageRank shape)
+    * over a fixed synthetic graph derived from lineitem, each round an
+    * eager localCheckpoint (one Spark job per round, exactly the
+    * mst/pagerank/single-linkage execution profile: several multi-stage
+    * jobs back to back instead of one short plan). Exists because BOTH
+    * existing canaries are sub-second single-job queries, and round 14
+    * measured a length-dependent weather mode: sustained cache-pressure
+    * co-tenancy inflated long multi-stage queries ×1.3–1.9 while the
+    * short canaries read ×1.1 — making cross-round grading of the long
+    * class unfalsifiable (VERDICT r14 #1). This canary's min moves only
+    * with machine conditions: the BSP loop is INLINED here (not shared
+    * with any operator) so no operator refactor can change its cost.
+    * Graph: nodes = lineitem key residues mod 65536, edges = distinct
+    * (l_orderkey, l_partkey) residue pairs, both directions; rank in
+    * fixed-point 10^6 / damping 85/100 integer arithmetic (floor-div ≡
+    * DuckDB `//` on the non-negative domain, so the oracle is an exact
+    * hash gate). Output: a 32-bucket rank rollup (tiny, so the bench's
+    * big-emitter GC barrier never fires on the canary itself).
+    */
+  def kvLongCanary(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = Tables.lineitem(s, dir)
+      .select(($"l_orderkey" % 65536L).as("a"), ($"l_partkey" % 65536L).as("b"))
+      .filter($"a" =!= $"b").distinct()
+    val edges = pairs.select($"a".as("src"), $"b".as("dst"))
+      .unionByName(pairs.select($"b".as("src"), $"a".as("dst")))
+      .pin(true) // re-joined every round
+    val nodes = edges.select($"src".as("v")).distinct().pin(true)
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("d")).pin(true)
+    var r = nodes.select($"v", lit(1000000L).as("r"))
+    for (_ <- 1 to 5) {
+      val contrib = edges.join(deg, "src")
+        .join(r.withColumnRenamed("v", "src"), "src")
+        .select($"dst".as("v"), expr("r div d").as("c"))
+        .groupBy($"v").agg(sum($"c").as("s"))
+      // eager pin per round: each round is its own Spark JOB, so the
+      // canary's wall is 5 sustained multi-stage jobs — the long-class
+      // profile — not one fused lazy plan
+      r = nodes.join(contrib, Seq("v"), "left")
+        .select($"v",
+          (lit(150000L) + expr("(85 * coalesce(s, 0)) div 100")).as("r"))
+        .pin(true)
+    }
+    r.groupBy(($"v" % 32L).as("bucket"))
+      .agg(count(lit(1)).as("n"), sum($"r").as("sum_rank"))
+      .orderBy($"bucket")
+  }
+
+  val kvLongCanarySql: String = {
+    def iter(k: Int): String =
+      s""",
+         |r$k AS (
+         |  SELECT n.v,
+         |    (150000 + (85 * COALESCE(c.s, 0)) // 100)::BIGINT AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS v, sum(r.r // deg.d)::BIGINT AS s
+         |    FROM edges e JOIN r${k - 1} r ON e.src = r.v
+         |                 JOIN deg ON deg.src = e.src
+         |    GROUP BY e.dst) c ON n.v = c.v)""".stripMargin
+    """WITH pairs AS (
+      |  SELECT DISTINCT l_orderkey % 65536 AS a, l_partkey % 65536 AS b
+      |  FROM lineitem WHERE l_orderkey % 65536 <> l_partkey % 65536),
+      |edges AS (SELECT a AS src, b AS dst FROM pairs
+      |          UNION ALL SELECT b, a FROM pairs),
+      |nodes AS (SELECT DISTINCT src AS v FROM edges),
+      |deg AS (SELECT src, count(*)::BIGINT AS d FROM edges GROUP BY src),
+      |r0 AS (SELECT v, 1000000::BIGINT AS r FROM nodes)""".stripMargin +
+      (1 to 5).map(iter).mkString +
+      """
+        |SELECT v % 32 AS bucket, count(*)::BIGINT AS n,
+        |  sum(r)::BIGINT AS sum_rank
+        |FROM r5 GROUP BY 1 ORDER BY bucket""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "aria_reservations" -> ariaReservations _,
     "aria_conflicts" -> ariaConflicts _,
@@ -717,6 +791,7 @@ object KvAria {
     "kv_delete" -> kvDelete _,
     "kv_scan_count" -> kvScanCount _,
     "kv_shuffle_canary" -> kvShuffleCanary _,
+    "kv_long_canary" -> kvLongCanary _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -737,5 +812,6 @@ object KvAria {
     "kv_delete" -> kvDeleteSql,
     "kv_scan_count" -> kvScanCountSql,
     "kv_shuffle_canary" -> kvShuffleCanarySql,
+    "kv_long_canary" -> kvLongCanarySql,
   )
 }

@@ -4449,9 +4449,21 @@ object TextOps {
     var comp = edges.select($"a".as("v")).unionByName(edges.select($"b".as("v")))
       .distinct().select($"v", $"v".as("c")).pin(true)
     val sel = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    // round cap = ⌈log₂ |V|⌉ (VERDICT r14 #2): Borůvka at least halves
+    // every component per round, so ⌈log₂(largest component)⌉ ≤
+    // ⌈log₂ |V|⌉ rounds always suffice — the generic 32 was a fuse sized
+    // for no particular input, and each surplus probe round costs a full
+    // tag+min-agg action after convergence. The count is one action on
+    // the already-pinned vertex frame (gate: |V| = 1291 → cap 11; the
+    // data-driven mr.isEmpty termination usually fires far earlier — the
+    // cap only bounds the adversarial worst case at ANY scale, where a
+    // fixed 7 would silently truncate the forest on a bigger corpus).
+    val nVertices = comp.count()
+    val cap = math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(
+      math.max(1L, nVertices - 1)))
     var done = false
     var rounds = 0
-    while (!done && rounds < 32) {
+    while (!done && rounds < cap) {
       val tagged = edges
         .join(comp.select($"v".as("a"), $"c".as("ca")), "a")
         .join(comp.select($"v".as("b"), $"c".as("cb")), "b")

@@ -18,15 +18,33 @@ artifacts preserve. A delta is reported only when BOTH gates trip:
 |new-old| > --abs seconds AND max/min ratio > --rel. This box's measured
 same-code noise is ~1.3x per query (VERDICT r8), hence the defaults.
 
-Canaries: TWO fixed queries whose mins only move with machine conditions,
-never query code. kv_scan_count is a pure-count scan (CPU / page-cache
-co-tenancy; clean floor ~0.25s at sf0.1); kv_shuffle_canary is a fixed
-join+agg through a real exchange (shuffle-side contention — round 11's
-graded window inflated shuffle-heavy queries 1.2-1.8x while the scan
-canary sat at its floor; clean floor ~0.45s at sf0.1). A side reading
-EITHER canary >= 2x its floor is CONTAMINATED and the tool REFUSES to
-print a delta table — cross-window deltas off such a side are
-manufactured noise, not measurements.
+Canaries: THREE fixed queries whose mins only move with machine
+conditions, never query code. kv_scan_count is a pure-count scan (CPU /
+page-cache co-tenancy; clean floor ~0.25s at sf0.1); kv_shuffle_canary
+is a fixed join+agg through a real exchange (shuffle-side contention —
+round 11's graded window inflated shuffle-heavy queries 1.2-1.8x while
+the scan canary sat at its floor; clean floor ~0.45s at sf0.1);
+kv_long_canary (round 15) is a pinned 5-round BSP — the long multi-stage
+job profile, because round 14 measured the weather to be
+LENGTH-DEPENDENT (long queries x1.3-1.9 hot at short-canary x1.1). A
+side reading ANY canary >= 2x its floor is CONTAMINATED and the tool
+REFUSES to print a delta table — cross-window deltas off such a side
+are manufactured noise, not measurements.
+
+Per-CLASS ambient normalization (round 15): short rows (OLD min under
+2s) normalize by the shuffle/scan canary ratio, long rows by the long
+canary's ratio (falling back, for pre-round-15 artifacts, to the median
+ratio of the long rows themselves — printed as PROXY since it is
+self-normalized). When the REAL short and long canaries disagree by
+more than x1.3, the weather is length-dependent and no single number
+describes the window: total-level comparison is refused outright.
+
+Code-vs-weather separation (r14 ADVICE): the canaries run the same
+engine code as every query, so an engine-wide code regression slows
+them too and masquerades as ambient. With --history, each canary's NEW
+reading is checked against its own clean-history floor: NEW far above
+the floor while OLD sits on it prints a CODE-SUSPECT warning instead of
+silently normalizing the regression away.
 
 A side whose artifact records failed queries (failed_n > 0 / a "failed"
 list) or an aborted run ("aborted":true — the SparkContext died mid-run)
@@ -75,13 +93,25 @@ import sys
 CANARIES = [
     ("kv_scan_count", "canary_kv_scan_count", 0.30),
     ("kv_shuffle_canary", "canary_kv_shuffle", 0.55),
+    # round 15 (VERDICT r14 #1): a pinned 5-round BSP — the long
+    # multi-stage job profile both short canaries are blind to. Round
+    # 14's graded window inflated long queries x1.3-1.9 while the short
+    # canaries read x1.1: sustained cache-pressure weather is
+    # length-dependent, so the long class gets its own canary and its
+    # own normalizer. Floor from two clean windows (PLANS.md r15).
+    ("kv_long_canary", "canary_kv_long", 2.60),
 ]
 CANARY_POISON_CEILING = 0.05  # below this = queries threw, not ran (r9)
+# a query is LONG-class when its OLD-side min is at least this: the
+# round-14 inflation band started around ~2s (mst, recall audits,
+# single_linkage, kfold all sit well above it; the short tail below)
+LONG_CLASS_SEC = 2.0
 
 SPREAD_RE = re.compile(r'"([A-Za-z0-9_]+)":\[([0-9.]+),([0-9.]+),([0-9.]+)\]')
 COMPACT_RE = re.compile(r'"([A-Za-z0-9_]+)":([0-9.]+)')
 NON_QUERY_KEYS = ({"value", "qsum", "failed_n", "n",
-                   "rc", "cpus", "sf", "iters", "nq"} |
+                   "rc", "cpus", "sf", "iters", "nq",
+                   "aria_sec_per_epoch"} |
                   {key for _q, key, _f in CANARIES})
 
 
@@ -99,9 +129,11 @@ def load_text(path):
 
 def parse_side(path):
     """-> (mins: {query: min_sec}, total: float|None,
-           canaries: {query: min_sec}, n_spread: int, bad: str|None) for
+           canaries: {query: min_sec}, n_spread: int, bad: str|None,
+           extras: {metric: float}) for
     one artifact; `bad` is a human-readable reason the side is not a
-    measurement set."""
+    measurement set. `extras` carries tracked non-query metrics
+    (currently aria_sec_per_epoch, the Aria flagship's per-epoch wall)."""
     text = load_text(path)
     bad = None
     if re.search(r'"aborted":true', text):
@@ -143,7 +175,11 @@ def parse_side(path):
             bad = (f"canary {qname} {c:.3f}s <= "
                    f"{CANARY_POISON_CEILING:.2f}s — implausibly fast, "
                    "the run likely died mid-way")
-    return mins, total, canaries, n_spread, bad
+    extras = {}
+    em = re.search(r'"aria_sec_per_epoch":([0-9.]+)', text)
+    if em:
+        extras["aria_sec_per_epoch"] = float(em.group(1))
+    return mins, total, canaries, n_spread, bad, extras
 
 
 def main(argv):
@@ -164,8 +200,8 @@ def main(argv):
     abs_floor = float(opts.get("abs", 0.15))
     rel_floor = float(opts.get("rel", 1.3))
     old_path, new_path = flat
-    old, old_total, old_canaries, old_ns, old_bad = parse_side(old_path)
-    new, new_total, new_canaries, new_ns, new_bad = parse_side(new_path)
+    old, old_total, old_canaries, old_ns, old_bad, old_x = parse_side(old_path)
+    new, new_total, new_canaries, new_ns, new_bad, new_x = parse_side(new_path)
 
     # a failed/aborted/poisoned side holds non-measurements: comparing it
     # would manufacture deltas out of time-to-throw readings — refuse
@@ -215,28 +251,11 @@ def main(argv):
               "off this one")
         return 2
 
-    # ambient cross-window factor (VERDICT r13 #3): both windows passed the
-    # 2x-floor gate, but they may sit at different ambient bands; the canary
-    # ratio measures the band shift with a query whose code never changes
-    ambient, amb_src = 1.0, None
-    for qname in ("kv_shuffle_canary", "kv_scan_count"):
-        a_c, b_c = old_canaries.get(qname), new_canaries.get(qname)
-        if a_c and b_c and a_c > CANARY_POISON_CEILING:
-            ambient, amb_src = b_c / a_c, qname
-            break
-    if ambient > 1.15 or ambient < 1 / 1.15:
-        note = (" — beyond x1.3 total-level comparison is not meaningful; "
-                "read the clean-window history instead"
-                if ambient > 1.3 or ambient < 1 / 1.3 else "")
-        print(f"[ambient] {amb_src} NEW/OLD = x{ambient:.2f} — the windows "
-              "ran at different ambient bands; NEW readings are "
-              f"canary-normalized before the regression gates{note}")
-    else:
-        ambient = 1.0
-
     # per-query clean-history floors (VERDICT r12 #2): minimum across the
     # persisted clean windows, used to flag single-query co-tenancy bursts
-    # that the window-level canaries cannot see
+    # that the window-level canaries cannot see — loaded BEFORE the
+    # ambient pass because the canaries' own clean floors are what
+    # separates weather from an engine-wide code regression (r14 ADVICE)
     hist = {}
     hist_n = 0
     hval = opts.get("history")
@@ -249,7 +268,7 @@ def main(argv):
                 paths.extend(sorted(_glob.glob(frag)) or [frag])
         for p in paths:
             try:
-                mins, _t, cans, _n, bad = parse_side(p)
+                mins, _t, cans, _n, bad, _x = parse_side(p)
             except OSError as e:
                 print(f"[history] {p}: skipped (unreadable: {e})")
                 continue
@@ -270,12 +289,132 @@ def main(argv):
                 if q in hist and hist[q] > CANARY_POISON_CEILING
                 and new[q] >= 2 * hist[q]}
 
-    if old_total is not None and new_total is not None:
-        norm_col = (f" (normalized: {new_total / ambient:.1f}s)"
-                    if ambient != 1.0 else "")
-        print(f"[total] {old_total:.1f}s -> {new_total:.1f}s "
-              f"({new_total - old_total:+.1f}s){norm_col}")
+    # ambient cross-window factors (VERDICT r13 #3 + r14 #1): both windows
+    # passed the 2x-floor gate, but they may sit at different ambient
+    # bands — and round 14 measured the band shift to be LENGTH-DEPENDENT
+    # (long multi-stage queries inflated x1.3-1.9 while short canaries
+    # read x1.1), so each class gets its own normalizer: short rows by the
+    # shuffle/scan canary ratio, long rows (OLD min >= LONG_CLASS_SEC) by
+    # the long canary's.
     common = sorted(set(old) & set(new))
+    short_raw, short_src = None, None
+    for qname in ("kv_shuffle_canary", "kv_scan_count"):
+        a_c, b_c = old_canaries.get(qname), new_canaries.get(qname)
+        if a_c and b_c and a_c > CANARY_POISON_CEILING:
+            short_raw, short_src = b_c / a_c, qname
+            break
+    long_raw, long_src, long_proxy = None, None, False
+    a_c = old_canaries.get("kv_long_canary")
+    b_c = new_canaries.get("kv_long_canary")
+    if a_c and b_c and a_c > CANARY_POISON_CEILING:
+        long_raw, long_src = b_c / a_c, "kv_long_canary"
+    else:
+        # pre-round-15 artifacts lack the long canary: fall back to the
+        # median ratio of the common long-class rows. SELF-normalized, so
+        # it can hide a uniform long-class code regression — stated, and
+        # only real-canary disagreement gates the total below.
+        ratios = sorted(new[q] / old[q] for q in common
+                        if old[q] >= LONG_CLASS_SEC)
+        if len(ratios) >= 3:
+            long_raw = ratios[len(ratios) // 2]
+            long_src, long_proxy = "long-class median (PROXY)", True
+
+    def activate(r):
+        return r if r is not None and (r > 1.15 or r < 1 / 1.15) else 1.0
+
+    short_amb = activate(short_raw)
+    # with no long-class signal at all, long rows fall back to the short
+    # normalizer (the pre-round-15 behavior)
+    long_amb = activate(long_raw) if long_raw is not None else short_amb
+    for amb, src, raw, proxy in ((short_amb, short_src, short_raw, False),
+                                 (long_amb, long_src, long_raw, long_proxy)):
+        if amb != 1.0 and src:
+            cls = "long-class" if src == long_src else "short-class"
+            pnote = (" [PROXY — self-normalized from the long rows "
+                     "themselves: a uniform long-class code regression "
+                     "would hide in it; the long canary replaces this "
+                     "from round 15 on]" if proxy else "")
+            print(f"[ambient] {src} NEW/OLD = x{raw:.2f} — {cls} NEW "
+                  f"readings are canary-normalized before the "
+                  f"regression gates{pnote}")
+    # the canary runs the same engine code as every query: an engine-wide
+    # code regression slows the canary too and masquerades as weather.
+    # With --history clean floors the two are separable (r14 ADVICE):
+    # NEW's canary far above its own clean floor while OLD sits on it is
+    # the code-regression signature, not a band shift.
+    code_suspect = False
+    for qname, _key, _floor in CANARIES:
+        hmin = hist.get(qname)
+        a_c, b_c = old_canaries.get(qname), new_canaries.get(qname)
+        if hmin and a_c and b_c and hmin > CANARY_POISON_CEILING \
+                and b_c >= 1.5 * hmin and a_c <= 1.2 * hmin:
+            code_suspect = True
+            print(f"[canary] WARNING: {qname} NEW {b_c:.3f}s = "
+                  f"x{b_c / hmin:.2f} its clean-history floor "
+                  f"{hmin:.3f}s while OLD matches the floor "
+                  f"(x{a_c / hmin:.2f}) — the canary runs the same "
+                  "engine code as every query, so this shift is "
+                  "CODE-SUSPECT (engine-wide regression shape), not "
+                  "weather; do not accept the ambient normalization "
+                  "without a re-run")
+    if (short_amb != 1.0 or long_amb != 1.0) and not hist and not code_suspect:
+        print("[ambient] caveat: a framework-wide code regression slows "
+              "the canaries too and is indistinguishable from weather "
+              "without clean-window history — pass --history to separate "
+              "them")
+
+    # real-canary disagreement (r14 #1): when the short and long canaries
+    # measure DIFFERENT band shifts, no single number describes the
+    # window and graded-to-graded totals are not comparable — per-query
+    # rows are still normalized per class, the total is refused.
+    totals_comparable = True
+    if short_raw and long_raw and not long_proxy:
+        spread = max(short_raw, long_raw) / min(short_raw, long_raw)
+        if spread > 1.3:
+            totals_comparable = False
+            print(f"[ambient] short ({short_src} x{short_raw:.2f}) and "
+                  f"long ({long_src} x{long_raw:.2f}) canaries disagree "
+                  f"x{spread:.2f} > x1.3 — the weather is "
+                  "length-dependent; total-level comparison REFUSED, "
+                  "read the per-class normalized rows instead")
+
+    ambient_on = short_amb != 1.0 or long_amb != 1.0
+
+    def cls_amb(q):
+        return long_amb if old.get(q, new.get(q, 0.0)) >= LONG_CLASS_SEC \
+            else short_amb
+
+    if old_total is not None and new_total is not None:
+        if not totals_comparable:
+            print(f"[total] {old_total:.1f}s -> {new_total:.1f}s raw — "
+                  "NOT comparable (length-dependent weather, see above)")
+        else:
+            # class-normalize the total only when the parsed per-query
+            # mins actually COVER it: a driver artifact's tail preserves
+            # only the slowest queries, and normalizing that subset would
+            # print a fictional total
+            qsum = sum(new.values())
+            covered = new and abs(qsum - new_total) <= 0.05 * new_total
+            norm_total = sum(new[q] / cls_amb(q) for q in new)
+            norm_col = (f" (normalized: {norm_total:.1f}s)"
+                        if ambient_on and covered else "")
+            print(f"[total] {old_total:.1f}s -> {new_total:.1f}s "
+                  f"({new_total - old_total:+.1f}s){norm_col}")
+
+    # tracked non-query metric (VERDICT r14 #7): the Aria flagship's
+    # per-epoch wall, gated like a long-class query
+    a_e, b_e = old_x.get("aria_sec_per_epoch"), new_x.get("aria_sec_per_epoch")
+    epoch_regressed = False
+    if a_e and b_e:
+        bn_e = b_e / long_amb
+        tag = ""
+        if bn_e > a_e * 1.3 and bn_e - a_e > 0.1:
+            epoch_regressed = True
+            tag = " — REGRESSION (beyond the long-class ambient band)"
+        elif b_e > a_e * 1.3:
+            tag = " — ambient-explained"
+        print(f"[aria] sec/epoch {a_e:.3f} -> {b_e:.3f} "
+              f"(normalized {bn_e:.3f}, x{bn_e / a_e:.2f}){tag}")
     print(f"[coverage] OLD: {len(old)} query mins ({old_ns} with spreads); "
           f"NEW: {len(new)} ({new_ns}); comparable: {len(common)}")
     only_old = sorted(set(old) - set(new))
@@ -291,7 +430,7 @@ def main(argv):
     regressions, improvements, explained = [], [], []
     for q in common:
         a, b = old[q], new[q]
-        bn = b / ambient  # normalized NEW reading (== b when ambient off)
+        bn = b / cls_amb(q)  # class-normalized NEW (== b when ambient off)
         if trips(a, bn):
             (regressions if bn > a else improvements).append((bn - a, q, a, b, bn))
         elif trips(a, b):
@@ -302,16 +441,17 @@ def main(argv):
                         ("improvements", sorted(improvements))):
         if rows:
             print(f"-- {title} (|delta| > {abs_floor}s and ratio > {rel_floor}x"
-                  + (", canary-normalized" if ambient != 1.0 else "") + ")")
+                  + (", canary-normalized" if ambient_on else "") + ")")
             for d, q, a, b, bn in rows:
                 tag = " [SUSPECT — see below]" if q in suspects else ""
                 ncol = f" (normalized {bn:.3f}s, x{bn / a:.2f})" \
-                    if ambient != 1.0 else ""
+                    if ambient_on else ""
                 print(f"  {q}: {a:.3f}s -> {b:.3f}s ({d:+.3f}s, "
                       f"x{b / a:.2f}){ncol}{tag}")
     if explained:
-        print(f"-- ambient-explained (raw delta within the x{ambient:.2f} "
-              "canary band once normalized — co-tenancy, not code)")
+        print(f"-- ambient-explained (raw delta within the window's own "
+              f"canary band — short x{short_amb:.2f} / long "
+              f"x{long_amb:.2f} — once normalized: co-tenancy, not code)")
         for d, q, a, b, bn in sorted(explained, reverse=True):
             print(f"  {q}: {a:.3f}s -> {b:.3f}s raw (x{b / a:.2f}), "
                   f"normalized {bn:.3f}s (x{bn / a:.2f})")
@@ -326,7 +466,7 @@ def main(argv):
             print(f"  {q}: {b:.3f}s vs clean min {h:.3f}s (x{b / h:.2f}) "
                   "— single-query co-tenancy burst shape; re-read before "
                   "treating as a regression")
-    return 1 if regressions else 0
+    return 1 if regressions or epoch_regressed else 0
 
 
 if __name__ == "__main__":

@@ -22,22 +22,35 @@ bc = importlib.util.module_from_spec(spec)
 spec.loader.exec_module(bc)
 
 
-def artifact(scan=0.25, shuffle=0.45, q1=1.0, q2=2.0, extra=""):
-    """Raw Bench stdout: a spread line + the compact line."""
+def artifact(scan=0.25, shuffle=0.45, q1=1.0, q2=2.0, extra="",
+             long=None, q_long=None, epoch=None):
+    """Raw Bench stdout: a spread line + the compact line.
+
+    `long`: kv_long_canary min (None = absent, the pre-round-15 shape).
+    `q_long`: an extra long-class query q_gamma's min (None = absent).
+    `epoch`: aria_sec_per_epoch (None = absent)."""
+    longq = ('"kv_long_canary":[%.3f,%.3f,%.3f],' % (long, long, long)
+             if long is not None else "")
+    gammaq = ('"q_gamma":[%.3f,%.3f,%.3f],' % (q_long, q_long, q_long)
+              if q_long is not None else "")
+    total = (scan + shuffle + q1 + q2 + (long or 0) + (q_long or 0))
     full = ('{"metric":"total_full","value":%.3f,"unit":"sec","queries":{'
             '"kv_scan_count":[%.3f,%.3f,%.3f],'
-            '"kv_shuffle_canary":[%.3f,%.3f,%.3f],'
+            '"kv_shuffle_canary":[%.3f,%.3f,%.3f],%s%s'
             '"q_alpha":[%.3f,%.3f,%.3f],"q_beta":[%.3f,%.3f,%.3f]},'
             '"sf":"sf0.1","iters":3%s}'
-            % (scan + shuffle + q1 + q2, scan, scan, scan,
-               shuffle, shuffle, shuffle,
+            % (total, scan, scan, scan,
+               shuffle, shuffle, shuffle, longq, gammaq,
                q1, q1, q1, q2, q2, q2, extra))
+    longc = (',"canary_kv_long":%.3f' % long if long is not None else "")
+    epochc = (',"aria_sec_per_epoch":%.3f' % epoch
+              if epoch is not None else "")
     compact = ('{"metric":"total","value":%.3f,"unit":"sec","sf":"sf0.1",'
                '"iters":3,"nq":4,"qsum":%.3f,'
-               '"canary_kv_scan_count":%.3f,"canary_kv_shuffle":%.3f%s,'
+               '"canary_kv_scan_count":%.3f,"canary_kv_shuffle":%.3f%s%s%s,'
                '"queries":{"q_beta":%.3f,"q_alpha":%.3f}}'
-               % (scan + shuffle + q1 + q2, scan + shuffle + q1 + q2,
-                  scan, shuffle, extra, q2, q1))
+               % (total, total, scan, shuffle, longc, epochc, extra,
+                  q2, q1))
     return full + "\n" + compact + "\n"
 
 
@@ -187,6 +200,152 @@ class AmbientNormalization(unittest.TestCase):
                       if l.startswith("  ") and "normalized" in l
                       and "raw" not in l and "->" in l])
         self.assertLess(n_regr, 10, out)
+
+
+class LongClassNormalization(unittest.TestCase):
+    """The third (LONG) canary + per-class normalization (VERDICT r14 #1):
+    round 14's weather was length-dependent — long multi-stage queries
+    inflated x1.3-1.9 while the short canaries read x1.1 — so long rows
+    normalize by the long canary and real short/long disagreement refuses
+    total-level comparison."""
+
+    def test_long_weather_explained_by_long_canary(self):
+        # long canary and the long query q_gamma both x1.6 hot while the
+        # short canaries sit at floor: the r14 shape — must be explained
+        rc, out = run_compare(
+            artifact(long=2.6, q_long=5.0),
+            artifact(long=4.16, q_long=8.0))
+        self.assertEqual(rc, 0)
+        self.assertIn("[ambient] kv_long_canary NEW/OLD = x1.60", out)
+        self.assertIn("ambient-explained", out)
+        self.assertIn("q_gamma", out)
+        self.assertNotIn("REGRESSIONS", out)
+
+    def test_long_regression_survives_long_normalization(self):
+        # q_gamma runs x3 while the long band is only x1.6
+        rc, out = run_compare(
+            artifact(long=2.6, q_long=5.0),
+            artifact(long=4.16, q_long=15.0))
+        self.assertEqual(rc, 1)
+        self.assertIn("REGRESSIONS", out)
+        self.assertIn("q_gamma", out)
+
+    def test_short_rows_do_not_ride_the_long_normalizer(self):
+        # long canary x1.6 hot but q_alpha (0.9s, short class) also x1.6:
+        # the short canaries are at floor, so q_alpha's delta is NOT
+        # long-class weather and must be reported
+        rc, out = run_compare(
+            artifact(long=2.6, q1=0.9),
+            artifact(long=4.16, q1=1.44))
+        self.assertEqual(rc, 1)
+        self.assertIn("q_alpha", out)
+        self.assertIn("REGRESSIONS", out)
+
+    def test_disagreeing_canaries_refuse_total(self):
+        # short canaries at floor, long canary x1.6: length-dependent
+        # weather — the total is not a comparable number
+        rc, out = run_compare(
+            artifact(long=2.6),
+            artifact(long=4.16))
+        self.assertIn("canaries disagree", out)
+        self.assertIn("NOT comparable", out)
+
+    def test_agreeing_canaries_keep_total(self):
+        rc, out = run_compare(
+            artifact(long=2.6),
+            artifact(long=2.7))
+        self.assertNotIn("NOT comparable", out)
+        self.assertIn("[total]", out)
+
+    def test_hot_long_canary_refuses_window(self):
+        # >= 2x the 2.60 floor: the window itself is contaminated
+        rc, out = run_compare(artifact(long=2.6),
+                              artifact(long=5.3))
+        self.assertEqual(rc, 2)
+        self.assertIn("CONTAMINATED", out)
+
+    def test_proxy_fallback_labeled_for_old_artifacts(self):
+        # neither side carries the long canary (pre-round-15): with >= 3
+        # common long rows the median ratio stands in, clearly labeled
+        old = artifact(q1=2.5, q2=3.0, q_long=5.0)
+        new = artifact(q1=4.0, q2=4.8, q_long=8.0)
+        rc, out = run_compare(old, new)
+        self.assertIn("PROXY", out)
+        self.assertIn("self-normalized", out)
+
+    def test_replays_r13_vs_r14_long_class_collapse(self):
+        # the motivating case on the REAL artifacts: r14's graded window
+        # read 17 apparent x1.3-1.9 regressions at short-canary ratio
+        # x1.12 — length-dependent weather. With the proxy long-class
+        # normalizer the list must collapse well below that.
+        r13 = os.path.join(HERE, "..", "BENCH_r13.json")
+        r14 = os.path.join(HERE, "..", "BENCH_r14.json")
+        if not (os.path.exists(r13) and os.path.exists(r14)):
+            self.skipTest("driver artifacts not present")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            bc.main([r13, r14])
+        out = buf.getvalue()
+        self.assertIn("PROXY", out)
+        self.assertIn("ambient-explained", out)
+        # long-class rows the proxy must reclassify as weather
+        self.assertIn("dedup_clusters", out.split("ambient-explained")[1])
+        n_regr = len([l for l in out.splitlines()
+                      if l.startswith("  ") and "normalized" in l
+                      and "raw" not in l and "->" in l])
+        self.assertLess(n_regr, 17, out)
+
+
+class CanaryCodeSuspect(unittest.TestCase):
+    """r14 ADVICE (medium): the canary runs the same engine code as every
+    query, so an engine-wide code regression slows it too and would be
+    'ambient-explained' away. With --history clean floors the two are
+    separable: NEW's canary far above its own clean floor while OLD sits
+    on it is the code-regression signature."""
+
+    def test_code_suspect_warning_fires(self):
+        hist = artifact(shuffle=0.45)
+        rc, out = run_compare(
+            artifact(shuffle=0.46, q2=2.0),
+            artifact(shuffle=0.70, q2=3.1),   # engine-wide x1.55
+            history=[hist])
+        self.assertIn("CODE-SUSPECT", out)
+
+    def test_no_warning_when_old_also_elevated(self):
+        # both sides hot vs history: genuine weather band, not code
+        hist = artifact(shuffle=0.30)
+        rc, out = run_compare(
+            artifact(shuffle=0.46, q2=2.0),
+            artifact(shuffle=0.48, q2=2.1),
+            history=[hist])
+        self.assertNotIn("CODE-SUSPECT", out)
+
+    def test_caveat_printed_when_normalizing_without_history(self):
+        rc, out = run_compare(
+            artifact(shuffle=0.45, q2=2.0),
+            artifact(shuffle=0.675, q2=3.0))
+        self.assertIn("indistinguishable from weather", out)
+
+
+class AriaEpochMetric(unittest.TestCase):
+    """VERDICT r14 #7: aria_sec_per_epoch is a tracked bench metric with
+    its own regression gate."""
+
+    def test_epoch_metric_compared(self):
+        rc, out = run_compare(artifact(epoch=0.40), artifact(epoch=0.42))
+        self.assertEqual(rc, 0)
+        self.assertIn("[aria] sec/epoch 0.400 -> 0.420", out)
+
+    def test_epoch_regression_trips_exit(self):
+        rc, out = run_compare(artifact(epoch=0.40), artifact(epoch=0.80))
+        self.assertEqual(rc, 1)
+        self.assertIn("REGRESSION", out)
+
+    def test_epoch_weather_explained_by_long_canary(self):
+        rc, out = run_compare(artifact(epoch=0.40, long=2.6),
+                              artifact(epoch=0.64, long=4.16))
+        self.assertEqual(rc, 0)
+        self.assertIn("ambient-explained", out)
 
 
 class HistoryReconciliation(unittest.TestCase):
