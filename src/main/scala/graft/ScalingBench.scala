@@ -718,6 +718,47 @@ object ScalingBench {
       }
     }
 
+    // r15 Zipf decades (opt-in via "zipf_r15", VERDICT r14 #3/#8): the
+    // df-sensitive newcomers under verbatim replication, where every
+    // term's df grows ×mult — TextRank (co-occurrence pair supports grow
+    // with df, the exact blind spot the corpus exists for), sparse LSA
+    // (triples ∝ df; the rescale divisors don't grow), winnowing (the
+    // fingerprint join is df-pruned — does the prune hold at ×mult df?).
+    if (onlyQs.exists(_.contains("zipf_r15"))) {
+      val zout = s"tmp/zipf$mult"
+      buildZipfCorpus(spark, base, zout, mult)
+      for (q <- Seq("text_textrank_terms", "text_lsa_power",
+             "text_winnowing");
+           (tag, dir) <- Seq("1x" -> base, s"${mult}x" -> zout)) {
+        val (secs, rows) = time(iters)(SparkEntry.queries(q)(spark, dir))
+        val line = s"""{"query":"$q","scale":"$tag",""" +
+          s""""sec":${f3(secs)},"rows":$rows}"""
+        println(line)
+        report += line
+      }
+    }
+
+    // Sampled-audit S ∝ corpus (opt-in via "audit_scaled_s", VERDICT r14
+    // #4): the scaladoc claims the pair term is CONSTANT when the stratum
+    // count scales with the corpus (S = 8·mult keeps expected sampled
+    // pairs fixed); this block measures it instead of asserting it. The
+    // corpus-linear shingling/df-rank scan term remains by design — the
+    // honest comparison is against the FIXED-S point, which pays the same
+    // scan but a ×mult pair term.
+    if (onlyQs.exists(_.contains("audit_scaled_s"))) {
+      for ((tag, dir, strata) <- Seq(
+             ("1x", base, 8),
+             (s"${mult}x-fixedS", out, 8),
+             (s"${mult}x-scaledS", out, 8 * mult))) {
+        val (secs, rows) = time(iters)(
+          graft.operators.TextOps.recallAuditSampled(spark, dir, strata))
+        val line = s"""{"query":"dedup_recall_audit_sampled","scale":"$tag",""" +
+          s""""sec":${f3(secs)},"rows":$rows,"strata":$strata}"""
+        println(line)
+        report += line
+      }
+    }
+
     // ExactSubstr grain sensitivity (opt-in via "dup_grain", VERDICT r12
     // item 7): span/coverage counts and wall at n = 8 (the gate grain),
     // 16, 32 on the 1x corpus — how much duplicated mass each doubling

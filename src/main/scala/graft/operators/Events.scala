@@ -132,16 +132,25 @@ object Events {
     * hash-identical with no float fold. Day-of-week from epoch-day mod 7
     * (engine day-number conventions differ; datediff doesn't). Edge days
     * without a full 7-day window are excluded (the textbook treatment).
+    * The day axis is DENSIFIED first (calendar from min to max day,
+    * missing days zero-filled — r14 ADVICE): a gap would otherwise make
+    * the 7-ROW window mix non-adjacent dates and desynchronize the
+    * weekly-period assumption behind the dow seasonal; zero-count days
+    * are real observations of the daily series and appear in the output.
     *
     * Scale: the corpus folds to ≤|days| rows in one pass; every window
-    * after runs on that bounded frame.
+    * (and the calendar densify) runs on that bounded frame.
     */
   def stlDaily(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val daily = Tables.events(s, dir)
+    val observed = Tables.events(s, dir)
       .groupBy(date_trunc("day", $"ts").as("d"))
       .agg(count(lit(1)).as("cnt"))
+    val cal = observed.agg(min($"d").as("lo"), max($"d").as("hi"))
+      .select(explode(sequence($"lo", $"hi", expr("interval 1 day"))).as("d"))
+    val daily = cal.join(observed, Seq("d"), "left")
+      .select($"d", coalesce($"cnt", lit(0L)).as("cnt"))
       .pin(true) // bounded |days| frame; windows + the seasonal join
     val w = Window.orderBy($"d").rowsBetween(-3, 3)
     val trended = daily
@@ -162,9 +171,16 @@ object Events {
   }
 
   val stlDailySql: String =
-    """WITH daily AS (
+    """WITH observed AS (
       |  SELECT date_trunc('day', ts) AS d, count(*)::BIGINT AS cnt
       |  FROM events GROUP BY 1),
+      |cal AS (
+      |  SELECT unnest(range((SELECT min(d) FROM observed),
+      |                      (SELECT max(d) FROM observed) + INTERVAL 1 DAY,
+      |                      INTERVAL 1 DAY)) AS d),
+      |daily AS (
+      |  SELECT c.d, coalesce(o.cnt, 0)::BIGINT AS cnt
+      |  FROM cal c LEFT JOIN observed o ON c.d = o.d),
       |tr AS (
       |  SELECT d, cnt,
       |    (sum(cnt) OVER w)::BIGINT AS trend7, count(*) OVER w AS nw

@@ -2332,6 +2332,93 @@ object Relational {
             / ($"n_total" - $"k")), 4).as("f"))
   }
 
+  /** Brown–Forsythe test (Levene 1960 in Brown & Forsythe's 1974 robust
+    * median form) for homogeneity of variance across order priorities —
+    * the ASSUMPTION CHECK for [[statAnova]] (classic one-way ANOVA
+    * presumes equal group variances; when this F is large, read
+    * stat_welch_t / Welch's correction instead). z_ij = |x_ij − med_j|,
+    * then the one-way ANOVA F on the z's. Exact to the last fold: group
+    * medians come from a per-group row_number pick doubled to stay
+    * integer (odd n picks the middle twice, even n sums the two middles
+    * — m2 = 2·median exactly), z2 = |2x − m2| is integer, and the F
+    * algebra reuses [[statAnova]]'s centi-floored DECIMAL fold (each
+    * per-group S²/n is ONE IEEE-identical expression, summed exactly).
+    *
+    * Scale: one partitioned sort for the per-group ranks (k groups
+    * hash-partitioned — never a single reducer), one broadcast of the
+    * k-row median table back onto the scan, then the same one-pass
+    * moment fold as ANOVA.
+    */
+  def statLevene(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vals = Tables.orders(s, dir)
+      .select($"o_orderpriority".as("g"),
+        round($"o_totalprice").cast("long").as("v"))
+      .pin(true) // the rank window + the z-scan both read it
+    val cnt = vals.groupBy($"g").agg(count(lit(1)).as("n"))
+    val ranked = vals.withColumn("rn",
+      row_number().over(Window.partitionBy($"g").orderBy($"v")))
+    val med2 = ranked.join(broadcast(cnt), Seq("g"))
+      // `div`, not `/`: Spark's `/` on longs is double division
+      .filter($"rn" === expr("(n + 1) div 2") ||
+        $"rn" === expr("n div 2 + 1"))
+      .groupBy($"g")
+      // odd n: both rank conditions pick the SAME row — double it
+      .agg(sum($"v" * when($"n" % 2L === 1L, 2L).otherwise(1L)).as("m2"))
+    val z = vals.join(broadcast(med2), Seq("g"))
+      .select($"g", abs(lit(2L) * $"v" - $"m2").as("z2"))
+    val gAgg = z.groupBy($"g").agg(count(lit(1)).as("n"),
+        sum($"z2").as("s"), sum($"z2" * $"z2").as("q"))
+      .withColumn("t",
+        floor($"s".cast("double") * $"s" / $"n" * 100d)
+          .cast("decimal(38,0)"))
+    gAgg.agg(count(lit(1)).as("k"), sum($"n").as("n_total"),
+        sum($"s").as("s_total"), sum($"q").as("q_sum"),
+        sum($"t").as("t_sum"))
+      .select($"k", $"n_total",
+        round((($"t_sum".cast("double") / 100d
+            - $"s_total".cast("double") * $"s_total" / $"n_total")
+            / ($"k" - 1L))
+          / (($"q_sum".cast("double") - $"t_sum".cast("double") / 100d)
+            / ($"n_total" - $"k")), 4).as("f_bf"))
+  }
+
+  val statLeveneSql: String =
+    """WITH vals AS (
+      |  SELECT o_orderpriority AS g, round(o_totalprice)::BIGINT AS v
+      |  FROM orders),
+      |cnt AS (SELECT g, count(*)::BIGINT AS n FROM vals GROUP BY g),
+      |ranked AS (
+      |  SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn
+      |  FROM vals),
+      |med2 AS (
+      |  SELECT r.g,
+      |    sum(v * (CASE WHEN c.n % 2 = 1 THEN 2 ELSE 1 END))::BIGINT AS m2
+      |  FROM ranked r JOIN cnt c USING (g)
+      |  WHERE rn = (c.n + 1) // 2 OR rn = c.n // 2 + 1
+      |  GROUP BY r.g),
+      |z AS (
+      |  SELECT vals.g, abs(2 * v - m2)::BIGINT AS z2
+      |  FROM vals JOIN med2 USING (g)),
+      |ga AS (
+      |  SELECT g, count(*)::BIGINT AS n, sum(z2)::BIGINT AS s,
+      |    sum(z2 * z2)::BIGINT AS q
+      |  FROM z GROUP BY g),
+      |g2 AS (
+      |  SELECT *, floor(s::DOUBLE * s / n * 100)::DECIMAL(38,0) AS t
+      |  FROM ga),
+      |t AS (
+      |  SELECT count(*)::BIGINT AS k, sum(n)::BIGINT AS n_total,
+      |    sum(s)::BIGINT AS s_total, sum(q)::BIGINT AS q_sum,
+      |    sum(t)::DECIMAL(38,0) AS t_sum
+      |  FROM g2)
+      |SELECT k, n_total,
+      |  round(((t_sum::DOUBLE / 100 - s_total::DOUBLE * s_total / n_total)
+      |      / (k - 1))
+      |    / ((q_sum::DOUBLE - t_sum::DOUBLE / 100) / (n_total - k)), 4)
+      |    AS f_bf
+      |FROM t""".stripMargin
+
   val statAnovaSql: String =
     """WITH g AS (
       |  SELECT o_orderpriority AS g, count(*)::BIGINT AS n,
@@ -2856,8 +2943,86 @@ object Relational {
       |  (num // den * 1000 + (num % den) * 1000 // den)::BIGINT AS gini_pm
       |FROM f""".stripMargin
 
+  /** HITS (Kleinberg, JACM 1999) on the bipartite customer→part purchase
+    * graph: hubs are customers, authorities are parts, h(c) ← Σ a(p) over
+    * parts c bought, a(p) ← Σ h(c) over c buying p — mutual reinforcement
+    * instead of PageRank's random surfer (a part is authoritative because
+    * big buyers buy it; a buyer is a hub because it buys authoritative
+    * parts). The missing member of the spectral-graph battery: PageRank/
+    * PPR/Katz (TextOps) walk ONE vector on a homogeneous graph; HITS
+    * ping-pongs TWO vectors across a bipartite one — exactly the
+    * [[graft.operators.TextOps.lsaPower]] u←Av/v←Aᵀu shape with A the
+    * 0/1 purchase matrix, and the same integer per-half-round rescale
+    * (max div 2²⁰ + 1) keeps 3 rounds exact in int64 at any corpus size
+    * (post-rescale scores ≤ ~2²¹, a half-round sum ≤ n·2²¹ ≪ 2⁶³).
+    * Output: top-15 authorities and top-15 hubs, one frame.
+    *
+    * Scale: edges = distinct (custkey, partkey) — one lineitem⋈orders
+    * join, checkpointed once, re-joined per half-round; each half-round
+    * is one keyed join + one keyed sum over the edge frame (work ∝ |E|),
+    * the sparse-matrix BSP layout — the dense A never exists.
+    */
+  def graphHits(s: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+    import s.implicits._
+    val edges = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
+      .select($"o_custkey".as("c"), $"l_partkey".as("p")).distinct()
+      .pin(true) // re-joined every half-round
+    var h = edges.select($"c").distinct()
+      .select($"c", lit(1048576L).as("h"))
+    var a = edges.limit(0).select($"p", lit(0L).as("a")) // replaced below
+    for (_ <- 1 to iters) {
+      val a0 = edges.join(h, Seq("c")).groupBy($"p").agg(sum($"h").as("a"))
+      val da = a0.agg((expr("max(a) div 1048576") + 1L).as("d"))
+      a = a0.crossJoin(broadcast(da))
+        .select($"p", expr("a div d").as("a")).pin(true)
+      val h0 = edges.join(a, Seq("p")).groupBy($"c").agg(sum($"a").as("s"))
+      val dh = h0.agg((expr("max(s) div 1048576") + 1L).as("d"))
+      h = h0.crossJoin(broadcast(dh))
+        .select($"c", expr("s div d").as("h")).pin(true)
+    }
+    a.orderBy($"a".desc, $"p").limit(15)
+      .select(lit("authority").as("side"), $"p".as("id"), $"a".as("score"))
+      .unionByName(h.orderBy($"h".desc, $"c").limit(15)
+        .select(lit("hub").as("side"), $"c".as("id"), $"h".as("score")))
+      .orderBy($"side", $"score".desc, $"id")
+  }
+
+  lazy val graphHitsSql: String = {
+    def round(k: Int): String =
+      s""",
+         |a$k AS MATERIALIZED (
+         |  SELECT p, sum(h)::BIGINT AS a
+         |  FROM edges JOIN h${k - 1} USING (c) GROUP BY p),
+         |da$k AS (SELECT (max(a) // 1048576 + 1)::BIGINT AS d FROM a$k),
+         |as$k AS MATERIALIZED (
+         |  SELECT p, (a // d)::BIGINT AS a FROM a$k CROSS JOIN da$k),
+         |hh$k AS MATERIALIZED (
+         |  SELECT c, sum(a)::BIGINT AS s
+         |  FROM edges JOIN as$k USING (p) GROUP BY c),
+         |dh$k AS (SELECT (max(s) // 1048576 + 1)::BIGINT AS d FROM hh$k),
+         |h$k AS MATERIALIZED (
+         |  SELECT c, (s // d)::BIGINT AS h FROM hh$k CROSS JOIN dh$k)"""
+        .stripMargin
+    """WITH edges AS MATERIALIZED (
+      |  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |h0 AS (SELECT DISTINCT c, 1048576::BIGINT AS h FROM edges)"""
+      .stripMargin +
+      (1 to 3).map(round).mkString +
+      """
+        |SELECT * FROM (
+        |  (SELECT 'authority' AS side, p AS id, a AS score FROM as3
+        |   ORDER BY score DESC, id LIMIT 15)
+        |  UNION ALL
+        |  (SELECT 'hub', c, h FROM h3 ORDER BY h DESC, c LIMIT 15))
+        |ORDER BY side, score DESC, id""".stripMargin
+  }
+
   /** All relational queries + oracles, consumed by SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_hits" -> ((s: SparkSession, d: String) => graphHits(s, d)),
+    "stat_levene" -> statLevene _,
     "stat_gini" -> statGini _,
     "stat_ks_drift" -> statKsDrift _,
     "stat_welch_t" -> statWelchT _,
@@ -2932,6 +3097,8 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "graph_hits" -> graphHitsSql,
+    "stat_levene" -> statLeveneSql,
     "q51_revenue_change" -> q51Sql,
     "q52_supplier_value_share" -> q52Sql,
     "q53_top_supplier" -> q53Sql,

@@ -894,13 +894,15 @@ object Sketches {
     * Poisson πps [[weightedSample]]): k = 100 evenly-spaced ticks on the
     * cumulative-weight axis, weight = n_chars; the doc whose weight
     * interval (cum − w, cum] contains tick t·W/k is pick t. Poisson πps
-    * has binomial sample-size variance; systematic πps returns EXACTLY k
-    * docs with inclusion probability still ∝ weight (a doc with w >
-    * W/k is hit by ≥1 tick with certainty — the certainty-inclusion
-    * property size-biased selection wants). Integer-exact: a doc is
-    * selected iff floor(cum·k/W) > floor((cum−w)·k/W); its pick index is
-    * floor(cum·k/W) (the FIRST tick in its interval when several land
-    * there). Deterministic start offset 0 — the reproducible audit form
+    * has binomial sample-size variance; systematic πps returns k ROWS
+    * OR FEWER — exactly k when no doc's weight exceeds W/k, while a
+    * heavier doc absorbs every tick landing in its interval into its one
+    * row (the certainty-inclusion property size-biased selection wants:
+    * w > W/k is hit by ≥1 tick with certainty; PpsSpec conditions its
+    * size assertion on exactly this). Integer-exact: a doc is selected
+    * iff floor(cum·k/W) > floor((cum−w)·k/W); its pick index is
+    * floor(cum·k/W), the LAST tick in its interval when several land
+    * there. Deterministic start offset 0 — the reproducible audit form
     * of the textbook's random-start estimator, same trade as every
     * deterministic hash in this file.
     *

@@ -238,8 +238,9 @@ object TextOps {
     * adjacent to two hubs outscores one adjacent to two leaves even at
     * equal degree, the "connected to important things" signal.
     *
-    * Headroom: r_k ≤ 10⁶·(d_max/2)^k — int64-safe to d_max ≈ 50k at the
-    * pinned 3 rounds; the contracted graph's degrees sit orders below.
+    * Headroom: r_k ≤ 10⁶·(d_max/2)^k — int64-safe at the pinned 3 rounds
+    * while 10⁶·(d_max/2)³ < 2⁶³−1, i.e. d_max ≤ ~41.9k (2·(2⁶³/10⁶)^⅓);
+    * the contracted graph's degrees sit orders below.
     *
     * Scale: per round one edge⋈rank join + one dst-keyed sum over the
     * group-contracted edge frame — the [[pageRankBsp]] shape without the
@@ -1774,7 +1775,13 @@ object TextOps {
     * shared by the three shingle-LSH oracles (pairs, clusters, containment)
     * so the band count / fold constants can never drift between them.
     */
-  private val shingleBandsCte: String = {
+  /** The banded-LSH pair CTE with a predicate pushed into the bucket
+    * join's LEFT (= min-endpoint, since l.doc_id < r.doc_id) side —
+    * mirrors [[prefixCtesWith]] so a min-endpoint stratum restriction
+    * (the sampled recall audit) prunes the join itself instead of
+    * relying on the optimizer to push a post-DISTINCT filter.
+    */
+  private def shingleBandsCteWith(aCond: String): String = {
     val cols = A.indices.map(j =>
       s"min((${A(j)} * code + ${B(j)}) % 2147483647) AS mh$j").mkString(", ")
     def sig(i: Int) =
@@ -1787,8 +1794,11 @@ object TextOps {
        |pairs AS (
        |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
        |  FROM bands l JOIN bands r
-       |    ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id)""".stripMargin
+       |    ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
+       |  WHERE $aCond)""".stripMargin
   }
+
+  private val shingleBandsCte: String = shingleBandsCteWith("TRUE")
 
   val shinglePairsSql: String = shingleCte + shingleBandsCte +
     "\nSELECT a, b FROM pairs ORDER BY a, b"
@@ -2164,10 +2174,20 @@ object TextOps {
     * only corpus-linear term. Output: sampled truth/found/missed counts,
     * the recall-permille ESTIMATE, and its 95% binomial CI half-width
     * (normal approximation) in permille — the honest "this is an
-    * estimate" surface the exact audit doesn't need. CI caveat: pairs
-    * sharing a min doc sample together (cluster sampling), so the stated
-    * CI is exact for the Bernoulli model and slightly optimistic under
-    * heavy per-doc pair skew.
+    * estimate" surface the exact audit doesn't need. The binomial CI is
+    * exact for the Bernoulli pair model but pairs sharing a min doc
+    * sample TOGETHER (cluster sampling), so under per-doc pair skew it
+    * understates — `ci_jack_pm` (VERDICT r14 #5) is the clustered
+    * complement: a delete-one-group jackknife over 8 hash sub-strata of
+    * the min endpoint (an independent mixing, so groups cut across the
+    * sampling stratum). All pairs of a min doc land in one group, so
+    * between-group variance carries the cluster effect the binomial CI
+    * cannot see. Exact-integer until the final division: each
+    * leave-one-group-out recall is an integer permille r⁻ⱼ =
+    * ⌊1000(f−fⱼ)/(t−tⱼ)⌋, and Σ(G·r⁻ⱼ−Σr⁻)² is integer, so both engines
+    * share one double division + sqrt (the statAnova float-fold lesson).
+    * No new corpus scans: two ≤8-row group aggs over the already-pinned
+    * truth/found frames.
     */
   def recallAuditSampled(s: SparkSession, dir: String,
       strata: Int = 8): DataFrame = {
@@ -2191,7 +2211,33 @@ object TextOps {
     val tAgg = truth.agg(count(lit(1)).as("t"))
     val fAgg = found.agg(count(lit(1)).as("f"))
     val mAgg = missed.agg(count(lit(1)).as("m"))
+    // jackknife groups: a SECOND, independent hash of the min endpoint
+    // (different modulus/multiplier than the sampling stratum), mod 8
+    val jgrp: Column => Column = d => d % 999983L * 92821L % 999983L % 8L
+    val tg = truth.groupBy(jgrp($"a").as("g")).agg(count(lit(1)).as("tg"))
+    val fg = found.groupBy(jgrp($"a").as("g")).agg(count(lit(1)).as("fg"))
+    val rpm = tg.join(fg, Seq("g"), "left")
+      .select($"g", $"tg", coalesce($"fg", lit(0L)).as("fg"))
+      .crossJoin(broadcast(tAgg)).crossJoin(broadcast(fAgg))
+      // t−tg ≥ 1 whenever ≥2 groups exist (t = Σ tg); greatest guards
+      // only the G = 1 degenerate case, whose CI is forced to 0 below
+      .select(floor(($"f" - $"fg") * 1000L / greatest($"t" - $"tg", lit(1L)))
+        .cast("long").as("rpm"))
+      .pin(true) // ≤8 rows; the mean agg + the deviation agg both read it
+    val jstat = rpm.agg(count(lit(1)).as("gn"), sum($"rpm").as("s1"))
+      .pin(true) // 1 row; read by the deviation agg and the final fold
+    // aggregate-on-possibly-empty keeps the 1-row shape (a corpus with no
+    // truth pairs must still emit the audit row, with CI 0)
+    val dev = rpm.crossJoin(broadcast(jstat))
+      .agg(coalesce(sum(($"gn" * $"rpm" - $"s1") * ($"gn" * $"rpm" - $"s1")),
+        lit(0L)).as("ssq"))
+    val jack = jstat.crossJoin(broadcast(dev))
+      .select(when($"gn" >= 2L,
+        floor(lit(1.96) * sqrt((($"gn" - 1L) * $"ssq").cast("double")
+          / ($"gn" * $"gn" * $"gn").cast("double"))))
+        .otherwise(lit(0L)).cast("long").as("jk"))
     tAgg.crossJoin(broadcast(fAgg)).crossJoin(broadcast(mAgg))
+      .crossJoin(broadcast(jack))
       .select($"t".as("n_truth_sampled"), $"f".as("n_found_sampled"),
         $"m".as("n_missed_sampled"),
         floor($"f" * 1000L / greatest($"t", lit(1L))).cast("long")
@@ -2200,17 +2246,22 @@ object TextOps {
           * sqrt(($"f" * ($"t" - $"f")).cast("double"))
           / (greatest($"t", lit(1L)).cast("double")
             * sqrt(greatest($"t", lit(1L)).cast("double"))))
-          .cast("long").as("ci_halfwidth_pm"))
+          .cast("long").as("ci_halfwidth_pm"),
+        $"jk".as("ci_jack_pm"))
   }
 
   val recallAuditSampledSql: String = {
     val strat = "(%s %% 1000003) * 131071 %% 1000003 %% 8 = 0"
-    shingleCte + shingleBandsCte + prefixCtesWith(strat.format("pa.doc_id")) +
+    // the stratum is pushed into BOTH candidate joins (r14 ADVICE): the
+    // AllPairs prefix join's a-side AND the LSH bucket join's left
+    // (min-endpoint) side — per-bucket volume drops ×1/S structurally,
+    // not by optimizer grace
+    shingleCte + shingleBandsCteWith(strat.format("l.doc_id")) +
+      prefixCtesWith(strat.format("pa.doc_id")) +
       s""",
-         |fpairs AS (SELECT a, b FROM pairs WHERE ${strat.format("a")}),
          |finter AS (
          |  SELECT p.a, p.b, count(*)::BIGINT AS c
-         |  FROM fpairs p JOIN codes ca ON ca.doc_id = p.a
+         |  FROM pairs p JOIN codes ca ON ca.doc_id = p.a
          |  JOIN codes cb ON cb.doc_id = p.b AND cb.code = ca.code
          |  GROUP BY 1, 2),
          |found AS (
@@ -2228,14 +2279,37 @@ object TextOps {
          |st AS (SELECT
          |  (SELECT count(*) FROM truth)::BIGINT AS t,
          |  (SELECT count(*) FROM found)::BIGINT AS f,
-         |  (SELECT count(*) FROM missed)::BIGINT AS m)
+         |  (SELECT count(*) FROM missed)::BIGINT AS m),
+         |jg AS (
+         |  SELECT a % 999983 * 92821 % 999983 % 8 AS g,
+         |    count(*)::BIGINT AS tg
+         |  FROM truth GROUP BY 1),
+         |jf AS (
+         |  SELECT a % 999983 * 92821 % 999983 % 8 AS g,
+         |    count(*)::BIGINT AS fg
+         |  FROM found GROUP BY 1),
+         |jr AS (
+         |  SELECT ((st.f - coalesce(jf.fg, 0)) * 1000
+         |          // greatest(st.t - jg.tg, 1))::BIGINT AS rpm
+         |  FROM jg LEFT JOIN jf USING (g), st),
+         |js AS (SELECT count(*)::BIGINT AS gn,
+         |              coalesce(sum(rpm), 0)::BIGINT AS s1 FROM jr),
+         |jd AS (SELECT coalesce(sum((js.gn * jr.rpm - js.s1)
+         |                         * (js.gn * jr.rpm - js.s1)), 0)::BIGINT
+         |         AS ssq
+         |       FROM jr, js),
+         |jk AS (SELECT CASE WHEN js.gn >= 2 THEN
+         |    floor(1.96 * sqrt(((js.gn - 1) * jd.ssq)::DOUBLE
+         |      / (js.gn * js.gn * js.gn)::DOUBLE))::BIGINT
+         |  ELSE 0 END AS jk FROM js, jd)
          |SELECT t AS n_truth_sampled, f AS n_found_sampled,
          |  m AS n_missed_sampled,
          |  (f * 1000 // greatest(t, 1))::BIGINT AS recall_pm_est,
          |  floor(1960.0 * sqrt((f * (t - f))::DOUBLE)
          |    / (greatest(t, 1)::DOUBLE * sqrt(greatest(t, 1)::DOUBLE)))::BIGINT
-         |    AS ci_halfwidth_pm
-         |FROM st""".stripMargin
+         |    AS ci_halfwidth_pm,
+         |  jk AS ci_jack_pm
+         |FROM st, jk""".stripMargin
   }
 
   /** LSH BANDING calibration (the (b, r) knob of the Broder/MMDS S-curve
