@@ -747,6 +747,82 @@ object Similarity {
     ivfAssignRaw(s, dir).orderBy($"vec_id")
   }
 
+  /** Simplified silhouette (Hruschka et al. 2004 — the centroid form of
+    * Rousseeuw's 1987 silhouette) of the IVF k-means cells: per vector,
+    * a = distance to its OWN centroid, b = distance to the nearest OTHER
+    * centroid, s = (b − a)/max(a, b) in permille, averaged per cell —
+    * the "is this clustering any good / is k right" readout the IVF
+    * battery was missing (ivf_balance certifies cell SIZES; this
+    * certifies cell SEPARATION — a balanced index whose silhouettes sit
+    * near 0 still co-locates unrelated vectors and its probes pay
+    * recall for it). The full silhouette's mean pairwise distances are
+    * Θ(n²); the centroid form is THE deployment variant (O(n·k), one
+    * broadcast), and with nearest-centroid assignment s ≥ 0 by
+    * construction — low cells, not negative ones, are the alarm.
+    * Distances: exact int64 squared-L2 via the (d2·k + cid) pack (a² =
+    * pack div k), one IEEE sqrt/division per vector at the end — the
+    * same determinism contract as the cosine rounds.
+    *
+    * Scale: one broadcast crossJoin (n·k rows, k = 8 cells) + two keyed
+    * aggs; rides the same fitted centroids as every IVF query.
+    */
+  def simSilhouette(s: SparkSession, dir: String,
+      nCells: Int = 8): DataFrame = {
+    import s.implicits._
+    val emb = qEmb(s, dir).pin(true) // fit + the distance fan
+    val n = lit(nCells.toLong)
+    val cents = broadcast(ivfCentroids(s, emb, nCells)
+      .withColumn("cn2", norm2($"cq")))
+    val dall = emb.crossJoin(cents)
+      .select($"vec_id", $"cid",
+        ($"n2" - lit(2L) * dot($"q", $"cq") + $"cn2").as("d2"))
+      .pin(true) // own-argmin agg + the other-cell min
+    val own = dall.groupBy($"vec_id")
+      .agg(min($"d2" * n + $"cid").as("pack"))
+      .select($"vec_id", ($"pack" % n).as("cid"),
+        expr(s"pack div $nCells").as("a2"))
+      .pin(true) // the alt join + the final readout
+    val alt = dall.join(own.select($"vec_id", $"cid".as("own")), "vec_id")
+      .filter($"cid" =!= $"own")
+      .groupBy($"vec_id").agg(min($"d2").as("b2"))
+    own.join(alt, Seq("vec_id"))
+      .select($"cid",
+        floor(lit(1000d)
+          * (sqrt($"b2".cast("double")) - sqrt($"a2".cast("double")))
+          / sqrt(greatest($"a2", $"b2", lit(1L)).cast("double")))
+          .cast("long").as("spm"))
+      .groupBy($"cid".as("cell"))
+      .agg(count(lit(1)).as("n"),
+        expr("sum(spm) div count(1)").cast("long").as("mean_sil_pm"))
+      .orderBy($"cell")
+  }
+
+  lazy val simSilhouetteSql: String = {
+    val t = kmeansIters
+    qvecCte + kmeansCtes +
+      s""",
+         |dall AS (
+         |  SELECT cd.vec_id, cd.cid, (ne.n2 - 2 * cd.d + cn.cn2) AS d2
+         |  FROM cd$t cd JOIN nrm ne ON cd.vec_id = ne.vec_id
+         |               JOIN cn$t cn ON cd.cid = cn.cid),
+         |own AS (
+         |  SELECT vec_id, (min(d2 * 8 + cid) % 8)::BIGINT AS cid,
+         |         (min(d2 * 8 + cid) // 8)::BIGINT AS a2
+         |  FROM dall GROUP BY vec_id),
+         |alt AS (
+         |  SELECT d.vec_id, min(d.d2)::BIGINT AS b2
+         |  FROM dall d JOIN own o ON d.vec_id = o.vec_id AND d.cid <> o.cid
+         |  GROUP BY d.vec_id),
+         |sil AS (
+         |  SELECT o.cid,
+         |    floor(1000 * (sqrt(a.b2::DOUBLE) - sqrt(o.a2::DOUBLE))
+         |      / sqrt(greatest(o.a2, a.b2, 1)::DOUBLE))::BIGINT AS spm
+         |  FROM own o JOIN alt a ON o.vec_id = a.vec_id)
+         |SELECT cid AS cell, count(*)::BIGINT AS n,
+         |  (sum(spm) // count(*))::BIGINT AS mean_sil_pm
+         |FROM sil GROUP BY cid ORDER BY cell""".stripMargin
+  }
+
   val ivfAssignSql: String = qvecCte + kmeansCtes +
     s"""
        |SELECT vec_id, cid AS centroid
@@ -3803,6 +3879,8 @@ object Similarity {
     "sim_lsh_buckets" -> lshBuckets _,
     "sim_lsh_topk" -> lshTopK _,
     "sim_ivf_assign" -> ivfAssign _,
+    "sim_silhouette" ->
+      ((s: SparkSession, dir: String) => simSilhouette(s, dir)),
     "sim_ivf_balance" -> ivfBalance _,
     "sim_ivf_topk" -> ivfTopK _,
     "sim_ivf_recall" -> ivfRecall _,
@@ -3847,6 +3925,7 @@ object Similarity {
     "sim_semantic_clusters" -> semanticClustersSql,
     "sim_dbscan" -> dbscanClustersSql,
     "sim_dbscan_ivf" -> dbscanIvfClustersSql,
+    "sim_silhouette" -> simSilhouetteSql,
     "sim_lsh_buckets" -> lshBucketsSql,
     "sim_lsh_topk" -> lshTopKSql,
     "sim_ivf_assign" -> ivfAssignSql,

@@ -1600,7 +1600,79 @@ object Sketches {
       |HAVING count(*) * 65 > n
       |ORDER BY cnt DESC, w""".stripMargin
 
+  /** KMV / theta-sketch INTERSECTION estimate (Bar-Yossef et al. 2002's
+    * k-minimum-values cardinality sketch; Beyer et al. SIGMOD'07 for the
+    * multi-set estimators; the Apache DataSketches theta form): the set-
+    * EXPRESSION member of the sketch battery — HLL ([[hllSweep]],
+    * ev_hll_daily) unions beautifully but cannot intersect (its registers
+    * carry no sample to intersect); KMV keeps the k smallest element
+    * hashes as an actual uniform SAMPLE of each set, so A∩B is estimated
+    * from the retained values themselves: θ = k-th smallest hash of the
+    * merged sketch, every retained hash < θ is a uniform 1/(M/θ) sample
+    * of A∪B, and est(X) = |sample ∩ X|·M div θ. Here A / B are the
+    * tokenCode vocabularies of the even / odd doc_id halves (the element
+    * domain is the code digest, identical in both engines; code
+    * collisions fold identically on both sides). All integer: h(code) =
+    * code·48271 mod (2³¹−1) (Lehmer mixing, product < 2⁵⁰), θ and the
+    * estimates are int64 divisions.
+    *
+    * Scale: per side one distinct + a TOP-K-BY-HASH (TakeOrderedAndProject
+    * — k rows to the driver-side heap per partition, never a global
+    * sort); the merge/θ/intersection arithmetic runs on ≤2k rows. The
+    * sketches are mergeable by construction (union-of-sketches re-min'd)
+    * — the property that lets every shard sketch independently at 100 TB.
+    */
+  def kmvIntersect(s: SparkSession, dir: String, k: Int = 256): DataFrame = {
+    import s.implicits._
+    val h = Tables.documents(s, dir)
+      .select(($"doc_id" % 2L === 0L).as("sidea"),
+        explode(split($"text", " ")).as("w"))
+      .select($"sidea", (TextOps.tokenCode($"w") * 48271L % 2147483647L)
+        .as("h"))
+      .distinct().pin(true) // both side filters read it
+    val skA = h.filter($"sidea").select($"h").orderBy($"h").limit(k)
+      .pin(true) // union + the common join
+    val skB = h.filter(!$"sidea").select($"h").orderBy($"h").limit(k)
+      .pin(true)
+    val uni = skA.unionByName(skB).distinct().orderBy($"h").limit(k)
+      .pin(true) // theta agg + the support restriction
+    val theta = uni.agg(max($"h").as("theta"), count(lit(1)).as("ku"))
+    val cAgg = skA.join(skB, Seq("h")).join(uni, Seq("h"))
+      .agg(count(lit(1)).as("c"))
+    theta.crossJoin(broadcast(cAgg))
+      .select($"ku".as("k"), $"theta",
+        expr("(ku - 1) * 2147483647 div theta").as("est_union"),
+        expr("c * 2147483647 div theta").as("est_inter"),
+        $"c".as("common_in_sketch"))
+  }
+
+  val kmvIntersectSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id % 2 = 0 AS sidea,
+       |         unnest(string_split(text, ' ')) AS w
+       |  FROM documents),
+       |h AS (
+       |  SELECT DISTINCT sidea,
+       |    (${graft.operators.TextOps.tokenCodeSql} * 48271 % 2147483647)
+       |      AS h
+       |  FROM tok),
+       |ska AS (SELECT h FROM h WHERE sidea ORDER BY h LIMIT 256),
+       |skb AS (SELECT h FROM h WHERE NOT sidea ORDER BY h LIMIT 256),
+       |uni AS (SELECT DISTINCT h FROM (SELECT h FROM ska
+       |        UNION ALL SELECT h FROM skb) z ORDER BY h LIMIT 256),
+       |th AS (SELECT max(h)::BIGINT AS theta, count(*)::BIGINT AS ku
+       |       FROM uni),
+       |cm AS (SELECT count(*)::BIGINT AS c
+       |       FROM ska JOIN skb USING (h) JOIN uni USING (h))
+       |SELECT ku AS k, theta,
+       |  ((ku - 1) * 2147483647 // theta)::BIGINT AS est_union,
+       |  (c * 2147483647 // theta)::BIGINT AS est_inter,
+       |  c AS common_in_sketch
+       |FROM th, cm""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_kmv_intersect" ->
+      ((s: SparkSession, dir: String) => kmvIntersect(s, dir)),
     "freq_heavy_hitters" -> heavyHitters _,
     "sketch_hll_sweep" -> hllSweep _,
     "sample_temperature_sweep" -> temperatureSweep _,
@@ -1627,6 +1699,7 @@ object Sketches {
   )
 
   val oracles: Map[String, String] = Map(
+    "sketch_kmv_intersect" -> kmvIntersectSql,
     "freq_heavy_hitters" -> heavyHittersSql,
     "sketch_hll_sweep" -> hllSweepSql,
     "sample_temperature_sweep" -> temperatureSweepSql,

@@ -47,14 +47,14 @@ object TextOps {
     * int64 AND float64 in both engines. `ascii('') = 0` in both engines
     * covers words shorter than 3 chars.
     */
-  private def tokenCode(w: Column): Column =
+  private[operators] def tokenCode(w: Column): Column =
     ((ascii(substring(w, 1, 1)).cast("long") * 65536L
       + ascii(substring(w, 2, 1)).cast("long") * 256L
       + ascii(substring(w, 3, 1)).cast("long")
       + length(w).cast("long")) * 256L
       + ascii(w.substr(length(w), lit(1))).cast("long"))
 
-  private val tokenCodeSql =
+  private[operators] val tokenCodeSql =
     """((ascii(substr(w,1,1))::BIGINT * 65536
       | + ascii(substr(w,2,1))::BIGINT * 256
       | + ascii(substr(w,3,1))::BIGINT + length(w)::BIGINT) * 256
@@ -6500,6 +6500,57 @@ object TextOps {
     * global window); then O(vocab) arithmetic. The corpus-sized pass is
     * only the first count.
     */
+  /** Per-term BURSTINESS (Church & Gale 1995's deviation-from-Poisson
+    * diagnostic, as the variance-to-mean ratio of within-document term
+    * frequency over the documents CONTAINING the term): a Poisson term
+    * has VMR ≈ 1 whatever its frequency; content words burst — once a
+    * document mentions them it mentions them repeatedly — so VMR ≫ 1,
+    * while function words sit near 1 at any df. The signal tf·idf and
+    * [[bigramSurprisal]] don't expose: it separates topical vocabulary
+    * from glue INDEPENDENT of rarity, the feature term-weighting and
+    * keyword extraction read to avoid over-crediting merely-rare tokens.
+    * Exact integer throughout: over the df docs containing the term,
+    * VMR_pm = 1000·(df·Σtf² − (Σtf)²) div (df·Σtf) (population variance
+    * over mean, cross-multiplied). df ≥ 50 bounds the output to the
+    * established vocabulary; top-20 by VMR. Headroom: df·Σtf² < 2⁶³
+    * needs df·tf²_max ≪ 2⁶³/df — int64-safe to ~10⁸ containing docs at
+    * tf ≤ 10³; beyond that the fold moves to DECIMAL(38), same as the
+    * ANOVA t-sum.
+    *
+    * Scale: one (doc, term) tf count (map-side combinable) + one
+    * term-keyed moment fold — the posting-aggregate shape, never a pair
+    * frame; the df filter prunes before the top-k.
+    */
+  def burstiness(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tf = Tables.documents(s, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("w"))
+      .groupBy($"doc_id", $"w").agg(count(lit(1)).as("tf"))
+    tf.groupBy($"w").agg(count(lit(1)).as("df"),
+        sum($"tf").as("s1"), sum($"tf" * $"tf").as("s2"))
+      .filter($"df" >= 50L)
+      .select($"w".as("term"), $"df",
+        expr("s1 * 1000 div df").as("mean_tf_pm"),
+        expr("(df * s2 - s1 * s1) * 1000 div (df * s1)")
+          .as("burstiness_pm"))
+      .orderBy($"burstiness_pm".desc, $"term").limit(20)
+  }
+
+  val burstinessSql: String =
+    """WITH tf AS (
+      |  SELECT doc_id, w, count(*)::BIGINT AS tf FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |    FROM documents) t
+      |  GROUP BY 1, 2),
+      |st AS (
+      |  SELECT w, count(*)::BIGINT AS df, sum(tf)::BIGINT AS s1,
+      |    sum(tf * tf)::BIGINT AS s2
+      |  FROM tf GROUP BY w)
+      |SELECT w AS term, df, (s1 * 1000 // df)::BIGINT AS mean_tf_pm,
+      |  ((df * s2 - s1 * s1) * 1000 // (df * s1))::BIGINT AS burstiness_pm
+      |FROM st WHERE df >= 50
+      |ORDER BY burstiness_pm DESC, term LIMIT 20""".stripMargin
+
   def zipfCurve(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val freq = Tables.documents(s, dir)
@@ -7168,6 +7219,7 @@ object TextOps {
     "graph_degree_hist" -> degreeHist _,
     "graph_kcore" -> ((s: SparkSession, dir: String) => kcore(s, dir)),
     "text_zipf_curve" -> zipfCurve _,
+    "text_burstiness" -> burstiness _,
     "text_rake_phrases" -> rakePhrases _,
     "pipeline_keep_manifest" -> keepManifest _,
     "pipeline_stage_funnel" -> stageFunnel _,
@@ -7276,6 +7328,7 @@ object TextOps {
     "graph_degree_hist" -> degreeHistSql,
     "graph_kcore" -> kcoreSql,
     "text_zipf_curve" -> zipfCurveSql,
+    "text_burstiness" -> burstinessSql,
     "text_rake_phrases" -> rakePhrasesSql,
     "pipeline_keep_manifest" -> keepManifestSql,
     "pipeline_stage_funnel" -> stageFunnelSql,
