@@ -341,7 +341,11 @@ object ScalingBench {
       // (nnz-proportional ping-pong), Katz + RA (group-graph keyed
       // joins/wedges — both should read near-flat under sharding)
       "text_textrank_terms", "text_winnowing", "text_lsa_power",
-      "graph_katz", "graph_resource_alloc")
+      "graph_katz", "graph_resource_alloc",
+      // r15 wave: burstiness (posting moment fold), KMV (distinct +
+      // top-k-by-hash, merge on <=2k rows), silhouette (n·k broadcast
+      // fan + keyed aggs) — all predicted near-linear scan shapes
+      "text_burstiness", "sketch_kmv_intersect", "sim_silhouette")
       .filter(q => onlyQs.forall(_.contains(q)))
     val report = scala.collection.mutable.ArrayBuffer.empty[String]
 
@@ -667,6 +671,11 @@ object ScalingBench {
              "rec_coverage" -> relOut,
              "sketch_bloom_join" -> relOut,
              "layout_zorder" -> relOut,
+             // r15: HITS (per-half-round edge join, work ∝ |E| — the
+             // keyspace-offset corpus multiplies edges honestly) and
+             // Brown-Forsythe (rank window + one moment fold)
+             "graph_hits" -> relOut,
+             "stat_levene" -> relOut,
              "dedup_prefix_pairs" -> out,
              "dedup_recall_audit" -> out,
              // r14: the hash-stratum sampled audit — must read near the
@@ -709,8 +718,17 @@ object ScalingBench {
       for ((tag, dir, k) <- Seq(
              ("1x", base, 8),
              (s"${mult}x", out, (8 * math.sqrt(mult)).round.toInt))) {
-        val (secs, rows) = time(iters)(
-          graft.operators.Similarity.dbscanIvfClusters(spark, dir, k))
+        // partitions ∝ corpus (the s4_ops sizing law): at ×100 the
+        // co-membership join streams ~10⁸ candidate rows carrying two
+        // 64-long arrays each — 32 concurrent task buffers OOM'd the
+        // heap (measured r15); per-task working set must stay constant
+        val parts =
+          if (tag == "1x") cpus.toInt else cpus.toInt * math.max(1, mult / 10)
+        spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+        val (secs, rows) =
+          try time(iters)(
+            graft.operators.Similarity.dbscanIvfClusters(spark, dir, k))
+          finally spark.conf.set("spark.sql.shuffle.partitions", cpus)
         val line = s"""{"query":"sim_dbscan_ivf","scale":"$tag",""" +
           s""""sec":${f3(secs)},"rows":$rows,"ncells":$k}"""
         println(line)
