@@ -98,8 +98,10 @@ CANARIES = [
     # 14's graded window inflated long queries x1.3-1.9 while the short
     # canaries read x1.1: sustained cache-pressure weather is
     # length-dependent, so the long class gets its own canary and its
-    # own normalizer. Floor from two clean windows (PLANS.md r15).
-    ("kv_long_canary", "canary_kv_long", 2.60),
+    # own normalizer. Floor from two certified-clean r15 windows
+    # (3.670 / 3.705 s; PLANS.md r15) with the same headroom margin the
+    # short canaries carry (gate = 2x floor ~ 2.2x clean min).
+    ("kv_long_canary", "canary_kv_long", 4.00),
 ]
 CANARY_POISON_CEILING = 0.05  # below this = queries threw, not ran (r9)
 # a query is LONG-class when its OLD-side min is at least this: the

@@ -258,9 +258,9 @@ class LongClassNormalization(unittest.TestCase):
         self.assertIn("[total]", out)
 
     def test_hot_long_canary_refuses_window(self):
-        # >= 2x the 2.60 floor: the window itself is contaminated
-        rc, out = run_compare(artifact(long=2.6),
-                              artifact(long=5.3))
+        # >= 2x the 4.00 floor: the window itself is contaminated
+        rc, out = run_compare(artifact(long=3.7),
+                              artifact(long=8.1))
         self.assertEqual(rc, 2)
         self.assertIn("CONTAMINATED", out)
 
