@@ -336,6 +336,72 @@ object TextOps {
        |    AS kappa
        |FROM ag CROSS JOIN tt CROSS JOIN ch""".stripMargin
 
+  /** Macro-averaged per-class F1 of the marker langid classifier — the
+    * class-balanced member of the evaluation battery ([[cohensKappa]]
+    * chance-corrects OVERALL agreement; macro-F1 weights every class
+    * EQUALLY, so a classifier that ignores a minority language is
+    * punished even when the corpus is 80% English — the number a
+    * multilingual-curation pipeline reads before trusting a filter on
+    * its tail languages). Per class: tp from the confusion diagonal,
+    * fp/fn from FULL-OUTER row/column marginals (a label with no
+    * predictions still scores F1 = 0 and drags the macro mean — the
+    * kappa marginal lesson), F1‰ = 2000·tp div (2tp + fp + fn), all
+    * integer. Output: one row per class + the macro mean as class
+    * '~macro' (tilde sorts last in both engines' binary collation).
+    *
+    * Scale: rides the one langPreds corpus pass; everything after is
+    * ≤|langs|²-row arithmetic.
+    */
+  def evalMacroF1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cm = langPreds(s, dir).groupBy($"lang", $"pred_lang")
+      .agg(count(lit(1)).as("n")).pin(true) // bounded |langs|² frame
+    val rows = cm.groupBy($"lang").agg(sum($"n").as("r"))
+    val cols = cm.groupBy($"pred_lang".as("lang")).agg(sum($"n").as("c"))
+    val diag = cm.filter($"lang" === $"pred_lang")
+      .select($"lang", $"n".as("tp"))
+    val per = rows.join(cols, Seq("lang"), "full")
+      .join(diag, Seq("lang"), "left")
+      .select($"lang".as("class"),
+        coalesce($"tp", lit(0L)).as("tp"),
+        (coalesce($"c", lit(0L)) - coalesce($"tp", lit(0L))).as("fp"),
+        (coalesce($"r", lit(0L)) - coalesce($"tp", lit(0L))).as("fn"))
+      .select($"class", $"tp", $"fp", $"fn",
+        expr("2000 * tp div greatest(2 * tp + fp + fn, 1)").as("f1_pm"))
+      .pin(true) // the macro fold reads it too
+    val macroRow = per.agg(count(lit(1)).as("k"), sum($"f1_pm").as("s"))
+      .select(lit("~macro").as("class"), lit(0L).as("tp"),
+        lit(0L).as("fp"), lit(0L).as("fn"),
+        expr("s div k").as("f1_pm"))
+    per.unionByName(macroRow).orderBy($"class")
+  }
+
+  lazy val evalMacroF1Sql: String =
+    s"""WITH p AS (${"\n"}$langIdSql),
+       |cm AS (SELECT lang, pred_lang, count(*)::BIGINT AS n
+       |       FROM p GROUP BY 1, 2),
+       |rws AS (SELECT lang, sum(n)::BIGINT AS r FROM cm GROUP BY lang),
+       |cls AS (SELECT pred_lang AS lang, sum(n)::BIGINT AS c
+       |        FROM cm GROUP BY 1),
+       |dg AS (SELECT lang, n AS tp FROM cm WHERE lang = pred_lang),
+       |per AS (
+       |  SELECT m.lang AS class,
+       |    coalesce(dg.tp, 0)::BIGINT AS tp,
+       |    (coalesce(m.c, 0) - coalesce(dg.tp, 0))::BIGINT AS fp,
+       |    (coalesce(m.r, 0) - coalesce(dg.tp, 0))::BIGINT AS fn
+       |  FROM (SELECT lang, r, c FROM rws FULL OUTER JOIN cls USING (lang)) m
+       |  LEFT JOIN dg USING (lang)),
+       |per2 AS (
+       |  SELECT class, tp, fp, fn,
+       |    (2000 * tp // greatest(2 * tp + fp + fn, 1))::BIGINT AS f1_pm
+       |  FROM per),
+       |mac AS (
+       |  SELECT '~macro' AS class, 0::BIGINT AS tp, 0::BIGINT AS fp,
+       |    0::BIGINT AS fn, (sum(f1_pm) // count(*))::BIGINT AS f1_pm
+       |  FROM per2)
+       |SELECT * FROM per2 UNION ALL SELECT * FROM mac ORDER BY class"""
+      .stripMargin
+
   // lazy: langIdSql is declared later in the object; a strict val here
   // would capture null at initialization order
   lazy val langIdConfusionSql: String =
@@ -7220,6 +7286,7 @@ object TextOps {
     "graph_kcore" -> ((s: SparkSession, dir: String) => kcore(s, dir)),
     "text_zipf_curve" -> zipfCurve _,
     "text_burstiness" -> burstiness _,
+    "eval_macro_f1" -> evalMacroF1 _,
     "text_rake_phrases" -> rakePhrases _,
     "pipeline_keep_manifest" -> keepManifest _,
     "pipeline_stage_funnel" -> stageFunnel _,
@@ -7329,6 +7396,7 @@ object TextOps {
     "graph_kcore" -> kcoreSql,
     "text_zipf_curve" -> zipfCurveSql,
     "text_burstiness" -> burstinessSql,
+    "eval_macro_f1" -> evalMacroF1Sql,
     "text_rake_phrases" -> rakePhrasesSql,
     "pipeline_keep_manifest" -> keepManifestSql,
     "pipeline_stage_funnel" -> stageFunnelSql,
