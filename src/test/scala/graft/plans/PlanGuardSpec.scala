@@ -156,8 +156,13 @@ class PlanGuardSpec extends SparkSpec {
     // 1-row broadcast exact-join-size frame joined to the 1-row estimate
     "sketch_cms_join_card" -> 1,
     // r14: the two bounded 1-row audit aggregates (found/missed) crossed
-    // into the single report row — the dedup_recall_audit shape
-    "dedup_recall_audit_sampled" -> 2,
+    // into the single report row — the dedup_recall_audit shape; r15
+    // adds the jackknife's 1-row frames (jstat into the ≤8-row group
+    // frame, dev and jack into the report row) = 5 in the final segment
+    "dedup_recall_audit_sampled" -> 5,
+    // r15: the 1-row (theta, k) frame crossed with the 1-row retained-
+    // intersection count into the single report row
+    "sketch_kmv_intersect" -> 1,
     // r14 ADVICE fix: the 1-row assert_true state-count guard (<=9
     // event types) crossed into the bounded class frame
     "ev_markov_classes" -> 1,
@@ -308,7 +313,17 @@ class PlanGuardSpec extends SparkSpec {
     // r14: the 1-row ndocs idf frame + a 1-row rescale divisor per
     // ping-pong half-round (8), all behind the round pins — the
     // emb_pca_power full-plan shape
-    "text_lsa_power" -> 9)
+    "text_lsa_power" -> 9,
+    // r15: the jackknife adds the pinned ≤8-row rpm segment (its two
+    // 1-row totals) behind the final segment's 5 — 7 across the plan
+    "dedup_recall_audit_sampled" -> 7,
+    // r15: one 1-row max-div rescale divisor per HITS half-round
+    // (2 × 3 rounds), each behind its round pin — the lsa_power shape
+    "graph_hits" -> 6,
+    // r15: the k-means fit's per-iteration 8-row centroid cross behind
+    // the fit pins + the 8-row centroid distance fan in the dall
+    // segment — the sim_dbscan_ivf full-plan shape
+    "sim_silhouette" -> 4)
 
   private case class Audit(wFinal: Int, cFinal: Int, wTotal: Int,
       cTotal: Int, err: Option[String])
