@@ -1769,7 +1769,81 @@ object Events {
       |  ((1000 * d_events) // n_risk)::BIGINT AS hazard_pm
       |FROM r ORDER BY day""".stripMargin
 
+  /** Difference-in-differences (Ashenfelter & Card 1985; the canonical
+    * two-period two-group panel estimator): DiD = (ȳ_treat,post −
+    * ȳ_treat,pre) − (ȳ_ctrl,post − ȳ_ctrl,pre) — the CAUSAL member of
+    * the events battery ([[attribution]] assigns heuristic credit;
+    * DiD estimates a treatment effect under the parallel-trends
+    * assumption, the first estimator an experimentation platform
+    * reaches for when randomization wasn't available). Cells here are
+    * a deterministic demonstration slice — treat = even user_id, post
+    * = ts ≥ 2024-01-16 (the corpus calendar's midpoint) — in
+    * production the treat flag is a real assignment column and the
+    * cut a real launch date; the plan is identical. Outcome = event
+    * value in exact cents; the four cell (n, Σ) pairs are exact longs
+    * and the whole DiD arithmetic is ONE expression of them (a single
+    * IEEE-identical fold, the statAnova float lesson), rounded at the
+    * end.
+    *
+    * Scale: one map-side-combinable 4-cell aggregate over the events
+    * scan; everything after is 1-row arithmetic.
+    */
+  def didEstimate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cut = lit("2024-01-16").cast("timestamp")
+    val cells = Tables.events(s, dir)
+      .select(($"user_id" % 2L === 0L).as("treat"), ($"ts" >= cut).as("post"),
+        round($"value" * 100).cast("long").as("v"))
+      .groupBy($"treat", $"post")
+      .agg(count(lit(1)).as("n"), sum($"v").as("sv"))
+    val g = cells.agg(
+      sum(when($"treat" && $"post", $"n")).as("n_tp"),
+      sum(when($"treat" && $"post", $"sv")).as("s_tp"),
+      sum(when($"treat" && !$"post", $"n")).as("n_tr"),
+      sum(when($"treat" && !$"post", $"sv")).as("s_tr"),
+      sum(when(!$"treat" && $"post", $"n")).as("n_cp"),
+      sum(when(!$"treat" && $"post", $"sv")).as("s_cp"),
+      sum(when(!$"treat" && !$"post", $"n")).as("n_cr"),
+      sum(when(!$"treat" && !$"post", $"sv")).as("s_cr"))
+    g.select($"n_tp", $"n_tr", $"n_cp", $"n_cr",
+      round($"s_tp".cast("double") / $"n_tp" / 100d, 4).as("mean_treat_post"),
+      round($"s_tr".cast("double") / $"n_tr" / 100d, 4).as("mean_treat_pre"),
+      round($"s_cp".cast("double") / $"n_cp" / 100d, 4).as("mean_ctrl_post"),
+      round($"s_cr".cast("double") / $"n_cr" / 100d, 4).as("mean_ctrl_pre"),
+      round(($"s_tp".cast("double") / $"n_tp"
+          - $"s_tr".cast("double") / $"n_tr"
+          - $"s_cp".cast("double") / $"n_cp"
+          + $"s_cr".cast("double") / $"n_cr") / 100d, 4).as("did"))
+  }
+
+  val didEstimateSql: String =
+    """WITH cells AS (
+      |  SELECT user_id % 2 = 0 AS treat,
+      |    ts >= TIMESTAMP '2024-01-16' AS post,
+      |    count(*)::BIGINT AS n, sum(round(value * 100)::BIGINT)::BIGINT AS sv
+      |  FROM events GROUP BY 1, 2),
+      |g AS (
+      |  SELECT
+      |    sum(CASE WHEN treat AND post THEN n END)::BIGINT AS n_tp,
+      |    sum(CASE WHEN treat AND post THEN sv END)::BIGINT AS s_tp,
+      |    sum(CASE WHEN treat AND NOT post THEN n END)::BIGINT AS n_tr,
+      |    sum(CASE WHEN treat AND NOT post THEN sv END)::BIGINT AS s_tr,
+      |    sum(CASE WHEN NOT treat AND post THEN n END)::BIGINT AS n_cp,
+      |    sum(CASE WHEN NOT treat AND post THEN sv END)::BIGINT AS s_cp,
+      |    sum(CASE WHEN NOT treat AND NOT post THEN n END)::BIGINT AS n_cr,
+      |    sum(CASE WHEN NOT treat AND NOT post THEN sv END)::BIGINT AS s_cr
+      |  FROM cells)
+      |SELECT n_tp, n_tr, n_cp, n_cr,
+      |  round(s_tp::DOUBLE / n_tp / 100, 4) AS mean_treat_post,
+      |  round(s_tr::DOUBLE / n_tr / 100, 4) AS mean_treat_pre,
+      |  round(s_cp::DOUBLE / n_cp / 100, 4) AS mean_ctrl_post,
+      |  round(s_cr::DOUBLE / n_cr / 100, 4) AS mean_ctrl_pre,
+      |  round((s_tp::DOUBLE / n_tp - s_tr::DOUBLE / n_tr
+      |       - s_cp::DOUBLE / n_cp + s_cr::DOUBLE / n_cr) / 100, 4) AS did
+      |FROM g""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_did" -> didEstimate _,
     "ev_survival_table" -> survivalTable _,
     "ev_acf" -> acf _,
     "ev_stl_daily" -> stlDaily _,
@@ -1833,6 +1907,7 @@ object Events {
     "ev_anomaly" -> anomaliesSql,
     "ev_tumbling" -> tumblingSql,
     "ev_attribution" -> attributionSql,
+    "ev_did" -> didEstimateSql,
     "ev_attribution_linear" -> attributionLinearSql,
     "ev_forecast_mase" -> forecastMaseSql,
     "ev_sliding" -> slidingSql,
