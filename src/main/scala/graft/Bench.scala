@@ -39,6 +39,40 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     try SparkEntry.entry(spark).count()
     catch { case _: Throwable => () }
+    // Per-query clean floors (VERDICT r15 #1): FLOORS.json holds each
+    // query's minimum across certified-clean windows (tools/
+    // make_floors.py). A first reading >= 2x its floor inside a
+    // canary-clean window is the single-query co-tenancy burst shape
+    // (round 15: ~12 queries read x1.3-4.2 hot while all three canaries
+    // sat clean), so such a query is re-measured IN-SESSION — bounded
+    // retries, better min kept — and annotated "retried" in the
+    // artifact so bench_compare can (a) skip the advisory SUSPECT
+    // excuse and (b) gate the row raw: a reading that reproduces across
+    // retries is a slowdown, not a burst.
+    val floors: Map[String, Double] = {
+      val path = sys.env.getOrElse("SPARK_GRAFT_FLOORS", "FLOORS.json")
+      val f = new java.io.File(path)
+      if (!f.isFile) Map.empty
+      else try {
+        val txt = new String(
+          java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        // minimal parse: the "floors" object's "name":value pairs (same
+        // flat shape bench_compare reads; no JSON library on purpose)
+        val body = txt.split("\"floors\"", 2)
+        if (body.length < 2) Map.empty
+        else "\"([A-Za-z0-9_]+)\":\\s*([0-9.]+)".r
+          .findAllMatchIn(body(1))
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case scala.util.control.NonFatal(_) => Map.empty }
+    }
+    if (floors.nonEmpty)
+      System.err.println(s"[bench] loaded ${floors.size} per-query clean " +
+        "floors (in-session >=2x-floor retry active)")
+    val retried = scala.collection.mutable.LinkedHashSet.empty[String]
+    // global retry budget: a fully-hot window must not double the run —
+    // once spent, later hot queries simply stay un-retried (and thus
+    // remain SUSPECT-advisory downstream: safe degradation)
+    var retryBudgetNs: Long = 240L * 1000000000L
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     // (name, sorted iteration times): min is the reported estimate, and the
     // full [min, med, max] spread goes into the total_full line so a
@@ -92,7 +126,39 @@ object Bench {
         rows = rows.max(n)
         (System.nanoTime() - t0) / 1e9
       }.sorted
-      spreadsBuf += name -> times
+      // in-session burst retry (VERDICT r15 #1): first min >= 2x the
+      // query's clean floor => re-measure now (<=2 retries, <=60s per
+      // query, global budget above), GC-settled first so the retry is
+      // not poisoned by the same pressure that inflated the reading.
+      // The query is annotated retried EVEN IF it recovers — the
+      // annotation means "the weather explanation was tested", and
+      // bench_compare gates retried rows raw either way.
+      var timesAll = times
+      val floorOpt = floors.get(name)
+      if (!aborted && !failed.contains(name) && !spark.sparkContext.isStopped
+          && floorOpt.exists(fl => timesAll.head >= 2 * fl)) {
+        retried += name
+        val fl = floorOpt.get
+        var tries = 0
+        val retryStart = System.nanoTime()
+        while (tries < 2 && timesAll.head >= 2 * fl && retryBudgetNs > 0
+               && System.nanoTime() - retryStart < 60L * 1000000000L
+               && !spark.sparkContext.isStopped) {
+          System.gc()
+          Thread.sleep(300)
+          val t0 = System.nanoTime()
+          val ok = try { fn(spark, sfDir).count(); true }
+            catch { case scala.util.control.NonFatal(_) => false }
+          val dt = System.nanoTime() - t0
+          retryBudgetNs -= dt
+          if (ok) timesAll = (timesAll :+ dt / 1e9).sorted
+          tries += 1
+        }
+        System.err.println(f"[bench] retried $name: first min ${times.head}%.3f" +
+          f"s >= 2x floor $fl%.3fs; surviving min ${timesAll.head}%.3fs" +
+          s" after $tries retr${if (tries == 1) "y" else "ies"}")
+      }
+      spreadsBuf += name -> timesAll
       rowsByQuery(name) = rows
       if (spark.sparkContext.isStopped) {
         aborted = true
@@ -141,12 +207,21 @@ object Bench {
       val med = ts((ts.size - 1) / 2)
       "\"" + name + "\":[" + f3(ts.head) + "," + f3(med) + "," + f3(ts.last) + "]"
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total_full","value":${f3(total)},"unit":"sec","queries":$fullQs,"sf":"$sfDir","iters":$iters$failedJson}""")
+    // retry annotation kept at the END of the line: the driver preserves
+    // only the tail of stdout, and a head-truncated full line must not
+    // lose the list bench_compare's retry-aware gating depends on
+    val retriedFull = if (retried.isEmpty) "" else
+      s""","retried":${retried.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+    println(s"""{"metric":"total_full","value":${f3(total)},"unit":"sec","queries":$fullQs,"sf":"$sfDir","iters":$iters$failedJson$retriedFull}""")
     // The compact line must keep a bounded head: an unbounded failed list
     // could itself overflow the tail window, so it carries a count plus at
     // most 5 names; the total_full line above keeps the complete list.
     val failedCompact = abortedJson + (if (failed.isEmpty) ""
-      else s""","failed_n":${failed.size},"failed":${failed.take(5).map("\"" + _ + "\"").mkString("[", ",", "]")}""")
+      else s""","failed_n":${failed.size},"failed":${failed.take(5).map("\"" + _ + "\"").mkString("[", ",", "]")}""") +
+      // bounded like the failed list: a count plus at most 5 names (the
+      // full line above keeps the complete retried list)
+      (if (retried.isEmpty) ""
+       else s""","retried_n":${retried.size},"retried":${retried.take(5).map("\"" + _ + "\"").mkString("[", ",", "]")}""")
     // canaries: two fixed queries whose mins only move with machine
     // conditions, never query code. The SCAN canary (a trivial count,
     // ≲0.3s clean at sf0.1) detects CPU/page-cache co-tenancy; the

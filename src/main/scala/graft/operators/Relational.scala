@@ -2962,7 +2962,14 @@ object Relational {
     * is one keyed join + one keyed sum over the edge frame (work ∝ |E|),
     * the sparse-matrix BSP layout — the dense A never exists.
     */
-  def graphHits(s: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+  /** Round count shared by [[graphHits]] and [[graphHitsSql]]: the SQL
+    * oracle is generated from the SAME constant as the Scala loop, so a
+    * caller can never run a different number of rounds than the
+    * registered oracle replays (the kmeansIters pattern; r15 ADVICE).
+    */
+  val HitsIters = 3
+
+  def graphHits(s: SparkSession, dir: String, iters: Int = HitsIters): DataFrame = {
     import s.implicits._
     val edges = Tables.lineitem(s, dir)
       .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
@@ -3009,13 +3016,13 @@ object Relational {
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
       |h0 AS (SELECT DISTINCT c, 1048576::BIGINT AS h FROM edges)"""
       .stripMargin +
-      (1 to 3).map(round).mkString +
-      """
+      (1 to HitsIters).map(round).mkString +
+      s"""
         |SELECT * FROM (
-        |  (SELECT 'authority' AS side, p AS id, a AS score FROM as3
+        |  (SELECT 'authority' AS side, p AS id, a AS score FROM as$HitsIters
         |   ORDER BY score DESC, id LIMIT 15)
         |  UNION ALL
-        |  (SELECT 'hub', c, h FROM h3 ORDER BY h DESC, c LIMIT 15))
+        |  (SELECT 'hub', c, h FROM h$HitsIters ORDER BY h DESC, c LIMIT 15))
         |ORDER BY side, score DESC, id""".stripMargin
   }
 

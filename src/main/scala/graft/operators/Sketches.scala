@@ -1639,10 +1639,18 @@ object Sketches {
     val theta = uni.agg(max($"h").as("theta"), count(lit(1)).as("ku"))
     val cAgg = skA.join(skB, Seq("h")).join(uni, Seq("h"))
       .agg(count(lit(1)).as("c"))
+    // Unsaturated sketch (ku < k): the union sketch holds EVERY distinct
+    // hash, so the exact cardinality ku is known — emit it instead of the
+    // noisy (ku-1)·M/θ extrapolation, as DataSketches theta does (r15
+    // ADVICE). Saturated path unchanged.
     theta.crossJoin(broadcast(cAgg))
       .select($"ku".as("k"), $"theta",
-        expr("(ku - 1) * 2147483647 div theta").as("est_union"),
-        expr("c * 2147483647 div theta").as("est_inter"),
+        when($"ku" < k, $"ku")
+          .otherwise(expr("(ku - 1) * 2147483647 div theta"))
+          .as("est_union"),
+        when($"ku" < k, $"c")
+          .otherwise(expr("c * 2147483647 div theta"))
+          .as("est_inter"),
         $"c".as("common_in_sketch"))
   }
 
@@ -1665,8 +1673,11 @@ object Sketches {
        |cm AS (SELECT count(*)::BIGINT AS c
        |       FROM ska JOIN skb USING (h) JOIN uni USING (h))
        |SELECT ku AS k, theta,
-       |  ((ku - 1) * 2147483647 // theta)::BIGINT AS est_union,
-       |  (c * 2147483647 // theta)::BIGINT AS est_inter,
+       |  (CASE WHEN ku < 256 THEN ku
+       |        ELSE (ku - 1) * 2147483647 // theta END)::BIGINT
+       |    AS est_union,
+       |  (CASE WHEN ku < 256 THEN c
+       |        ELSE c * 2147483647 // theta END)::BIGINT AS est_inter,
        |  c AS common_in_sketch
        |FROM th, cm""".stripMargin
 

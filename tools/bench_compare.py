@@ -80,11 +80,28 @@ right response is a re-run, not a code hunt. History sides that are
 themselves bad (aborted/failed/hot-canary) are skipped with a warning —
 a contaminated window must not define a query's clean floor.
 
+When --history is NOT given, the checked-in FLOORS.json (per-query
+clean-floor minima persisted by tools/make_floors.py at each
+certified-clean window — VERDICT r15 #2) is loaded by default, so the
+honest per-query read is the DEFAULT read, not an opt-in. --history
+still overrides it (raw clean windows beat the persisted summary), and
+--no-floors disables the default for tooling tests.
+
+Retry annotation (VERDICT r15 #1/#8): Bench re-runs, in-session, any
+query whose min reads >= 2x its FLOORS.json floor and records the
+names under "retried":[...]. A retried query that STILL reads hot has
+already had its burst explanation tested — so bench_compare (a) never
+downgrades such a row to the advisory SUSPECT excuse, and (b) exempts
+it from ambient normalization when gating (the retry is a same-window
+re-measurement; a reading that reproduces across retries is a
+reproducing slowdown, printed as a REGRESSION).
+
 Exit codes: 0 clean, 1 regressions found, 2 canary contaminated (trumps
 1; no delta table printed), 3 refused (failed/aborted/poisoned side —
 nothing was compared).
 """
 import json
+import os
 import re
 import sys
 
@@ -181,6 +198,12 @@ def parse_side(path):
     em = re.search(r'"aria_sec_per_epoch":([0-9.]+)', text)
     if em:
         extras["aria_sec_per_epoch"] = float(em.group(1))
+    # in-session retry annotation (VERDICT r15 #1): queries whose first
+    # reading hit >=2x their clean floor and were re-measured by Bench —
+    # their surviving min has already had the burst explanation tested
+    rm = re.search(r'"retried":\[([^\]]*)\]', text)
+    if rm:
+        extras["retried"] = re.findall(r'"([A-Za-z0-9_]+)"', rm.group(1))
     return mins, total, canaries, n_spread, bad, extras
 
 
@@ -192,7 +215,7 @@ def main(argv):
     flat = []
     it = iter(argv)
     for a in it:
-        if a in ("--abs", "--rel", "--history"):
+        if a in ("--abs", "--rel", "--history", "--floors"):
             opts[a.lstrip("-")] = next(it, None)
         elif not a.startswith("--"):
             flat.append(a)
@@ -261,6 +284,28 @@ def main(argv):
     hist = {}
     hist_n = 0
     hval = opts.get("history")
+    if (not hval or hval is True) and "no-floors" not in opts:
+        # default floors (VERDICT r15 #2): the checked-in FLOORS.json —
+        # per-query clean minima persisted at each certified-clean window
+        # by tools/make_floors.py — so the honest per-query read is the
+        # DEFAULT read. --history (raw clean windows) overrides it.
+        fval = opts.get("floors")
+        fpath = str(fval) if fval and fval is not True else os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "..", "FLOORS.json")
+        if os.path.exists(fpath):
+            try:
+                data = json.load(open(fpath))
+                hist = {q: float(v)
+                        for q, v in data.get("floors", {}).items()
+                        if float(v) > CANARY_POISON_CEILING}
+                hist_n = len(data.get("windows", []))
+                print(f"[history] FLOORS.json (default): {len(hist)} "
+                      f"per-query clean floors from {hist_n} certified "
+                      "window(s); pass --history to override, "
+                      "--no-floors to disable")
+            except (json.JSONDecodeError, ValueError) as e:
+                print(f"[history] FLOORS.json unreadable ({e}) — "
+                      "no default floors")
     if hval and hval is not True:
         import glob as _glob
         paths = []
@@ -290,6 +335,20 @@ def main(argv):
     suspects = {q: (hist[q], new[q]) for q in new
                 if q in hist and hist[q] > CANARY_POISON_CEILING
                 and new[q] >= 2 * hist[q]}
+
+    # in-session retry annotation (r15 #1/#8): a retried query's min has
+    # already been re-measured inside the same window. Still >=2x its
+    # clean floor => the burst explanation was tested and failed — such a
+    # row must NOT be downgraded to the advisory SUSPECT excuse, and is
+    # exempt from ambient normalization when gating below.
+    retried = set(new_x.get("retried", []))
+    persisted_hot = {q: suspects.pop(q) for q in list(suspects)
+                     if q in retried}
+    if retried:
+        print(f"[retry] NEW retried {len(retried)} quer"
+              f"{'y' if len(retried) == 1 else 'ies'} in-session "
+              f"(>=2x clean floor on first reading): "
+              f"{', '.join(sorted(retried))}")
 
     # ambient cross-window factors (VERDICT r13 #3 + r14 #1): both windows
     # passed the 2x-floor gate, but they may sit at different ambient
@@ -382,9 +441,35 @@ def main(argv):
 
     ambient_on = short_amb != 1.0 or long_amb != 1.0
 
+    # class assignment (r15 ADVICE): classify by the clean-history floor
+    # when available — the raw OLD min can be weather-inflated past the
+    # 2s boundary and silently flip a query onto the long normalizer —
+    # falling back to the OLD min otherwise. The class is printed next
+    # to each row so boundary flips are visible.
+    def q_base(q):
+        return hist.get(q, old.get(q, new.get(q, 0.0)))
+
+    def q_is_long(q):
+        return q_base(q) >= LONG_CLASS_SEC
+
     def cls_amb(q):
-        return long_amb if old.get(q, new.get(q, 0.0)) >= LONG_CLASS_SEC \
-            else short_amb
+        return long_amb if q_is_long(q) else short_amb
+
+    # gating normalizer (r15 ADVICE + #8): (a) the PROXY long normalizer
+    # is self-normalized from the long rows themselves, so without
+    # independent clean floors it REPORTS but does not GATE — a uniform
+    # long-class code regression must not exit 0; (b) retried rows had
+    # the weather explanation tested in-session, so they gate raw.
+    long_amb_gate = long_amb if (not long_proxy or hist) else 1.0
+    if long_proxy and not hist and long_amb != 1.0:
+        print("[ambient] PROXY normalizer is display-only without clean "
+              "floors: long-class rows GATE on raw readings (a uniform "
+              "long-class code regression would otherwise exit 0)")
+
+    def cls_amb_gate(q):
+        if q in retried:
+            return 1.0
+        return long_amb_gate if q_is_long(q) else short_amb
 
     if old_total is not None and new_total is not None:
         if not totals_comparable:
@@ -408,7 +493,7 @@ def main(argv):
     a_e, b_e = old_x.get("aria_sec_per_epoch"), new_x.get("aria_sec_per_epoch")
     epoch_regressed = False
     if a_e and b_e:
-        bn_e = b_e / long_amb
+        bn_e = b_e / long_amb_gate
         tag = ""
         if bn_e > a_e * 1.3 and bn_e - a_e > 0.1:
             epoch_regressed = True
@@ -433,8 +518,9 @@ def main(argv):
     for q in common:
         a, b = old[q], new[q]
         bn = b / cls_amb(q)  # class-normalized NEW (== b when ambient off)
-        if trips(a, bn):
-            (regressions if bn > a else improvements).append((bn - a, q, a, b, bn))
+        bg = b / cls_amb_gate(q)  # gating-normalized (proxy/retry-aware)
+        if trips(a, bg):
+            (regressions if bg > a else improvements).append((bg - a, q, a, b, bn))
         elif trips(a, b):
             # raw delta exists but the window's own canary shift accounts
             # for it — weather wearing the query's name, not a regression
@@ -446,16 +532,25 @@ def main(argv):
                   + (", canary-normalized" if ambient_on else "") + ")")
             for d, q, a, b, bn in rows:
                 tag = " [SUSPECT — see below]" if q in suspects else ""
+                if q in persisted_hot:
+                    h = persisted_hot[q][0]
+                    tag = (f" [RETRIED, STILL x{b / h:.2f} its clean "
+                           f"floor {h:.3f}s — reproducing slowdown, "
+                           "not a burst]")
+                elif q in retried:
+                    tag = " [retried in-session; gated raw]"
                 ncol = f" (normalized {bn:.3f}s, x{bn / a:.2f})" \
                     if ambient_on else ""
-                print(f"  {q}: {a:.3f}s -> {b:.3f}s ({d:+.3f}s, "
+                cls = "L" if q_is_long(q) else "S"
+                print(f"  [{cls}] {q}: {a:.3f}s -> {b:.3f}s ({d:+.3f}s, "
                       f"x{b / a:.2f}){ncol}{tag}")
     if explained:
         print(f"-- ambient-explained (raw delta within the window's own "
               f"canary band — short x{short_amb:.2f} / long "
               f"x{long_amb:.2f} — once normalized: co-tenancy, not code)")
         for d, q, a, b, bn in sorted(explained, reverse=True):
-            print(f"  {q}: {a:.3f}s -> {b:.3f}s raw (x{b / a:.2f}), "
+            cls = "L" if q_is_long(q) else "S"
+            print(f"  [{cls}] {q}: {a:.3f}s -> {b:.3f}s raw (x{b / a:.2f}), "
                   f"normalized {bn:.3f}s (x{bn / a:.2f})")
     if not regressions and not improvements and not explained:
         print(f"-- no per-query delta beyond the noise floor "

@@ -10,6 +10,7 @@ Run: python3 tools/test_bench_compare.py
 import contextlib
 import io
 import importlib.util
+import json
 import os
 import sys
 import tempfile
@@ -54,14 +55,25 @@ def artifact(scan=0.25, shuffle=0.45, q1=1.0, q2=2.0, extra="",
     return full + "\n" + compact + "\n"
 
 
-def run_compare(old_text, new_text, *flags, history=None):
+def run_compare(old_text, new_text, *flags, history=None, floors=None):
     """-> (exit_code, stdout) of bench_compare.main on two raw artifacts.
-    `history`: optional list of raw artifact texts passed via --history."""
+    `history`: optional list of raw artifact texts passed via --history.
+    `floors`: optional dict query->floor written to a temp FLOORS.json
+    and passed via --floors (exercises the default-floors path); when
+    None the tests run hermetically via --no-floors so the repo's real
+    FLOORS.json cannot leak into synthetic scenarios."""
     with tempfile.TemporaryDirectory() as d:
         po, pn = os.path.join(d, "old.out"), os.path.join(d, "new.out")
         open(po, "w").write(old_text)
         open(pn, "w").write(new_text)
         args = [po, pn, *flags]
+        if floors is not None:
+            fp = os.path.join(d, "FLOORS.json")
+            with open(fp, "w") as f:
+                json.dump({"windows": ["w1"], "floors": floors}, f)
+            args += ["--floors", fp]
+        elif history is None and "--no-floors" not in flags:
+            args += ["--no-floors"]
         if history is not None:
             hp = []
             for i, text in enumerate(history):
@@ -413,6 +425,135 @@ class HistoryReconciliation(unittest.TestCase):
             out = buf.getvalue()
         self.assertIn("SUSPECT", out)
         self.assertIn("graph_triangles: 4.090s vs clean min 0.960s", out)
+
+
+class DefaultFloors(unittest.TestCase):
+    """VERDICT r15 #2: without --history, the checked-in FLOORS.json is
+    loaded by default so the honest per-query read is the default read."""
+
+    def test_floors_power_suspect_without_history(self):
+        # same burst shape as the r12 case, but floors come from the
+        # persisted FLOORS.json instead of raw clean windows
+        rc, out = run_compare(artifact(q2=5.0), artifact(q2=5.0),
+                              floors={"q_beta": 2.0})
+        self.assertEqual(rc, 0)
+        self.assertIn("FLOORS.json", out)
+        self.assertIn("SUSPECT", out)
+        self.assertIn("q_beta: 5.000s vs clean min 2.000s", out)
+
+    def test_no_floors_disables_default(self):
+        rc, out = run_compare(artifact(q2=5.0), artifact(q2=5.0),
+                              "--no-floors")
+        self.assertNotIn("FLOORS.json", out)
+        self.assertNotIn("SUSPECT", out)
+
+    def test_history_overrides_floors(self):
+        # explicit raw clean windows beat the persisted summary
+        rc, out = run_compare(artifact(q2=5.0), artifact(q2=5.0),
+                              history=[artifact(q2=1.0)])
+        self.assertNotIn("FLOORS.json", out)
+        self.assertIn("q_beta: 5.000s vs clean min 1.000s", out)
+
+    def test_class_assigned_by_floor_not_inflated_old_min(self):
+        # r15 ADVICE: q_beta's OLD min reads 2.4s (weather-inflated past
+        # the 2s boundary) but its clean floor is 1.5s — the row must
+        # classify SHORT (printed [S]) and normalize by the shuffle
+        # canary, not silently flip onto the long normalizer
+        rc, out = run_compare(
+            artifact(q2=2.4, shuffle=0.45, long=3.0),
+            artifact(q2=3.6, shuffle=0.675, long=3.0),
+            floors={"q_beta": 1.5, "kv_shuffle_canary": 0.45,
+                    "kv_long_canary": 3.0, "kv_scan_count": 0.25,
+                    "q_alpha": 1.0})
+        # the row lands in ambient-explained, classified SHORT and
+        # normalized by the shuffle canary's x1.5 (if it had flipped to
+        # the long class its normalizer would be x1.00 and the row would
+        # print as a x1.5 REGRESSION)
+        self.assertIn("[S] q_beta: 2.400s -> 3.600s raw (x1.50), "
+                      "normalized 2.400s (x1.00)", out)
+        self.assertEqual(rc, 0)
+
+
+class RetryAnnotation(unittest.TestCase):
+    """VERDICT r15 #1/#8: Bench's in-session retry annotation. A retried
+    reading that still regresses is a reproducing slowdown and must gate
+    as a REGRESSION — the retry must not mask it, and ambient
+    normalization must not excuse it."""
+
+    def test_retried_and_still_regressed_prints_regression(self):
+        # q_beta was retried in-session and still reads x1.5 vs OLD while
+        # the window's shuffle canary shift would have explained it away —
+        # the retry already tested the weather explanation, so the row
+        # gates raw and the exit code is 1 (the r15 #8 unit test)
+        ann = ',"retried":["q_beta"]'
+        rc, out = run_compare(
+            artifact(q2=2.0, shuffle=0.45),
+            artifact(q2=3.0, shuffle=0.675, extra=ann),
+            floors={"q_beta": 1.0, "kv_shuffle_canary": 0.45,
+                    "kv_scan_count": 0.25, "q_alpha": 1.0})
+        self.assertEqual(rc, 1, out)
+        self.assertIn("REGRESSIONS", out)
+        self.assertIn("q_beta", out)
+        self.assertIn("[retry] NEW retried 1 query", out)
+
+    def test_retried_suspect_escalated_not_advisory(self):
+        # still >=2x its clean floor AFTER retry: the burst explanation
+        # was tested and failed — no advisory SUSPECT excuse
+        ann = ',"retried":["q_beta"]'
+        rc, out = run_compare(
+            artifact(q2=1.0), artifact(q2=3.0, extra=ann),
+            floors={"q_beta": 1.0})
+        self.assertEqual(rc, 1)
+        self.assertIn("RETRIED, STILL x3.00", out)
+        self.assertNotIn("re-read before treating as a regression", out)
+
+    def test_unretried_suspect_stays_advisory(self):
+        rc, out = run_compare(
+            artifact(q2=3.0), artifact(q2=3.0),
+            floors={"q_beta": 1.0})
+        self.assertEqual(rc, 0)
+        self.assertIn("re-read before treating as a regression", out)
+
+    def test_retry_that_recovered_is_just_annotated(self):
+        # retried and the surviving min is clean: annotation printed, no
+        # regression manufactured
+        ann = ',"retried":["q_beta"]'
+        rc, out = run_compare(
+            artifact(q2=2.0), artifact(q2=2.1, extra=ann),
+            floors={"q_beta": 2.0})
+        self.assertEqual(rc, 0)
+        self.assertIn("[retry] NEW retried 1 query", out)
+        self.assertNotIn("REGRESSIONS", out)
+
+
+class ProxyGating(unittest.TestCase):
+    """r15 ADVICE (low): the PROXY long-class normalizer is self-
+    normalized from the long rows themselves; without independent clean
+    floors it must report but not GATE — a uniform long-class code
+    regression must not exit 0."""
+
+    def test_uniform_long_regression_exits_1_without_floors(self):
+        # pre-r15 shape: no long canary on either side; all three long
+        # rows (q_alpha 2.5->3.75, q_beta 2.0->3.0, q_gamma 4.0->6.0)
+        # regress x1.5 uniformly; the proxy median (x1.5) would
+        # previously reclassify them all as ambient-explained and exit 0
+        rc, out = run_compare(
+            artifact(q1=2.5, q2=2.0, q_long=4.0),
+            artifact(q1=3.75, q2=3.0, q_long=6.0),
+            "--no-floors")
+        self.assertEqual(rc, 1, out)
+        self.assertIn("display-only", out)
+        self.assertIn("PROXY", out)
+
+    def test_real_long_canary_still_gates(self):
+        # with the REAL long canary moving x1.5 in step, the same row
+        # shifts are weather and exit stays 0 (no proxy involved)
+        rc, out = run_compare(
+            artifact(q2=2.0, q_long=4.0, long=3.0),
+            artifact(q2=3.0, q_long=6.0, long=4.5),
+            "--no-floors")
+        self.assertEqual(rc, 0, out)
+        self.assertIn("ambient-explained", out)
 
 
 if __name__ == "__main__":
