@@ -163,6 +163,9 @@ class PlanGuardSpec extends SparkSpec {
     // r15: the 1-row (theta, k) frame crossed with the 1-row retained-
     // intersection count into the single report row
     "sketch_kmv_intersect" -> 1,
+    // r16: the 1-row total-count frame + the 5-row quantile-target frame
+    // crossed into the bounded cumulative-histogram readout
+    "sketch_quantile" -> 2,
     // r14 ADVICE fix: the 1-row assert_true state-count guard (<=9
     // event types) crossed into the bounded class frame
     "ev_markov_classes" -> 1,
@@ -224,7 +227,11 @@ class PlanGuardSpec extends SparkSpec {
     "text_winnowing" -> 1, // 20-row post-limit top-matches frame
     // <=|calendar-days| daily frame: the centered 7-day MA window runs
     // on the day-folded bounded frame, never the corpus (r14)
-    "ev_stl_daily" -> 1)
+    "ev_stl_daily" -> 1,
+    // r16: the fixed-grid quantile sketch's cumulative readout — the
+    // window runs over the ≤|grid|-row histogram (grid = range/width,
+    // a configuration constant ~1.3k buckets), never the corpus
+    "sketch_quantile" -> 1)
 
   /** TOTAL cross-join budget per query over the WHOLE plan — final frame
     * PLUS every checkpoint-hidden segment the audited build reports
