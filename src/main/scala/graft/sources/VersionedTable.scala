@@ -400,6 +400,96 @@ object VersionedTable {
     next
   }
 
+  /** One CAS attempt of the optimistic merge: upsert `updates` into the
+    * snapshot at `base` and commit the result AT `base + 1`, failing with
+    * [[ConcurrentCommitException]] when some other writer committed
+    * `base + 1` first (the [[AtomicDir]] marker race arbitrates — exactly
+    * one writer's rename owns each version directory). Exposed
+    * package-private so the spec can drive the lost-race path
+    * deterministically; production callers use [[mergeOcc]].
+    */
+  private[graft] def tryMergeAt(spark: SparkSession, path: String,
+      updates: DataFrame, keyCol: String, base: Int,
+      tag: Option[String] = None, partitionBy: Seq[String] = Nil,
+      statsCols: Seq[String] = Nil): Int = {
+    val next = base + 1
+    try {
+      commitVersion(KvOps.upsert(read(spark, path, base), updates, keyCol),
+        path, next, tag, partitionBy, statsCols)
+      next
+    } catch {
+      case e: IllegalStateException
+          if e.getMessage != null &&
+            e.getMessage.contains("committed concurrently") =>
+        throw new ConcurrentCommitException(path, next, e)
+    }
+  }
+
+  /** Lost-CAS signal: `version` at `path` was committed by another writer
+    * between this writer's base read and its rename.
+    */
+  final class ConcurrentCommitException(val path: String, val version: Int,
+      cause: Throwable) extends RuntimeException(
+    s"version $version at $path was committed concurrently", cause)
+
+  /** OPTIMISTIC-CONCURRENCY MERGE — compare-and-swap commits with
+    * deterministic rebase-retry (VERDICT r15 #6). [[merge]] assumes a
+    * single writer: two writers that both read head N and both write
+    * N+1 would race, and the loser's updates would be LOST if it simply
+    * gave up. This is the same problem the reference engine's reservation
+    * phase solves for transactions (`TrancM_func.cuh:21-275`: every txn
+    * optimistically executes against the epoch-start snapshot, the
+    * min-Tid CAS arbitrates each contended slot, and losers re-execute
+    * against the installed state in the next epoch) — re-expressed at
+    * table-commit granularity:
+    *
+    *  - RESERVE: the writer records the head version it read (`base`)
+    *    and attempts to commit at `base + 1`. The [[AtomicDir]]
+    *    commit-id marker is the CAS — exactly one writer owns each
+    *    version directory, however the filesystem resolves the rename.
+    *  - DETECT: a loser's commit throws instead of corrupting the
+    *    winner's snapshot (never torn state, like Aria's write
+    *    reservations it can be checked after the fact).
+    *  - RETRY: the loser re-reads the NEW head and re-applies its
+    *    updates against it — a REBASE, not a blind re-rename, so the
+    *    winner's rows are carried forward and no update is lost.
+    *
+    * Guarantees: version history is linear (v0, v1, … with no gaps or
+    * forks); every writer's updates land in some committed version
+    * (no lost update — the property the spec's interleaved- and
+    * threaded-writer tests pin); writers on disjoint keys compose, and
+    * same-key conflicts resolve last-committer-wins, serialized by the
+    * CAS order. Retries are bounded by `maxRetries` (each retry means
+    * some OTHER writer made progress, so the system as a whole never
+    * livelocks — the classic OCC argument, and the reason the reference
+    * can run deterministic epochs without locks).
+    *
+    * Scale: each attempt is one upsert shuffle + snapshot write, the
+    * same cost as [[merge]]; contention costs attempts × that, which is
+    * why high-frequency writers should batch (exactly the reference's
+    * epoch batching) rather than commit per row.
+    */
+  def mergeOcc(spark: SparkSession, path: String, updates: DataFrame,
+      keyCol: String, tag: Option[String] = None,
+      partitionBy: Seq[String] = Nil, statsCols: Seq[String] = Nil,
+      maxRetries: Int = 10): Int = {
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      val base = latestVersion(spark, path).getOrElse(
+        throw new IllegalArgumentException(
+          s"no versions at $path — init first"))
+      try {
+        return tryMergeAt(spark, path, updates, keyCol, base, tag,
+          partitionBy, statsCols)
+      } catch {
+        case _: ConcurrentCommitException => attempt += 1 // rebase + retry
+      }
+    }
+    throw new IllegalStateException(
+      s"mergeOcc at $path lost the commit race $maxRetries times — " +
+        "pathological contention; batch writers or raise maxRetries")
+  }
+
   /** CHANGE DATA FEED between two committed versions: per key, what a
     * consumer must apply to get from `fromV` to `toV` — `insert` (key only
     * in `toV`), `delete` (key only in `fromV`), or `update` (present in

@@ -382,4 +382,57 @@ class VersionedTableSpec extends SparkSpec {
     assert((kept, total) == ((0, 0)))
     assert(VersionedTable.scanPruned(spark, path, "k", 0L, 9L).count() == 10)
   }
+
+  test("OCC merge: an interleaved stale writer loses the CAS, rebases, and no update is lost") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft-occ").toFile.getAbsolutePath + "/t"
+    VersionedTable.init(Seq((1L, "a")).toDF("k", "name"), path)
+
+    // writer A reads head 0 … then writer B commits v1 under A's feet
+    val baseSeenByA = VersionedTable.latestVersion(spark, path).get
+    assert(baseSeenByA == 0)
+    assert(VersionedTable.merge(spark, path,
+      Seq((2L, "from-B")).toDF("k", "name"), "k") == 1)
+
+    // A's CAS attempt at its stale base must FAIL, not corrupt v1
+    val ex = intercept[VersionedTable.ConcurrentCommitException] {
+      VersionedTable.tryMergeAt(spark, path,
+        Seq((3L, "from-A")).toDF("k", "name"), "k", baseSeenByA)
+    }
+    assert(ex.version == 1)
+    // v1 is still exactly B's commit — the loser never tore the winner
+    assert(VersionedTable.read(spark, path, 1).collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+
+    // the retry loop rebases onto the new head: both writers' rows land
+    val v2 = VersionedTable.mergeOcc(spark, path,
+      Seq((3L, "from-A")).toDF("k", "name"), "k")
+    assert(v2 == 2)
+    assert(VersionedTable.versions(spark, path) == Seq(0, 1, 2))
+    val byKey = VersionedTable.read(spark, path).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byKey == Map(1L -> "a", 2L -> "from-B", 3L -> "from-A"))
+  }
+
+  test("OCC merge: two genuinely concurrent writers both land (threaded, no lost update)") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft-occ2").toFile.getAbsolutePath + "/t"
+    VersionedTable.init(Seq((1L, 0L)).toDF("k", "v"), path)
+
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val writers = (2L to 5L).map { k =>
+      Future(VersionedTable.mergeOcc(spark, path,
+        Seq((k, k * 10L)).toDF("k", "v"), "k"))
+    }
+    val versionsLanded = Await.result(Future.sequence(writers), 5.minutes)
+    // every writer landed in a distinct version of a linear history
+    assert(versionsLanded.toSet.size == 4)
+    assert(VersionedTable.versions(spark, path) == Seq(0, 1, 2, 3, 4))
+    val byKey = VersionedTable.read(spark, path).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byKey ==
+      Map(1L -> 0L, 2L -> 20L, 3L -> 30L, 4L -> 40L, 5L -> 50L))
+  }
 }
