@@ -2591,8 +2591,21 @@ object TextOps {
         .filter($"hi" =!= $"lo")
         .unionByName(smins.select($"hi", $"m".as("lo")))
         .distinct().pin(true)
-      converged = next.count() == edges.count() &&
-        next.exceptAll(edges).isEmpty
+      // Fixpoint test (r16): the alternating rounds reach their fixed
+      // point exactly when the edge frame is a STAR FOREST — no node is
+      // both a child (hi) and a parent (lo). (⇐: on a star forest both
+      // half-rounds re-emit the same edges, shown by direct computation;
+      // ⇒: a depth-2 chain h2 > x > l1 makes large-star re-point h2 at
+      // min(N(x) ∪ x) < x, so the frame changes.) One early-exit
+      // semi-join probe on the pinned frame replaces the old
+      // count()+exceptAll set-equality pair — and fires one round
+      // EARLIER: equality could only observe stability on the round
+      // AFTER the star forest formed, paying two full no-op shuffle
+      // half-rounds per call. This is the hot inner loop of every
+      // contraction query (components, clusters, single-linkage, MSF).
+      converged = next.select($"hi")
+        .join(next.select($"lo".as("hi")), Seq("hi"), "left_semi")
+        .isEmpty
       edges = next
       round += 1
     }
@@ -4584,42 +4597,45 @@ object TextOps {
     */
   def mstForest(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val edges = jaccardEdges(s, dir)
-      .pin(true) // re-tagged every round
-    var comp = edges.select($"a".as("v")).unionByName(edges.select($"b".as("v")))
-      .distinct().select($"v", $"v".as("c")).pin(true)
+    val edges = jaccardEdges(s, dir).pin(true)
+    // ACTIVE frame (r16): the edge frame carries its endpoints' CURRENT
+    // component labels inline (ca, cb) and is re-labeled in place each
+    // round — the r15 form kept a separate |V|-row (v → c) vertex map,
+    // re-tagged the FULL edge frame against it every round (2 joins over
+    // a non-shrinking input), and paid one more pinned job per round to
+    // maintain the map. The active frame only ever SHRINKS (cross-edges
+    // that become internal are filtered out for good), relabeling joins
+    // the ≤#components-row label frame, and the vertex map is gone —
+    // one fewer pinned action per round and monotonically less shuffle
+    // volume, which is what round-latency-bound Borůvka actually pays.
+    var act = edges.select($"a", $"b", $"w", $"a".as("ca"), $"b".as("cb"))
+      .pin(true)
     val sel = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     // round cap = ⌈log₂ |V|⌉ (VERDICT r14 #2): Borůvka at least halves
     // every component per round, so ⌈log₂(largest component)⌉ ≤
     // ⌈log₂ |V|⌉ rounds always suffice — the generic 32 was a fuse sized
     // for no particular input, and each surplus probe round costs a full
-    // tag+min-agg action after convergence. The count is one action on
-    // the already-pinned vertex frame (gate: |V| = 1291 → cap 11; the
-    // data-driven mr.isEmpty termination usually fires far earlier — the
-    // cap only bounds the adversarial worst case at ANY scale, where a
-    // fixed 7 would silently truncate the forest on a bigger corpus).
-    val nVertices = comp.count()
+    // tag+min-agg action after convergence. (Gate: |V| = 1291 → cap 11;
+    // the data-driven mr.isEmpty termination usually fires far earlier —
+    // the cap only bounds the adversarial worst case at ANY scale, where
+    // a fixed 7 would silently truncate the forest on a bigger corpus.)
+    val nVertices = edges.select($"a".as("v"))
+      .unionByName(edges.select($"b".as("v"))).distinct().count()
     val cap = math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(
       math.max(1L, nVertices - 1)))
     var done = false
     var rounds = 0
     while (!done && rounds < cap) {
-      val tagged = edges
-        .join(comp.select($"v".as("a"), $"c".as("ca")), "a")
-        .join(comp.select($"v".as("b"), $"c".as("cb")), "b")
-        .filter($"ca" =!= $"cb")
-        .pin(true) // min-edge agg reads it twice
       val e = struct($"w", $"a", $"b", $"ca", $"cb").as("e")
-      val mr = tagged.select($"ca".as("cc"), e)
-        .unionByName(tagged.select($"cb".as("cc"), e))
+      val mr = act.select($"ca".as("cc"), e)
+        .unionByName(act.select($"cb".as("cc"), e))
         .groupBy($"cc").agg(min($"e").as("e"))
         .select($"e.w", $"e.a", $"e.b", $"e.ca", $"e.cb")
         .distinct() // the two endpoints of a mutual-min edge pick it twice
         .pin(true)
       // termination fused into the min-edge agg (VERDICT r13 #8): mr is
-      // empty iff tagged is (every component with a cross edge picks
-      // one), and mr is pinned anyway — the separate tagged.isEmpty
-      // action per round is gone
+      // empty iff act is (every component with a cross edge picks one),
+      // and mr is pinned anyway
       if (mr.isEmpty) done = true
       else {
         sel += mr.select($"a", $"b", $"w")
@@ -4631,11 +4647,20 @@ object TextOps {
         // chain doubles the plan per step and froze the optimizer —
         // gate wall here is round-latency-bound, not volume-bound, and
         // starContraction is the proven form.
+        // Every ACTIVE component is an endpoint of some selected edge
+        // (it picked one), so the selected-edge node set covers every
+        // label the relabel below can meet — no separate vertex frame.
         val (labels, _) = starContraction(
-          comp.select($"c").distinct(),
+          mr.select($"ca".as("c")).unionByName(mr.select($"cb".as("c")))
+            .distinct(),
           mr.select($"ca".as("a"), $"cb".as("b")))
-        comp = comp.join(labels, Seq("c"))
-          .select($"v", $"label".as("c")).pin(true)
+        val lab = labels.select($"c", $"label")
+        act = act
+          .join(lab.select($"c".as("ca"), $"label".as("la")), Seq("ca"))
+          .join(lab.select($"c".as("cb"), $"label".as("lb")), Seq("cb"))
+          .filter($"la" =!= $"lb")
+          .select($"a", $"b", $"w", $"la".as("ca"), $"lb".as("cb"))
+          .pin(true)
         rounds += 1
       }
     }
