@@ -676,6 +676,19 @@ object ScalingBench {
              // Brown-Forsythe (rank window + one moment fold)
              "graph_hits" -> relOut,
              "stat_levene" -> relOut,
+             // r16: macro-F1 (one langPreds corpus pass + <=|langs|²-row
+             // arithmetic — the measured langid family shape), DiD (2x2
+             // cell agg folded to one row over the events corpus), the
+             // fixed-grid quantile sketch (one map-side-combinable
+             // histogram agg over lineitem — must read at the scan
+             // floor), and component sizes (starContraction under ×mult
+             // pair volume; vocabulary sharding replicates components
+             // without merging them, so rounds stay constant and the
+             // slope isolates the per-round contraction cost)
+             "eval_macro_f1" -> out,
+             "ev_did" -> evOut,
+             "sketch_quantile" -> relOut,
+             "graph_component_sizes" -> out,
              "dedup_prefix_pairs" -> out,
              "dedup_recall_audit" -> out,
              // r14: the hash-stratum sampled audit — must read near the

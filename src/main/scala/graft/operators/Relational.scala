@@ -2419,6 +2419,83 @@ object Relational {
       |    AS f_bf
       |FROM t""".stripMargin
 
+  /** Mann–Whitney U / Wilcoxon rank-sum (Mann & Whitney 1947) with exact
+    * midrank tie handling, stratified by market segment: does HIGH
+    * priority ('1-URGENT'/'2-HIGH') shift order value against the rest,
+    * per segment? The NONPARAMETRIC member of the two-sample battery —
+    * [[statWelchTSql]] compares means under normality, this compares
+    * rank distributions under none (the test of choice for heavy-tailed
+    * metric data like revenue).
+    *
+    * Bit-exact integer form: per (segment, value) the tied block of size
+    * t starting after `cum` smaller rows has midrank (2·cum + t + 1)/2,
+    * so DOUBLED rank sums stay integral: 2·R₁ = Σ n₁·(2·cum + t + 1)
+    * and 2·U₁ = 2·R₁ − n₁(n₁+1). Emitted per segment: the exact 2·U₁,
+    * the tie-correction term Σ(t³−t) a z-test divides by, and the
+    * rank-biserial effect size r = 1 − 2U₁/(n₁n₂) in floored permille —
+    * the z/p readout is client arithmetic on these exact integers (σ
+    * needs a square root, which neither engine reproduces bit-for-bit).
+    *
+    * Scale: one join + one (segment, value)-keyed count — the corpus
+    * pass — then a SEGMENT-PARTITIONED cumulative window over the
+    * distinct-value frame and one keyed fold; ranks are never assigned
+    * per row (the distinct-value frame is the only windowed input).
+    * Sums are bounded by 2·N²_seg < 2⁶³ for any N_seg < 2·10⁹.
+    */
+  def statMannWhitney(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
+      .select($"c_mktsegment".as("seg"),
+        round($"o_totalprice" * 100).cast("long").as("v"),
+        ($"o_orderpriority".isin("1-URGENT", "2-HIGH")).cast("long")
+          .as("hi"))
+    val byVal = rows.groupBy($"seg", $"v")
+      .agg(sum($"hi").as("n1"), count(lit(1)).as("t"))
+    val w = Window.partitionBy($"seg").orderBy($"v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = byVal.withColumn("cum",
+      coalesce(sum($"t").over(w), lit(0L)))
+    cum.groupBy($"seg")
+      .agg(sum($"n1").as("n1"), sum($"t" - $"n1").as("n2"),
+        sum($"n1" * (lit(2L) * $"cum" + $"t" + 1L)).as("r1_x2"),
+        sum($"t" * $"t" * $"t" - $"t").as("tie_term"))
+      .select($"seg", $"n1", $"n2",
+        ($"r1_x2" - $"n1" * ($"n1" + 1L)).as("u1_x2"), $"tie_term")
+      // `div`, not `/`: Spark's `/` on longs is double division, and the
+      // permille must be exact integer arithmetic in both engines
+      .withColumn("rank_biserial_pm",
+        lit(1000L) - expr("1000 * u1_x2 div (n1 * n2)"))
+      .orderBy($"seg")
+  }
+
+  val statMannWhitneySql: String =
+    """WITH rows_ AS (
+      |  SELECT c_mktsegment AS seg,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+      |    CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |         THEN 1 ELSE 0 END AS hi
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |byval AS (
+      |  SELECT seg, v, sum(hi)::BIGINT AS n1, count(*)::BIGINT AS t
+      |  FROM rows_ GROUP BY seg, v),
+      |cum AS (
+      |  SELECT seg, v, n1, t,
+      |    coalesce(sum(t) OVER (PARTITION BY seg ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+      |      AS cum
+      |  FROM byval),
+      |agg AS (
+      |  SELECT seg, sum(n1)::BIGINT AS n1, sum(t - n1)::BIGINT AS n2,
+      |    sum(n1 * (2 * cum + t + 1))::BIGINT AS r1_x2,
+      |    sum(t * t * t - t)::BIGINT AS tie_term
+      |  FROM cum GROUP BY seg)
+      |SELECT seg, n1, n2, (r1_x2 - n1 * (n1 + 1))::BIGINT AS u1_x2,
+      |  tie_term,
+      |  (1000 - (1000 * (r1_x2 - n1 * (n1 + 1))) // (n1 * n2))::BIGINT
+      |    AS rank_biserial_pm
+      |FROM agg ORDER BY seg""".stripMargin
+
   val statAnovaSql: String =
     """WITH g AS (
       |  SELECT o_orderpriority AS g, count(*)::BIGINT AS n,
@@ -3030,6 +3107,7 @@ object Relational {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_hits" -> ((s: SparkSession, d: String) => graphHits(s, d)),
     "stat_levene" -> statLevene _,
+    "stat_mann_whitney" -> statMannWhitney _,
     "stat_gini" -> statGini _,
     "stat_ks_drift" -> statKsDrift _,
     "stat_welch_t" -> statWelchT _,
@@ -3105,6 +3183,7 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "graph_hits" -> graphHitsSql,
+    "stat_mann_whitney" -> statMannWhitneySql,
     "stat_levene" -> statLeveneSql,
     "q51_revenue_change" -> q51Sql,
     "q52_supplier_value_share" -> q52Sql,
