@@ -376,6 +376,103 @@ object TextOps {
     per.unionByName(macroRow).orderBy($"class")
   }
 
+  /** ROUGE-N overlap (Lin 2004, "ROUGE: A Package for Automatic
+    * Evaluation of Summaries" — the clipped n-gram form): corpus-level
+    * micro-averaged ROUGE-1/ROUGE-2 between paired documents (candidate
+    * = even doc_id, reference = the following odd doc_id — the adjacent
+    * pairing a summarization/paraphrase eval table ships as two aligned
+    * columns). Per (pair, n-gram): clipped match = min(candidate count,
+    * reference count); micro precision = Σmatch/Σcand-grams, recall =
+    * Σmatch/Σref-grams, and micro-F1 collapses EXACTLY to 2Σm/(Σc+Σr),
+    * so all three permilles are integer division — no float anywhere.
+    * Unpaired trailing docs are excluded from totals (a candidate with
+    * no reference can score nothing, and counting its grams would
+    * silently deflate precision).
+    *
+    * Scale: grams are counted per (pair, n, gram) — pair-local keys, so
+    * the count and the clipped join both shuffle on co-located keys and
+    * map-side combine applies; the readout is a bounded 2-row fold.
+    * Gram identity is the token STRING (exact, no hash folding) —
+    * heavier keys than a code join but zero collision semantics, the
+    * right trade for an EVAL metric.
+    */
+  def evalRougeN(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val arr = split($"text", " ")
+    val base = Tables.documents(s, dir)
+      .select($"doc_id", expr("doc_id div 2").as("pair"),
+        ($"doc_id" % 2L).as("side"), arr.as("l"))
+    val paired = base.groupBy($"pair")
+      .agg(countDistinct($"side").as("ns")).filter($"ns" === 2L)
+      .select($"pair")
+    val docs = base.join(paired, Seq("pair"), "left_semi").pin(true)
+    val uni = docs.select($"pair", $"side", lit(1L).as("n"),
+      explode($"l").as("g"))
+    val bi = docs.select($"pair", $"side", lit(2L).as("n"),
+        explode(arrays_zip(
+          slice($"l", lit(1), size($"l") - 1).as("a"),
+          slice($"l", lit(2), size($"l") - 1).as("b"))).as("p"))
+      .select($"pair", $"side", $"n",
+        concat_ws(" ", $"p.a", $"p.b").as("g"))
+    val cnt = uni.unionByName(bi)
+      .groupBy($"pair", $"n", $"g", $"side")
+      .agg(count(lit(1)).as("c")).pin(true) // matched + totals read it
+    val matched = cnt.filter($"side" === 0L)
+      .select($"pair", $"n", $"g", $"c".as("c0"))
+      .join(cnt.filter($"side" === 1L)
+        .select($"pair", $"n", $"g", $"c".as("c1")), Seq("pair", "n", "g"))
+      .groupBy($"n").agg(sum(least($"c0", $"c1")).as("matched"))
+    val totals = cnt.groupBy($"n")
+      .agg(sum(when($"side" === 0L, $"c").otherwise(0L)).as("cand_total"),
+        sum(when($"side" === 1L, $"c").otherwise(0L)).as("ref_total"))
+    totals.join(matched, Seq("n"), "left")
+      .select($"n", coalesce($"matched", lit(0L)).as("matched"),
+        $"cand_total", $"ref_total")
+      .select($"n", $"matched", $"cand_total", $"ref_total",
+        expr("1000 * matched div cand_total").as("precision_pm"),
+        expr("1000 * matched div ref_total").as("recall_pm"),
+        expr("2000 * matched div (cand_total + ref_total)").as("f1_pm"))
+      .orderBy($"n")
+  }
+
+  val evalRougeNSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, doc_id // 2 AS pair, doc_id % 2 AS side,
+      |    string_split(text, ' ') AS l
+      |  FROM documents),
+      |pd AS (SELECT pair FROM d GROUP BY pair
+      |       HAVING count(DISTINCT side) = 2),
+      |ts AS (SELECT doc_id, pair, side, i.i AS pos, l[i.i] AS w
+      |       FROM d JOIN pd USING (pair),
+      |       LATERAL (SELECT unnest(range(1, len(d.l) + 1)) AS i) i),
+      |gr AS (
+      |  SELECT pair, side, 1::BIGINT AS n, w AS g FROM ts
+      |  UNION ALL
+      |  SELECT a.pair, a.side, 2::BIGINT AS n, a.w || ' ' || b.w
+      |  FROM ts a JOIN ts b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+      |cnt AS (SELECT pair, n, g, side, count(*)::BIGINT AS c
+      |        FROM gr GROUP BY 1, 2, 3, 4),
+      |m AS (SELECT a.n, sum(least(a.c, b.c))::BIGINT AS matched
+      |      FROM cnt a JOIN cnt b
+      |        ON a.pair = b.pair AND a.n = b.n AND a.g = b.g
+      |        AND a.side = 0 AND b.side = 1
+      |      GROUP BY a.n),
+      |tot AS (
+      |  SELECT n,
+      |    sum(CASE WHEN side = 0 THEN c ELSE 0 END)::BIGINT AS cand_total,
+      |    sum(CASE WHEN side = 1 THEN c ELSE 0 END)::BIGINT AS ref_total
+      |  FROM cnt GROUP BY n)
+      |SELECT t.n, coalesce(m.matched, 0)::BIGINT AS matched,
+      |  cand_total, ref_total,
+      |  ((1000 * coalesce(m.matched, 0)) // cand_total)::BIGINT
+      |    AS precision_pm,
+      |  ((1000 * coalesce(m.matched, 0)) // ref_total)::BIGINT
+      |    AS recall_pm,
+      |  ((2000 * coalesce(m.matched, 0)) // (cand_total + ref_total))
+      |    ::BIGINT AS f1_pm
+      |FROM tot t LEFT JOIN m ON t.n = m.n
+      |ORDER BY t.n""".stripMargin
+
   lazy val evalMacroF1Sql: String =
     s"""WITH p AS (${"\n"}$langIdSql),
        |cm AS (SELECT lang, pred_lang, count(*)::BIGINT AS n
@@ -7312,6 +7409,7 @@ object TextOps {
     "text_zipf_curve" -> zipfCurve _,
     "text_burstiness" -> burstiness _,
     "eval_macro_f1" -> evalMacroF1 _,
+    "eval_rouge_n" -> evalRougeN _,
     "text_rake_phrases" -> rakePhrases _,
     "pipeline_keep_manifest" -> keepManifest _,
     "pipeline_stage_funnel" -> stageFunnel _,
@@ -7422,6 +7520,7 @@ object TextOps {
     "text_zipf_curve" -> zipfCurveSql,
     "text_burstiness" -> burstinessSql,
     "eval_macro_f1" -> evalMacroF1Sql,
+    "eval_rouge_n" -> evalRougeNSql,
     "text_rake_phrases" -> rakePhrasesSql,
     "pipeline_keep_manifest" -> keepManifestSql,
     "pipeline_stage_funnel" -> stageFunnelSql,
