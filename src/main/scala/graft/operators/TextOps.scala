@@ -4751,10 +4751,16 @@ object TextOps {
           mr.select($"ca".as("c")).unionByName(mr.select($"cb".as("c")))
             .distinct(),
           mr.select($"ca".as("a"), $"cb".as("b")))
+        // broadcast: the label frame is ≤#components rows (halving each
+        // round) but reaches Catalyst as an unestimated join lineage —
+        // without the hint it can fall to a sort-merge join that
+        // shuffles the whole active frame twice per round
         val lab = labels.select($"c", $"label")
         act = act
-          .join(lab.select($"c".as("ca"), $"label".as("la")), Seq("ca"))
-          .join(lab.select($"c".as("cb"), $"label".as("lb")), Seq("cb"))
+          .join(broadcast(lab.select($"c".as("ca"), $"label".as("la"))),
+            Seq("ca"))
+          .join(broadcast(lab.select($"c".as("cb"), $"label".as("lb"))),
+            Seq("cb"))
           .filter($"la" =!= $"lb")
           .select($"a", $"b", $"w", $"la".as("ca"), $"lb".as("cb"))
           .pin(true)
