@@ -1816,6 +1816,112 @@ object Events {
           + $"s_cr".cast("double") / $"n_cr") / 100d, 4).as("did"))
   }
 
+  /** CUPED variance-reduced experiment readout (Deng, Xu, Kohavi & Walker,
+    * WSDM 2013 — "Improving the Sensitivity of Online Controlled
+    * Experiments by Utilizing Pre-Experiment Data"): the sibling of
+    * [[didEstimate]]. DiD removes level differences with a parallel-trends
+    * assumption; CUPED instead regresses the experiment-period metric Y on
+    * each user's own PRE-period metric X and compares the residualized
+    * Ŷ = Y − θ(X − X̄) across arms, cutting variance by ρ² with no
+    * assumption beyond X ⊥ treatment (true by randomization, here the
+    * deterministic user_id parity split). θ = cov(X,Y)/var(X), pooled
+    * across arms as the paper prescribes.
+    *
+    * Exactness: per-user X/Y are exact integer cent sums; the five pooled
+    * moments (n, ΣX, ΣY, ΣXY, ΣX², ΣY²) are exact int64; only the final
+    * θ/effect/ρ² readouts divide as doubles (the [[didEstimate]] policy —
+    * the cross products n·ΣXY exceed int64 at ×100 user counts, and both
+    * engines run the identical IEEE expression on identical exact
+    * integers).
+    *
+    * Scale: one user-keyed fold of the event stream (map-side
+    * combinable), then arithmetic on a 1-row moment frame and a 2-row
+    * arm frame — nothing after the fold touches the corpus.
+    */
+  def cupedEstimate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cut = lit("2024-01-16").cast("timestamp")
+    val users = Tables.events(s, dir)
+      .select($"user_id", ($"ts" >= cut).as("post"),
+        round($"value" * 100).cast("long").as("v"))
+      .groupBy($"user_id")
+      .agg(sum(when(!$"post", $"v").otherwise(0L)).as("x"),
+        sum(when($"post", $"v").otherwise(0L)).as("y"))
+      .select(($"user_id" % 2L === 0L).as("treat"), $"x", $"y")
+      .pin(true) // pooled moments + per-arm sums both read it
+    val mom = users.agg(count(lit(1)).as("n"),
+      sum($"x").as("sx"), sum($"y").as("sy"),
+      sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"),
+      sum($"y" * $"y").as("syy"))
+    val arms = users.groupBy($"treat")
+      .agg(count(lit(1)).as("an"), sum($"x").as("ax"), sum($"y").as("ay"))
+      .agg(sum(when($"treat", $"an")).as("n_t"),
+        sum(when($"treat", $"ax")).as("x_t"),
+        sum(when($"treat", $"ay")).as("y_t"),
+        sum(when(!$"treat", $"an")).as("n_c"),
+        sum(when(!$"treat", $"ax")).as("x_c"),
+        sum(when(!$"treat", $"ay")).as("y_c"))
+    arms.crossJoin(broadcast(mom))
+      .withColumn("theta",
+        ($"n".cast("double") * $"sxy" - $"sx".cast("double") * $"sy")
+          / ($"n".cast("double") * $"sxx" - $"sx".cast("double") * $"sx"))
+      .select($"n_t", $"n_c", round($"theta", 6).as("theta"),
+        round(($"y_t".cast("double") / $"n_t"
+          - $"y_c".cast("double") / $"n_c") / 100d, 4).as("effect_raw"),
+        round((($"y_t".cast("double") / $"n_t"
+            - $"theta" * ($"x_t".cast("double") / $"n_t"))
+          - ($"y_c".cast("double") / $"n_c"
+            - $"theta" * ($"x_c".cast("double") / $"n_c"))) / 100d, 4)
+          .as("effect_cuped"),
+        round(($"n".cast("double") * $"sxy" - $"sx".cast("double") * $"sy")
+          * ($"n".cast("double") * $"sxy" - $"sx".cast("double") * $"sy")
+          / (($"n".cast("double") * $"sxx" - $"sx".cast("double") * $"sx")
+            * ($"n".cast("double") * $"syy"
+              - $"sy".cast("double") * $"sy")), 4).as("rho2"))
+  }
+
+  val cupedEstimateSql: String =
+    """WITH u AS (
+      |  SELECT user_id,
+      |    sum(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 0
+      |             ELSE round(value * 100)::BIGINT END)::BIGINT AS x,
+      |    sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+      |             THEN round(value * 100)::BIGINT ELSE 0 END)::BIGINT AS y
+      |  FROM events GROUP BY user_id),
+      |uu AS (SELECT user_id % 2 = 0 AS treat, x, y FROM u),
+      |mom AS (
+      |  SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+      |    sum(y)::BIGINT AS sy, sum(x * y)::BIGINT AS sxy,
+      |    sum(x * x)::BIGINT AS sxx, sum(y * y)::BIGINT AS syy
+      |  FROM uu),
+      |a0 AS (SELECT treat, count(*)::BIGINT AS an, sum(x)::BIGINT AS ax,
+      |         sum(y)::BIGINT AS ay
+      |       FROM uu GROUP BY treat),
+      |arms AS (
+      |  SELECT sum(CASE WHEN treat THEN an END)::BIGINT AS n_t,
+      |    sum(CASE WHEN treat THEN ax END)::BIGINT AS x_t,
+      |    sum(CASE WHEN treat THEN ay END)::BIGINT AS y_t,
+      |    sum(CASE WHEN NOT treat THEN an END)::BIGINT AS n_c,
+      |    sum(CASE WHEN NOT treat THEN ax END)::BIGINT AS x_c,
+      |    sum(CASE WHEN NOT treat THEN ay END)::BIGINT AS y_c
+      |  FROM a0),
+      |th AS (
+      |  SELECT *,
+      |    (n::DOUBLE * sxy - sx::DOUBLE * sy)
+      |      / (n::DOUBLE * sxx - sx::DOUBLE * sx) AS theta
+      |  FROM arms CROSS JOIN mom)
+      |SELECT n_t, n_c, round(theta, 6) AS theta,
+      |  round((y_t::DOUBLE / n_t - y_c::DOUBLE / n_c) / 100, 4)
+      |    AS effect_raw,
+      |  round(((y_t::DOUBLE / n_t - theta * (x_t::DOUBLE / n_t))
+      |       - (y_c::DOUBLE / n_c - theta * (x_c::DOUBLE / n_c))) / 100, 4)
+      |    AS effect_cuped,
+      |  round((n::DOUBLE * sxy - sx::DOUBLE * sy)
+      |      * (n::DOUBLE * sxy - sx::DOUBLE * sy)
+      |    / ((n::DOUBLE * sxx - sx::DOUBLE * sx)
+      |      * (n::DOUBLE * syy - sy::DOUBLE * sy)), 4) AS rho2
+      |FROM th""".stripMargin
+
   val didEstimateSql: String =
     """WITH cells AS (
       |  SELECT user_id % 2 = 0 AS treat,
@@ -1844,6 +1950,7 @@ object Events {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_did" -> didEstimate _,
+    "ev_cuped" -> cupedEstimate _,
     "ev_survival_table" -> survivalTable _,
     "ev_acf" -> acf _,
     "ev_stl_daily" -> stlDaily _,
@@ -1908,6 +2015,7 @@ object Events {
     "ev_tumbling" -> tumblingSql,
     "ev_attribution" -> attributionSql,
     "ev_did" -> didEstimateSql,
+    "ev_cuped" -> cupedEstimateSql,
     "ev_attribution_linear" -> attributionLinearSql,
     "ev_forecast_mase" -> forecastMaseSql,
     "ev_sliding" -> slidingSql,

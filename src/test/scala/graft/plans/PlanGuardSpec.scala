@@ -146,6 +146,8 @@ class PlanGuardSpec extends SparkSpec {
     "ev_survival_table" -> 1,
     // 1-row broadcast total-mass frame (the share normalizer)
     "ev_markov_stationary" -> 1,
+    // r16: the 1-row pooled-moment frame crossed into the 1-row arm frame
+    "ev_cuped" -> 1,
     // the 1-row (n, Σx) normalizer crossed into the ≤|days| daily frame,
     // whose deviation subtree appears THREE times in the plan (lag side,
     // join side, denominator fold), + the 1-row denominator cross into
@@ -257,6 +259,7 @@ class PlanGuardSpec extends SparkSpec {
     "dq_benford" -> 2, // the two per-column 1-row totals (r13 session 2)
     "ev_acf" -> 4, // 3× the 1-row (n,Σx) cross + the 1-row den (r13 s3)
     "ev_markov_stationary" -> 1, // the 1-row total-mass frame (r13 s3)
+    "ev_cuped" -> 1, // the 1-row pooled-moment frame (r16)
     "eval_ndcg" -> 1, // the 10-vector broadcast query set (r13 s3)
     "eval_rank_battery" -> 1, // same shared probe broadcast (r13 s3)
     // the 1-row shift fold crossed into the matrix + one 1-row rescale
