@@ -689,6 +689,14 @@ object ScalingBench {
              "ev_did" -> evOut,
              "sketch_quantile" -> relOut,
              "graph_component_sizes" -> out,
+             // r16 wave 2: Mann-Whitney (one join + (seg,value)-keyed
+             // count + segment-partitioned cumsum — orders×customer
+             // scale honestly on the keyspace-offset corpus), ROUGE
+             // (pair-local gram counts + clipped co-keyed join), CUPED
+             // (one user-keyed fold to five moments)
+             "stat_mann_whitney" -> relOut,
+             "eval_rouge_n" -> out,
+             "ev_cuped" -> evOut,
              "dedup_prefix_pairs" -> out,
              "dedup_recall_audit" -> out,
              // r14: the hash-stratum sampled audit — must read near the

@@ -376,6 +376,134 @@ object TextOps {
     per.unionByName(macroRow).orderBy($"class")
   }
 
+  /** Round count shared by [[evalBradleyTerry]] and its SQL oracle (the
+    * graphHits/kmeansIters pattern: the generator and the loop can never
+    * disagree on rounds).
+    */
+  val BtIters = 3
+
+  /** Bradley–Terry pairwise-preference ranking (Bradley & Terry 1952;
+    * the minorization-maximization fit of Hunter 2004) — the arena-style
+    * eval: rank SYSTEMS from pairwise outcomes, the aggregation behind
+    * LLM preference leaderboards. Here the "systems" are the corpus
+    * languages and a match is an adjacent doc pair (even vs odd doc_id,
+    * cross-language only), won by the doc with the larger distinct-token
+    * count (lower doc_id on ties — fully deterministic); production
+    * swaps in real model ids and judge verdicts, identical plan.
+    *
+    * MM update, all-integer ([[graphHits]]' rescale discipline): scores
+    * start at S = 2²⁰; per round inv_i = Σ_j n_ij·S div (s_i + s_j),
+    * raw_i = W_i·S div inv_i, then a 1-row max-divisor rescale keeps
+    * magnitudes at S (floor(s_i) ≥ 1 so a winless system never zeroes a
+    * denominator). Converges to the BT MLE ordering; [[BtIters]] rounds
+    * pinned, oracle rounds generated from the same constant.
+    *
+    * Scale: ONE corpus pass (per-doc distinct-token fold + the pair
+    * join, both doc/pair-keyed); everything after runs on the ≤|systems|²
+    * game frame — the iteration cost is independent of corpus size, the
+    * property that makes nightly arena refreshes O(new matches).
+    */
+  def evalBradleyTerry(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val S = 1048576L // 2^20
+    val nd = Tables.documents(s, dir)
+      .select($"doc_id", $"lang", explode(split($"text", " ")).as("w"))
+      .groupBy($"doc_id", $"lang")
+      .agg(countDistinct($"w").as("nd"))
+      .select(expr("doc_id div 2").as("pair"), ($"doc_id" % 2L).as("side"),
+        $"lang", $"nd")
+    val matches = nd.filter($"side" === 0L)
+      .select($"pair", $"lang".as("l0"), $"nd".as("nd0"))
+      .join(nd.filter($"side" === 1L)
+        .select($"pair", $"lang".as("l1"), $"nd".as("nd1")), Seq("pair"))
+      .filter($"l0" =!= $"l1")
+      .select(when($"nd1" > $"nd0", $"l1").otherwise($"l0").as("winner"),
+        when($"nd1" > $"nd0", $"l0").otherwise($"l1").as("loser"))
+    val wl = matches.groupBy($"winner", $"loser")
+      .agg(count(lit(1)).as("w")).pin(true) // games + wins + langs read it
+    val games = wl.select($"winner".as("i"), $"loser".as("j"), $"w")
+      .unionByName(wl.select($"loser".as("i"), $"winner".as("j"), $"w"))
+      .groupBy($"i", $"j").agg(sum($"w").as("n")).pin(true)
+    val wins = games.select($"i".as("lang")).distinct()
+      .join(wl.groupBy($"winner".as("lang")).agg(sum($"w").as("wins")),
+        Seq("lang"), "left")
+      .select($"lang", coalesce($"wins", lit(0L)).as("wins")).pin(true)
+    var sc = wins.select($"lang", lit(S).as("s"))
+    for (_ <- 1 to BtIters) {
+      val inv = games
+        .join(sc.select($"lang".as("i"), $"s".as("si")), Seq("i"))
+        .join(sc.select($"lang".as("j"), $"s".as("sj")), Seq("j"))
+        .groupBy($"i".as("lang"))
+        .agg(sum(expr(s"n * $S div (si + sj)")).as("inv"))
+      val raw = wins.join(inv, Seq("lang"))
+        .select($"lang", expr(s"wins * $S div greatest(inv, 1)").as("raw"))
+      val d = raw.agg((expr(s"max(raw) div $S") + 1L).as("d"))
+      // pin the ≤|systems|-row score frame: the next round joins it
+      // TWICE (si and sj sides), so unpinned lineage would duplicate
+      // every upstream rescale cross exponentially across rounds
+      sc = raw.crossJoin(broadcast(d))
+        .select($"lang", greatest(expr("raw div d"), lit(1L)).as("s"))
+        .pin(true)
+    }
+    val gtot = games.groupBy($"i".as("lang")).agg(sum($"n").as("games"))
+    sc.join(wins, Seq("lang")).join(gtot, Seq("lang"))
+      .select($"lang", $"wins", $"games", $"s".as("score"))
+      .orderBy($"score".desc, $"lang")
+  }
+
+  lazy val evalBradleyTerrySql: String = {
+    val S = 1048576L
+    def round(k: Int): String =
+      s""",
+         |inv$k AS (
+         |  SELECT g.i AS lang,
+         |    sum(g.n * $S // (a.s + b.s))::BIGINT AS inv
+         |  FROM g JOIN s${k - 1} a ON g.i = a.lang
+         |         JOIN s${k - 1} b ON g.j = b.lang
+         |  GROUP BY g.i),
+         |raw$k AS (
+         |  SELECT w.lang, (w.wins * $S // greatest(inv, 1))::BIGINT AS raw
+         |  FROM wins w JOIN inv$k USING (lang)),
+         |d$k AS (SELECT (max(raw) // $S + 1)::BIGINT AS d FROM raw$k),
+         |s$k AS (
+         |  SELECT lang, greatest(raw // d, 1)::BIGINT AS s
+         |  FROM raw$k CROSS JOIN d$k)""".stripMargin
+    """WITH tok AS (
+      |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+      |  FROM documents),
+      |nd AS (
+      |  SELECT doc_id // 2 AS pair, doc_id % 2 AS side, lang,
+      |    count(DISTINCT w)::BIGINT AS nd
+      |  FROM tok GROUP BY doc_id // 2, doc_id % 2, lang),
+      |m AS (
+      |  SELECT CASE WHEN b.nd > a.nd THEN b.lang ELSE a.lang END AS winner,
+      |         CASE WHEN b.nd > a.nd THEN a.lang ELSE b.lang END AS loser
+      |  FROM nd a JOIN nd b ON a.pair = b.pair
+      |  WHERE a.side = 0 AND b.side = 1 AND a.lang <> b.lang),
+      |wl AS MATERIALIZED (
+      |  SELECT winner, loser, count(*)::BIGINT AS w
+      |  FROM m GROUP BY winner, loser),
+      |g AS MATERIALIZED (
+      |  SELECT i, j, sum(w)::BIGINT AS n FROM (
+      |    SELECT winner AS i, loser AS j, w FROM wl
+      |    UNION ALL SELECT loser, winner, w FROM wl) z
+      |  GROUP BY i, j),
+      |wins AS MATERIALIZED (
+      |  SELECT l.lang, coalesce(ww.wins, 0)::BIGINT AS wins
+      |  FROM (SELECT DISTINCT i AS lang FROM g) l
+      |  LEFT JOIN (SELECT winner AS lang, sum(w)::BIGINT AS wins
+      |             FROM wl GROUP BY winner) ww USING (lang)),
+      |s0 AS (SELECT lang, 1048576::BIGINT AS s FROM wins)"""
+      .stripMargin +
+      (1 to BtIters).map(round).mkString +
+      s"""
+         |SELECT s.lang, w.wins,
+         |  (SELECT sum(n) FROM g WHERE g.i = s.lang)::BIGINT AS games,
+         |  s.s AS score
+         |FROM s$BtIters s JOIN wins w USING (lang)
+         |ORDER BY score DESC, lang""".stripMargin
+  }
+
   /** ROUGE-N overlap (Lin 2004, "ROUGE: A Package for Automatic
     * Evaluation of Summaries" — the clipped n-gram form): corpus-level
     * micro-averaged ROUGE-1/ROUGE-2 between paired documents (candidate
@@ -7416,6 +7544,7 @@ object TextOps {
     "text_burstiness" -> burstiness _,
     "eval_macro_f1" -> evalMacroF1 _,
     "eval_rouge_n" -> evalRougeN _,
+    "eval_bradley_terry" -> evalBradleyTerry _,
     "text_rake_phrases" -> rakePhrases _,
     "pipeline_keep_manifest" -> keepManifest _,
     "pipeline_stage_funnel" -> stageFunnel _,
@@ -7527,6 +7656,7 @@ object TextOps {
     "text_burstiness" -> burstinessSql,
     "eval_macro_f1" -> evalMacroF1Sql,
     "eval_rouge_n" -> evalRougeNSql,
+    "eval_bradley_terry" -> evalBradleyTerrySql,
     "text_rake_phrases" -> rakePhrasesSql,
     "pipeline_keep_manifest" -> keepManifestSql,
     "pipeline_stage_funnel" -> stageFunnelSql,
