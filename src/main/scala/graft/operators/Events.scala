@@ -1922,6 +1922,111 @@ object Events {
       |      * (n::DOUBLE * syy - sy::DOUBLE * sy)), 4) AS rho2
       |FROM th""".stripMargin
 
+  /** Exact permutation test (Fisher 1935; the Monte-Carlo form of Dwass
+    * 1957) on the arm difference in per-user spend — the inference
+    * member of the experimentation trio ([[didEstimate]] estimates,
+    * [[cupedEstimate]] de-noises, this one answers "could the observed
+    * difference be chance?" with NO distributional assumption). K = 200
+    * DETERMINISTIC pseudo-permutations relabel users by a seeded Lehmer
+    * hash h(u,k) — reproducible bit-for-bit in both engines, unlike RNG
+    * shuffles — and the p-value is the add-one Monte-Carlo estimate
+    * p = (#{k: |Δ_k| ≥ |Δ_obs|} + 1)/(K + 1) (Davison & Hinkley's
+    * correction: the observed labeling counts as one permutation).
+    *
+    * Exactness: mean differences are compared as FRACTIONS by decimal
+    * cross-multiplication, |y₁·n₀ − y₀·n₁| · b_obs vs the observed
+    * numerator times b_k, in DECIMAL(38,0) — int64 would overflow at
+    * ×10 users, and a double comparison could flip a near-tie
+    * differently per engine. An empty permuted arm (impossible under a
+    * balanced hash, but defined anyway) has b_k = 0 and counts as
+    * extreme — the infinite-statistic convention.
+    *
+    * Scale: the corpus pass is ONE user-keyed fold; the K-fold explode
+    * runs on the |users|-row frame (users × 200 rows, not events × 200
+    * — fold FIRST, permute the folded frame), then a k-keyed fold to
+    * 200 rows and a broadcast compare. At 100 TB the permutation stage
+    * costs |users|·K rows however large the event log is.
+    */
+  def permTest(s: SparkSession, dir: String, k: Int = 200): DataFrame = {
+    import s.implicits._
+    val users = Tables.events(s, dir)
+      .select($"user_id", round($"value" * 100).cast("long").as("v"))
+      .groupBy($"user_id").agg(sum($"v").as("y"))
+      .pin(true) // observed fold + the K-explode both read it
+    val obs = users
+      .select(($"user_id" % 2L === 0L).as("t"), $"y")
+      .agg(count(lit(1)).as("n_users"),
+        sum(when($"t", 1L).otherwise(0L)).as("n1"),
+        sum(when($"t", $"y").otherwise(0L)).as("y1"),
+        sum(when(!$"t", 1L).otherwise(0L)).as("n0"),
+        sum(when(!$"t", $"y").otherwise(0L)).as("y0"))
+      .select($"n_users", $"n1", $"n0",
+        round(($"y1".cast("double") / $"n1"
+          - $"y0".cast("double") / $"n0") / 100d, 4).as("obs_diff"),
+        abs($"y1" * $"n0" - $"y0" * $"n1").as("a_obs"),
+        ($"n1" * $"n0").as("b_obs"))
+    val perms = users
+      .select($"user_id", $"y",
+        explode(sequence(lit(1), lit(k))).as("k"))
+      .select($"k", $"y",
+        ((($"user_id" * 2654435761L + $"k" * 40503L) % 1000000007L)
+          % 2L === 1L).as("t"))
+      .groupBy($"k")
+      .agg(sum(when($"t", 1L).otherwise(0L)).as("n1"),
+        sum(when($"t", $"y").otherwise(0L)).as("y1"),
+        sum(when(!$"t", 1L).otherwise(0L)).as("n0"),
+        sum(when(!$"t", $"y").otherwise(0L)).as("y0"))
+      .select(abs($"y1" * $"n0" - $"y0" * $"n1").as("a_k"),
+        ($"n1" * $"n0").as("b_k"))
+    val cnt = perms.crossJoin(broadcast(obs.select($"a_obs", $"b_obs")))
+      .filter($"a_k".cast("decimal(38,0)") * $"b_obs"
+        >= $"a_obs".cast("decimal(38,0)") * $"b_k")
+      .agg(count(lit(1)).as("cnt_ge"))
+    obs.crossJoin(broadcast(cnt))
+      .select($"n_users", $"n1", $"n0", $"obs_diff",
+        lit(k.toLong).as("k_perms"), $"cnt_ge",
+        expr(s"1000 * (cnt_ge + 1) div (${k.toLong} + 1)").as("p_pm"))
+  }
+
+  val permTestSql: String =
+    """WITH u AS (
+      |  SELECT user_id, sum(round(value * 100)::BIGINT)::BIGINT AS y
+      |  FROM events GROUP BY user_id),
+      |obs AS (
+      |  SELECT count(*)::BIGINT AS n_users,
+      |    sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n1,
+      |    sum(CASE WHEN user_id % 2 = 0 THEN y ELSE 0 END)::BIGINT AS y1,
+      |    sum(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END)::BIGINT AS n0,
+      |    sum(CASE WHEN user_id % 2 <> 0 THEN y ELSE 0 END)::BIGINT AS y0
+      |  FROM u),
+      |ob2 AS (
+      |  SELECT n_users, n1, n0,
+      |    round((y1::DOUBLE / n1 - y0::DOUBLE / n0) / 100, 4) AS obs_diff,
+      |    abs(y1 * n0 - y0 * n1)::BIGINT AS a_obs,
+      |    (n1 * n0)::BIGINT AS b_obs
+      |  FROM obs),
+      |ks AS (SELECT unnest(range(1, 201)) AS k),
+      |pl AS (
+      |  SELECT k,
+      |    ((user_id * 2654435761 + k * 40503) % 1000000007) % 2 = 1 AS t,
+      |    y
+      |  FROM u CROSS JOIN ks),
+      |pa AS (
+      |  SELECT k,
+      |    sum(CASE WHEN t THEN 1 ELSE 0 END)::BIGINT AS n1,
+      |    sum(CASE WHEN t THEN y ELSE 0 END)::BIGINT AS y1,
+      |    sum(CASE WHEN NOT t THEN 1 ELSE 0 END)::BIGINT AS n0,
+      |    sum(CASE WHEN NOT t THEN y ELSE 0 END)::BIGINT AS y0
+      |  FROM pl GROUP BY k),
+      |pc AS (
+      |  SELECT count(*)::BIGINT AS cnt_ge
+      |  FROM pa CROSS JOIN ob2
+      |  WHERE abs(pa.y1 * pa.n0 - pa.y0 * pa.n1)::DECIMAL(38,0) * b_obs
+      |    >= a_obs::DECIMAL(38,0) * (pa.n1 * pa.n0))
+      |SELECT n_users, n1, n0, obs_diff, 200::BIGINT AS k_perms, cnt_ge,
+      |  (1000 * (cnt_ge + 1) // 201)::BIGINT AS p_pm
+      |FROM ob2 CROSS JOIN pc""".stripMargin
+
   val didEstimateSql: String =
     """WITH cells AS (
       |  SELECT user_id % 2 = 0 AS treat,
@@ -1951,6 +2056,7 @@ object Events {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_did" -> didEstimate _,
     "ev_cuped" -> cupedEstimate _,
+    "stat_perm_test" -> ((s: SparkSession, dir: String) => permTest(s, dir)),
     "ev_survival_table" -> survivalTable _,
     "ev_acf" -> acf _,
     "ev_stl_daily" -> stlDaily _,
@@ -2016,6 +2122,7 @@ object Events {
     "ev_attribution" -> attributionSql,
     "ev_did" -> didEstimateSql,
     "ev_cuped" -> cupedEstimateSql,
+    "stat_perm_test" -> permTestSql,
     "ev_attribution_linear" -> attributionLinearSql,
     "ev_forecast_mase" -> forecastMaseSql,
     "ev_sliding" -> slidingSql,

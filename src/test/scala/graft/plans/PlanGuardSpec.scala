@@ -150,6 +150,9 @@ class PlanGuardSpec extends SparkSpec {
     "ev_cuped" -> 1,
     // r16: one 1-row max-divisor rescale cross per BT MM round
     "eval_bradley_terry" -> 3,
+    // r16: the 1-row observed frame crossed into the 200-row permutation
+    // fold, + the 1-row count crossed into the report row
+    "stat_perm_test" -> 2,
     // the 1-row (n, Σx) normalizer crossed into the ≤|days| daily frame,
     // whose deviation subtree appears THREE times in the plan (lag side,
     // join side, denominator fold), + the 1-row denominator cross into
@@ -263,6 +266,7 @@ class PlanGuardSpec extends SparkSpec {
     "ev_markov_stationary" -> 1, // the 1-row total-mass frame (r13 s3)
     "ev_cuped" -> 1, // the 1-row pooled-moment frame (r16)
     "eval_bradley_terry" -> 3, // per-round 1-row rescale divisors (r16)
+    "stat_perm_test" -> 2, // 1-row observed + 1-row count frames (r16)
     "eval_ndcg" -> 1, // the 10-vector broadcast query set (r13 s3)
     "eval_rank_battery" -> 1, // same shared probe broadcast (r13 s3)
     // the 1-row shift fold crossed into the matrix + one 1-row rescale
