@@ -34,8 +34,15 @@ class KmvIntersectSpec extends SparkSpec {
     val uni = (skA ++ skB).distinct.sorted.take(k)
     val theta = uni.max
     val common = skA.toSet.intersect(skB.toSet).intersect(uni.toSet).size
-    val wantUnion = (uni.size - 1).toLong * 2147483647L / theta
-    val wantInter = common.toLong * 2147483647L / theta
+    // unsaturated sketch (ku < k): the union sketch holds EVERY distinct
+    // hash, so the exact counts are emitted instead of the (ku-1)·M/θ
+    // extrapolation (r15 ADVICE — the DataSketches theta convention)
+    val wantUnion =
+      if (uni.size < k) uni.size.toLong
+      else (uni.size - 1).toLong * 2147483647L / theta
+    val wantInter =
+      if (uni.size < k) common.toLong
+      else common.toLong * 2147483647L / theta
 
     val row = Sketches.kmvIntersect(spark, dir).head()
     assert(row.getLong(0) == uni.size.toLong)
