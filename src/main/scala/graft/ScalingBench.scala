@@ -697,6 +697,11 @@ object ScalingBench {
              "stat_mann_whitney" -> relOut,
              "eval_rouge_n" -> out,
              "ev_cuped" -> evOut,
+             // r16 wave 3: BT (one corpus pass then bounded-game-frame
+             // iteration — cost independent of corpus), permutation test
+             // (fold-first: |users|*K explode, never events*K)
+             "eval_bradley_terry" -> out,
+             "stat_perm_test" -> evOut,
              "dedup_prefix_pairs" -> out,
              "dedup_recall_audit" -> out,
              // r14: the hash-stratum sampled audit — must read near the

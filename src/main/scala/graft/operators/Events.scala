@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -1922,6 +1922,65 @@ object Events {
       |      * (n::DOUBLE * syy - sy::DOUBLE * sy)), 4) AS rho2
       |FROM th""".stripMargin
 
+  /** pass@k estimator (Chen et al. 2021, "Evaluating Large Language
+    * Models Trained on Code", eq. 1 — the unbiased HumanEval form): per
+    * task with n attempts and c successes, pass@k = 1 − C(n−c,k)/C(n,k),
+    * computed as the telescoping product ∏_{i<k}(n−c−i)/(n−i) — the
+    * numerically safe form the paper itself prescribes. Here a "task" is
+    * a user and an "attempt succeeds" when its value exceeds $100;
+    * production swaps in task ids and graded completions, identical
+    * plan. The product is folded in FLOORED PERMILLE with integer `div`
+    * at every step — the identical sequential fold in both engines
+    * (Spark SQL `aggregate`, DuckDB `list_reduce` with the same
+    * prepended init, the [[TextOps.fingerprint]] parity pattern) — so
+    * the permille is bit-exact, with documented floor bias ≤ k‰·ulp
+    * rather than an engine-dependent float.
+    *
+    * Scale: one map-side-combinable (task)-keyed count fold; the k-fold
+    * is per-row arithmetic on the |tasks|-row frame. No joins.
+    */
+  def passAtK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // n − c < k ⇒ every size-k sample contains a success ⇒ pass = 1
+    // exactly (the reference implementation's early-out), which also
+    // keeps the fold's divisors strictly positive: the fold only runs
+    // when n − c ≥ k, so n − i ≥ n − k + 1 ≥ 1 for every i < k
+    def fold(k: Int): Column = expr(
+      s"""CASE WHEN n - c < $k THEN CAST(1000 AS BIGINT)
+         |ELSE 1000 - aggregate(sequence(0, ${k - 1}),
+         |  CAST(1000 AS BIGINT),
+         |  (acc, i) -> (acc * greatest(n - c - i, 0)) div (n - i)) END"""
+        .stripMargin.replace("\n", " "))
+    Tables.events(s, dir)
+      .select($"user_id".as("task"),
+        ($"value" > 100.0).cast("long").as("ok"))
+      .groupBy($"task")
+      .agg(count(lit(1)).as("n"), sum($"ok").as("c"))
+      .select($"task", $"n", $"c",
+        fold(1).as("pass1_pm"), fold(5).as("pass5_pm"),
+        fold(10).as("pass10_pm"))
+      .orderBy($"task")
+  }
+
+  val passAtKSql: String = {
+    def fold(k: Int): String =
+      s"""(CASE WHEN n - c < $k THEN 1000
+         |  ELSE 1000 - list_reduce(
+         |    list_prepend(1000::BIGINT,
+         |      [i::BIGINT FOR i IN range(0, $k)]),
+         |    (a, b) -> (a * greatest(n - c - b, 0)) // (n - b)) END)::BIGINT"""
+        .stripMargin.replace("\n", " ")
+    s"""WITH t AS (
+       |  SELECT user_id AS task, count(*)::BIGINT AS n,
+       |    sum(CASE WHEN value > 100.0 THEN 1 ELSE 0 END)::BIGINT AS c
+       |  FROM events GROUP BY user_id)
+       |SELECT task, n, c,
+       |  ${fold(1)} AS pass1_pm,
+       |  ${fold(5)} AS pass5_pm,
+       |  ${fold(10)} AS pass10_pm
+       |FROM t ORDER BY task""".stripMargin
+  }
+
   /** Exact permutation test (Fisher 1935; the Monte-Carlo form of Dwass
     * 1957) on the arm difference in per-user spend — the inference
     * member of the experimentation trio ([[didEstimate]] estimates,
@@ -2057,6 +2116,7 @@ object Events {
     "ev_did" -> didEstimate _,
     "ev_cuped" -> cupedEstimate _,
     "stat_perm_test" -> ((s: SparkSession, dir: String) => permTest(s, dir)),
+    "eval_pass_at_k" -> passAtK _,
     "ev_survival_table" -> survivalTable _,
     "ev_acf" -> acf _,
     "ev_stl_daily" -> stlDaily _,
@@ -2123,6 +2183,7 @@ object Events {
     "ev_did" -> didEstimateSql,
     "ev_cuped" -> cupedEstimateSql,
     "stat_perm_test" -> permTestSql,
+    "eval_pass_at_k" -> passAtKSql,
     "ev_attribution_linear" -> attributionLinearSql,
     "ev_forecast_mase" -> forecastMaseSql,
     "ev_sliding" -> slidingSql,
