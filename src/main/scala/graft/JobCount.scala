@@ -9,11 +9,15 @@ import org.apache.spark.sql.SparkSession
   * iterative operators (Borůvka, star contraction, BSP loops), where
   * wall-clock ≈ jobs × fixed scheduling latency and co-tenant noise can
   * mask a 2× structural change. Usage:
-  * `runMain graft.JobCount <query> [sfDir]`.
+  * `runMain graft.JobCount <query>[,<query>...] [sfDir]` — several
+  * comma-separated queries share one JVM/session (each gets its own
+  * counter window; the warm session means later counts are not inflated
+  * by first-run codegen jobs).
   */
 object JobCount {
   def main(args: Array[String]): Unit = {
-    val q = args.headOption.getOrElse("graph_mst")
+    val qs = args.headOption.getOrElse("graph_mst")
+      .split(",").map(_.trim).filter(_.nonEmpty)
     val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
@@ -32,14 +36,19 @@ object JobCount {
       override def onStageSubmitted(s: SparkListenerStageSubmitted): Unit =
         synchronized { stages += 1 }
     })
-    val t0 = System.nanoTime()
-    val n = SparkEntry.queries(q)(spark, dir).count()
-    val secs = (System.nanoTime() - t0) / 1e9
-    // listener events are posted asynchronously; settle before reading
-    // (listenerBus.waitUntilEmpty is private[spark]; a short sleep after
-    // the action returns is enough for a diagnostic count)
-    Thread.sleep(1000)
-    println(f"""{"query":"$q","rows":$n,"jobs":$jobs,"stages":$stages,"sec":$secs%.3f}""")
+    for (q <- qs) {
+      // listener events are posted asynchronously; settle before reading
+      // the window (listenerBus.waitUntilEmpty is private[spark]; a short
+      // sleep after the action returns is enough for a diagnostic count)
+      Thread.sleep(1000)
+      val (jobs0, stages0) = synchronized { (jobs, stages) }
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries(q)(spark, dir).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(1000)
+      val (jobs1, stages1) = synchronized { (jobs, stages) }
+      println(f"""{"query":"$q","rows":$n,"jobs":${jobs1 - jobs0},"stages":${stages1 - stages0},"sec":$secs%.3f}""")
+    }
     spark.stop()
   }
 }

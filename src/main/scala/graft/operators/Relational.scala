@@ -3056,14 +3056,23 @@ object Relational {
       .select($"c", lit(1048576L).as("h"))
     var a = edges.limit(0).select($"p", lit(0L).as("a")) // replaced below
     for (_ <- 1 to iters) {
+      // pin the PRE-rescale half-round aggregate (a0/h0): the max-divisor
+      // agg and the rescale projection both read it, so pinning the
+      // POST-rescale frame (the r16 shape) recomputed the |E|-sized
+      // edges⋈vector join+agg TWICE per half-round — once under the
+      // divisor's broadcast subtree, once on the main stream (guide §2.4).
+      // The rescaled a/h stay lazy: two cheap scans of the pinned bounded
+      // aggregate replace a second edge-frame join.
       val a0 = edges.join(h, Seq("c")).groupBy($"p").agg(sum($"h").as("a"))
+        .pin(true) // max-divisor agg + rescale both read it
       val da = a0.agg((expr("max(a) div 1048576") + 1L).as("d"))
       a = a0.crossJoin(broadcast(da))
-        .select($"p", expr("a div d").as("a")).pin(true)
+        .select($"p", expr("a div d").as("a"))
       val h0 = edges.join(a, Seq("p")).groupBy($"c").agg(sum($"a").as("s"))
+        .pin(true) // max-divisor agg + rescale both read it
       val dh = h0.agg((expr("max(s) div 1048576") + 1L).as("d"))
       h = h0.crossJoin(broadcast(dh))
-        .select($"c", expr("s div d").as("h")).pin(true)
+        .select($"c", expr("s div d").as("h"))
     }
     a.orderBy($"a".desc, $"p").limit(15)
       .select(lit("authority").as("side"), $"p".as("id"), $"a".as("score"))

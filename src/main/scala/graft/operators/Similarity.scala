@@ -3745,11 +3745,12 @@ object Similarity {
     * is law-tested in PcaPowerSpec.
     *
     * Scale: ONE corpus scan (the mergeable Gram fold, O(d²) state);
-    * the 8 rounds run on 64-row frames — each one broadcast-joined
-    * against the 4,096-row matrix and checkpointed (the BPE-chain rule:
-    * the iterate is referenced twice per round, so an unpinned chain
-    * doubles the DAG per round). The per-round 1-row max frames are the
-    * house bounded-broadcast cross shape.
+    * the 8 rounds run on 64-row frames — the d-bounded iterate is
+    * broadcast into the 4,096-row matrix product and the PRE-rescale
+    * aggregate u is checkpointed (the BPE-chain rule: u is referenced
+    * twice per round — max divisor + rescale — so pinning anything later
+    * doubles the product per round). The per-round 1-row max frames are
+    * the house bounded-broadcast cross shape.
     */
   def pcaPower(s: SparkSession, dir: String, iters: Int = 8): DataFrame = {
     import s.implicits._
@@ -3771,20 +3772,29 @@ object Similarity {
       lit(1048576L).as("v"))
     var prev = v
     for (_ <- 1 to iters) {
-      val u = cs.join(v.select($"i".as("j"), $"v"), Seq("j"))
+      // pin the PRE-rescale aggregate u (64 rows): the max-divisor agg and
+      // the rescale projection both read it, so pinning the POST-rescale v
+      // instead (the r16 shape) recomputed the whole cs⋈v product+agg
+      // TWICE per round — once under the divisor's broadcast subtree and
+      // once on the main stream (guide §2.4: one exchange, shared). The
+      // iterate v is d-bounded (64 rows at any corpus size), so it rides
+      // the join as an explicit broadcast: Catalyst sees only an
+      // unestimated checkpoint lineage and planned SortMergeJoin with two
+      // exchanges per round without the hint (guide §3.1).
+      val u = cs.join(broadcast(v.select($"i".as("j"), $"v")), Seq("j"))
         .select($"i", ($"c" * $"v").as("t"))
         .groupBy($"i").agg(sum($"t").as("u"))
+        .pin(true) // max-divisor agg + rescale both read it
       val dv = u.agg(max(abs($"u")).as("mu"))
         .select((expr("mu div 1048576") + 1L).as("dv"))
       prev = v
-      v = u.crossJoin(dv)
+      v = u.crossJoin(broadcast(dv))
         .select($"i",
           expr("""(CASE WHEN u < 0 THEN -1 ELSE 1 END) *
                  (abs(u) div dv)""").as("v"))
-        .pin(true) // referenced twice next round (product + max)
     }
     prev.select($"i", $"v".as("v_prev"))
-      .join(v.select($"i", $"v".as("v_top")), Seq("i"))
+      .join(broadcast(v.select($"i", $"v".as("v_top"))), Seq("i"))
       .orderBy($"i")
   }
 

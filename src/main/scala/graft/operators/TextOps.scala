@@ -178,16 +178,26 @@ object TextOps {
       .select($"doc_id", lit(1048576L).as("v"))
     var u = triples.limit(0).select($"w", lit(0L).as("u")) // replaced below
     for (_ <- 1 to iters) {
+      // pin the PRE-rescale half-round aggregate (u0/v0): the max-divisor
+      // agg and the rescale projection both read it, so pinning the
+      // POST-rescale frame (the r16 shape) recomputed the nnz-sized
+      // triples⋈iterate join+agg TWICE per half-round — once under the
+      // divisor's broadcast subtree, once on the main stream (guide §2.4).
+      // The rescaled u/v stay lazy: two cheap scans of the pinned
+      // vocabulary/doc-bounded aggregate replace a second corpus-shaped
+      // join.
       val u0 = triples.join(v, Seq("doc_id"))
         .groupBy($"w").agg(sum($"wt" * $"v").as("u"))
+        .pin(true) // max-divisor agg + rescale both read it
       val du = u0.agg((expr("max(abs(u)) div 1048576") + 1L).as("d"))
       u = u0.crossJoin(broadcast(du))
-        .select($"w", expr("u div d").as("u")).pin(true)
+        .select($"w", expr("u div d").as("u"))
       val v0 = triples.join(u, Seq("w"))
         .groupBy($"doc_id").agg(sum($"wt" * $"u").as("s"))
+        .pin(true) // max-divisor agg + rescale both read it
       val dv = v0.agg((expr("max(abs(s)) div 1048576") + 1L).as("d"))
       v = v0.crossJoin(broadcast(dv))
-        .select($"doc_id", expr("s div d").as("v")).pin(true)
+        .select($"doc_id", expr("s div d").as("v"))
     }
     u.orderBy($"u".desc, $"w").limit(10)
       .select($"w".as("term"), $"u".as("loading"))
@@ -430,20 +440,26 @@ object TextOps {
       .select($"lang", coalesce($"wins", lit(0L)).as("wins")).pin(true)
     var sc = wins.select($"lang", lit(S).as("s"))
     for (_ <- 1 to BtIters) {
+      // the score frame is ≤|systems| rows at ANY corpus size — broadcast
+      // both sides of the game join (guide §3.1: Catalyst sees only an
+      // unestimated checkpoint lineage and would sort-merge, shuffling the
+      // game frame twice per round)
       val inv = games
-        .join(sc.select($"lang".as("i"), $"s".as("si")), Seq("i"))
-        .join(sc.select($"lang".as("j"), $"s".as("sj")), Seq("j"))
+        .join(broadcast(sc.select($"lang".as("i"), $"s".as("si"))), Seq("i"))
+        .join(broadcast(sc.select($"lang".as("j"), $"s".as("sj"))), Seq("j"))
         .groupBy($"i".as("lang"))
         .agg(sum(expr(s"n * $S div (si + sj)")).as("inv"))
+      // pin the PRE-rescale ≤|systems|-row frame: the max-divisor agg and
+      // the rescale both read it (pinning the POST-rescale sc — the r16
+      // shape — ran the whole inv join+agg twice per round), and the pin
+      // still truncates lineage so the si/sj double reference next round
+      // cannot duplicate upstream rounds exponentially
       val raw = wins.join(inv, Seq("lang"))
         .select($"lang", expr(s"wins * $S div greatest(inv, 1)").as("raw"))
+        .pin(true)
       val d = raw.agg((expr(s"max(raw) div $S") + 1L).as("d"))
-      // pin the ≤|systems|-row score frame: the next round joins it
-      // TWICE (si and sj sides), so unpinned lineage would duplicate
-      // every upstream rescale cross exponentially across rounds
       sc = raw.crossJoin(broadcast(d))
         .select($"lang", greatest(expr("raw div d"), lit(1L)).as("s"))
-        .pin(true)
     }
     val gtot = games.groupBy($"i".as("lang")).agg(sum($"n").as("games"))
     sc.join(wins, Seq("lang")).join(gtot, Seq("lang"))
