@@ -641,11 +641,17 @@ object Similarity {
       .select($"vec_id".as("cid"), $"q".as("cq"))
     for (_ <- 1 to iters) {
       val withN = broadcast(cents.withColumn("cn2", norm2($"cq")))
+      // carry q THROUGH the assignment aggregate (first() over a group
+      // whose q values are all copies of the same row — deterministic by
+      // construction) instead of re-joining emb on vec_id afterwards: the
+      // r16 shape paid a second corpus scan plus a corpus-sized
+      // sort-merge join per iteration just to reattach the vector the
+      // aggregate already had (guide §2.3: shuffle the payload once).
       val assigned = emb.crossJoin(withN)
         .withColumn("d2", $"n2" - lit(2L) * dot($"q", $"cq") + $"cn2")
         .groupBy($"vec_id")
-        .agg((min($"d2" * n + $"cid") % n).as("cid"))
-      val sums = assigned.join(emb, Seq("vec_id"))
+        .agg((min($"d2" * n + $"cid") % n).as("cid"), first($"q").as("q"))
+      val sums = assigned
         .select($"cid", posexplode($"q"))
         .groupBy($"cid", $"pos")
         .agg(sum($"col").as("sv"), count(lit(1)).as("m"))
@@ -653,13 +659,19 @@ object Similarity {
       val next = sums.groupBy($"cid")
         .agg(transform(array_sort(collect_list(struct($"pos", $"c"))),
           x => x.getField("c")).as("cq2"))
+      // pin the nCells-row centroid table EVERY iteration (bounded at any
+      // corpus size), not only after the loop: unpinned, iteration t's
+      // frame references iteration t-1's twice (broadcast side + carry
+      // join), so the final single DAG re-scanned the corpus ~2^iters
+      // times (the r16 plan embedded ~10 emb scans for iters=2). Each
+      // iteration now scans the corpus exactly once.
       cents = cents.join(next, Seq("cid"), "left")
         .select($"cid", coalesce($"cq2", $"cq").as("cq"))
+        .pin(true)
     }
-    // materialize the nCells-row centroid table: downstream queries
-    // reference the assignment from several plan branches, and without
-    // truncation each branch would re-run the whole iterative fit
-    cents.pin(true)
+    // the loop's last pin IS the materialized table downstream queries
+    // probe from several plan branches (guarded for a zero-iteration fit)
+    if (iters <= 0) cents.pin(true) else cents
   }
 
   /** Cell assignment against the fitted centroids: smallest exact integer
@@ -1872,11 +1884,17 @@ object Similarity {
       .select($"m", $"vec_id".as("cid"), $"sq".as("cq"))
     for (_ <- 1 to kmeansIters) {
       val withN = broadcast(cents.withColumn("cn2", norm2($"cq")))
+      // same two moves as [[ivfCentroids]]: carry sq through the
+      // assignment aggregate (first() over identical per-group copies)
+      // instead of re-joining the corpus-sized sub frame, and pin the
+      // M×k-row codebook every iteration (bounded at any corpus size) so
+      // the per-iteration double reference (broadcast side + carry join)
+      // cannot nest into ~2^iters scans of the pinned sub frame.
       val assigned = sub.join(withN, Seq("m"))
         .withColumn("d2", $"sn2" - lit(2L) * dot($"sq", $"cq") + $"cn2")
         .groupBy($"vec_id", $"m")
-        .agg((min($"d2" * k + $"cid") % k).as("cid"))
-      val sums = assigned.join(sub, Seq("vec_id", "m"))
+        .agg((min($"d2" * k + $"cid") % k).as("cid"), first($"sq").as("sq"))
+      val sums = assigned
         .select($"m", $"cid", posexplode($"sq"))
         .groupBy($"m", $"cid", $"pos")
         .agg(sum($"col").as("sv"), count(lit(1)).as("cnt"))
@@ -1886,8 +1904,9 @@ object Similarity {
           x => x.getField("c")).as("cq2"))
       cents = cents.join(next, Seq("m", "cid"), "left")
         .select($"m", $"cid", coalesce($"cq2", $"cq").as("cq"))
+        .pin(true)
     }
-    cents.pin(true)
+    if (kmeansIters <= 0) cents.pin(true) else cents
   }
 
   /** The ADC (asymmetric distance computation) top-3: corpus vectors are
