@@ -115,6 +115,36 @@ object AriaEngine {
       .withColumn("committed_noreorder", commitFlag(reorder = false))
       .withColumn("committed_reorder", commitFlag(reorder = true))
 
+  /** [[decisions]] with the reservation minima FUSED into the same ops
+    * pass as per-key window aggregates — callers that use the
+    * reservation table ONLY to decide (the epoch loop, the verdict
+    * queries) pay one key-partitioned exchange + the tid aggregation,
+    * instead of scanning `ops` twice (groupBy for [[reservations]], then
+    * the key-keyed join back — guide §2.4: two operations keyed the same
+    * way share one exchange). Value-identical to
+    * `decisions(ops, reservations(ops, keyCols), keyCols)`: a windowed
+    * `min over (partition by k)` equals the groupBy-k min joined back on
+    * k, and rts/wts are never null-vs-missing ambiguous (an inner join on
+    * the group key loses no rows — every op's key is in its own group).
+    */
+  def decisionsFused(ops: DataFrame,
+      keyCols: Seq[String] = Seq("k")): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+    ops
+      .withColumn("rts", min(col("tid")).over(w))
+      .withColumn("wts", min(when(col("isUpdate"), col("tid"))).over(w))
+      .groupBy(col("tid"))
+      .agg(
+        max(coalesce(col("wts") < col("tid"), lit(false))).as("raw"),
+        max(col("isUpdate") && coalesce(col("rts") < col("tid"), lit(false)))
+          .as("war"),
+        max(col("isUpdate") && coalesce(col("wts") < col("tid"), lit(false)))
+          .as("waw"))
+      .withColumn("committed_noreorder", commitFlag(reorder = false))
+      .withColumn("committed_reorder", commitFlag(reorder = true))
+  }
+
   /** O19 write-back winners: per key, the committed writer (reservation
     * guarantees at most one committed writer per key — any writer above the
     * min has WAW and aborts — but we keep the min() for defensive
@@ -200,8 +230,7 @@ object AriaEngine {
       epoch: Int,
       keyCols: Seq[String] = Seq("k")): (DataFrame, DataFrame, DataFrame) = {
     val live = liveOps(ops, table, keyCols)
-    val res = reservations(live, keyCols)
-    val decided = decisions(live, res, keyCols)
+    val decided = decisionsFused(live, keyCols)
     val win = winners(live, decided, reorder, keyCols)
       .withColumn("win_epoch", lit(epoch))
     val next = install(table, win, valueCols, newValue, keyCols)
@@ -283,7 +312,9 @@ object AriaEngine {
     var remaining = nTids
     val flag = if (reorder) "committed_reorder" else "committed_noreorder"
     while (remaining > 0 && epoch <= maxEpochs) {
-      val decided = decisions(ops, reservations(ops, keyCols), keyCols)
+      // fused reservations (decisionsFused): one key-partitioned window
+      // pass instead of a second batch scan + key join per epoch
+      val decided = decisionsFused(ops, keyCols)
       // the epoch's ONE action: materialize the per-txn abort verdicts
       // (decided is groupBy(tid), so this is one row per aborted txn)
       val aborted = decided.filter(!col(flag)).select("tid")
@@ -291,11 +322,14 @@ object AriaEngine {
       val nAborted = aborted.count() // over the tiny materialized frame
       history += ((epoch, remaining - nAborted, nAborted))
       opsByEpoch += ((epoch, ops, aborted))
-      ops = ops.join(broadcast(aborted), Seq("tid"), "left_semi")
-      // the retry batch stays lazy (a broadcast probe of the checkpointed
-      // verdicts); only a pathological maxEpochs-long abort chain would
-      // stack enough semi-joins to bloat the plan — flatten periodically
-      if (epoch % 8 == 0) ops = ops.pin(true)
+      // CONSTANT-DEPTH retry derivation: abort sets only shrink
+      // (aborted_e ⊆ tids(ops_e) = aborted_{e-1}-filtered live), so the
+      // epoch-e batch is the ORIGINAL live frame semi-joined against just
+      // the LAST abort verdict — identical rows to chaining a semi-join
+      // per epoch, without the per-epoch plan growth the old shape paid
+      // (one broadcast probe per elapsed epoch inside every later epoch's
+      // job, flattened only every 8th epoch).
+      ops = live.join(broadcast(aborted), Seq("tid"), "left_semi")
       remaining = nAborted
       epoch += 1
     }

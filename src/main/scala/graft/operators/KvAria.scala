@@ -75,7 +75,7 @@ object KvAria {
   def ariaConflicts(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val live = AriaEngine.liveOps(ariaOps(s, dir), ariaBase(s, dir))
-    AriaEngine.decisions(live, AriaEngine.reservations(live))
+    AriaEngine.decisionsFused(live)
       .select($"tid",
         $"raw".cast("int").as("raw"),
         $"war".cast("int").as("war"),
@@ -384,8 +384,7 @@ object KvAria {
     import s.implicits._
     val live = AriaEngine.liveOps(
       twoTableOps(s, dir), twoTableRegistry(s, dir), twoTableKey)
-    val dec = AriaEngine.decisions(
-      live, AriaEngine.reservations(live, twoTableKey), twoTableKey)
+    val dec = AriaEngine.decisionsFused(live, twoTableKey)
     val touched = live.groupBy($"tid")
       .agg(countDistinct($"table_id").as("n_tables"))
     dec.join(touched, Seq("tid"))
@@ -523,8 +522,7 @@ object KvAria {
     val keys = part.select(lit(0L).as("table_id"), $"k")
       .unionByName(cust.select(lit(1L).as("table_id"), $"k"))
     val live = AriaEngine.liveOps(twoTableOps(s, dir), keys, twoTableKey)
-    val dec = AriaEngine.decisions(
-      live, AriaEngine.reservations(live, twoTableKey), twoTableKey)
+    val dec = AriaEngine.decisionsFused(live, twoTableKey)
     val win = AriaEngine.winners(live, dec, reorder = true, twoTableKey)
       .withColumn("win_epoch", lit(1))
       .pin(true) // bounded by the batch; probed by both installs
