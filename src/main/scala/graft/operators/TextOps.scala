@@ -3755,26 +3755,30 @@ object TextOps {
     */
   def pageRank(s: SparkSession, dir: String, iters: Int = 3): DataFrame = {
     import s.implicits._
-    val nodes = Tables.documents(s, dir).select($"doc_id")
-      .pin(true) // re-read every round (the rank left-join base)
     val pairs = minhashCandidates(s, dir).pin(true) // union reads it twice
     val edges = pairs.select($"a".as("src"), $"b".as("dst"))
       .unionByName(pairs.select($"b".as("src"), $"a".as("dst")))
-    // fold the out-degree INTO the edge list once (an adjacency list with
-    // degree, the GraphX layout) so each round pays exactly ONE join —
-    // edges⋈deg repeated per round would double the iteration's exchanges
+      .pin(true) // re-joined every round (2 narrow columns)
+    // fold the out-degree INTO the rank frame (r17; was folded into the
+    // edge list): the degree divides the SOURCE's rank, so it can ride
+    // the |V|-row rank frame through each round's join instead of being
+    // duplicated onto every out-edge — the per-round edge exchange drops
+    // a column of |E| longs and the setup pays a |V|-row join instead of
+    // re-joining the full |E|-row edge frame against deg (guide §2.3:
+    // shuffle keys and small metadata, not per-edge copies).
     val deg = edges.groupBy($"src").agg(count(lit(1)).as("d"))
-    val edgesD = edges.join(deg, "src")
-      .select($"src", $"dst", $"d")
-      .pin(true) // re-joined every round
-    var r = nodes.select($"doc_id", lit(1000000L).as("r"))
+    val nodes = Tables.documents(s, dir).select($"doc_id")
+      .join(deg.withColumnRenamed("src", "doc_id"), Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"d", lit(1L)).as("d"))
+      .pin(true) // re-read every round (rank left-join base, degree inline)
+    var r = nodes.select($"doc_id", $"d", lit(1000000L).as("r"))
     for (_ <- 1 to iters) {
-      val contrib = edgesD
+      val contrib = edges
         .join(r.withColumnRenamed("doc_id", "src"), "src")
         .select($"dst".as("doc_id"), expr("r div d").as("c"))
         .groupBy($"doc_id").agg(sum($"c").as("s"))
       r = nodes.join(contrib, Seq("doc_id"), "left")
-        .select($"doc_id",
+        .select($"doc_id", $"d",
           (lit(150000L) + expr("(85 * coalesce(s, 0)) div 100")).as("r"))
     }
     r.select($"doc_id", $"r".as("rank")).orderBy($"doc_id")
@@ -3828,23 +3832,27 @@ object TextOps {
       iters: Int): DataFrame = {
     val s = nodes0.sparkSession
     import s.implicits._
-    val nodes = nodes0.pin(true) // re-read every round (rank join base)
     val pairs = pairs0.pin(true) // union reads it twice
     val edges = pairs.select($"a".as("src"), $"b".as("dst"))
       .unionByName(pairs.select($"b".as("src"), $"a".as("dst")))
+      .pin(true) // re-joined every round (2 narrow columns)
+    // degree folded into the |V|-row node/rank frame, not onto every
+    // out-edge — same move as [[pageRank]] (r17): narrower per-round edge
+    // exchange, |V|-sized setup join instead of |E|-sized
     val deg = edges.groupBy($"src").agg(count(lit(1)).as("d"))
-    val edgesD = edges.join(deg, "src")
-      .select($"src", $"dst", $"d")
-      .pin(true) // re-joined every round
-    var r = nodes.select($"v",
+    val nodes = nodes0
+      .join(deg.withColumnRenamed("src", "v"), Seq("v"), "left")
+      .select($"v", $"seed", coalesce($"d", lit(1L)).as("d"))
+      .pin(true) // re-read every round (rank join base, degree inline)
+    var r = nodes.select($"v", $"d",
       when($"seed", 1000000L).otherwise(0L).as("r"))
     for (_ <- 1 to iters) {
-      val contrib = edgesD
+      val contrib = edges
         .join(r.withColumnRenamed("v", "src"), "src")
         .select($"dst".as("v"), expr("r div d").as("c"))
         .groupBy($"v").agg(sum($"c").as("s"))
       r = nodes.join(contrib, Seq("v"), "left")
-        .select($"v", $"seed",
+        .select($"v", $"seed", $"d",
           (when($"seed", 150000L).otherwise(0L)
             + expr("(85 * coalesce(s, 0)) div 100")).as("r"))
     }
