@@ -1509,19 +1509,32 @@ object TextOps {
   private[operators] def shingleCodesOf(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    // Per-ROW shingling (r17): the 3-gram fold over consecutive token
+    // codes is a pure array expression — token codes via transform, the
+    // trigram window via sequence + element_at — so the
+    // explode-then-lead-window form's per-derivation exchange + sort of
+    // every token (Window.partitionBy(doc_id)) is gone entirely. The
+    // audits/pair queries deliberately re-derive codes instead of
+    // checkpointing a corpus-sized frame (the prefixPairs memory rule),
+    // which made each derivation's window shuffle the dominant repeated
+    // cost; a per-row derivation is scan + explode + distinct only.
+    // Value-identical: same split, same token order, same modular fold;
+    // docs with fewer than 3 tokens emitted no c2-complete shingle before
+    // and are filtered out before the (ascending-only) sequence here.
     docs
-      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "w")))
-      .select($"doc_id", $"pos", tokenCode($"w").as("c0"))
-      .withColumn("c1", lead($"c0", 1).over(w))
-      .withColumn("c2", lead($"c0", 2).over(w))
-      .filter($"c2".isNotNull)
       .select($"doc_id",
+        transform(split($"text", " "), w => tokenCode(w)).as("cs"))
+      .filter(size($"cs") >= 3)
+      // the distinct is PER-ROW too: all of one doc's shingles live in
+      // one array, and the global DISTINCT (doc_id, code) is exactly the
+      // per-doc distinct since doc_id is part of the key — array_distinct
+      // replaces a corpus-sized exchange per derivation
+      .select($"doc_id", explode(array_distinct(transform(
+        sequence(lit(0), size($"cs") - 3),
         // reduced mod M so the minhash multiply a*code stays < 2^63
-        ((($"c0" % M * 131071L + $"c1") % M * 131071L + $"c2") % M)
-          .as("code"))
-      .distinct()
+        i => ((element_at($"cs", i + 1) % M * 131071L
+          + element_at($"cs", i + 2)) % M * 131071L
+          + element_at($"cs", i + 3)) % M))).as("code"))
   }
 
   private val shingleCte =
@@ -2333,24 +2346,8 @@ object TextOps {
       aPred: Option[Column => Column] = None): DataFrame = {
     val s = codes.sparkSession
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val dfq = codes.groupBy($"code").agg(count(lit(1)).as("df"))
     val sizes = shingleSizes(codes)
-    val ranked = codes.join(dfq, Seq("code"))
-      .join(sizes, Seq("doc_id"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy($"doc_id").orderBy($"df", $"code")))
-    // p = n − ⌈4n/5⌉ + 1; ⌈4n/5⌉ = (4n+4) div 5 for n > 0
-    val pref = ranked
-      .filter($"rk" <= $"n" - (($"n" * 4L + 4L) / 5L).cast("long") + 1L)
-      .select($"doc_id", $"code", $"n")
-    val prefA = pref.select($"doc_id".as("a"), $"code", $"n".as("na"))
-    val cand = aPred.fold(prefA)(p => prefA.filter(p($"a")))
-      .join(pref.select($"doc_id".as("b"), $"code", $"n".as("nb")),
-        Seq("code"))
-      .filter($"a" < $"b" &&
-        least($"na", $"nb") * 5L >= greatest($"na", $"nb") * 4L)
-      .select($"a", $"b").distinct()
+    val cand = prefixCandOf(codes, sizes, aPred).distinct()
     val inter = cand
       .join(codes.select($"doc_id".as("a"), $"code"), Seq("a"))
       .join(codes.select($"doc_id".as("b"), $"code"), Seq("b", "code"))
@@ -2361,6 +2358,36 @@ object TextOps {
       .filter($"c" * 5L >= ($"na" + $"nb" - $"c") * 4L)
       .select($"a", $"b", $"c", $"na", $"nb",
         (($"c" * 1000L) / ($"na" + $"nb" - $"c")).cast("long").as("jac_pm"))
+  }
+
+  /** The AllPairs prefix CANDIDATE stage alone (pre-distinct — a pair can
+    * surface once per shared prefix code): the recall audits consume it
+    * unioned with the LSH candidate set through ONE shared intersection
+    * join, so the stage is factored out of [[prefixPairsOf]]. `sizes`
+    * comes from the caller so an already-pinned per-doc size frame is not
+    * re-derived from the corpus.
+    */
+  private def prefixCandOf(codes: DataFrame, sizes: DataFrame,
+      aPred: Option[Column => Column] = None): DataFrame = {
+    val s = codes.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val dfq = codes.groupBy($"code").agg(count(lit(1)).as("df"))
+    val ranked = codes.join(dfq, Seq("code"))
+      .join(sizes, Seq("doc_id"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"doc_id").orderBy($"df", $"code")))
+    // p = n − ⌈4n/5⌉ + 1; ⌈4n/5⌉ = (4n+4) div 5 for n > 0
+    val pref = ranked
+      .filter($"rk" <= $"n" - (($"n" * 4L + 4L) / 5L).cast("long") + 1L)
+      .select($"doc_id", $"code", $"n")
+    val prefA = pref.select($"doc_id".as("a"), $"code", $"n".as("na"))
+    aPred.fold(prefA)(p => prefA.filter(p($"a")))
+      .join(pref.select($"doc_id".as("b"), $"code", $"n".as("nb")),
+        Seq("code"))
+      .filter($"a" < $"b" &&
+        least($"na", $"nb") * 5L >= greatest($"na", $"nb") * 4L)
+      .select($"a", $"b")
   }
 
   /** The AllPairs prefix CTE chain (dfq/psz/rk/pref/cand/pinter) — one
@@ -2416,15 +2443,38 @@ object TextOps {
     */
   def recallAudit(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // unpinned for the same ×100 unified-memory reason as [[prefixPairs]]
+    // codes stays unpinned for the same ×100 unified-memory reason as
+    // [[prefixPairs]], so every consumer below re-derives the corpus
+    // shingling — the r17 restructure is about needing FEWER consumers:
+    // the r16 shape ran the LSH and AllPairs pair pipelines end-to-end
+    // independently (15 corpus re-derivations in the executed plan, each
+    // a scan + shingle window + distinct), although both sides end with
+    // the SAME candidate-pair intersection join against codes. Union the
+    // two candidate sets with membership flags, verify through ONE shared
+    // intersection join (the dominant stage), and pin only bounded frames
+    // (per-doc sizes, the verified pair table) — guide §2.4/§2.3.
     val codes = shingleCodes(s, dir)
-    val sizes = shingleSizes(codes)
-    val found = shingleInterCounts(codes)
+    val sizes = shingleSizes(codes).pin(true) // |docs| rows, bounded
+    val cand = shinglePairsOf(codes)
+      .select($"a", $"b", lit(1L).as("lsh"), lit(0L).as("pre"))
+      .unionByName(prefixCandOf(codes, sizes)
+        .select($"a", $"b", lit(0L).as("lsh"), lit(1L).as("pre")))
+      .groupBy($"a", $"b").agg(max($"lsh").as("lsh"), max($"pre").as("pre"))
+      .pin(true) // candidate-pair table; feeds the one intersection join
+    // a candidate pair with zero shared shingles (band-fold collision)
+    // drops out of the inner join — it could never pass the τ = 0.8
+    // verification filter (c = 0 < (na+nb)·4/5 since na, nb ≥ 1)
+    val scored = cand
+      .join(codes.select($"doc_id".as("a"), $"code"), Seq("a"))
+      .join(codes.select($"doc_id".as("b"), $"code"), Seq("b", "code"))
+      .groupBy($"a", $"b", $"lsh", $"pre").agg(count(lit(1)).as("c"))
       .join(sizes.select($"doc_id".as("a"), $"n".as("na")), Seq("a"))
       .join(sizes.select($"doc_id".as("b"), $"n".as("nb")), Seq("b"))
       .filter($"c" * 5L >= ($"na" + $"nb" - $"c") * 4L)
-      .select($"a", $"b").pin(true)
-    val truth = prefixPairsOf(codes).select($"a", $"b", $"jac_pm").pin(true)
+      .pin(true) // verified pairs; found, truth and missed all read it
+    val found = scored.filter($"lsh" === 1L).select($"a", $"b")
+    val truth = scored.filter($"pre" === 1L).select($"a", $"b",
+      (($"c" * 1000L) / ($"na" + $"nb" - $"c")).cast("long").as("jac_pm"))
     val missed = truth.join(found, Seq("a", "b"), "left_anti")
     val tAgg = truth.agg(count(lit(1)).as("n_truth"))
     val fAgg = found.agg(count(lit(1)).as("n_found"))
@@ -2501,19 +2551,29 @@ object TextOps {
     import s.implicits._
     val strat: Column => Column =
       d => (d % 1000003L) * 131071L % 1000003L % strata === 0L
+    // same shared-intersection restructure as [[recallAudit]] (r17): one
+    // candidate union with membership flags, one verification join, pins
+    // only on bounded frames — both stratum-restricted candidate streams
+    // keep the predicate pushed into their joins' min-endpoint side
     val codes = shingleCodes(s, dir) // unpinned, the prefixPairs rule
-    val sizes = shingleSizes(codes)
-    val fInter = shinglePairsOf(codes, Some(strat))
+    val sizes = shingleSizes(codes).pin(true) // |docs| rows, bounded
+    val cand = shinglePairsOf(codes, Some(strat))
+      .select($"a", $"b", lit(1L).as("lsh"), lit(0L).as("pre"))
+      .unionByName(prefixCandOf(codes, sizes, Some(strat))
+        .select($"a", $"b", lit(0L).as("lsh"), lit(1L).as("pre")))
+      .groupBy($"a", $"b").agg(max($"lsh").as("lsh"), max($"pre").as("pre"))
+      .pin(true)
+    val scored = cand
       .join(codes.select($"doc_id".as("a"), $"code"), Seq("a"))
       .join(codes.select($"doc_id".as("b"), $"code"), Seq("b", "code"))
-      .groupBy($"a", $"b").agg(count(lit(1)).as("c"))
-    val found = fInter
+      .groupBy($"a", $"b", $"lsh", $"pre").agg(count(lit(1)).as("c"))
       .join(sizes.select($"doc_id".as("a"), $"n".as("na")), Seq("a"))
       .join(sizes.select($"doc_id".as("b"), $"n".as("nb")), Seq("b"))
       .filter($"c" * 5L >= ($"na" + $"nb" - $"c") * 4L)
-      .select($"a", $"b").pin(true)
-    val truth = prefixPairsOf(codes, Some(strat))
-      .select($"a", $"b", $"jac_pm").pin(true)
+      .pin(true)
+    val found = scored.filter($"lsh" === 1L).select($"a", $"b")
+    val truth = scored.filter($"pre" === 1L).select($"a", $"b",
+      (($"c" * 1000L) / ($"na" + $"nb" - $"c")).cast("long").as("jac_pm"))
     val missed = truth.join(found, Seq("a", "b"), "left_anti")
     val tAgg = truth.agg(count(lit(1)).as("t"))
     val fAgg = found.agg(count(lit(1)).as("f"))
