@@ -619,19 +619,24 @@ object Events {
     var r = nodes.select($"v".as("x"), $"v".as("y"))
       .unionByName(skel.select($"f".as("x"), $"t".as("y")))
       .distinct().pin(true)
+    // the reachability relation is ≤ 9²-row bounded (the guard enforces
+    // ≤ 9 states), but reaches Catalyst as unestimated checkpoint
+    // lineage — broadcast the build sides so the squaring/mutual joins
+    // don't sort-merge these bounded frames (guide §3.1)
     for (_ <- 1 to 3) {
       r = r.unionByName(
-          r.as("p").join(r.as("q"), $"p.y" === $"q.x")
+          r.as("p").join(broadcast(r.as("q")), $"p.y" === $"q.x")
             .select($"p.x".as("x"), $"q.y".as("y")))
         .distinct().pin(true)
     }
     val mutual = r.as("a")
-      .join(r.as("b"), $"a.x" === $"b.y" && $"a.y" === $"b.x")
+      .join(broadcast(r.as("b")), $"a.x" === $"b.y" && $"a.y" === $"b.x")
       .select($"a.x".as("v"), $"a.y".as("m"))
     val cls = mutual.groupBy($"v").agg(min($"m").as("class_id")).pin(true)
     val leak = skel
-      .join(cls.select($"v".as("f"), $"class_id"), Seq("f"))
-      .join(cls.select($"v".as("t"), $"class_id".as("c2")), Seq("t"))
+      .join(broadcast(cls.select($"v".as("f"), $"class_id")), Seq("f"))
+      .join(broadcast(cls.select($"v".as("t"), $"class_id".as("c2"))),
+        Seq("t"))
       .filter($"class_id" =!= $"c2")
       .select($"class_id").distinct()
     cls.join(leak.withColumn("leaky", lit(1L)), Seq("class_id"), "left")
@@ -828,13 +833,19 @@ object Events {
     var pi = states.select($"state", lit(1000000L).as("pi"))
     var prev = pi
     for (_ <- 1 to iters) {
+      // pi and contrib are ≤|event-types| rows — bounded by the SCHEMA,
+      // not the data — but reach Catalyst as unestimated checkpoint
+      // lineage, so without explicit broadcasts both per-round joins
+      // fall to sort-merge and shuffle the (equally bounded) cm/states
+      // frames twice per round (guide §3.1)
       val contrib = cm
-        .join(pi.select($"state".as("from_type"), $"pi"), Seq("from_type"))
+        .join(broadcast(pi.select($"state".as("from_type"), $"pi")),
+          Seq("from_type"))
         .select($"to_type".as("state"),
           expr("(pi * n) div row_n").as("c"))
         .groupBy($"state").agg(sum($"c").as("s"))
       prev = pi
-      pi = states.join(contrib, Seq("state"), "left")
+      pi = states.join(broadcast(contrib), Seq("state"), "left")
         .select($"state", coalesce($"s", lit(0L)).as("pi"))
         .pin(true)
     }

@@ -5300,14 +5300,20 @@ object TextOps {
           .groupBy($"v", $"j").agg(max($"mx").as("mx"))
           .pin(true)
       }
-      nodes.select($"v", explode(sequence(lit(0), lit(63))).as("j"))
-        .join(regs, Seq("v", "j"), "left")
-        .withColumn("mx", coalesce($"mx", lit(0)))
-        .groupBy($"v")
-        .agg(sum(when($"mx" === 0, 1L).otherwise(0L)).as("n_zero"),
-          sum(pow(lit(2.0), -$"mx")).as("ssum"))
-        .select($"v".as("group_id"), lit(t.toLong).as("t"), $"n_zero",
-          floor(lit(0.709) * lit(4096.0) / $"ssum").cast("long")
+      // readout WITHOUT the 64-way explode + left join the r16 shape
+      // paid per t (4 × a |V|·64-row join): a PRESENT register always
+      // has mx ≥ 1 (w = 0 maps to 26, w ≥ 1 to 26 − bitlength ≥ 1), so
+      // n_zero = 64 − #present and each absent register contributes
+      // exactly 2⁻⁰ = 1.0 to the sum. Every node has ≥ 1 register from
+      // round 0, so the groupBy covers all nodes. Exactness: 2⁻ᵐˣ terms
+      // are multiples of 2⁻²⁶ with total < 2⁶, so every partial sum is
+      // exact in double — summation order cannot change est_ball.
+      regs.groupBy($"v")
+        .agg(count(lit(1)).as("cnt"), sum(pow(lit(2.0), -$"mx")).as("sp"))
+        .select($"v".as("group_id"), lit(t.toLong).as("t"),
+          (lit(64L) - $"cnt").as("n_zero"),
+          floor(lit(0.709) * lit(4096.0)
+            / ($"sp" + (lit(64L) - $"cnt").cast("double"))).cast("long")
             .as("est_ball"))
     }
     perRound.reduce(_ unionByName _).orderBy($"group_id", $"t")
