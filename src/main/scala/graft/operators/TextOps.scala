@@ -1144,13 +1144,10 @@ object TextOps {
     */
   private def minhashOf(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // per-ROW signatures (r17): [[minhashSigCols]] computes the same 8
-    // mins over the same per-doc distinct token set as pure array
-    // expressions (bit-identity with the groupBy-min form is asserted in
-    // DedupStreamSpec), so the explode + DISTINCT exchange + groupBy
-    // exchange the r16 shape paid per derivation are gone — a signature
-    // derivation is now a map-only corpus scan.
-    Tables.documents(s, dir).select($"doc_id" +: minhashSigCols: _*)
+    val codes = tokens(s, dir).select($"doc_id", tokenCode($"w").as("code"))
+    val aggs = A.indices.map(j =>
+      min((lit(A(j)) * $"code" + B(j)) % P).as(s"mh$j"))
+    codes.groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
   val minhashSql: String = tokCte + {
