@@ -3764,12 +3764,13 @@ object Similarity {
     * is law-tested in PcaPowerSpec.
     *
     * Scale: ONE corpus scan (the mergeable Gram fold, O(d²) state);
-    * the 8 rounds run on 64-row frames — the d-bounded iterate is
-    * broadcast into the 4,096-row matrix product and the PRE-rescale
-    * aggregate u is checkpointed (the BPE-chain rule: u is referenced
-    * twice per round — max divisor + rescale — so pinning anything later
-    * doubles the product per round). The per-round 1-row max frames are
-    * the house bounded-broadcast cross shape.
+    * the 8 rounds run on 64-row frames — each one joined against the
+    * 4,096-row matrix and checkpointed (the BPE-chain rule: the iterate
+    * is referenced twice per round, so an unpinned chain doubles the DAG
+    * per round). The per-round 1-row max frames are the house
+    * bounded-broadcast cross shape; the A/B note inside the loop records
+    * why this keeps the r16 post-rescale pin while lsa/hits moved to the
+    * pre-rescale pin.
     */
   def pcaPower(s: SparkSession, dir: String, iters: Int = 8): DataFrame = {
     import s.implicits._
@@ -3790,30 +3791,33 @@ object Similarity {
     var v = s.range(64).select($"id".cast("long").as("i"),
       lit(1048576L).as("v"))
     var prev = v
+    // A/B-measured r17: three loop shapes were benched at 5 iterations
+    // each — (a) this r16 form (pin the post-rescale v; the divisor's
+    // broadcast subtree recomputes u, but the duplicate runs in PARALLEL
+    // with the main stream under AQE), (b) pin the pre-rescale u +
+    // broadcast(v) (the lsa/hits treatment), (c) this form + broadcast(v).
+    // (a) measured fastest (3.98 s in a loud window, 3.18 clean) vs (b)
+    // 4.77 / (c) 4.37: every loop frame here is BOUNDED (4,096-row
+    // matrix, 64-row iterate) at any corpus size, so the deduped work is
+    // negligible while (b)'s divisor→broadcast→join chain SERIALIZES
+    // stages that (a) overlaps, and (c)'s per-round broadcast build
+    // blocks both join copies. The pre-rescale pin stays the right move
+    // for lsa/hits/BT where the recomputed subtree is corpus/|E|-sized.
     for (_ <- 1 to iters) {
-      // pin the PRE-rescale aggregate u (64 rows): the max-divisor agg and
-      // the rescale projection both read it, so pinning the POST-rescale v
-      // instead (the r16 shape) recomputed the whole cs⋈v product+agg
-      // TWICE per round — once under the divisor's broadcast subtree and
-      // once on the main stream (guide §2.4: one exchange, shared). The
-      // iterate v is d-bounded (64 rows at any corpus size), so it rides
-      // the join as an explicit broadcast: Catalyst sees only an
-      // unestimated checkpoint lineage and planned SortMergeJoin with two
-      // exchanges per round without the hint (guide §3.1).
-      val u = cs.join(broadcast(v.select($"i".as("j"), $"v")), Seq("j"))
+      val u = cs.join(v.select($"i".as("j"), $"v"), Seq("j"))
         .select($"i", ($"c" * $"v").as("t"))
         .groupBy($"i").agg(sum($"t").as("u"))
-        .pin(true) // max-divisor agg + rescale both read it
       val dv = u.agg(max(abs($"u")).as("mu"))
         .select((expr("mu div 1048576") + 1L).as("dv"))
       prev = v
-      v = u.crossJoin(broadcast(dv))
+      v = u.crossJoin(dv)
         .select($"i",
           expr("""(CASE WHEN u < 0 THEN -1 ELSE 1 END) *
                  (abs(u) div dv)""").as("v"))
+        .pin(true) // referenced twice next round (product + max)
     }
     prev.select($"i", $"v".as("v_prev"))
-      .join(broadcast(v.select($"i", $"v".as("v_top"))), Seq("i"))
+      .join(v.select($"i", $"v".as("v_top")), Seq("i"))
       .orderBy($"i")
   }
 
