@@ -97,6 +97,14 @@ class PlanGuardSpec extends SparkSpec {
     // the two bounded 1-row audit aggregates (found/missed) crossed into
     // the single report row
     "dedup_recall_audit" -> 2,
+    // r17: the pre-rescale pin moved the HITS loop's 1-row max-divisor
+    // rescale crosses OUT of the checkpointed frames — the final readout
+    // now reads the lazily-rescaled a AND h (one bounded 1-row broadcast
+    // cross each); same intentional shape, new residence
+    "graph_hits" -> 2,
+    // r17: same move — the final top-10 readout reads the lazily-rescaled
+    // u (one 1-row max-divisor cross)
+    "text_lsa_power" -> 1,
     // the 1-row broadcast (total nsig, total N) allocation normalizer —
     // twice: the alloc frame is rebuilt for the realized-sample join and
     // the final report (bounded |strata| frame, not worth a pin)
@@ -265,7 +273,10 @@ class PlanGuardSpec extends SparkSpec {
     "ev_acf" -> 4, // 3× the 1-row (n,Σx) cross + the 1-row den (r13 s3)
     "ev_markov_stationary" -> 1, // the 1-row total-mass frame (r13 s3)
     "ev_cuped" -> 1, // the 1-row pooled-moment frame (r16)
-    "eval_bradley_terry" -> 3, // per-round 1-row rescale divisors (r16)
+    // r17 (was 3): the pre-rescale pin leaves each round's 1-row rescale
+    // cross in the NEXT segment (3 rounds) + the final readout's lazy
+    // rescale + the wins fold — same intentional divisors, new residence
+    "eval_bradley_terry" -> 5,
     "stat_perm_test" -> 2, // 1-row observed + 1-row count frames (r16)
     "eval_ndcg" -> 1, // the 10-vector broadcast query set (r13 s3)
     "eval_rank_battery" -> 1, // same shared probe broadcast (r13 s3)
@@ -335,8 +346,10 @@ class PlanGuardSpec extends SparkSpec {
     // 1-row totals) behind the final segment's 5 — 7 across the plan
     "dedup_recall_audit_sampled" -> 7,
     // r15: one 1-row max-div rescale divisor per HITS half-round
-    // (2 × 3 rounds), each behind its round pin — the lsa_power shape
-    "graph_hits" -> 6,
+    // (2 × 3 rounds); r17 (+1): the pre-rescale pin leaves the divisors
+    // in the consuming segments and the final readout carries TWO lazy
+    // rescales (a and h) — 7 of the same bounded 1-row crosses
+    "graph_hits" -> 7,
     // r15: the k-means fit's per-iteration 8-row centroid cross behind
     // the fit pins + the 8-row centroid distance fan in the dall
     // segment — the sim_dbscan_ivf full-plan shape
