@@ -2881,10 +2881,15 @@ object TextOps {
       val mins = sym.groupBy($"u")
         .agg(min($"v").as("mn"))
         .select($"u", least($"mn", $"u").as("m"))
+      // NO distinct on the large-star emission (r17): small-star's min is
+      // duplicate-insensitive and `next` ends in its own distinct, so the
+      // across-u duplicate (v, m) pairs are harmless — the dedup cost a
+      // full (hi, lo) exchange + aggregate per round, after which both
+      // consumers re-exchanged by hi anyway; now the single hi exchange
+      // is built once and reused by the groupBy and the join (guide §2.4)
       val large = sym.filter($"v" > $"u")
         .join(mins, Seq("u"))
         .select($"v".as("hi"), $"m".as("lo"))
-        .distinct()
       // small-star on the (hi, lo) orientation large-star guarantees
       val smins = large.groupBy($"hi").agg(min($"lo").as("m"))
       val next = large.join(smins, Seq("hi"))
